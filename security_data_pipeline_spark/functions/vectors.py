@@ -1,0 +1,37 @@
+"""Vector math over ``array<float|double>`` columns with higher-order functions.
+
+Everything here is a pure Column expression (``aggregate`` / ``zip_with``) —
+JVM-side, no Python UDF, no Arrow transfer. Used by the similarity-search and
+embedding-dedup operators. Elements are upcast to double before any
+arithmetic so Spark and the DuckDB oracle (``::DOUBLE[]``) accumulate
+identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    """Sequential-fold dot product of two equal-length arrays."""
+    prods = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column | str) -> Column:
+    sq = F.aggregate(
+        _as_double(a), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return F.sqrt(sq)
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """dot(a,b) / (||a|| * ||b||); NULL if either norm is zero."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0.0, dot_product(a, b) / denom)
