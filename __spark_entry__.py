@@ -1,38 +1,42 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship sessionization query at sf0.001 (smoke).
+``queries()`` — every implemented operator from SURVEY.md §2 as a named
+(spark, sf_dir) → DataFrame callable.
+``oracle_sql()`` — the DuckDB-ANSI equivalent for each query (omitted for
+hash-function-dependent ops, which the driver checks rows-only).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: 30-min-gap sessionization with per-session stats over
+    events at sf0.001 (scan → window → agg; SURVEY.md §7.1)."""
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+    from security_data_pipeline_spark.session import configure
+
+    configure(spark)
+    return REGISTRY["sessionize_sessions"].fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from security_data_pipeline_spark.plans.queries import get_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return get_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from security_data_pipeline_spark.plans.queries import get_oracle_sql
+
+    return get_oracle_sql()

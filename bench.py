@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a noop sink (full computation, no driver collect
+bottleneck, no disk write skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BENCH_QUERIES: tuple[str, ...] = (
+    # security-event surface
+    "sessionize_sessions",
+    "user_daily_avg",
+    "keep_last_dedup",
+    "time_since_last_error",
+    "props_k_stats",
+    # relational suite
+    "pricing_summary",
+    "top_revenue_orders",
+    "regional_revenue",
+    "top_orders_per_customer",
+    # text / dedup / similarity extensions
+    "doc_quality_scores",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "knn_cosine",
+    "cosine_dup_pairs",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+    from security_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM / parquet footer caches so per-query times measure the
+    # plans, not session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = REGISTRY[name]
+        df = spec.fn(spark, sf_dir)
+        start = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"[bench] {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

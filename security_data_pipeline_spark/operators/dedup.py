@@ -1,0 +1,254 @@
+"""Deduplication operators, exact → fuzzy, all shuffle-conscious.
+
+The dedup family a training-data pipeline needs (SURVEY.md §2.12):
+
+- :func:`exact_dedup` — hash-groupBy on the chosen key columns.
+- :func:`keep_last_dedup` — D2 pattern: keep the latest occurrence by an
+  explicit order column (reference ``cleaning.py:52`` keep-last semantics).
+- :func:`ngram_jaccard_pairs` — shingle → candidate-pair (equi-join on a
+  shared shingle, NOT a cross join) → exact Jaccard verify.
+- :func:`minhash_lsh_pairs` — MinHash signatures via ``xxhash64(shingle, i)``
+  (JVM-side, zero UDF) banded into buckets; candidates are a bucket
+  equi-join. The standard 100 TB near-dup path.
+- :func:`simhash` — 64-bit SimHash per document, pure Column math.
+
+Scale notes: every candidate generator is an equi-join on a derived key, so
+the work is one shuffle per stage with AQE-managed partitioning; nothing here
+is O(n²) except the final verify over candidate pairs, which LSH bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact duplicate removal (arbitrary survivor) — ``dropDuplicates``:
+    map-side partial aggregation, one shuffle on the key hash."""
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def keep_last_dedup(
+    df: DataFrame, keys: list[str], order_col: str, tiebreak: list[str] | None = None
+) -> DataFrame:
+    """Keep the last occurrence per key by ``order_col`` (desc), with
+    deterministic tiebreaks — the explicit-order form of pandas
+    ``drop_duplicates(keep="last")``."""
+    order = [F.col(order_col).desc()] + [F.col(c).desc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingles(col: Column | str, n: int = 5, delim: str = " ") -> Column:
+    """Word n-gram shingles as an array<string> (distinct, order-free)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(c, delim)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(delim, F.slice(toks, i, n)))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard over candidate pairs.
+
+    Candidates = pairs sharing ≥1 shingle (explode + self-equi-join on the
+    shingle hash — a shuffle join, not a cross join). Jaccard computed from
+    |A∩B| (join match count) and set sizes. Output:
+    ``id_a, id_b, jaccard`` with id_a < id_b, jaccard ≥ threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(text_col, n)).alias("_sh"),
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
+
+    a = sh.select(F.col("_id").alias("id_a"), "_sh")
+    b = sh.select(F.col("_id").alias("id_b"), "_sh")
+    inter = (
+        a.join(b, ["_sh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_size").alias("_sa"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_size").alias("_sb"))
+    jac = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_sa") + F.col("_sb") - F.col("_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signature(
+    col: Column | str, n: int = 5, num_perm: int = 32
+) -> Column:
+    """MinHash signature (array<long>, length num_perm) over word shingles.
+
+    Permutation i is ``xxhash64(shingle, i)``; the signature element is the
+    min over shingles — all expressed with transform/array_min, JVM-side.
+    """
+    sh = shingles(col, n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_perm)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_perm: int = 32,
+    n_bands: int = 8,
+    verify_threshold: float | None = 0.8,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs.
+
+    rows_per_band = num_perm // n_bands; docs colliding in ANY band become
+    candidates (equi-join on (band, band_hash)); candidates optionally
+    verified with exact n-gram Jaccard. Output: ``id_a, id_b`` (+``jaccard``
+    when verifying).
+    """
+    rows_per_band = num_perm // n_bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(text_col, n, num_perm).alias("_sig"),
+    )
+    bands = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(F.col("_sig"), b * rows_per_band + j + 1)
+                                for j in range(rows_per_band)
+                            ]
+                        ).alias("bhash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_b.band", "_b.bhash")
+
+    left = bands.select(F.col("_id").alias("id_a"), "band", "bhash")
+    right = bands.select(F.col("_id").alias("id_b"), "band", "bhash")
+    cand = (
+        left.join(right, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    verified = ngram_jaccard_pairs(df, id_col, text_col, n, verify_threshold)
+    return cand.join(verified, ["id_a", "id_b"])
+
+
+def simhash(col: Column | str, bits: int = 64) -> Column:
+    """SimHash over whitespace tokens: bit j is the sign of
+    Σ_tokens (±1 by bit j of xxhash64(token)). Pure Column math.
+
+    One ``transform`` hashes every token once; the per-bit ±1 sums are
+    ``bits`` sequential folds over that hash array (shift amounts must be
+    Python ints for the JVM shiftright signature)."""
+    c = F.col(col) if isinstance(col, str) else col
+    hashes = F.transform(F.split(F.lower(c), " "), lambda t: F.xxhash64(t))
+
+    def _sign_fold(j: int):
+        # bind j via closure — pyspark HOFs dispatch on lambda ARITY, so a
+        # `j=j` default parameter would receive a third lambda variable
+        def merge(acc: Column, h: Column) -> Column:
+            return acc + F.when(
+                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(-1).cast("long"))
+
+        return merge
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        bit_sum = F.aggregate(hashes, F.lit(0).cast("long"), _sign_fold(j))
+        mask = (1 << j) if j < 63 else -(1 << 63)  # bit 63 = long sign bit
+        out = out.bitwiseOR(
+            F.when(bit_sum > 0, F.lit(mask).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs via the pigeonhole block trick: split the 64-bit
+    hash into ``n_blocks`` blocks; any pair within ``max_hamming <
+    n_blocks`` must agree on ≥1 whole block → candidates are a block-value
+    equi-join, verified by popcount of XOR."""
+    block_bits = 64 // n_blocks
+    h = df.select(F.col(id_col).alias("_id"), simhash(text_col).alias("_h"))
+    blocks = h.select(
+        "_id",
+        "_h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftrightunsigned(F.col("_h"), b * block_bits)
+                        .bitwiseAND(F.lit((1 << block_bits) - 1))
+                        .alias("bval"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_h", "_b.block", "_b.bval")
+
+    left = blocks.select(
+        F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), "block", "bval"
+    )
+    right = blocks.select(
+        F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), "block", "bval"
+    )
+    cand = (
+        left.join(right, ["block", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return cand.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -90,6 +90,7 @@ def add_session_features(
     ts_col: str = "timestamp",
     id_col: str = "event_id",
     tiebreak_cols: tuple[str, ...] = (),
+    include_stats: bool = True,
 ) -> DataFrame:
     """Gap-based sessionization + per-session stats, all in two window passes
     over ONE ``user_id`` exchange (feature_engineering.py:61-95).
@@ -116,6 +117,9 @@ def add_session_features(
             w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+    if not include_stats:
+        return df
 
     w_sess = Window.partitionBy(user_col, "session_id")
     df = df.withColumn(

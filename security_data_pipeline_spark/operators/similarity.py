@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers (SURVEY.md §2.12):
+
+- :func:`knn_bruteforce` — exact cosine top-k. The query side is broadcast
+  (queries ≪ corpus), so the corpus NEVER shuffles: each corpus partition
+  scores locally and only k rows per (query, partition) survive the
+  partial TakeOrdered. Scales linearly in corpus size across executors.
+- :func:`lsh_bucket_candidates` — random-hyperplane LSH for the 100 TB path:
+  sign-bit signatures via a broadcast plane matrix (deterministic seed),
+  band-bucketed so candidate generation is a hash-partition equi-join, not a
+  cross join. Recall is tunable via (n_planes, n_bands).
+
+Cosine math uses :mod:`security_data_pipeline_spark.functions.vectors`
+(higher-order functions — JVM-side, sequential fold, reproducible by the
+DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from security_data_pipeline_spark.functions.vectors import cosine_similarity
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: ``query_id, neighbor_id, cosine_sim`` — ranked on
+    round(sim, 6) DESC with neighbor-id ASC tiebreak (deterministic across
+    engines; raw-double rank order could differ in the last ulp).
+    """
+    from security_data_pipeline_spark.functions.vectors import dot_product, l2_norm
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
+        l2_norm(vec_col).alias("_qnrm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cvec"),
+        l2_norm(vec_col).alias("_cnrm"),
+    )
+    pairs = c.join(F.broadcast(q), how="cross")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    # norms precomputed once per vector; identical float math to
+    # cosine_similarity()
+    sim = F.round(
+        dot_product(F.col("_qvec"), F.col("_cvec"))
+        / (F.col("_qnrm") * F.col("_cnrm")),
+        6,
+    )
+    scored = pairs.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .drop("_rank")
+    )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold).
+
+    ``block_col`` (e.g. an LSH bucket or label) restricts comparisons to
+    same-block pairs — at scale ALWAYS pass one; the unblocked form is
+    O(n²) and only for oracle-checkable small corpora.
+
+    Physical shape: norms are computed ONCE per vector before the join (not
+    per pair), the right side is broadcast (nested-loop join on the `<`
+    predicate), and the streamed left side is repartitioned so the O(n²)
+    scoring parallelizes across all cores instead of one task.
+    """
+    from security_data_pipeline_spark.functions.vectors import dot_product, l2_norm
+
+    shuffle_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        l2_norm(vec_col).alias("_nrm"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    a = base.toDF(*[f"{c}_a" for c in base.columns]).repartition(shuffle_parts)
+    b = base.toDF(*[f"{c}_b" for c in base.columns])
+    cond = F.col("_id_a") < F.col("_id_b")
+    if block_col:
+        cond = cond & (F.col("_blk_a") == F.col("_blk_b"))
+        joined = a.join(b, cond)
+    else:
+        joined = a.join(F.broadcast(b), cond)
+    # dot/(na*nb) with precomputed norms — identical float math to
+    # cosine_similarity(), each norm just evaluated once per vector
+    sim = F.round(
+        dot_product(F.col("_v_a"), F.col("_v_b"))
+        / (F.col("_nrm_a") * F.col("_nrm_b")),
+        6,
+    )
+    return (
+        joined.select(
+            F.col("_id_a").alias("id_a"),
+            F.col("_id_b").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def lsh_bucket_candidates(
+    df: DataFrame,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Random-hyperplane LSH: assign each vector to ``n_bands`` bucket keys.
+
+    Deterministic plane matrix from ``numpy.random.default_rng(seed)``,
+    broadcast as a literal — signature computation is pure Column math (dot
+    sign bits), no Python UDF. Join on ``(band, bucket)`` to get candidate
+    pairs, then verify with exact cosine. Returns the input plus ``band`` and
+    ``bucket`` columns (exploded: n_bands rows per input row).
+    """
+    import numpy as np
+
+    if dim is None:
+        sample = df.select(F.size(vec_col).alias("d")).first()
+        if sample is None:
+            raise ValueError("empty DataFrame; pass dim= explicitly")
+        dim = sample["d"]
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bits_per_band = n_planes // n_bands
+
+    vec = F.col(vec_col).cast("array<double>")
+    bit_cols = []
+    for i in range(n_planes):
+        plane_lit = F.array(*[F.lit(float(x)) for x in planes[i]])
+        dot = F.aggregate(
+            F.zip_with(vec, plane_lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit_cols.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+
+    band_rows = []
+    for b in range(n_bands):
+        bucket = F.lit(0)
+        for j in range(bits_per_band):
+            bucket = bucket * 2 + bit_cols[b * bits_per_band + j]
+        band_rows.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+
+    return df.withColumn("_bands", F.explode(F.array(*band_rows))).select(
+        "*", F.col("_bands.band").alias("band"), F.col("_bands.bucket").alias("bucket")
+    ).drop("_bands")

@@ -1,0 +1,969 @@
+"""Named query registry: every operator from SURVEY.md §2 as a
+(Spark DataFrame plan, DuckDB oracle SQL) pair.
+
+Cross-engine determinism rules (the driver hash-compares values):
+
+- **Sums over doubles** go through ``CAST(x AS DECIMAL(18,6))`` first: the
+  decimal sum is exact and order-independent, so Spark's shuffled partial
+  aggregation and DuckDB's single-threaded sum produce the same value; cast
+  back to DOUBLE for a stable output dtype.
+- **Averages** are written as ``CAST(sum AS DOUBLE)/CAST(count AS DOUBLE)``
+  (one IEEE division of identical operands) — never the engine's ``avg``
+  over doubles, whose accumulation order is nondeterministic.
+- **Integer sums** are cast to BIGINT in SQL (DuckDB widens to HUGEINT,
+  which pandas renders as float64 → hash mismatch).
+- **Window/rank tie-breaks** are always total (an id column last).
+- **Row-level float math** is written token-for-token identically on both
+  sides (same operand order), so IEEE semantics guarantee equality.
+- Every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from security_data_pipeline_spark.operators import dedup, features, similarity, textops
+from security_data_pipeline_spark.sources.catalog import load_table
+
+DEC = "decimal(18,6)"
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → driver does a rows-only check
+    description: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, sql: str | None = None, description: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, sql=sql, description=description)
+        return fn
+
+    return deco
+
+
+def _dsum(col: str, alias: str) -> F.Column:
+    return F.sum(F.col(col).cast(DEC)).cast("double").alias(alias)
+
+
+def _davg(col: str, alias: str) -> F.Column:
+    return (
+        F.sum(F.col(col).cast(DEC)).cast("double")
+        / F.count(F.lit(1)).cast("double")
+    ).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Security-event surface (events table) — SURVEY.md §2.4-§2.7
+# ---------------------------------------------------------------------------
+
+_SESSIONIZE_SQL = """
+WITH scored AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(ts)/1000000.0 AS ts_sec,
+         LAG(epoch_us(ts)/1000000.0) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800.0
+                 THEN 1 ELSE 0 END AS boundary
+  FROM scored
+), sess AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(event_id) AS session_event_count,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       epoch_us(MAX(ts))/1000000.0 - epoch_us(MIN(ts))/1000000.0
+         AS session_duration_seconds
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+@query(
+    "sessionize_sessions",
+    sql=_SESSIONIZE_SQL,
+    description="W1-W5+A3: 30-min-gap sessionization, per-session stats",
+)
+def sessionize_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.col("ts").alias("timestamp"))
+    )
+    with_ids = features.add_session_features(
+        ev, gap_minutes=30, tiebreak_cols=("event_id",), include_stats=False
+    )
+    us = lambda c: F.unix_micros(F.col(c)) / F.lit(1_000_000.0)  # noqa: E731
+    return (
+        with_ids.groupBy("user_id", "session_id")
+        .agg(
+            F.count("event_id").alias("session_event_count"),
+            F.min("timestamp").alias("session_start"),
+            F.max("timestamp").alias("session_end"),
+        )
+        .withColumn(
+            "session_duration_seconds",
+            us("session_end") - us("session_start"),
+        )
+    )
+
+
+@query(
+    "user_total_counts",
+    sql="""
+SELECT user_id, COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_event_types,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+""",
+    description="A1/A6: per-user totals + distinct counts + exact-decimal sum",
+)
+def user_total_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_event_types"),
+            _dsum("value", "total_value"),
+        )
+    )
+
+
+@query(
+    "user_daily_avg",
+    sql="""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS d, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(n) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS user_daily_avg_events
+FROM daily GROUP BY user_id
+""",
+    description="A2: two-level agg — per-(user,day) count then per-user mean",
+)
+def user_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return daily.groupBy("user_id").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "user_daily_avg_events"
+        )
+    )
+
+
+@query(
+    "event_type_top5",
+    sql="""
+SELECT event_type, COUNT(*) AS cnt FROM events
+GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 5
+""",
+    description="A8: top-k value counts (sort+limit → TakeOrdered)",
+)
+def event_type_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "event_type")
+        .limit(5)
+    )
+
+
+@query(
+    "events_summary",
+    sql="""
+SELECT COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT event_type) AS n_event_types,
+       MIN(ts) AS ts_min, MAX(ts) AS ts_max
+FROM events
+""",
+    description="A4-A6: global summary aggregates in one pass",
+)
+def events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+    )
+
+
+@query(
+    "events_null_counts",
+    sql="""
+SELECT CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls,
+       CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ts_nulls,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls,
+       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props_nulls
+FROM events
+""",
+    description="A7: per-column null counts, one aggregation",
+)
+def events_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls")
+            for c in ("event_id", "ts", "user_id", "event_type", "value", "props")
+        ]
+    )
+
+
+@query(
+    "event_type_ordinal",
+    sql="""
+SELECT DISTINCT event_type,
+       CAST(CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+            WHEN 'signup' THEN 2 WHEN 'purchase' THEN 3 WHEN 'error' THEN 4
+            END AS DOUBLE) AS type_score
+FROM events
+""",
+    description="C10 analog: ordinal encoding via map literal, unmapped → NULL",
+)
+def event_type_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    score_map = F.create_map(
+        F.lit("view"), F.lit(0), F.lit("click"), F.lit(1),
+        F.lit("signup"), F.lit(2), F.lit("purchase"), F.lit(3),
+        F.lit("error"), F.lit(4),
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.try_element_at(score_map, F.col("event_type"))
+            .cast("double")
+            .alias("type_score"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "props_k_stats",
+    sql="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+""",
+    description="Extension: JSON props extraction (from_json) + grouped stats",
+)
+def props_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "struct<k:bigint>").getField("k")
+    return (
+        ev.withColumn("_k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_k").alias("sum_k"),
+            (F.sum("_k").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_k"
+            ),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "keep_last_dedup",
+    sql="""
+SELECT user_id, event_type, event_id, ts FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+""",
+    description="D2 at scale: keep latest occurrence per key, total order",
+)
+def keep_last_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return dedup.keep_last_dedup(
+        ev, keys=["user_id", "event_type"], order_col="ts", tiebreak=["event_id"]
+    ).select("user_id", "event_type", "event_id", "ts")
+
+
+@query(
+    "hourly_event_counts",
+    sql="""
+SELECT date_trunc('hour', ts) AS ts_hour, event_type, COUNT(*) AS cnt
+FROM events GROUP BY 1, 2
+""",
+    description="Tumbling-window batch analog: per-hour per-type counts",
+)
+def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("ts_hour"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "value_stats_by_type",
+    sql="""
+SELECT event_type, COUNT(*) AS n,
+       MIN(value) AS min_value, MAX(value) AS max_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_value
+FROM events GROUP BY event_type
+""",
+    description="A3-style multi-agg with order-independent decimal sums",
+)
+def value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            _dsum("value", "sum_value"),
+            _davg("value", "avg_value"),
+        )
+    )
+
+
+@query(
+    "time_since_last_error",
+    sql="""
+SELECT event_id, user_id, ts,
+       epoch_us(ts)/1000000.0 - epoch_us(
+         LAST_VALUE(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       )/1000000.0 AS secs_since_last_error
+FROM events
+""",
+    description="As-of join pattern: last prior matching event via ignoreNulls window",
+)
+def time_since_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_err = F.last(
+        F.when(F.col("event_type") == "error", F.col("ts")), ignorenulls=True
+    ).over(w)
+    us = lambda c: F.unix_micros(c) / F.lit(1_000_000.0)  # noqa: E731
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (us(F.col("ts")) - us(last_err)).alias("secs_since_last_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational suite (TPC-H-ish tables) — SURVEY.md §2.7/§2.8
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    sql="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    description="TPC-H Q1 adaptation: filtered grouped pricing summary",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity", "sum_qty"),
+        _dsum("l_extendedprice", "sum_base_price"),
+        F.sum(disc_price.cast(DEC)).cast("double").alias("sum_disc_price"),
+        F.sum(charge.cast(DEC)).cast("double").alias("sum_charge"),
+        _davg("l_quantity", "avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "top_revenue_orders",
+    sql="""
+SELECT o.o_orderkey AS o_orderkey, o.o_orderdate AS o_orderdate,
+       CAST(SUM(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+""",
+    description="TPC-H Q3 adaptation: 3-way join, grouped revenue, top-10",
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "regional_revenue",
+    sql="""
+SELECT n.n_name AS n_name,
+       CAST(SUM(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+    description="TPC-H Q5 adaptation: 6-way join with dimension broadcasts",
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "customers_open_orders",
+    sql="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+""",
+    description="Left-semi join: customers having ≥1 open order",
+)
+def customers_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "customers_without_orders",
+    sql="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    description="Left-anti join: customers with no orders at all",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "order_priority_by_month",
+    sql="""
+SELECT date_trunc('month', o_orderdate) AS order_month, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders GROUP BY 1, 2
+""",
+    description="TPC-H Q4 flavor: priority counts per order month",
+)
+def order_priority_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice", "total_price"),
+        )
+    )
+
+
+@query(
+    "part_brand_rollup",
+    sql="""
+SELECT p_brand, p_type, COUNT(*) AS cnt,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM part GROUP BY ROLLUP (p_brand, p_type)
+""",
+    description="Grouping sets: rollup over (brand, type) with subtotals",
+)
+def part_brand_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "part")
+        .rollup("p_brand", "p_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            _dsum("p_retailprice", "total_price"),
+        )
+    )
+
+
+@query(
+    "top_orders_per_customer",
+    sql="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders
+QUALIFY rn <= 3
+""",
+    description="Window top-k: 3 biggest orders per customer, total order",
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "custkeys_intersect",
+    sql="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+    description="Set op: customers with both open and finished orders",
+)
+def custkeys_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_keys.intersect(done_keys)
+
+
+@query(
+    "custkeys_except",
+    sql="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+    description="Set op: customers with open but no finished orders",
+)
+def custkeys_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    # subtract == SQL EXCEPT (set semantics); exceptAll is bag semantics and
+    # would keep keys that appear more often in the left side
+    return open_keys.subtract(done_keys)
+
+
+@query(
+    "regional_customer_stats",
+    sql="""
+SELECT r.r_name AS r_name, n.n_name AS n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    description="Dimension join chain with broadcasts, grouped accounting",
+)
+def regional_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum("c_acctbal", "total_acctbal"),
+        )
+    )
+
+
+@query(
+    "ship_month_volume",
+    sql="""
+SELECT date_trunc('month', l_shipdate) AS ship_month, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+FROM lineitem GROUP BY 1
+""",
+    description="Time-bucketed scan aggregate (partition-pruning shape)",
+)
+def ship_month_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum("l_quantity", "total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (documents) — SURVEY.md §2.12
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = ",".join(f"'{s}'" for s in textops.STOPWORDS)
+
+
+@query(
+    "doc_token_stats",
+    sql="""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
+FROM documents GROUP BY source
+""",
+    description="Token counting rolled up per source",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = textops.token_count("text")
+    return (
+        docs.select("source", n_tok.alias("_n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("total_tokens"),
+            (F.sum("_n").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_tokens"
+            ),
+        )
+    )
+
+
+@query(
+    "doc_quality_scores",
+    sql=f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars_computed,
+         len(list_filter(string_split(lower(text), ' '),
+                         t -> t IN ({_STOP_SQL}))) AS n_stop,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+           AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_chars_computed,
+       ROUND(CAST(n_chars_computed AS DOUBLE)
+             / CAST(NULLIF(n_tokens, 0) AS DOUBLE), 6) AS avg_token_len,
+       ROUND(CAST(n_stop AS DOUBLE)
+             / CAST(NULLIF(n_tokens, 0) AS DOUBLE), 6) AS stopword_ratio,
+       ROUND(CAST(n_punct AS DOUBLE)
+             / CAST(NULLIF(n_chars_computed, 0) AS DOUBLE), 6) AS punct_ratio,
+       ROUND(0.5 * CAST(LEAST(n_tokens, 200) AS DOUBLE) / 200.0
+             + 0.5 * LEAST(CAST(n_stop AS DOUBLE)
+                           / CAST(NULLIF(n_tokens, 0) AS DOUBLE) * 5.0, 1.0),
+             6) AS quality_score
+FROM base
+""",
+    description="Per-document quality features (length/stopword/punct ratios)",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.quality_features(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_computed",
+        "avg_token_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "quality_score",
+    )
+
+
+@query(
+    "doc_fingerprints",
+    sql="""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+""",
+    description="Deterministic md5 fingerprint of canonicalized text",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", textops.fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "doc_exact_dup_groups",
+    sql="""
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1 HAVING COUNT(*) > 1
+""",
+    description="Exact dedup: duplicate groups by canonical fingerprint",
+)
+def doc_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(textops.fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "doc_lang_id",
+    sql=f"""
+WITH scored AS (
+  SELECT lang,
+         CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
+                          t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+                   / CAST(NULLIF(len(string_split(text, ' ')), 0) AS DOUBLE)
+                   >= 0.03
+              THEN 'en' ELSE 'other' END AS lang_guess
+  FROM documents
+)
+SELECT lang_guess, lang, COUNT(*) AS n FROM scored GROUP BY 1, 2
+""",
+    description="Language-ID heuristic vs labeled lang (confusion counts)",
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        textops.language_id(docs)
+        .groupBy("lang_guess", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    sql="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 4, 0)),
+           i -> array_to_string(t[i:i+4], ' ')))) AS sh
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE)/CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE)/CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05
+""",
+    description="N-gram Jaccard near-dup pairs (candidate equi-join, no cross join)",
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=5, threshold=0.05
+    )
+
+
+@query(
+    "minhash_lsh_pairs",
+    sql=None,  # hash functions differ across engines → rows-only check
+    description="MinHash+LSH banding near-dup candidates, Jaccard-verified",
+)
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text", n=5,
+        num_perm=32, n_bands=8, verify_threshold=0.05,
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "simhash_dup_pairs",
+    sql=None,  # xxhash64 not available in DuckDB → rows-only check
+    description="SimHash near-dup pairs via pigeonhole block join",
+)
+def simhash_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_dup_pairs(
+        docs, id_col="doc_id", text_col="text", max_hamming=3, n_blocks=4
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings) — SURVEY.md §2.12
+# ---------------------------------------------------------------------------
+
+# Explicit sequential-fold cosine in SQL mirroring functions/vectors.py:
+# dot = fold(+, x_i*y_i), norm = sqrt(fold(+, x_i^2)), cos = dot/(na*nb).
+_COSINE_CTE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
+  FROM e
+)
+"""
+
+
+@query(
+    "knn_cosine",
+    sql=_COSINE_CTE
+    + """
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       ROUND(list_aggregate(list_transform(generate_series(1, len(q.v)),
+                                           i -> q.v[i]*c.v[i]), 'sum')
+             / (q.nrm*c.nrm), 6) AS cosine_sim
+FROM n q JOIN n c ON c.vec_id <> q.vec_id
+WHERE q.vec_id < 10
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine_sim DESC, neighbor_id) <= 5
+""",
+    description="Brute-force cosine top-k ANN baseline (broadcast query side)",
+)
+def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_bruteforce(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    sql=_COSINE_CTE
+    + """
+SELECT label, COUNT(*) AS n,
+       CAST(SUM(CAST(nrm AS DECIMAL(28,12))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_norm
+FROM n JOIN embeddings USING (vec_id)
+GROUP BY label
+""",
+    description="Vector norms via higher-order fold, decimal-exact group mean",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", l2_norm("embedding").alias("_nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("_nrm").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_norm"),
+        )
+    )
+
+
+@query(
+    "cosine_dup_pairs",
+    sql=_COSINE_CTE
+    + """
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_aggregate(list_transform(generate_series(1, len(a.v)),
+                                             i -> a.v[i]*b.v[i]), 'sum')
+               / (a.nrm*b.nrm), 6) AS cosine_sim
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+) WHERE cosine_sim >= 0.4
+""",
+    description="Embedding-cosine near-dup pairs above threshold",
+)
+def cosine_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_dup_pairs(emb, threshold=0.4)
+
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def get_oracle_sql() -> dict[str, str]:
+    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql}

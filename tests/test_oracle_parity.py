@@ -1,0 +1,88 @@
+"""Driver-mimic: run every registered query on Spark AND its DuckDB oracle,
+compare row count, column names, and values (order-insensitive, exact) at
+sf0.01 — the same gate the driver applies (BASELINE.md t2)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from security_data_pipeline_spark.plans.queries import REGISTRY
+from security_data_pipeline_spark.sources.catalog import TESTDATA_TABLES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            ser = df[c]
+            if getattr(ser.dt, "tz", None) is not None:
+                ser = ser.dt.tz_localize(None)
+            df[c] = ser.astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.sql)
+ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if not s.sql)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    spec = REGISTRY[name]
+    got = _normalize(spec.fn(spark, SF_DIR).toPandas())
+    exp = _normalize(duck.sql(spec.sql).df())
+    assert list(got.columns) == list(exp.columns), (
+        f"columns differ: {list(got.columns)} vs {list(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"row count {len(got)} vs {len(exp)}"
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if pd.api.types.is_float_dtype(g):
+            both_nan = g.isna() & e.isna()
+            eq = (g == e) | both_nan
+        else:
+            eq = (g.astype(str) == e.astype(str))
+        if not eq.all():
+            bad = (~eq).idxmax()
+            raise AssertionError(
+                f"column {c!r} differs at row {bad}: "
+                f"spark={g[bad]!r} duckdb={e[bad]!r} "
+                f"({int((~eq).sum())}/{len(g)} rows differ)"
+            )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(spark, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) >= {
+        "user_id", "session_id", "session_event_count",
+        "session_start", "session_end", "session_duration_seconds",
+    }
