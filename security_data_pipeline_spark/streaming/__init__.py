@@ -1,0 +1,25 @@
+"""Structured Streaming re-host of the batch pipeline (SURVEY.md §2.10).
+
+The reference is strictly batch; the streaming surface adds the concepts
+batch never faced — watermarks bound state for late data, session windows
+replace the cumulative-sum session ids, ``foreachBatch`` reuses the batch
+sink. Stateless operators (cleaning/normalization projections and filters)
+are reused verbatim from the batch modules: they are pure Column expressions,
+legal in both execution modes.
+"""
+
+from security_data_pipeline_spark.streaming.sessionize import (
+    session_window_stats,
+    sessionize_with_state,
+)
+from security_data_pipeline_spark.streaming.pipeline import (
+    read_raw_events_stream,
+    run_streaming_pipeline,
+)
+
+__all__ = [
+    "session_window_stats",
+    "sessionize_with_state",
+    "read_raw_events_stream",
+    "run_streaming_pipeline",
+]

@@ -1,0 +1,86 @@
+"""End-to-end streaming pipeline: readStream → clean/normalize (reused
+stateless batch operators) → session aggregation → foreachBatch sink.
+
+The batch ops compose directly because they are pure projections/filters;
+the two batch stages that are NOT stream-legal get streaming replacements:
+
+- ``remove_duplicates`` (needs global input order) →
+  ``dropDuplicatesWithinWatermark`` on event_id (state bounded by watermark).
+- window-based ``add_session_features`` → session_window aggregation or
+  stateful per-row ids (see sessionize.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from security_data_pipeline_spark.operators import cleaning, normalization
+from security_data_pipeline_spark.sources.raw_events import RAW_EVENTS_SCHEMA
+from security_data_pipeline_spark.streaming.sessionize import session_window_stats
+
+
+def read_raw_events_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of raw event CSVs (explicit schema, header)."""
+    reader = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("header", True)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.csv(path)
+
+
+def clean_normalize_stream(df: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateless clean+normalize (reference stages 3-4) + watermarked
+    event_id dedup replacing the batch keep-last dedup."""
+    df = cleaning.handle_missing_values(df)
+    df = normalization.standardize_timestamps(df)
+    df = normalization.normalize_categoricals(df)
+    df = df.withWatermark("timestamp", watermark)
+    return df.dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_streaming_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    trigger_available_now: bool = True,
+    sink: Callable[[DataFrame, int], None] | None = None,
+    output_mode: str = "append",
+):
+    """Stream raw event CSVs into per-session aggregates.
+
+    Default sink appends parquet via ``foreachBatch`` (reusing the batch
+    writer path); pass ``sink`` to override. Returns the StreamingQuery.
+
+    Output-mode semantics for session windows: ``append`` emits a session
+    only once the watermark passes it (exactly-once rows, but sessions still
+    open when an availableNow run drains are NOT emitted); ``update``
+    re-emits sessions as they grow/merge (downstream must upsert by
+    (user, window_start)).
+    """
+    events = read_raw_events_stream(spark, input_path)
+    cleaned = clean_normalize_stream(events, watermark=watermark)
+    # the watermark is already defined upstream of the dedup operator
+    sessions = session_window_stats(cleaned, gap=gap, watermark=None)
+
+    def _default_sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(output_path)
+
+    writer = (
+        sessions.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(sink or _default_sink)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

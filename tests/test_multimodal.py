@@ -1,0 +1,66 @@
+"""Multimodal plumbing tests: binary columns through metadata probes and the
+Arrow decode stage (deterministic fake codec)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from security_data_pipeline_spark.operators import multimodal
+
+PNG_MAGIC = bytes.fromhex("89504e470d0a1a0a")
+JPG_MAGIC = bytes.fromhex("ffd8ffe000104a46")
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        Row(media_id=1, blob=PNG_MAGIC + b"fakepngdata"),
+        Row(media_id=2, blob=JPG_MAGIC + b"fakejpgdata"),
+        Row(media_id=3, blob=b"not-an-image-at-all-just-bytes"),
+    ]
+    return spark.createDataFrame(rows, schema="media_id long, blob binary")
+
+
+def test_metadata_probe_is_jvm_side(media):
+    out = multimodal.attach_blob_metadata(media).orderBy("media_id").collect()
+    assert [r.media_type for r in out] == [
+        "image/png", "image/jpeg", "application/octet-stream",
+    ]
+    assert out[0].blob_bytes == len(PNG_MAGIC) + 11
+    assert all(len(r.blob_md5) == 32 for r in out)
+
+
+def test_fake_decode_schema_and_determinism(media):
+    decoded = multimodal.decode_images(media)
+    assert decoded.schema == multimodal.DECODED_IMAGE_SCHEMA
+    rows = {r.media_id: r for r in decoded.collect()}
+    assert set(rows) == {1, 2, 3}
+    r = rows[1]
+    assert (r.width, r.height, r.channels) == (8, 8, 1)
+    assert len(r.pixels) == 64
+    assert all(0.0 <= p <= 1.0 for p in r.pixels)
+    # deterministic: second run bit-identical
+    again = {r.media_id: r.pixels for r in multimodal.decode_images(media).collect()}
+    assert again[1] == r.pixels
+
+
+def test_real_decoder_raises_clearly(media):
+    with pytest.raises(NotImplementedError, match="decoder='fake'"):
+        multimodal.decode_images(media, decoder="pillow")
+
+
+def test_feature_extract_back_to_jvm(media):
+    feats = multimodal.image_mean_brightness(multimodal.decode_images(media))
+    out = {r.media_id: r.mean_brightness for r in feats.collect()}
+    assert all(0.0 <= v <= 1.0 for v in out.values())
+
+
+def test_frame_sampling_one_to_many(media):
+    frames = multimodal.sample_frames(media, every_n=1)
+    counts = (
+        frames.groupBy("media_id").count().orderBy("media_id").collect()
+    )
+    # n_frames = len(blob)//16 (min 1): blobs are 19/19/30 bytes → 1,1,1
+    assert [r["count"] for r in counts] == [1, 1, 1]
+    assert frames.columns == ["media_id", "frame_index"]

@@ -1,0 +1,132 @@
+"""Structured Streaming tests: session windows, stateful session ids, e2e
+pipeline with foreachBatch — file source + availableNow trigger so runs are
+deterministic and bounded."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from security_data_pipeline_spark.operators import features
+from security_data_pipeline_spark.sources.raw_events import RAW_EVENTS_SCHEMA
+from security_data_pipeline_spark.streaming import (
+    read_raw_events_stream,
+    run_streaming_pipeline,
+    sessionize_with_state,
+    session_window_stats,
+)
+
+CSV_HEADER = "event_id,timestamp,user_id,event_type,status,severity,source_ip"
+
+ROWS_FILE1 = [
+    "1,2025-01-01 00:00:00,alice,login,ok,high,1.1.1.1",
+    "2,2025-01-01 00:10:00,alice,logout,ok,low,1.1.1.1",
+    "3,2025-01-01 02:00:00,alice,login,ok,high,1.1.1.1",
+    "4,2025-01-01 00:05:00,bob,login,ok,info,2.2.2.2",
+]
+ROWS_FILE2 = [
+    "5,2025-01-01 02:05:00,alice,logout,ok,low,1.1.1.1",
+    "6,2025-01-01 03:00:00,bob,login,ok,info,2.2.2.2",
+    "2,2025-01-01 00:10:00,alice,logout,ok,low,1.1.1.1",  # duplicate id
+]
+
+
+@pytest.fixture()
+def input_dir(tmp_path: pathlib.Path) -> str:
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "f1.csv").write_text(CSV_HEADER + "\n" + "\n".join(ROWS_FILE1) + "\n")
+    (d / "f2.csv").write_text(CSV_HEADER + "\n" + "\n".join(ROWS_FILE2) + "\n")
+    return str(d)
+
+
+def test_streaming_pipeline_end_to_end(spark, input_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_streaming_pipeline(
+        spark, input_dir, out, ckpt, gap="30 minutes", watermark="20 minutes"
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    rows = {
+        (r.user_id, str(r.session_start), r.session_event_count)
+        for r in got.collect()
+    }
+    # append semantics: a session emits once the watermark (max_ts - 20min =
+    # 02:40) passes its window end. alice (00:00,00:10)→end 00:40 ✓,
+    # alice (02:00,02:05)→02:35 ✓, bob 00:05→00:35 ✓; bob's 03:00 session
+    # (window end 03:30) is still open when the availableNow run drains and
+    # is correctly NOT emitted. Duplicate event 2 deduped.
+    assert ("alice", "2025-01-01 00:00:00", 2) in rows
+    assert ("alice", "2025-01-01 02:00:00", 2) in rows
+    assert ("bob", "2025-01-01 00:05:00", 1) in rows
+    assert len(rows) == 3
+
+
+def test_session_window_stats_matches_batch_sessionization(spark, input_dir):
+    # the same gap on the same data: session_window aggregates must agree
+    # with the batch cumulative-sum sessionization stats
+    batch = (
+        spark.read.schema(RAW_EVENTS_SCHEMA)
+        .option("header", True)
+        .csv(input_dir)
+        .dropDuplicates(["event_id"])
+        .withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    )
+    win = session_window_stats(batch, gap="30 minutes")
+    feat = features.add_session_features(batch, gap_minutes=30)
+    batch_stats = (
+        feat.groupBy("user_id", "session_id")
+        .agg(
+            F.count("event_id").alias("n"),
+            F.min("timestamp").alias("start"),
+        )
+    )
+    win_set = {
+        (r.user_id, str(r.session_start), r.session_event_count)
+        for r in win.collect()
+    }
+    batch_set = {
+        (r.user_id, str(r.start), r.n) for r in batch_stats.collect()
+    }
+    assert win_set == batch_set
+
+
+def test_sessionize_with_state_per_row_ids(spark, tmp_path):
+    # dup-free, time-ordered files: the stateful sessionizer asserts exact
+    # per-row ids and has no dedup of its own (that's an upstream stage)
+    d = tmp_path / "in_state"
+    d.mkdir()
+    (d / "f1.csv").write_text(CSV_HEADER + "\n" + "\n".join(ROWS_FILE1) + "\n")
+    (d / "f2.csv").write_text(
+        CSV_HEADER + "\n"
+        + "5,2025-01-01 02:05:00,alice,logout,ok,low,1.1.1.1\n"
+        + "6,2025-01-01 03:00:00,bob,login,ok,info,2.2.2.2\n"
+    )
+    stream = read_raw_events_stream(spark, str(d), max_files_per_trigger=1)
+    stream = stream.withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    with_ids = sessionize_with_state(stream, gap_minutes=30)
+    q = (
+        with_ids.writeStream.format("memory")
+        .queryName("sess_state")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.event_id): r.session_id
+        for r in spark.sql("select * from sess_state").collect()
+    }
+    # file1 then file2 (maxFilesPerTrigger=1): alice 1,2 → session 1;
+    # 3 (2h later) → session 2; 5 (02:05, next batch) → still session 2.
+    assert got[("alice", 1)] == 1
+    assert got[("alice", 2)] == 1
+    assert got[("alice", 3)] == 2
+    assert got[("alice", 5)] == 2
+    assert got[("bob", 4)] == 1
+    assert got[("bob", 6)] == 2
