@@ -67,10 +67,16 @@ def ngram_jaccard_pairs(
     shingle hash — a shuffle join, not a cross join). Jaccard computed from
     |A∩B| (join match count) and set sizes. Output:
     ``id_a, id_b, jaccard`` with id_a < id_b, jaccard ≥ threshold.
+
+    Shingles are xxhash64'd before the join: the shuffle moves 8-byte longs
+    instead of multi-word strings (~5× less shuffle IO at scale); 64-bit
+    collisions are ~(n_shingles²/2⁶⁴) — negligible at any realistic corpus.
     """
     sh = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(shingles(text_col, n)).alias("_sh"),
+        F.explode(
+            F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))
+        ).alias("_sh"),
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
 

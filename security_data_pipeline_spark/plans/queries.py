@@ -107,17 +107,33 @@ def sessionize_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_ids = features.add_session_features(
         ev, gap_minutes=30, tiebreak_cols=("event_id",), include_stats=False
     )
+    # Shuffle-avoidance: hashpartitioning(user_id) from the session-id window
+    # already clusters (user_id, session_id), so per-session stats as WINDOWS
+    # reuse the exchange; a groupBy would add a second full shuffle of the
+    # fact table. One representative row per session via row_number (the
+    # extra sort is partition-local — no exchange).
+    w_sess = Window.partitionBy("user_id", "session_id")
+    w_rn = Window.partitionBy("user_id", "session_id").orderBy(
+        "timestamp", "event_id"
+    )
     us = lambda c: F.unix_micros(F.col(c)) / F.lit(1_000_000.0)  # noqa: E731
     return (
-        with_ids.groupBy("user_id", "session_id")
-        .agg(
-            F.count("event_id").alias("session_event_count"),
-            F.min("timestamp").alias("session_start"),
-            F.max("timestamp").alias("session_end"),
+        with_ids.withColumn(
+            "session_event_count", F.count("event_id").over(w_sess)
         )
-        .withColumn(
-            "session_duration_seconds",
-            us("session_end") - us("session_start"),
+        .withColumn("session_start", F.min("timestamp").over(w_sess))
+        .withColumn("session_end", F.max("timestamp").over(w_sess))
+        .withColumn("_rn", F.row_number().over(w_rn))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "session_id",
+            "session_event_count",
+            "session_start",
+            "session_end",
+            (us("session_end") - us("session_start")).alias(
+                "session_duration_seconds"
+            ),
         )
     )
 
