@@ -26,12 +26,16 @@ BENCH_QUERIES: tuple[str, ...] = (
     "top_revenue_orders",
     "regional_revenue",
     "top_orders_per_customer",
+    # temporal joins
+    "asof_click_before_purchase",
+    "click_purchase_bursts",
     # text / dedup / similarity extensions
     "doc_quality_scores",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "knn_cosine",
     "cosine_dup_pairs",
+    "knn_cosine_lsh",
 )
 
 

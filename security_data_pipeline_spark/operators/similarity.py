@@ -175,3 +175,71 @@ def lsh_bucket_candidates(
     return df.withColumn("_bands", F.explode(F.array(*band_rows))).select(
         "*", F.col("_bands.band").alias("band"), F.col("_bands.bucket").alias("bucket")
     ).drop("_bands")
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    k: int = 3,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: F.Column | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via LSH bucketing — the scale path.
+
+    Candidate pairs come from an equi-join on ``(band, bucket)`` (hash
+    shuffle bounded by bucket occupancy — never a cross join), deduped, then
+    verified with exact cosine; ``row_number`` keeps k per query. With a
+    deterministic seed the whole pipeline is reproducible cross-engine, so
+    unlike most ANN code paths this one is oracle-checkable.
+
+    ``query_pred`` restricts which vectors act as queries (all rows remain
+    candidates); neighbors are only as complete as the buckets allow —
+    that's the approximation.
+    """
+    base = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    bands = lsh_bucket_candidates(
+        base, n_planes=n_planes, n_bands=n_bands, seed=seed, dim=dim
+    ).select("vec_id", "band", "bucket")
+    q = bands.filter(query_pred) if query_pred is not None else bands
+    cand = (
+        q.select(F.col("vec_id").alias("query_id"), "band", "bucket")
+        .join(
+            bands.select(F.col("vec_id").alias("neighbor_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+    from security_data_pipeline_spark.functions.vectors import dot_product, l2_norm
+
+    norms = base.select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("_v"),
+        l2_norm("embedding").alias("_nrm"),
+    )
+    a = norms.toDF("query_id", "_v_q", "_nrm_q")
+    b = norms.toDF("neighbor_id", "_v_c", "_nrm_c")
+    sim = F.round(
+        dot_product(F.col("_v_q"), F.col("_v_c"))
+        / (F.col("_nrm_q") * F.col("_nrm_c")),
+        6,
+    )
+    scored = (
+        cand.join(a, "query_id")
+        .join(b, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .drop("_rank")
+    )

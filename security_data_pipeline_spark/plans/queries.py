@@ -26,7 +26,13 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from security_data_pipeline_spark.operators import dedup, features, similarity, textops
+from security_data_pipeline_spark.operators import (
+    dedup,
+    features,
+    joins,
+    similarity,
+    textops,
+)
 from security_data_pipeline_spark.sources.catalog import load_table
 
 DEC = "decimal(18,6)"
@@ -975,6 +981,189 @@ SELECT * FROM (
 def cosine_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_dup_pairs(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (as-of / range) — SURVEY.md §2.7 gap list
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_click_before_purchase",
+    sql="""
+WITH purchases AS (
+  SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts AS click_ts, MAX(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.purchase_event_id, p.user_id, p.purchase_ts,
+       c.click_event_id, c.click_ts,
+       (epoch_us(p.purchase_ts) - epoch_us(c.click_ts)) / 1000000.0
+         AS secs_since_click
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+""",
+    description=(
+        "Backward as-of join: latest click at-or-before each purchase per "
+        "user (union + running-last idiom — one shuffle, no range explosion)"
+    ),
+)
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    # unique (user_id, ts) on the right makes the as-of match deterministic
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    j = joins.asof_join(
+        purchases, clicks, on=["user_id"], left_ts="purchase_ts", right_ts="ts"
+    )
+    return j.select(
+        "purchase_event_id",
+        "user_id",
+        "purchase_ts",
+        "click_event_id",
+        F.col("ts_asof").alias("click_ts"),
+        (
+            (
+                F.unix_micros(F.col("purchase_ts"))
+                - F.unix_micros(F.col("ts_asof"))
+            )
+            / F.lit(1_000_000.0)
+        ).alias("secs_since_click"),
+    )
+
+
+@query(
+    "click_purchase_bursts",
+    sql="""
+SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS pair_count
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 600000000
+GROUP BY c.user_id
+""",
+    description=(
+        "Bounded range join (purchase within 10 min after click) as a "
+        "bucketed equi-join, per-user pair counts"
+    ),
+)
+def click_purchase_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    pairs = joins.bucketed_range_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        lower_seconds=0.0,
+        upper_seconds=600.0,
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("pair_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN — the similarity-search scale path, oracle-checked
+# ---------------------------------------------------------------------------
+
+
+def _lsh_oracle_sql(
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    k: int = 3,
+    max_query: int = 200,
+) -> str:
+    """Generate DuckDB SQL replicating the random-hyperplane LSH pipeline.
+
+    The plane matrix is the same ``default_rng(seed)`` draw the Spark
+    operator uses, inlined as DOUBLE list literals (``repr`` round-trips
+    doubles exactly); sign bits, band buckets, candidate join, and exact
+    cosine re-rank are all expressed in SQL so the approximate index itself
+    is oracle-verified — not just the exact fallback.
+    """
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+    bits = []
+    for i in range(n_planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[i]) + "]"
+        bits.append(
+            "CASE WHEN list_aggregate(list_transform("
+            f"generate_series(1, len(v)), i -> v[i] * ({lit})[i]), 'sum')"
+            f" >= 0 THEN 1 ELSE 0 END AS b{i}"
+        )
+    bpb = n_planes // n_bands
+    band_selects = []
+    for band in range(n_bands):
+        expr = f"b{band * bpb}"
+        for j in range(1, bpb):
+            expr = f"({expr})*2 + b{band * bpb + j}"
+        band_selects.append(
+            f"SELECT vec_id, {band} AS band, {expr} AS bucket FROM sig"
+        )
+    buckets_union = "\n  UNION ALL ".join(band_selects)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
+  FROM e
+), sig AS (
+  SELECT vec_id, {", ".join(bits)} FROM (SELECT vec_id, v FROM e)
+), buckets AS (
+  {buckets_union}
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets c
+    ON q.band = c.band AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {max_query}
+)
+SELECT query_id, neighbor_id,
+       ROUND(list_aggregate(list_transform(generate_series(1, len(a.v)),
+                                           i -> a.v[i]*b.v[i]), 'sum')
+             / (a.nrm*b.nrm), 6) AS cosine_sim
+FROM cand JOIN n a ON a.vec_id = cand.query_id
+          JOIN n b ON b.vec_id = cand.neighbor_id
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine_sim DESC, neighbor_id) <= {k}
+"""
+
+
+@query(
+    "knn_cosine_lsh",
+    sql=_lsh_oracle_sql(),
+    description=(
+        "LSH-bucketed approximate top-k cosine ANN (band equi-join, exact "
+        "re-rank) — deterministic seed makes the index oracle-checkable"
+    ),
+)
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(
+        emb,
+        k=3,
+        n_planes=16,
+        n_bands=4,
+        seed=42,
+        query_pred=F.col("vec_id") < 200,
+        dim=64,
+    )
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

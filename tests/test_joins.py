@@ -1,0 +1,126 @@
+"""Unit tests for temporal joins (as-of, bucketed range) and LSH ANN."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import functions as F
+
+from security_data_pipeline_spark.operators import joins, similarity
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "p1"), (1, _ts(30), "p2"), (2, _ts(5), "p3")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(9), 100), (1, _ts(10), 101), (1, _ts(29), 102), (2, _ts(6), 103)],
+        "user_id long, ts timestamp, val long",
+    )
+    out = {
+        r["tag"]: (r["val"], r["ts_asof"])
+        for r in joins.asof_join(left, right, on=["user_id"]).collect()
+    }
+    # equal timestamps match (<=): p1 at t=10 sees right val 101 at t=10
+    assert out["p1"] == (101, _ts(10))
+    assert out["p2"] == (102, _ts(29))
+    # right row strictly after left ts never matches
+    assert out["p3"] == (None, None)
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(60), "far"), (1, _ts(11), "near")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 7)], "user_id long, ts timestamp, val long"
+    )
+    out = {
+        r["tag"]: r["val"]
+        for r in joins.asof_join(
+            left, right, on=["user_id"], tolerance_seconds=300
+        ).collect()
+    }
+    assert out["near"] == 7
+    assert out["far"] is None  # 50 min > 5 min tolerance → nulled
+
+
+def test_asof_join_name_collision_suffix(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), 5.0)], "user_id long, ts timestamp, value double"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(9), 9.0)], "user_id long, ts timestamp, value double"
+    )
+    row = joins.asof_join(left, right, on=["user_id"]).collect()[0]
+    assert row["value"] == 5.0 and row["value_asof"] == 9.0
+
+
+def _naive_range_pairs(lrows, rrows, lo, hi):
+    out = set()
+    for lk, lt, lid in lrows:
+        for rk, rt, rid in rrows:
+            if lk == rk and lo <= (rt - lt).total_seconds() <= hi:
+                out.add((lid, rid))
+    return out
+
+
+def test_bucketed_range_join_matches_naive(spark):
+    rng = random.Random(7)
+    lrows = [
+        (rng.randrange(5), _ts(rng.uniform(0, 300)), i) for i in range(120)
+    ]
+    rrows = [
+        (rng.randrange(5), _ts(rng.uniform(0, 300)), i) for i in range(120)
+    ]
+    left = spark.createDataFrame(lrows, "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(rrows, "k long, ts timestamp, rid long")
+    for lo, hi, width in [(0, 600, None), (0, 600, 120.0), (-300, 300, None)]:
+        got = {
+            (r["lid"], r["rid"])
+            for r in joins.bucketed_range_join(
+                left,
+                right,
+                on=["k"],
+                lower_seconds=lo,
+                upper_seconds=hi,
+                bucket_seconds=width,
+            ).collect()
+        }
+        assert got == _naive_range_pairs(lrows, rrows, lo, hi), (lo, hi, width)
+
+
+def test_bucketed_range_join_renames_collisions(spark):
+    left = spark.createDataFrame([(1, _ts(0), 1.0)], "k long, ts timestamp, v double")
+    right = spark.createDataFrame([(1, _ts(1), 2.0)], "k long, ts timestamp, v double")
+    cols = joins.bucketed_range_join(left, right, on=["k"]).columns
+    assert {"ts", "ts_r", "v", "v_r"} <= set(cols)
+
+
+def test_ann_lsh_topk_subset_of_bruteforce(spark, sf_smoke):
+    from security_data_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    pred = F.col("vec_id") < 20
+    approx = similarity.ann_lsh_topk(emb, k=3, query_pred=pred, dim=64).collect()
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in similarity.knn_bruteforce(
+            corpus=emb, queries=emb.filter(pred), k=10**9
+        ).collect()
+    }
+    per_query: dict[int, int] = {}
+    for r in approx:
+        per_query[r["query_id"]] = per_query.get(r["query_id"], 0) + 1
+        # verified score must equal the exact pipeline's score for that pair
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine_sim"]
+    assert per_query and max(per_query.values()) <= 3
