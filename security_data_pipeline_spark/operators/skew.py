@@ -1,0 +1,96 @@
+"""Skew mitigation: salted aggregation and salted broadcast-replicated join.
+
+SURVEY.md §4.2 / §7.3(5): AQE handles skewed *sort-merge joins* at runtime,
+but a skewed ``groupBy`` key or a skewed shuffled-hash join still serializes
+the hot key into one task. These helpers make the standard salting patterns
+reusable:
+
+- :func:`salted_agg` — two-phase aggregation: partial agg on
+  ``(keys, salt)`` spreads a hot key over ``n_salts`` tasks, then a final
+  combine on ``keys`` merges the (tiny) partials. Only algebraic aggregates
+  (count / sum / min / max) are offered — they re-combine losslessly.
+- :func:`salted_join` — left-skewed equi-join: every left row gets a
+  deterministic salt, the (small) right side is exploded ``n_salts``×, and
+  the join runs on ``keys + salt``. Right-side duplication costs
+  ``n_salts × |R|`` — only for genuinely small right sides.
+
+The salt is ``xxhash64(whole row) mod n`` — deterministic (re-runs and
+retried tasks produce identical results) yet spreads a hot key across tasks.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_ALGEBRAIC = {
+    "count": (F.count, F.sum),
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def _salt(df: DataFrame, n_salts: int) -> Column:
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase (salted) aggregation.
+
+    ``aggs`` maps output alias → ``(column, fn)`` with fn in
+    count / sum / min / max. Result is identical to
+    ``df.groupBy(keys).agg(...)``; the physical plan differs: the first
+    shuffle is on ``(keys, salt)`` (hot keys spread over ``n_salts`` tasks),
+    the second shuffle moves only ``n_salts`` partial rows per key.
+    """
+    keys = list(keys)
+    for alias, (_, fn) in aggs.items():
+        if fn not in _ALGEBRAIC:
+            raise ValueError(
+                f"{alias}: '{fn}' is not algebraic; use a plain groupBy"
+            )
+    partial = (
+        df.withColumn("_salt", _salt(df, n_salts))
+        .groupBy(*keys, "_salt")
+        .agg(
+            *[
+                _ALGEBRAIC[fn][0](F.col(col)).alias(alias)
+                for alias, (col, fn) in aggs.items()
+            ]
+        )
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            _ALGEBRAIC[fn][1](F.col(alias)).alias(alias)
+            for alias, (_, fn) in aggs.items()
+        ]
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with a left-side hot key spread over ``n_salts`` tasks.
+
+    The right side is replicated once per salt value (explode of a literal
+    range), so the join on ``keys + salt`` partitions the hot key's rows
+    across tasks instead of funneling them into one.
+    """
+    on = list(on)
+    l = left.withColumn("_salt", _salt(left, n_salts))
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    return l.join(r, on + ["_salt"], how).drop("_salt")

@@ -983,6 +983,93 @@ def cosine_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_dup_pairs(emb, threshold=0.4)
 
 
+@query(
+    "orders_cube",
+    sql="""
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    description="CUBE over (status, priority): all grouping sets in one pass",
+)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice", "total_price"),
+        )
+    )
+
+
+@query(
+    "nation_parties_full_outer",
+    sql="""
+WITH c AS (
+  SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_rich_customers
+  FROM customer WHERE c_acctbal > 9000 GROUP BY 1
+), s AS (
+  SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_rich_suppliers
+  FROM supplier WHERE s_acctbal > 9000 GROUP BY 1
+)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       c.n_rich_customers, s.n_rich_suppliers
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+""",
+    description=(
+        "Full outer join of asymmetric per-nation aggregates (NULL-preserving "
+        "sides exercised)"
+    ),
+)
+def nation_parties_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_rich_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_rich_suppliers"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select("nationkey", "n_rich_customers", "n_rich_suppliers")
+    )
+
+
+@query(
+    "user_counts_salted",
+    sql="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM events GROUP BY user_id
+""",
+    description=(
+        "Two-phase salted aggregation (hot-key mitigation) — result identical "
+        "to a plain groupBy, physical plan spreads each key over 16 tasks"
+    ),
+)
+def user_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import skew
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew.salted_agg(
+        ev,
+        keys=["user_id"],
+        aggs={
+            "n_events": ("event_id", "count"),
+            "first_ts": ("ts", "min"),
+            "last_ts": ("ts", "max"),
+        },
+        n_salts=16,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins (as-of / range) — SURVEY.md §2.7 gap list
 # ---------------------------------------------------------------------------
