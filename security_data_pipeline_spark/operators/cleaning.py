@@ -92,21 +92,19 @@ def remove_duplicates(df: DataFrame, ordinal_col: str = ORDINAL_COL) -> DataFram
     identical to the reference only when duplicate payloads are identical).
     """
     if ordinal_col not in df.columns:
-        df = df.dropDuplicates()
+        # arbitrary-survivor fallback; D2 subsumes D1 (see below)
         return df.dropDuplicates(["event_id"])
 
-    data_cols = [c for c in df.columns if c != ordinal_col]
-    # D1: identical payload rows — keep the max ordinal so D2's keep-last
-    # still sees the latest occurrence.
-    df = df.groupBy(*data_cols).agg(F.max(ordinal_col).alias(ordinal_col))
-    # D2: by event_id, keep last occurrence in input order.
+    # D1 (full-row keep-last) composed with D2 (by-id keep-last) reduces to
+    # D2 alone: identical rows share an event_id, and both formulations keep
+    # the max-ordinal survivor per id — so one shuffle on event_id replaces
+    # the reference's two passes (and the wide all-columns shuffle D1 needs).
     w = Window.partitionBy("event_id").orderBy(F.col(ordinal_col).desc())
-    df = (
+    return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    return df
 
 
 def validate_schema(df: DataFrame) -> dict:

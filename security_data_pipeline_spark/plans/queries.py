@@ -983,6 +983,111 @@ def cosine_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_dup_pairs(emb, threshold=0.4)
 
 
+_ETL_SQL = """
+WITH raw AS (
+  -- mirrors the Spark-side derivation POST-normalization: the synthetic raw
+  -- strings ('ok'/'FAILED'/' Medium '/multi-format timestamps) that the Spark
+  -- path must clean+parse+canonicalize back to exactly these values
+  SELECT event_id,
+         date_trunc('second', ts) AS timestamp,
+         CAST(user_id AS VARCHAR) AS user_id,
+         event_type,
+         CASE event_id % 4 WHEN 0 THEN 'success' WHEN 1 THEN 'failure'
+                           WHEN 2 THEN 'success' ELSE 'failure' END AS status,
+         CASE event_id % 5 WHEN 0 THEN 'critical' WHEN 1 THEN 'low'
+                           WHEN 2 THEN 'medium' WHEN 3 THEN 'medium'
+                           ELSE 'info' END AS severity,
+         '10.0.0.' || CAST(event_id % 250 AS VARCHAR) AS source_ip
+  FROM events
+), daily AS (
+  SELECT user_id, date_trunc('day', timestamp) AS d, COUNT(*) AS n
+  FROM raw GROUP BY 1, 2
+), baseline AS (
+  SELECT user_id,
+         CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS user_daily_avg_events
+  FROM daily GROUP BY 1
+), scored AS (
+  SELECT r.*,
+         epoch_us(r.timestamp)/1000000.0 AS ts_sec,
+         LAG(epoch_us(r.timestamp)/1000000.0) OVER
+             (PARTITION BY r.user_id ORDER BY r.timestamp) AS prev_sec
+  FROM raw r
+), sess AS (
+  SELECT *, CAST(SUM(CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800.0
+                          THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY timestamp
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM scored
+)
+SELECT s.event_id, s.timestamp, s.user_id, s.event_type, s.status, s.severity,
+       s.source_ip,
+       CAST(CASE s.severity WHEN 'info' THEN 0 WHEN 'low' THEN 1
+                            WHEN 'medium' THEN 2 WHEN 'high' THEN 3
+                            WHEN 'critical' THEN 4 END AS DOUBLE)
+         AS severity_score,
+       CAST(COUNT(s.event_id) OVER (PARTITION BY s.user_id) AS BIGINT)
+         AS user_event_count_total,
+       b.user_daily_avg_events,
+       s.session_id,
+       CAST(COUNT(s.event_id) OVER (PARTITION BY s.user_id, s.session_id)
+            AS BIGINT) AS session_event_count,
+       epoch_us(MAX(s.timestamp) OVER (PARTITION BY s.user_id, s.session_id))
+           /1000000.0
+         - epoch_us(MIN(s.timestamp) OVER (PARTITION BY s.user_id, s.session_id))
+           /1000000.0 AS session_duration_seconds
+FROM sess s JOIN baseline b USING (user_id)
+"""
+
+
+@query(
+    "secevents_etl",
+    sql=_ETL_SQL,
+    description=(
+        "Flagship end-to-end ETL: derive messy raw strings (synonyms, padded "
+        "text, 3 timestamp wire formats) from events, then run the FULL "
+        "reference chain — clean, dedup, multi-format parse, canonicalize, "
+        "features, sessionize — row-level 13-column parity vs the oracle"
+    ),
+)
+def secevents_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.plans import pipeline as batch
+    from security_data_pipeline_spark.sources.raw_events import ORDINAL_COL
+
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    ts_sec = F.date_trunc("second", F.col("ts"))
+    fmt = F.pmod(eid, F.lit(3))
+    ts_str = (
+        F.when(fmt == 0, F.date_format(ts_sec, "yyyy-MM-dd HH:mm:ss"))
+        .when(fmt == 1, F.date_format(ts_sec, "MM/dd/yyyy HH:mm:ss"))
+        .otherwise(F.date_format(ts_sec, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    )
+    status_raw = F.element_at(
+        F.array(*[F.lit(s) for s in ("ok", "FAILED", "Success", "denied")]),
+        (F.pmod(eid, F.lit(4)) + 1).cast("int"),
+    )
+    severity_raw = F.element_at(
+        F.array(
+            *[F.lit(s) for s in ("CRIT", "low", " Medium ", "warn", "informational")]
+        ),
+        (F.pmod(eid, F.lit(5)) + 1).cast("int"),
+    )
+    raw = ev.select(
+        eid.alias("event_id"),
+        ts_str.alias("timestamp"),
+        F.col("user_id").cast("string").alias("user_id"),
+        "event_type",
+        status_raw.alias("status"),
+        severity_raw.alias("severity"),
+        F.concat(
+            F.lit("10.0.0."), F.pmod(eid, F.lit(250)).cast("string")
+        ).alias("source_ip"),
+        eid.alias(ORDINAL_COL),  # input order := event_id order (defined)
+    )
+    return batch.transform(raw, session_gap_minutes=30)
+
+
 @query(
     "orders_cube",
     sql="""
