@@ -111,15 +111,49 @@ def minhash_signature(
 ) -> Column:
     """MinHash signature (array<long>, length num_perm) over word shingles.
 
-    Permutation i is ``xxhash64(shingle, i)``; the signature element is the
-    min over shingles — all expressed with transform/array_min, JVM-side.
+    NOTE: expressions containing HOF lambdas are excluded from Spark's
+    subexpression elimination, so the shingle pipeline embedded here is
+    re-evaluated once per permutation. Callers on a hot path should
+    materialize hashed shingles as a column first and use
+    :func:`minhash_from_hashes` (what :func:`minhash_lsh_pairs` does) —
+    same values, shingling work done once.
     """
-    sh = shingles(col, n)
+    return minhash_from_hashes(
+        F.transform(shingles(col, n), lambda s: F.xxhash64(s)), num_perm
+    )
+
+
+def minhash_from_hashes(hashes: Column | str, num_perm: int = 32) -> Column:
+    """MinHash signature from an ``array<long>`` of hashed shingles.
+
+    Permutation i re-hashes each 8-byte long with seed i
+    (``xxhash64(h, i)``) — fixed-width input, so per-permutation cost is
+    independent of shingle length; the signature element is the min.
+    """
+    c = F.col(hashes) if isinstance(hashes, str) else hashes
+
+    def _perm(i: int):
+        # closure, not a default arg: pyspark HOFs dispatch on lambda arity
+        return lambda h: F.xxhash64(h, F.lit(i))
+
     return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_perm)
-        ]
+        *[F.array_min(F.transform(c, _perm(i))) for i in range(num_perm)]
+    )
+
+
+def _bucket_pairs(ids: Column) -> Column:
+    """All ordered pairs (i<j) from a sorted array — `transform × slice`,
+    JVM-side. Used to emit candidate pairs per LSH bucket WITHOUT a
+    self-join (a self-join evaluates the signature subtree twice; grouping
+    bucket members costs one aggregation over rows already being shuffled)."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
 
 
@@ -140,12 +174,24 @@ def minhash_lsh_pairs(
     when verifying).
     """
     rows_per_band = num_perm // n_bands
-    sig = df.select(
+    # two projections: hash shingle strings ONCE into a concrete column,
+    # then num_perm cheap long-rehash permutations over it (see
+    # minhash_signature note on HOF-lambda subexpression elimination)
+    verify = verify_threshold is not None
+    hashed = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(text_col, n, num_perm).alias("_sig"),
+        F.transform(shingles(text_col, n), lambda s: F.xxhash64(s)).alias(
+            "_hs"
+        ),
+    )
+    sig = hashed.select(
+        "_id",
+        *(["_hs"] if verify else []),
+        minhash_from_hashes("_hs", num_perm).alias("_sig"),
     )
     bands = sig.select(
         "_id",
+        *(["_hs"] if verify else []),
         F.explode(
             F.array(
                 *[
@@ -162,20 +208,40 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("_b"),
-    ).select("_id", "_b.band", "_b.bhash")
+    ).select("_id", *(["_hs"] if verify else []), "_b.band", "_b.bhash")
 
-    left = bands.select(F.col("_id").alias("id_a"), "band", "bhash")
-    right = bands.select(F.col("_id").alias("id_b"), "band", "bhash")
-    cand = (
-        left.join(right, ["band", "bhash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+    # When verifying, each doc's hashed shingle set rides along through the
+    # band shuffle (n_bands× replication of ~8 bytes/shingle) so the exact
+    # Jaccard check needs NO second pass over the corpus and NO join back —
+    # the whole operator is one corpus scan + one banded shuffle. (A
+    # join-back verify re-evaluates the shingle pipeline per join side;
+    # Spark has no exchange to reuse across differently-aliased subtrees.)
+    member = F.struct("_id", *(["_hs"] if verify else []))
+    buckets = (
+        bands.groupBy("band", "bhash")
+        .agg(F.sort_array(F.collect_set(member)).alias("_ms"))
+        .filter(F.size("_ms") >= 2)
+    )
+    pairs = buckets.select(F.explode(_bucket_pairs(F.col("_ms"))).alias("_p"))
+    if not verify:
+        return (
+            pairs.select(
+                F.col("_p.a._id").alias("id_a"), F.col("_p.b._id").alias("id_b")
+            ).distinct()
+        )
+    inter = F.size(F.array_intersect(F.col("_p.a._hs"), F.col("_p.b._hs")))
+    union = F.size("_p.a._hs") + F.size("_p.b._hs") - inter
+    return (
+        pairs.select(
+            F.col("_p.a._id").alias("id_a"),
+            F.col("_p.b._id").alias("id_b"),
+            F.round(inter.cast("double") / union.cast("double"), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
         .distinct()
     )
-    if verify_threshold is None:
-        return cand
-    verified = ngram_jaccard_pairs(df, id_col, text_col, n, verify_threshold)
-    return cand.join(verified, ["id_a", "id_b"])
 
 
 def simhash(col: Column | str, bits: int = 64) -> Column:
@@ -242,16 +308,21 @@ def simhash_dup_pairs(
         ).alias("_b"),
     ).select("_id", "_h", "_b.block", "_b.bval")
 
-    left = blocks.select(
-        F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), "block", "bval"
-    )
-    right = blocks.select(
-        F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), "block", "bval"
+    buckets = (
+        blocks.groupBy("block", "bval")
+        .agg(
+            F.sort_array(F.collect_set(F.struct("_id", "_h"))).alias("_ms")
+        )
+        .filter(F.size("_ms") >= 2)
     )
     cand = (
-        left.join(right, ["block", "bval"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_ha", "_hb")
+        buckets.select(F.explode(_bucket_pairs(F.col("_ms"))).alias("_p"))
+        .select(
+            F.col("_p.a._id").alias("id_a"),
+            F.col("_p.b._id").alias("id_b"),
+            F.col("_p.a._h").alias("_ha"),
+            F.col("_p.b._h").alias("_hb"),
+        )
         .distinct()
     )
     hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))

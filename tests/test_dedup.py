@@ -1,0 +1,69 @@
+"""Fuzzy-dedup family: internal consistency between the exact n-gram
+Jaccard path and the MinHash-LSH / SimHash candidate generators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from security_data_pipeline_spark.operators import dedup
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the old barn"),
+    (2, "the quick brown fox jumps over the lazy dog near the old shed"),
+    (3, "the quick brown fox jumps over the lazy dog near the old barn"),
+    (4, "completely different text about spark shuffles and partitions here"),
+    (5, "another unrelated document mentioning catalyst optimizer rules only"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_minhash_verified_subset_of_exact_jaccard(spark):
+    df = _docs_df(spark)
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    verified = dedup.minhash_lsh_pairs(df, verify_threshold=0.5).collect()
+    assert verified, "near-identical docs must collide in some band"
+    for r in verified:
+        # verification must agree exactly with the standalone Jaccard op
+        assert exact[(r["id_a"], r["id_b"])] == r["jaccard"]
+    # the identical pair (1,3) has jaccard 1.0 and always collides
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified}
+    assert got[(1, 3)] == 1.0
+
+
+def test_minhash_candidates_no_verify(spark):
+    df = _docs_df(spark)
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(df, verify_threshold=None).collect()
+    }
+    assert (1, 3) in cand
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    df = _docs_df(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 3)) == 0
+    # unrelated docs must not appear within hamming 3
+    assert (4, 5) not in pairs
+
+
+def test_exact_and_keep_last_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "c", 30)],
+        "k long, payload string, ord long",
+    )
+    assert dedup.exact_dedup(df, ["k"]).count() == 2
+    kept = {
+        r["k"]: r["payload"]
+        for r in dedup.keep_last_dedup(df, ["k"], "ord").collect()
+    }
+    assert kept == {1: "b", 2: "c"}
