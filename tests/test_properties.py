@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis): Spark operators vs tiny Python models.
+
+Few examples, tiny data: each example round-trips through a Spark job, so
+the budget goes to input diversity (timestamps that collide, gaps exactly at
+the threshold, single-event users) rather than volume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from security_data_pipeline_spark.operators import features, joins
+
+T0 = dt.datetime(2024, 1, 1)
+GAP_MIN = 30.0
+
+# offsets in minutes; duplicates and exact-gap values intentionally likely
+_offsets = st.lists(
+    st.integers(min_value=0, max_value=120).map(float)
+    | st.sampled_from([0.0, 29.0, 30.0, 31.0, 60.0]),
+    min_size=1,
+    max_size=8,
+)
+_users_events = st.dictionaries(
+    st.sampled_from(["u1", "u2", "u3"]), _offsets, min_size=1, max_size=3
+)
+
+
+def _model_sessions(offsets: list[float], gap_min: float) -> list[int]:
+    """Reference sessionization over sorted offsets: id increments when the
+    gap from the previous event strictly exceeds the threshold."""
+    out, sid, prev = [], 0, None
+    for o in sorted(offsets):
+        if prev is None or (o - prev) > gap_min:
+            sid += 1
+        out.append(sid)
+        prev = o
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=_users_events)
+def test_sessionization_matches_model(spark, data):
+    rows = []
+    eid = 0
+    for user, offsets in data.items():
+        for o in offsets:
+            rows.append((eid, user, T0 + dt.timedelta(minutes=o)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, timestamp timestamp"
+    )
+    got = features.add_session_features(
+        df, gap_minutes=GAP_MIN, include_stats=False
+    ).collect()
+    by_user: dict[str, list[tuple]] = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["timestamp"], r["session_id"])
+        )
+    for user, offsets in data.items():
+        rows_u = sorted(by_user[user])
+        assert [sid for _, sid in rows_u] == _model_sessions(offsets, GAP_MIN)
+
+
+_left_times = st.lists(
+    st.integers(min_value=0, max_value=100), min_size=1, max_size=6
+)
+_right_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=100),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=0,
+    max_size=6,
+    unique_by=lambda t: t[0],  # unique right ts → deterministic as-of match
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lefts=_left_times, rights=_right_rows)
+def test_asof_join_matches_model(spark, lefts, rights):
+    left = spark.createDataFrame(
+        [(1, T0 + dt.timedelta(minutes=m), i) for i, m in enumerate(lefts)],
+        "k long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, T0 + dt.timedelta(minutes=m), v) for m, v in rights],
+        "k long, ts timestamp, val long",
+    ) if rights else spark.createDataFrame([], "k long, ts timestamp, val long")
+
+    got = {
+        r["lid"]: r["val"]
+        for r in joins.asof_join(left, right, on=["k"]).collect()
+    }
+    for i, m in enumerate(lefts):
+        eligible = [(rm, v) for rm, v in rights if rm <= m]
+        expected = max(eligible)[1] if eligible else None
+        assert got[i] == expected, (i, m, rights)

@@ -1,0 +1,30 @@
+"""Partitioned parquet sink → partition pruning on read-back."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from security_data_pipeline_spark.sources.catalog import load_table
+from security_data_pipeline_spark.sources.sinks import write_parquet
+
+
+def test_partitioned_sink_prunes_on_read(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/events_partitioned"
+        write_parquet(ev, path, partition_by=("event_date",))
+
+        back = spark.read.parquet(path)
+        one_day = back.filter(F.col("event_date") == "2024-01-03")
+        plan = one_day._jdf.queryExecution().executedPlan().toString()
+        # the date predicate must become a PartitionFilter on the scan
+        # (directory-level pruning), not a post-scan row filter
+        assert "PartitionFilters: [" in plan
+        assert "event_date" in plan.split("PartitionFilters:")[1].split("]")[0]
+        n_total = back.count()
+        n_day = one_day.count()
+        assert 0 < n_day < n_total
