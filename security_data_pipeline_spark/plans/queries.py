@@ -1110,6 +1110,72 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_grouping_sets",
+    sql="""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    description=(
+        "Explicit GROUPING SETS with GROUPING() indicators (disambiguates "
+        "set-marker NULLs from data NULLs)"
+    ),
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_EVENT_TYPES = ("click", "purchase", "error", "signup", "view")
+
+
+@query(
+    "event_type_pivot",
+    sql=f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+           f" AS n_{t}" for t in _EVENT_TYPES
+       )}
+FROM events GROUP BY user_id
+""",
+    description=(
+        "Pivot event counts to one column per event type (explicit value "
+        "list — single pass, no second distinct-scan job)"
+    ),
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        # explicit values: skips Spark's extra job to discover the pivot
+        # domain, and fixes the output schema regardless of data
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+@query(
     "nation_parties_full_outer",
     sql="""
 WITH c AS (

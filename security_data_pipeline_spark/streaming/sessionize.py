@@ -71,6 +71,40 @@ def session_window_stats(
     )
 
 
+def windowed_event_counts(
+    df: DataFrame,
+    window: str = "1 day",
+    slide: str | None = None,
+    watermark: str | None = "1 hour",
+    ts_col: str = "timestamp",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """A2's per-(user, day) counts re-hosted on tumbling/sliding windows.
+
+    Batch equivalence: a tumbling "1 day" window aligned at epoch equals the
+    UTC ``date_trunc('DAY', ts)`` bucketing the batch baseline uses — tested
+    against it. On streams the watermark bounds state; late rows beyond it
+    are dropped (batch has no such concept — document, don't hide).
+    """
+    if df.isStreaming and watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    return (
+        df.groupBy(F.col(user_col), win)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
 _STATE_SCHEMA = StructType(
     [
         StructField("last_ts_us", LongType()),

@@ -130,3 +130,30 @@ def test_sessionize_with_state_per_row_ids(spark, tmp_path):
     assert got[("alice", 5)] == 2
     assert got[("bob", 4)] == 1
     assert got[("bob", 6)] == 2
+
+
+def test_windowed_counts_match_batch_daily(spark, sf_smoke):
+    """Tumbling 1-day windows ≡ UTC date_trunc('DAY') bucketing (batch)."""
+    from pyspark.sql import functions as F
+
+    from security_data_pipeline_spark.sources.catalog import load_table
+    from security_data_pipeline_spark.streaming.sessionize import (
+        windowed_event_counts,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        F.col("user_id"), F.col("ts").alias("timestamp")
+    )
+    win = {
+        (r["user_id"], r["window_start"]): r["n_events"]
+        for r in windowed_event_counts(ev, window="1 day").collect()
+    }
+    ref = {
+        (r["user_id"], r["d"]): r["n"]
+        for r in ev.groupBy(
+            "user_id", F.date_trunc("DAY", "timestamp").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert win == ref
