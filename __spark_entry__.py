@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-``entry(spark)`` — flagship sessionization query at sf0.001 (smoke).
+``entry(spark)`` — flagship end-to-end ETL query at sf0.001 (smoke).
 ``queries()`` — every implemented operator from SURVEY.md §2 as a named
 (spark, sf_dir) → DataFrame callable.
 ``oracle_sql()`` — the DuckDB-ANSI equivalent for each query (omitted for
@@ -21,13 +21,15 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: 30-min-gap sessionization with per-session stats over
-    events at sf0.001 (scan → window → agg; SURVEY.md §7.1)."""
+    """Flagship query: the full reference ETL chain (clean → dedup →
+    multi-format parse → canonicalize → features → sessionize) over raw-style
+    strings derived from events at sf0.001 — 13-column row-level output
+    (scan → scalar ops → windows → agg; SURVEY.md §7.1/§3.1)."""
     from security_data_pipeline_spark.plans.queries import REGISTRY
     from security_data_pipeline_spark.session import configure
 
     configure(spark)
-    return REGISTRY["sessionize_sessions"].fn(spark, SMOKE_SF_DIR)
+    return REGISTRY["secevents_etl"].fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
