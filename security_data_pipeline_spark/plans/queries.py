@@ -596,6 +596,31 @@ def part_brand_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quantity_quartiles_by_flag",
+    sql="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q1,
+       quantile_cont(l_quantity, 0.50) AS med,
+       quantile_cont(l_quantity, 0.75) AS q3
+FROM lineitem GROUP BY l_returnflag
+""",
+    description=(
+        "Exact interpolated percentiles (integer-valued measure → quartiles "
+        "land on exactly-representable doubles, so cross-engine equality is "
+        "well-defined); at 100 TB swap in approx_percentile with a "
+        "documented error bound"
+    ),
+)
+def quantity_quartiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("q1"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("med"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q3"),
+    )
+
+
+@query(
     "top_orders_per_customer",
     sql="""
 SELECT o_custkey, o_orderkey, o_totalprice,

@@ -28,3 +28,34 @@ def test_partitioned_sink_prunes_on_read(spark, sf_smoke):
         n_total = back.count()
         n_day = one_day.count()
         assert 0 < n_day < n_total
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_smoke, tmp_path):
+    """Identically-bucketed tables equi-join with zero shuffles."""
+    from security_data_pipeline_spark.sources.sinks import write_bucketed_table
+
+    orders = load_table(spark, sf_smoke, "orders")
+    lineitem = load_table(spark, sf_smoke, "lineitem")
+    write_bucketed_table(
+        orders, "t_orders_b", ("o_orderkey",), 4, ("o_orderkey",),
+        path=str(tmp_path / "ob"),
+    )
+    write_bucketed_table(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_b", ("o_orderkey",), 4, ("o_orderkey",),
+        path=str(tmp_path / "lb"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_orders_b").join(
+            spark.table("t_lineitem_b"), "o_orderkey"
+        )
+        n = j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert n == lineitem.count()
+        assert "Exchange" not in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
