@@ -41,6 +41,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "knn_cosine",
     "cosine_dup_pairs",
     "knn_cosine_lsh",
+    "cosine_dup_pairs_lsh",
 )
 
 

@@ -177,6 +177,62 @@ def lsh_bucket_candidates(
     ).drop("_bands")
 
 
+def cosine_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs, LSH-blocked — the 100 TB form of
+    :func:`cosine_dup_pairs`.
+
+    Candidates are same-(band, bucket) pairs (hash equi-join, work bounded
+    by bucket occupancy), then exact-cosine verified against ``threshold``.
+    Deterministic seed → oracle-checkable, like :func:`ann_lsh_topk`.
+    Recall < 1 by design: a pair only surfaces if it collides in ≥1 band.
+    """
+    from security_data_pipeline_spark.functions.vectors import dot_product, l2_norm
+
+    base = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    bands = lsh_bucket_candidates(
+        base, n_planes=n_planes, n_bands=n_bands, seed=seed, dim=dim
+    ).select("vec_id", "band", "bucket")
+    cand = (
+        bands.select(F.col("vec_id").alias("id_a"), "band", "bucket")
+        .join(
+            bands.select(F.col("vec_id").alias("id_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    norms = base.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("_v"),
+        l2_norm("embedding").alias("_nrm"),
+    )
+    a = norms.toDF("id_a", "_v_a", "_nrm_a")
+    b = norms.toDF("id_b", "_v_b", "_nrm_b")
+    sim = F.round(
+        dot_product(F.col("_v_a"), F.col("_v_b"))
+        / (F.col("_nrm_a") * F.col("_nrm_b")),
+        6,
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     k: int = 3,

@@ -1370,6 +1370,8 @@ def _lsh_oracle_sql(
     dim: int = 64,
     k: int = 3,
     max_query: int = 200,
+    mode: str = "topk",
+    threshold: float = 0.4,
 ) -> str:
     """Generate DuckDB SQL replicating the random-hyperplane LSH pipeline.
 
@@ -1400,7 +1402,7 @@ def _lsh_oracle_sql(
             f"SELECT vec_id, {band} AS band, {expr} AS bucket FROM sig"
         )
     buckets_union = "\n  UNION ALL ".join(band_selects)
-    return f"""
+    preamble = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), n AS (
@@ -1411,21 +1413,42 @@ WITH e AS (
   SELECT vec_id, {", ".join(bits)} FROM (SELECT vec_id, v FROM e)
 ), buckets AS (
   {buckets_union}
-), cand AS (
+)"""
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, len(a.v)),"
+        " i -> a.v[i]*b.v[i]), 'sum')"
+    )
+    if mode == "pairs":
+        return (
+            preamble
+            + f""", cand AS (
+  SELECT DISTINCT q.vec_id AS id_a, c.vec_id AS id_b
+  FROM buckets q JOIN buckets c
+    ON q.band = c.band AND q.bucket = c.bucket AND q.vec_id < c.vec_id
+)
+SELECT * FROM (
+  SELECT id_a, id_b, ROUND({dot} / (a.nrm*b.nrm), 6) AS cosine_sim
+  FROM cand JOIN n a ON a.vec_id = cand.id_a
+            JOIN n b ON b.vec_id = cand.id_b
+) WHERE cosine_sim >= {threshold}
+"""
+        )
+    return (
+        preamble
+        + f""", cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM buckets q JOIN buckets c
     ON q.band = c.band AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
   WHERE q.vec_id < {max_query}
 )
 SELECT query_id, neighbor_id,
-       ROUND(list_aggregate(list_transform(generate_series(1, len(a.v)),
-                                           i -> a.v[i]*b.v[i]), 'sum')
-             / (a.nrm*b.nrm), 6) AS cosine_sim
+       ROUND({dot} / (a.nrm*b.nrm), 6) AS cosine_sim
 FROM cand JOIN n a ON a.vec_id = cand.query_id
           JOIN n b ON b.vec_id = cand.neighbor_id
 QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
                            ORDER BY cosine_sim DESC, neighbor_id) <= {k}
 """
+    )
 
 
 @query(
@@ -1446,6 +1469,51 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
         query_pred=F.col("vec_id") < 200,
         dim=64,
+    )
+
+
+@query(
+    "cosine_dup_pairs_lsh",
+    sql=_lsh_oracle_sql(mode="pairs", threshold=0.4),
+    description=(
+        "LSH-blocked embedding near-dup pairs (the 100 TB form of "
+        "cosine_dup_pairs: bucket equi-join candidates, exact verify) — "
+        "oracle-checked including the index"
+    ),
+)
+def cosine_dup_pairs_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_dup_pairs_lsh(
+        emb, threshold=0.4, n_planes=16, n_bands=4, seed=42, dim=64
+    )
+
+
+@query(
+    "doc_blob_metadata",
+    sql="""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_blobs
+FROM documents GROUP BY source
+""",
+    description=(
+        "Multimodal metadata path: text→binary blobs, byte length / md5 / "
+        "distinct-blob stats — all Column expressions, payload never "
+        "reaches Python (the decode stage is the only Arrow hop, tested "
+        "separately)"
+    ),
+)
+def doc_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "blob", F.encode(F.col("text"), "UTF-8")
+    )
+    meta = multimodal.attach_blob_metadata(docs, blob_col="blob")
+    return meta.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("blob_bytes").cast("long").alias("total_bytes"),
+        F.countDistinct("blob_md5").alias("distinct_blobs"),
     )
 
 

@@ -82,7 +82,7 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
-    assert set(df.columns) >= {
-        "user_id", "session_id", "session_event_count",
-        "session_start", "session_end", "session_duration_seconds",
-    }
+    # full-ETL flagship: the reference pipeline's 13-column output contract
+    from security_data_pipeline_spark.plans.pipeline import OUTPUT_COLUMNS
+
+    assert list(df.columns) == list(OUTPUT_COLUMNS)
