@@ -595,6 +595,62 @@ def part_brand_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ABOVE_AVG_SQL = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice > (
+  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE)
+  FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+@query(
+    "orders_above_customer_avg",
+    sql=_ABOVE_AVG_SQL,
+    description=(
+        "Correlated scalar subquery (orders above their customer's average) "
+        "— Catalyst decorrelates to an aggregate+join; decimal-exact "
+        "average keeps the > comparison engine-stable"
+    ),
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same ANSI text both engines: the point is the decorrelation rewrite
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_ABOVE_AVG_SQL)
+
+
+@query(
+    "rolling_hour_counts",
+    sql="""
+SELECT event_id, user_id, ts,
+       CAST(COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_last_hour
+FROM events
+""",
+    description=(
+        "RANGE-frame window: per-event trailing 1-hour count per user "
+        "(value-based frame over epoch micros, not a row frame)"
+    ),
+)
+def rolling_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    )
+
+
 @query(
     "quantity_quartiles_by_flag",
     sql="""
