@@ -60,48 +60,62 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 5,
     threshold: float = 0.8,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard over candidate pairs.
 
-    Candidates = pairs sharing ≥1 shingle (explode + self-equi-join on the
-    shingle hash — a shuffle join, not a cross join). Jaccard computed from
-    |A∩B| (join match count) and set sizes. Output:
+    Candidates = pairs sharing ≥1 shingle (grouped by shingle hash — a
+    bounded shuffle, never a cross join). Jaccard computed from |A∩B|
+    (shared-shingle count) and set sizes. Output:
     ``id_a, id_b, jaccard`` with id_a < id_b, jaccard ≥ threshold.
 
-    Shingles are xxhash64'd before the join: the shuffle moves 8-byte longs
+    Shingles are xxhash64'd before the shuffle: it moves 8-byte longs
     instead of multi-word strings (~5× less shuffle IO at scale); 64-bit
     collisions are ~(n_shingles²/2⁶⁴) — negligible at any realistic corpus.
-    """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))
-        ).alias("_sh"),
-    )
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
 
-    a = sh.select(F.col("_id").alias("id_a"), "_sh")
-    b = sh.select(F.col("_id").alias("id_b"), "_sh")
+    Physical shape — ONE corpus pass: each doc's set size rides along with
+    the exploded shingle rows, docs sharing a shingle are grouped
+    (``collect_set`` per shingle — bucket size = the shingle's document
+    frequency), pairs are expanded per bucket and counted to get |A∩B|.
+    No join-backs, no broadcast of a sizes table, no re-evaluation of the
+    shingle pipeline per join side. ``df_cap`` optionally drops shingles
+    with document frequency above the cap (the standard "stop-shingle"
+    guard for pathological corpora — slightly lowers recall; None = exact).
+    """
+    hashed = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(shingles(text_col, n), lambda s: F.xxhash64(s)).alias(
+            "_hs"
+        ),
+    )
+    sh = hashed.select(
+        "_id", F.size("_hs").alias("_sz"), F.explode("_hs").alias("_sh")
+    )
+    buckets = (
+        sh.groupBy("_sh")
+        .agg(F.sort_array(F.collect_set(F.struct("_id", "_sz"))).alias("_ms"))
+        .filter(F.size("_ms") >= 2)
+    )
+    if df_cap is not None:
+        buckets = buckets.filter(F.size("_ms") <= df_cap)
     inter = (
-        a.join(b, ["_sh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        buckets.select(F.explode(_bucket_pairs(F.col("_ms"))).alias("_p"))
+        .groupBy(
+            F.col("_p.a._id").alias("id_a"),
+            F.col("_p.b._id").alias("id_b"),
+            F.col("_p.a._sz").alias("_sa"),
+            F.col("_p.b._sz").alias("_sb"),
+        )
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_size").alias("_sa"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_size").alias("_sb"))
-    jac = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("_inter").cast("double")
-                / (F.col("_sa") + F.col("_sb") - F.col("_inter")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
+    jac = inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("_inter").cast("double")
+            / (F.col("_sa") + F.col("_sb") - F.col("_inter")).cast("double"),
+            6,
+        ).alias("jaccard"),
     )
     return jac.filter(F.col("jaccard") >= threshold)
 
