@@ -22,6 +22,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "secevents_etl",
     # security-event surface
     "sessionize_sessions",
+    "sessionize_bucketed",
     "user_daily_avg",
     "keep_last_dedup",
     "time_since_last_error",

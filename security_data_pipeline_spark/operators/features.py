@@ -132,6 +132,101 @@ def add_session_features(
     return df
 
 
+def add_session_features_bucketed(
+    df: DataFrame,
+    gap_minutes: float = 30,
+    bucket_hours: float = 24.0,
+    user_col: str = "user_id",
+    ts_col: str = "timestamp",
+    id_col: str = "event_id",
+    tiebreak_cols: tuple[str, ...] = (),
+    include_stats: bool = True,
+) -> DataFrame:
+    """Sessionization identical to :func:`add_session_features`, but
+    skew-resistant: the ordered window runs per (user, time-bucket), then a
+    tiny per-user chain pass stitches sessions across bucket boundaries.
+
+    The plain form serializes each user into ONE task (SURVEY.md §7.3(5):
+    a running sum can't be salted); here a hyperactive user's timeline
+    splits across ``bucket_hours`` buckets that sort/scan in parallel, and
+    the only per-user sequential work is one row per ACTIVE bucket:
+
+    1. local pass — boundary flags + running session ids within
+       (user, bucket), exactly the plain algorithm;
+    2. bucket summary — (#local sessions, first/last event ts) per bucket;
+    3. chain pass — per user over bucket summaries (orderBy bucket): a
+       bucket MERGES into its predecessor when the boundary gap
+       ``first_ts − prev_last_ts ≤ gap`` (same strict-`>` rule, same float
+       math as the local pass), contributing ``n_local − merged`` new
+       sessions; a running sum of contributions gives each bucket's id
+       offset;
+    4. join the (user, bucket) offsets back and renumber:
+       ``session_id = offset_before + local_id − merged``.
+    """
+    if ts_col not in df.columns or user_col not in df.columns:
+        return df
+    gap_seconds = float(gap_minutes) * 60.0
+    bucket_us = int(bucket_hours * 3600.0 * 1e6)
+
+    ts_sec = _epoch_seconds(F.col(ts_col))
+    df = df.withColumn(
+        "_bkt", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(bucket_us))
+    )
+    w_local = Window.partitionBy(user_col, "_bkt").orderBy(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    gap = ts_sec - F.lag(ts_sec).over(w_local)
+    boundary = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    df = df.withColumn(
+        "_lsid",
+        F.sum(boundary).over(
+            w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+    summary = df.groupBy(user_col, "_bkt").agg(
+        F.max("_lsid").alias("_n_local"),
+        F.min(ts_col).alias("_first_ts"),
+        F.max(ts_col).alias("_last_ts"),
+    )
+    w_chain = Window.partitionBy(user_col).orderBy("_bkt")
+    prev_last_sec = F.lag(_epoch_seconds(F.col("_last_ts"))).over(w_chain)
+    boundary_gap = _epoch_seconds(F.col("_first_ts")) - prev_last_sec
+    merged = F.when(
+        prev_last_sec.isNotNull() & ~(boundary_gap > gap_seconds), 1
+    ).otherwise(0)
+    contrib = F.col("_n_local") - merged
+    offsets = (
+        summary.withColumn("_merged", merged)
+        .withColumn(
+            "_off",
+            F.sum(contrib).over(
+                w_chain.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - contrib,
+        )
+        .select(user_col, "_bkt", "_merged", "_off")
+    )
+
+    df = (
+        df.join(offsets, [user_col, "_bkt"])
+        .withColumn(
+            "session_id", F.col("_off") + F.col("_lsid") - F.col("_merged")
+        )
+        .drop("_bkt", "_lsid", "_merged", "_off")
+    )
+    if not include_stats:
+        return df
+    w_sess = Window.partitionBy(user_col, "session_id")
+    return df.withColumn(
+        "session_event_count", F.count(id_col).over(w_sess)
+    ).withColumn(
+        "session_duration_seconds",
+        _epoch_seconds(F.max(ts_col).over(w_sess))
+        - _epoch_seconds(F.min(ts_col).over(w_sess)),
+    )
+
+
 def run_all(df: DataFrame, gap_minutes: float = 30) -> DataFrame:
     """Full feature stage in reference order (feature_engineering.py:98-103)."""
     df = add_severity_score(df)

@@ -100,19 +100,7 @@ GROUP BY user_id, session_id
 """
 
 
-@query(
-    "sessionize_sessions",
-    sql=_SESSIONIZE_SQL,
-    description="W1-W5+A3: 30-min-gap sessionization, per-session stats",
-)
-def sessionize_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select("event_id", "user_id", F.col("ts").alias("timestamp"))
-    )
-    with_ids = features.add_session_features(
-        ev, gap_minutes=30, tiebreak_cols=("event_id",), include_stats=False
-    )
+def _session_rollup(with_ids: DataFrame) -> DataFrame:
     # Shuffle-avoidance: hashpartitioning(user_id) from the session-id window
     # already clusters (user_id, session_id), so per-session stats as WINDOWS
     # reuse the exchange; a groupBy would add a second full shuffle of the
@@ -142,6 +130,46 @@ def sessionize_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "sessionize_sessions",
+    sql=_SESSIONIZE_SQL,
+    description="W1-W5+A3: 30-min-gap sessionization, per-session stats",
+)
+def sessionize_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.col("ts").alias("timestamp"))
+    )
+    with_ids = features.add_session_features(
+        ev, gap_minutes=30, tiebreak_cols=("event_id",), include_stats=False
+    )
+    return _session_rollup(with_ids)
+
+
+@query(
+    "sessionize_bucketed",
+    sql=_SESSIONIZE_SQL,
+    description=(
+        "Skew-resistant two-phase sessionization (ordered window bounded "
+        "per (user, day-bucket) + per-user chain merge) — same oracle as "
+        "sessionize_sessions because results are identical"
+    ),
+)
+def sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.col("ts").alias("timestamp"))
+    )
+    with_ids = features.add_session_features_bucketed(
+        ev,
+        gap_minutes=30,
+        bucket_hours=24.0,
+        tiebreak_cols=("event_id",),
+        include_stats=False,
+    )
+    return _session_rollup(with_ids)
 
 
 @query(

@@ -108,3 +108,41 @@ def test_asof_join_matches_model(spark, lefts, rights):
         eligible = [(rm, v) for rm, v in rights if rm <= m]
         expected = max(eligible)[1] if eligible else None
         assert got[i] == expected, (i, m, rights)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=_users_events)
+def test_bucketed_sessionization_equals_plain(spark, data):
+    """The skew-resistant bucketed form must renumber identically to the
+    single-window form — tiny 1-hour buckets force many boundary merges."""
+    rows = []
+    eid = 0
+    for user, offsets in data.items():
+        for o in offsets:
+            rows.append((eid, user, T0 + dt.timedelta(minutes=o)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, timestamp timestamp"
+    )
+    plain = {
+        r["event_id"]: (r["session_id"], r["session_event_count"],
+                        r["session_duration_seconds"])
+        for r in features.add_session_features(
+            df, gap_minutes=GAP_MIN, tiebreak_cols=("event_id",)
+        ).collect()
+    }
+    bucketed = {
+        r["event_id"]: (r["session_id"], r["session_event_count"],
+                        r["session_duration_seconds"])
+        for r in features.add_session_features_bucketed(
+            df,
+            gap_minutes=GAP_MIN,
+            bucket_hours=1.0,
+            tiebreak_cols=("event_id",),
+        ).collect()
+    }
+    assert bucketed == plain
