@@ -172,6 +172,78 @@ def sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_rollup(with_ids)
 
 
+_SESSION_WINDOW_SQL = """
+WITH scored AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(ts)/1000000.0 AS ts_sec,
+         LAG(epoch_us(ts)/1000000.0) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800.0
+                 THEN 1 ELSE 0 END AS boundary
+  FROM scored
+), sess AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS window_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS window_end,
+       COUNT(event_id) AS session_event_count,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       epoch_us(MAX(ts))/1000000.0 - epoch_us(MIN(ts))/1000000.0
+         AS session_duration_seconds
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+@query(
+    "session_window_rollup",
+    sql=_SESSION_WINDOW_SQL,
+    description=(
+        "Native F.session_window (the Structured Streaming sessionization "
+        "primitive) run in batch mode — gap-merge semantics verified "
+        "against the window-formulated oracle (exact-gap events MERGE, "
+        "probed empirically)"
+    ),
+)
+def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.streaming.sessionize import (
+        session_window_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").alias("timestamp")
+    )
+    return session_window_stats(ev, gap="30 minutes", watermark=None)
+
+
+@query(
+    "invalid_event_types",
+    sql="""
+SELECT DISTINCT event_type FROM events
+WHERE event_type NOT IN ('click', 'view')
+""",
+    description=(
+        "A9 allowed-set membership check: distinct values outside a "
+        "whitelist (validation as a query)"
+    ),
+)
+def invalid_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(~F.col("event_type").isin("click", "view"))
+        .select("event_type")
+        .distinct()
+    )
+
+
 @query(
     "user_total_counts",
     sql="""
