@@ -262,11 +262,21 @@ def simhash(col: Column | str, bits: int = 64) -> Column:
     """SimHash over whitespace tokens: bit j is the sign of
     Σ_tokens (±1 by bit j of xxhash64(token)). Pure Column math.
 
-    One ``transform`` hashes every token once; the per-bit ±1 sums are
-    ``bits`` sequential folds over that hash array (shift amounts must be
-    Python ints for the JVM shiftright signature)."""
+    NOTE: the embedded token-hash pipeline is re-evaluated once per bit
+    (HOF-lambda expressions are excluded from subexpression elimination);
+    hot paths should materialize token hashes as a column and call
+    :func:`simhash_from_hashes` (what :func:`simhash_dup_pairs` does)."""
     c = F.col(col) if isinstance(col, str) else col
-    hashes = F.transform(F.split(F.lower(c), " "), lambda t: F.xxhash64(t))
+    return simhash_from_hashes(
+        F.transform(F.split(F.lower(c), " "), lambda t: F.xxhash64(t)), bits
+    )
+
+
+def simhash_from_hashes(hashes: Column | str, bits: int = 64) -> Column:
+    """SimHash from an ``array<long>`` of token hashes: ``bits`` sequential
+    ±1 folds over the array (shift amounts must be Python ints for the JVM
+    shiftright signature)."""
+    hashes = F.col(hashes) if isinstance(hashes, str) else hashes
 
     def _sign_fold(j: int):
         # bind j via closure — pyspark HOFs dispatch on lambda ARITY, so a
@@ -303,7 +313,15 @@ def simhash_dup_pairs(
     n_blocks`` must agree on ≥1 whole block → candidates are a block-value
     equi-join, verified by popcount of XOR."""
     block_bits = 64 // n_blocks
-    h = df.select(F.col(id_col).alias("_id"), simhash(text_col).alias("_h"))
+    # token hashes materialized once (separate projection), then 64 cheap
+    # folds — see simhash() note on HOF-lambda subexpression elimination
+    hashed = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.split(F.lower(F.col(text_col)), " "), lambda t: F.xxhash64(t)
+        ).alias("_th"),
+    )
+    h = hashed.select("_id", simhash_from_hashes("_th").alias("_h"))
     blocks = h.select(
         "_id",
         "_h",

@@ -157,3 +157,61 @@ def test_windowed_counts_match_batch_daily(spark, sf_smoke):
         .collect()
     }
     assert win == ref
+
+
+def test_sessionize_with_state_v2_matches_v1(spark, tmp_path):
+    """transformWithStateInPandas form: same per-row ids as the
+    applyInPandasWithState form on the same two-batch stream."""
+    import pytest
+
+    # the TWS streaming python runner requires protobuf, absent here
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from security_data_pipeline_spark.streaming.sessionize import (
+        sessionize_with_state_v2,
+    )
+
+    d = tmp_path / "in_state_v2"
+    d.mkdir()
+    (d / "f1.csv").write_text(CSV_HEADER + "\n" + "\n".join(ROWS_FILE1) + "\n")
+    (d / "f2.csv").write_text(
+        CSV_HEADER + "\n"
+        + "5,2025-01-01 02:05:00,alice,logout,ok,low,1.1.1.1\n"
+        + "6,2025-01-01 03:00:00,bob,login,ok,info,2.2.2.2\n"
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        stream = read_raw_events_stream(spark, str(d), max_files_per_trigger=1)
+        stream = stream.withColumn(
+            "timestamp", F.col("timestamp").cast("timestamp")
+        )
+        with_ids = sessionize_with_state_v2(stream, gap_minutes=30)
+        q = (
+            with_ids.writeStream.format("memory")
+            .queryName("sess_state_v2")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_v2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.user_id, r.event_id): r.session_id
+            for r in spark.sql("select * from sess_state_v2").collect()
+        }
+        assert got[("alice", 1)] == 1
+        assert got[("alice", 2)] == 1
+        assert got[("alice", 3)] == 2
+        assert got[("alice", 5)] == 2
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
