@@ -919,6 +919,70 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_top_tokens",
+    sql=f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+)
+WHERE token NOT IN ({_STOP_SQL}) AND token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+""",
+    description=(
+        "Distributed wordcount: explode tokens, stopword filter, top-k by "
+        "frequency (map-side partial agg + TakeOrdered — no full sort)"
+    ),
+)
+def doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+        )
+        .filter(~F.col("token").isin(*textops.STOPWORDS) & (F.col("token") != ""))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "party_directory_union",
+    sql="""
+SELECT 'customer' AS kind, c_name AS name, c_nationkey AS nationkey
+FROM customer WHERE c_acctbal > 9900
+UNION ALL
+SELECT 'supplier' AS kind, s_name AS name, s_nationkey AS nationkey
+FROM supplier WHERE s_acctbal > 9900
+""",
+    description="UNION ALL (bag semantics) of two filtered branches",
+)
+def party_directory_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .select(
+            F.lit("customer").alias("kind"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9900)
+        .select(
+            F.lit("supplier").alias("kind"),
+            F.col("s_name").alias("name"),
+            F.col("s_nationkey").alias("nationkey"),
+        )
+    )
+    return c.unionByName(s)
+
+
+@query(
     "doc_quality_scores",
     sql=f"""
 WITH base AS (
