@@ -65,22 +65,33 @@ def _epoch_seconds(col: Column) -> Column:
 def add_user_activity_baseline(
     df: DataFrame, user_col: str = "user_id", ts_col: str = "timestamp"
 ) -> DataFrame:
-    """Average events per UTC day per user, joined back broadcast
-    (feature_engineering.py:42-58). Day flooring is UTC — semantic
-    (SURVEY.md §4.3 trap 4)."""
+    """Average events per UTC day per user (feature_engineering.py:42-58).
+    Day flooring is UTC — semantic (SURVEY.md §4.3 trap 4).
+
+    mean-of-daily-counts ≡ total_events / distinct_days exactly (the day
+    counts sum to the total), so instead of the reference's two-level
+    aggregate + join-back this is pure windows over the ONE ``user_id``
+    exchange the feature stage already shuffles on: ``dense_rank`` over
+    day order gives each row its day's ordinal, its per-user max is the
+    distinct-day count, and one double division yields the identical value
+    (same operands as sum-of-counts / n-days on any engine).
+    """
     if ts_col not in df.columns or user_col not in df.columns:
         return df
     if not isinstance(
         df.schema[ts_col].dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)
     ):
         return df
-    daily = df.groupBy(
-        F.col(user_col), F.date_trunc("DAY", F.col(ts_col)).alias("_date")
-    ).agg(F.count(F.lit(1)).alias("_n"))
-    baseline = daily.groupBy(user_col).agg(
-        F.avg("_n").alias("user_daily_avg_events")
+    w_u = Window.partitionBy(user_col)
+    w_day = Window.partitionBy(user_col).orderBy(
+        F.date_trunc("DAY", F.col(ts_col))
     )
-    return df.join(F.broadcast(baseline), user_col, "left")
+    df = df.withColumn("_day_rank", F.dense_rank().over(w_day))
+    return df.withColumn(
+        "user_daily_avg_events",
+        F.count(F.lit(1)).over(w_u).cast("double")
+        / F.max("_day_rank").over(w_u).cast("double"),
+    ).drop("_day_rank")
 
 
 def add_session_features(

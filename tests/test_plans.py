@@ -1,0 +1,73 @@
+"""Physical-plan regression tests: the scale properties COVERAGE.md/SCALE.md
+claim must stay visible in the plans, not just in prose.
+
+These don't execute jobs (plan-only), so the whole registry is cheap to
+sweep.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from security_data_pipeline_spark.plans.queries import REGISTRY
+from security_data_pipeline_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+ALL_QUERIES = sorted(REGISTRY)
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_no_rowwise_python_udf_in_any_query(spark, name):
+    """Zero row-at-a-time Python UDFs anywhere in the registry (SURVEY §2.11).
+    (Arrow-batched nodes would show as ArrowEvalPython/MapInPandas — the
+    registry currently has none of those on the hot path either.)"""
+    plan = _plan(REGISTRY[name].fn(spark, SF))
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _plan(REGISTRY["regional_revenue"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(REGISTRY["top_revenue_orders"].fn(spark, SF))
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters: [" in line
+    ]
+    assert any("BUILDING" in line for line in pushed), pushed
+
+
+def test_column_pruning_reaches_scan(spark):
+    # events scan for user counts must not read props/value beyond need
+    df = REGISTRY["user_total_counts"].fn(spark, SF)
+    plan = _plan(df)
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans and all("props" not in l for l in scans), scans
+
+
+def test_etl_exchange_budget(spark):
+    """The ETL chain moves the fact table through exactly 2 hash exchanges
+    (keep-last dedup by event_id; ONE user_id exchange shared by the count,
+    baseline, and session windows) and zero joins — a regression here means
+    a new accidental shuffle."""
+    plan = _plan(REGISTRY["secevents_etl"].fn(spark, SF))
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 2, f"{n_exchange} hash exchanges:\n{plan[:3000]}"
+    assert plan.count("BroadcastExchange") == 0
+    assert "Join" not in plan
+
+
+def test_session_stats_reuse_user_exchange(spark):
+    """Per-session stat windows must not add an exchange beyond the
+    session-id window's user_id partitioning."""
+    plan = _plan(REGISTRY["sessionize_sessions"].fn(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
