@@ -43,6 +43,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "cosine_dup_pairs",
     "knn_cosine_lsh",
     "cosine_dup_pairs_lsh",
+    "knn_cosine_ivf",
 )
 
 

@@ -299,3 +299,154 @@ def ann_lsh_topk(
         .filter(F.col("_rank") <= k)
         .drop("_rank")
     )
+
+
+def ivf_centroid_vectors(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF codebook: the ``n_centroids`` lowest-id vectors.
+
+    No Lloyd iterations — the codebook is a seeded *selection*, not a fit,
+    so the same centroids are derivable in ANSI SQL (``ORDER BY id LIMIT
+    k``) and the whole index is oracle-checkable. At 100 TB you'd swap in
+    k-means|| centroids from a sample; every downstream step is unchanged
+    (the codebook is an opaque list of literals either way).
+    """
+    rows = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def _centroid_sims(vec_col: str, centroids: list[list[float]]) -> F.Column:
+    """Array of round(cosine(vec, centroid_i), 6) — one literal dot per
+    centroid, all JVM-side codegen (no shuffle, no Python)."""
+    import math
+
+    from security_data_pipeline_spark.functions.vectors import dot_product, l2_norm
+
+    vnrm = l2_norm(vec_col)
+    sims = []
+    for cv in centroids:
+        cnrm = math.sqrt(sum(x * x for x in cv))
+        lit = F.array(*[F.lit(float(x)) for x in cv])
+        sims.append(
+            F.round(
+                dot_product(F.col(vec_col), lit) / (vnrm * F.lit(cnrm)), 6
+            )
+        )
+    return F.array(*sims)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cluster_col: str = "ivf_cluster",
+) -> DataFrame:
+    """Map-side IVF list assignment: nearest centroid by cosine (1-based id,
+    ties → lowest id). Pure per-row expression — the corpus never shuffles
+    to get clustered, which is the property that matters at 100 TB."""
+    return (
+        df.withColumn("_csims", _centroid_sims(vec_col, centroids))
+        .withColumn(
+            cluster_col,
+            F.expr("array_position(_csims, array_max(_csims))").cast("int"),
+        )
+        .drop("_csims")
+    )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: F.Column | None = None,
+) -> DataFrame:
+    """IVF approximate top-k cosine neighbors — the cluster-pruned scale path
+    (complement of :func:`ann_lsh_topk`'s hash-pruned one).
+
+    Corpus rows get a map-side cluster id (:func:`ivf_assign`); each query
+    ranks the codebook and probes its ``n_probe`` nearest clusters; the
+    probe list (queries × n_probe rows, tiny) is **broadcast** against the
+    clustered corpus, so candidate generation is a broadcast hash join that
+    scans each corpus partition once — no corpus shuffle, no cross join.
+    Exact cosine re-rank keeps k per query. Recall < 1 by design: misses
+    exactly the neighbors whose cluster the query didn't probe.
+    """
+    cents = ivf_centroid_vectors(
+        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+
+    from security_data_pipeline_spark.functions.vectors import dot_product, l2_norm
+
+    clustered = ivf_assign(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ),
+        cents,
+        vec_col="embedding",
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("_v_c"),
+        l2_norm("embedding").alias("_nrm_c"),
+        "ivf_cluster",
+    )
+
+    q = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    if query_pred is not None:
+        q = q.filter(query_pred)
+    probes = (
+        q.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("_v_q"),
+            l2_norm("embedding").alias("_nrm_q"),
+            F.posexplode(_centroid_sims("embedding", cents)).alias(
+                "_cid0", "_csim"
+            ),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_csim").desc(), F.col("_cid0")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= n_probe)
+        .select(
+            "query_id", "_v_q", "_nrm_q", (F.col("_cid0") + 1).alias("_probe")
+        )
+    )
+
+    sim = F.round(
+        dot_product(F.col("_v_q"), F.col("_v_c"))
+        / (F.col("_nrm_q") * F.col("_nrm_c")),
+        6,
+    )
+    scored = (
+        clustered.join(
+            F.broadcast(probes), F.col("ivf_cluster") == F.col("_probe")
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .drop("_rank")
+    )

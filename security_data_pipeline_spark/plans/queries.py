@@ -1708,6 +1708,78 @@ def cosine_dup_pairs_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle_sql(
+    n_centroids: int = 16, n_probe: int = 4, k: int = 3, max_query: int = 200
+) -> str:
+    """DuckDB SQL replicating the IVF index end-to-end: deterministic
+    lowest-id codebook, nearest-centroid assignment (round-6 cosine, ties →
+    lowest centroid id), n_probe cluster probing, exact re-rank — so the
+    approximate index itself is oracle-verified, like the LSH queries."""
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, len(a.v)),"
+        " i -> a.v[i]*c.cv[i]), 'sum')"
+    )
+    qdot = (
+        "list_aggregate(list_transform(generate_series(1, len(a.v)),"
+        " i -> a.v[i]*b.v[i]), 'sum')"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
+  FROM e
+), cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, v AS cv, nrm AS cnrm
+  FROM (SELECT vec_id, v, nrm FROM n ORDER BY vec_id LIMIT {n_centroids})
+), assign AS (
+  SELECT a.vec_id, c.cid, ROUND({dot} / (a.nrm * c.cnrm), 6) AS sim
+  FROM n a CROSS JOIN cent c
+), clustered AS (
+  SELECT vec_id, cid FROM assign
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid) = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid FROM assign
+  WHERE vec_id < {max_query}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid) <= {n_probe}
+), cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN clustered c
+    ON c.cid = p.cid AND c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id,
+       ROUND({qdot} / (a.nrm * b.nrm), 6) AS cosine_sim
+FROM cand JOIN n a ON a.vec_id = cand.query_id
+          JOIN n b ON b.vec_id = cand.neighbor_id
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine_sim DESC, neighbor_id) <= {k}
+"""
+
+
+@query(
+    "knn_cosine_ivf",
+    sql=_ivf_oracle_sql(),
+    description=(
+        "IVF approximate top-k cosine ANN: map-side nearest-centroid "
+        "assignment (deterministic lowest-id codebook), broadcast probe "
+        "join, exact re-rank — cluster-pruned scale path, oracle-checked "
+        "including the index"
+    ),
+)
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_ivf_topk(
+        emb,
+        k=3,
+        n_centroids=16,
+        n_probe=4,
+        query_pred=F.col("vec_id") < 200,
+    )
+
+
 @query(
     "doc_blob_metadata",
     sql="""

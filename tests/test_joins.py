@@ -124,3 +124,40 @@ def test_ann_lsh_topk_subset_of_bruteforce(spark, sf_smoke):
         # verified score must equal the exact pipeline's score for that pair
         assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine_sim"]
     assert per_query and max(per_query.values()) <= 3
+
+
+def test_ann_ivf_topk_scores_match_exact(spark, sf_smoke):
+    from security_data_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    pred = F.col("vec_id") < 20
+    approx = similarity.ann_ivf_topk(
+        emb, k=3, n_centroids=8, n_probe=3, query_pred=pred
+    ).collect()
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in similarity.knn_bruteforce(
+            corpus=emb, queries=emb.filter(pred), k=10**9
+        ).collect()
+    }
+    per_query: dict[int, int] = {}
+    for r in approx:
+        per_query[r["query_id"]] = per_query.get(r["query_id"], 0) + 1
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine_sim"]
+    assert per_query and max(per_query.values()) <= 3
+
+
+def test_ivf_assign_covers_all_rows_one_cluster_each(spark, sf_smoke):
+    from security_data_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    cents = similarity.ivf_centroid_vectors(emb, n_centroids=8)
+    assert len(cents) == 8
+    assigned = similarity.ivf_assign(emb, cents)
+    stats = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ivf_cluster").alias("lo"),
+        F.max("ivf_cluster").alias("hi"),
+    ).first()
+    assert stats["n"] == emb.count()
+    assert 1 <= stats["lo"] and stats["hi"] <= 8
