@@ -361,3 +361,70 @@ def simhash_dup_pairs(
     return cand.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — turns
+    near-dup *pairs* into dedup *clusters* (the step that actually shrinks a
+    training corpus: keep one canonical doc per component).
+
+    Every node starts labeled with its own id; each round replaces a node's
+    label with the min over itself and its neighbors' labels, until a round
+    changes nothing (labels are monotone non-increasing, so the sum is a
+    convergence witness — one cheap agg per round, no full-frame compare).
+    Rounds needed = graph diameter; near-dup graphs are unions of small
+    cliques, so 2–3 rounds in practice. Each round is two hash joins on the
+    node id plus a groupBy — all AQE-managed shuffles, nothing driver-side
+    except the 1-row convergence check. ``localCheckpoint`` truncates the
+    lineage so plans don't grow with iteration count.
+
+    Returns ``(id_col, cluster_id)`` for EVERY node (singletons label
+    themselves) — cluster_id = min node id in the component.
+    """
+    sym = edges.select(
+        F.col(a_col).alias("_src"), F.col(b_col).alias("_dst")
+    ).union(edges.select(F.col(b_col).alias("_src"), F.col(a_col).alias("_dst")))
+    labels = (
+        nodes.select(F.col(id_col).alias("_id"))
+        .distinct()
+        .withColumn("_lbl", F.col("_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("_lbl")).first()[0]
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("_id").alias("_dst"), F.col("_lbl").alias("_dlbl")
+                ),
+                "_dst",
+            )
+            .groupBy("_src")
+            .agg(F.min("_dlbl").alias("_nmin"))
+        )
+        labels = (
+            labels.join(
+                nbr_min.withColumnRenamed("_src", "_id"), "_id", "left"
+            )
+            .select(
+                "_id",
+                F.least(
+                    F.col("_lbl"), F.coalesce("_nmin", F.col("_lbl"))
+                ).alias("_lbl"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("_lbl")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(
+        F.col("_id").alias(id_col), F.col("_lbl").alias("cluster_id")
+    )

@@ -1117,6 +1117,59 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "neardup_clusters",
+    sql="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 4, 0)),
+           i -> array_to_string(t[i:i+4], ' ')))) AS sh
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jac AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE)/CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.3
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM jac
+  UNION ALL
+  SELECT id_b, id_a FROM jac
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id,
+       (MIN(dst) = src) AS is_canonical
+FROM reach GROUP BY src
+""",
+    description=(
+        "Near-dup clustering: Jaccard pairs → connected components "
+        "(iterative min-label propagation; oracle = recursive-CTE "
+        "transitive closure) — the keep-one-canonical-doc dedup step"
+    ),
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=5, threshold=0.3
+    )
+    cc = dedup.connected_components(edges, nodes=docs, id_col="doc_id")
+    return cc.withColumn(
+        "is_canonical", F.col("cluster_id") == F.col("doc_id")
+    )
+
+
+@query(
     "minhash_lsh_pairs",
     sql=None,  # hash functions differ across engines → rows-only check
     description="MinHash+LSH banding near-dup candidates, Jaccard-verified",

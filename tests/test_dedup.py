@@ -67,3 +67,24 @@ def test_exact_and_keep_last_dedup(spark):
         for r in dedup.keep_last_dedup(df, ["k"], "ord").collect()
     }
     assert kept == {1: "b", 2: "c"}
+
+
+def test_connected_components_chain_and_singletons(spark):
+    from pyspark.sql import functions as F
+
+    from security_data_pipeline_spark.operators import dedup
+
+    # chain 1-2-3-4-5 needs several propagation rounds; 10 is isolated
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (4, 5), (7, 6)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 6, 7, 10]], ["doc_id"]
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(
+            edges, nodes=nodes, id_col="doc_id"
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 10: 10}
