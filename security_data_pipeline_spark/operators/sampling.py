@@ -1,0 +1,74 @@
+"""Deterministic sampling / dataset splitting for training-data pipelines.
+
+RNG-based sampling (``df.sample``, ``sampleBy``) is engine-specific and
+non-reproducible across reruns with different partitioning — useless for
+train/val/test splits that must stay stable as a 100 TB corpus is re-read,
+re-partitioned, or incrementally extended. The standard fix is *hash
+bucketing*: a row's split is a pure function of its key, so membership is
+reproducible on any engine, any partitioning, any subset of the data.
+
+Everything here is pure Column math over ``md5`` (identical lowercase-hex
+output on Spark, DuckDB, Postgres, Trino — oracle-checkable), map-side only:
+no shuffle, no RNG state, no driver coordination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 4 hex chars = 16 bits → split boundaries quantized to 1/65536
+_BUCKET_SPACE = 1 << 16
+
+
+def hash_hex16(key: Column | str, salt: str = "") -> Column:
+    """First 4 hex chars of md5(salt || key) — a uniform 16-bit bucket id
+    as a lexicographically ordered hex string. ``salt`` derives independent
+    bucketings from the same key (e.g. one per experiment)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary")), 1, 4
+    )
+
+
+def _hex4(frac: float) -> str:
+    return format(min(int(frac * _BUCKET_SPACE), _BUCKET_SPACE - 1), "04x")
+
+
+def hash_sample(
+    df: DataFrame, key: Column | str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows by key hash. Rows with the
+    same key always land together (doc-level, not row-level, sampling when
+    keyed by doc id) — exactly the property corpus subsampling needs."""
+    return df.filter(hash_hex16(key, salt) < F.lit(_hex4(fraction)))
+
+
+def hash_split(
+    df: DataFrame,
+    key: Column | str,
+    fractions: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a named split by cumulative hash ranges.
+
+    ``fractions`` maps split name → fraction (must sum to ~1.0; the last
+    split absorbs the hex-quantization remainder). Assignment is stable
+    under re-partitioning, appends, and engine changes; the same key can
+    never leak across splits.
+    """
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    items = list(fractions.items())
+    h = hash_hex16(key, salt)
+    expr: Column | None = None
+    cum = 0.0
+    for name, frac in items[:-1]:
+        cum += frac
+        cond = h < F.lit(_hex4(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(items[-1][0])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)

@@ -950,6 +950,104 @@ def doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_train_split",
+    sql="""
+WITH s AS (
+  SELECT CASE
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+             THEN 'train'
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+             THEN 'val'
+           ELSE 'test'
+         END AS split,
+         text
+  FROM documents
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(CAST(length(text) AS DOUBLE)), 6) AS avg_chars
+FROM s GROUP BY split
+""",
+    description=(
+        "Deterministic train/val/test split by md5 hash bucketing (stable "
+        "under re-partitioning/appends/engine changes, no RNG) — the "
+        "reproducible-split primitive; map-side only"
+    ),
+)
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = sampling.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.length("text").cast("double")), 6).alias("avg_chars"),
+    )
+
+
+@query(
+    "doc_tfidf_topk",
+    sql="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+), t AS (
+  SELECT doc_id, token, COUNT(*) AS tc
+  FROM toks WHERE token <> '' GROUP BY 1, 2
+), stats AS (
+  SELECT doc_id, token, tc,
+         SUM(tc) OVER (PARTITION BY doc_id) AS dl,
+         COUNT(*) OVER (PARTITION BY token) AS dfreq
+  FROM t
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS nd FROM documents
+)
+SELECT doc_id, token,
+       ROUND((CAST(tc AS DOUBLE) / dl)
+             * ln(CAST(nd AS DOUBLE) / dfreq), 6) AS tfidf
+FROM stats, n
+WHERE doc_id < 40
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, token) <= 3
+""",
+    description=(
+        "Per-document top-3 TF-IDF terms: corpus-wide document frequency "
+        "and per-doc term frequency as windows over the (doc, token) agg, "
+        "doc-count broadcast — classic text-featurization operator"
+    ),
+)
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    term = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tc"))
+    stats = term.select(
+        "doc_id",
+        "token",
+        "tc",
+        F.sum("tc").over(Window.partitionBy("doc_id")).alias("dl"),
+        F.count(F.lit(1)).over(Window.partitionBy("token")).alias("dfreq"),
+    )
+    n = docs.agg(F.countDistinct("doc_id").alias("nd"))
+    tfidf = F.round(
+        (F.col("tc").cast("double") / F.col("dl"))
+        * F.log(F.col("nd").cast("double") / F.col("dfreq")),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "token", tfidf.alias("tfidf"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .drop("_rn")
+    )
+
+
+@query(
     "party_directory_union",
     sql="""
 SELECT 'customer' AS kind, c_name AS name, c_nationkey AS nationkey
