@@ -66,3 +66,33 @@ def write_bucketed_table(
     if path is not None:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(name)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    single_file: bool = False,
+    compression: str | None = None,
+) -> None:
+    """JSON-lines sink — the interchange format of LLM corpus tooling.
+
+    One JSON object per line, so files split cleanly across executors on
+    read-back (even gzip parts parallelize per-file). ``compression``:
+    "gzip" | "zstd" | None.
+    """
+    out = df.coalesce(1) if single_file else df
+    writer = out.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def read_jsonl(spark, path: str, schema=None) -> DataFrame:
+    """JSON-lines source. Pass an explicit schema at scale: schema-less reads
+    trigger a full inference pass over the data (twice the IO) and infer
+    unstable types across file subsets — same determinism argument as the
+    CSV reader's explicit StructType (SURVEY.md §1.2)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -13,6 +13,7 @@ from security_data_pipeline_spark.streaming.sessionize import (
     sessionize_with_state,
 )
 from security_data_pipeline_spark.streaming.pipeline import (
+    enrich_stream,
     read_raw_events_stream,
     run_streaming_pipeline,
 )
@@ -21,5 +22,6 @@ __all__ = [
     "session_window_stats",
     "sessionize_with_state",
     "read_raw_events_stream",
+    "enrich_stream",
     "run_streaming_pipeline",
 ]

@@ -84,3 +84,22 @@ def run_streaming_pipeline(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def enrich_stream(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich each micro-batch with a dimension table.
+
+    The static side is broadcast, so every micro-batch joins map-side with
+    no shuffle and no streaming state — the standard pattern for attaching
+    slowly-changing reference data (user orgs, asset inventory, geo feeds)
+    to an event stream. The static side is re-resolved per batch, so a
+    dimension backed by a mutable table picks up updates between batches.
+    """
+    from pyspark.sql import functions as F
+
+    return stream_df.join(F.broadcast(dim_df), on, how)

@@ -85,6 +85,15 @@ def windowed_event_counts(
     UTC ``date_trunc('DAY', ts)`` bucketing the batch baseline uses — tested
     against it. On streams the watermark bounds state; late rows beyond it
     are dropped (batch has no such concept — document, don't hide).
+
+    Late-drop timing (verified on Spark 4.1): the late-event filter uses the
+    PREVIOUS batch's watermark, one batch behind the state-eviction
+    watermark (the two values are visible on ``StateStoreSave`` in the
+    plan). A row can therefore still be accepted one batch after its window
+    fell behind the eviction watermark — sinks must tolerate that
+    one-batch grace, and exactly-once consumers should key on
+    (user, window_start) upserts rather than assume a closed window never
+    updates.
     """
     if df.isStreaming and watermark is not None:
         df = df.withWatermark(ts_col, watermark)

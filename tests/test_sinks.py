@@ -59,3 +59,22 @@ def test_bucketed_tables_join_without_exchange(spark, sf_smoke, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_jsonl_roundtrip_with_explicit_schema(spark, sf_smoke):
+    from security_data_pipeline_spark.sources.sinks import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "source", "text"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/docs_jsonl"
+        write_jsonl(docs, path, compression="gzip")
+        back = read_jsonl(spark, path, schema=docs.schema)
+        assert back.schema == docs.schema
+        assert back.count() == docs.count()
+        # value-level: checksum of ids and text lengths must survive
+        agg = lambda df: df.agg(
+            F.sum("doc_id").alias("s"), F.sum(F.length("text")).alias("l")
+        ).first()
+        assert agg(back) == agg(docs)

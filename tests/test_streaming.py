@@ -215,3 +215,89 @@ def test_sessionize_with_state_v2_matches_v1(spark, tmp_path):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_enrich_stream_static_broadcast_join(spark, input_dir, tmp_path):
+    from security_data_pipeline_spark.streaming import (
+        enrich_stream,
+        read_raw_events_stream,
+    )
+
+    dim = spark.createDataFrame(
+        [("alice", "eng"), ("bob", "sales")], ["user_id", "org"]
+    )
+    stream = read_raw_events_stream(spark, input_dir)
+    enriched = enrich_stream(stream, dim, on="user_id")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT user_id, org FROM enriched_mem").collect()
+    got = {(r.user_id, r.org) for r in rows}
+    assert ("alice", "eng") in got and ("bob", "sales") in got
+    assert all(org in ("eng", "sales") for _, org in got)
+
+
+def test_windowed_counts_drop_data_later_than_watermark(spark, tmp_path):
+    """A row arriving after the watermark passed its window is dropped —
+    the state-bounding semantics batch never exercises (SURVEY §2.10)."""
+    import os
+    import time
+
+    from security_data_pipeline_spark.streaming.pipeline import (
+        read_raw_events_stream,
+    )
+    from security_data_pipeline_spark.streaming.sessionize import (
+        windowed_event_counts,
+    )
+
+    d = tmp_path / "late_in"
+    d.mkdir()
+    f1 = d / "f1.csv"
+    f2 = d / "f2.csv"
+    f3 = d / "f3.csv"
+    f1.write_text(
+        CSV_HEADER
+        + "\n1,2025-01-02 01:00:00,alice,login,ok,low,1.1.1.1"
+        + "\n2,2025-01-02 01:10:00,alice,login,ok,low,1.1.1.1\n"
+    )
+    f2.write_text(
+        CSV_HEADER + "\n3,2025-01-02 01:20:00,alice,login,ok,low,1.1.1.1\n"
+    )
+    f3.write_text(
+        CSV_HEADER
+        # 23:30 previous day: its 1h window [23:00, 00:00) ended before the
+        # late-event watermark in batch 2 (batch-1's value, 01:00 — Spark
+        # filters late rows with the PREVIOUS batch's watermark, one batch
+        # behind the eviction watermark) → must be dropped
+        + "\n4,2025-01-01 23:30:00,alice,login,ok,low,1.1.1.1"
+        + "\n5,2025-01-02 01:40:00,alice,login,ok,low,1.1.1.1\n"
+    )
+    now = time.time()
+    os.utime(f1, (now - 240, now - 240))  # force file → batch order
+    os.utime(f2, (now - 120, now - 120))
+    os.utime(f3, (now, now))
+
+    raw = read_raw_events_stream(spark, str(d), max_files_per_trigger=1)
+    raw = raw.withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    counts = windowed_event_counts(raw, window="1 hour", watermark="10 minutes")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("late_mem")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT window_start, MAX(n_events) AS n FROM late_mem GROUP BY 1"
+    ).collect()
+    got = {str(r.window_start): r.n for r in rows}
+    # only the on-time window exists; the late 23:00 window never appears
+    assert got == {"2025-01-02 01:00:00": 4}
