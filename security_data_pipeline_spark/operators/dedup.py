@@ -82,7 +82,9 @@ def ngram_jaccard_pairs(
     with document frequency above the cap (the standard "stop-shingle"
     guard for pathological corpora — slightly lowers recall; None = exact).
     """
-    hashed = df.select(
+    from security_data_pipeline_spark.operators.skew import fan_out
+
+    hashed = fan_out(df, id_col).select(
         F.col(id_col).alias("_id"),
         F.transform(shingles(text_col, n), lambda s: F.xxhash64(s)).alias(
             "_hs"
@@ -192,7 +194,9 @@ def minhash_lsh_pairs(
     # then num_perm cheap long-rehash permutations over it (see
     # minhash_signature note on HOF-lambda subexpression elimination)
     verify = verify_threshold is not None
-    hashed = df.select(
+    from security_data_pipeline_spark.operators.skew import fan_out
+
+    hashed = fan_out(df, id_col).select(
         F.col(id_col).alias("_id"),
         F.transform(shingles(text_col, n), lambda s: F.xxhash64(s)).alias(
             "_hs"
@@ -315,7 +319,9 @@ def simhash_dup_pairs(
     block_bits = 64 // n_blocks
     # token hashes materialized once (separate projection), then 64 cheap
     # folds — see simhash() note on HOF-lambda subexpression elimination
-    hashed = df.select(
+    from security_data_pipeline_spark.operators.skew import fan_out
+
+    hashed = fan_out(df, id_col).select(
         F.col(id_col).alias("_id"),
         F.transform(
             F.split(F.lower(F.col(text_col)), " "), lambda t: F.xxhash64(t)

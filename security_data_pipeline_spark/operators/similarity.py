@@ -45,7 +45,9 @@ def knn_bruteforce(
         F.col(vec_col).cast("array<double>").alias("_qvec"),
         l2_norm(vec_col).alias("_qnrm"),
     )
-    c = corpus.select(
+    from security_data_pipeline_spark.operators.skew import fan_out
+
+    c = fan_out(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cvec"),
         l2_norm(vec_col).alias("_cnrm"),
@@ -144,11 +146,14 @@ def lsh_bucket_candidates(
     """
     import numpy as np
 
+    from security_data_pipeline_spark.operators.skew import fan_out
+
     if dim is None:
         sample = df.select(F.size(vec_col).alias("d")).first()
         if sample is None:
             raise ValueError("empty DataFrame; pass dim= explicitly")
         dim = sample["d"]
+    df = fan_out(df, id_col)  # per-row CPU — spread before compute
 
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
@@ -388,9 +393,10 @@ def ann_ivf_topk(
     )
 
     from security_data_pipeline_spark.functions.vectors import dot_product, l2_norm
+    from security_data_pipeline_spark.operators.skew import fan_out
 
     clustered = ivf_assign(
-        corpus.select(
+        fan_out(corpus, id_col).select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
         ),
         cents,

@@ -94,3 +94,41 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("long"))
     return l.join(r, on + ["_salt"], how).drop("_salt")
+
+
+def fan_out(
+    df: DataFrame, by: str | Column, min_partitions: int | None = None
+) -> DataFrame:
+    """Decouple compute parallelism from file layout for CPU-heavy map work.
+
+    A parquet file is splittable only at row-group granularity; a
+    single-row-group file scans as ONE partition, which serializes every
+    per-row stage until the first shuffle — shingling, hashing, vector math
+    — onto one core no matter how many the cluster has. This hash-partitions
+    the rows on ``by`` (a high-cardinality key, e.g. the row id) up to
+    ``min_partitions`` (default: the cluster's defaultParallelism) BEFORE
+    the expensive expressions run, so the cheap raw rows shuffle once and
+    the heavy compute fans out.
+
+    Hash-by-key over round-robin deliberately: round-robin repartition must
+    locally sort every column first (retry determinism, SPARK-23207) and
+    showed multi-second latency spikes under load in this workload; hash
+    partitioning is deterministic with no sort, and a unique key spreads
+    rows evenly. Explicit numPartitions also keeps AQE from coalescing the
+    fan-out away.
+
+    No-op when the scan already yields enough partitions (the normal case
+    at scale, where inputs are many files × many row groups) — safe to
+    leave in place for 100 TB runs; it only bites on pathological layouts
+    (one giant unsplittable file, heavily coalesced upstream output, a
+    single gzip part).
+    """
+    target = (
+        min_partitions
+        if min_partitions is not None
+        else df.sparkSession.sparkContext.defaultParallelism
+    )
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    key = F.col(by) if isinstance(by, str) else by
+    return df.repartition(target, key)

@@ -1447,10 +1447,13 @@ FROM sess s JOIN baseline b USING (user_id)
     ),
 )
 def secevents_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators.skew import fan_out
     from security_data_pipeline_spark.plans import pipeline as batch
     from security_data_pipeline_spark.sources.raw_events import ORDINAL_COL
 
-    ev = load_table(spark, sf_dir, "events")
+    # single-row-group parquet scans as 1 partition; spread the rows before
+    # the per-row parse/normalize chain so it uses every core
+    ev = fan_out(load_table(spark, sf_dir, "events"), "event_id")
     eid = F.col("event_id")
     ts_sec = F.date_trunc("second", F.col("ts"))
     fmt = F.pmod(eid, F.lit(3))
