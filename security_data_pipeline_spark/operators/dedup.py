@@ -90,8 +90,22 @@ def ngram_jaccard_pairs(
             "_hs"
         ),
     )
+    # explode the struct-array, not the raw array: Generate with a collapsed
+    # projection re-evaluates the inlined shingle pipeline per EMITTED row
+    # (O(shingles²) per doc — measured 6× slower); packing (hash, set size)
+    # into one generator expression evaluates it once per input row
     sh = hashed.select(
-        "_id", F.size("_hs").alias("_sz"), F.explode("_hs").alias("_sh")
+        "_id",
+        F.explode(
+            F.transform(
+                "_hs",
+                lambda h: F.struct(
+                    h.alias("_sh"), F.size("_hs").alias("_sz")
+                ),
+            )
+        ).alias("_x"),
+    ).select(
+        "_id", F.col("_x._sh").alias("_sh"), F.col("_x._sz").alias("_sz")
     )
     buckets = (
         sh.groupBy("_sh")
