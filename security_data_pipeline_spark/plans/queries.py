@@ -330,6 +330,29 @@ def events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_distinct_sketch",
+    description=(
+        "A6 at 100 TB: approx_count_distinct (HyperLogLog++) per event "
+        "type — sketches merge map-side, so the shuffle carries one ~KB "
+        "sketch per group instead of every distinct value. Rows-only "
+        "oracle (HLL estimates are engine-specific); the error bound vs "
+        "exact is asserted in tests/test_plans.py"
+    ),
+)
+def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias(
+                "approx_users"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
     "events_null_counts",
     sql="""
 SELECT CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls,

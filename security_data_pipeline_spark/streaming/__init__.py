@@ -15,6 +15,7 @@ from security_data_pipeline_spark.streaming.sessionize import (
 from security_data_pipeline_spark.streaming.pipeline import (
     enrich_stream,
     read_raw_events_stream,
+    stream_stream_join,
     run_streaming_pipeline,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "sessionize_with_state",
     "read_raw_events_stream",
     "enrich_stream",
+    "stream_stream_join",
     "run_streaming_pipeline",
 ]

@@ -103,3 +103,40 @@ def enrich_stream(
     from pyspark.sql import functions as F
 
     return stream_df.join(F.broadcast(dim_df), on, how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join bounded by an event-time range.
+
+    Joins right-side events that occur within ``[left_ts, left_ts +
+    within]`` of a left event with matching keys. Both sides carry a
+    watermark AND the join condition carries the time-range — together they
+    let Spark evict buffered rows once no future match is possible, so
+    join state is bounded at any input volume (an unbounded stream-stream
+    join would buffer both streams forever). Outer variants emit the
+    unmatched side only after its watermark expires — availableNow drains
+    may therefore hold back trailing unmatched rows, same caveat as
+    append-mode aggregation.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = right.withWatermark(right_ts, watermark)
+    key_cond = reduce(
+        lambda a, b: a & b, [l_wm[c] == r_wm[c] for c in on]
+    )
+    time_cond = (r_wm[right_ts] >= l_wm[left_ts]) & (
+        r_wm[right_ts] <= l_wm[left_ts] + F.expr(f"INTERVAL {within}")
+    )
+    return l_wm.join(r_wm, key_cond & time_cond, how)

@@ -71,3 +71,24 @@ def test_session_stats_reuse_user_exchange(spark):
     session-id window's user_id partitioning."""
     plan = _plan(REGISTRY["sessionize_sessions"].fn(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_hll_sketch_within_error_bound(spark):
+    """approx_count_distinct at rsd=2% must land within ~3× the bound of
+    the exact count on real data (loose guard against a broken sketch)."""
+    import pyspark.sql.functions as F
+
+    from security_data_pipeline_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(3, 0.06 * r["exact"]), r

@@ -301,3 +301,83 @@ def test_windowed_counts_drop_data_later_than_watermark(spark, tmp_path):
     got = {str(r.window_start): r.n for r in rows}
     # only the on-time window exists; the late 23:00 window never appears
     assert got == {"2025-01-02 01:00:00": 4}
+
+
+def test_stream_stream_join_within_time_bound(spark, tmp_path):
+    """Clicks joined to purchases within 30 min — the time-range condition
+    both matches correctly and bounds the join state."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from security_data_pipeline_spark.streaming import stream_stream_join
+
+    clicks_dir = tmp_path / "clicks"
+    buys_dir = tmp_path / "buys"
+    clicks_dir.mkdir()
+    buys_dir.mkdir()
+    (clicks_dir / "c.csv").write_text(
+        "click_id,user_id,click_ts\n"
+        "1,alice,2025-01-01 10:00:00\n"
+        "2,bob,2025-01-01 10:05:00\n"
+        "3,alice,2025-01-01 12:00:00\n"
+    )
+    (buys_dir / "b.csv").write_text(
+        "buy_id,user_id,buy_ts\n"
+        "10,alice,2025-01-01 10:20:00\n"   # within 30m of click 1
+        "11,bob,2025-01-01 11:00:00\n"     # 55m after click 2 → no match
+        "12,alice,2025-01-01 12:10:00\n"   # within 30m of click 3
+    )
+    c_schema = StructType(
+        [
+            StructField("click_id", LongType()),
+            StructField("user_id", StringType()),
+            StructField("click_ts", StringType()),
+        ]
+    )
+    b_schema = StructType(
+        [
+            StructField("buy_id", LongType()),
+            StructField("user_id", StringType()),
+            StructField("buy_ts", StringType()),
+        ]
+    )
+    clicks = (
+        spark.readStream.schema(c_schema)
+        .option("header", True)
+        .csv(str(clicks_dir))
+        .withColumn("click_ts", F.col("click_ts").cast("timestamp"))
+    )
+    buys = (
+        spark.readStream.schema(b_schema)
+        .option("header", True)
+        .csv(str(buys_dir))
+        .withColumn("buy_ts", F.col("buy_ts").cast("timestamp"))
+        .withColumnRenamed("user_id", "buyer_id")
+    )
+    joined = stream_stream_join(
+        clicks.withColumnRenamed("user_id", "u"),
+        buys.withColumnRenamed("buyer_id", "u"),
+        on=["u"],
+        left_ts="click_ts",
+        right_ts="buy_ts",
+        within="30 minutes",
+    )
+    q = (
+        joined.select("click_id", "buy_id")
+        .writeStream.format("memory")
+        .queryName("ssj_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.click_id, r.buy_id)
+        for r in spark.sql("SELECT * FROM ssj_mem").collect()
+    }
+    assert got == {(1, 10), (3, 12)}
