@@ -800,6 +800,26 @@ def quantity_quartiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "price_quantiles_sketch",
+    description=(
+        "quantity_quartiles_by_flag's 100 TB form: approx_percentile "
+        "(Greenwald-Khanna sketch, mergeable map-side — no global sort, "
+        "no per-group value buffer). Rows-only oracle (sketch rank error "
+        "is engine-specific); bound vs exact asserted in "
+        "tests/test_plans.py"
+    ),
+)
+def price_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
+        ).alias("price_quartiles"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
     "top_orders_per_customer",
     sql="""
 SELECT o_custkey, o_orderkey, o_totalprice,

@@ -92,3 +92,42 @@ def test_hll_sketch_within_error_bound(spark):
     assert rows
     for r in rows:
         assert abs(r["approx"] - r["exact"]) <= max(3, 0.06 * r["exact"]), r
+
+
+def test_approx_percentile_within_rank_error(spark):
+    """GK sketch at accuracy=10000 → rank error ≤ 1/10000; on sf0.001
+    lineitem that means the approx quartiles must match values whose rank
+    is within a handful of positions of the exact quartile."""
+    import pyspark.sql.functions as F
+
+    from security_data_pipeline_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    approx = {
+        r["l_returnflag"]: r["pq"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(
+                "l_extendedprice",
+                F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+                F.lit(10000),
+            ).alias("pq")
+        )
+        .collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["pq"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile_approx(l_extendedprice,"
+                " array(0.25D, 0.5D, 0.75D), 2147483647)"
+            ).alias("pq")
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for flag, av in approx.items():
+        for a, e in zip(av, exact[flag]):
+            # discrete-percentile sketch: within 0.5% of the exact value
+            assert abs(a - e) <= max(1.0, 0.005 * abs(e)), (flag, av, exact[flag])
