@@ -155,3 +155,55 @@ def sample_frames(
         ]
     )
     return df.mapInPandas(mapper, schema)
+
+
+def resize_images(
+    decoded: DataFrame,
+    target_width: int = 4,
+    target_height: int = 4,
+) -> DataFrame:
+    """Resize decoded images by box-averaging — pure Column math, no second
+    Python hop (same design as :func:`image_mean_brightness`: once pixels
+    are an ``array<float>``, transforms stay JVM-side).
+
+    Assumes integer downscale factors (the stub decode is 8×8; real
+    resamplers with fractional kernels belong in the decode stage where the
+    codec library already lives). Output keeps the decoded-image schema so
+    resize chains compose.
+    """
+    # dataframe-qualified refs: the output select aliases lit(target) AS
+    # width/height, and Spark's lateral column aliases would capture bare
+    # F.col("width") references in later select items — bind the INPUT
+    # attributes explicitly
+    src_w = decoded["width"]
+    src_h = decoded["height"]
+    fx = src_w / target_width
+    fy = src_h / target_height
+    # target pixel (ty, tx) = mean of its fx×fy source box
+    idx = F.sequence(F.lit(0), F.lit(target_width * target_height - 1))
+    px = decoded["pixels"].cast("array<double>")
+
+    def one_target(i: F.Column) -> F.Column:
+        tx = i % target_width
+        ty = F.floor(i / target_width)
+        sx0 = (tx * fx).cast("int")
+        sy0 = (ty * fy).cast("int")
+        box = F.flatten(
+            F.transform(
+                F.sequence(sy0, sy0 + fy.cast("int") - 1),
+                lambda sy: F.transform(
+                    F.sequence(sx0, sx0 + fx.cast("int") - 1),
+                    lambda sx: F.element_at(px, (sy * src_w + sx + 1).cast("int")),
+                ),
+            )
+        )
+        total = F.aggregate(box, F.lit(0.0), lambda a, x: a + x)
+        return (total / F.size(box)).cast("float")
+
+    return decoded.select(
+        "media_id",
+        F.lit(target_width).alias("width"),
+        F.lit(target_height).alias("height"),
+        "channels",
+        F.transform(idx, one_target).alias("pixels"),
+    )

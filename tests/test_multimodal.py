@@ -64,3 +64,25 @@ def test_frame_sampling_one_to_many(media):
     # n_frames = len(blob)//16 (min 1): blobs are 19/19/30 bytes → 1,1,1
     assert [r["count"] for r in counts] == [1, 1, 1]
     assert frames.columns == ["media_id", "frame_index"]
+
+
+def test_resize_images_box_average(spark):
+    import numpy as np
+
+    from security_data_pipeline_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, bytearray(b"hello world")), (2, bytearray(b"other bytes"))],
+        ["media_id", "blob"],
+    )
+    decoded = multimodal.decode_images(docs)
+    resized = multimodal.resize_images(decoded, 4, 4).collect()
+    src = {r["media_id"]: r["pixels"] for r in decoded.collect()}
+    assert len(resized) == 2
+    for r in resized:
+        assert r["width"] == 4 and r["height"] == 4
+        assert len(r["pixels"]) == 16
+        a = np.array(src[r["media_id"]], dtype=np.float64).reshape(8, 8)
+        expect = a.reshape(4, 2, 4, 2).mean(axis=(1, 3)).astype(np.float32)
+        got = np.array(r["pixels"], dtype=np.float32).reshape(4, 4)
+        np.testing.assert_allclose(got, expect, rtol=1e-6)
