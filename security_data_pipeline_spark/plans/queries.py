@@ -800,6 +800,47 @@ def quantity_quartiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_spend_quartiles",
+    sql="""
+WITH spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           AS total_spend
+  FROM orders GROUP BY o_custkey
+), tiled AS (
+  SELECT o_custkey, total_spend,
+         NTILE(4) OVER (ORDER BY total_spend DESC, o_custkey) AS quartile
+  FROM spend
+)
+SELECT quartile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(AVG(total_spend), 6) AS avg_spend,
+       ROUND(MIN(total_spend), 6) AS min_spend
+FROM tiled GROUP BY quartile
+""",
+    description=(
+        "ntile quartile bucketing over per-customer spend (decimal-exact "
+        "sum, total tie-break) then per-bucket stats — the standard "
+        "segment-then-profile featurization shape"
+    ),
+)
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        _dsum("o_totalprice", "total_spend")
+    )
+    tiled = spend.withColumn(
+        "quartile",
+        F.ntile(4).over(
+            Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+        ),
+    )
+    return tiled.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("total_spend"), 6).alias("avg_spend"),
+        F.round(F.min("total_spend"), 6).alias("min_spend"),
+    )
+
+
+@query(
     "price_quantiles_sketch",
     description=(
         "quantity_quartiles_by_flag's 100 TB form: approx_percentile "
