@@ -800,6 +800,57 @@ def quantity_quartiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_token_packing",
+    sql="""
+WITH toks AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+  FROM toks
+)
+SELECT source, CAST(start_off // 2048 AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM packed GROUP BY source, pack_id
+""",
+    description=(
+        "Token-budget document packing: each doc lands in the pack where "
+        "its running-offset starts (greedy fill, 2048-token packs) — the "
+        "sequence-packing step of a pretraining pipeline. Packs are formed "
+        "per source shard, so the ordered window parallelizes across "
+        "shards instead of serializing globally"
+    ),
+)
+def doc_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return packed.groupBy(
+        "source", F.floor(F.col("start_off") / 2048).alias("pack_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@query(
     "customer_spend_quartiles",
     sql="""
 WITH spend AS (
