@@ -64,6 +64,10 @@ def main() -> None:
     for name in BENCH_QUERIES:
         spec = REGISTRY[name]
         df = spec.fn(spark, sf_dir)
+        # settle the JVM between queries: 20+ distinct plans in one session
+        # accumulate generated-code classes and garbage; an explicit GC here
+        # keeps collection pauses out of the timed region
+        spark.sparkContext._jvm.System.gc()
         df.write.mode("overwrite").format("noop").save()  # warm-up (untimed)
         # best-of-2: a single timed run is hostage to JIT/GC pauses landing
         # on it (observed multi-second spikes on identical plans); the min
