@@ -131,3 +131,32 @@ def test_approx_percentile_within_rank_error(spark):
         for a, e in zip(av, exact[flag]):
             # discrete-percentile sketch: within 0.5% of the exact value
             assert abs(a - e) <= max(1.0, 0.005 * abs(e)), (flag, av, exact[flag])
+
+
+def test_sql_surface_matches_dataframe_plan(spark):
+    """The engine's SQL entry (spark.sql over registered views) returns the
+    same result as the DataFrame form — users can pick either surface."""
+    from security_data_pipeline_spark.sources.catalog import register_views
+
+    register_views(spark, SF)
+    via_sql = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                 AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    ).collect()
+    df_rows = REGISTRY["pricing_summary"].fn(spark, SF).collect()
+    sql_map = {
+        (r.l_returnflag, r.l_linestatus): (r.sum_qty, r.count_order)
+        for r in via_sql
+    }
+    df_map = {
+        (r.l_returnflag, r.l_linestatus): (r.sum_qty, r.count_order)
+        for r in df_rows
+    }
+    assert sql_map == df_map and sql_map
