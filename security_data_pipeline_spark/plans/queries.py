@@ -35,6 +35,8 @@ from security_data_pipeline_spark.operators import (
 )
 from security_data_pipeline_spark.sources.catalog import load_table
 
+_STOP_SQL = ",".join(f"'{s}'" for s in textops.STOPWORDS)
+
 DEC = "decimal(18,6)"
 
 
@@ -800,6 +802,89 @@ def quantity_quartiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_curation",
+    sql=f"""
+WITH base AS (
+  SELECT source, doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_filter(string_split(lower(text), ' '),
+                         t -> t IN ({_STOP_SQL}))) AS n_stop,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+           AS n_punct
+  FROM documents
+), kept AS (
+  SELECT source, doc_id, n_tokens,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM base
+  WHERE n_tokens >= 10
+    AND ROUND(CAST(n_punct AS DOUBLE)
+              / CAST(NULLIF(n_chars, 0) AS DOUBLE), 6) <= 0.2
+    AND CAST(n_stop AS DOUBLE)
+        / CAST(NULLIF(n_tokens, 0) AS DOUBLE) >= 0.03
+), uniq AS (
+  SELECT source, doc_id, n_tokens FROM kept
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+), raw AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_in
+  FROM documents GROUP BY source
+)
+SELECT raw.source, docs_in,
+       CAST(COALESCE(kc.n, 0) AS BIGINT) AS docs_kept,
+       CAST(COALESCE(uc.n, 0) AS BIGINT) AS docs_unique,
+       CAST(COALESCE(uc.toks, 0) AS BIGINT) AS tokens_unique
+FROM raw
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM kept GROUP BY source) kc
+  USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS n, SUM(n_tokens) AS toks
+           FROM uniq GROUP BY source) uc
+  USING (source)
+""",
+    description=(
+        "End-to-end corpus curation: quality filter (length + punct) → "
+        "language filter → global exact dedup by fingerprint (keep lowest "
+        "id) → per-source retention funnel — the composite a pretraining "
+        "pipeline runs, every stage an engine operator, value-checked as "
+        "one statement"
+    ),
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = textops.language_id(textops.quality_features(docs))
+    kept = scored.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("punct_ratio") <= 0.2)
+        & (F.col("lang_guess") == "en")
+    ).withColumn("_fp", textops.fingerprint("text"))
+    uniq = (
+        kept.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_fp").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    raw = docs.groupBy("source").agg(F.count(F.lit(1)).alias("docs_in"))
+    kc = kept.groupBy("source").agg(F.count(F.lit(1)).alias("docs_kept"))
+    uc = uniq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_unique"),
+        F.sum("n_tokens").cast("long").alias("tokens_unique"),
+    )
+    return (
+        raw.join(F.broadcast(kc), "source", "left")
+        .join(F.broadcast(uc), "source", "left")
+        .select(
+            "source",
+            "docs_in",
+            F.coalesce("docs_kept", F.lit(0)).alias("docs_kept"),
+            F.coalesce("docs_unique", F.lit(0)).alias("docs_unique"),
+            F.coalesce("tokens_unique", F.lit(0)).alias("tokens_unique"),
+        )
+    )
+
+
+@query(
     "doc_token_packing",
     sql="""
 WITH toks AS (
@@ -1023,7 +1108,6 @@ def ship_month_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text analysis (documents) — SURVEY.md §2.12
 # ---------------------------------------------------------------------------
 
-_STOP_SQL = ",".join(f"'{s}'" for s in textops.STOPWORDS)
 
 
 @query(
