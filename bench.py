@@ -44,6 +44,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "knn_cosine_lsh",
     "cosine_dup_pairs_lsh",
     "knn_cosine_ivf",
+    "corpus_curation",
 )
 
 
