@@ -160,3 +160,12 @@ def test_sql_surface_matches_dataframe_plan(spark):
         for r in df_rows
     }
     assert sql_map == df_map and sql_map
+
+
+def test_ivf_candidates_join_is_broadcast(spark):
+    """ann_ivf_topk's candidate generation must be a broadcast hash join of
+    the tiny probe list against the clustered corpus — never a sort-merge
+    join (which would shuffle the corpus on the probe key)."""
+    plan = _plan(REGISTRY["knn_cosine_ivf"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
