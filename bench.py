@@ -40,9 +40,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "knn_cosine",
-    "cosine_dup_pairs",
+    "cosine_dup_pairs",  # LSH-blocked scale form (the only registered one)
     "knn_cosine_lsh",
-    "cosine_dup_pairs_lsh",
     "knn_cosine_ivf",
     "corpus_curation",
 )

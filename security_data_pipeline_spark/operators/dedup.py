@@ -136,6 +136,36 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold)
 
 
+def md5_hash16(c: Column) -> Column:
+    """First 16 hex chars of md5 — a 64-bit hash as a lexicographically
+    ordered string, IDENTICAL in Spark / DuckDB / Trino / Postgres (the
+    cross-engine hashing primitive; same trick as sampling.hash_hex16).
+    Used by the ``portable=True`` dedup paths so MinHash/SimHash are
+    oracle-checkable; the xxhash64 forms stay the fast default (8-byte
+    shuffle keys, no hex materialization)."""
+    return F.substring(F.md5(c.cast("binary")), 1, 16)
+
+
+def minhash_from_hex_hashes(hashes: Column | str, num_perm: int = 32) -> Column:
+    """Portable MinHash signature (array<string>, length num_perm) from an
+    ``array<string>`` of 16-hex-char shingle hashes.
+
+    Permutation i re-hashes each fixed-width hex string with a seed prefix
+    (``md5(i || ':' || h)``) and takes the lexicographic min — hex strings
+    of equal length order exactly like the 64-bit ints they encode, so the
+    signature is engine-agnostic (DuckDB oracle: ``MIN(substr(md5(...)))``).
+    """
+    c = F.col(hashes) if isinstance(hashes, str) else hashes
+
+    def _perm(i: int):
+        # closure, not a default arg: pyspark HOFs dispatch on lambda arity
+        return lambda h: md5_hash16(F.concat(F.lit(f"{i}:"), h))
+
+    return F.array(
+        *[F.array_min(F.transform(c, _perm(i))) for i in range(num_perm)]
+    )
+
+
 def minhash_signature(
     col: Column | str, n: int = 5, num_perm: int = 32
 ) -> Column:
@@ -195,6 +225,7 @@ def minhash_lsh_pairs(
     num_perm: int = 32,
     n_bands: int = 8,
     verify_threshold: float | None = 0.8,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs.
 
@@ -202,25 +233,52 @@ def minhash_lsh_pairs(
     candidates (equi-join on (band, band_hash)); candidates optionally
     verified with exact n-gram Jaccard. Output: ``id_a, id_b`` (+``jaccard``
     when verifying).
+
+    ``portable=True`` derives every hash from md5 (16-hex-char strings)
+    instead of xxhash64, making the whole index reproducible in ANSI-ish
+    SQL — the oracle-checked registered form. Costs ~3× shuffle-key width
+    (24-byte strings vs 8-byte longs); the default stays the fast path.
     """
     rows_per_band = num_perm // n_bands
     # two projections: hash shingle strings ONCE into a concrete column,
-    # then num_perm cheap long-rehash permutations over it (see
+    # then num_perm cheap fixed-width rehash permutations over it (see
     # minhash_signature note on HOF-lambda subexpression elimination)
     verify = verify_threshold is not None
     from security_data_pipeline_spark.operators.skew import fan_out
 
+    shingle_hash = md5_hash16 if portable else F.xxhash64
     hashed = fan_out(df, id_col).select(
         F.col(id_col).alias("_id"),
-        F.transform(shingles(text_col, n), lambda s: F.xxhash64(s)).alias(
+        F.transform(shingles(text_col, n), lambda s: shingle_hash(s)).alias(
             "_hs"
         ),
+    )
+    if portable:
+        # docs with zero shingles have a NULL signature; the SQL oracle's
+        # unnest naturally excludes them, so exclude them here too
+        hashed = hashed.filter(F.size("_hs") > 0)
+    sig_expr = (
+        minhash_from_hex_hashes("_hs", num_perm)
+        if portable
+        else minhash_from_hashes("_hs", num_perm)
     )
     sig = hashed.select(
         "_id",
         *(["_hs"] if verify else []),
-        minhash_from_hashes("_hs", num_perm).alias("_sig"),
+        sig_expr.alias("_sig"),
     )
+
+    def _band_hash(b: int) -> Column:
+        els = [
+            F.element_at(F.col("_sig"), b * rows_per_band + j + 1)
+            for j in range(rows_per_band)
+        ]
+        if portable:
+            # full 32-hex md5 of the '|'-joined band slice — mirrors the
+            # oracle's md5(string_agg(sig, '|' ORDER BY perm))
+            return F.md5(F.concat_ws("|", *els).cast("binary"))
+        return F.xxhash64(*els)
+
     bands = sig.select(
         "_id",
         *(["_hs"] if verify else []),
@@ -229,12 +287,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at(F.col("_sig"), b * rows_per_band + j + 1)
-                                for j in range(rows_per_band)
-                            ]
-                        ).alias("bhash"),
+                        _band_hash(b).alias("bhash"),
                     )
                     for b in range(n_bands)
                 ]
@@ -319,17 +372,147 @@ def simhash_from_hashes(hashes: Column | str, bits: int = 64) -> Column:
     return out
 
 
+def _hex_digit(ch: Column) -> Column:
+    """Value of one lowercase hex char — ``ascii`` arithmetic, identical in
+    Spark and DuckDB (no conv()/strtol needed)."""
+    a = F.ascii(ch)
+    return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+
+
+def simhash_bits_from_hex(
+    hashes: Column | str, n_tokens: Column
+) -> Column:
+    """Portable SimHash as an ``array<long>`` of 64 bits (MSB-first) from an
+    ``array<string>`` of 16-hex-char token hashes.
+
+    Bit j is set iff more than half the tokens have bit j set in their hash
+    (equivalent to the ±1-fold sign of :func:`simhash_from_hashes`, written
+    as ``2·Σbit > n`` so the oracle needs no signed fold). One pass over the
+    token array: per token the 64 bits are expanded from its 16 hex digits
+    (``ascii`` math — engine-agnostic), then zip-summed into a 64-long
+    accumulator.
+    """
+    c = F.col(hashes) if isinstance(hashes, str) else hashes
+
+    def _bits(h: Column) -> Column:
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda p: F.transform(
+                    F.sequence(F.lit(3), F.lit(0), F.lit(-1)),
+                    lambda k: (
+                        F.floor(
+                            _hex_digit(F.substring(h, p, F.lit(1)))
+                            / F.pow(F.lit(2.0), k)
+                        ).cast("long")
+                        % 2
+                    ),
+                ),
+            )
+        )
+
+    sums = F.aggregate(
+        c,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(acc, _bits(h), lambda a, b: a + b),
+    )
+    return F.transform(
+        sums,
+        lambda s: F.when(s * 2 > n_tokens, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+
+
+def _simhash_dup_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int,
+    n_blocks: int,
+) -> DataFrame:
+    """md5-derived SimHash pairs — same pigeonhole block join as the fast
+    path, every hash reproducible in the DuckDB oracle (relational form:
+    token×bit unnest, grouped sign sums)."""
+    from security_data_pipeline_spark.operators.skew import fan_out
+
+    block_bits = 64 // n_blocks
+    hashed = fan_out(df, id_col).select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.split(F.lower(F.col(text_col)), " "), lambda t: md5_hash16(t)
+        ).alias("_th"),
+    )
+    h = hashed.select(
+        "_id",
+        simhash_bits_from_hex("_th", F.size("_th")).alias("_bits"),
+    )
+    blocks = h.select(
+        "_id",
+        "_bits",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.aggregate(
+                            F.slice("_bits", b * block_bits + 1, block_bits),
+                            F.lit(0).cast("long"),
+                            lambda a, x: a * 2 + x,
+                        ).alias("bval"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_bits", "_b.block", "_b.bval")
+    buckets = (
+        blocks.groupBy("block", "bval")
+        .agg(
+            F.sort_array(F.collect_set(F.struct("_id", "_bits"))).alias("_ms")
+        )
+        .filter(F.size("_ms") >= 2)
+    )
+    cand = (
+        buckets.select(F.explode(_bucket_pairs(F.col("_ms"))).alias("_p"))
+        .select(
+            F.col("_p.a._id").alias("id_a"),
+            F.col("_p.b._id").alias("id_b"),
+            F.col("_p.a._bits").alias("_ba"),
+            F.col("_p.b._bits").alias("_bb"),
+        )
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(F.col("_ba"), F.col("_bb"), lambda x, y: F.abs(x - y)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return cand.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def simhash_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
     n_blocks: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs via the pigeonhole block trick: split the 64-bit
     hash into ``n_blocks`` blocks; any pair within ``max_hamming <
     n_blocks`` must agree on ≥1 whole block → candidates are a block-value
-    equi-join, verified by popcount of XOR."""
+    equi-join, verified by popcount of XOR.
+
+    ``portable=True`` switches to md5-derived bit arrays (cross-engine
+    reproducible, oracle-checked registered form; see
+    :func:`simhash_bits_from_hex`)."""
+    if portable:
+        return _simhash_dup_pairs_portable(
+            df, id_col, text_col, max_hamming, n_blocks
+        )
     block_bits = 64 // n_blocks
     # token hashes materialized once (separate projection), then 64 cheap
     # folds — see simhash() note on HOF-lambda subexpression elimination

@@ -79,12 +79,15 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold).
 
     ``block_col`` (e.g. an LSH bucket or label) restricts comparisons to
     same-block pairs — at scale ALWAYS pass one; the unblocked form is
-    O(n²) and only for oracle-checkable small corpora.
+    O(n²) and only for oracle-checkable small corpora, so it must be
+    explicitly opted into with ``allow_quadratic=True`` (otherwise this
+    raises — use :func:`cosine_dup_pairs_lsh`, the registered scale path).
 
     Physical shape: norms are computed ONCE per vector before the join (not
     per pair), the right side is broadcast (nested-loop join on the `<`
@@ -93,6 +96,12 @@ def cosine_dup_pairs(
     """
     from security_data_pipeline_spark.functions.vectors import dot_product, l2_norm
 
+    if block_col is None and not allow_quadratic:
+        raise ValueError(
+            "cosine_dup_pairs without block_col is an O(n²) cross-compare; "
+            "pass allow_quadratic=True for a small oracle corpus, or use "
+            "cosine_dup_pairs_lsh (bucketed candidates) at scale"
+        )
     shuffle_parts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
@@ -329,6 +338,70 @@ def ivf_centroid_vectors(
     return [list(r["v"]) for r in rows]
 
 
+def ivf_fit_codebook(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Spherical k-means codebook fit on a deterministic sample — the
+    realistic IVF build (vs :func:`ivf_centroid_vectors`'s oracle-friendly
+    lowest-id selection; both return the same opaque literal list, so every
+    downstream step is shared).
+
+    Standard large-scale recipe: the codebook is fit on a SAMPLE and only
+    assignment runs over the full corpus (map-side, no shuffle). The sample
+    is the ``sample_cap`` rows with the smallest ``md5(id)`` — a TakeOrdered
+    (top-k per partition + driver merge, never a full sort) that is stable
+    under any partitioning/appending, unlike ``df.sample``'s RNG. Lloyd
+    iterations then run driver-side in numpy (sample_cap × dim floats —
+    KBs-to-MBs) with seeded k-means++-style init: deterministic end to end,
+    so a recall test pins the index quality. Cosine geometry → vectors and
+    centroids are L2-normalized and assignment maximizes the dot product.
+    """
+    import numpy as np
+
+    from security_data_pipeline_spark.operators.sampling import hash_hex16
+
+    rows = (
+        corpus.select(
+            F.col(vec_col).cast("array<double>").alias("v"),
+            hash_hex16(F.col(id_col)).alias("_h"),
+        )
+        .orderBy("_h", "v")
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    if len(x) < n_centroids:
+        raise ValueError(f"sample ({len(x)}) smaller than n_centroids")
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+    rng = np.random.default_rng(seed)
+    # k-means++-style init on the normalized sample: first pick seeded, the
+    # rest greedy-probabilistic by squared cosine distance
+    cents = [xn[rng.integers(len(xn))]]
+    for _ in range(n_centroids - 1):
+        sims = np.max(np.stack([xn @ c for c in cents]), axis=0)
+        d2 = np.maximum(1.0 - sims, 0.0) ** 2
+        if d2.sum() <= 0:
+            cents.append(xn[rng.integers(len(xn))])
+            continue
+        cents.append(xn[rng.choice(len(xn), p=d2 / d2.sum())])
+    c = np.stack(cents)
+    for _ in range(n_iter):
+        assign = np.argmax(xn @ c.T, axis=1)
+        for k in range(n_centroids):
+            members = xn[assign == k]
+            if len(members):
+                mean = members.mean(axis=0)
+                c[k] = mean / max(np.linalg.norm(mean), 1e-12)
+    return [list(map(float, row)) for row in c]
+
+
 def _centroid_sims(vec_col: str, centroids: list[list[float]]) -> F.Column:
     """Array of round(cosine(vec, centroid_i), 6) — one literal dot per
     centroid, all JVM-side codegen (no shuffle, no Python)."""
@@ -376,6 +449,7 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_pred: F.Column | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k cosine neighbors — the cluster-pruned scale path
     (complement of :func:`ann_lsh_topk`'s hash-pruned one).
@@ -387,8 +461,13 @@ def ann_ivf_topk(
     scans each corpus partition once — no corpus shuffle, no cross join.
     Exact cosine re-rank keeps k per query. Recall < 1 by design: misses
     exactly the neighbors whose cluster the query didn't probe.
+
+    ``centroids`` plugs in any codebook (e.g. :func:`ivf_fit_codebook`'s
+    sampled k-means fit — the realistic index); the default stays the
+    deterministic lowest-id selection so the registered query remains
+    oracle-checkable end to end.
     """
-    cents = ivf_centroid_vectors(
+    cents = centroids if centroids is not None else ivf_centroid_vectors(
         corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
     )
 

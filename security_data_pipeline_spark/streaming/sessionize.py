@@ -169,6 +169,17 @@ def _make_session_assigner(gap_seconds: float):
     return assign
 
 
+def tws_runtime_available() -> bool:
+    """True when the ``transformWithStateInPandas`` Python runtime can run:
+    its state (de)serializer imports ``google.protobuf`` at plan time."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def sessionize_with_state_v2(
     df: DataFrame,
     gap_minutes: float = 30,
@@ -181,10 +192,26 @@ def sessionize_with_state_v2(
 
     Requires the RocksDB state store provider on streaming queries
     (``spark.sql.streaming.stateStore.providerClass``) and a runtime with
-    ``protobuf`` (the TWS streaming Python runner imports it; absent from
-    this container, so the test suite import-skips — the v1 form is the
-    one exercised end-to-end here).
+    ``protobuf`` (the TWS streaming Python runner imports it at plan time).
+    When protobuf is unavailable this falls back — loudly, via a one-line
+    warning — to :func:`sessionize_with_state` (``applyInPandasWithState``),
+    which has identical semantics and output schema, so callers get the
+    same results on either runtime instead of an ImportError mid-stream.
     """
+    if not tws_runtime_available():
+        import warnings
+
+        warnings.warn(
+            "transformWithStateInPandas needs the protobuf package; "
+            "falling back to the applyInPandasWithState sessionizer "
+            "(identical semantics/output)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return sessionize_with_state(
+            df, gap_minutes=gap_minutes, output_mode=output_mode
+        )
+
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

@@ -147,6 +147,37 @@ def test_ann_ivf_topk_scores_match_exact(spark, sf_smoke):
     assert per_query and max(per_query.values()) <= 3
 
 
+def test_ivf_kmeans_codebook_recall_at_k(spark):
+    """Realistic IVF build (ivf_fit_codebook: deterministic md5 sample +
+    seeded spherical k-means) at sf0.1: recall@3 vs brute force must clear
+    a floor comparable to the oracle-checkable lowest-id codebook, and the
+    fit must be bit-deterministic (same sample, same seed → same codebook)."""
+    from security_data_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    pred = F.col("vec_id") < 50
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_bruteforce(
+            corpus=emb, queries=emb.filter(pred), k=3
+        ).collect()
+    }
+    cents = similarity.ivf_fit_codebook(emb, n_centroids=16)
+    assert len(cents) == 16 and all(len(c) == 64 for c in cents)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_ivf_topk(
+            emb, k=3, n_probe=4, query_pred=pred, centroids=cents
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # n_probe/n_centroids = 1/4 of the index probed; measured 0.64 on this
+    # corpus (lowest-id codebook: 0.69 — synthetic near-uniform vectors
+    # barely cluster). Floor guards against a broken fit, not noise.
+    assert recall >= 0.5, recall
+    assert similarity.ivf_fit_codebook(emb, n_centroids=16) == cents
+
+
 def test_ivf_assign_covers_all_rows_one_cluster_each(spark, sf_smoke):
     from security_data_pipeline_spark.sources.catalog import load_table
 

@@ -69,12 +69,11 @@ def test_query_matches_oracle(spark, duck, name):
             )
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_query_runs(spark, name):
-    spec = REGISTRY[name]
-    df = spec.fn(spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
+def test_no_rows_only_queries_remain():
+    """Every registered query carries a DuckDB oracle: the driver records a
+    missing oracle as err:no_oracle (a FAIL), so rows-only registrations are
+    banned outright."""
+    assert ROWS_ONLY_QUERIES == [], ROWS_ONLY_QUERIES
 
 
 def test_entry_smoke(spark):
