@@ -46,6 +46,35 @@ BENCH_QUERIES: tuple[str, ...] = (
     "corpus_curation",
 )
 
+# Pinned result sizes per scale factor: a bench run also smoke-checks that
+# every plan still computes the right THING, not just quickly (a silently
+# empty result would otherwise look like a speedup). Unlisted sfs skip the
+# assert but still run.
+EXPECTED_ROWS: dict[str, dict[str, int]] = {
+    "0.1": {
+        "secevents_etl": 100000, "sessionize_sessions": 95465,
+        "sessionize_bucketed": 95465, "user_daily_avg": 1500,
+        "keep_last_dedup": 7500, "time_since_last_error": 100000,
+        "props_k_stats": 5, "pricing_summary": 6, "top_revenue_orders": 10,
+        "regional_revenue": 25, "top_orders_per_customer": 44953,
+        "asof_click_before_purchase": 20084, "click_purchase_bursts": 46,
+        "doc_quality_scores": 5000, "ngram_jaccard_pairs": 256,
+        "minhash_lsh_pairs": 256, "knn_cosine": 50, "cosine_dup_pairs": 479,
+        "knn_cosine_lsh": 600, "knn_cosine_ivf": 600, "corpus_curation": 20,
+    },
+    "0.01": {
+        "secevents_etl": 10000, "sessionize_sessions": 9549,
+        "sessionize_bucketed": 9549, "user_daily_avg": 150,
+        "keep_last_dedup": 750, "time_since_last_error": 10000,
+        "props_k_stats": 5, "pricing_summary": 6, "top_revenue_orders": 10,
+        "regional_revenue": 25, "top_orders_per_customer": 4492,
+        "asof_click_before_purchase": 1981, "click_purchase_bursts": 8,
+        "doc_quality_scores": 500, "ngram_jaccard_pairs": 25,
+        "minhash_lsh_pairs": 25, "knn_cosine": 50, "cosine_dup_pairs": 30,
+        "knn_cosine_lsh": 600, "knn_cosine_ivf": 600, "corpus_curation": 20,
+    },
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,10 +89,16 @@ def main() -> None:
     # plans, not session startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    expected = EXPECTED_ROWS.get(sf, {})
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         spec = REGISTRY[name]
         df = spec.fn(spark, sf_dir)
+        if name in expected:  # untimed smoke-check of the result size
+            n = df.count()
+            assert n == expected[name], (
+                f"{name}: {n} rows, expected {expected[name]}"
+            )
         # settle the JVM between queries: 20+ distinct plans in one session
         # accumulate generated-code classes and garbage; an explicit GC here
         # keeps collection pauses out of the timed region

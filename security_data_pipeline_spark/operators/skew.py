@@ -122,13 +122,71 @@ def fan_out(
     leave in place for 100 TB runs; it only bites on pathological layouts
     (one giant unsplittable file, heavily coalesced upstream output, a
     single gzip part).
+
+    The parallelism probe avoids ``df.rdd.getNumPartitions()`` where it
+    can: the ``.rdd`` conversion builds a second QueryExecution and
+    physically plans the query a full extra time per call — pure
+    driver-side noise at high query rates. Instead: ``df.inputFiles()``
+    (a FileIndex lookup the scan relation already caches) short-circuits
+    the two common cases — ≥target files is wide enough (caveat: Spark
+    bin-packs tiny files, so thousands-of-tiny-files corpora can pack
+    below file count; for such layouts pass ``min_partitions``
+    explicitly), and for a handful of LOCAL files the partition count is
+    computed from file sizes with Spark's own split formula
+    (``FilePartition.maxSplitBytes``). Only non-file-backed or remote
+    small-file plans fall back to the exact ``.rdd`` probe.
     """
+    spark = df.sparkSession
     target = (
         min_partitions
         if min_partitions is not None
-        else df.sparkSession.sparkContext.defaultParallelism
+        else spark.sparkContext.defaultParallelism
     )
-    if df.rdd.getNumPartitions() >= target:
+    current = _estimate_scan_partitions(df, spark, target)
+    if current is None:
+        current = df.rdd.getNumPartitions()
+    if current >= target:
         return df
     key = F.col(by) if isinstance(by, str) else by
     return df.repartition(target, key)
+
+
+def _estimate_scan_partitions(df, spark, target: int) -> int | None:
+    """Partition-count estimate for file-backed plans without an ``.rdd``
+    conversion; None → caller should use the exact probe."""
+    import math
+    import os
+    from urllib.parse import unquote, urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    if len(files) >= target:
+        return len(files)
+    sizes = []
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme not in ("", "file"):
+            return None  # remote FS: stat RPCs aren't worth the probe
+        try:
+            sizes.append(os.path.getsize(unquote(parsed.path)))
+        except OSError:
+            return None
+    # FilePartition.maxSplitBytes: min(maxPartitionBytes,
+    #   max(openCostInBytes, totalBytes/defaultParallelism)), then greedy
+    # bin-packing — ceil(total/maxSplit) approximates the pack count
+    def _bytes_conf(key: str, default: int) -> int:
+        raw = str(spark.conf.get(key, str(default))).lower().rstrip("b")
+        mult = 1
+        for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+            if raw.endswith(suffix):
+                raw, mult = raw[:-1], m
+                break
+        return int(raw) * mult
+
+    max_part = _bytes_conf("spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _bytes_conf("spark.sql.files.openCostInBytes", 4 << 20)
+    parallelism = spark.sparkContext.defaultParallelism
+    total = sum(s + open_cost for s in sizes)
+    max_split = min(max_part, max(open_cost, total // max(parallelism, 1)))
+    return max(1, math.ceil(total / max(max_split, 1)))

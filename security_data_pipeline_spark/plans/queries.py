@@ -1547,13 +1547,15 @@ WITH toks AS (
   SELECT doc_id,
          substr(md5(unnest(list_distinct(list_transform(
            generate_series(1, greatest(len(t) - 4, 0)),
-           i -> array_to_string(t[i:i+4], ' '))))), 1, 16) AS hs
+           i -> array_to_string(t[i:i+4], ' '))))), 1, 15) AS hs
   FROM toks
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
 ), permed AS (
+  -- sliced permutations: md5 seed-group i//8, 4-hex-char slice i%8
   SELECT s.doc_id, p.i AS perm,
-         MIN(substr(md5(CAST(p.i AS VARCHAR) || ':' || s.hs), 1, 16)) AS sig
+         MIN(substr(md5(CAST(p.i // 8 AS VARCHAR) || ':' || s.hs),
+                    1 + 4 * (p.i % 8), 4)) AS sig
   FROM sh s CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) p
   GROUP BY s.doc_id, p.i
 ), bands AS (
