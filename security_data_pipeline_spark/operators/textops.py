@@ -93,6 +93,125 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition quality signals (the Gopher-rules family): documents
+    dominated by a repeated phrase are low-value training data.
+
+    - ``distinct_token_ratio`` — |distinct tokens| / |tokens|.
+    - ``top_bigram_frac`` — tokens covered by the most frequent word
+      2-gram: 2·max_count / n_tokens.
+
+    The bigram mode is computed MAP-SIDE as a longest-run fold over the
+    sorted bigram array (struct accumulator in ``F.aggregate``) — no
+    per-document shuffle, so the operator scans 100 TB without a groupBy;
+    the DuckDB oracle uses the equivalent relational unnest+count form.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    bigrams = F.sort_array(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_tok - 1, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        )
+    )
+    # longest equal-run in a sorted array == max multiplicity
+    run_state = F.aggregate(
+        bigrams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn(
+            "distinct_token_ratio",
+            F.round(
+                F.size(F.array_distinct(toks)).cast("double")
+                / F.nullif(n_tok, F.lit(0)).cast("double"),
+                6,
+            ),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.round(
+                (F.lit(2) * run_state).cast("double")
+                / F.nullif(n_tok, F.lit(0)).cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Sliding token-window chunking — the context-length splitter of a
+    pretraining pipeline (window tokens per chunk, ``window - stride``
+    overlap, last partial chunk kept).
+
+    Emits one row per (doc, chunk): ``chunk_id`` (0-based), the chunk's
+    token count, and ``chunk_fp`` (md5 of the re-joined chunk text —
+    cross-engine checkable content proof). Pure Column math: the chunk
+    index sequence and slices evaluate map-side; exploding multiplies rows
+    but never shuffles.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - window).cast("double") / F.lit(float(stride))).cast("int")
+    )
+    chunk = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, F.lit(window)).alias(
+            "_chunk"
+        ),
+    )
+    return chunk.select(
+        id_col,
+        "chunk_id",
+        F.size("_chunk").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.col("_chunk")).cast("binary")).alias("chunk_fp"),
+    )
+
+
+# Conservative patterns with identical semantics in Java regex (Spark) and
+# RE2 (DuckDB): no lookaround, no backrefs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Replace emails and IPv4 addresses with typed placeholder tokens —
+    the minimum-viable PII pass every public-corpus pipeline runs before
+    training. Order matters: emails first (an address can contain digits),
+    then IPs."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """N-gram-free language heuristic: English if stopword density clears a
     threshold. A real deployment swaps in fastText/CLD3 behind the same

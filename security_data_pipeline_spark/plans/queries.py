@@ -2391,6 +2391,134 @@ def doc_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_repetition_scores",
+    sql="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), bg AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(t) - 1, 0)),
+           i -> t[i] || ' ' || t[i+1])) AS b
+  FROM toks
+), topbg AS (
+  SELECT doc_id, MAX(c) AS mx FROM (
+    SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       ROUND(CAST(len(list_distinct(t.t)) AS DOUBLE)
+             / CAST(NULLIF(len(t.t), 0) AS DOUBLE), 6) AS distinct_token_ratio,
+       ROUND(CAST(2 * topbg.mx AS DOUBLE)
+             / CAST(NULLIF(len(t.t), 0) AS DOUBLE), 6) AS top_bigram_frac
+FROM toks t JOIN topbg USING (doc_id)
+""",
+    description=(
+        "Gopher-style repetition quality signals: distinct-token ratio and "
+        "top-2-gram coverage. The bigram mode is a map-side longest-run "
+        "fold over the sorted bigram array (no per-doc shuffle); the "
+        "oracle is the relational unnest+count form"
+    ),
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.repetition_features(docs).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "distinct_token_ratio",
+        "top_bigram_frac",
+    )
+
+
+@query(
+    "doc_chunk_windows",
+    sql="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), info AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= 32 THEN 1
+              ELSE 1 + CAST(ceil(CAST(len(t) - 32 AS DOUBLE) / 24.0) AS INT)
+         END AS n_chunks
+  FROM toks
+), chunks AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM info
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(t[chunk_id*24 + 1 : chunk_id*24 + 32]) AS BIGINT)
+         AS chunk_tokens,
+       md5(array_to_string(t[chunk_id*24 + 1 : chunk_id*24 + 32], ' '))
+         AS chunk_fp
+FROM chunks
+""",
+    description=(
+        "Sliding token-window chunking (32-token window, 24 stride, "
+        "partial tail kept) — the context-length splitter; chunk content "
+        "proven identical cross-engine via md5 fingerprints"
+    ),
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = textops.chunk_documents(docs, window=32, stride=24)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
+        "chunk_fp",
+    )
+
+
+@query(
+    "doc_pii_scrub",
+    sql="""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t2
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t2,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       md5(regexp_replace(regexp_replace(t2,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'))
+         AS scrub_fp
+FROM seeded
+""",
+    description=(
+        "PII scrubbing (emails + IPv4 → typed placeholders) over "
+        "deterministically seeded addresses; scrubbed text proven "
+        "byte-identical cross-engine via md5 — patterns restricted to the "
+        "Java-regex ∩ RE2 dialect"
+    ),
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".1"),
+        ).alias("_t2"),
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count(F.col("_t2"), F.lit(textops.EMAIL_RE))
+        .cast("long")
+        .alias("n_emails"),
+        F.md5(textops.scrub_pii("_t2").cast("binary")).alias("scrub_fp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registry order. The correctness driver evaluates only the
 # FIRST 50 entries of queries() (observed round 1: positions 51+ got no

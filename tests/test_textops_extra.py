@@ -1,0 +1,58 @@
+"""Edge-case tests for the corpus-curation text operators added in round 2:
+repetition signals, sliding-window chunking, PII scrubbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from security_data_pipeline_spark.operators import textops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_uniform_doc_is_fully_repeated(spark):
+    df = _docs(spark, [(1, "spam spam spam spam spam spam")])
+    r = textops.repetition_features(df).first()
+    # 5 bigrams, all "spam spam" → coverage 2*5/6
+    assert r["distinct_token_ratio"] == round(1 / 6, 6)
+    assert r["top_bigram_frac"] == round(10 / 6, 6)
+
+
+def test_repetition_all_distinct_doc(spark):
+    df = _docs(spark, [(1, "a b c d e f")])
+    r = textops.repetition_features(df).first()
+    assert r["distinct_token_ratio"] == 1.0
+    # every bigram unique → max multiplicity 1 → 2/6
+    assert r["top_bigram_frac"] == round(2 / 6, 6)
+
+
+def test_chunking_exact_window_yields_one_chunk(spark):
+    df = _docs(spark, [(1, " ".join(f"t{i}" for i in range(32)))])
+    rows = textops.chunk_documents(df, window=32, stride=24).collect()
+    assert len(rows) == 1 and rows[0]["chunk_tokens"] == 32
+
+
+def test_chunking_overlap_and_tail(spark):
+    # 40 tokens, window 32 stride 24 → chunks at offsets 0 and 24 (16-token tail)
+    toks = [f"t{i}" for i in range(40)]
+    df = _docs(spark, [(1, " ".join(toks))])
+    rows = sorted(
+        textops.chunk_documents(df, window=32, stride=24).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["chunk_tokens"] for r in rows] == [32, 16]
+    # overlap: chunk 1 starts at token 24 → 8 shared tokens with chunk 0
+    assert rows[0]["chunk_fp"] != rows[1]["chunk_fp"]
+
+
+def test_scrub_pii_replaces_emails_and_ips_only(spark):
+    df = _docs(
+        spark,
+        [(1, "mail alice.smith+x@sub.example.org or 192.168.0.1 but not 1.2.3")],
+    )
+    out = df.select(textops.scrub_pii("text").alias("s")).first()["s"]
+    assert "<EMAIL>" in out and "<IP>" in out
+    assert "example.org" not in out and "192.168" not in out
+    assert "1.2.3" in out  # three octets: not an IPv4, untouched
