@@ -448,17 +448,22 @@ def simhash_bits_from_hex(
     c = F.col(hashes) if isinstance(hashes, str) else hashes
 
     def _bits(h: Column) -> Column:
+        # materialize the 16 digit values FIRST (16 substring+ascii ops),
+        # then expand 4 bits per digit with arithmetic on the lambda-bound
+        # value — inlining the digit extraction into the bit lambda costs
+        # 64 substring+ascii per token (HOF lambdas get no subexpression
+        # elimination); measured ~2× on the whole operator
+        digits = F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda p: _hex_digit(F.substring(h, p, F.lit(1))),
+        )
         return F.flatten(
             F.transform(
-                F.sequence(F.lit(1), F.lit(16)),
-                lambda p: F.transform(
+                digits,
+                lambda d: F.transform(
                     F.sequence(F.lit(3), F.lit(0), F.lit(-1)),
                     lambda k: (
-                        F.floor(
-                            _hex_digit(F.substring(h, p, F.lit(1)))
-                            / F.pow(F.lit(2.0), k)
-                        ).cast("long")
-                        % 2
+                        F.floor(d / F.pow(F.lit(2.0), k)).cast("long") % 2
                     ),
                 ),
             )
