@@ -624,6 +624,42 @@ def simhash_dup_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def contaminated_doc_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: ids of corpus docs sharing ≥1 word
+    n-gram with an evaluation set — the step that keeps test questions out
+    of training data.
+
+    Physical shape for 100 TB: the benchmark's distinct grams are a SMALL
+    set (eval suites are KBs–MBs) → broadcast; the corpus grams stream
+    through a broadcast LEFT SEMI join (no row multiplication, no corpus
+    shuffle) and only matching ids survive to the final distinct. The
+    corpus side explodes via the struct trick — a bare
+    ``explode(<HOF expr>)`` re-evaluates the shingle pipeline once per
+    emitted gram (see SCALE.md).
+    """
+    bench_grams = benchmark.select(
+        F.explode(shingles(text_col, n)).alias("_g")
+    ).distinct()
+    gs = shingles(text_col, n)
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(gs, lambda g: F.struct(g.alias("g"), F.size(gs).alias("_n")))
+        ).alias("_x"),
+    ).select(id_col, F.col("_x.g").alias("_g"))
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "_g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,

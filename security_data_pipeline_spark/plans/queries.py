@@ -2519,6 +2519,107 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_decontaminate",
+    sql="""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 3, 0)),
+           i -> array_to_string(t[i:i+3], ' ')))) AS g
+  FROM toks
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id < 20
+), cont AS (
+  SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (g)
+  WHERE grams.doc_id >= 20
+)
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(cont.doc_id) AS BIGINT) AS n_contaminated
+FROM documents d LEFT JOIN cont ON cont.doc_id = d.doc_id
+WHERE d.doc_id >= 20
+GROUP BY d.source
+""",
+    description=(
+        "Benchmark decontamination: docs sharing any word 4-gram with a "
+        "held-out eval set (ids < 20) are flagged, counted per source. "
+        "Eval grams broadcast; corpus streams through a broadcast LEFT "
+        "SEMI join — no corpus shuffle, the 100 TB shape of the step that "
+        "keeps test questions out of training data"
+    ),
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    rest = docs.filter(F.col("doc_id") >= 20)
+    cont = dedup.contaminated_doc_ids(rest, bench, n=4).withColumn(
+        "_c", F.lit(1)
+    )
+    return (
+        rest.join(cont, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_c").alias("n_contaminated"),
+        )
+    )
+
+
+@query(
+    "doc_mixture_sample",
+    sql="""
+WITH weighted AS (
+  SELECT source, doc_id,
+         CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 4 AS wclass,
+         substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4) AS h
+  FROM documents
+)
+SELECT source, CAST(wclass AS INT) AS weight_class,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN h < CASE wclass WHEN 0 THEN 'ffff'
+                                          WHEN 1 THEN 'c000'
+                                          WHEN 2 THEN '8000'
+                                          ELSE '4000' END
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM weighted GROUP BY source, wclass
+""",
+    description=(
+        "Dataset mixing: per-source sampling weights (1.0/0.75/0.5/0.25 by "
+        "source class) applied as deterministic md5 hash-bucket thresholds "
+        "— the weighted-mixture step of corpus assembly, stable under "
+        "re-partitioning/appends unlike RNG sampleBy, and exactly "
+        "reproducible by the oracle"
+    ),
+)
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators.sampling import hash_hex16
+
+    docs = load_table(spark, sf_dir, "documents")
+    wclass = F.pmod(
+        F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("int"), F.lit(4)
+    )
+    thresh = (
+        F.when(wclass == 0, F.lit("ffff"))
+        .when(wclass == 1, F.lit("c000"))
+        .when(wclass == 2, F.lit("8000"))
+        .otherwise(F.lit("4000"))
+    )
+    keep = hash_hex16(F.col("doc_id"), salt="mix") < thresh
+    return (
+        docs.select(
+            "source",
+            wclass.cast("int").alias("weight_class"),
+            keep.cast("long").alias("_k"),
+        )
+        .groupBy("source", "weight_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_k").alias("n_kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registry order. The correctness driver evaluates only the
 # FIRST 50 entries of queries() (observed round 1: positions 51+ got no

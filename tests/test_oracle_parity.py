@@ -53,6 +53,16 @@ def test_query_matches_oracle(spark, duck, name):
         f"columns differ: {list(got.columns)} vs {list(exp.columns)}"
     )
     assert len(got) == len(exp), f"row count {len(got)} vs {len(exp)}"
+    # bench.py pins result sizes per sf; keep its static copy from drifting
+    # when a query's semantics change
+    from bench import EXPECTED_ROWS
+
+    pinned = EXPECTED_ROWS.get("0.01", {}).get(name)
+    if pinned is not None:
+        assert len(got) == pinned, (
+            f"bench.EXPECTED_ROWS['0.01'][{name!r}] = {pinned} but query "
+            f"returns {len(got)} rows — update bench.py"
+        )
     for c in got.columns:
         g, e = got[c], exp[c]
         if pd.api.types.is_float_dtype(g):

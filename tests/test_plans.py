@@ -162,6 +162,15 @@ def test_sql_surface_matches_dataframe_plan(spark):
     assert sql_map == df_map and sql_map
 
 
+def test_decontaminate_is_broadcast_semi_join(spark):
+    """The eval-set gram join must broadcast the (small) benchmark side as
+    a LEFT SEMI hash join — a sort-merge join here would shuffle the whole
+    corpus gram stream on the gram key."""
+    plan = _plan(REGISTRY["doc_decontaminate"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_ivf_candidates_join_is_broadcast(spark):
     """ann_ivf_topk's candidate generation must be a broadcast hash join of
     the tiny probe list against the clustered corpus — never a sort-merge
