@@ -158,7 +158,10 @@ def _estimate_scan_partitions(df, spark, target: int) -> int | None:
     import os
     from urllib.parse import unquote, urlparse
 
-    files = df.inputFiles()
+    try:
+        files = df.inputFiles()
+    except Exception:  # e.g. streaming plans don't expose a FileIndex
+        return None
     if not files:
         return None
     if len(files) >= target:
