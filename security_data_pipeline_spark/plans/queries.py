@@ -2656,8 +2656,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "asof_click_before_purchase",
     "click_purchase_bursts",
     # relational suite (joins, set ops, cube/grouping sets, quantiles)
+    # (top-k/sort witnessed by event_type_top5; top_revenue_orders and
+    # top_orders_per_customer verify locally past the window)
     "pricing_summary",
-    "top_revenue_orders",
     "regional_revenue",
     "customers_open_orders",
     "customers_without_orders",
@@ -2682,6 +2683,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_blob_metadata",
     # dedup family
     "doc_exact_dup_groups",
+    "doc_decontaminate",
     "ngram_jaccard_pairs",
     "neardup_clusters",
     "minhash_lsh_pairs",

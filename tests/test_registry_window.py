@@ -31,6 +31,7 @@ MUST_BE_IN_WINDOW = {
     "simhash_dup_pairs",
     "price_quantiles_sketch",
     "csv_events_roundtrip",
+    "doc_decontaminate",
 }
 
 
