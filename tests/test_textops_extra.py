@@ -47,6 +47,29 @@ def test_chunking_overlap_and_tail(spark):
     assert rows[0]["chunk_fp"] != rows[1]["chunk_fp"]
 
 
+def test_chunking_invariants_all_lengths(spark):
+    """For every doc length 1..120 (one Spark job): chunk i holds exactly
+    min(window, n - stride·i) tokens, chunk count matches the closed form,
+    and the final chunk is never empty — i.e. chunks tile the doc with
+    window-stride overlap and no token is dropped."""
+    import math
+
+    window, stride = 32, 24
+    rows = [(n, " ".join(f"t{i}" for i in range(n))) for n in range(1, 121)]
+    out = textops.chunk_documents(
+        _docs(spark, rows), window=window, stride=stride
+    ).collect()
+    chunks: dict[int, dict[int, int]] = {}
+    for r in out:
+        chunks.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_tokens"]
+    for n in range(1, 121):
+        k_expect = 1 if n <= window else 1 + math.ceil((n - window) / stride)
+        got = chunks[n]
+        assert sorted(got) == list(range(k_expect)), (n, sorted(got))
+        for i, size in got.items():
+            assert size == min(window, n - stride * i) and size > 0, (n, i, size)
+
+
 def test_scrub_pii_replaces_emails_and_ips_only(spark):
     df = _docs(
         spark,
