@@ -86,6 +86,34 @@ def run_streaming_pipeline(
     return writer.start()
 
 
+def dedup_stream_by_content(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "timestamp",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming CONTENT dedup: drop documents whose canonical fingerprint
+    was already seen within the watermark — the ingest-time form of exact
+    corpus dedup (a crawler re-fetching a page, a log shipper re-sending a
+    batch).
+
+    Composes the batch fingerprint operator (md5 of whitespace-collapsed
+    lowercased text — pure Column math, stream-legal) with
+    ``dropDuplicatesWithinWatermark``, so state is one small row per
+    distinct fingerprint and is EVICTED once the watermark passes it —
+    bounded at any stream volume, unlike a global ``dropDuplicates`` whose
+    state grows forever. Survivor choice is first-arrival (the natural
+    streaming answer; batch keep-last semantics need input order, which a
+    stream doesn't have).
+    """
+    from security_data_pipeline_spark.operators.textops import fingerprint
+
+    with_fp = df.withColumn("_fp", fingerprint(text_col)).withWatermark(
+        ts_col, watermark
+    )
+    return with_fp.dropDuplicatesWithinWatermark(["_fp"]).drop("_fp")
+
+
 def enrich_stream(
     stream_df: DataFrame,
     dim_df: DataFrame,

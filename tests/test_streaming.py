@@ -219,6 +219,58 @@ def test_sessionize_with_state_v2_matches_v1(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+def test_dedup_stream_by_content_drops_refetched_doc(spark, tmp_path):
+    """Content-fingerprint streaming dedup: a re-ingested document whose
+    text canonicalizes to an already-seen fingerprint is dropped (first
+    arrival survives); distinct docs pass through."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from security_data_pipeline_spark.streaming.pipeline import (
+        dedup_stream_by_content,
+    )
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    f1 = [
+        {"doc_id": 1, "text": "alpha beta", "timestamp": "2025-01-01 01:00:00"},
+        {"doc_id": 2, "text": "gamma delta", "timestamp": "2025-01-01 01:05:00"},
+    ]
+    f2 = [
+        # same fingerprint as doc 1 after canonicalization (case + spaces)
+        {"doc_id": 3, "text": " Alpha  BETA ", "timestamp": "2025-01-01 01:10:00"},
+        {"doc_id": 4, "text": "epsilon", "timestamp": "2025-01-01 01:15:00"},
+    ]
+    (d / "f1.json").write_text("\n".join(json.dumps(r) for r in f1) + "\n")
+    (d / "f2.json").write_text("\n".join(json.dumps(r) for r in f2) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("timestamp", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(d))
+        .withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    )
+    out = dedup_stream_by_content(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("docs_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = {r.doc_id for r in spark.sql("select * from docs_dedup").collect()}
+    assert ids == {1, 2, 4}
+
+
 def test_enrich_stream_static_broadcast_join(spark, input_dir, tmp_path):
     from security_data_pipeline_spark.streaming import (
         enrich_stream,
