@@ -315,6 +315,219 @@ def ann_lsh_topk(
     )
 
 
+def _normalize_rows(rows: list[list[float]]) -> list[list[float]]:
+    """L2-normalize with the SAME sequential float ops both engines use
+    (left-to-right Σx², sqrt, per-element divide) so driver-side codebooks
+    equal SQL-side ones bit-for-bit."""
+    import math
+
+    out = []
+    for v in rows:
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        nrm = math.sqrt(acc)
+        out.append([x / nrm for x in v])
+    return out
+
+
+def pq_codebooks_lowest_ids(
+    corpus: DataFrame,
+    n_codewords: int = 16,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: subvector m of codebook = the m-th
+    slices of the ``n_codewords`` lowest-id vectors (L2-normalized).
+
+    Like :func:`ivf_centroid_vectors`, a seeded *selection* rather than a
+    fit — derivable in ANSI SQL (``ORDER BY id LIMIT k`` + list slicing),
+    so the whole PQ index is oracle-checkable. ``pq_fit_codebooks`` is the
+    realistic per-subspace k-means form behind the same interface.
+    Returns ``codebooks[m][k] = list[d_sub floats]``.
+    """
+    rows = (
+        corpus.orderBy(id_col)
+        .limit(n_codewords)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    normed = _normalize_rows([list(r["v"]) for r in rows])
+    dim = len(normed[0])
+    d_sub = dim // n_sub
+    return [
+        [vec[m * d_sub : (m + 1) * d_sub] for vec in normed]
+        for m in range(n_sub)
+    ]
+
+
+def pq_fit_codebooks(
+    corpus: DataFrame,
+    n_codewords: int = 16,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Realistic PQ codebooks: independent k-means per subspace on a
+    deterministic md5-ordered sample (same sampling/init recipe as
+    :func:`ivf_fit_codebook`). Swap for :func:`pq_codebooks_lowest_ids`
+    without touching encode/search."""
+    import numpy as np
+
+    from security_data_pipeline_spark.operators.sampling import hash_hex16
+
+    rows = (
+        corpus.select(
+            F.col(vec_col).cast("array<double>").alias("v"),
+            hash_hex16(F.col(id_col)).alias("_h"),
+        )
+        .orderBy("_h", "v")
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = xn.shape[1]
+    d_sub = dim // n_sub
+    rng = np.random.default_rng(seed)
+    books = []
+    for m in range(n_sub):
+        sub = xn[:, m * d_sub : (m + 1) * d_sub]
+        c = sub[rng.choice(len(sub), size=n_codewords, replace=False)].copy()
+        for _ in range(n_iter):
+            d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for k in range(n_codewords):
+                members = sub[assign == k]
+                if len(members):
+                    c[k] = members.mean(axis=0)
+        books.append([[float(v) for v in row] for row in c])
+    return books
+
+
+def _normalized_vec(vec_col: str) -> F.Column:
+    """x_i / ||x|| with the sequential fold both engines share."""
+    from security_data_pipeline_spark.functions.vectors import l2_norm
+
+    v = F.col(vec_col).cast("array<double>")
+    nrm = l2_norm(vec_col)
+    return F.transform(v, lambda x: x / nrm)
+
+
+def _pq_sub_dists(vn: F.Column, codebooks: list[list[list[float]]], m: int) -> F.Column:
+    """array<double> of squared L2 distances from subvector m of ``vn`` to
+    the 16 codewords — token-identical fold to the SQL oracle."""
+    d_sub = len(codebooks[m][0])
+    sub = F.slice(vn, m * d_sub + 1, d_sub)
+    dists = []
+    for cw in codebooks[m]:
+        lit = F.array(*[F.lit(float(c)) for c in cw])
+        dists.append(
+            F.aggregate(
+                F.zip_with(sub, lit, lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return F.array(*dists)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Map-side PQ encoding: per subspace, the 1-based index of the nearest
+    codeword (ties → lowest index) — ``array<int>`` of length n_sub. The
+    compressed code is what rides shuffles at scale (n_sub bytes-ish vs
+    4·dim for the raw vector)."""
+    vn = _normalized_vec(vec_col)
+    df = df.withColumn("_vn", vn)
+    codes = []
+    for m in range(len(codebooks)):
+        d = _pq_sub_dists(F.col("_vn"), codebooks, m)
+        codes.append(F.array_position(d, F.array_min(d)).cast("int"))
+    return df.withColumn(code_col, F.array(*codes)).drop("_vn")
+
+
+def ann_pq_adc_topk(
+    corpus: DataFrame,
+    k: int = 3,
+    n_codewords: int = 16,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: F.Column | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ + asymmetric distance computation (ADC) approximate top-k — the
+    memory-bound ANN scale path (complement of LSH's hash pruning and
+    IVF's cluster pruning): the corpus is stored/shuffled as tiny PQ codes,
+    queries stay exact, and each (query, candidate) distance is a SUM of
+    per-subspace lookups into the query's distance-to-codeword table.
+
+    Determinism for the oracle: per-subspace distances are rounded to 9dp
+    and summed as DECIMAL (exact, order-free — a float SUM across a group
+    is accumulation-order-dependent and differs between engines), then
+    ranked with a total (distance, neighbor_id) order. Returns
+    ``query_id, neighbor_id, adc_dist`` (ascending distance = most
+    similar; vectors are L2-normalized, so d² = 2 − 2·cos).
+    """
+    cbs = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks_lowest_ids(
+            corpus, n_codewords=n_codewords, n_sub=n_sub,
+            id_col=id_col, vec_col=vec_col,
+        )
+    )
+    n_sub = len(cbs)
+    coded = pq_encode(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), cbs,
+        vec_col=vec_col,
+    ).select("neighbor_id", "pq_codes")
+
+    q = corpus.select(F.col(id_col).alias("query_id"), vec_col)
+    if query_pred is not None:
+        q = q.filter(query_pred)
+    # per-query LUT: q_dists[m][cid] — computed once per query row
+    vn = _normalized_vec(vec_col)
+    q = q.withColumn("_vn", vn)
+    q = q.select(
+        "query_id",
+        F.array(
+            *[_pq_sub_dists(F.col("_vn"), cbs, m) for m in range(n_sub)]
+        ).alias("_lut"),
+    )
+
+    pairs = coded.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    term = lambda m: F.round(  # noqa: E731
+        F.element_at(
+            F.element_at(F.col("_lut"), m + 1), F.element_at(F.col("pq_codes"), m + 1)
+        ),
+        9,
+    ).cast("decimal(20,9)")
+    adc = term(0)
+    for m in range(1, n_sub):
+        adc = adc + term(m)
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        adc.cast("double").alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .drop("_rank")
+    )
+
+
 def ivf_centroid_vectors(
     corpus: DataFrame,
     n_centroids: int = 16,

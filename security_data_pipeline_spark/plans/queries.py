@@ -2362,6 +2362,66 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_ADC_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_aggregate(
+           list_transform(v, y -> y*y), 'sum'))) AS vn
+  FROM e
+), cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, vn AS cv
+  FROM (SELECT vec_id, vn FROM n ORDER BY vec_id LIMIT 16)
+), subs AS (
+  SELECT unnest(generate_series(0, 7)) AS m
+), assign AS (
+  SELECT a.vec_id, s.m, c.cid,
+         list_aggregate(list_transform(generate_series(1, 8),
+           i -> (a.vn[s.m*8+i] - c.cv[s.m*8+i])
+              * (a.vn[s.m*8+i] - c.cv[s.m*8+i])), 'sum') AS d
+  FROM n a CROSS JOIN cent c CROSS JOIN subs s
+), codes AS (
+  SELECT vec_id, m, cid FROM assign
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) = 1
+), adc AS (
+  SELECT qa.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(CAST(ROUND(qa.d, 9) AS DECIMAL(20,9))) AS DOUBLE)
+           AS adc_dist
+  FROM codes c JOIN assign qa ON qa.m = c.m AND qa.cid = c.cid
+  WHERE qa.vec_id < 200 AND qa.vec_id <> c.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist
+FROM adc
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY adc_dist, neighbor_id) <= 3
+"""
+
+
+@query(
+    "knn_pq_adc",
+    sql=_PQ_ADC_SQL,
+    description=(
+        "Product-quantization ANN with asymmetric distance computation — "
+        "the memory-bound scale path completing the ANN family (brute / "
+        "LSH hash-pruned / IVF cluster-pruned / PQ compressed): corpus "
+        "rides shuffles as 8 small codes per vector, queries stay exact, "
+        "distances are per-subspace LUT lookups summed as DECIMAL "
+        "(order-free) for cross-engine determinism. Deterministic "
+        "lowest-id codebooks make the whole index oracle-checkable; "
+        "pq_fit_codebooks is the realistic per-subspace k-means fit "
+        "behind the same interface"
+    ),
+)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_pq_adc_topk(
+        emb, k=3, n_codewords=16, n_sub=8,
+        query_pred=F.col("vec_id") < 200,
+    )
+
+
 @query(
     "doc_blob_metadata",
     sql="""

@@ -178,6 +178,50 @@ def test_ivf_kmeans_codebook_recall_at_k(spark):
     assert similarity.ivf_fit_codebook(emb, n_centroids=16) == cents
 
 
+def test_pq_encode_codes_in_range_and_deterministic(spark, sf_smoke):
+    from security_data_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    cbs = similarity.pq_codebooks_lowest_ids(emb, n_codewords=16, n_sub=8)
+    assert len(cbs) == 8 and all(len(b) == 16 for b in cbs)
+    coded = similarity.pq_encode(emb, cbs)
+    stats = coded.select(
+        F.min(F.array_min("pq_codes")).alias("lo"),
+        F.max(F.array_max("pq_codes")).alias("hi"),
+        F.min(F.size("pq_codes")).alias("n"),
+    ).first()
+    assert stats["lo"] >= 1 and stats["hi"] <= 16 and stats["n"] == 8
+    assert similarity.pq_codebooks_lowest_ids(emb) == cbs
+
+
+def test_pq_kmeans_fit_beats_or_matches_selection_quantization(spark):
+    """The k-means PQ fit must reconstruct the corpus at least as well as
+    the lowest-id selection codebooks (mean ADC self-distance — each
+    vector's distance to its own code — can only shrink with fitting)."""
+    from security_data_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+
+    def self_recon_error(cbs):
+        coded = similarity.pq_encode(emb, cbs)
+        terms = []
+        for m in range(len(cbs)):
+            d = similarity._pq_sub_dists(
+                similarity._normalized_vec("embedding"), cbs, m
+            )
+            terms.append(
+                F.element_at(d, F.element_at(F.col("pq_codes"), m + 1))
+            )
+        total = terms[0]
+        for t in terms[1:]:
+            total = total + t
+        return coded.agg(F.avg(total)).first()[0]
+
+    sel = self_recon_error(similarity.pq_codebooks_lowest_ids(emb))
+    fit = self_recon_error(similarity.pq_fit_codebooks(emb))
+    assert fit <= sel, (fit, sel)
+
+
 def test_ivf_assign_covers_all_rows_one_cluster_each(spark, sf_smoke):
     from security_data_pipeline_spark.sources.catalog import load_table
 
