@@ -104,11 +104,13 @@ def main() -> None:
         # keeps collection pauses out of the timed region
         spark.sparkContext._jvm.System.gc()
         df.write.mode("overwrite").format("noop").save()  # warm-up (untimed)
-        # best-of-2: a single timed run is hostage to JIT/GC pauses landing
-        # on it (observed multi-second spikes on identical plans); the min
-        # is the steady-state figure a long-running cluster sees
+        # best-of-3: a single timed run is hostage to JIT/GC pauses landing
+        # on it (observed multi-second spikes on identical plans — the
+        # multi-stage two-phase queries spread 0.7-1.7s across identical
+        # runs); the min is the steady-state figure a long-running cluster
+        # sees
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - start)

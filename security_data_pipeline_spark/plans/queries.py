@@ -2362,6 +2362,62 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_label_centroids",
+    sql="""
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), flat AS (
+  SELECT label, u.i AS dim, v[u.i] AS x
+  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) u
+)
+SELECT label, CAST(dim AS INT) AS dim,
+       ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS centroid_val
+FROM flat GROUP BY label, dim
+""",
+    description=(
+        "Per-label embedding centroids (class prototypes — the "
+        "mean-pooling step behind nearest-centroid classification and "
+        "cluster summaries). Spark computes 64 decimal sums as ONE "
+        "map-side-combined aggregation per label (no explode, no "
+        "per-element shuffle rows); the oracle uses the relational "
+        "unnest form. Output is (label, dim, value) scalar rows — array "
+        "columns are unhashable driver-side"
+    ),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    agged = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.element_at(v, i).cast("decimal(28,12)")).alias(f"_s{i}")
+            for i in range(1, 65)
+        ],
+    )
+    dims = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("dim"),
+                F.round(
+                    F.col(f"_s{i}").cast("double")
+                    / F.col("_n").cast("double"),
+                    6,
+                ).alias("centroid_val"),
+            )
+            for i in range(1, 65)
+        ]
+    )
+    return agged.select(
+        "label", F.explode(dims).alias("_d")
+    ).select(
+        "label",
+        F.col("_d.dim").cast("int").alias("dim"),
+        F.col("_d.centroid_val").alias("centroid_val"),
+    )
+
+
 _PQ_ADC_SQL = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
