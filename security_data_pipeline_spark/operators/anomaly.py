@@ -1,0 +1,208 @@
+"""Security-analytics operators over the event stream: beaconing detection,
+per-entity volume anomalies, consecutive-failure runs, and funnel analysis.
+
+These extend the reference's feature/sessionization surface
+(`/root/reference/src/features.py`) with the detections a security data
+pipeline actually ships: the reference computes the building blocks
+(inter-event gaps, session ids, per-user baselines); these operators compose
+them into verdict-shaped outputs.
+
+Scale design: every operator is one window pass plus one (partial-agg)
+shuffle on the natural entity key — `(user_id)` or `(user_id, event_type)` —
+which is exactly the key the 100 TB event stream is already bucketed/sorted
+by in a production layout, so the ordered windows sort partition-locally
+without a global exchange. No self-joins, no collect, no Python.
+
+Cross-engine determinism (driver hash-compares values vs DuckDB): moments
+are accumulated as EXACT integers/decimals (gap microseconds as BIGINT,
+squared gaps as DECIMAL(38,0)) and only converted to DOUBLE for one
+token-identical IEEE expression on both engines — never an engine `avg` /
+`stddev` over doubles, whose accumulation order is nondeterministic under
+Spark's shuffled partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def inter_arrival_stats(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_gaps: int = 10,
+) -> DataFrame:
+    """Per-key inter-arrival moments: n_gaps, mean gap, coefficient of
+    variation (cv = stddev/mean).
+
+    Low cv = metronome-like regularity — the classic beacon / heartbeat /
+    cron-job signature (an automated callback fires on a timer; a human
+    clicks on a heavy-tailed schedule with cv ≈ 1).
+
+    Gaps are captured as exact BIGINT microseconds from one ordered window
+    pass; the group-by then sums `gap` (BIGINT) and `gap²` (DECIMAL(38,0) —
+    gap² overflows BIGINT for day-scale gaps) map-side-combined, and the
+    mean/variance come from one token-identical double expression:
+    ``var = (ss - s*s/n) / (n - 1)``.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col))
+    gap = (us - F.lag(us).over(w)).alias("gap_us")
+    gaps = events.select(*key_cols, gap).filter(F.col("gap_us").isNotNull())
+    gd = F.col("gap_us").cast("decimal(19,0)")
+    agged = (
+        gaps.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_us").alias("_s"),
+            F.sum(gd * gd).alias("_ss"),
+        )
+        .filter(F.col("n_gaps") >= min_gaps)
+    )
+    n = F.col("n_gaps").cast("double")
+    s = F.col("_s").cast("double")
+    ss = F.col("_ss").cast("double")
+    mean_us = s / n
+    var_us2 = (ss - s * s / n) / (n - F.lit(1.0))
+    return agged.select(
+        *key_cols,
+        "n_gaps",
+        F.round(mean_us / F.lit(1_000_000.0), 6).alias("mean_gap_seconds"),
+        F.round(F.sqrt(var_us2) / mean_us, 6).alias("gap_cv"),
+    )
+
+
+def beacon_candidates(
+    events: DataFrame,
+    top_k: int = 20,
+    min_gaps: int = 10,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+) -> DataFrame:
+    """The `top_k` most regular (lowest-cv) entity/type streams — beaconing
+    candidates ranked for triage. TakeOrdered (per-partition top-k + driver
+    merge) — never a global sort of the stats table."""
+    stats = inter_arrival_stats(events, key_cols=key_cols, min_gaps=min_gaps)
+    return stats.orderBy(F.col("gap_cv").asc(), *key_cols).limit(top_k)
+
+
+def volume_zscores(
+    events: DataFrame,
+    z_threshold: float = 2.0,
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+) -> DataFrame:
+    """Per-entity daily-volume anomalies: days whose event count sits
+    ``z_threshold`` sample standard deviations above that entity's own
+    mean daily volume (self-baselined, so chatty entities don't drown
+    quiet ones).
+
+    Two-level aggregate: per-(entity, day) counts, then per-entity moments
+    as WINDOW sums over the entity partition — the baseline rides the same
+    exchange as the daily counts instead of a groupBy + join-back. Counts
+    are exact integers, so the z expression is deterministic cross-engine.
+    Entities need >= 2 observed days and nonzero variance.
+    """
+    daily = events.groupBy(
+        entity_col, F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy(entity_col)
+    daily = (
+        daily.withColumn("_days", F.count(F.lit(1)).over(w))
+        .withColumn("_s", F.sum("n_events").over(w))
+        .withColumn(
+            "_ss", F.sum(F.col("n_events") * F.col("n_events")).over(w)
+        )
+        .filter(F.col("_days") >= 2)
+    )
+    d = F.col("_days").cast("double")
+    s = F.col("_s").cast("double")
+    ss = F.col("_ss").cast("double")
+    mu = s / d
+    var = (ss - s * s / d) / (d - F.lit(1.0))
+    z = (F.col("n_events").cast("double") - mu) / F.sqrt(var)
+    return (
+        daily.filter(var > 0.0)
+        .withColumn("z_score", z)
+        .filter(F.col("z_score") >= F.lit(z_threshold))
+        .select(
+            entity_col,
+            "day",
+            "n_events",
+            F.round("z_score", 6).alias("z_score"),
+        )
+    )
+
+
+def error_runs(
+    events: DataFrame,
+    run_len: int = 3,
+    match_type: str = "error",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Rows that complete a run of ``run_len`` CONSECUTIVE ``match_type``
+    events for one user (no intervening other-type event) — the
+    brute-force / crash-loop / retry-storm detector.
+
+    One ordered window pass with ``run_len - 1`` lags; emits the run's last
+    event plus the run's wall-clock span. Fixed small ``run_len`` keeps the
+    lag count constant — runs of unknown length are `sessionize`-shaped
+    (boundary flag + running sum) instead.
+    """
+    if run_len < 2:
+        raise ValueError("run_len must be >= 2")
+    w = Window.partitionBy("user_id").orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col))
+    cond = F.col("event_type") == match_type
+    for i in range(1, run_len):
+        cond = cond & (F.lag("event_type", i).over(w) == match_type)
+    span_s = (us - F.lag(us, run_len - 1).over(w)) / F.lit(1_000_000.0)
+    return (
+        events.withColumn("_hit", cond)
+        .withColumn("_span", span_s)
+        .filter(F.col("_hit"))
+        .select(
+            "user_id",
+            "event_id",
+            F.col(ts_col).alias("run_end_ts"),
+            F.round("_span", 6).alias("run_span_seconds"),
+        )
+    )
+
+
+def session_funnel(
+    with_session_ids: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Ordered-stage funnel conversion over sessionized events: one summary
+    row counting sessions that reached each prefix of ``stages`` IN ORDER
+    (first view strictly before first click strictly before first
+    purchase, ...).
+
+    Input is any frame carrying (user_id, session_id, event_type, ts) —
+    i.e. the output of `features.add_session_features`. Per-session
+    conditional MIN timestamps in one groupBy (map-side combined), then a
+    single global row; stage attainment is monotone by construction
+    (stage k requires stages 1..k-1), so the output reads as a funnel.
+    """
+    firsts = [
+        F.min(F.when(F.col("event_type") == st, F.col(ts_col))).alias(
+            f"_t{i}"
+        )
+        for i, st in enumerate(stages)
+    ]
+    per_session = with_session_ids.groupBy("user_id", "session_id").agg(
+        *firsts
+    )
+    reached = F.col("_t0").isNotNull()
+    out = [
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(reached.cast("bigint")).alias(f"reached_{stages[0]}"),
+    ]
+    for i in range(1, len(stages)):
+        reached = reached & (F.col(f"_t{i - 1}") < F.col(f"_t{i}"))
+        out.append(F.sum(reached.cast("bigint")).alias(f"reached_{stages[i]}"))
+    return per_session.agg(*out)

@@ -748,3 +748,79 @@ def ann_ivf_topk(
         .filter(F.col("_rank") <= k)
         .drop("_rank")
     )
+
+
+def semantic_dedup_drops(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster embeddings, then find
+    near-duplicate pairs ONLY within each cluster, and mark the higher-id
+    member of every duplicate relation for removal (keep-lowest-id policy).
+    Returns the dropped rows as ``(vec_id, ivf_cluster, dup_of,
+    cosine_sim)`` where ``dup_of`` is the strongest lower-id duplicate
+    (ties → lowest id) — anti-join this against the corpus to dedup it.
+
+    This is the standard recipe for semantic dedup at corpus scale
+    (cluster-then-compare, cf. SemDeDup, arXiv:2303.09540): the quadratic
+    pair search is confined to cluster-local blocks, so total work is
+    Σ|cluster|² instead of N². Assignment is map-side (`ivf_assign` — no
+    shuffle); the pair join shuffles each row once on its cluster id. At
+    100 TB you size ``n_centroids`` ≈ √N (keeping E[|cluster|] ≈ √N, total
+    pair work ≈ N^1.5) and pass a `ivf_fit_codebook`-fitted ``centroids``;
+    the default deterministic lowest-id codebook keeps the registered query
+    oracle-checkable end to end (same trade as `ann_ivf_topk`).
+    """
+    from security_data_pipeline_spark.functions.vectors import dot_product, l2_norm
+    from security_data_pipeline_spark.operators.skew import fan_out
+
+    cents = centroids if centroids is not None else ivf_centroid_vectors(
+        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    base = ivf_assign(
+        fan_out(corpus, id_col).select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ),
+        cents,
+        vec_col="embedding",
+    ).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("_v"),
+        l2_norm("embedding").alias("_nrm"),
+        "ivf_cluster",
+    )
+    lo = base.select(
+        F.col("vec_id").alias("dup_of"),
+        F.col("_v").alias("_v_lo"),
+        F.col("_nrm").alias("_nrm_lo"),
+        "ivf_cluster",
+    )
+    hi = base.select(
+        "vec_id",
+        F.col("_v").alias("_v_hi"),
+        F.col("_nrm").alias("_nrm_hi"),
+        "ivf_cluster",
+    )
+    sim = F.round(
+        dot_product(F.col("_v_lo"), F.col("_v_hi"))
+        / (F.col("_nrm_lo") * F.col("_nrm_hi")),
+        6,
+    )
+    pairs = (
+        hi.join(lo, on="ivf_cluster")
+        .filter(F.col("dup_of") < F.col("vec_id"))
+        .select("vec_id", "ivf_cluster", "dup_of", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= F.lit(threshold))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("dup_of")
+    )
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
