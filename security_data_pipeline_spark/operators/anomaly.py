@@ -172,6 +172,122 @@ def error_runs(
     )
 
 
+def emergent_behavior(
+    events: DataFrame,
+    warmup_hours: float = 24.0,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """First occurrence of each ``key_cols`` combination that appears only
+    AFTER the entity's warm-up window — "this user started doing something
+    new, well past onboarding", the classic lateral-movement / account-
+    takeover precursor signal (a user's action vocabulary is stable; late
+    additions are review-worthy).
+
+    One groupBy to per-key first timestamps (map-side combined), then the
+    entity baseline as a window over the already-small firsts table — no
+    join-back, no second pass over the fact table. The elapsed-hours math
+    is integer microseconds divided once, token-identical cross-engine.
+    """
+    entity = key_cols[0]
+    firsts = events.groupBy(*key_cols).agg(
+        F.min(ts_col).alias("first_ts")
+    )
+    w = Window.partitionBy(entity)
+    hours = (
+        F.unix_micros(F.col("first_ts"))
+        - F.unix_micros(F.min("first_ts").over(w))
+    ) / F.lit(3_600_000_000.0)
+    return (
+        firsts.withColumn("hours_after_onboarding", F.round(hours, 6))
+        .filter(F.col("hours_after_onboarding") >= F.lit(warmup_hours))
+        .select(*key_cols, "first_ts", "hours_after_onboarding")
+    )
+
+
+def hour_of_day_entropy(
+    events: DataFrame,
+    min_events: int = 50,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-entity Shannon entropy of the hour-of-day activity histogram.
+
+    A human's diurnal rhythm concentrates activity (moderate entropy); a
+    cron job hits one hour (entropy → 0); a 24/7 bot spreads uniformly
+    (entropy → ln 24 ≈ 3.18). Both tails are triage-worthy, so this
+    returns the full scored table and callers rank from either end.
+
+    Determinism: entropy is ``ln n − (Σ c·ln c)/n`` over EXACT hour counts;
+    each ``c·ln c`` term is rounded to 9 dp and summed as DECIMAL(38,9)
+    (exact, order-free), so Spark's shuffled partial aggregation and the
+    DuckDB oracle agree bit-for-bit. Two cheap aggregations: per-(entity,
+    hour) counts — at most 24 rows per entity — then per-entity.
+    """
+    per_hour = events.groupBy(
+        entity_col, F.hour(F.col(ts_col)).alias("_hr")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    c = F.col("_c").cast("double")
+    term = F.round(c * F.log(c), 9).cast("decimal(38,9)")
+    agged = per_hour.groupBy(entity_col).agg(
+        F.sum("_c").alias("n_events"),
+        F.count(F.lit(1)).alias("active_hours"),
+        F.sum(term).alias("_sterm"),
+    )
+    n = F.col("n_events").cast("double")
+    ent = F.log(n) - F.col("_sterm").cast("double") / n
+    return agged.filter(F.col("n_events") >= min_events).select(
+        entity_col,
+        "n_events",
+        "active_hours",
+        F.round(ent, 6).alias("hour_entropy"),
+    )
+
+
+def value_outliers(
+    events: DataFrame,
+    z_threshold: float = 3.0,
+    value_col: str = "value",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Events whose ``value_col`` sits ``z_threshold`` sample standard
+    deviations above their ``group_col`` population mean — the metric-spike
+    detector (exfil byte counts, request sizes, transfer amounts).
+
+    Scale shape: per-group moments via groupBy (map-side combined — NOT a
+    window partitioned by the handful of group values, which would funnel
+    the whole table through ≤ |groups| tasks), then a broadcast join-back
+    of the tiny stats table. Values are rounded to 6 dp and summed as
+    DECIMAL (exact, order-free); the z expression is one token-identical
+    double formula per engine.
+    """
+    vdec = F.round(F.col(value_col), 6).cast("decimal(18,6)")
+    stats = events.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(vdec).alias("_s"),
+        F.sum(vdec * vdec).alias("_ss"),
+    )
+    n = F.col("_n").cast("double")
+    s = F.col("_s").cast("double")
+    ss = F.col("_ss").cast("double")
+    mu = s / n
+    var = (ss - s * s / n) / (n - F.lit(1.0))
+    z = (F.round(F.col(value_col), 6) - mu) / F.sqrt(var)
+    return (
+        events.join(F.broadcast(stats), on=group_col)
+        .filter(F.col("_n") >= 2)
+        .filter(var > 0.0)
+        .withColumn("z_score", z)
+        .filter(F.col("z_score") >= F.lit(z_threshold))
+        .select(
+            "event_id",
+            group_col,
+            F.col(value_col),
+            F.round("z_score", 6).alias("z_score"),
+        )
+    )
+
+
 def session_funnel(
     with_session_ids: DataFrame,
     stages: tuple[str, ...] = ("view", "click", "purchase"),

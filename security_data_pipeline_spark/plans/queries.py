@@ -2943,6 +2943,99 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup_drops(emb, threshold=0.4, n_centroids=16)
 
 
+@query(
+    "emergent_behavior",
+    sql="""
+WITH firsts AS (
+  SELECT user_id, event_type, MIN(ts) AS first_ts
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT user_id, event_type, first_ts,
+         ROUND((epoch_us(first_ts)
+                - epoch_us(MIN(first_ts) OVER (PARTITION BY user_id)))
+               / 3600000000.0, 6) AS hours_after_onboarding
+  FROM firsts
+)
+SELECT user_id, event_type, first_ts, hours_after_onboarding
+FROM scored WHERE hours_after_onboarding >= 24.0
+""",
+    description=(
+        "New-behavior detection: first occurrence of each (user, "
+        "event_type) pair appearing >= 24h after the user's own first "
+        "event (lateral-movement precursor; baseline as a window over "
+        "the already-aggregated firsts table, no join-back)"
+    ),
+)
+def emergent_behavior_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return anomaly.emergent_behavior(ev, warmup_hours=24.0)
+
+
+@query(
+    "user_hour_entropy",
+    sql="""
+WITH ph AS (
+  SELECT user_id, hour(ts) AS hr, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), ag AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+         COUNT(*) AS active_hours,
+         SUM(CAST(ROUND(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+                  AS DECIMAL(38,9))) AS sterm
+  FROM ph GROUP BY 1
+)
+SELECT user_id, n_events, active_hours,
+       ROUND(ln(CAST(n_events AS DOUBLE))
+             - CAST(sterm AS DOUBLE)/CAST(n_events AS DOUBLE), 6)
+         AS hour_entropy
+FROM ag WHERE n_events >= 50
+""",
+    description=(
+        "Bot detection via hour-of-day activity entropy: cron jobs -> 0, "
+        "24/7 bots -> ln 24, humans in between; entropy terms rounded to "
+        "9dp and summed as DECIMAL(38,9) for order-free cross-engine "
+        "determinism over exact hour counts"
+    ),
+)
+def user_hour_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return anomaly.hour_of_day_entropy(ev, min_events=50)
+
+
+@query(
+    "value_spikes",
+    sql="""
+WITH st AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS s,
+         SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))
+             * CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS ss
+  FROM events GROUP BY 1
+), j AS (
+  SELECT e.event_id, e.event_type, e.value,
+         (CAST(st.ss AS DOUBLE)
+          - CAST(st.s AS DOUBLE)*CAST(st.s AS DOUBLE)/CAST(st.n AS DOUBLE))
+           / (CAST(st.n AS DOUBLE) - 1.0) AS var,
+         ROUND(e.value, 6)
+           - CAST(st.s AS DOUBLE)/CAST(st.n AS DOUBLE) AS dev
+  FROM events e JOIN st USING (event_type)
+  WHERE st.n >= 2
+)
+SELECT event_id, event_type, value, ROUND(dev / sqrt(var), 6) AS z_score
+FROM j WHERE var > 0.0 AND dev / sqrt(var) >= 3.0
+""",
+    description=(
+        "Metric-spike detection: events >= 3 sample stddevs above their "
+        "event_type's mean value (exfil-volume shape); per-group moments "
+        "as a map-side-combined groupBy broadcast-joined back -- never a "
+        "window partitioned by a handful of group values"
+    ),
+)
+def value_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return anomaly.value_outliers(ev, z_threshold=3.0)
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registry order. The correctness driver evaluates only the
 # FIRST 50 entries of queries() (observed round 1: positions 51+ got no

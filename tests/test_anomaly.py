@@ -1,0 +1,241 @@
+"""Semantic unit tests for operators/anomaly.py on hand-built frames —
+edge cases the sf-oracle comparison can't isolate (interrupted runs, strict
+funnel ordering, warm-up boundaries, single-hour entropy), plus plan-shape
+assertions for the scale-critical choices (broadcast join-back, TakeOrdered
+top-k)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from security_data_pipeline_spark.operators import anomaly, features
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _ts(seconds):
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, event_type, seconds_offset)"""
+    return spark.createDataFrame(
+        [(eid, uid, et, _ts(s)) for eid, uid, et, s in rows],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+
+
+# -- inter_arrival_stats / beacon_candidates --------------------------------
+
+
+def test_beacon_cv_zero_for_metronome(spark):
+    rows = [(i, 1, "ping", 60 * i) for i in range(12)]  # exact 60s cadence
+    rows += [(100 + i, 2, "click", [0, 3, 9, 10, 40, 41, 300, 310, 500,
+                                    900, 1000, 1500][i]) for i in range(12)]
+    stats = anomaly.inter_arrival_stats(
+        _events(spark, rows), min_gaps=10
+    ).collect()
+    by_user = {r.user_id: r for r in stats}
+    assert by_user[1].gap_cv == 0.0
+    assert by_user[1].mean_gap_seconds == 60.0
+    assert by_user[1].n_gaps == 11
+    assert by_user[2].gap_cv > 0.5  # bursty human-ish stream
+
+    top = anomaly.beacon_candidates(
+        _events(spark, rows), top_k=1, min_gaps=10
+    ).collect()
+    assert [(r.user_id, r.event_type) for r in top] == [(1, "ping")]
+
+
+def test_beacon_min_gaps_excludes_short_streams(spark):
+    rows = [(i, 1, "ping", 60 * i) for i in range(5)]  # only 4 gaps
+    out = anomaly.inter_arrival_stats(_events(spark, rows), min_gaps=10)
+    assert out.count() == 0
+
+
+def test_beacon_topk_is_take_ordered(spark):
+    rows = [(i, 1, "ping", 60 * i) for i in range(12)]
+    plan = (
+        anomaly.beacon_candidates(_events(spark, rows), top_k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+
+
+# -- volume_zscores ---------------------------------------------------------
+
+
+def test_volume_zscore_flags_spike_day(spark):
+    rows = []
+    eid = 0
+    # user 1: 9 quiet days of 2 events, one day of 30
+    for d in range(9):
+        for k in range(2):
+            rows.append((eid, 1, "view", d * 86400 + k))
+            eid += 1
+    for k in range(30):
+        rows.append((eid, 1, "view", 9 * 86400 + k))
+        eid += 1
+    # user 2: flat -> zero variance -> excluded
+    for d in range(5):
+        rows.append((eid, 2, "view", d * 86400))
+        eid += 1
+    out = anomaly.volume_zscores(_events(spark, rows), z_threshold=2.0)
+    got = out.collect()
+    assert len(got) == 1
+    (r,) = got
+    assert r.user_id == 1 and r.n_events == 30
+    # z = (30 - 4.8) / sqrt(var); var = (sum(x^2) - s^2/n)/(n-1)
+    s, ss, n = 48, 9 * 4 + 900, 10
+    var = (ss - s * s / n) / (n - 1)
+    assert r.z_score == pytest.approx((30 - 4.8) / math.sqrt(var), abs=1e-6)
+
+
+# -- error_runs -------------------------------------------------------------
+
+
+def test_error_runs_requires_consecutive(spark):
+    rows = [
+        (0, 1, "error", 0),
+        (1, 1, "error", 10),
+        (2, 1, "view", 20),  # interrupts the run
+        (3, 1, "error", 30),
+        (4, 1, "error", 40),
+        (5, 1, "error", 50),  # completes a fresh run of 3
+        (6, 1, "error", 60),  # runs overlap: 3-4-5 and 4-5-6 both count
+    ]
+    out = anomaly.error_runs(_events(spark, rows), run_len=3).collect()
+    assert sorted(r.event_id for r in out) == [5, 6]
+    spans = {r.event_id: r.run_span_seconds for r in out}
+    assert spans[5] == 20.0 and spans[6] == 20.0
+
+
+def test_error_runs_never_cross_users(spark):
+    rows = [(0, 1, "error", 0), (1, 2, "error", 10), (2, 1, "error", 20),
+            (3, 2, "error", 30), (4, 1, "error", 40), (5, 2, "error", 50)]
+    out = anomaly.error_runs(_events(spark, rows), run_len=3).collect()
+    assert sorted(r.event_id for r in out) == [4, 5]
+
+
+def test_error_runs_rejects_run_len_1(spark):
+    with pytest.raises(ValueError):
+        anomaly.error_runs(_events(spark, [(0, 1, "error", 0)]), run_len=1)
+
+
+# -- session_funnel ---------------------------------------------------------
+
+
+def _funnel(spark, rows):
+    ev = _events(spark, rows).select(
+        "event_id", "user_id", "event_type", F.col("ts").alias("timestamp")
+    )
+    with_ids = features.add_session_features(
+        ev, gap_minutes=30, tiebreak_cols=("event_id",), include_stats=False
+    )
+    return anomaly.session_funnel(with_ids).collect()[0]
+
+
+def test_funnel_counts_strictly_ordered_stages(spark):
+    rows = [
+        # session A (user 1): full ordered funnel
+        (0, 1, "view", 0), (1, 1, "click", 10), (2, 1, "purchase", 20),
+        # session B (user 2): purchase BEFORE click -> reaches click
+        # (first view < first click) but NOT purchase (click !< purchase)
+        (3, 2, "view", 0), (4, 2, "purchase", 10), (5, 2, "click", 20),
+        # session C (user 3): no view at all -> reaches nothing
+        (6, 3, "click", 0),
+        # session D (user 1, later): view then click only
+        (7, 1, "view", 10_000), (8, 1, "click", 10_005),
+    ]
+    r = _funnel(spark, rows)
+    assert r.n_sessions == 4
+    assert r.reached_view == 3
+    assert r.reached_click == 3
+    assert r.reached_purchase == 1
+
+
+def test_funnel_monotone(spark):
+    rows = [(i, i, "purchase", 0) for i in range(5)]
+    r = _funnel(spark, rows)
+    assert r.n_sessions == 5
+    assert r.reached_view == r.reached_click == r.reached_purchase == 0
+
+
+# -- emergent_behavior ------------------------------------------------------
+
+
+def test_emergent_behavior_warmup_boundary(spark):
+    rows = [
+        (0, 1, "login", 0),
+        (1, 1, "upload", 23 * 3600),       # inside warm-up: suppressed
+        (2, 1, "delete_all", 25 * 3600),   # emergent
+        (3, 1, "upload", 30 * 3600),       # NOT first occurrence
+        (4, 1, "export", 24 * 3600),       # exactly at boundary: included
+        (5, 2, "login", 0),                # lone first event: baseline row
+    ]
+    out = anomaly.emergent_behavior(
+        _events(spark, rows), warmup_hours=24.0
+    ).collect()
+    got = sorted((r.user_id, r.event_type) for r in out)
+    assert got == [(1, "delete_all"), (1, "export")]
+    hours = {r.event_type: r.hours_after_onboarding for r in out}
+    assert hours["delete_all"] == 25.0 and hours["export"] == 24.0
+
+
+# -- hour_of_day_entropy ----------------------------------------------------
+
+
+def test_hour_entropy_extremes(spark):
+    rows = []
+    eid = 0
+    # user 1: all 60 events at hour 3 -> entropy 0
+    for k in range(60):
+        rows.append((eid, 1, "ping", 3 * 3600 + k))
+        eid += 1
+    # user 2: 48 events uniform over 24 hours -> entropy ln 24
+    for h in range(24):
+        for k in range(2):
+            rows.append((eid, 2, "view", h * 3600 + k))
+            eid += 1
+    # user 3: below min_events -> excluded
+    rows.append((eid, 3, "view", 0))
+    out = anomaly.hour_of_day_entropy(
+        _events(spark, rows), min_events=48
+    ).collect()
+    by_user = {r.user_id: r for r in out}
+    assert set(by_user) == {1, 2}
+    assert by_user[1].hour_entropy == 0.0
+    assert by_user[1].active_hours == 1
+    assert by_user[2].hour_entropy == pytest.approx(math.log(24), abs=1e-6)
+    assert by_user[2].active_hours == 24
+
+
+# -- value_outliers ---------------------------------------------------------
+
+
+def test_value_outliers_flags_extreme_and_broadcasts(spark):
+    rows = [(i, 1, "transfer", float(10 + (i % 3))) for i in range(50)]
+    rows.append((99, 1, "transfer", 1000.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+    out = anomaly.value_outliers(df, z_threshold=3.0)
+    got = out.collect()
+    assert [r.event_id for r in got] == [99]
+    assert got[0].z_score > 3.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # stats join back never shuffles facts
+
+
+def test_value_outliers_zero_variance_group_silent(spark):
+    rows = [(i, 1, "ping", 5.0) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+    assert anomaly.value_outliers(df, z_threshold=1.0).count() == 0
