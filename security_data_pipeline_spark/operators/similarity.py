@@ -616,23 +616,34 @@ def ivf_fit_codebook(
 
 
 def _centroid_sims(vec_col: str, centroids: list[list[float]]) -> F.Column:
-    """Array of round(cosine(vec, centroid_i), 6) — one literal dot per
-    centroid, all JVM-side codegen (no shuffle, no Python)."""
+    """Array of round(cosine(vec, centroid_i), 6) — JVM-side, no shuffle,
+    no Python.
+
+    The codebook enters the plan as ONE ``array<array<double>>`` literal
+    iterated by ``transform``, not as k unrolled per-centroid expressions:
+    the unrolled form builds a k×dim-node expression tree whose analysis +
+    codegen cost ~1.2 s of driver time PER FRESH PLAN at k=16, dim=64
+    (measured: first-run 1.30 s vs 0.13 s steady — pure planning overhead,
+    and at k=256 the generated method would blow past JIT limits). The
+    literal-matrix form plans in ~10 ms at any k and evaluates the same
+    fold per element — bit-identical output (same operand order)."""
     import math
 
     from security_data_pipeline_spark.functions.vectors import dot_product, l2_norm
 
+    matrix = F.lit([[float(x) for x in cv] for cv in centroids])
+    norms = F.lit(
+        [math.sqrt(sum(x * x for x in cv)) for cv in centroids]
+    )
     vnrm = l2_norm(vec_col)
-    sims = []
-    for cv in centroids:
-        cnrm = math.sqrt(sum(x * x for x in cv))
-        lit = F.array(*[F.lit(float(x)) for x in cv])
-        sims.append(
-            F.round(
-                dot_product(F.col(vec_col), lit) / (vnrm * F.lit(cnrm)), 6
-            )
-        )
-    return F.array(*sims)
+    return F.transform(
+        matrix,
+        lambda cv, i: F.round(
+            dot_product(F.col(vec_col), cv)
+            / (vnrm * F.element_at(norms, i + F.lit(1))),
+            6,
+        ),
+    )
 
 
 def ivf_assign(
@@ -643,15 +654,28 @@ def ivf_assign(
 ) -> DataFrame:
     """Map-side IVF list assignment: nearest centroid by cosine (1-based id,
     ties → lowest id). Pure per-row expression — the corpus never shuffles
-    to get clustered, which is the property that matters at 100 TB."""
-    return (
-        df.withColumn("_csims", _centroid_sims(vec_col, centroids))
-        .withColumn(
-            cluster_col,
-            F.expr("array_position(_csims, array_max(_csims))").cast("int"),
-        )
-        .drop("_csims")
+    to get clustered, which is the property that matters at 100 TB.
+
+    Argmax is a single ``aggregate`` fold over the (sim, id) structs, not
+    ``array_position(array_max(sims))``: the latter references the sims
+    array twice, and after ``CollapseProject`` inlines the alias the whole
+    k×dim similarity computation runs TWICE per row. The strict ``>`` in
+    the fold keeps the earlier (lowest-id) centroid on ties — the same
+    tie-break ``array_position``'s first-match gives."""
+    scored = F.transform(
+        _centroid_sims(vec_col, centroids),
+        lambda s, i: F.struct(
+            s.alias("sim"), (i + F.lit(1)).cast("int").alias("cid")
+        ),
     )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(-2.0).alias("sim"), F.lit(0).cast("int").alias("cid")
+        ),
+        lambda acc, x: F.when(x["sim"] > acc["sim"], x).otherwise(acc),
+    )
+    return df.withColumn(cluster_col, best["cid"])
 
 
 def ann_ivf_topk(
@@ -705,27 +729,36 @@ def ann_ivf_topk(
     )
     if query_pred is not None:
         q = q.filter(query_pred)
-    probes = (
-        q.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").cast("array<double>").alias("_v_q"),
-            l2_norm("embedding").alias("_nrm_q"),
-            F.posexplode(_centroid_sims("embedding", cents)).alias(
-                "_cid0", "_csim"
+    # Per-query probe ranking is ARRAY-LOCAL: all centroid sims for a query
+    # already sit in one array, so top-n_probe is a sort_array + slice in
+    # the same projection — no posexplode → shuffle → row_number round trip
+    # (which costs a full exchange of the query set at any scale). The
+    # struct sorts (sim DESC, -cid DESC ≡ cid ASC): lowest centroid id
+    # wins ties, matching the window form it replaces.
+    ranked = F.slice(
+        F.sort_array(
+            F.transform(
+                _centroid_sims("embedding", cents),
+                lambda s, i: F.struct(
+                    s.alias("sim"),
+                    (-(i + F.lit(1))).cast("int").alias("negcid"),
+                ),
             ),
-        )
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("_csim").desc(), F.col("_cid0")
-                )
-            ),
-        )
-        .filter(F.col("_rn") <= n_probe)
-        .select(
-            "query_id", "_v_q", "_nrm_q", (F.col("_cid0") + 1).alias("_probe")
-        )
+            asc=False,
+        ),
+        1,
+        n_probe,
+    )
+    probes = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("_v_q"),
+        l2_norm("embedding").alias("_nrm_q"),
+        F.explode(ranked).alias("_probe_s"),
+    ).select(
+        "query_id",
+        "_v_q",
+        "_nrm_q",
+        (-F.col("_probe_s")["negcid"]).alias("_probe"),
     )
 
     sim = F.round(
