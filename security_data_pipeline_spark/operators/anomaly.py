@@ -288,6 +288,48 @@ def value_outliers(
     )
 
 
+def rolling_volume_baseline(
+    events: DataFrame,
+    window_days: int = 7,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-entity daily counts with a trailing ``window_days``-day average
+    baseline and the day's ratio against it — the rolling-baseline form of
+    :func:`volume_zscores` (reacts to drift; the z-score form assumes a
+    stationary per-entity rate).
+
+    A RANGE window frame over an integer day index (not ROWS — gap days
+    must widen the frame, and absent days contribute nothing), on top of
+    per-(entity, day) pre-aggregated counts, so the frame scan is over
+    ≤ days rows per entity, never raw events. Counts are exact integers;
+    the average is one sum/count division, token-identical cross-engine.
+    """
+    daily = events.groupBy(
+        entity_col, F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    day_idx = F.floor(
+        F.unix_micros(F.col("day")) / F.lit(86_400_000_000.0)
+    ).cast("long")
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(day_idx)
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    avg = F.sum("n_events").over(w).cast("double") / F.count(
+        F.lit(1)
+    ).over(w).cast("double")
+    return daily.select(
+        entity_col,
+        "day",
+        "n_events",
+        F.round(avg, 6).alias("trailing_avg"),
+        F.round(F.col("n_events").cast("double") / avg, 6).alias(
+            "volume_ratio"
+        ),
+    )
+
+
 def session_funnel(
     with_session_ids: DataFrame,
     stages: tuple[str, ...] = ("view", "click", "purchase"),

@@ -14,7 +14,7 @@ no shuffle, no RNG state, no driver coordination.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 4 hex chars = 16 bits → split boundaries quantized to 1/65536
@@ -72,3 +72,32 @@ def hash_split(
     last = F.lit(items[-1][0])
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, out)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: Column | str,
+    k: int,
+    key: Column | str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sample: the ``k`` rows ranking lowest by
+    ``(md5-hash, key)`` within each ``group_col`` value — a uniform
+    fixed-size draw per stratum (per source, per language, per label) that
+    is reproducible on any engine and stable under re-partitioning and
+    appends-that-don't-change-membership, unlike ``sampleBy``'s RNG.
+
+    One shuffle on the stratum key; the rank sort is partition-local.
+    Heavily skewed strata rank all their rows through one task's sort —
+    for pathological cases pre-filter with :func:`hash_sample` at a few ×
+    the target rate, then rank the survivors (two-phase top-k).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    kc = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(group_col).orderBy(hash_hex16(kc, salt), kc)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

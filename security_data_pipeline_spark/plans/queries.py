@@ -3036,6 +3036,116 @@ def value_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anomaly.value_outliers(ev, z_threshold=3.0)
 
 
+@query(
+    "rolling_user_baseline",
+    sql="""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT user_id, day, n_events,
+         CAST(FLOOR(epoch_us(day) / 86400000000.0) AS BIGINT) AS day_idx
+  FROM daily
+), framed AS (
+  SELECT user_id, day, n_events,
+         CAST(SUM(n_events) OVER w AS BIGINT) AS s,
+         COUNT(*) OVER w AS c
+  FROM idx WINDOW w AS (PARTITION BY user_id ORDER BY day_idx
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, day, n_events,
+       ROUND(CAST(s AS DOUBLE) / CAST(c AS DOUBLE), 6) AS trailing_avg,
+       ROUND(CAST(n_events AS DOUBLE)
+             / (CAST(s AS DOUBLE) / CAST(c AS DOUBLE)), 6) AS volume_ratio
+FROM framed
+""",
+    description=(
+        "Trailing 7-day rolling baseline per user: RANGE frame over an "
+        "integer day index (gap days widen the frame) on pre-aggregated "
+        "daily counts -- the drift-tolerant complement of the z-score "
+        "detector; frame scans never touch raw events"
+    ),
+)
+def rolling_user_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return anomaly.rolling_volume_baseline(ev, window_days=7)
+
+
+@query(
+    "doc_stratified_sample",
+    sql="""
+SELECT doc_id, source, lang, n_chars
+FROM documents
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY source
+  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) <= 40
+""",
+    description=(
+        "Deterministic per-stratum sampling: the 40 lowest-(md5, id) "
+        "documents per source -- fixed-size uniform draw per stratum, "
+        "reproducible across engines and stable under re-partitioning "
+        "(unlike sampleBy's RNG); one shuffle on the stratum key"
+    ),
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "source", 40, "doc_id").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+@query(
+    "jsonl_docs_roundtrip",
+    sql="""
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_len,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM documents GROUP BY 1, 2
+""",
+    description=(
+        "JSONL sink + source through REAL file I/O: write the documents "
+        "table as JSON-lines, read it back with an explicit schema, and "
+        "aggregate a content-sensitive summary (char sums catch any "
+        "escaping/encoding corruption) the oracle reproduces from the "
+        "parquet table -- a driver-green witness for the LLM-corpus "
+        "interchange format"
+    ),
+)
+def jsonl_docs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from security_data_pipeline_spark.operators.skew import fan_out
+    from security_data_pipeline_spark.sources.sinks import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    scratch = os.path.join(
+        repo_root,
+        ".scratch",
+        f"jsonl_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    write_jsonl(docs, scratch)
+    back = read_jsonl(spark, scratch, schema=docs.schema)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_text_len"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registry order. The correctness driver evaluates only the
 # FIRST 50 entries of queries() (observed round 1: positions 51+ got no

@@ -239,3 +239,58 @@ def test_value_outliers_zero_variance_group_silent(spark):
         rows, "event_id long, user_id long, event_type string, value double"
     )
     assert anomaly.value_outliers(df, z_threshold=1.0).count() == 0
+
+
+# -- rolling_volume_baseline ------------------------------------------------
+
+
+def test_rolling_baseline_range_frame_skips_gap_days(spark):
+    # user 1: 3 events day 0, 1 event day 1, then a 10-day gap, 5 on day 11
+    rows, eid = [], 0
+    for d, n in [(0, 3), (1, 1), (11, 5)]:
+        for k in range(n):
+            rows.append((eid, 1, "view", d * 86400 + k))
+            eid += 1
+    out = anomaly.rolling_volume_baseline(
+        _events(spark, rows), window_days=7
+    ).collect()
+    by_day = {r.day.day: r for r in out}
+    assert by_day[1].trailing_avg == 3.0  # day 0 alone in frame
+    assert by_day[2].trailing_avg == 2.0  # days 0+1
+    # day 11 is > 6 days past both prior active days -> frame is itself only
+    assert by_day[12].trailing_avg == 5.0
+    assert by_day[12].volume_ratio == 1.0
+
+
+# -- stratified_sample ------------------------------------------------------
+
+
+def test_stratified_sample_fixed_k_per_group_and_deterministic(spark):
+    from security_data_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    s1 = stratified_sample(df, "grp", 10, "id")
+    counts = {r.grp: r.n for r in
+              s1.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"a": 10, "b": 10}
+    # deterministic across plans and unaffected by partitioning
+    ids1 = sorted(r.id for r in s1.collect())
+    s2 = stratified_sample(df.repartition(7), "grp", 10, "id")
+    assert sorted(r.id for r in s2.collect()) == ids1
+    # different salt -> different draw
+    s3 = stratified_sample(df, "grp", 10, "id", salt="v2")
+    assert sorted(r.id for r in s3.collect()) != ids1
+
+
+def test_stratified_sample_small_group_returns_all(spark):
+    from security_data_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame([(1, "x"), (2, "x")], "id long, grp string")
+    assert stratified_sample(df, "grp", 10, "id").count() == 2
+    with pytest.raises(ValueError):
+        stratified_sample(df, "grp", 0, "id")
