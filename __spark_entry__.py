@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship end-to-end ETL query at sf0.001 (smoke).
-``queries()`` — every implemented operator from SURVEY.md §2 as a named
-(spark, sf_dir) → DataFrame callable.
-``oracle_sql()`` — the DuckDB-ANSI equivalent for each query (omitted for
-hash-function-dependent ops, which the driver checks rows-only).
+``queries()`` — the 50-query driver window: every SURVEY.md §2 operator
+witnessed directly or through a family composite (plans/composites.py).
+``oracle_sql()`` — the DuckDB-ANSI equivalent for EVERY exported query
+(no rows-only entries). Granular variants past the window are exported by
+``security_data_pipeline_spark.plans.queries.get_extra_queries()`` and
+oracle-checked locally by tests/test_oracle_parity.py.
 """
 
 from __future__ import annotations
