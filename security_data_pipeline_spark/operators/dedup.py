@@ -725,3 +725,54 @@ def connected_components(
     return labels.select(
         F.col("_id").alias(id_col), F.col("_lbl").alias("cluster_id")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sort_col: str = "text",
+    block_chars: int = 8,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs — the third classic blocking
+    family next to shingle equi-joins and LSH bands: sort records by a key,
+    compare each record only with its ``window`` successors.
+
+    The textbook method sorts GLOBALLY; a global rank is a scale-killer
+    (single-partition window). This form blocks first — records sharing the
+    leading ``block_chars`` of the canonicalized sort key land in one
+    partition, are ranked there (``row_number`` per block), and pair up via
+    a self-equi-join on the block key filtered to rank distance ∈
+    [1, window]. Near-dup texts agree on their prefix, so the block
+    boundary loses only pairs that already differ in the first
+    ``block_chars`` characters — the standard multi-pass answer (vary the
+    key) applies. One shuffle on the block key; candidates ≤ |block|·window.
+
+    Output: ``id_a, id_b, rank_gap`` with id_a's key sorting before id_b's.
+    """
+    canon = F.regexp_replace(
+        F.lower(F.trim(F.col(sort_col))), r"\s+", " "
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        canon.alias("_key"),
+        F.substring(canon, 1, block_chars).alias("_blk"),
+    )
+    w = Window.partitionBy("_blk").orderBy("_key", "_id")
+    ranked = base.withColumn("_rn", F.row_number().over(w))
+    a = ranked.select(
+        F.col("_blk"),
+        F.col("_id").alias("id_a"),
+        F.col("_rn").alias("_rn_a"),
+    )
+    b = ranked.select(
+        F.col("_blk"),
+        F.col("_id").alias("id_b"),
+        F.col("_rn").alias("_rn_b"),
+    )
+    gap = F.col("_rn_b") - F.col("_rn_a")
+    return (
+        a.join(b, "_blk")
+        .filter((gap >= 1) & (gap <= window))
+        .select("id_a", "id_b", gap.alias("rank_gap"))
+    )

@@ -158,3 +158,112 @@ def bucketed_range_join(
         .filter((diff >= F.lit(lo_us)) & (diff <= F.lit(hi_us)))
         .drop("_b")
     )
+
+
+def fuzzy_string_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+    block: Column | None = None,
+) -> DataFrame:
+    """Approximate string join: pairs whose edit distance is ≤
+    ``max_distance``, candidate-generated through a **blocking key** so the
+    join is a hash equi-join, never a cross join.
+
+    ``block`` is an expression evaluated against the join column (default:
+    the first whitespace token — robust to typos later in the string). Rows
+    agreeing on the block key meet in one shuffle partition; the exact
+    ``levenshtein`` predicate then filters the candidates. Recall is bounded
+    by the blocking choice (a typo inside the block key hides the pair) —
+    the standard record-linkage trade; run multiple passes with different
+    keys for higher recall, exactly like LSH bands.
+
+    At 100 TB: candidate count is Σ|block|·|block'| over matching blocks, so
+    block granularity is the knob; `levenshtein` with the threshold argument
+    short-circuits the DP on early overflow. Output: all left columns plus
+    right columns (colliding names suffixed ``_m``) plus ``edit_distance``.
+    """
+
+    def block_of(c: Column) -> Column:
+        return block if block is not None else F.split(c, r"\s+")[0]
+
+    collide = {c for c in right.columns if c in left.columns}
+    r = right.select(
+        *[F.col(c).alias(f"{c}_m" if c in collide else c) for c in right.columns]
+    )
+    r_col = f"{right_col}_m" if right_col in collide else right_col
+    l = left.withColumn("_blk", block_of(F.col(left_col)))
+    r = r.withColumn("_blk", block_of(F.col(r_col)))
+    dist = F.levenshtein(F.col(left_col), F.col(r_col))
+    return (
+        l.join(r, "_blk")
+        .filter(dist <= F.lit(max_distance))
+        .withColumn("edit_distance", dist)
+        .drop("_blk")
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: float = 86400.0 * 30,
+) -> DataFrame:
+    """Interval-overlap join (``l.start ≤ r.end AND r.start ≤ l.end``,
+    inclusive) as a bucketed hash equi-join instead of a theta join.
+
+    Both sides explode their interval to the fixed-width time buckets it
+    covers; overlapping intervals necessarily share ≥1 bucket, so the
+    candidate set is one equi-join on the bucket id. A pair sharing several
+    buckets would duplicate — the bucket-equality guard (the overlap's
+    FIRST shared bucket: the later of the two interval-start buckets) keeps
+    exactly one copy, shuffle-free. The exact predicate filters after the
+    join; ``bucket_seconds`` trades per-row fan-out (long intervals → more
+    buckets) against bucket occupancy (wide buckets → more candidates), the
+    classic bin-join knob. Catalyst broadcasts the exploded small side.
+
+    Right columns colliding with left names get an ``_r`` suffix.
+    """
+    width_us = int(bucket_seconds * 1e6)
+
+    def bucket_of(c: Column) -> Column:
+        # cast: TIMESTAMP_NTZ is not accepted by unix_micros; the session
+        # runs UTC so NTZ -> TZ is value-preserving.
+        return F.floor(
+            F.unix_micros(c.cast("timestamp")) / F.lit(width_us)
+        ).cast("long")
+
+    def explode_buckets(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            "_b",
+            F.explode(
+                F.sequence(bucket_of(F.col(start)), bucket_of(F.col(end)))
+            ),
+        )
+
+    collide = {c for c in right.columns if c in left.columns}
+    r = right.select(
+        *[F.col(c).alias(f"{c}_r" if c in collide else c) for c in right.columns]
+    )
+    r_start = f"{right_start}_r" if right_start in collide else right_start
+    r_end = f"{right_end}_r" if right_end in collide else right_end
+
+    l = explode_buckets(left, left_start, left_end)
+    r = explode_buckets(r, r_start, r_end)
+
+    overlap = (F.col(left_start) <= F.col(r_end)) & (
+        F.col(r_start) <= F.col(left_end)
+    )
+    first_shared = F.greatest(
+        bucket_of(F.col(left_start)), bucket_of(F.col(r_start))
+    )
+    return (
+        l.join(r, "_b")
+        .filter(overlap & (F.col("_b") == first_shared))
+        .drop("_b")
+    )

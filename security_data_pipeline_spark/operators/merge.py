@@ -1,0 +1,141 @@
+"""CDC-style merge operators: upsert and SCD2 history — the maintenance
+half of a warehouse pipeline (the reference is append-only batch; a 100 TB
+deployment re-lands changed dimension rows daily).
+
+Both operators are single-shuffle plans:
+
+- :func:`merge_upsert` — one full-outer equi-join on the key; every row is
+  classified ``insert`` / ``update`` / ``unchanged`` and the surviving
+  attribute set is source-wins. No driver-side diffing, no second pass.
+- :func:`scd2_apply` — type-2 slowly-changing-dimension apply: one join of
+  the update batch against the CURRENT slice of the dimension classifies
+  each key, then closed-out rows, new versions, and untouched history are
+  assembled by union — three selects over the two join legs, still one
+  shuffle. Equality is null-safe (``<=>``): NULL → value and value → NULL
+  both count as changes.
+
+On a real deployment the output lands via the format's MERGE primitive
+(Delta/Iceberg); these operators compute the same row set engine-side so
+the semantics are portable and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _any_attr_differs(attrs: Sequence[str], suffix: str) -> Column:
+    diffs = [
+        ~F.col(a).eqNullSafe(F.col(f"{a}{suffix}")) for a in attrs
+    ]
+    return reduce(lambda x, y: x | y, diffs)
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    attrs: Sequence[str] | None = None,
+) -> DataFrame:
+    """Upsert ``source`` into ``target`` by ``keys``: source rows win,
+    target-only rows survive, and every output row carries a ``merge_action``
+    column (``insert`` — key only in source, ``update`` — key in both with
+    ≥1 differing attribute, ``unchanged`` — key in both and equal, or key
+    only in target).
+
+    ``attrs`` defaults to every non-key column shared by both frames. One
+    full-outer equi-join on the keys; with AQE the small side broadcasts.
+    """
+    keys = list(keys)
+    if attrs is None:
+        attrs = [
+            c for c in target.columns if c not in keys and c in source.columns
+        ]
+    attrs = list(attrs)
+    s = source.select(
+        *keys, *[F.col(a).alias(f"{a}_src") for a in attrs], F.lit(True).alias("_in_src")
+    )
+    t = target.select(*keys, *attrs, F.lit(True).alias("_in_tgt"))
+    j = t.join(s, keys, "full_outer")
+    action = (
+        F.when(F.col("_in_tgt").isNull(), F.lit("insert"))
+        .when(F.col("_in_src").isNull(), F.lit("unchanged"))
+        .when(_any_attr_differs(attrs, "_src"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    merged = [
+        F.when(F.col("_in_src").isNotNull(), F.col(f"{a}_src"))
+        .otherwise(F.col(a))
+        .alias(a)
+        for a in attrs
+    ]
+    return j.select(*keys, *merged, action.alias("merge_action"))
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    attrs: Sequence[str],
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Apply an update batch to a type-2 dimension.
+
+    ``dim`` carries full history: ``keys + attrs + valid_from + valid_to +
+    is_current``. ``updates`` carries ``keys + attrs + ts_col`` with at most
+    one row per key (pre-reduce a CDC stream with keep-latest dedup first).
+
+    Per update key: if the attributes differ from the key's CURRENT row
+    (null-safe), that row closes (``valid_to = ts``, ``is_current = false``)
+    and a new open version starts at ``ts``; an unseen key inserts its first
+    open version; an equal update is a no-op. Historical (non-current) rows
+    pass through untouched. Output schema = dim schema.
+    """
+    keys = list(keys)
+    attrs = list(attrs)
+    hist_cols = [*keys, *attrs, valid_from, valid_to, is_current]
+
+    u = updates.select(
+        *keys,
+        *[F.col(a).alias(f"{a}_u") for a in attrs],
+        F.col(ts_col).alias("_u_ts"),
+    )
+    cur = (
+        dim.filter(F.col(is_current))
+        .withColumn("_in_dim", F.lit(True))
+        .join(u, keys, "full_outer")
+    )
+    changed = _any_attr_differs(attrs, "_u")
+
+    # current rows: close when a differing update arrived, else passthrough
+    kept_current = cur.filter(F.col("_in_dim").isNotNull()).select(
+        *keys,
+        *attrs,
+        F.col(valid_from),
+        F.when(
+            F.col("_u_ts").isNotNull() & changed, F.col("_u_ts")
+        ).otherwise(F.col(valid_to)).alias(valid_to),
+        F.when(F.col("_u_ts").isNotNull() & changed, F.lit(False))
+        .otherwise(F.col(is_current))
+        .alias(is_current),
+    )
+    # new open versions: changed keys and brand-new keys
+    opened = cur.filter(
+        F.col("_u_ts").isNotNull()
+        & (F.col("_in_dim").isNull() | changed)
+    ).select(
+        *keys,
+        *[F.col(f"{a}_u").alias(a) for a in attrs],
+        F.col("_u_ts").alias(valid_from),
+        F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+        F.lit(True).alias(is_current),
+    )
+    closed_history = dim.filter(~F.col(is_current)).select(*hist_cols)
+    return kept_current.unionByName(opened).unionByName(closed_history)

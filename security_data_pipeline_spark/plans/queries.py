@@ -3169,6 +3169,268 @@ def jsonl_docs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Record linkage / fuzzy matching (operators/joins.py, operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "part_fuzzy_matches",
+    sql="""
+WITH dirty AS (
+  SELECT p_partkey AS dirty_key,
+         substr(p_name, 1, length(p_name) - 2) AS dname
+  FROM part WHERE p_partkey % 7 = 0
+)
+SELECT d.dirty_key, p.p_partkey AS match_key,
+       CAST(levenshtein(d.dname, p.p_name) AS INT) AS edit_distance
+FROM dirty d JOIN part p
+  ON string_split(d.dname, ' ')[1] = string_split(p.p_name, ' ')[1]
+WHERE levenshtein(d.dname, p.p_name) <= 2
+""",
+    description=(
+        "Fuzzy string join (record linkage): a deterministically-damaged "
+        "part catalog (last 2 chars truncated) re-linked to the clean "
+        "catalog by edit distance <= 2, candidates blocked on the first "
+        "name token — a hash equi-join, never a cross join; levenshtein "
+        "agrees verbatim across engines"
+    ),
+)
+def part_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators.joins import fuzzy_string_join
+
+    part = load_table(spark, sf_dir, "part")
+    dirty = part.filter(F.col("p_partkey") % 7 == 0).select(
+        F.col("p_partkey").alias("dirty_key"),
+        F.expr("substr(p_name, 1, length(p_name) - 2)").alias("dname"),
+    )
+    clean = part.select(F.col("p_partkey").alias("match_key"), "p_name")
+    return fuzzy_string_join(
+        dirty, clean, "dname", "p_name", max_distance=2
+    ).select("dirty_key", "match_key", F.col("edit_distance").cast("int"))
+
+
+@query(
+    "sorted_neighborhood_dups",
+    sql="""
+WITH base AS (
+  SELECT doc_id AS _id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS _key
+  FROM documents
+), ranked AS (
+  SELECT _id, _key, substr(_key, 1, 8) AS _blk,
+         ROW_NUMBER() OVER (PARTITION BY substr(_key, 1, 8)
+                            ORDER BY _key, _id) AS _rn
+  FROM base
+)
+SELECT a._id AS id_a, b._id AS id_b,
+       CAST(b._rn - a._rn AS INT) AS rank_gap
+FROM ranked a JOIN ranked b
+  ON a._blk = b._blk AND b._rn - a._rn BETWEEN 1 AND 3
+""",
+    description=(
+        "Sorted-neighborhood candidate pairs — the third classic blocking "
+        "family (vs shingle equi-join and LSH bands): rank docs by "
+        "canonicalized text within 8-char prefix blocks, pair each doc "
+        "with its 3 rank successors. Blocked ranking, no global sort; "
+        "one shuffle on the block key"
+    ),
+)
+def sorted_neighborhood_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.sorted_neighborhood_pairs(
+        docs, id_col="doc_id", sort_col="text", block_chars=8, window=3
+    ).select("id_a", "id_b", F.col("rank_gap").cast("int"))
+
+
+@query(
+    "shipment_audit_overlap",
+    sql="""
+WITH win(window_id, w_start, w_end) AS (
+  VALUES ('1996H1', TIMESTAMP '1996-01-01', TIMESTAMP '1996-06-30'),
+         ('1997H1', TIMESTAMP '1997-01-01', TIMESTAMP '1997-06-30'),
+         ('1998H1', TIMESTAMP '1998-01-01', TIMESTAMP '1998-06-30'),
+         ('1999H1', TIMESTAMP '1999-01-01', TIMESTAMP '1999-06-30')
+), iv AS (
+  SELECT l_orderkey, l_quantity, l_shipdate,
+         l_shipdate + INTERVAL (1 + l_linenumber % 14) DAY AS l_enddate
+  FROM lineitem
+)
+SELECT w.window_id, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+FROM iv l JOIN win w
+  ON l.l_shipdate <= w.w_end AND w.w_start <= l.l_enddate
+GROUP BY w.window_id
+""",
+    description=(
+        "Interval-overlap join as a bucketed hash equi-join: lineitem "
+        "shipment intervals (shipdate → shipdate + 1..14 days) vs audit "
+        "windows, both sides exploded to 30-day time buckets, "
+        "first-shared-bucket guard deduplicating multi-bucket pairs "
+        "shuffle-free, exact overlap predicate after the join — the bin "
+        "join strategy; the oracle is the plain theta join"
+    ),
+)
+def shipment_audit_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime
+
+    from security_data_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    iv = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_shipdate",
+        F.timestamp_add(
+            "DAY", F.lit(1) + F.col("l_linenumber") % 14, F.col("l_shipdate")
+        ).alias("l_enddate"),
+    )
+    win = spark.createDataFrame(
+        [
+            (f"{y}H1", datetime(y, 1, 1), datetime(y, 6, 30))
+            for y in (1996, 1997, 1998, 1999)
+        ],
+        "window_id string, w_start timestamp, w_end timestamp",
+    )
+    joined = interval_overlap_join(
+        iv,
+        win,
+        left_start="l_shipdate",
+        left_end="l_enddate",
+        right_start="w_start",
+        right_end="w_end",
+        bucket_seconds=86400.0 * 30,
+    )
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum("l_quantity", "total_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC maintenance: upsert + SCD2 history (operators/merge.py)
+# ---------------------------------------------------------------------------
+
+_UPSERT_SRC_SQL = """
+  SELECT c_custkey, c_acctbal + 100 AS c_acctbal
+  FROM customer WHERE c_custkey % 10 = 3
+  UNION ALL
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 10 = 4
+  UNION ALL
+  SELECT c_custkey + 1000000, c_acctbal FROM customer WHERE c_custkey % 100 = 7
+"""
+
+
+def _upsert_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CDC batch derived from customer: +100 balance for
+    custkey%10==3 (updates), identical rows for %10==4 (no-ops), shifted
+    keys for %100==7 (inserts)."""
+    c = load_table(spark, sf_dir, "customer")
+    changed = c.filter(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey", (F.col("c_acctbal") + 100).alias("c_acctbal")
+    )
+    same = c.filter(F.col("c_custkey") % 10 == 4).select(
+        "c_custkey", "c_acctbal"
+    )
+    new = c.filter(F.col("c_custkey") % 100 == 7).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"), "c_acctbal"
+    )
+    return changed.unionByName(same).unionByName(new)
+
+
+@query(
+    "customer_upsert_actions",
+    sql=f"""
+WITH src AS ({_UPSERT_SRC_SQL}
+), j AS (
+  SELECT t.c_custkey AS tk, s.c_custkey AS sk,
+         t.c_acctbal AS ta, s.c_acctbal AS sa
+  FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+), classified AS (
+  SELECT CASE WHEN tk IS NULL THEN 'insert'
+              WHEN sk IS NULL THEN 'unchanged'
+              WHEN ta IS DISTINCT FROM sa THEN 'update'
+              ELSE 'unchanged' END AS merge_action,
+         COALESCE(sa, ta) AS bal
+  FROM j
+)
+SELECT merge_action, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CAST(ROUND(bal, 2) AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_acctbal
+FROM classified GROUP BY merge_action
+""",
+    description=(
+        "CDC upsert (MERGE semantics engine-side): one full-outer "
+        "equi-join classifies every key insert/update/unchanged with "
+        "source-wins attributes — summarized as per-action key counts and "
+        "exact-decimal balance totals"
+    ),
+)
+def customer_upsert_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators.merge import merge_upsert
+
+    target = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    merged = merge_upsert(
+        target, _upsert_source(spark, sf_dir), ["c_custkey"], ["c_acctbal"]
+    )
+    return merged.groupBy("merge_action").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.round(F.col("c_acctbal"), 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_acctbal"),
+    )
+
+
+@query(
+    "customer_scd2_history",
+    sql=f"""
+WITH upd AS ({_UPSERT_SRC_SQL}
+), j AS (
+  SELECT d.c_custkey AS dk, d.c_acctbal AS dbal,
+         u.c_custkey AS uk, u.c_acctbal AS ubal
+  FROM customer d FULL OUTER JOIN upd u ON d.c_custkey = u.c_custkey
+)
+SELECT dk AS c_custkey, dbal AS c_acctbal,
+       TIMESTAMP '2024-01-01' AS valid_from,
+       CASE WHEN uk IS NOT NULL AND ubal IS DISTINCT FROM dbal
+            THEN TIMESTAMP '2024-06-01' END AS valid_to,
+       NOT (uk IS NOT NULL AND ubal IS DISTINCT FROM dbal) AS is_current
+FROM j WHERE dk IS NOT NULL
+UNION ALL
+SELECT uk, ubal, TIMESTAMP '2024-06-01', CAST(NULL AS TIMESTAMP), TRUE
+FROM j WHERE uk IS NOT NULL AND (dk IS NULL OR ubal IS DISTINCT FROM dbal)
+""",
+    description=(
+        "SCD2 apply: the customer dimension opened at 2024-01-01 receives "
+        "the CDC batch at 2024-06-01 — differing updates close the "
+        "current row and open a new version, identical updates are "
+        "no-ops, unseen keys insert their first version; null-safe "
+        "attribute comparison, one join of batch vs current slice"
+    ),
+)
+def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime
+
+    from security_data_pipeline_spark.operators.merge import scd2_apply
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit(datetime(2024, 1, 1)).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = _upsert_source(spark, sf_dir).withColumn(
+        "ts", F.lit(datetime(2024, 6, 1)).cast("timestamp")
+    )
+    return scd2_apply(
+        dim, updates, keys=["c_custkey"], attrs=["c_acctbal"], ts_col="ts"
+    )
+
+
 # Composite driver-window queries register on import (they reuse the
 # operators and oracle-SQL builders defined above, so the import must come
 # after those definitions).
