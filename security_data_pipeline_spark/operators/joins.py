@@ -18,7 +18,7 @@ Both operators are built for the 100 TB path:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -166,28 +166,31 @@ def fuzzy_string_join(
     left_col: str,
     right_col: str,
     max_distance: int = 2,
-    block: Column | None = None,
+    block: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """Approximate string join: pairs whose edit distance is ≤
     ``max_distance``, candidate-generated through a **blocking key** so the
     join is a hash equi-join, never a cross join.
 
-    ``block`` is an expression evaluated against the join column (default:
-    the first whitespace token — robust to typos later in the string). Rows
-    agreeing on the block key meet in one shuffle partition; the exact
+    ``block`` is a callable mapping each side's join column to its blocking
+    key (default: the first space-delimited token — robust to typos later in
+    the string; literal single-space split so DuckDB ``string_split(c, ' ')``
+    tokenizes identically, including empty tokens at consecutive spaces).
+    Rows agreeing on the block key meet in one shuffle partition; the exact
     ``levenshtein`` predicate then filters the candidates. Recall is bounded
     by the blocking choice (a typo inside the block key hides the pair) —
     the standard record-linkage trade; run multiple passes with different
     keys for higher recall, exactly like LSH bands.
 
     At 100 TB: candidate count is Σ|block|·|block'| over matching blocks, so
-    block granularity is the knob; `levenshtein` with the threshold argument
-    short-circuits the DP on early overflow. Output: all left columns plus
-    right columns (colliding names suffixed ``_m``) plus ``edit_distance``.
+    block granularity is the knob; the bounded 3-arg ``levenshtein`` returns
+    -1 past the threshold, letting the DP short-circuit instead of filling
+    the full matrix. Output: all left columns plus right columns (colliding
+    names suffixed ``_m``) plus ``edit_distance``.
     """
 
     def block_of(c: Column) -> Column:
-        return block if block is not None else F.split(c, r"\s+")[0]
+        return block(c) if block is not None else F.split(c, " ")[0]
 
     collide = {c for c in right.columns if c in left.columns}
     r = right.select(
@@ -196,11 +199,11 @@ def fuzzy_string_join(
     r_col = f"{right_col}_m" if right_col in collide else right_col
     l = left.withColumn("_blk", block_of(F.col(left_col)))
     r = r.withColumn("_blk", block_of(F.col(r_col)))
-    dist = F.levenshtein(F.col(left_col), F.col(r_col))
+    dist = F.levenshtein(F.col(left_col), F.col(r_col), max_distance)
     return (
         l.join(r, "_blk")
-        .filter(dist <= F.lit(max_distance))
         .withColumn("edit_distance", dist)
+        .filter(F.col("edit_distance") >= 0)
         .drop("_blk")
     )
 

@@ -29,10 +29,12 @@ from pyspark.sql import functions as F
 
 
 def _any_attr_differs(attrs: Sequence[str], suffix: str) -> Column:
+    # initial False: a keys-only merge (no shared attrs) classifies every
+    # matched row unchanged instead of raising on the empty reduce.
     diffs = [
         ~F.col(a).eqNullSafe(F.col(f"{a}{suffix}")) for a in attrs
     ]
-    return reduce(lambda x, y: x | y, diffs)
+    return reduce(lambda x, y: x | y, diffs, F.lit(False))
 
 
 def merge_upsert(

@@ -27,6 +27,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # testdata events.parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark
     # cannot read natively; read as long and convert (sources/catalog.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # testdata parquet timestamps carry no timezone tag; read them as
+    # session-tz TIMESTAMP (UTC above) rather than TIMESTAMP_NTZ so epoch
+    # functions (unix_micros et al.) apply directly — matches DuckDB, whose
+    # naive TIMESTAMP is treated as UTC by the oracle harness.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Arrow for any pandas-UDF path (similarity / multimodal operators).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }

@@ -47,6 +47,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+    # Untagged parquet timestamps can still surface as TIMESTAMP_NTZ when the
+    # inferTimestampNTZ conf could not be applied (static-conf deployments) or
+    # the scan was planned before configure() ran. The session runs UTC, so
+    # NTZ -> TIMESTAMP is value-preserving; epoch math downstream needs it.
+    ntz_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -236,3 +236,70 @@ def test_ivf_assign_covers_all_rows_one_cluster_each(spark, sf_smoke):
     ).first()
     assert stats["n"] == emb.count()
     assert 1 <= stats["lo"] and stats["hi"] <= 8
+
+
+def test_fuzzy_string_join_default_block_literal_space(spark):
+    # consecutive spaces / tabs: the default block key splits on a LITERAL
+    # single space (DuckDB string_split parity) — tabs stay inside the token.
+    left = spark.createDataFrame(
+        [("alpha  beta", 1), ("tab\tkey x", 2)], "name string, lid long"
+    )
+    right = spark.createDataFrame(
+        [("alpha  beta", 10), ("tab\tkey y", 20)], "cand string, rid long"
+    )
+    out = joins.fuzzy_string_join(left, right, "name", "cand", max_distance=2)
+    got = {(r["lid"], r["rid"], r["edit_distance"]) for r in out.collect()}
+    assert got == {(1, 10, 0), (2, 20, 1)}
+
+
+def test_fuzzy_string_join_custom_block_callable(spark):
+    # caller-supplied block applies per side, surviving the _m rename on the
+    # right frame (ADVICE: the old Column-typed block bound to the left name).
+    left = spark.createDataFrame([("smith john", 1)], "name string, lid long")
+    right = spark.createDataFrame([("smith jon", 2)], "name string, rid long")
+    out = joins.fuzzy_string_join(
+        left,
+        right,
+        "name",
+        "name",
+        max_distance=2,
+        block=lambda c: F.substring(c, 1, 4),
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["edit_distance"] == 1
+
+
+def test_fuzzy_string_join_distance_exceeds_threshold_dropped(spark):
+    left = spark.createDataFrame([("alpha one", 1)], "name string, lid long")
+    right = spark.createDataFrame(
+        [("alpha onyxzq", 2)], "cand string, rid long"
+    )
+    out = joins.fuzzy_string_join(left, right, "name", "cand", max_distance=2)
+    assert out.count() == 0  # distance 4 > 2: bounded levenshtein returns -1
+
+
+def test_merge_upsert_keys_only(spark):
+    # no shared non-key attributes: rows classify insert/unchanged instead of
+    # raising on an empty reduce (ADVICE: merge.py empty-attrs TypeError).
+    from security_data_pipeline_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1,), (2,)], "k long")
+    source = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {
+        r["k"]: r["merge_action"] for r in merge_upsert(target, source, ["k"]).collect()
+    }
+    assert got == {1: "unchanged", 2: "unchanged", 3: "insert"}
+
+
+def test_merge_upsert_update_and_insert(spark):
+    from security_data_pipeline_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    source = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    out = merge_upsert(target, source, ["k"])
+    got = {r["k"]: (r["v"], r["merge_action"]) for r in out.collect()}
+    assert got == {
+        1: ("a", "unchanged"),
+        2: ("B", "update"),
+        3: ("c", "insert"),
+    }
