@@ -1,0 +1,151 @@
+"""Data-layout operators: multi-dimensional clustering for scan pruning.
+
+A 100 TB table is pruned at three levels — partition directories, parquet
+row-group min/max stats, and page indexes. All three depend on the physical
+ROW ORDER inside files: a table sorted by one column prunes that column only;
+a table Z-ORDERED over k columns prunes usefully on ANY subset of them,
+because the space-filling curve keeps rows that are close in k-dim space
+close in the file. This is the layout trick behind Delta/Iceberg `OPTIMIZE
+ZORDER BY` — implemented here engine-side with plain Column expressions, so
+it works on vanilla parquet.
+
+Two pieces:
+
+- :func:`zvalue` — interleave the bits of k rank-normalized columns into one
+  long (Morton code). Rank normalization (equal-frequency buckets) makes the
+  curve robust to skewed / arbitrary-ranged inputs: every column contributes
+  equal-weight bits regardless of its distribution. A per-column
+  ``percent_rank`` window would cost k global sorts — instead bucket ids
+  come from a balanced WHEN-tree compiled from one ``approxQuantile`` pass
+  (Greenwald–Khanna sketch; the driver collects only the ~2^bits cut
+  points), so the whole z-value is a map-side codegen expression and the
+  only shuffle is the final range partitioning.
+- :func:`zorder_layout` — repartitionByRange + sortWithinPartitions on the
+  z-value: each output file covers a compact hyper-rectangle, so min/max
+  stats prune multi-column predicates. Range partitioning samples the
+  z-value to build balanced splits — no skew hotspot even when the data
+  clusters in z-space.
+
+Scale: quantile fit is one sketch-merged pass; the layout itself is one
+exchange — the same cost as any repartition, paid once at write time,
+repaid on every pruned read.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zvalue", "zvalue_fixed", "zorder_layout"]
+
+
+def _bucket_tree(col: Column, cuts: Sequence[float], lo: int, hi: int) -> Column:
+    """Balanced CASE tree mapping ``col`` to its equal-frequency bucket id in
+    ``[lo, hi]``: depth log2(buckets) comparisons per row, fully inside
+    whole-stage codegen (no UDF, no O(buckets) per-row scan)."""
+    if lo == hi:
+        return F.lit(lo).cast("long")
+    mid = (lo + hi) // 2  # buckets lo..mid sit strictly below cuts[mid]
+    return (
+        F.when(col < F.lit(cuts[mid]), _bucket_tree(col, cuts, lo, mid))
+        .otherwise(_bucket_tree(col, cuts, mid + 1, hi))
+    )
+
+
+def _interleave(rank_cols: Sequence[Column], bits: int) -> Column:
+    """Morton-interleave ``bits`` low bits of each rank column into one long.
+
+    Static expression tree (k*bits shift/or terms) — codegen-friendly.
+    """
+    z = F.lit(0).cast("long")
+    k = len(rank_cols)
+    for b in range(bits):
+        for i, rc in enumerate(rank_cols):
+            bit = F.shiftright(rc, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * k + i))
+    return z
+
+
+def zvalue(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits_per_col: int = 8,
+    sample_error: float = 0.01,
+) -> Column:
+    """Z-value (Morton code) column over ``cols``, rank-normalized.
+
+    Each column maps to one of ``2**bits_per_col`` equal-frequency buckets
+    (cut points from one ``approxQuantile`` pass over all columns, relative
+    error ``sample_error``); bucket ids are bit-interleaved LSB-first.
+    NULLs rank lowest (bucket 0). Total bits = len(cols) * bits_per_col —
+    capped at 60 to stay in a signed long. Duplicate cut points (heavy
+    values) collapse buckets, which only merges neighbors — ordering is
+    preserved.
+    """
+    cols = list(cols)
+    n_buckets = 1 << bits_per_col
+    if len(cols) * bits_per_col > 60:
+        raise ValueError("len(cols) * bits_per_col must be <= 60")
+    num = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    all_cuts = num.approxQuantile(cols, probs, sample_error)
+    rank_cols: list[Column] = []
+    for c, cuts in zip(cols, all_cuts):
+        dcol = F.col(c).cast("double")
+        tree = _bucket_tree(dcol, list(cuts), 0, len(cuts))
+        rank_cols.append(
+            F.when(dcol.isNull(), F.lit(0).cast("long")).otherwise(tree)
+        )
+    return _interleave(rank_cols, bits_per_col)
+
+
+def zvalue_fixed(
+    bounds: Sequence[tuple[Column, Column, Column]],
+    bits_per_col: int = 8,
+) -> Column:
+    """Equal-WIDTH z-value: each entry of ``bounds`` is ``(col, lo, hi)``
+    Column triples; the column maps to ``floor((col-lo)/(hi-lo) * 2^bits)``
+    clamped into range, then bits interleave as in :func:`zvalue`.
+
+    Fully deterministic arithmetic (no sketch), so the identical expression
+    is reproducible in any SQL engine — this is the oracle-checkable form;
+    :func:`zvalue` (equal-frequency) is the production form for skewed data.
+    NULLs map to bucket 0.
+    """
+    n_buckets = 1 << bits_per_col
+    if len(bounds) * bits_per_col > 60:
+        raise ValueError("len(bounds) * bits_per_col must be <= 60")
+    rank_cols: list[Column] = []
+    for col, lo, hi in bounds:
+        x = col.cast("double")
+        span = hi.cast("double") - lo.cast("double")
+        raw = F.floor((x - lo.cast("double")) / span * F.lit(n_buckets))
+        clamped = F.least(
+            F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1)
+        ).cast("long")
+        rank_cols.append(F.coalesce(clamped, F.lit(0).cast("long")))
+    return _interleave(rank_cols, bits_per_col)
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: Sequence[str],
+    num_files: int = 200,
+    bits_per_col: int = 8,
+) -> DataFrame:
+    """Rewrite ``df``'s physical order along the Z-curve of ``cols``.
+
+    Returns the frame range-partitioned into ``num_files`` z-ranges and
+    sorted by z within each — write it out directly and every output file
+    covers a compact region of the col-space, giving row-group min/max
+    pruning on any predicate touching any subset of ``cols``.
+    """
+    z = zvalue(df, cols, bits_per_col=bits_per_col)
+    return (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )

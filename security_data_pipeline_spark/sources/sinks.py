@@ -87,6 +87,28 @@ def write_jsonl(
     writer.json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    compression: str = "zstd",
+) -> None:
+    """ORC sink — the other columnar interchange format (Hive/Trino
+    ecosystems). Same pruning properties as parquet: stripe-level min/max
+    stats + dictionary/bloom indexes, predicate pushdown on read is on by
+    default (`spark.sql.orc.filterPushdown`)."""
+    writer = df.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """ORC source; schema comes from file metadata (self-describing, like
+    parquet — no inference pass)."""
+    return spark.read.orc(path)
+
+
 def read_jsonl(spark, path: str, schema=None) -> DataFrame:
     """JSON-lines source. Pass an explicit schema at scale: schema-less reads
     trigger a full inference pass over the data (twice the IO) and infer

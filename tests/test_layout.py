@@ -1,0 +1,107 @@
+"""Z-order layout: locality, determinism, null handling; ORC roundtrip."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from security_data_pipeline_spark.operators import layout
+from security_data_pipeline_spark.sources import sinks
+
+
+def _grid_df(spark, side: int = 64):
+    pts = [(x, y) for x in range(side) for y in range(side)]
+    random.Random(7).shuffle(pts)
+    return spark.createDataFrame(pts, "x long, y long")
+
+
+def test_zorder_layout_bounds_both_dims(spark):
+    """After z-ordering a 64x64 grid into 16 ranges, every range's bounding
+    box is compact in BOTH dims — the property a single-column sort cannot
+    give (its minor dim spans the full domain in every file)."""
+    side, n_parts = 64, 16
+    df = _grid_df(spark, side)
+    laid = layout.zorder_layout(df, ["x", "y"], num_files=n_parts, bits_per_col=6)
+    boxes = (
+        laid.withColumn("_p", F.spark_partition_id())
+        .groupBy("_p")
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+        )
+        .collect()
+    )
+    assert len(boxes) == n_parts
+    avg_dx = sum(r["dx"] for r in boxes) / len(boxes)
+    avg_dy = sum(r["dy"] for r in boxes) / len(boxes)
+    # x-sorted layout gives avg_dy == side-1 == 63; z-order must beat it by
+    # a wide margin on BOTH dims (ideal 16-cell z-split of 64x64: 31/15).
+    assert avg_dx < side * 0.75, avg_dx
+    assert avg_dy < side * 0.75, avg_dy
+    assert laid.count() == side * side  # layout is a pure reorder
+
+
+def test_zvalue_fixed_matches_hand_morton(spark):
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (3.0, 0.0), (0.0, 3.0), (3.0, 3.0), (None, 3.0)],
+        "x double, y double",
+    )
+    z = layout.zvalue_fixed(
+        [(F.col("x"), F.lit(0.0), F.lit(4.0)), (F.col("y"), F.lit(0.0), F.lit(4.0))],
+        bits_per_col=2,
+    )
+    got = [r["z"] for r in df.select(z.alias("z")).collect()]
+    # buckets: 0->0, 3->3 (floor(3/4*4)=3). interleave LSB-first, x bit i at
+    # position 2i, y at 2i+1: (3,3)->15, (3,0)->5, (0,3)->10, null->bucket 0
+    assert got == [0, 5, 10, 15, 10]
+
+
+def test_zvalue_equal_frequency_skew_resistant(spark):
+    # 90% of mass at x=0; equal-frequency ranks must still spread buckets
+    # so the interleaved code orders the heavy value before the tail.
+    rows = [(0,) for _ in range(900)] + [(i,) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "x long")
+    z = layout.zvalue(df, ["x"], bits_per_col=6, sample_error=0.001)
+    out = df.select(F.col("x"), z.alias("z")).distinct().collect()
+    zero_z = {r["z"] for r in out if r["x"] == 0}
+    tail_z = {r["z"] for r in out if r["x"] > 0}
+    assert len(zero_z) == 1  # identical values share one bucket
+    assert min(tail_z) >= max(zero_z)  # order preserved
+    # 10% of mass over 64 equal-frequency buckets ≈ 6 buckets for the tail:
+    # it must NOT collapse into the heavy value's bucket
+    assert len(tail_z) >= 3, tail_z
+
+
+def test_zvalue_rejects_bit_overflow(spark):
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    try:
+        layout.zvalue(df, ["x", "y"], bits_per_col=31)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_orc_roundtrip_preserves_values(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, None, -0.25)],
+        "k long, s string, v double",
+    )
+    path = str(tmp_path / "orc_out")
+    sinks.write_orc(df, path)
+    back = sinks.read_orc(spark, path)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_orc_partitioned_prunes_directories(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(100)],
+        "k long, par string",
+    )
+    path = str(tmp_path / "orc_part")
+    sinks.write_orc(df, path, partition_by=("par",))
+    back = sinks.read_orc(spark, path).filter(F.col("par") == "even")
+    assert back.count() == 50
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "par#" not in plan.split("Location")[0]
