@@ -3548,6 +3548,69 @@ def events_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_incremental_rollup",
+    sql="""
+SELECT event_type,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS value_sum,
+       MIN(value) AS value_min, MAX(value) AS value_max,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS user_distinct_ok
+FROM events GROUP BY event_type
+""",
+    description=(
+        "Incremental rollup maintenance (operators/incremental.py): events "
+        "split into two ingest batches (even/odd day-of-month), each "
+        "reduced to partial aggregate state (decimal sums, counts, min/max, "
+        "DataSketches HLL sketch per group), partials merged "
+        "(sum-of-sums / min-of-mins / hll_union_agg) and finalized — the "
+        "daily-ETL pattern that updates a 100 TB rollup by folding one new "
+        "partition into KB-size state instead of rescanning history. "
+        "Algebraic measures must equal a direct one-pass aggregation "
+        "EXACTLY (decimal sums are merge-order-proof; the oracle recomputes "
+        "them from raw rows), and the merged sketch's distinct estimate "
+        "must land within 8% of exact (user_distinct_ok)"
+    ),
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import incremental as inc
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value", F.dayofmonth("ts").alias("_dom")
+    )
+    slices = [
+        ev.filter(F.col("_dom") % 2 == 0),
+        ev.filter(F.col("_dom") % 2 == 1),
+    ]
+    partials = [
+        inc.partial_aggs(s, ["event_type"], ["value"], ["user_id"])
+        for s in slices
+    ]
+    merged = inc.merge_partials(
+        partials, ["event_type"], ["value"], ["user_id"]
+    )
+    fin = inc.finalize(merged, ["event_type"], ["value"], ["user_id"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("_exact_users")
+    )
+    est_err = F.abs(
+        F.col("user_id_distinct") - F.col("_exact_users")
+    ).cast("double") / F.col("_exact_users").cast("double")
+    return (
+        fin.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            # exact decimal internally; doubled+rounded at the boundary only
+            # because DuckDB's pandas bridge renders DECIMAL as float
+            F.round(F.col("value_sum").cast("double"), 6).alias("value_sum"),
+            "value_min",
+            "value_max",
+            "n_rows",
+            (est_err <= 0.08).alias("user_distinct_ok"),
+        )
+    )
+
+
 # Composite driver-window queries register on import (they reuse the
 # operators and oracle-SQL builders defined above, so the import must come
 # after those definitions).
