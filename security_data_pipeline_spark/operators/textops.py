@@ -93,6 +93,28 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def classifier_score(
+    features: dict[str, float],
+    bias: float = 0.0,
+) -> Column:
+    """Logistic quality-classifier score: ``sigmoid(bias + Σ w_i · x_i)``
+    over already-computed feature columns (e.g. :func:`quality_features`
+    output). This is the standard fasttext/logreg-style quality gate of LLM
+    data pipelines, evaluated as ONE Column expression — the model rides the
+    projection, no UDF, no batch hop, trivially fused into the scan at
+    100 TB. Weights arrive as plain literals so the identical arithmetic is
+    reproducible in any SQL engine (exp/division are IEEE-deterministic).
+
+    NULL features contribute 0 (treated as missing-at-neutral).
+    """
+    z: Column = F.lit(float(bias))
+    for name, w in features.items():
+        z = z + F.coalesce(F.col(name).cast("double"), F.lit(0.0)) * F.lit(
+            float(w)
+        )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
 def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Repetition quality signals (the Gopher-rules family): documents
     dominated by a repeated phrase are low-value training data.

@@ -3611,6 +3611,119 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Model-scored quality gating and privacy suppression
+# ---------------------------------------------------------------------------
+
+_CLF_WEIGHTS = {
+    "stopword_ratio": 4.0,
+    "punct_ratio": -6.0,
+    "avg_token_len": 0.35,
+    "quality_score": 2.0,
+}
+_CLF_BIAS = -2.5
+
+
+@query(
+    "doc_classifier_gate",
+    sql=f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars_computed,
+         len(list_filter(string_split(lower(text), ' '),
+                         t -> t IN ({_STOP_SQL}))) AS n_stop,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+           AS n_punct
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         ROUND(CAST(n_chars_computed AS DOUBLE)
+               / CAST(NULLIF(n_tokens, 0) AS DOUBLE), 6) AS avg_token_len,
+         ROUND(CAST(n_stop AS DOUBLE)
+               / CAST(NULLIF(n_tokens, 0) AS DOUBLE), 6) AS stopword_ratio,
+         ROUND(CAST(n_punct AS DOUBLE)
+               / CAST(NULLIF(n_chars_computed, 0) AS DOUBLE), 6) AS punct_ratio,
+         ROUND(0.5 * CAST(LEAST(n_tokens, 200) AS DOUBLE) / 200.0
+               + 0.5 * LEAST(CAST(n_stop AS DOUBLE)
+                             / CAST(NULLIF(n_tokens, 0) AS DOUBLE) * 5.0, 1.0),
+               6) AS quality_score
+  FROM base
+), scored AS (
+  SELECT doc_id,
+         1.0 / (1.0 + exp(-({_CLF_BIAS}
+           + COALESCE(stopword_ratio, 0.0) * {_CLF_WEIGHTS["stopword_ratio"]}
+           + COALESCE(punct_ratio, 0.0) * {_CLF_WEIGHTS["punct_ratio"]}
+           + COALESCE(avg_token_len, 0.0) * {_CLF_WEIGHTS["avg_token_len"]}
+           + COALESCE(quality_score, 0.0) * {_CLF_WEIGHTS["quality_score"]}
+         ))) AS raw_score
+  FROM feats
+)
+SELECT doc_id, ROUND(raw_score, 6) AS clf_score,
+       raw_score >= 0.5 AS keep FROM scored
+""",
+    description=(
+        "Model-scored quality gate: a logistic classifier (literal "
+        "weights over the quality_features columns) evaluated as one "
+        "Column expression — the fasttext/logreg-style quality filter of "
+        "LLM data pipelines with zero UDF cost, reproduced "
+        "arithmetic-for-arithmetic in the DuckDB oracle (rounded features "
+        "in, 6dp-rounded sigmoid out)"
+    ),
+)
+def doc_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = textops.quality_features(docs)
+    score = textops.classifier_score(_CLF_WEIGHTS, bias=_CLF_BIAS)
+    return feats.select(
+        "doc_id",
+        F.round(score, 6).alias("clf_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+@query(
+    "events_k_anonymous",
+    sql="""
+WITH g AS (
+  SELECT event_type,
+         '[' || CAST(CAST(FLOOR(value / 50) * 50 AS BIGINT) AS VARCHAR)
+             || ',' || CAST(CAST(FLOOR(value / 50) * 50 + 50 AS BIGINT) AS VARCHAR)
+             || ')' AS value_range
+  FROM events
+), sized AS (
+  SELECT event_type, value_range, CAST(COUNT(*) AS BIGINT) AS qid_count
+  FROM g GROUP BY event_type, value_range
+)
+SELECT * FROM sized WHERE qid_count >= 25
+""",
+    description=(
+        "k-anonymity suppression (operators/privacy.py): events coarsened "
+        "to (event_type, width-50 value range) quasi-identifiers via "
+        "generalize_numeric, then k_anonymize(k=25) drops every row whose "
+        "quasi-identifier tuple is rarer than k — the release gate for "
+        "telemetry-derived training data. Group size rides one count "
+        "window (no join-back); the query emits the surviving distinct "
+        "groups with their sizes. NULL ranges form their own group, "
+        "matching SQL GROUP BY semantics in the oracle"
+    ),
+)
+def events_k_anonymous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators.privacy import (
+        generalize_numeric,
+        k_anonymize,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        generalize_numeric("value", width=50).alias("value_range"),
+    )
+    kept = k_anonymize(
+        ev, ["event_type", "value_range"], k=25, count_col="qid_count"
+    )
+    return kept.distinct()
+
+
 # Composite driver-window queries register on import (they reuse the
 # operators and oracle-SQL builders defined above, so the import must come
 # after those definitions).

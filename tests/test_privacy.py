@@ -1,0 +1,69 @@
+"""k-anonymity, generalization, and the logistic classifier gate."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from security_data_pipeline_spark.operators import textops
+from security_data_pipeline_spark.operators.privacy import (
+    generalize_numeric,
+    k_anonymize,
+)
+
+
+def test_k_anonymize_suppresses_rare_tuples(spark):
+    rows = [("a", "x")] * 5 + [("a", "y")] * 2 + [("b", "x")] * 3
+    df = spark.createDataFrame(rows, "g string, h string")
+    kept = k_anonymize(df, ["g", "h"], k=3)
+    got = {(r["g"], r["h"]) for r in kept.collect()}
+    assert got == {("a", "x"), ("b", "x")}
+    assert kept.count() == 8  # rows survive intact, not just group keys
+
+
+def test_k_anonymize_nulls_form_their_own_group(spark):
+    rows = [(None, 1)] * 4 + [("v", 1)] * 2
+    df = spark.createDataFrame(rows, "g string, n long")
+    kept = k_anonymize(df, ["g"], k=3, count_col="sz")
+    got = {(r["g"], r["sz"]) for r in kept.collect()}
+    assert got == {(None, 4)}
+
+
+def test_k_anonymize_rejects_bad_k(spark):
+    df = spark.createDataFrame([("a",)], "g string")
+    try:
+        k_anonymize(df, ["g"], k=0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_generalize_numeric_labels(spark):
+    df = spark.createDataFrame(
+        [(37.0,), (-1.0,), (50.0,), (None,)], "v double"
+    )
+    out = df.select(generalize_numeric("v", width=50).alias("r")).collect()
+    assert [r["r"] for r in out] == ["[0,50)", "[-50,0)", "[50,100)", None]
+
+
+def test_classifier_score_matches_math(spark):
+    df = spark.createDataFrame([(0.2, 0.1), (None, 0.5)], "f1 double, f2 double")
+    score = textops.classifier_score({"f1": 2.0, "f2": -1.0}, bias=0.5)
+    got = [r["s"] for r in df.select(score.alias("s")).collect()]
+    exp0 = 1.0 / (1.0 + math.exp(-(0.5 + 0.2 * 2.0 + 0.1 * -1.0)))
+    exp1 = 1.0 / (1.0 + math.exp(-(0.5 + 0.0 + 0.5 * -1.0)))  # null -> 0
+    assert abs(got[0] - exp0) < 1e-12
+    assert abs(got[1] - exp1) < 1e-12
+
+
+def test_classifier_gate_is_single_stage(spark):
+    # the scorer must fuse into the projection: no exchange, no python eval
+    df = spark.createDataFrame([("hello world the a of to in is",)], "text string")
+    feats = textops.quality_features(df)
+    out = feats.select(
+        textops.classifier_score({"quality_score": 1.0}).alias("s")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
