@@ -156,11 +156,19 @@ SELECT 'except' AS op, o_custkey FROM (
   EXCEPT
   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 )
+UNION ALL
+SELECT 'union' AS op, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  UNION
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
 """,
     description=(
         "Set operations witnessed together: customers with both open and "
-        "finished orders (INTERSECT) and open-only customers (EXCEPT, set "
-        "semantics — subtract, not exceptAll), tagged and unioned"
+        "finished orders (INTERSECT), open-only customers (EXCEPT, set "
+        "semantics — subtract, not exceptAll), and the distinct union of "
+        "both populations (UNION — dedup across branches, not unionAll), "
+        "tagged and unioned"
     ),
 )
 def custkeys_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,7 +181,10 @@ def custkeys_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     exc = open_keys.subtract(done_keys).select(
         F.lit("except").alias("op"), "o_custkey"
     )
-    return inter.unionByName(exc)
+    uni = open_keys.union(done_keys).distinct().select(
+        F.lit("union").alias("op"), "o_custkey"
+    )
+    return inter.unionByName(exc).unionByName(uni)
 
 
 # ---------------------------------------------------------------------------
@@ -779,6 +790,170 @@ def security_detections(spark: SparkSession, sf_dir: str) -> DataFrame:
             null_str.alias("item"),
             F.col("day").alias("ts"),
             F.col("volume_ratio").alias("score"),
+        )
+    )
+    return _union(parts)
+
+
+# ---------------------------------------------------------------------------
+# Scale-maintenance suite: Z-order layout + incremental rollup + k-anonymity
+# + classifier gate, one driver-checkable metric stream
+# ---------------------------------------------------------------------------
+
+
+def _unpivot_arm_sql(
+    cte: str, suite: str, item_expr: str, metrics: list[tuple[str, str]]
+) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{suite}' AS suite, {item_expr} AS item, "
+        f"'{name}' AS metric, CAST({expr} AS DOUBLE) AS value FROM {cte}"
+        for name, expr in metrics
+    )
+
+
+def _scale_suite_sql() -> str:
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+
+    def cte(name: str) -> str:
+        return REGISTRY[name].sql.strip().rstrip(";")
+
+    arms = [
+        _unpivot_arm_sql(
+            "zc",
+            "zorder",
+            "CAST(z_cell AS VARCHAR)",
+            [
+                ("n_rows", "n_rows"),
+                ("min_user", "min_user"),
+                ("max_user", "max_user"),
+                ("min_value", "min_value"),
+                ("max_value", "max_value"),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "inc",
+            "incremental",
+            "event_type",
+            [
+                ("value_sum", "value_sum"),
+                ("value_min", "value_min"),
+                ("value_max", "value_max"),
+                ("n_rows", "n_rows"),
+                ("distinct_ok", "CASE WHEN user_distinct_ok THEN 1.0 ELSE 0.0 END"),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "ka",
+            "k_anon",
+            "event_type || '|' || COALESCE(value_range, 'NULL')",
+            [("qid_count", "qid_count")],
+        ),
+        _unpivot_arm_sql(
+            "clfagg",
+            "classifier",
+            "'all'",
+            [("n_docs_kept", "n_kept"), ("score_sum", "score_sum")],
+        ),
+    ]
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH zc AS ({cte("events_zorder_cells")}),
+inc AS ({cte("events_incremental_rollup")}),
+ka AS ({cte("events_k_anonymous")}),
+clf AS ({cte("doc_classifier_gate")}),
+clfagg AS (
+  SELECT SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+         CAST(SUM(CAST(clf_score AS DECIMAL(18,6))) AS DOUBLE) AS score_sum
+  FROM clf
+)
+{body}
+"""
+
+
+@query(
+    "scale_suite",
+    sql=_scale_suite_sql(),
+    description=(
+        "Scale-maintenance family in one slot: (1) Z-order layout cells — "
+        "Morton-code clustering's per-cell bounding boxes, bit interleave "
+        "replicated in SQL; (2) incremental rollup — mergeable partial "
+        "aggregate state (decimal sums + HLL sketches) folded across "
+        "ingest batches and checked against a direct recompute; (3) "
+        "k-anonymity suppression — surviving quasi-identifier groups with "
+        "sizes; (4) the logistic classifier quality gate — kept-doc count "
+        "and exact-decimal score mass. All four unpivoted to one "
+        "(suite, item, metric, value) stream; constituents stay registered "
+        "for granular oracle checks"
+    ),
+)
+def scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+
+    def run(name: str) -> DataFrame:
+        return REGISTRY[name].fn(spark, sf_dir)
+
+    parts: list[DataFrame] = []
+
+    zc = run("events_zorder_cells")
+    zc_metrics = ["n_rows", "min_user", "max_user", "min_value", "max_value"]
+    parts.append(
+        zc.select(
+            F.col("z_cell").cast("string").alias("item"),
+            *[F.col(m).cast("double").alias(m) for m in zc_metrics],
+        )
+        .unpivot(["item"], zc_metrics, "metric", "value")
+        .select(F.lit("zorder").alias("suite"), "item", "metric", "value")
+    )
+
+    inc = run("events_incremental_rollup")
+    inc_metrics = ["value_sum", "value_min", "value_max", "n_rows", "distinct_ok"]
+    parts.append(
+        inc.select(
+            F.col("event_type").alias("item"),
+            F.col("value_sum").cast("double").alias("value_sum"),
+            F.col("value_min").cast("double").alias("value_min"),
+            F.col("value_max").cast("double").alias("value_max"),
+            F.col("n_rows").cast("double").alias("n_rows"),
+            F.when(F.col("user_distinct_ok"), 1.0).otherwise(0.0).alias("distinct_ok"),
+        )
+        .unpivot(["item"], inc_metrics, "metric", "value")
+        .select(F.lit("incremental").alias("suite"), "item", "metric", "value")
+    )
+
+    ka = run("events_k_anonymous")
+    parts.append(
+        ka.select(
+            F.lit("k_anon").alias("suite"),
+            F.concat(
+                F.col("event_type"),
+                F.lit("|"),
+                F.coalesce(F.col("value_range"), F.lit("NULL")),
+            ).alias("item"),
+            F.lit("qid_count").alias("metric"),
+            F.col("qid_count").cast("double").alias("value"),
+        )
+    )
+
+    clf = run("doc_classifier_gate")
+    clf_agg = clf.agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.col("clf_score").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("score_sum"),
+    )
+    parts.append(
+        clf_agg.select(
+            F.lit("classifier").alias("suite"),
+            F.lit("all").alias("item"),
+            F.lit("n_docs_kept").alias("metric"),
+            F.col("n_kept").cast("double").alias("value"),
+        ).unionByName(
+            clf_agg.select(
+                F.lit("classifier").alias("suite"),
+                F.lit("all").alias("item"),
+                F.lit("score_sum").alias("metric"),
+                F.col("score_sum").alias("value"),
+            )
         )
     )
     return _union(parts)

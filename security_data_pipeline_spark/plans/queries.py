@@ -3779,7 +3779,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "quantity_quartiles_by_flag",
     "price_quantiles_sketch",
     "custkeys_setops",
-    "party_directory_union",
+    # scale-maintenance composite: zorder layout + incremental rollup +
+    # k-anonymity + classifier gate (union witness moved into
+    # custkeys_setops; party_directory_union stays registered as extra)
+    "scale_suite",
     "orders_above_customer_avg",
     "customer_spend_quartiles",
     "top_orders_per_customer",
