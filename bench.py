@@ -100,15 +100,19 @@ def main() -> None:
                 f"{name}: {n} rows, expected {expected[name]}"
             )
         # settle the JVM between queries: 20+ distinct plans in one session
-        # accumulate generated-code classes and garbage; an explicit GC here
-        # keeps collection pauses out of the timed region
+        # accumulate garbage; an explicit GC here keeps collection pauses
+        # out of the timed region. (The code-cache side of this problem is
+        # solved at the root: session.py reserves 1g of JIT code cache —
+        # with the default 240m the C2 compiler shut off mid-benchmark and
+        # later queries ran interpreted, 2-6x slower, nondeterministically.)
         spark.sparkContext._jvm.System.gc()
-        df.write.mode("overwrite").format("noop").save()  # warm-up (untimed)
-        # best-of-3: a single timed run is hostage to JIT/GC pauses landing
-        # on it (observed multi-second spikes on identical plans — the
-        # multi-stage two-phase queries spread 0.7-1.7s across identical
-        # runs); the min is the steady-state figure a long-running cluster
-        # sees
+        # two untimed warm-ups: the first compiles codegen, the second lets
+        # C2 JIT the hot loops — deep plans (the ETL chain) measured ~2x
+        # slower on their first post-compile execution. Timed runs stay
+        # CONSECUTIVE: interleaving other plans between runs evicts this
+        # plan's JIT state and re-measures the cold path (~2x, measured).
+        df.write.mode("overwrite").format("noop").save()
+        df.write.mode("overwrite").format("noop").save()
         best = float("inf")
         for _ in range(3):
             start = time.perf_counter()

@@ -75,6 +75,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # 20+ distinct whole-stage-codegen plans per session generate enough
+        # JIT-compiled classes to fill the default 240m code cache; once full
+        # the C2 compiler shuts off and later queries run interpreted
+        # (measured 1s -> 6s on the same plan). Reserve enough to keep every
+        # hot loop compiled for the session's whole query mix.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
     )
     for key, value in RUNTIME_CONFS.items():
