@@ -168,3 +168,56 @@ def stream_stream_join(
         r_wm[right_ts] <= l_wm[left_ts] + F.expr(f"INTERVAL {within}")
     )
     return l_wm.join(r_wm, key_cond & time_cond, how)
+
+
+def maintain_rollup_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    keys: list[str],
+    measures: list[str] | tuple[str, ...] = (),
+    distinct_cols: list[str] | tuple[str, ...] = (),
+    trigger_available_now: bool = True,
+):
+    """Streaming half of incremental rollup maintenance
+    (``operators/incremental.py``): each micro-batch reduces to partial
+    aggregate state (decimal sums / counts / min-max / HLL sketches) and
+    folds into the persisted state table via ``merge_partials`` — the
+    rollup stays queryable (``incremental.finalize``) and is updated by
+    KB-size merges per batch, never a historical rescan.
+
+    State swap is two writes through a scratch generation (merged →
+    ``{state_path}__next`` → rewritten to ``state_path``): Spark cannot
+    overwrite a parquet dir that the same plan is reading, and the extra
+    write is proportional to |groups|, not batch rows. Exactly-once: the
+    foreachBatch body is idempotent per batch only through the checkpoint's
+    batch tracking — a replayed batch re-merges (standard foreachBatch
+    at-least-once caveat); deployments needing exactness key the state by
+    batch_id generation (the scratch path pattern extends directly).
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from security_data_pipeline_spark.operators import incremental as inc
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = inc.partial_aggs(batch_df, keys, measures, distinct_cols)
+        try:
+            prev = spark.read.parquet(state_path)
+            merged = inc.merge_partials(
+                [prev, new], keys, measures, distinct_cols
+            )
+        except AnalysisException:  # first batch: no state yet
+            merged = new
+        scratch = f"{state_path}__next"
+        merged.write.mode("overwrite").parquet(scratch)
+        spark.read.parquet(scratch).write.mode("overwrite").parquet(state_path)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -94,3 +94,41 @@ def test_avg_finalized_from_sum_and_count(spark):
     # count skips the NULL v in group b: avg = (0.25 + 7.0) / 2
     assert got["b"] == Decimal("3.625000")
     assert got["a"] == Decimal("3.500000")
+
+
+def test_streaming_rollup_equals_batch(spark, tmp_path):
+    """maintain_rollup_stream folds micro-batch partials into persisted
+    state; finalize over that state must equal a direct batch aggregation
+    over everything the stream saw."""
+    import json
+
+    from security_data_pipeline_spark.streaming import maintain_rollup_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rows1 = [{"k": "a", "u": 1, "v": 10.0}, {"k": "b", "u": 2, "v": 1.5}]
+    rows2 = [{"k": "a", "u": 1, "v": 4.0}, {"k": "a", "u": 3, "v": -2.0}]
+    (in_dir / "f1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    (in_dir / "f2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+
+    stream = (
+        spark.readStream.schema("k string, u long, v double")
+        .option("maxFilesPerTrigger", 1)  # force >1 micro-batch: real merges
+        .json(str(in_dir))
+    )
+    state = str(tmp_path / "state")
+    q = maintain_rollup_stream(
+        stream,
+        state,
+        str(tmp_path / "ckpt"),
+        keys=["k"],
+        measures=["v"],
+        distinct_cols=["u"],
+    )
+    q.awaitTermination(120)
+
+    fin = inc.finalize(
+        spark.read.parquet(state), ["k"], ["v"], ["u"]
+    ).collect()
+    got = {r["k"]: (float(r["v_sum"]), r["n_rows"], r["u_distinct"]) for r in fin}
+    assert got == {"a": (12.0, 3, 2), "b": (1.5, 1, 1)}
