@@ -115,6 +115,66 @@ def classifier_score(
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
+def unigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int = 50_000,
+    smoothing_k: float = 0.5,
+) -> DataFrame:
+    """Unigram language-model quality scores: fit add-k-smoothed token
+    logprobs on the corpus itself, then score each document by mean token
+    logprob and perplexity — the classic LM-based quality filter
+    (perplexity-vs-corpus), done with two aggregations and one broadcast
+    join, no model runtime.
+
+    Model: ``p(tok) = (count + k) / (T + k·(V+1))`` over the top
+    ``max_vocab`` tokens (ties broken by token asc for determinism); any
+    other token is OOV with ``p = k / (T + k·(V+1))``. ``T`` counts ALL
+    token occurrences, so vocab truncation only affects which tokens fall
+    back to the OOV mass.
+
+    At 100 TB: the vocab fit is one token-level groupBy + TakeOrdered
+    (top-k, no full sort); the capped vocab (~MBs) broadcasts to the
+    scoring join, so the only wide exchange of the scoring pass is the
+    per-document re-aggregation. Output: id_col, n_tokens, avg_logprob
+    (6dp), perplexity (4dp) — rounding absorbs float-sum ordering and
+    libm ulp differences across engines.
+    """
+    k = float(smoothing_k)
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = cnt.orderBy(F.desc("c"), "tok").limit(max_vocab)
+    totals = cnt.agg(F.sum("c").alias("t")).crossJoin(
+        vocab.agg(F.count(F.lit(1)).alias("v"))
+    )
+    denom = F.log(
+        F.col("t").cast("double") + F.lit(k) * (F.col("v").cast("double") + 1.0)
+    )
+    lp = (
+        F.log(F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(k))
+        - denom
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), lp.alias("_lp"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("_lp").alias("_lp_sum"),
+    )
+    avg = F.col("_lp_sum") / F.col("n_tokens").cast("double")
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        F.round(avg, 6).alias("avg_logprob"),
+        F.round(F.exp(-avg), 4).alias("perplexity"),
+    )
+
+
 def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Repetition quality signals (the Gopher-rules family): documents
     dominated by a repeated phrase are low-value training data.

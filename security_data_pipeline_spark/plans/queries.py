@@ -3724,6 +3724,43 @@ def events_k_anonymous(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.distinct()
 
 
+@query(
+    "doc_lm_scores",
+    sql="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), cnt AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+), vocab AS (
+  SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 50000
+), totals AS (
+  SELECT (SELECT SUM(c) FROM cnt) AS t, (SELECT COUNT(*) FROM vocab) AS v
+), scored AS (
+  SELECT toks.doc_id,
+         ln(CAST(COALESCE(vocab.c, 0) AS DOUBLE) + 0.5)
+           - ln(CAST(totals.t AS DOUBLE) + 0.5 * (CAST(totals.v AS DOUBLE) + 1.0))
+           AS lp
+  FROM toks LEFT JOIN vocab USING (tok) CROSS JOIN totals
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(lp) / COUNT(*), 6) AS avg_logprob,
+       ROUND(exp(-(SUM(lp) / COUNT(*))), 4) AS perplexity
+FROM scored GROUP BY doc_id
+""",
+    description=(
+        "Unigram LM quality scores (textops.unigram_lm_scores): add-0.5 "
+        "smoothed token logprobs fit on the corpus itself (top-50k vocab, "
+        "ties by token), per-doc mean logprob + perplexity — the classic "
+        "perplexity-vs-corpus quality filter as two aggregations and one "
+        "broadcast join, replicated arithmetic-for-arithmetic in DuckDB "
+        "(6dp/4dp rounding absorbs float-sum ordering and libm ulps)"
+    ),
+)
+def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.unigram_lm_scores(docs)
+
+
 # Composite driver-window queries register on import (they reuse the
 # operators and oracle-SQL builders defined above, so the import must come
 # after those definitions).

@@ -79,3 +79,32 @@ def test_scrub_pii_replaces_emails_and_ips_only(spark):
     assert "<EMAIL>" in out and "<IP>" in out
     assert "example.org" not in out and "192.168" not in out
     assert "1.2.3" in out  # three octets: not an IPv4, untouched
+
+
+def test_unigram_lm_scores_rank_fluency(spark):
+    from security_data_pipeline_spark.operators.textops import unigram_lm_scores
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "zqx jvw kpt qqq zzz aab"),  # all-rare tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_lm_scores(df).collect()}
+    assert out[1]["n_tokens"] == 6
+    # docs built from corpus-frequent tokens score better (higher avg
+    # logprob, lower perplexity) than the all-singleton doc
+    assert out[1]["avg_logprob"] > out[3]["avg_logprob"]
+    assert out[1]["perplexity"] < out[3]["perplexity"]
+    assert out[2]["perplexity"] < out[3]["perplexity"]
+
+
+def test_unigram_lm_vocab_cap_sends_tail_to_oov(spark):
+    from security_data_pipeline_spark.operators.textops import unigram_lm_scores
+
+    rows = [(1, "a a a b b c"), (2, "c b a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap=1 keeps only 'a' in vocab; 'b'/'c' fall back to the OOV mass, so
+    # both docs still score and doc 1 (more 'a' mass) scores better
+    out = {r["doc_id"]: r for r in unigram_lm_scores(df, max_vocab=1).collect()}
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
