@@ -776,3 +776,109 @@ def sorted_neighborhood_pairs(
         .filter((gap >= 1) & (gap <= window))
         .select("id_a", "id_b", gap.alias("rank_gap"))
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints, MOSS-style: hash every
+    POSITIONAL word k-gram (a rolling hash over the token stream), slide a
+    window of ``window`` consecutive k-gram hashes, keep each window's
+    minimum — the classic guarantee that any shared run of
+    ``k + window - 1`` tokens between two documents yields at least one
+    IDENTICAL selected fingerprint, while storing only ~1/window of the
+    k-gram hashes.
+
+    Hashes are 16-hex-char md5 prefixes: fixed-width hex strings order
+    exactly like the 64-bit ints they encode (min-selection is therefore
+    engine-portable — same trick as the portable MinHash path). Documents
+    shorter than k tokens emit one fingerprint of their full text, so every
+    doc is represented. Output: one (id, fp) row per DISTINCT selected
+    fingerprint — the per-doc sketch is O(tokens/window).
+
+    Column-only: the k-gram and window selections are array HOFs inside one
+    projection; no shuffle until the caller groups by fingerprint.
+    """
+    toks = F.split(F.col(text_col), " ")
+    gidx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    grams = F.transform(
+        gidx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(grams, lambda g: md5_hash16(g)).alias("_hs"),
+    )
+    # two references to _hs (size + slice) below keep the hash pipeline
+    # materialized as an attribute instead of re-inlined per window
+    widx = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(F.col("_hs")) - (window - 1), F.lit(1)),
+    )
+    fps = F.array_distinct(
+        F.transform(
+            widx, lambda i: F.array_min(F.slice(F.col("_hs"), i, window))
+        )
+    )
+    return base.select("_id", F.explode(fps).alias("fp")).select(
+        F.col("_id").alias(id_col), "fp"
+    )
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowed fingerprints: docs are
+    paired inside each fingerprint bucket (bounded by the fingerprint's
+    document frequency — never a cross join), shared-fingerprint counts and
+    a containment ratio (shared / smaller sketch) come from ONE
+    re-aggregation. The winnowing guarantee makes this the standard
+    partial-overlap detector (plagiarism / quote / boilerplate reuse) —
+    sensitive to any shared run of ``k + window - 1`` tokens, where
+    whole-document hashing (exact dedup) and global-similarity indexes
+    (MinHash) both miss short embedded overlaps.
+    """
+    from security_data_pipeline_spark.operators.skew import fan_out
+
+    fps = winnow_fingerprints(
+        fan_out(df, id_col), id_col=id_col, text_col=text_col, k=k,
+        window=window,
+    ).select(F.col(id_col).alias("_id"), "fp")
+    sized = fps.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    sh = fps.join(sized, "_id")
+    buckets = (
+        sh.groupBy("fp")
+        .agg(F.sort_array(F.collect_set(F.struct("_id", "_sz"))).alias("_ms"))
+        .filter(F.size("_ms") >= 2)
+    )
+    inter = (
+        buckets.select(F.explode(_bucket_pairs(F.col("_ms"))).alias("_p"))
+        .groupBy(
+            F.col("_p.a._id").alias("id_a"),
+            F.col("_p.b._id").alias("id_b"),
+            F.col("_p.a._sz").alias("_sa"),
+            F.col("_p.b._sz").alias("_sb"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    return (
+        inter.filter(F.col("shared_fps") >= min_shared)
+        .select(
+            "id_a",
+            "id_b",
+            "shared_fps",
+            F.round(
+                F.col("shared_fps").cast("double")
+                / F.least(F.col("_sa"), F.col("_sb")).cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )

@@ -3761,6 +3761,54 @@ def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.unigram_lm_scores(docs)
 
 
+@query(
+    "doc_winnow_pairs",
+    sql="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), hs AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(t) - 4, 1)),
+           i -> substr(md5(array_to_string(t[i:i+4], ' ')), 1, 16)) AS h
+  FROM toks
+), fp AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(h) - 3, 1)),
+           i -> list_min(h[i:i+3]))) AS fp
+  FROM hs
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM fp GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.id_a, s.id_b, CAST(s.shared_fps AS BIGINT) AS shared_fps,
+       ROUND(CAST(s.shared_fps AS DOUBLE)
+             / CAST(LEAST(x.sz, y.sz) AS DOUBLE), 6) AS containment
+FROM shared s JOIN sizes x ON x.doc_id = s.id_a
+              JOIN sizes y ON y.doc_id = s.id_b
+WHERE s.shared_fps >= 2
+""",
+    description=(
+        "Winnowing (rolling-hash) fingerprint near-dup pairs "
+        "(dedup.winnow_dup_pairs): positional word 5-gram md5 hashes, "
+        "window-4 minimum selection (MOSS guarantee: any shared 8-token "
+        "run yields an identical fingerprint), docs paired inside "
+        "fingerprint buckets with shared counts + containment — the "
+        "partial-overlap detector whole-doc hashing and MinHash both "
+        "miss. Hex-prefix hashes order like their u64 encodings, so the "
+        "min-selection replicates verbatim in the DuckDB oracle"
+    ),
+)
+def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_dup_pairs(
+        docs, id_col="doc_id", text_col="text", k=5, window=4, min_shared=2
+    )
+
+
 # Composite driver-window queries register on import (they reuse the
 # operators and oracle-SQL builders defined above, so the import must come
 # after those definitions).

@@ -88,3 +88,45 @@ def test_connected_components_chain_and_singletons(spark):
         ).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 10: 10}
+
+
+def test_winnow_guarantee_shared_run_yields_fingerprint(spark):
+    """MOSS guarantee: two docs sharing a run of k+window-1 tokens share at
+    least one selected fingerprint."""
+    from security_data_pipeline_spark.operators.dedup import winnow_fingerprints
+
+    shared_run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, "intro words here " + shared_run + " tail one"),
+        (2, "completely different lead " + shared_run + " other ending"),
+        (3, "no overlap with anything else at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=5, window=4)
+    rowsc = fps.collect()
+    d = {}
+    for r in rowsc:
+        d.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert d[1] & d[2], "shared 8-token run must yield a common fingerprint"
+    assert not (d[1] & d[3]) and not (d[2] & d[3])
+
+
+def test_winnow_short_doc_still_fingerprinted(spark):
+    from security_data_pipeline_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "two words")], "doc_id long, text string")
+    out = winnow_fingerprints(df, k=5, window=4).collect()
+    assert len(out) == 1  # one fingerprint of the whole short text
+
+
+def test_winnow_dup_pairs_containment(spark):
+    from security_data_pipeline_spark.operators.dedup import winnow_dup_pairs
+
+    base = "one two three four five six seven eight nine ten " * 3
+    rows = [(1, base + "ending alpha"), (2, base + "ending beta"),
+            (3, "unrelated content entirely different from the rest ok")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_dup_pairs(df, min_shared=2).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["containment"] for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
+    assert all(p == (1, 2) for p in pairs)
