@@ -178,3 +178,34 @@ def test_ivf_candidates_join_is_broadcast(spark):
     plan = _plan(REGISTRY["knn_cosine_ivf"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_zorder_layout_single_range_exchange_no_udf(spark):
+    from security_data_pipeline_spark.operators.layout import zorder_layout
+
+    ev = load_table(spark, SF, "events")
+    plan = _plan(zorder_layout(ev, ["user_id", "value"], num_files=8))
+    assert "rangepartitioning" in plan.lower(), plan[:500]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only exchange is the final range partitioning (the quantile fit
+    # runs at plan-build time, not inside this plan)
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_incremental_partials_are_partial_aggregated(spark):
+    from security_data_pipeline_spark.operators import incremental as inc
+
+    ev = load_table(spark, SF, "events")
+    p = inc.partial_aggs(ev, ["event_type"], ["value"], ["user_id"])
+    plan = _plan(p)
+    # HLL sketch agg forces ObjectHashAggregate; partial + final pair means
+    # map-side combine before the one exchange
+    assert "ObjectHashAggregate" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_lm_scoring_join_is_broadcast(spark):
+    plan = _plan(REGISTRY["doc_lm_scores"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # vocab fit is TakeOrdered (top-k), never a global sort
+    assert "TakeOrderedAndProject" in plan, plan
