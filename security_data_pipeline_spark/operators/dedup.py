@@ -802,7 +802,13 @@ def winnow_fingerprints(
 
     Column-only: the k-gram and window selections are array HOFs inside one
     projection; no shuffle until the caller groups by fingerprint.
+
+    NULL-text documents emit no fingerprints (``concat_ws`` would otherwise
+    fold NULL to '' and give every NULL doc the identical md5('')
+    fingerprint — pairing all of them; the SQL oracle's NULL-dropping
+    equi-join agrees with the filter, not with that).
     """
+    df = df.filter(F.col(text_col).isNotNull())
     toks = F.split(F.col(text_col), " ")
     gidx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
     grams = F.transform(

@@ -12,9 +12,12 @@ integer keys). avg is stored as (sum, count) and finalized at read time.
 Three pieces:
 
 - :func:`partial_aggs` — one ``groupBy(keys)`` over a slice producing the
-  partial-state schema: ``<m>_sum/_cnt/_min/_max`` per numeric measure,
-  ``<c>_hll`` (binary sketch) and/or ``<c>_bmp`` (per-bucket bitmap rows)
-  for distinct columns. The slice is typically one ingest batch/day.
+  partial-state schema: ``<m>_sum/_cnt/_min/_max`` per numeric measure and
+  ``<c>_hll`` (binary DataSketches sketch) per distinct column. The slice
+  is typically one ingest batch/day. (The exact-bitmap distinct variant
+  lives in the ``events_distinct_sketch`` query — its
+  ``bitmap_construct_agg`` partials merge through ``bitmap_or_agg`` by the
+  same fold pattern if exactness over dense integer keys is required.)
 - :func:`merge_partials` — fold any number of partial-state frames into one
   (union + re-aggregate with the measure-specific merge op). Associative
   and commutative, so batches can merge in any order or tree shape — the
@@ -24,13 +27,9 @@ Three pieces:
 
 Correctness contract (oracle-checked by ``events_incremental_rollup``):
 ``finalize(merge_partials(partial_aggs(slice_i)...)) == direct aggregation
-over the union of slices`` — exactly for algebraic measures and bitmap
-distincts, within sketch error for HLL.
-
-Distinct-count state note: ``<c>_hll`` is one ~KB sketch per group
-regardless of cardinality; ``<c>_bmp`` keeps one bitmap row per (group,
-4M-value bucket) — exact, mergeable by OR, and bounded by the key domain,
-not the row count.
+over the union of slices`` — exactly for algebraic measures, within sketch
+error for the HLL distinct estimates. ``<c>_hll`` stays one ~KB sketch per
+group regardless of cardinality.
 """
 
 from __future__ import annotations
@@ -41,15 +40,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["partial_aggs", "merge_partials", "finalize"]
-
-
-def _state_cols(measures: Sequence[str], distinct_cols: Sequence[str]) -> list[str]:
-    out: list[str] = []
-    for m in measures:
-        out += [f"{m}_sum", f"{m}_cnt", f"{m}_min", f"{m}_max"]
-    for c in distinct_cols:
-        out.append(f"{c}_hll")
-    return out + ["n_rows"]
 
 
 def partial_aggs(

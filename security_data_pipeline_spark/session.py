@@ -80,8 +80,15 @@ def get_spark(
         # the C2 compiler shuts off and later queries run interpreted
         # (measured 1s -> 6s on the same plan). Reserve enough to keep every
         # hot loop compiled for the session's whole query mix.
+        # Driver covers local mode (executors live in the driver JVM);
+        # executor opts cover real clusters, where codegen classes JIT in
+        # the executor JVMs (ignored in local mode).
         .config(
             "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.ui.enabled", "false")

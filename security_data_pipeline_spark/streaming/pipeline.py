@@ -189,27 +189,50 @@ def maintain_rollup_stream(
     State swap is two writes through a scratch generation (merged →
     ``{state_path}__next`` → rewritten to ``state_path``): Spark cannot
     overwrite a parquet dir that the same plan is reading, and the extra
-    write is proportional to |groups|, not batch rows. Exactly-once: the
-    foreachBatch body is idempotent per batch only through the checkpoint's
-    batch tracking — a replayed batch re-merges (standard foreachBatch
-    at-least-once caveat); deployments needing exactness key the state by
-    batch_id generation (the scratch path pattern extends directly).
+    write is proportional to |groups|, not batch rows. Crash recovery: if
+    the process dies during the final overwrite (overwrite deletes before
+    it writes), the next batch finds ``state_path`` missing and falls back
+    to the scratch generation — which still holds the last merged state —
+    instead of silently restarting from empty. Only a genuinely-missing
+    path takes the first-batch branch; any other read/merge error (e.g. a
+    schema mismatch after changing ``measures`` between runs) propagates.
+    Exactly-once: the foreachBatch body is idempotent per batch only
+    through the checkpoint's batch tracking — a replayed batch re-merges
+    (standard foreachBatch at-least-once caveat); deployments needing
+    exactness key the state by batch_id generation (the scratch path
+    pattern extends directly).
     """
     from pyspark.errors.exceptions.captured import AnalysisException
 
     from security_data_pipeline_spark.operators import incremental as inc
 
+    scratch = f"{state_path}__next"
+
+    def _missing(e: AnalysisException) -> bool:
+        return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
+
+    def _read_state(spark):
+        try:
+            return spark.read.parquet(state_path)
+        except AnalysisException as e:
+            if not _missing(e):
+                raise
+        try:  # crashed mid-swap: recover the scratch generation
+            return spark.read.parquet(scratch)
+        except AnalysisException as e:
+            if not _missing(e):
+                raise
+        return None  # genuine first batch
+
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         new = inc.partial_aggs(batch_df, keys, measures, distinct_cols)
-        try:
-            prev = spark.read.parquet(state_path)
-            merged = inc.merge_partials(
-                [prev, new], keys, measures, distinct_cols
-            )
-        except AnalysisException:  # first batch: no state yet
-            merged = new
-        scratch = f"{state_path}__next"
+        prev = _read_state(spark)
+        merged = (
+            new
+            if prev is None
+            else inc.merge_partials([prev, new], keys, measures, distinct_cols)
+        )
         merged.write.mode("overwrite").parquet(scratch)
         spark.read.parquet(scratch).write.mode("overwrite").parquet(state_path)
 

@@ -130,3 +130,17 @@ def test_winnow_dup_pairs_containment(spark):
     pairs = {(r["id_a"], r["id_b"]): r["containment"] for r in out}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
     assert all(p == (1, 2) for p in pairs)
+
+
+def test_winnow_null_text_emits_no_fingerprints(spark):
+    from security_data_pipeline_spark.operators.dedup import (
+        winnow_dup_pairs,
+        winnow_fingerprints,
+    )
+
+    rows = [(1, None), (2, None), (3, "real content here for this doc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df).collect()
+    assert {r["doc_id"] for r in fps} == {3}
+    # without the NULL filter, docs 1 and 2 would share md5('') and pair up
+    assert winnow_dup_pairs(df, min_shared=1).count() == 0

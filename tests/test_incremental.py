@@ -132,3 +132,47 @@ def test_streaming_rollup_equals_batch(spark, tmp_path):
     ).collect()
     got = {r["k"]: (float(r["v_sum"]), r["n_rows"], r["u_distinct"]) for r in fin}
     assert got == {"a": (12.0, 3, 2), "b": (1.5, 1, 1)}
+
+
+def test_streaming_rollup_recovers_from_scratch_generation(spark, tmp_path):
+    """If the state dir vanished mid-swap (crash during the final
+    overwrite), the next batch must fold into the scratch generation, not
+    silently restart from empty."""
+    import json
+    import shutil
+
+    from security_data_pipeline_spark.streaming import maintain_rollup_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "f1.json").write_text(json.dumps({"k": "a", "u": 1, "v": 10.0}))
+    state = str(tmp_path / "state")
+
+    def run(ckpt):
+        q = maintain_rollup_stream(
+            spark.readStream.schema("k string, u long, v double").json(str(in_dir)),
+            state,
+            str(tmp_path / ckpt),
+            keys=["k"],
+            measures=["v"],
+            distinct_cols=["u"],
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    # simulate the crash window: state written to scratch, final overwrite
+    # died after deleting the target
+    shutil.rmtree(state)
+    assert (tmp_path / "state__next").exists()
+
+    (in_dir / "f2.json").write_text(json.dumps({"k": "a", "u": 2, "v": 5.0}))
+    # a fresh checkpoint reads BOTH files as its first batch (15.0 / 2 rows);
+    # folding that into the recovered scratch state (10.0 / 1 row) proves the
+    # fold went through scratch — a silent reset would end at 15.0 / 2.
+    run("ckpt2")
+    fin = inc.finalize(
+        spark.read.parquet(state), ["k"], ["v"], ["u"]
+    ).collect()
+    row = {r["k"]: r for r in fin}["a"]
+    # scratch held (10.0, 1 row); new batch over both files adds 15.0/2 rows
+    assert float(row["v_sum"]) == 25.0 and row["n_rows"] == 3
