@@ -270,3 +270,78 @@ def interval_overlap_join(
         .filter(overlap & (F.col("_b") == first_shared))
         .drop("_b")
     )
+
+
+def ip_to_long(col: Column | str) -> Column:
+    """Dotted-quad IPv4 string → unsigned-32 value in a long. Pure Column
+    arithmetic (split + fold), reproducible in any SQL dialect."""
+    c = F.col(col) if isinstance(col, str) else col
+    o = F.split(c, r"\.")
+    return (
+        o[0].cast("long") * F.lit(16777216)
+        + o[1].cast("long") * F.lit(65536)
+        + o[2].cast("long") * F.lit(256)
+        + o[3].cast("long")
+    )
+
+
+def ip_lpm_join(
+    facts: DataFrame,
+    cidrs: DataFrame,
+    ip_col: str = "ip",
+    prefix_col: str = "prefix",
+    len_col: str = "prefix_len",
+    how: str = "left",
+) -> DataFrame:
+    """Longest-prefix-match join: each fact row gets the MOST SPECIFIC CIDR
+    range containing its IP — the IP→threat-feed / IP→geo lookup of every
+    security pipeline, and a classic non-equi join SQL engines handle badly
+    (a BETWEEN theta join degenerates to nested loops).
+
+    Strategy: the distinct prefix lengths present in ``cidrs`` (≤33 values,
+    driver-collected — the dim table is small by definition) key a bounded
+    fan-out: each fact row emits one candidate key ``ip >> (32-len)`` per
+    length, the dim side is keyed the same way once, and the candidates meet
+    in ONE broadcast hash equi-join on ``(len, key)``. The most specific hit
+    wins via ``max_by`` over prefix length — no window, the reduction rides
+    the join output. Work per fact row = |distinct lengths|, independent of
+    |cidrs| and of range overlap — versus the unbounded candidate sets of a
+    range theta join.
+
+    ``facts`` keeps all columns; matched rows gain the dim's non-key
+    columns. ``cidrs`` columns: ``prefix`` (network address as u32 long),
+    ``prefix_len`` (0-32), plus any payload columns.
+    """
+    lens = sorted(
+        r[0] for r in cidrs.select(len_col).distinct().collect()
+    )
+    if not lens:
+        raise ValueError("cidrs has no prefix lengths")
+    payload = [
+        c for c in cidrs.columns if c not in (prefix_col, len_col)
+    ]
+    # dynamic shift amounts need the SQL form: F.shiftright only accepts a
+    # Python int for numBits
+    dim = cidrs.select(
+        F.col(len_col).alias("_len"),
+        F.expr(
+            f"shiftright(cast({prefix_col} as bigint),"
+            f" 32 - cast({len_col} as int))"
+        ).alias("_key"),
+        *payload,
+    )
+    cand = facts.withColumn(
+        "_len", F.explode(F.array(*[F.lit(l) for l in lens]))
+    ).withColumn(
+        "_key",
+        F.expr(f"shiftright(cast({ip_col} as bigint), 32 - cast(_len as int))"),
+    )
+    joined = cand.join(F.broadcast(dim), ["_len", "_key"], "inner")
+    fact_cols = facts.columns
+    best = joined.groupBy(*fact_cols).agg(
+        F.max(F.col("_len")).alias("matched_len"),
+        *[F.max_by(F.col(c), F.col("_len")).alias(c) for c in payload],
+    )
+    if how == "inner":
+        return best
+    return facts.join(best, fact_cols, "left")

@@ -3809,6 +3809,72 @@ def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CIDR_ROWS: tuple[tuple[int, int, str], ...] = (
+    (0, 1, "net_low"),  # 0.0.0.0/1
+    (1 << 31, 1, "net_high"),  # 128.0.0.0/1
+    (0, 4, "net_low_16th"),  # 0.0.0.0/4 — more specific inside net_low
+    (3 << 30, 2, "net_top_quarter"),  # 192.0.0.0/2 — inside net_high
+)
+
+
+@query(
+    "events_ip_lpm",
+    sql=f"""
+WITH facts AS (
+  SELECT event_id, user_id,
+         (user_id * 2654435761) % 4294967296 AS ip
+  FROM events
+), cidr(prefix, prefix_len, label) AS (
+  VALUES {", ".join(f"({p}, {l}, '{lab}')" for p, l, lab in _CIDR_ROWS)}
+), matched AS (
+  SELECT f.event_id, f.user_id, c.label, c.prefix_len,
+         ROW_NUMBER() OVER (PARTITION BY f.event_id
+                            ORDER BY c.prefix_len DESC) AS rn
+  FROM facts f JOIN cidr c
+    ON (f.ip >> (32 - c.prefix_len)) = (c.prefix >> (32 - c.prefix_len))
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(MAX(prefix_len) AS INT) AS matched_len
+FROM matched WHERE rn = 1 GROUP BY label
+""",
+    description=(
+        "Longest-prefix-match IP join (operators/joins.py:ip_lpm_join): "
+        "events mapped to synthetic IPv4 addresses (multiplicative hash of "
+        "user_id — deterministic in both engines), matched against an "
+        "overlapping CIDR dim where the MOST SPECIFIC range must win "
+        "(/4 inside /1, /2 inside /1) — the IP→threat-feed/geo lookup of "
+        "security pipelines as a bounded prefix-length fan-out + ONE "
+        "broadcast equi-join (work per row = |distinct prefix lengths|, "
+        "independent of |cidrs| and range overlap, vs the nested-loop "
+        "theta join SQL engines fall into); per-label rollup checked "
+        "against a ROW_NUMBER-based LPM oracle"
+    ),
+)
+def events_ip_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators.joins import ip_lpm_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        ((F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296))
+        .cast("long")
+        .alias("ip"),
+    )
+    cidrs = spark.createDataFrame(
+        list(_CIDR_ROWS), "prefix long, prefix_len int, label string"
+    )
+    return (
+        ip_lpm_join(ev, cidrs, how="inner")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max("matched_len").cast("int").alias("matched_len"),
+        )
+    )
+
+
 # Composite driver-window queries register on import (they reuse the
 # operators and oracle-SQL builders defined above, so the import must come
 # after those definitions).

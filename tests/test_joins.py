@@ -303,3 +303,52 @@ def test_merge_upsert_update_and_insert(spark):
         2: ("B", "update"),
         3: ("c", "insert"),
     }
+
+
+def test_ip_to_long(spark):
+    df = spark.createDataFrame(
+        [("0.0.0.0",), ("10.0.0.1",), ("255.255.255.255",)], "ip string"
+    )
+    got = [r["v"] for r in df.select(joins.ip_to_long("ip").alias("v")).collect()]
+    assert got == [0, 10 * 16777216 + 1, 4294967295]
+
+
+def test_ip_lpm_join_longest_prefix_wins(spark):
+    # overlapping ranges: 10.0.0.0/8 (corp) and 10.1.0.0/16 (guest) — an IP
+    # in 10.1.x.x must match the /16, not the /8
+    cidrs = spark.createDataFrame(
+        [
+            (10 * 16777216, 8, "corp"),
+            (10 * 16777216 + 65536, 16, "guest"),
+            (192 * 16777216 + 168 * 65536, 16, "lab"),
+        ],
+        "prefix long, prefix_len int, label string",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, 10 * 16777216 + 5),            # 10.0.0.5 -> corp (/8 only)
+            (2, 10 * 16777216 + 65536 + 7),    # 10.1.0.7 -> guest (/16 wins)
+            (3, 192 * 16777216 + 168 * 65536), # 192.168.0.0 -> lab
+            (4, 8 * 16777216),                 # 8.0.0.0 -> no match
+        ],
+        "row_id long, ip long",
+    )
+    out = {
+        r["row_id"]: (r["label"], r["matched_len"])
+        for r in joins.ip_lpm_join(facts, cidrs).collect()
+    }
+    assert out[1] == ("corp", 8)
+    assert out[2] == ("guest", 16)
+    assert out[3] == ("lab", 16)
+    assert out[4] == (None, None)
+
+
+def test_ip_lpm_join_inner_drops_unmatched(spark):
+    cidrs = spark.createDataFrame(
+        [(0, 1, "low-half")], "prefix long, prefix_len int, label string"
+    )
+    facts = spark.createDataFrame(
+        [(1, 100), (2, 3_000_000_000)], "row_id long, ip long"
+    )
+    out = joins.ip_lpm_join(facts, cidrs, how="inner")
+    assert [r["row_id"] for r in out.collect()] == [1]
