@@ -209,3 +209,13 @@ def test_lm_scoring_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # vocab fit is TakeOrdered (top-k), never a global sort
     assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_no_unbroadcast_cartesian_in_any_query(spark, name):
+    """CartesianProduct (a non-broadcast cross join) shuffles |L|x|R| work
+    onto the cluster — never acceptable in a registered plan. Broadcast
+    nested-loop joins against 1-row bound/total frames or gated small-corpus
+    baselines are the only sanctioned cross-join physical form."""
+    plan = _plan(REGISTRY[name].fn(spark, SF))
+    assert "CartesianProduct" not in plan, name
