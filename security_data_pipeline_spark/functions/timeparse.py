@@ -41,3 +41,25 @@ def parse_timestamp_multi(
     c = F.col(col) if isinstance(col, str) else col
     attempts = [F.try_to_timestamp(c, F.lit(fmt)) for fmt in formats]
     return F.coalesce(*attempts)
+
+
+def time_bucket(col, seconds: float):
+    """Arbitrary-width time bucket (the hypertable/continuous-aggregate
+    primitive): floor ``col`` to a ``seconds``-wide epoch-aligned bucket —
+    15-minute, 6-hour, 2-day widths all work, unlike ``date_trunc``'s fixed
+    calendar units. Integer epoch-micros math, so bucket boundaries are
+    exact and identical in any engine; the result is a TIMESTAMP usable as
+    a grouping key, a partition column, or the time axis of an
+    incrementally-maintained rollup (operators/incremental.py partials per
+    bucket merge across ingest batches).
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    width_us = int(seconds * 1_000_000)
+    if width_us <= 0:
+        raise ValueError("seconds must be positive")
+    us = F.unix_micros(c)
+    return F.timestamp_micros(
+        (F.floor(us / F.lit(width_us)) * F.lit(width_us)).cast("long")
+    )

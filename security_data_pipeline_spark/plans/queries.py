@@ -3875,6 +3875,40 @@ def events_ip_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_time_bucket_rollup",
+    sql="""
+SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 900000000) AS BIGINT)
+                      * 900000000) AS bucket,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY bucket, event_type
+""",
+    description=(
+        "Hypertable-style continuous-aggregate rollup: events floored to "
+        "ARBITRARY-width 15-minute buckets (functions/timeparse.py:"
+        "time_bucket — exact epoch-micros math, widths date_trunc's "
+        "calendar units can't express) and rolled up per (bucket, type). "
+        "One partial-aggregated shuffle; the bucket column doubles as the "
+        "partition key for incrementally-maintained rollups "
+        "(operators/incremental.py partials per bucket merge across "
+        "ingest batches)"
+    ),
+)
+def events_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.functions.timeparse import time_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        time_bucket("ts", 900).alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum("value", "value_sum"),
+    )
+
+
 # Composite driver-window queries register on import (they reuse the
 # operators and oracle-SQL builders defined above, so the import must come
 # after those definitions).

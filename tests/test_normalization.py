@@ -102,3 +102,38 @@ def test_source_ip_trim_no_validation(spark):
     df = _df(spark, source_ip=[" 10.0.0.3 ", "fe80::1", "invalid_ip", ""])
     out = [r.source_ip for r in normalization.normalize_categoricals(df).collect()]
     assert out == ["10.0.0.3", "fe80::1", "invalid_ip", "0.0.0.0"]
+
+
+def test_time_bucket_arbitrary_widths(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from security_data_pipeline_spark.functions.timeparse import time_bucket
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 7, 30),),
+        (dt.datetime(2024, 1, 1, 0, 15, 0),),
+        (dt.datetime(2024, 1, 1, 11, 59, 59),),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    b15 = [r["b"] for r in df.select(time_bucket("ts", 900).alias("b")).collect()]
+    assert b15 == [
+        dt.datetime(2024, 1, 1, 0, 0),
+        dt.datetime(2024, 1, 1, 0, 15),
+        dt.datetime(2024, 1, 1, 11, 45),
+    ]
+    # a 6-hour width date_trunc cannot express
+    b6h = [
+        r["b"] for r in df.select(time_bucket("ts", 6 * 3600).alias("b")).collect()
+    ]
+    assert b6h == [
+        dt.datetime(2024, 1, 1, 0, 0),
+        dt.datetime(2024, 1, 1, 0, 0),
+        dt.datetime(2024, 1, 1, 6, 0),
+    ]
+    try:
+        df.select(time_bucket("ts", 0))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
