@@ -146,3 +146,89 @@ def test_bucketed_sessionization_equals_plain(spark, data):
         ).collect()
     }
     assert bucketed == plain
+
+
+_ZPOINTS = st.lists(
+    st.tuples(
+        st.floats(0, 100, allow_nan=False), st.floats(0, 100, allow_nan=False)
+    ),
+    min_size=2,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pts=_ZPOINTS)
+def test_zvalue_fixed_monotone_per_dimension(spark, pts):
+    """Fixing every other dimension, the Morton code is non-decreasing in
+    any single dimension — the property that makes z-range scans align
+    with per-column predicates."""
+    from pyspark.sql import functions as F
+
+    from security_data_pipeline_spark.operators.layout import zvalue_fixed
+
+    df = spark.createDataFrame(pts, "x double, y double")
+    z = zvalue_fixed(
+        [
+            (F.col("x"), F.lit(0.0), F.lit(100.0)),
+            (F.col("y"), F.lit(0.0), F.lit(100.0)),
+        ],
+        bits_per_col=6,
+    )
+    rows = df.select("x", "y", z.alias("z")).collect()
+    for fixed_dim, free_dim in (("y", "x"), ("x", "y")):
+        groups: dict = {}
+        for r in rows:
+            groups.setdefault(r[fixed_dim], []).append((r[free_dim], r["z"]))
+        for vals in groups.values():
+            vals.sort()
+            zs = [v for _, v in vals]
+            assert zs == sorted(zs), (fixed_dim, vals)
+
+
+_CIDR_STRAT = st.lists(
+    st.tuples(st.integers(0, 2**32 - 1), st.integers(1, 32)),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda t: (t[0] >> (32 - t[1]), t[1]),
+)
+_IP_STRAT = st.lists(st.integers(0, 2**32 - 1), min_size=1, max_size=20)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(cidr_raw=_CIDR_STRAT, ips=_IP_STRAT)
+def test_ip_lpm_join_matches_bruteforce_model(spark, cidr_raw, ips):
+    from security_data_pipeline_spark.operators.joins import ip_lpm_join
+
+    cidrs = [
+        ((p >> (32 - ln)) << (32 - ln), ln, f"r{i}")
+        for i, (p, ln) in enumerate(cidr_raw)
+    ]
+
+    def model(ip: int):
+        best = None
+        for prefix, ln, label in cidrs:
+            if (ip >> (32 - ln)) == (prefix >> (32 - ln)):
+                if best is None or ln > best[0]:
+                    best = (ln, label)
+        return best
+
+    facts = spark.createDataFrame(
+        [(i, ip) for i, ip in enumerate(ips)], "row_id long, ip long"
+    )
+    dim = spark.createDataFrame(cidrs, "prefix long, prefix_len int, label string")
+    got = {
+        r["row_id"]: (r["matched_len"], r["label"])
+        for r in ip_lpm_join(facts, dim).collect()
+    }
+    for i, ip in enumerate(ips):
+        exp = model(ip)
+        assert got[i] == (exp if exp else (None, None)), (ip, cidrs)
