@@ -345,3 +345,25 @@ def ip_lpm_join(
     if how == "inner":
         return best
     return facts.join(best, fact_cols, "left")
+
+
+def parse_cidr(col: Column | str) -> Column:
+    """``"10.1.0.0/16"`` → ``struct(prefix long, prefix_len int)`` with the
+    network address masked down to the prefix (host bits zeroed), so a dim
+    table ingested from raw CIDR strings feeds :func:`ip_lpm_join` directly.
+
+    The mask is ``floor(ip / 2^(32-len)) * 2^(32-len)`` — dividing by a
+    power of two only adjusts the float exponent, so the arithmetic is
+    EXACT in doubles up to 2^53 (no dynamic-shift expression needed; the
+    built-in ``shiftright`` only takes literal shift amounts). Pure Column
+    arithmetic, reproducible in any SQL dialect.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    parts = F.split(c, "/")
+    plen = parts[1].cast("int")
+    raw = ip_to_long(parts[0])
+    p = F.pow(F.lit(2.0), (F.lit(32) - plen).cast("double"))
+    masked = (
+        F.floor(raw.cast("double") / p) * p
+    ).cast("long")
+    return F.struct(masked.alias("prefix"), plen.alias("prefix_len"))

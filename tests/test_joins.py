@@ -352,3 +352,29 @@ def test_ip_lpm_join_inner_drops_unmatched(spark):
     )
     out = joins.ip_lpm_join(facts, cidrs, how="inner")
     assert [r["row_id"] for r in out.collect()] == [1]
+
+
+def test_parse_cidr_masks_host_bits(spark):
+    df = spark.createDataFrame(
+        [("10.1.2.3/16",), ("192.168.255.7/24",), ("0.0.0.0/0",), ("255.255.255.255/32",)],
+        "cidr string",
+    )
+    out = [r["c"] for r in df.select(joins.parse_cidr("cidr").alias("c")).collect()]
+    assert (out[0]["prefix"], out[0]["prefix_len"]) == (10 * 16777216 + 65536, 16)
+    assert (out[1]["prefix"], out[1]["prefix_len"]) == (
+        192 * 16777216 + 168 * 65536 + 255 * 256, 24)
+    assert (out[2]["prefix"], out[2]["prefix_len"]) == (0, 0)
+    assert (out[3]["prefix"], out[3]["prefix_len"]) == (4294967295, 32)
+
+
+def test_parse_cidr_feeds_lpm_join(spark):
+    cidrs = spark.createDataFrame(
+        [("10.0.0.0/8", "corp"), ("10.1.0.0/16", "guest")], "cidr string, label string"
+    ).select(joins.parse_cidr("cidr").alias("c"), "label").select(
+        "c.prefix", "c.prefix_len", "label"
+    )
+    facts = spark.createDataFrame(
+        [(1, "10.1.0.9"), (2, "10.9.9.9")], "row_id long, ip_str string"
+    ).select("row_id", joins.ip_to_long("ip_str").alias("ip"))
+    out = {r["row_id"]: r["label"] for r in joins.ip_lpm_join(facts, cidrs).collect()}
+    assert out == {1: "guest", 2: "corp"}
