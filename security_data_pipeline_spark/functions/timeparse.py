@@ -47,11 +47,14 @@ def time_bucket(col, seconds: float):
     """Arbitrary-width time bucket (the hypertable/continuous-aggregate
     primitive): floor ``col`` to a ``seconds``-wide epoch-aligned bucket —
     15-minute, 6-hour, 2-day widths all work, unlike ``date_trunc``'s fixed
-    calendar units. Integer epoch-micros math, so bucket boundaries are
-    exact and identical in any engine; the result is a TIMESTAMP usable as
-    a grouping key, a partition column, or the time axis of an
-    incrementally-maintained rollup (operators/incremental.py partials per
-    bucket merge across ingest batches).
+    calendar units. TRUE integer epoch-micros math — ``us - pmod(us,
+    width)`` never leaves the long domain (``pmod`` is non-negative, so the
+    subtraction floors toward -inf for pre-1970 instants too), so bucket
+    boundaries are exact at ANY epoch magnitude and identical in any
+    engine; the result is a TIMESTAMP usable as a grouping key, a
+    partition column, or the time axis of an incrementally-maintained
+    rollup (operators/incremental.py partials per bucket merge across
+    ingest batches).
     """
     from pyspark.sql import functions as F
 
@@ -60,6 +63,4 @@ def time_bucket(col, seconds: float):
     if width_us <= 0:
         raise ValueError("seconds must be positive")
     us = F.unix_micros(c)
-    return F.timestamp_micros(
-        (F.floor(us / F.lit(width_us)) * F.lit(width_us)).cast("long")
-    )
+    return F.timestamp_micros(us - F.pmod(us, F.lit(width_us)))

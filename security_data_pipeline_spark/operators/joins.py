@@ -292,6 +292,7 @@ def ip_lpm_join(
     prefix_col: str = "prefix",
     len_col: str = "prefix_len",
     how: str = "left",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Longest-prefix-match join: each fact row gets the MOST SPECIFIC CIDR
     range containing its IP — the IP→threat-feed / IP→geo lookup of every
@@ -311,6 +312,16 @@ def ip_lpm_join(
     ``facts`` keeps all columns; matched rows gain the dim's non-key
     columns. ``cidrs`` columns: ``prefix`` (network address as u32 long),
     ``prefix_len`` (0-32), plus any payload columns.
+
+    The most-specific reduction keys on a SURROGATE ROW ID, never on the
+    fact columns themselves: only ``(id, ip)`` rides the fan-out, the
+    ``max_by`` aggregation and the join-back both shuffle one narrow
+    8-byte key, duplicate fact rows survive (a whole-row groupBy would
+    collapse them), NULLs in payload columns can't null-eliminate the
+    join-back, and non-comparable column types (maps) never enter a key.
+    Pass ``id_col`` to reuse an existing unique key (e.g. the ingest
+    ``_ordinal``); otherwise a ``monotonically_increasing_id`` is attached
+    for the duration of the join.
     """
     lens = sorted(
         r[0] for r in cidrs.select(len_col).distinct().collect()
@@ -330,21 +341,27 @@ def ip_lpm_join(
         ).alias("_key"),
         *payload,
     )
-    cand = facts.withColumn(
+    rid = id_col if id_col is not None else "_lpm_rid"
+    tagged = (
+        facts
+        if id_col is not None
+        else facts.withColumn(rid, F.monotonically_increasing_id())
+    )
+    cand = tagged.select(rid, ip_col).withColumn(
         "_len", F.explode(F.array(*[F.lit(l) for l in lens]))
     ).withColumn(
         "_key",
         F.expr(f"shiftright(cast({ip_col} as bigint), 32 - cast(_len as int))"),
     )
     joined = cand.join(F.broadcast(dim), ["_len", "_key"], "inner")
-    fact_cols = facts.columns
-    best = joined.groupBy(*fact_cols).agg(
+    best = joined.groupBy(rid).agg(
         F.max(F.col("_len")).alias("matched_len"),
         *[F.max_by(F.col(c), F.col("_len")).alias(c) for c in payload],
     )
-    if how == "inner":
-        return best
-    return facts.join(best, fact_cols, "left")
+    out = tagged.join(best, rid, "inner" if how == "inner" else "left")
+    if id_col is None:
+        out = out.drop(rid)
+    return out.select(*facts.columns, "matched_len", *payload)
 
 
 def parse_cidr(col: Column | str) -> Column:

@@ -103,7 +103,11 @@ def classifier_score(
     data pipelines, evaluated as ONE Column expression — the model rides the
     projection, no UDF, no batch hop, trivially fused into the scan at
     100 TB. Weights arrive as plain literals so the identical arithmetic is
-    reproducible in any SQL engine (exp/division are IEEE-deterministic).
+    reproducible in any SQL engine up to libm ulps — ``exp`` is not
+    required to be correctly rounded, so engines may differ in the last
+    bits; consumers should round before thresholding or comparing (the
+    registered gate compares ``round(score, 6)`` on both engines, and the
+    6dp rounding absorbs the ulps).
 
     NULL features contribute 0 (treated as missing-at-neutral).
     """

@@ -3660,7 +3660,7 @@ WITH base AS (
   FROM feats
 )
 SELECT doc_id, ROUND(raw_score, 6) AS clf_score,
-       raw_score >= 0.5 AS keep FROM scored
+       ROUND(raw_score, 6) >= 0.5 AS keep FROM scored
 """,
     description=(
         "Model-scored quality gate: a logistic classifier (literal "
@@ -3675,10 +3675,12 @@ def doc_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     feats = textops.quality_features(docs)
     score = textops.classifier_score(_CLF_WEIGHTS, bias=_CLF_BIAS)
+    # threshold the ROUNDED score: libm exp differs across engines in the
+    # last ulps, and 6dp rounding absorbs that before the boundary compare
     return feats.select(
         "doc_id",
         F.round(score, 6).alias("clf_score"),
-        (score >= 0.5).alias("keep"),
+        (F.round(score, 6) >= 0.5).alias("keep"),
     )
 
 
@@ -3878,8 +3880,9 @@ def events_ip_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_time_bucket_rollup",
     sql="""
-SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 900000000) AS BIGINT)
-                      * 900000000) AS bucket,
+SELECT make_timestamp(epoch_us(ts)
+                      - ((epoch_us(ts) % 900000000) + 900000000) % 900000000)
+         AS bucket,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum

@@ -209,6 +209,15 @@ def maintain_rollup_stream(
     scratch = f"{state_path}__next"
 
     def _missing(e: AnalysisException) -> bool:
+        # structured error class first (stable API), message text as the
+        # fallback for runtimes that predate error classes
+        for probe in ("getCondition", "getErrorClass"):
+            try:
+                cond = getattr(e, probe)()
+            except Exception:
+                continue
+            if cond is not None:
+                return cond == "PATH_NOT_FOUND"
         return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
 
     def _read_state(spark):

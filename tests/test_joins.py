@@ -354,6 +354,59 @@ def test_ip_lpm_join_inner_drops_unmatched(spark):
     assert [r["row_id"] for r in out.collect()] == [1]
 
 
+def test_ip_lpm_join_duplicate_facts_survive(spark):
+    # the reduction keys on a surrogate row id, so byte-identical fact rows
+    # must each keep their own output row (a whole-row groupBy would merge
+    # them and silently change counts)
+    cidrs = spark.createDataFrame(
+        [(0, 1, "low-half")], "prefix long, prefix_len int, label string"
+    )
+    facts = spark.createDataFrame(
+        [(1, 100), (1, 100), (1, 100), (2, 3_000_000_000)],
+        "row_id long, ip long",
+    )
+    out = joins.ip_lpm_join(facts, cidrs).collect()
+    assert len(out) == 4
+    assert sorted(r["label"] for r in out if r["row_id"] == 1) == ["low-half"] * 3
+    inner = joins.ip_lpm_join(facts, cidrs, how="inner").collect()
+    assert len(inner) == 3
+
+
+def test_ip_lpm_join_null_fact_columns_keep_match(spark):
+    # NULLs in payload fact columns must not null-eliminate the join-back
+    # (the old whole-column-set equi-join dropped these matches)
+    cidrs = spark.createDataFrame(
+        [(0, 1, "low-half")], "prefix long, prefix_len int, label string"
+    )
+    facts = spark.createDataFrame(
+        [(1, None, 100), (2, "x", 200)],
+        "row_id long, note string, ip long",
+    )
+    out = {r["row_id"]: r["label"] for r in joins.ip_lpm_join(facts, cidrs).collect()}
+    assert out == {1: "low-half", 2: "low-half"}
+
+
+def test_ip_lpm_join_reduces_on_narrow_id(spark):
+    # scale contract: the most-specific reduction shuffles on the surrogate
+    # id alone — the fact payload never becomes an exchange key
+    cidrs = spark.createDataFrame(
+        [(0, 1, "low-half")], "prefix long, prefix_len int, label string"
+    )
+    facts = spark.createDataFrame(
+        [(1, "payload", 100)], "row_id long, note string, ip long"
+    )
+    plan = (
+        joins.ip_lpm_join(facts, cidrs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    for keys in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "note" not in keys and "row_id" not in keys, plan
+
+
 def test_parse_cidr_masks_host_bits(spark):
     df = spark.createDataFrame(
         [("10.1.2.3/16",), ("192.168.255.7/24",), ("0.0.0.0/0",), ("255.255.255.255/32",)],

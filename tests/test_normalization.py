@@ -132,6 +132,13 @@ def test_time_bucket_arbitrary_widths(spark):
         dt.datetime(2024, 1, 1, 0, 0),
         dt.datetime(2024, 1, 1, 6, 0),
     ]
+    # pre-1970 instants floor toward -inf (pmod keeps the math in the long
+    # domain — no double rounding at any magnitude)
+    neg = spark.createDataFrame(
+        [(dt.datetime(1969, 12, 31, 23, 50, 1),)], "ts timestamp"
+    )
+    bneg = [r["b"] for r in neg.select(time_bucket("ts", 900).alias("b")).collect()]
+    assert bneg == [dt.datetime(1969, 12, 31, 23, 45)]
     try:
         df.select(time_bucket("ts", 0))
         raise AssertionError("expected ValueError")
