@@ -364,6 +364,162 @@ def ip_lpm_join(
     return out.select(*facts.columns, "matched_len", *payload)
 
 
+def ip6_to_longs(col: Column | str) -> Column:
+    """IPv6 string → ``struct(hi long, lo long)`` — the canonical two-long
+    (128-bit) key for :func:`ip6_lpm_join`. Handles full 8-group form and
+    one ``::`` zero-run compression; each long holds 64 bits of the
+    address in two's complement (addresses ≥ 2^63 in a half map to
+    negative longs — all downstream ops are bitwise/equality, so the sign
+    is representation only). Pure Column ops (split, conv, bit shifts);
+    IPv4-mapped dotted forms (``::ffff:1.2.3.4``) are out of scope —
+    normalize those at ingest.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    halves = F.split(c, "::", -1)
+    nonempty = lambda x: x != F.lit("")  # noqa: E731
+    left = F.filter(F.split(halves[0], ":"), nonempty)
+    right = F.when(
+        F.size(halves) > 1, F.filter(F.split(halves[1], ":"), nonempty)
+    ).otherwise(F.array().cast("array<string>"))
+    pad = F.array_repeat(
+        F.lit("0"), F.lit(8) - F.size(left) - F.size(right)
+    )
+    groups = F.transform(
+        F.concat(left, pad, right),
+        lambda x: F.conv(x, 16, 10).cast("long"),
+    )
+
+    def pack(a: Column, b: Column, c2: Column, d: Column) -> Column:
+        return (
+            F.shiftleft(a, 48)
+            .bitwiseOR(F.shiftleft(b, 32))
+            .bitwiseOR(F.shiftleft(c2, 16))
+            .bitwiseOR(d)
+        )
+
+    hi = pack(groups[0], groups[1], groups[2], groups[3])
+    lo = pack(groups[4], groups[5], groups[6], groups[7])
+    return F.struct(hi.alias("hi"), lo.alias("lo"))
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _mask64(nbits: Column) -> Column:
+    """Top-``nbits`` bit mask as a signed long, via a literal when-chain
+    (``nbits`` ∈ [0, 64]) — no dynamic shift expression, so the mask works
+    on ANY Column input, not just named columns."""
+    out = F.when(nbits <= 0, F.lit(0))
+    for n in range(1, 65):
+        out = out.when(
+            nbits == n, F.lit(_signed64((1 << 64) - (1 << (64 - n))))
+        )
+    return out
+
+
+def parse_cidr6(col: Column | str) -> Column:
+    """``"2001:db8::/32"`` → ``struct(prefix_hi long, prefix_lo long,
+    prefix_len int)`` with host bits zeroed, feeding :func:`ip6_lpm_join`
+    directly. The mask rides a 65-branch literal when-chain (bitwise AND,
+    no dynamic shifts), exact for every prefix length 0-128.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    parts = F.split(c, "/")
+    plen = parts[1].cast("int")
+    addr = ip6_to_longs(parts[0])
+    hi_bits = F.least(plen, F.lit(64))
+    lo_bits = F.greatest(plen - F.lit(64), F.lit(0))
+    return F.struct(
+        addr["hi"].bitwiseAND(_mask64(hi_bits)).alias("prefix_hi"),
+        addr["lo"].bitwiseAND(_mask64(lo_bits)).alias("prefix_lo"),
+        plen.alias("prefix_len"),
+    )
+
+
+def ip6_lpm_join(
+    facts: DataFrame,
+    cidrs: DataFrame,
+    hi_col: str = "ip_hi",
+    lo_col: str = "ip_lo",
+    prefix_hi_col: str = "prefix_hi",
+    prefix_lo_col: str = "prefix_lo",
+    len_col: str = "prefix_len",
+    how: str = "left",
+    id_col: str | None = None,
+) -> DataFrame:
+    """128-bit longest-prefix-match join — :func:`ip_lpm_join` for
+    dual-stack feeds. Addresses arrive as two longs (``hi``/``lo``, see
+    :func:`ip6_to_longs`); prefix lengths span 0-128, so the candidate key
+    is the pair ``(khi, klo)``: the hi half shifted for lengths ≤ 64 (lo
+    zeroed), the full hi plus the shifted lo half for lengths > 64.
+    Shift-by-64 never reaches the JVM (Java shifts are mod 64) — the CASE
+    arms route lengths 0 and 64 to literal keys instead.
+
+    Same scale shape as the IPv4 form: work per fact row = |distinct
+    prefix lengths| (≤129), one broadcast equi-join on ``(_len, khi,
+    klo)``, and a most-specific ``max_by`` reduction keyed on a surrogate
+    row id (duplicates and NULL fact columns survive; one narrow shuffle).
+    """
+    lens = sorted(r[0] for r in cidrs.select(len_col).distinct().collect())
+    if not lens:
+        raise ValueError("cidrs has no prefix lengths")
+    if lens[0] < 0 or lens[-1] > 128:
+        raise ValueError(f"prefix lengths out of range: {lens[0]}..{lens[-1]}")
+    payload = [
+        c
+        for c in cidrs.columns
+        if c not in (prefix_hi_col, prefix_lo_col, len_col)
+    ]
+
+    def khi(hi_name: str) -> Column:
+        return F.expr(
+            f"CASE WHEN _len = 0 THEN 0L"
+            f" WHEN _len <= 64 THEN shiftrightunsigned({hi_name}, 64 - _len)"
+            f" ELSE {hi_name} END"
+        )
+
+    def klo(lo_name: str) -> Column:
+        return F.expr(
+            f"CASE WHEN _len <= 64 THEN 0L"
+            f" ELSE shiftrightunsigned({lo_name}, 128 - _len) END"
+        )
+
+    dim = cidrs.select(
+        F.col(len_col).alias("_len"), prefix_hi_col, prefix_lo_col, *payload
+    ).select(
+        "_len",
+        khi(prefix_hi_col).alias("_khi"),
+        klo(prefix_lo_col).alias("_klo"),
+        *payload,
+    )
+    rid = id_col if id_col is not None else "_lpm_rid"
+    tagged = (
+        facts
+        if id_col is not None
+        else facts.withColumn(rid, F.monotonically_increasing_id())
+    )
+    cand = (
+        tagged.select(rid, hi_col, lo_col)
+        .withColumn("_len", F.explode(F.array(*[F.lit(l) for l in lens])))
+        .select(
+            rid,
+            "_len",
+            khi(hi_col).alias("_khi"),
+            klo(lo_col).alias("_klo"),
+        )
+    )
+    joined = cand.join(F.broadcast(dim), ["_len", "_khi", "_klo"], "inner")
+    best = joined.groupBy(rid).agg(
+        F.max(F.col("_len")).alias("matched_len"),
+        *[F.max_by(F.col(c), F.col("_len")).alias(c) for c in payload],
+    )
+    out = tagged.join(best, rid, "inner" if how == "inner" else "left")
+    if id_col is None:
+        out = out.drop(rid)
+    return out.select(*facts.columns, "matched_len", *payload)
+
+
 def parse_cidr(col: Column | str) -> Column:
     """``"10.1.0.0/16"`` → ``struct(prefix long, prefix_len int)`` with the
     network address masked down to the prefix (host bits zeroed), so a dim

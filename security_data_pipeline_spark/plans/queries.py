@@ -3877,6 +3877,85 @@ def events_ip_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# quarter selector in bits 60-61 + multiplicative hash in the low bits:
+# deterministic, overflow-free in both engines at any sf (max ≈ 3·2^60 +
+# user_id·2654435761 < 2^62), and spreads facts across all four /4 arms
+_IP6_HI_SQL = "(user_id % 4) * 1152921504606846976 + user_id * 2654435761"
+_IP6_LO_SQL = "((user_id * 97 + event_id) * 2654435761) % 4611686018427387904"
+_CIDR6_ROWS: tuple[tuple[int, int, int, str], ...] = (
+    (0, 0, 0, "default"),  # ::/0 — catches quarters 1 and 2
+    (0, 0, 4, "q0"),  # quarter 0 (hi >> 60 == 0)
+    (3 << 60, 0, 4, "q3"),  # quarter 3
+    # /65: full hi of user 1 (quarter 1) + top lo bit — the beyond-64 path
+    ((1 << 60) + 2654435761, 0, 65, "user1"),
+)
+
+
+@query(
+    "events_ip6_lpm",
+    sql=f"""
+WITH facts AS (
+  SELECT event_id, user_id,
+         {_IP6_HI_SQL} AS hi,
+         {_IP6_LO_SQL} AS lo
+  FROM events
+), cidr(prefix_hi, prefix_lo, prefix_len, label) AS (
+  VALUES {", ".join(f"({h}, {l}, {ln}, '{lab}')" for h, l, ln, lab in _CIDR6_ROWS)}
+), matched AS (
+  SELECT f.event_id, f.user_id, c.label, c.prefix_len,
+         ROW_NUMBER() OVER (PARTITION BY f.event_id
+                            ORDER BY c.prefix_len DESC) AS rn
+  FROM facts f JOIN cidr c
+    ON (CASE WHEN c.prefix_len = 0 THEN TRUE
+             WHEN c.prefix_len <= 64
+               THEN (f.hi >> (64 - c.prefix_len))
+                    = (c.prefix_hi >> (64 - c.prefix_len))
+             WHEN f.hi = c.prefix_hi
+               THEN (f.lo >> (128 - c.prefix_len))
+                    = (c.prefix_lo >> (128 - c.prefix_len))
+             ELSE FALSE END)
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(MAX(prefix_len) AS INT) AS matched_len
+FROM matched WHERE rn = 1 GROUP BY label
+""",
+    description=(
+        "IPv6 longest-prefix-match join (operators/joins.py:ip6_lpm_join): "
+        "events mapped to synthetic 128-bit addresses as (hi, lo) long "
+        "pairs — real security feeds are dual-stack — matched against an "
+        "overlapping CIDR dim whose prefix lengths straddle the 64-bit "
+        "boundary (/0 default, two /4s, a /65). Same bounded-fan-out + "
+        "broadcast equi-join + surrogate-id max_by shape as the IPv4 form, "
+        "with CASE-routed shift keys so shift-by-64 never reaches the "
+        "mod-64 JVM shifter; per-label rollup checked against a "
+        "ROW_NUMBER LPM oracle on the identical integer arithmetic"
+    ),
+)
+def events_ip6_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators.joins import ip6_lpm_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(_IP6_HI_SQL).cast("long").alias("ip_hi"),
+        F.expr(_IP6_LO_SQL).cast("long").alias("ip_lo"),
+    )
+    cidrs = spark.createDataFrame(
+        list(_CIDR6_ROWS),
+        "prefix_hi long, prefix_lo long, prefix_len int, label string",
+    )
+    return (
+        ip6_lpm_join(ev, cidrs, how="inner")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max("matched_len").cast("int").alias("matched_len"),
+        )
+    )
+
+
 @query(
     "events_time_bucket_rollup",
     sql="""

@@ -420,6 +420,140 @@ def test_parse_cidr_masks_host_bits(spark):
     assert (out[3]["prefix"], out[3]["prefix_len"]) == (4294967295, 32)
 
 
+def _s64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _ip6_halves(addr: str) -> tuple[int, int]:
+    import ipaddress
+
+    v = int(ipaddress.IPv6Address(addr))
+    return _s64(v >> 64), _s64(v & ((1 << 64) - 1))
+
+
+def test_ip6_to_longs_known_addresses(spark):
+    addrs = [
+        "::",
+        "::1",
+        "2001:db8::1",
+        "fe80::210:5aff:feaa:20a2",
+        "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff",
+        "1:2:3:4:5:6:7:8",
+    ]
+    df = spark.createDataFrame([(a,) for a in addrs], "addr string")
+    got = [
+        (r["v"]["hi"], r["v"]["lo"])
+        for r in df.select(joins.ip6_to_longs("addr").alias("v")).collect()
+    ]
+    assert got == [_ip6_halves(a) for a in addrs]
+
+
+def test_parse_cidr6_masks_host_bits(spark):
+    rows = [
+        ("2001:db8:ffff::1/32", "2001:db8::", 32),
+        ("::/0", "::", 0),
+        ("fe80::210:5aff:feaa:20a2/65", "fe80::", 65),
+        ("2001:db8::1/128", "2001:db8::1", 128),
+        ("ffff::/16", "ffff::", 16),
+    ]
+    df = spark.createDataFrame([(c,) for c, _, _ in rows], "cidr string")
+    got = [
+        (r["c"]["prefix_hi"], r["c"]["prefix_lo"], r["c"]["prefix_len"])
+        for r in df.select(joins.parse_cidr6("cidr").alias("c")).collect()
+    ]
+    expected = [(*_ip6_halves(masked), ln) for _, masked, ln in rows]
+    assert got == expected
+    # /65 keeps the top lo bit: an address with lo's MSB set must round-trip
+    hi, lo = _ip6_halves("fe80::8000:0:0:1")
+    df2 = spark.createDataFrame([("fe80::8000:0:0:1/65",)], "cidr string")
+    r = df2.select(joins.parse_cidr6("cidr").alias("c")).collect()[0]["c"]
+    assert (r["prefix_hi"], r["prefix_lo"]) == (hi, _s64(1 << 63))
+
+
+def test_ip6_lpm_join_longest_prefix_wins_across_64(spark):
+    # lengths 0 (default), 32 (hi-only), 64 (hi boundary), 96 (lo half),
+    # 128 (exact) all overlap — most specific must win at each tier
+    def cidr(addr: str, ln: int, label: str):
+        hi, lo = _ip6_halves(addr)
+        return (hi, lo, ln, label)
+
+    cidrs = spark.createDataFrame(
+        [
+            cidr("::", 0, "default"),
+            cidr("2001:db8::", 32, "site"),
+            cidr("2001:db8:0:1::", 64, "subnet"),
+            cidr("2001:db8:0:1:aaaa::", 96, "rack"),
+            cidr("2001:db8:0:1:aaaa::7", 128, "host"),
+        ],
+        "prefix_hi long, prefix_lo long, prefix_len int, label string",
+    )
+
+    def fact(i: int, addr: str):
+        hi, lo = _ip6_halves(addr)
+        return (i, hi, lo)
+
+    facts = spark.createDataFrame(
+        [
+            fact(1, "9999::1"),                  # only the default /0
+            fact(2, "2001:db8:ff::1"),           # site /32
+            fact(3, "2001:db8:0:1:bbbb::1"),     # subnet /64
+            fact(4, "2001:db8:0:1:aaaa::99"),    # rack /96
+            fact(5, "2001:db8:0:1:aaaa::7"),     # host /128
+        ],
+        "row_id long, ip_hi long, ip_lo long",
+    )
+    got = {
+        r["row_id"]: (r["label"], r["matched_len"])
+        for r in joins.ip6_lpm_join(facts, cidrs).collect()
+    }
+    assert got == {
+        1: ("default", 0),
+        2: ("site", 32),
+        3: ("subnet", 64),
+        4: ("rack", 96),
+        5: ("host", 128),
+    }
+
+
+def test_ip6_lpm_join_duplicates_and_unmatched(spark):
+    hi, lo = _ip6_halves("2001:db8::5")
+    cidrs = spark.createDataFrame(
+        [(_ip6_halves("2001:db8::")[0], 0, 32, "site")],
+        "prefix_hi long, prefix_lo long, prefix_len int, label string",
+    )
+    facts = spark.createDataFrame(
+        [(1, hi, lo), (1, hi, lo), (2, _s64(1 << 63), 0)],
+        "row_id long, ip_hi long, ip_lo long",
+    )
+    out = joins.ip6_lpm_join(facts, cidrs).collect()
+    assert len(out) == 3
+    labels = sorted((r["row_id"], r["label"]) for r in out)
+    assert labels == [(1, "site"), (1, "site"), (2, None)]
+    assert joins.ip6_lpm_join(facts, cidrs, how="inner").count() == 2
+
+
+def test_parse_cidr6_feeds_ip6_lpm_join(spark):
+    cidrs = spark.createDataFrame(
+        [("2001:db8::/32", "site"), ("2001:db8:0:1::/64", "subnet")],
+        "cidr string, label string",
+    ).select(joins.parse_cidr6("cidr").alias("c"), "label").select(
+        "c.prefix_hi", "c.prefix_lo", "c.prefix_len", "label"
+    )
+    facts = spark.createDataFrame(
+        [(1, "2001:db8:0:1::9"), (2, "2001:db8:ff::9")],
+        "row_id long, addr string",
+    ).select(
+        "row_id", joins.ip6_to_longs("addr").alias("a")
+    ).select("row_id", "a.hi", "a.lo")
+    out = {
+        r["row_id"]: r["label"]
+        for r in joins.ip6_lpm_join(
+            facts, cidrs, hi_col="hi", lo_col="lo"
+        ).collect()
+    }
+    assert out == {1: "subnet", 2: "site"}
+
+
 def test_parse_cidr_feeds_lpm_join(spark):
     cidrs = spark.createDataFrame(
         [("10.0.0.0/8", "corp"), ("10.1.0.0/16", "guest")], "cidr string, label string"

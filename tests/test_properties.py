@@ -232,3 +232,61 @@ def test_ip_lpm_join_matches_bruteforce_model(spark, cidr_raw, ips):
     for i, ip in enumerate(ips):
         exp = model(ip)
         assert got[i] == (exp if exp else (None, None)), (ip, cidrs)
+
+
+_U128 = st.integers(0, 2**128 - 1)
+_CIDR6_STRAT = st.lists(
+    st.tuples(_U128, st.integers(0, 128)),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda t: (t[0] >> (128 - t[1]) if t[1] else 0, t[1]),
+)
+_IP6_STRAT = st.lists(_U128, min_size=1, max_size=20)
+
+
+def _s64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _halves(v: int) -> tuple[int, int]:
+    return _s64(v >> 64), _s64(v & ((1 << 64) - 1))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(cidr_raw=_CIDR6_STRAT, ips=_IP6_STRAT)
+def test_ip6_lpm_join_matches_bruteforce_model(spark, cidr_raw, ips):
+    from security_data_pipeline_spark.operators.joins import ip6_lpm_join
+
+    # mask host bits in the 128-bit integer model, then split to halves
+    cidrs = [
+        ((p >> (128 - ln)) << (128 - ln) if ln else 0, ln, f"r{i}")
+        for i, (p, ln) in enumerate(cidr_raw)
+    ]
+
+    def model(ip: int):
+        best = None
+        for prefix, ln, label in cidrs:
+            if ln == 0 or (ip >> (128 - ln)) == (prefix >> (128 - ln)):
+                if best is None or ln > best[0]:
+                    best = (ln, label)
+        return best
+
+    facts = spark.createDataFrame(
+        [(i, *_halves(ip)) for i, ip in enumerate(ips)],
+        "row_id long, ip_hi long, ip_lo long",
+    )
+    dim = spark.createDataFrame(
+        [(*_halves(p), ln, lab) for p, ln, lab in cidrs],
+        "prefix_hi long, prefix_lo long, prefix_len int, label string",
+    )
+    got = {
+        r["row_id"]: (r["matched_len"], r["label"])
+        for r in ip6_lpm_join(facts, dim).collect()
+    }
+    for i, ip in enumerate(ips):
+        exp = model(ip)
+        assert got[i] == (exp if exp else (None, None)), (hex(ip), cidrs)
