@@ -44,6 +44,12 @@ BENCH_QUERIES: tuple[str, ...] = (
     "knn_cosine_lsh",
     "knn_cosine_ivf",
     "corpus_curation",
+    # temporal/network + corpus-scoring additions
+    "events_ip_lpm",
+    "events_ip6_lpm",
+    "events_time_bucket_rollup",
+    "doc_winnow_pairs",
+    "doc_lm_scores",
 )
 
 # Pinned result sizes per scale factor: a bench run also smoke-checks that
@@ -61,6 +67,9 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_quality_scores": 5000, "ngram_jaccard_pairs": 256,
         "minhash_lsh_pairs": 256, "knn_cosine": 50, "cosine_dup_pairs": 479,
         "knn_cosine_lsh": 600, "knn_cosine_ivf": 600, "corpus_curation": 20,
+        "events_ip_lpm": 4, "events_ip6_lpm": 4,
+        "events_time_bucket_rollup": 14385, "doc_winnow_pairs": 251,
+        "doc_lm_scores": 5000,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -72,6 +81,9 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_quality_scores": 500, "ngram_jaccard_pairs": 25,
         "minhash_lsh_pairs": 25, "knn_cosine": 50, "cosine_dup_pairs": 30,
         "knn_cosine_lsh": 600, "knn_cosine_ivf": 600, "corpus_curation": 20,
+        "events_ip_lpm": 4, "events_ip6_lpm": 4,
+        "events_time_bucket_rollup": 7206, "doc_winnow_pairs": 25,
+        "doc_lm_scores": 500,
     },
 }
 
@@ -113,13 +125,22 @@ def main() -> None:
         # plan's JIT state and re-measures the cold path (~2x, measured).
         df.write.mode("overwrite").format("noop").save()
         df.write.mode("overwrite").format("noop").save()
-        best = float("inf")
-        for _ in range(3):
+        # best-of-5 CONSECUTIVE runs: sub-second queries on this box are
+        # hostage to host-level stalls and JIT compilation timing (round 3
+        # saw 2.4x swings on byte-identical plans); five samples make the
+        # minimum a stable steady-state estimate where three did not. The
+        # spread is logged so a noisy window is visible in the record.
+        samples = []
+        for _ in range(5):
             start = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
-        print(f"[bench] {name}: {timings[name]:.3f}s", file=sys.stderr)
+            samples.append(time.perf_counter() - start)
+        timings[name] = round(min(samples), 3)
+        print(
+            f"[bench] {name}: {timings[name]:.3f}s "
+            f"(max {max(samples):.3f}s over {len(samples)} runs)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -615,6 +615,180 @@ def ivf_fit_codebook(
     return [list(map(float, row)) for row in c]
 
 
+_SUM_DEC = "decimal(38,18)"  # exact, order-free accumulation of unit-vector
+# components: |x| <= 1 and <= 10^20 rows before integer digits overflow
+
+
+def ivf_fit_codebook_distributed(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 10,
+) -> list[list[float]]:
+    """Spherical k-means codebook fit over the FULL corpus with Lloyd
+    iterations as DataFrame jobs — the genuinely-large-codebook path the
+    sampled :func:`ivf_fit_codebook` defers to (same return contract; swap
+    freely, every downstream step takes the codebook as an opaque list).
+
+    Per iteration: map-side nearest-centroid assignment against the
+    broadcast codebook literal (:func:`ivf_assign` — no corpus shuffle),
+    then ONE partial-aggregated ``groupBy(cluster)`` producing per-cluster
+    counts and per-dimension component sums. Only k rows of (count, d
+    sums) ever reach the driver — the k×d centroid matrix Lloyd's
+    inherently rebuilds to broadcast the next round (Spark ML's KMeans
+    collects the same). Spherical update: the renormalized component SUM
+    equals the renormalized mean (scaling preserves direction), so no
+    division by the count is needed; empty clusters keep their previous
+    centroid.
+
+    Deterministic under any partitioning: init is the ``n_centroids``
+    lowest-``md5(id)`` vectors (TakeOrdered, not ``df.sample``), component
+    sums accumulate as DECIMAL (exact, order-free — a double SUM across
+    partitions is accumulation-order-dependent), assignment ties break to
+    the lowest centroid id, and the driver-side renormalization is a fixed
+    left-to-right fold. Same inputs → bit-identical codebook.
+    """
+    import math
+
+    from security_data_pipeline_spark.operators.sampling import hash_hex16
+
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("corpus is empty")
+    dim = dim_row["d"]
+
+    vn = corpus.select(_normalized_vec(vec_col).alias("_vn"))
+    init_rows = (
+        corpus.select(
+            _normalized_vec(vec_col).alias("_vn"),
+            hash_hex16(F.col(id_col)).alias("_h"),
+        )
+        .orderBy("_h", "_vn")
+        .limit(n_centroids)
+        .collect()
+    )
+    if len(init_rows) < n_centroids:
+        raise ValueError(
+            f"corpus ({len(init_rows)}) smaller than n_centroids"
+        )
+    cents = [list(r["_vn"]) for r in init_rows]
+
+    sums = [
+        F.sum(F.col("_vn")[i].cast(_SUM_DEC)).alias(f"_s{i}")
+        for i in range(dim)
+    ]
+    for _ in range(n_iter):
+        agg = (
+            ivf_assign(vn, cents, vec_col="_vn", cluster_col="_c")
+            .groupBy("_c")
+            .agg(F.count(F.lit(1)).alias("_n"), *sums)
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in agg:
+            s = [float(r[f"_s{i}"]) for i in range(dim)]
+            acc = 0.0
+            for x in s:
+                acc = acc + x * x
+            nrm = math.sqrt(acc)
+            if nrm > 1e-12:
+                new[r["_c"] - 1] = [x / nrm for x in s]
+        cents = new
+    return cents
+
+
+def pq_fit_codebooks_distributed(
+    corpus: DataFrame,
+    n_codewords: int = 16,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 10,
+) -> list[list[list[float]]]:
+    """Per-subspace k-means PQ codebooks fit over the FULL corpus — the
+    distributed sibling of :func:`pq_fit_codebooks` (same return contract).
+
+    All ``n_sub`` subspaces train in ONE job per iteration: each corpus row
+    explodes to (subspace, subvector) pairs map-side, nearest-codeword
+    assignment indexes a single 3-level codebook literal by subspace, and
+    one ``groupBy(subspace, codeword)`` yields n_sub·k rows of counts +
+    d_sub-dimension DECIMAL sums — never a per-subspace corpus scan.
+    Update is the plain Euclidean mean (sums / count); empty cells keep
+    their previous codeword. Deterministic end to end for the same reasons
+    as :func:`ivf_fit_codebook_distributed` (lowest-``md5(id)`` init rows,
+    exact decimal sums, lowest-index tie-breaks).
+    """
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("corpus is empty")
+    dim = dim_row["d"]
+    d_sub = dim // n_sub
+
+    from security_data_pipeline_spark.operators.sampling import hash_hex16
+
+    vn = _normalized_vec(vec_col)
+    slices = F.array(
+        *[F.slice(vn, m * d_sub + 1, d_sub) for m in range(n_sub)]
+    )
+    subs = corpus.select(F.posexplode(slices).alias("_m", "_sv"))
+
+    init_rows = (
+        corpus.select(vn.alias("_vn"), hash_hex16(F.col(id_col)).alias("_h"))
+        .orderBy("_h", "_vn")
+        .limit(n_codewords)
+        .collect()
+    )
+    if len(init_rows) < n_codewords:
+        raise ValueError(
+            f"corpus ({len(init_rows)}) smaller than n_codewords"
+        )
+    books = [
+        [list(r["_vn"])[m * d_sub : (m + 1) * d_sub] for r in init_rows]
+        for m in range(n_sub)
+    ]
+
+    sums = [
+        F.sum(F.col("_sv")[i].cast(_SUM_DEC)).alias(f"_s{i}")
+        for i in range(d_sub)
+    ]
+    for _ in range(n_iter):
+        lit = F.lit([[[float(x) for x in cw] for cw in b] for b in books])
+        scored = F.transform(
+            F.element_at(lit, F.col("_m") + 1),
+            lambda cw, i: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("_sv"), cw, lambda x, c: (x - c) * (x - c)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                i.cast("int").alias("idx"),
+            ),
+        )
+        best = F.aggregate(
+            scored,
+            F.struct(
+                F.lit(float("inf")).alias("d2"),
+                F.lit(-1).cast("int").alias("idx"),
+            ),
+            lambda acc, x: F.when(x["d2"] < acc["d2"], x).otherwise(acc),
+        )
+        agg = (
+            subs.withColumn("_k", best["idx"])
+            .groupBy("_m", "_k")
+            .agg(F.count(F.lit(1)).alias("_n"), *sums)
+            .collect()
+        )
+        new = [[list(cw) for cw in b] for b in books]
+        for r in agg:
+            n = r["_n"]
+            new[r["_m"]][r["_k"]] = [
+                float(r[f"_s{i}"]) / n for i in range(d_sub)
+            ]
+        books = new
+    return books
+
+
 def _centroid_sims(vec_col: str, centroids: list[list[float]]) -> F.Column:
     """Array of round(cosine(vec, centroid_i), 6) — JVM-side, no shuffle,
     no Python.

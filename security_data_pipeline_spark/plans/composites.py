@@ -796,8 +796,64 @@ def security_detections(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Scale-maintenance suite: Z-order layout + incremental rollup + k-anonymity
-# + classifier gate, one driver-checkable metric stream
+# Window-function suite: RANGE-frame rolling count + ignoreNulls as-of lag,
+# the two per-event window queries folded into one driver slot
+# ---------------------------------------------------------------------------
+
+
+def _event_windows_sql() -> str:
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+
+    rh = REGISTRY["rolling_hour_counts"].sql.strip().rstrip(";")
+    tsle = REGISTRY["time_since_last_error"].sql.strip().rstrip(";")
+    return f"""
+WITH rh AS ({rh}), tsle AS ({tsle})
+SELECT 'n_last_hour' AS metric, event_id, user_id, ts,
+       CAST(n_last_hour AS DOUBLE) AS value
+FROM rh
+UNION ALL
+SELECT 'secs_since_last_error', event_id, user_id, ts,
+       CAST(secs_since_last_error AS DOUBLE)
+FROM tsle
+"""
+
+
+@query(
+    "event_windows_suite",
+    sql=_event_windows_sql(),
+    description=(
+        "Per-event window functions witnessed together: the trailing "
+        "1-hour RANGE-frame count (value-based frame over epoch micros, "
+        "not a row frame) and the as-of 'seconds since last error' "
+        "ignoreNulls lag, tagged and unioned into one (metric, event_id, "
+        "user_id, ts, value) stream. Both constituents stay registered "
+        "for granular oracle checks; each is a single window pass over "
+        "the same user_id partitioning"
+    ),
+)
+def event_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+
+    rh = REGISTRY["rolling_hour_counts"].fn(spark, sf_dir).select(
+        F.lit("n_last_hour").alias("metric"),
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("n_last_hour").cast("double").alias("value"),
+    )
+    tsle = REGISTRY["time_since_last_error"].fn(spark, sf_dir).select(
+        F.lit("secs_since_last_error").alias("metric"),
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("secs_since_last_error").cast("double").alias("value"),
+    )
+    return rh.unionByName(tsle)
+
+
+# ---------------------------------------------------------------------------
+# Temporal/network suite: IPv4 + IPv6 LPM joins, arbitrary-width time_bucket
+# rollup, winnowing fingerprints, unigram LM scores — one metric stream
 # ---------------------------------------------------------------------------
 
 
@@ -809,6 +865,138 @@ def _unpivot_arm_sql(
         f"'{name}' AS metric, CAST({expr} AS DOUBLE) AS value FROM {cte}"
         for name, expr in metrics
     )
+
+
+def _temporal_net_suite_sql() -> str:
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+
+    def cte(name: str) -> str:
+        return REGISTRY[name].sql.strip().rstrip(";")
+
+    lpm_metrics = [
+        ("n_events", "n_events"),
+        ("n_users", "n_users"),
+        ("matched_len", "matched_len"),
+    ]
+    arms = [
+        _unpivot_arm_sql("ip4", "ip4_lpm", "label", lpm_metrics),
+        _unpivot_arm_sql("ip6", "ip6_lpm", "label", lpm_metrics),
+        _unpivot_arm_sql(
+            "tb",
+            "time_bucket",
+            "event_type || '|' || CAST(epoch_us(bucket) AS VARCHAR)",
+            [("n_events", "n_events"), ("value_sum", "value_sum")],
+        ),
+        _unpivot_arm_sql(
+            "wn",
+            "winnow",
+            "CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR)",
+            [("shared_fps", "shared_fps"), ("containment", "containment")],
+        ),
+        _unpivot_arm_sql(
+            "lm",
+            "lm",
+            "CAST(doc_id AS VARCHAR)",
+            [
+                ("n_tokens", "n_tokens"),
+                ("avg_logprob", "avg_logprob"),
+                ("perplexity", "perplexity"),
+            ],
+        ),
+    ]
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH ip4 AS ({cte("events_ip_lpm")}),
+ip6 AS ({cte("events_ip6_lpm")}),
+tb AS ({cte("events_time_bucket_rollup")}),
+wn AS ({cte("doc_winnow_pairs")}),
+lm AS ({cte("doc_lm_scores")})
+{body}
+"""
+
+
+@query(
+    "temporal_net_suite",
+    sql=_temporal_net_suite_sql(),
+    description=(
+        "Temporal/network operator family in one slot: (1) IPv4 "
+        "longest-prefix-match join — bounded prefix-length fan-out + one "
+        "broadcast equi-join, most-specific via surrogate-id max_by; (2) "
+        "the IPv6 form with two-long 128-bit keys straddling the 64-bit "
+        "boundary; (3) hypertable-style time_bucket rollup at an "
+        "arbitrary 15-minute width (exact integer micros math); (4) "
+        "winnowing (rolling-hash) fingerprint near-dup pairs with "
+        "containment; (5) unigram-LM perplexity quality scores. All five "
+        "unpivoted to one (suite, item, metric, value) stream; "
+        "constituents stay registered for granular oracle checks"
+    ),
+)
+def temporal_net_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+
+    def run(name: str) -> DataFrame:
+        return REGISTRY[name].fn(spark, sf_dir)
+
+    parts: list[DataFrame] = []
+    lpm_metrics = ["n_events", "n_users", "matched_len"]
+    for suite, qname in (("ip4_lpm", "events_ip_lpm"), ("ip6_lpm", "events_ip6_lpm")):
+        parts.append(
+            run(qname)
+            .select(
+                F.col("label").alias("item"),
+                *[F.col(m).cast("double").alias(m) for m in lpm_metrics],
+            )
+            .unpivot(["item"], lpm_metrics, "metric", "value")
+            .select(F.lit(suite).alias("suite"), "item", "metric", "value")
+        )
+
+    tb = run("events_time_bucket_rollup")
+    tb_metrics = ["n_events", "value_sum"]
+    parts.append(
+        tb.select(
+            F.concat(
+                F.col("event_type"),
+                F.lit("|"),
+                F.unix_micros(F.col("bucket")).cast("string"),
+            ).alias("item"),
+            *[F.col(m).cast("double").alias(m) for m in tb_metrics],
+        )
+        .unpivot(["item"], tb_metrics, "metric", "value")
+        .select(F.lit("time_bucket").alias("suite"), "item", "metric", "value")
+    )
+
+    wn = run("doc_winnow_pairs")
+    wn_metrics = ["shared_fps", "containment"]
+    parts.append(
+        wn.select(
+            F.concat(
+                F.col("id_a").cast("string"),
+                F.lit("|"),
+                F.col("id_b").cast("string"),
+            ).alias("item"),
+            *[F.col(m).cast("double").alias(m) for m in wn_metrics],
+        )
+        .unpivot(["item"], wn_metrics, "metric", "value")
+        .select(F.lit("winnow").alias("suite"), "item", "metric", "value")
+    )
+
+    lm = run("doc_lm_scores")
+    lm_metrics = ["n_tokens", "avg_logprob", "perplexity"]
+    parts.append(
+        lm.select(
+            F.col("doc_id").cast("string").alias("item"),
+            *[F.col(m).cast("double").alias(m) for m in lm_metrics],
+        )
+        .unpivot(["item"], lm_metrics, "metric", "value")
+        .select(F.lit("lm").alias("suite"), "item", "metric", "value")
+    )
+    return _union(parts)
+
+
+# ---------------------------------------------------------------------------
+# Scale-maintenance suite: Z-order layout + incremental rollup + k-anonymity
+# + classifier gate, one driver-checkable metric stream
+# ---------------------------------------------------------------------------
 
 
 def _scale_suite_sql() -> str:

@@ -4025,8 +4025,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "keep_last_dedup",
     "event_type_pivot",
     "user_counts_salted",
-    "rolling_hour_counts",
-    "time_since_last_error",
+    # window-functions composite: RANGE-frame rolling count + ignoreNulls
+    # as-of lag (constituents rolling_hour_counts / time_since_last_error
+    # stay registered as extras)
+    "event_windows_suite",
+    # temporal/network composite: IPv4+IPv6 LPM joins, time_bucket rollup,
+    # winnowing fingerprints, unigram LM scores
+    "temporal_net_suite",
     "props_k_stats",
     # real file I/O: CSV events roundtrip + JSONL corpus roundtrip
     "file_roundtrip",
