@@ -2,11 +2,13 @@
 
 The Spark-side contract is real and tested — schemas, Arrow batch shapes,
 partition-preserving ``mapInPandas`` plumbing, JVM-side metadata extraction —
-while the actual codec step is stubbed (no image/audio libraries in this
-container): ``decoder="fake"`` produces a deterministic pseudo-decode from
-the bytes (stable across runs/engines), ``decoder="pillow"``-style real
-decoders raise ``NotImplementedError`` with a clear message until the
-dependency is present.
+while the codec step dispatches on what the runtime provides:
+``decoder="auto"`` (the default for callers that want real decodes when
+possible) uses Pillow / PyAV when importable and falls back to the
+deterministic stub otherwise; ``decoder="fake"`` forces the stub (stable
+across runs/engines — what the oracle-checked queries pin); explicit
+``decoder="pillow"`` / ``decoder="av"`` raise ``NotImplementedError`` with a
+clear message when the dependency is absent.
 
 At 100 TB: blobs stay in parquet binary columns; metadata probes
 (:func:`attach_blob_metadata`) are pure Column expressions over the binary
@@ -86,6 +88,78 @@ def _fake_decode_batch(pdf: pd.DataFrame, id_col: str, blob_col: str) -> pd.Data
     return pd.DataFrame(out)
 
 
+def _pillow_module():
+    """PIL.Image if Pillow is importable in this runtime, else None."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _av_module():
+    """PyAV if importable in this runtime, else None."""
+    try:
+        import av  # noqa: PLC0415
+
+        return av
+    except ImportError:
+        return None
+
+
+def _pillow_decode_batch(
+    pdf: pd.DataFrame, id_col: str, blob_col: str
+) -> pd.DataFrame:
+    """Real image decode via Pillow — same output contract as the stub:
+    (media_id, width, height, channels, pixels) with pixels the
+    channel-interleaved [0, 1] floats. Executor-side only (inside
+    ``mapInPandas``); never imported when Pillow is absent."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    out = {"media_id": [], "width": [], "height": [], "channels": [], "pixels": []}
+    for media_id, blob in zip(pdf[id_col], pdf[blob_col]):
+        img = Image.open(io.BytesIO(bytes(blob)))
+        arr = np.asarray(img)
+        if arr.ndim == 2:
+            channels = 1
+        else:
+            channels = arr.shape[2]
+        out["media_id"].append(media_id)
+        out["width"].append(img.width)
+        out["height"].append(img.height)
+        out["channels"].append(channels)
+        out["pixels"].append(
+            (arr.reshape(-1) / 255.0).astype(np.float32)
+        )
+    return pd.DataFrame(out)
+
+
+def _resolve_decoder(decoder: str, kind: str) -> str:
+    """``auto`` → the real codec when importable, else the stub; explicit
+    real-codec names raise when their dependency is absent."""
+    real, probe = (
+        ("pillow", _pillow_module) if kind == "image" else ("av", _av_module)
+    )
+    if decoder == "auto":
+        return real if probe() is not None else "fake"
+    if decoder == real and probe() is None:
+        raise NotImplementedError(
+            f"decoder={decoder!r}: the codec library is not available in "
+            "this runtime; use decoder='fake' (deterministic stub) or "
+            "decoder='auto' (stub fallback) — the Spark plumbing "
+            "(schema/batching/partitioning) is identical."
+        )
+    if decoder not in (real, "fake"):
+        raise NotImplementedError(
+            f"decoder={decoder!r}: unknown; use {real!r}, 'fake', or 'auto'"
+        )
+    return decoder
+
+
 def decode_images(
     df: DataFrame,
     id_col: str = "media_id",
@@ -94,19 +168,20 @@ def decode_images(
 ) -> DataFrame:
     """Binary → decoded pixel arrays via ``mapInPandas`` (Arrow-batched).
 
-    ``decoder="fake"`` is the deterministic stub; real decoders plug in here
-    with the same signature once their libraries exist in the runtime.
+    ``decoder="fake"`` is the deterministic stub (the oracle-checked
+    default); ``"pillow"`` decodes real images when Pillow is importable
+    and raises otherwise; ``"auto"`` picks Pillow when present, the stub
+    when not — same output schema either way, so pipelines are portable
+    between stub and real runtimes.
     """
-    if decoder != "fake":
-        raise NotImplementedError(
-            f"decoder={decoder!r}: real image codecs are not available in "
-            "this runtime; use decoder='fake' (deterministic stub) — the "
-            "Spark plumbing (schema/batching/partitioning) is identical."
-        )
+    resolved = _resolve_decoder(decoder, "image")
+    decode = (
+        _pillow_decode_batch if resolved == "pillow" else _fake_decode_batch
+    )
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _fake_decode_batch(pdf, id_col, blob_col)
+            yield decode(pdf, id_col, blob_col)
 
     return df.mapInPandas(mapper, DECODED_IMAGE_SCHEMA)
 
@@ -131,19 +206,30 @@ def sample_frames(
     every_n: int = 10,
     decoder: str = "fake",
 ) -> DataFrame:
-    """Video frame-sampling stub: emits one pseudo-frame per ``every_n``
-    'frames' (derived deterministically from blob length). Demonstrates the
-    1→N explode shape a real frame sampler has (mapInPandas can yield more
-    rows than it consumes)."""
-    if decoder != "fake":
-        raise NotImplementedError("real video codecs unavailable; use 'fake'")
+    """Video frame sampling: emits one frame index per ``every_n`` frames —
+    the 1→N explode shape (mapInPandas can yield more rows than it
+    consumes). The stub derives a deterministic pseudo frame count from
+    the blob length; ``decoder="av"`` (or ``"auto"`` with PyAV importable)
+    counts real container frames instead, same output schema."""
+    resolved = _resolve_decoder(decoder, "video")
+
+    def n_frames_of(blob: bytes) -> int:
+        if resolved == "av":
+            import io
+
+            import av
+
+            with av.open(io.BytesIO(blob)) as container:
+                return max(
+                    1, sum(1 for _ in container.decode(video=0))
+                )
+        return max(1, len(blob) // 16)
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"media_id": [], "frame_index": []}
             for media_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                n_frames = max(1, len(bytes(blob)) // 16)
-                for idx in range(0, n_frames, every_n):
+                for idx in range(0, n_frames_of(bytes(blob)), every_n):
                     rows["media_id"].append(media_id)
                     rows["frame_index"].append(idx)
             yield pd.DataFrame(rows)

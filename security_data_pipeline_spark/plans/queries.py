@@ -3867,7 +3867,9 @@ def events_ip_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(_CIDR_ROWS), "prefix long, prefix_len int, label string"
     )
     return (
-        ip_lpm_join(ev, cidrs, how="inner")
+        # event_id is the ingest-unique key: reusing it as the reduction id
+        # keeps the whole plan deterministic (no monotonically_increasing_id)
+        ip_lpm_join(ev, cidrs, how="inner", id_col="event_id")
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -3946,7 +3948,7 @@ def events_ip6_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prefix_hi long, prefix_lo long, prefix_len int, label string",
     )
     return (
-        ip6_lpm_join(ev, cidrs, how="inner")
+        ip6_lpm_join(ev, cidrs, how="inner", id_col="event_id")
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

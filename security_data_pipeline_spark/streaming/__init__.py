@@ -14,6 +14,7 @@ from security_data_pipeline_spark.streaming.sessionize import (
 )
 from security_data_pipeline_spark.streaming.pipeline import (
     enrich_stream,
+    enrich_stream_with_cidrs,
     maintain_rollup_stream,
     read_raw_events_stream,
     stream_stream_join,
@@ -25,6 +26,7 @@ __all__ = [
     "sessionize_with_state",
     "read_raw_events_stream",
     "enrich_stream",
+    "enrich_stream_with_cidrs",
     "maintain_rollup_stream",
     "stream_stream_join",
     "run_streaming_pipeline",

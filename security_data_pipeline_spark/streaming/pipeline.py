@@ -133,6 +133,44 @@ def enrich_stream(
     return stream_df.join(F.broadcast(dim_df), on, how)
 
 
+def enrich_stream_with_cidrs(
+    stream_df: DataFrame,
+    cidr_path: str,
+    checkpoint_path: str,
+    sink: Callable[[DataFrame, int], None],
+    ip_col: str = "ip",
+    how: str = "left",
+    trigger_available_now: bool = True,
+):
+    """Streaming longest-prefix-match enrichment: live events × a CIDR
+    threat/geo feed — the reference's security framing as a stream.
+
+    Runs inside ``foreachBatch`` so the feed is RE-READ from ``cidr_path``
+    (parquet) at every micro-batch: a feed refresh written between
+    triggers is picked up by the next batch without restarting the query —
+    the operational property a threat feed needs (stream-static joins
+    resolve the static plan per batch too, but a driver-collected LPM dim
+    baked into the plan would not refresh). Each batch then runs the batch
+    :func:`~security_data_pipeline_spark.operators.joins.ip_lpm_join`
+    unchanged: bounded prefix-length fan-out, ONE broadcast hash equi-join,
+    most-specific winner via surrogate-id ``max_by`` — all batch-local, so
+    the enrichment adds ZERO streaming state (nothing to watermark, no
+    store to compact). Returns the StreamingQuery.
+    """
+    from security_data_pipeline_spark.operators.joins import ip_lpm_join
+
+    def _enrich(batch_df: DataFrame, batch_id: int) -> None:
+        cidrs = batch_df.sparkSession.read.parquet(cidr_path)
+        sink(ip_lpm_join(batch_df, cidrs, ip_col=ip_col, how=how), batch_id)
+
+    writer = stream_df.writeStream.option(
+        "checkpointLocation", checkpoint_path
+    ).foreachBatch(_enrich)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -46,8 +46,34 @@ def test_fake_decode_schema_and_determinism(media):
 
 
 def test_real_decoder_raises_clearly(media):
-    with pytest.raises(NotImplementedError, match="decoder='fake'"):
-        multimodal.decode_images(media, decoder="pillow")
+    # this container ships no codec libraries by design — the explicit
+    # real-codec name must fail loudly, not fall back silently
+    if multimodal._pillow_module() is None:
+        with pytest.raises(NotImplementedError, match="decoder='fake'"):
+            multimodal.decode_images(media, decoder="pillow")
+    if multimodal._av_module() is None:
+        with pytest.raises(NotImplementedError, match="'fake'"):
+            multimodal.sample_frames(media, decoder="av")
+    with pytest.raises(NotImplementedError, match="unknown"):
+        multimodal.decode_images(media, decoder="bogus")
+
+
+def test_auto_decoder_dispatch(media, monkeypatch):
+    # in this container (no Pillow/PyAV) auto must resolve to the stub and
+    # produce the stub's deterministic output
+    assert multimodal._pillow_module() is None, "container grew Pillow; update test"
+    assert multimodal._resolve_decoder("auto", "image") == "fake"
+    assert multimodal._resolve_decoder("auto", "video") == "fake"
+    auto = {r.media_id: r.pixels for r in
+            multimodal.decode_images(media, decoder="auto").collect()}
+    fake = {r.media_id: r.pixels for r in
+            multimodal.decode_images(media, decoder="fake").collect()}
+    assert auto == fake
+    # when the probe reports the library, auto dispatches to the real codec
+    monkeypatch.setattr(multimodal, "_pillow_module", lambda: object())
+    assert multimodal._resolve_decoder("auto", "image") == "pillow"
+    monkeypatch.setattr(multimodal, "_av_module", lambda: object())
+    assert multimodal._resolve_decoder("auto", "video") == "av"
 
 
 def test_feature_extract_back_to_jvm(media):

@@ -297,6 +297,62 @@ def test_enrich_stream_static_broadcast_join(spark, input_dir, tmp_path):
     assert all(org in ("eng", "sales") for _, org in got)
 
 
+def test_enrich_stream_with_cidrs_picks_up_feed_update(spark, tmp_path):
+    """Streaming LPM enrichment re-reads the CIDR feed every micro-batch:
+    a feed rewrite landing between triggers must show in the next batch's
+    labels without restarting the query (the threat-feed refresh path)."""
+    import os
+
+    from security_data_pipeline_spark.streaming import enrich_stream_with_cidrs
+
+    events_dir = tmp_path / "events"
+    feed_dir = str(tmp_path / "feed")
+    events_dir.mkdir()
+
+    # two input files with distinct mtimes → availableNow processes them as
+    # two ordered micro-batches (file source sorts by modification time)
+    spark.createDataFrame([(1, 100)], "event_id long, ip long").coalesce(
+        1
+    ).write.parquet(str(events_dir / "f0"))
+    spark.createDataFrame([(2, 200)], "event_id long, ip long").coalesce(
+        1
+    ).write.parquet(str(events_dir / "f1"))
+    now = 1_700_000_000
+    for i, d in enumerate(("f0", "f1")):
+        for root, _, files in os.walk(events_dir / d):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i * 10, now + i * 10))
+
+    def write_feed(label: str) -> None:
+        spark.createDataFrame(
+            [(0, 1, label)], "prefix long, prefix_len int, label string"
+        ).coalesce(1).write.mode("overwrite").parquet(feed_dir)
+
+    write_feed("feed-v1")
+    seen: list[tuple[int, int, str]] = []
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            seen.append((batch_id, r["event_id"], r["label"]))
+        write_feed("feed-v2")  # refresh lands after this batch commits
+
+    stream = (
+        spark.readStream.schema("event_id long, ip long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(events_dir) + "/*")
+    )
+    q = enrich_stream_with_cidrs(
+        stream,
+        cidr_path=feed_dir,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        sink=sink,
+    )
+    q.awaitTermination(120)
+    by_event = {e: (b, label) for b, e, label in seen}
+    assert by_event[1] == (0, "feed-v1")
+    assert by_event[2] == (1, "feed-v2")
+
+
 def test_windowed_counts_drop_data_later_than_watermark(spark, tmp_path):
     """A row arriving after the watermark passed its window is dropped —
     the state-bounding semantics batch never exercises (SURVEY §2.10)."""
