@@ -3764,6 +3764,61 @@ def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_bpe_top_pairs",
+    sql="""
+WITH words AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+), syms AS (
+  SELECT freq, list_append(string_split(word, ''), '</w>') AS s FROM words
+), pairs AS (
+  SELECT freq, unnest(list_transform(generate_series(1, len(s) - 1),
+                i -> {a: s[i], b: s[i+1]})) AS p
+  FROM syms
+)
+SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS n
+FROM pairs GROUP BY p.a, p.b
+ORDER BY n DESC, a, b LIMIT 20
+""",
+    description=(
+        "The BPE training inner loop as an oracle-checkable query: corpus "
+        "word histogram (the ONE corpus-wide reduction tokenizer training "
+        "needs), character symbols + end-of-word marker, adjacent-pair "
+        "counts weighted by word frequency, top-20 under the total "
+        "(count DESC, a, b) order — i.e. the exact candidate ranking "
+        "operators/bpe.py:bpe_train consumes each merge iteration (the "
+        "full training loop is iterative and has no SQL form; it is "
+        "reference-verified in tests/test_bpe.py)"
+    ),
+)
+def doc_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = bpe.word_histogram(docs)
+    syms = hist.select("freq", bpe.initial_symbols("word").alias("s"))
+    pairs = syms.select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col("s")) - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("s"), i).alias("a"),
+                    F.element_at(F.col("s"), i + 1).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), "a", "b")
+        .limit(20)
+    )
+
+
+@query(
     "doc_winnow_pairs",
     sql="""
 WITH toks AS (
