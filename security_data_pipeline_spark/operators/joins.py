@@ -370,11 +370,19 @@ def ip6_to_longs(col: Column | str) -> Column:
     one ``::`` zero-run compression; each long holds 64 bits of the
     address in two's complement (addresses ≥ 2^63 in a half map to
     negative longs — all downstream ops are bitwise/equality, so the sign
-    is representation only). Pure Column ops (split, conv, bit shifts);
-    IPv4-mapped dotted forms (``::ffff:1.2.3.4``) are out of scope —
-    normalize those at ingest.
+    is representation only). Pure Column ops (split, conv, bit shifts).
+    IPv4-mapped / dotted-tail forms (``::ffff:1.2.3.4``) are handled by
+    folding the dotted quad into the low 32 bits — what a dual-stack feed
+    actually ships.
     """
-    c = F.col(col) if isinstance(col, str) else col
+    c0 = F.col(col) if isinstance(col, str) else col
+    v4_re = r"([0-9]+\.[0-9]+\.[0-9]+\.[0-9]+)$"
+    v4_str = F.regexp_extract(c0, v4_re, 1)
+    has_v4 = v4_str != ""
+    # the dotted tail always occupies the last 32 bits: parse the address
+    # with the tail as "0:0", then OR the IPv4 value into lo
+    c = F.when(has_v4, F.regexp_replace(c0, v4_re, "0:0")).otherwise(c0)
+    v4_val = F.when(has_v4, ip_to_long(v4_str)).otherwise(F.lit(0))
     halves = F.split(c, "::", -1)
     nonempty = lambda x: x != F.lit("")  # noqa: E731
     left = F.filter(F.split(halves[0], ":"), nonempty)
@@ -398,7 +406,7 @@ def ip6_to_longs(col: Column | str) -> Column:
         )
 
     hi = pack(groups[0], groups[1], groups[2], groups[3])
-    lo = pack(groups[4], groups[5], groups[6], groups[7])
+    lo = pack(groups[4], groups[5], groups[6], groups[7]).bitwiseOR(v4_val)
     return F.struct(hi.alias("hi"), lo.alias("lo"))
 
 

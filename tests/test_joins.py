@@ -497,6 +497,9 @@ def test_ip6_to_longs_known_addresses(spark):
         "fe80::210:5aff:feaa:20a2",
         "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff",
         "1:2:3:4:5:6:7:8",
+        "::ffff:192.168.0.1",  # IPv4-mapped dotted tail
+        "::ffff:255.255.255.255",
+        "64:ff9b::1.2.3.4",  # NAT64 well-known prefix, dotted tail
     ]
     df = spark.createDataFrame([(a,) for a in addrs], "addr string")
     got = [

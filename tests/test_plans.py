@@ -211,6 +211,33 @@ def test_lm_scoring_join_is_broadcast(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+@pytest.mark.parametrize("name", ("events_ip_lpm", "events_ip6_lpm"))
+def test_lpm_dim_broadcast_and_narrow_reduce_keys(spark, name):
+    """Both LPM joins: the CIDR dim meets the fan-out in a broadcast hash
+    join (never SMJ — the dim is small by definition), and every exchange
+    keys on the narrow surrogate/rollup columns (event_id / label), never
+    on fact payload columns like user_id or ip."""
+    import re
+
+    plan = _plan(REGISTRY[name].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, name
+    for keys in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        # the rollup's countDistinct legitimately shuffles (label, user_id);
+        # everything else must key on the surrogate id or the rollup label —
+        # never an ip/address column, never user_id alone
+        assert "ip" not in keys.replace("_lpm_rid", ""), (name, keys)
+        if "user_id" in keys:
+            assert "label" in keys, (name, keys)
+
+
+def test_bpe_pair_counts_partial_aggregated_topk(spark):
+    """The BPE pair ranking: top-20 via TakeOrdered (no global sort) over a
+    partial-aggregated pair count (map-side combine before the shuffle)."""
+    plan = _plan(REGISTRY["doc_bpe_top_pairs"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_" in plan or "HashAggregate" in plan
+
+
 @pytest.mark.parametrize("name", ALL_QUERIES)
 def test_no_unbroadcast_cartesian_in_any_query(spark, name):
     """CartesianProduct (a non-broadcast cross join) shuffles |L|x|R| work
