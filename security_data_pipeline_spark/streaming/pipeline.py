@@ -141,6 +141,7 @@ def enrich_stream_with_cidrs(
     ip_col: str = "ip",
     how: str = "left",
     trigger_available_now: bool = True,
+    family: str = "ipv4",
 ):
     """Streaming longest-prefix-match enrichment: live events × a CIDR
     threat/geo feed — the reference's security framing as a stream.
@@ -152,16 +153,28 @@ def enrich_stream_with_cidrs(
     resolve the static plan per batch too, but a driver-collected LPM dim
     baked into the plan would not refresh). Each batch then runs the batch
     :func:`~security_data_pipeline_spark.operators.joins.ip_lpm_join`
+    (or :func:`...ip6_lpm_join` with ``family="ipv6"`` — the stream
+    carries ``ip_hi``/``ip_lo`` longs, the feed ``prefix_hi``/``prefix_lo``)
     unchanged: bounded prefix-length fan-out, ONE broadcast hash equi-join,
     most-specific winner via surrogate-id ``max_by`` — all batch-local, so
     the enrichment adds ZERO streaming state (nothing to watermark, no
     store to compact). Returns the StreamingQuery.
     """
-    from security_data_pipeline_spark.operators.joins import ip_lpm_join
+    from security_data_pipeline_spark.operators.joins import (
+        ip6_lpm_join,
+        ip_lpm_join,
+    )
+
+    if family not in ("ipv4", "ipv6"):
+        raise ValueError(f"family must be 'ipv4' or 'ipv6', got {family!r}")
 
     def _enrich(batch_df: DataFrame, batch_id: int) -> None:
         cidrs = batch_df.sparkSession.read.parquet(cidr_path)
-        sink(ip_lpm_join(batch_df, cidrs, ip_col=ip_col, how=how), batch_id)
+        if family == "ipv6":
+            joined = ip6_lpm_join(batch_df, cidrs, how=how)
+        else:
+            joined = ip_lpm_join(batch_df, cidrs, ip_col=ip_col, how=how)
+        sink(joined, batch_id)
 
     writer = stream_df.writeStream.option(
         "checkpointLocation", checkpoint_path

@@ -353,6 +353,43 @@ def test_enrich_stream_with_cidrs_picks_up_feed_update(spark, tmp_path):
     assert by_event[2] == (1, "feed-v2")
 
 
+def test_enrich_stream_with_cidrs_ipv6_family(spark, tmp_path):
+    """family='ipv6' routes each micro-batch through the 128-bit LPM join
+    (hi/lo long keys) with the same zero-state foreachBatch shape."""
+    from security_data_pipeline_spark.streaming import enrich_stream_with_cidrs
+
+    events_dir = tmp_path / "events6"
+    feed_dir = str(tmp_path / "feed6")
+    events_dir.mkdir()
+    # 2001:db8::5 → hi = 0x20010db8 << 32, lo = 5
+    hi = 0x20010DB8 << 32
+    spark.createDataFrame(
+        [(1, hi, 5), (2, -(1 << 63), 0)],
+        "event_id long, ip_hi long, ip_lo long",
+    ).coalesce(1).write.parquet(str(events_dir / "f0"))
+    spark.createDataFrame(
+        [(hi, 0, 32, "site")],
+        "prefix_hi long, prefix_lo long, prefix_len int, label string",
+    ).coalesce(1).write.parquet(feed_dir)
+
+    seen: dict[int, str] = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            seen[r["event_id"]] = r["label"]
+
+    q = enrich_stream_with_cidrs(
+        spark.readStream.schema("event_id long, ip_hi long, ip_lo long")
+        .parquet(str(events_dir) + "/*"),
+        cidr_path=feed_dir,
+        checkpoint_path=str(tmp_path / "ckpt6"),
+        sink=sink,
+        family="ipv6",
+    )
+    q.awaitTermination(120)
+    assert seen == {1: "site", 2: None}
+
+
 def test_windowed_counts_drop_data_later_than_watermark(spark, tmp_path):
     """A row arriving after the watermark passed its window is dropped —
     the state-bounding semantics batch never exercises (SURVEY §2.10)."""
