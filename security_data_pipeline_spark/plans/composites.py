@@ -903,6 +903,18 @@ def _temporal_net_suite_sql() -> str:
                 ("perplexity", "perplexity"),
             ],
         ),
+        _unpivot_arm_sql(
+            "bp",
+            "bpe_pairs",
+            "a || '|' || b",
+            [("n", "n")],
+        ),
+        _unpivot_arm_sql(
+            "ov",
+            "interval_overlap",
+            "window_id",
+            [("n_items", "n_items"), ("total_qty", "total_qty")],
+        ),
     ]
     body = "\nUNION ALL\n".join(arms)
     return f"""
@@ -910,7 +922,9 @@ WITH ip4 AS ({cte("events_ip_lpm")}),
 ip6 AS ({cte("events_ip6_lpm")}),
 tb AS ({cte("events_time_bucket_rollup")}),
 wn AS ({cte("doc_winnow_pairs")}),
-lm AS ({cte("doc_lm_scores")})
+lm AS ({cte("doc_lm_scores")}),
+bp AS ({cte("doc_bpe_top_pairs")}),
+ov AS ({cte("shipment_audit_overlap")})
 {body}
 """
 
@@ -926,7 +940,10 @@ lm AS ({cte("doc_lm_scores")})
         "boundary; (3) hypertable-style time_bucket rollup at an "
         "arbitrary 15-minute width (exact integer micros math); (4) "
         "winnowing (rolling-hash) fingerprint near-dup pairs with "
-        "containment; (5) unigram-LM perplexity quality scores. All five "
+        "containment; (5) unigram-LM perplexity quality scores; (6) the "
+        "BPE tokenizer-training pair ranking (frequency-weighted adjacent "
+        "symbol pairs, total-order top-20); (7) the interval-overlap "
+        "bin join (shipment intervals x audit windows). All seven "
         "unpivoted to one (suite, item, metric, value) stream; "
         "constituents stay registered for granular oracle checks"
     ),
@@ -989,6 +1006,29 @@ def temporal_net_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unpivot(["item"], lm_metrics, "metric", "value")
         .select(F.lit("lm").alias("suite"), "item", "metric", "value")
+    )
+
+    bp = run("doc_bpe_top_pairs")
+    parts.append(
+        bp.select(
+            F.lit("bpe_pairs").alias("suite"),
+            F.concat(F.col("a"), F.lit("|"), F.col("b")).alias("item"),
+            F.lit("n").alias("metric"),
+            F.col("n").cast("double").alias("value"),
+        )
+    )
+
+    ov = run("shipment_audit_overlap")
+    ov_metrics = ["n_items", "total_qty"]
+    parts.append(
+        ov.select(
+            F.col("window_id").alias("item"),
+            *[F.col(m).cast("double").alias(m) for m in ov_metrics],
+        )
+        .unpivot(["item"], ov_metrics, "metric", "value")
+        .select(
+            F.lit("interval_overlap").alias("suite"), "item", "metric", "value"
+        )
     )
     return _union(parts)
 
