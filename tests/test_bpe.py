@@ -106,6 +106,55 @@ def test_apply_bpe_encodes_with_trained_merges(corpus):
     assert low in ("low", "low</w>")
 
 
+def test_merge_pair_matches_reference_on_random_sequences(spark):
+    """The Column fold and the reference greedy merge must agree on
+    arbitrary symbol runs — including overlapping-candidate runs (aaaa)
+    and merged-symbol collisions (ab next to a, b)."""
+    import itertools
+
+    seqs = [
+        list(p)
+        for n in (1, 2, 3, 4, 5)
+        for p in itertools.product("ab", repeat=n)
+    ]
+    df = spark.createDataFrame([(s,) for s in seqs], "s array<string>")
+    for a, b in (("a", "a"), ("a", "b"), ("b", "a")):
+        got = [
+            r["m"]
+            for r in df.select(bpe.merge_pair(F.col("s"), a, b).alias("m"))
+            .collect()
+        ]
+        exp = [list(_ref_merge_word(tuple(s), a, b)) for s in seqs]
+        assert got == exp, (a, b)
+
+
+def test_ip4_mapped_cidr_feeds_ip6_lpm(spark):
+    """A dual-stack feed row written as an IPv4-mapped CIDR
+    (::ffff:10.0.0.0/104 = the v4 10/8 inside the mapped range) matches
+    mapped fact addresses end to end."""
+    from security_data_pipeline_spark.operators import joins
+
+    cidrs = spark.createDataFrame(
+        [("::ffff:10.0.0.0/104", "corp-mapped"), ("::/0", "default")],
+        "cidr string, label string",
+    ).select(joins.parse_cidr6("cidr").alias("c"), "label").select(
+        "c.prefix_hi", "c.prefix_lo", "c.prefix_len", "label"
+    )
+    facts = spark.createDataFrame(
+        [(1, "::ffff:10.1.2.3"), (2, "::ffff:11.0.0.1")],
+        "row_id long, addr string",
+    ).select("row_id", joins.ip6_to_longs("addr").alias("a")).select(
+        "row_id", "a.hi", "a.lo"
+    )
+    out = {
+        r["row_id"]: r["label"]
+        for r in joins.ip6_lpm_join(
+            facts, cidrs, hi_col="hi", lo_col="lo"
+        ).collect()
+    }
+    assert out == {1: "corp-mapped", 2: "default"}
+
+
 def test_word_histogram_counts(corpus):
     hist = {
         r["word"]: r["freq"] for r in bpe.word_histogram(corpus).collect()
