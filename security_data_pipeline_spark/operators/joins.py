@@ -272,6 +272,26 @@ def interval_overlap_join(
     )
 
 
+def _tag_rows(facts: DataFrame, id_col: str | None, rid: str) -> DataFrame:
+    """Attach (or reuse) the surrogate row id the LPM joins reduce on.
+
+    With no ``id_col``, ``monotonically_increasing_id`` is attached and the
+    result is ``localCheckpoint(eager=False)``-ed: the id expression is
+    NON-deterministic across recomputations, and the tagged frame is
+    consumed by two plan branches (candidate fan-out + join-back) — without
+    pinning, a task retry or AQE replan could recompute one branch under a
+    different partition layout and the branches' ids would diverge,
+    silently dropping or mis-enriching rows. The checkpoint materializes
+    the ids exactly once (lazily, inside the first action) and both
+    branches read the same frozen blocks.
+    """
+    if id_col is not None:
+        return facts
+    return facts.withColumn(
+        rid, F.monotonically_increasing_id()
+    ).localCheckpoint(eager=False)
+
+
 def ip_to_long(col: Column | str) -> Column:
     """Dotted-quad IPv4 string → unsigned-32 value in a long. Pure Column
     arithmetic (split + fold), reproducible in any SQL dialect."""
@@ -321,7 +341,13 @@ def ip_lpm_join(
     join-back, and non-comparable column types (maps) never enter a key.
     Pass ``id_col`` to reuse an existing unique key (e.g. the ingest
     ``_ordinal``); otherwise a ``monotonically_increasing_id`` is attached
-    for the duration of the join.
+    for the duration of the join. Because the tagged frame feeds BOTH the
+    candidate fan-out and the enrichment join-back, and
+    ``monotonically_increasing_id`` is partition-layout-dependent (task
+    retries or an AQE replan can recompute the two branches with different
+    layouts, silently diverging the ids), the auto-id path pins the ids
+    with ``localCheckpoint`` before reuse — one materialization of the
+    fact columns. At 100 TB pass ``id_col`` instead and skip that cost.
     """
     lens = sorted(
         r[0] for r in cidrs.select(len_col).distinct().collect()
@@ -342,11 +368,7 @@ def ip_lpm_join(
         *payload,
     )
     rid = id_col if id_col is not None else "_lpm_rid"
-    tagged = (
-        facts
-        if id_col is not None
-        else facts.withColumn(rid, F.monotonically_increasing_id())
-    )
+    tagged = _tag_rows(facts, id_col, rid)
     cand = tagged.select(rid, ip_col).withColumn(
         "_len", F.explode(F.array(*[F.lit(l) for l in lens]))
     ).withColumn(
@@ -426,22 +448,41 @@ def _mask64(nbits: Column) -> Column:
     return out
 
 
-def parse_cidr6(col: Column | str) -> Column:
+def parse_cidr6(col: Column | str, strict: bool = True) -> Column:
     """``"2001:db8::/32"`` → ``struct(prefix_hi long, prefix_lo long,
     prefix_len int)`` with host bits zeroed, feeding :func:`ip6_lpm_join`
     directly. The mask rides a 65-branch literal when-chain (bitwise AND,
     no dynamic shifts), exact for every prefix length 0-128.
+
+    ``strict`` (default): a malformed row — no ``/``, a prefix length
+    outside [0, 128], or an address that doesn't parse to two longs —
+    raises at execution time instead of silently becoming a NULL prefix
+    struct; a corrupt threat-feed row should fail the load loudly, not
+    dissolve into a key that matches nothing. ``strict=False`` restores
+    NULL-passthrough for feeds where partial loads are acceptable.
     """
     c = F.col(col) if isinstance(col, str) else col
     parts = F.split(c, "/")
-    plen = parts[1].cast("int")
+    plen = F.get(parts, 1).cast("int")
     addr = ip6_to_longs(parts[0])
     hi_bits = F.least(plen, F.lit(64))
     lo_bits = F.greatest(plen - F.lit(64), F.lit(0))
-    return F.struct(
+    out = F.struct(
         addr["hi"].bitwiseAND(_mask64(hi_bits)).alias("prefix_hi"),
         addr["lo"].bitwiseAND(_mask64(lo_bits)).alias("prefix_lo"),
         plen.alias("prefix_len"),
+    )
+    if not strict:
+        return out
+    valid = (
+        plen.isNotNull()
+        & (plen >= 0)
+        & (plen <= 128)
+        & addr["hi"].isNotNull()
+        & addr["lo"].isNotNull()
+    )
+    return F.when(valid, out).otherwise(
+        F.raise_error(F.concat(F.lit("malformed IPv6 CIDR: "), c))
     )
 
 
@@ -502,11 +543,7 @@ def ip6_lpm_join(
         *payload,
     )
     rid = id_col if id_col is not None else "_lpm_rid"
-    tagged = (
-        facts
-        if id_col is not None
-        else facts.withColumn(rid, F.monotonically_increasing_id())
-    )
+    tagged = _tag_rows(facts, id_col, rid)
     cand = (
         tagged.select(rid, hi_col, lo_col)
         .withColumn("_len", F.explode(F.array(*[F.lit(l) for l in lens])))
@@ -528,7 +565,7 @@ def ip6_lpm_join(
     return out.select(*facts.columns, "matched_len", *payload)
 
 
-def parse_cidr(col: Column | str) -> Column:
+def parse_cidr(col: Column | str, strict: bool = True) -> Column:
     """``"10.1.0.0/16"`` → ``struct(prefix long, prefix_len int)`` with the
     network address masked down to the prefix (host bits zeroed), so a dim
     table ingested from raw CIDR strings feeds :func:`ip_lpm_join` directly.
@@ -538,13 +575,33 @@ def parse_cidr(col: Column | str) -> Column:
     EXACT in doubles up to 2^53 (no dynamic-shift expression needed; the
     built-in ``shiftright`` only takes literal shift amounts). Pure Column
     arithmetic, reproducible in any SQL dialect.
+
+    ``strict`` (default): malformed rows — non-dotted-quad address, an
+    octet > 255, or a prefix length outside [0, 32] — raise at execution
+    time instead of silently becoming NULL keys (see :func:`parse_cidr6`).
     """
     c = F.col(col) if isinstance(col, str) else col
     parts = F.split(c, "/")
-    plen = parts[1].cast("int")
+    plen = F.get(parts, 1).cast("int")
     raw = ip_to_long(parts[0])
     p = F.pow(F.lit(2.0), (F.lit(32) - plen).cast("double"))
     masked = (
         F.floor(raw.cast("double") / p) * p
     ).cast("long")
-    return F.struct(masked.alias("prefix"), plen.alias("prefix_len"))
+    out = F.struct(masked.alias("prefix"), plen.alias("prefix_len"))
+    if not strict:
+        return out
+    octets_ok = F.forall(
+        F.split(parts[0], r"\."),
+        lambda o: o.rlike("^[0-9]{1,3}$") & (o.cast("int") <= 255),
+    )
+    valid = (
+        plen.isNotNull()
+        & (plen >= 0)
+        & (plen <= 32)
+        & (F.size(F.split(parts[0], r"\.")) == 4)
+        & octets_ok
+    )
+    return F.when(valid, out).otherwise(
+        F.raise_error(F.concat(F.lit("malformed IPv4 CIDR: "), c))
+    )

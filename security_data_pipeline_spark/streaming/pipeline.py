@@ -142,6 +142,8 @@ def enrich_stream_with_cidrs(
     how: str = "left",
     trigger_available_now: bool = True,
     family: str = "ipv4",
+    id_col: str | None = None,
+    join_kwargs: dict | None = None,
 ):
     """Streaming longest-prefix-match enrichment: live events × a CIDR
     threat/geo feed — the reference's security framing as a stream.
@@ -159,6 +161,14 @@ def enrich_stream_with_cidrs(
     most-specific winner via surrogate-id ``max_by`` — all batch-local, so
     the enrichment adds ZERO streaming state (nothing to watermark, no
     store to compact). Returns the StreamingQuery.
+
+    ``id_col`` names an existing unique key on the stream (e.g. an event
+    id): the batch join then reduces on it directly instead of attaching a
+    surrogate id per micro-batch — cheaper, and immune by construction to
+    surrogate-id drift under re-evaluation. ``join_kwargs`` passes any
+    further column-name overrides through to the underlying join (e.g.
+    ``hi_col``/``lo_col``/``prefix_hi_col`` for a v6 feed with
+    non-default names).
     """
     from security_data_pipeline_spark.operators.joins import (
         ip6_lpm_join,
@@ -168,12 +178,19 @@ def enrich_stream_with_cidrs(
     if family not in ("ipv4", "ipv6"):
         raise ValueError(f"family must be 'ipv4' or 'ipv6', got {family!r}")
 
+    extra = dict(join_kwargs or {})
+
     def _enrich(batch_df: DataFrame, batch_id: int) -> None:
         cidrs = batch_df.sparkSession.read.parquet(cidr_path)
         if family == "ipv6":
-            joined = ip6_lpm_join(batch_df, cidrs, how=how)
+            joined = ip6_lpm_join(
+                batch_df, cidrs, how=how, id_col=id_col, **extra
+            )
         else:
-            joined = ip_lpm_join(batch_df, cidrs, ip_col=ip_col, how=how)
+            joined = ip_lpm_join(
+                batch_df, cidrs, ip_col=ip_col, how=how, id_col=id_col,
+                **extra,
+            )
         sink(joined, batch_id)
 
     writer = stream_df.writeStream.option(

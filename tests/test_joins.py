@@ -626,3 +626,86 @@ def test_parse_cidr_feeds_lpm_join(spark):
     ).select("row_id", joins.ip_to_long("ip_str").alias("ip"))
     out = {r["row_id"]: r["label"] for r in joins.ip_lpm_join(facts, cidrs).collect()}
     assert out == {1: "guest", 2: "corp"}
+
+
+def test_parse_cidr_strict_raises_on_malformed(spark):
+    import pytest
+
+    for bad in ["10.0.0.0", "10.0.0.999/8", "10.0.0.0/33", "10.0/8", "x.y.z.w/8"]:
+        df = spark.createDataFrame([(bad,)], "cidr string")
+        with pytest.raises(Exception, match="malformed IPv4 CIDR"):
+            df.select(joins.parse_cidr("cidr").alias("c")).collect()
+
+
+def test_parse_cidr_non_strict_passthrough(spark):
+    # strict=False restores NULL-key passthrough for partial-load feeds
+    df = spark.createDataFrame([("10.0.0.0",)], "cidr string")
+    r = df.select(joins.parse_cidr("cidr", strict=False).alias("c")).collect()[0]
+    assert r["c"]["prefix"] is None or r["c"] is None
+
+
+def test_parse_cidr6_strict_raises_on_malformed(spark):
+    import pytest
+
+    for bad in ["2001:db8::/129", "2001:db8::", "2001:db8::/-1"]:
+        df = spark.createDataFrame([(bad,)], "cidr string")
+        with pytest.raises(Exception, match="malformed IPv6 CIDR"):
+            df.select(joins.parse_cidr6("cidr").alias("c")).collect()
+
+
+def test_lpm_surrogate_ids_pinned_across_actions(spark):
+    # the auto-attached monotonically_increasing_id is localCheckpoint-ed:
+    # two separate actions over the same tagged frame must observe the SAME
+    # ids (without pinning, recomputation may relayout partitions and the
+    # fan-out / join-back branches could silently diverge)
+    facts = spark.range(0, 1000).select(
+        F.col("id").alias("n"), (F.col("id") % 256).alias("ip")
+    ).repartition(8)
+    tagged = joins._tag_rows(facts, None, "_rid")
+    a = sorted(r["_rid"] for r in tagged.select("_rid").collect())
+    b = sorted(r["_rid"] for r in tagged.select("_rid").collect())
+    assert a == b
+    assert len(set(a)) == 1000
+
+
+def test_enrich_stream_with_cidrs_id_col_passthrough(spark, tmp_path):
+    # id_col rides through foreachBatch to the batch join: output keyed by
+    # the caller's id, no surrogate attached
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    feed = pa.table(
+        {"prefix": [10 * 16777216], "prefix_len": [8], "label": ["corp"]}
+    )
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    pq.write_table(feed, feed_dir / "part-0.parquet")
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pa_events = pa.table(
+        {"eid": [1, 2], "ip": [10 * 16777216 + 5, 11 * 16777216]}
+    )
+    pq.write_table(pa_events, src / "ev.parquet")
+
+    got = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            got[r["eid"]] = r["label"]
+
+    stream = (
+        spark.readStream.schema("eid long, ip long").parquet(str(src))
+    )
+    q = __import__(
+        "security_data_pipeline_spark.streaming.pipeline",
+        fromlist=["enrich_stream_with_cidrs"],
+    ).enrich_stream_with_cidrs(
+        stream,
+        str(feed_dir),
+        str(tmp_path / "ckpt"),
+        sink,
+        id_col="eid",
+    )
+    q.awaitTermination(60)
+    assert got == {1: "corp", 2: None}
