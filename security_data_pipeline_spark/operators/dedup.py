@@ -841,6 +841,7 @@ def winnow_dup_pairs(
     k: int = 5,
     window: int = 4,
     min_shared: int = 2,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs from shared winnowed fingerprints: docs are
     paired inside each fingerprint bucket (bounded by the fingerprint's
@@ -851,6 +852,19 @@ def winnow_dup_pairs(
     sensitive to any shared run of ``k + window - 1`` tokens, where
     whole-document hashing (exact dedup) and global-similarity indexes
     (MinHash) both miss short embedded overlaps.
+
+    ``df_cap`` drops fingerprint buckets shared by more than that many
+    documents before pair explosion — the stop-shingle guard this
+    operator's siblings carry (:func:`ngram_jaccard_pairs`). Unlike a
+    degenerate LSH band, a hot fingerprint is EXPECTED in real corpora:
+    boilerplate (license headers, navigation chrome) is precisely a shared
+    ``k + window - 1``-token run across millions of documents, and an
+    uncapped bucket of M docs emits M²/2 pairs and materializes an
+    M-element ``collect_set`` in one task. The trade is recall on pairs
+    whose ONLY shared runs are ubiquitous boilerplate (their shared_fps
+    drops by the capped buckets; a pair can fall under ``min_shared``) —
+    exactly the pairs a dedup pipeline doesn't want anyway. Default None
+    preserves exact semantics; at scale set it to a few hundred.
     """
     from security_data_pipeline_spark.operators.skew import fan_out
 
@@ -865,6 +879,8 @@ def winnow_dup_pairs(
         .agg(F.sort_array(F.collect_set(F.struct("_id", "_sz"))).alias("_ms"))
         .filter(F.size("_ms") >= 2)
     )
+    if df_cap is not None:
+        buckets = buckets.filter(F.size("_ms") <= df_cap)
     inter = (
         buckets.select(F.explode(_bucket_pairs(F.col("_ms"))).alias("_p"))
         .groupBy(

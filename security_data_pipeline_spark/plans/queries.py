@@ -3836,9 +3836,12 @@ WITH toks AS (
   FROM hs
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM fp GROUP BY doc_id
+), caps AS (
+  SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 64
 ), shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
   FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  JOIN caps c ON c.fp = a.fp
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT s.id_a, s.id_b, CAST(s.shared_fps AS BIGINT) AS shared_fps,
@@ -3856,13 +3859,17 @@ WHERE s.shared_fps >= 2
         "fingerprint buckets with shared counts + containment — the "
         "partial-overlap detector whole-doc hashing and MinHash both "
         "miss. Hex-prefix hashes order like their u64 encodings, so the "
-        "min-selection replicates verbatim in the DuckDB oracle"
+        "min-selection replicates verbatim in the DuckDB oracle. df_cap=64 "
+        "drops boilerplate fingerprints shared by >64 docs before pair "
+        "explosion (mirrored by the caps CTE) — the stop-shingle guard "
+        "that keeps candidate counts linear on header-heavy corpora"
     ),
 )
 def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.winnow_dup_pairs(
-        docs, id_col="doc_id", text_col="text", k=5, window=4, min_shared=2
+        docs, id_col="doc_id", text_col="text", k=5, window=4, min_shared=2,
+        df_cap=64,
     )
 
 

@@ -51,3 +51,30 @@ def test_winnow_candidates_stay_far_from_quadratic(spark):
     n = docs.count()
     cands = dedup.winnow_dup_pairs(docs, min_shared=1).count()
     assert cands < (n * (n - 1) / 2) * 0.001, cands
+
+
+def test_winnow_df_cap_bounds_boilerplate_buckets(spark):
+    # a ubiquitous boilerplate run (license header) shared by every doc:
+    # uncapped winnowing emits ~n^2/2 pairs from that one fingerprint
+    # bucket; df_cap drops the hot bucket, keeping candidates bounded by
+    # the genuine (per-pair) overlaps only
+    header = " ".join(f"lic{i}" for i in range(12))  # 12 tokens > k+window-1
+    n = 80
+    rows = [(i, f"{header} body{i} filler{i} tail{i}") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dedup.winnow_dup_pairs(docs, min_shared=1).count()
+    capped = dedup.winnow_dup_pairs(docs, min_shared=1, df_cap=16).count()
+    # every doc shares the header fingerprints -> quadratic pair space
+    assert uncapped >= n * (n - 1) / 2, uncapped
+    # the hot buckets (shared by all 80 docs) are dropped; unique bodies
+    # share nothing else
+    assert capped == 0, capped
+
+    # cap leaves genuinely-shared small groups intact: 3 docs sharing a
+    # distinct quote survive a df_cap above the group size
+    quote = " ".join(f"qt{i}" for i in range(12))
+    rows2 = [(100 + i, f"{quote} uniq{i} x{i} y{i}") for i in range(3)]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    pairs2 = dedup.winnow_dup_pairs(docs2, min_shared=1, df_cap=16).count()
+    assert pairs2 == 3, pairs2
