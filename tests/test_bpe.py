@@ -160,3 +160,93 @@ def test_word_histogram_counts(corpus):
         r["word"]: r["freq"] for r in bpe.word_histogram(corpus).collect()
     }
     assert hist["low"] == 5 and hist["newer"] == 3 and hist["widest"] == 1
+
+
+def test_bpe_train_local_equals_distributed(corpus):
+    loc = bpe.bpe_train(corpus, n_merges=12, mode="local")
+    dist = bpe.bpe_train(corpus, n_merges=12, mode="distributed")
+    assert loc == dist
+    assert loc == _ref_bpe_train(TEXTS, n_merges=12)
+
+
+def test_bpe_train_local_equals_distributed_random_corpus(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = [
+        "".join(rng.choice("abcdefgh") for _ in range(rng.randint(2, 7)))
+        for _ in range(60)
+    ]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 15)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    loc = bpe.bpe_train(df, n_merges=25, mode="local", min_pair_freq=1)
+    dist = bpe.bpe_train(df, n_merges=25, mode="distributed", min_pair_freq=1)
+    assert loc == dist
+    assert loc == _ref_bpe_train(texts, n_merges=25, min_pair_freq=1)
+
+
+def test_apply_bpe_arrow_equals_column_fold(corpus):
+    merges = bpe.bpe_train(corpus, n_merges=12)
+    fold = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe.apply_bpe(corpus, merges).collect()
+    }
+    arrow = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe.apply_bpe(corpus, merges, max_fold_merges=0).collect()
+    }
+    assert fold == arrow
+
+
+def test_apply_bpe_arrow_null_text(spark):
+    df = spark.createDataFrame([(1, None), (2, "ab ab")],
+                               "doc_id long, text string")
+    merges = [("a", "b")]
+    out = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe.apply_bpe(df, merges, max_fold_merges=0).collect()
+    }
+    assert out[1] is None
+    assert out[2] == ["ab", bpe.END_TOKEN, "ab", bpe.END_TOKEN]
+
+
+def test_bpe_production_vocab_5k_merges(spark):
+    """The production path end to end: a realistic-cardinality vocabulary,
+    >=5k merges trained driver-local (zero Spark jobs per merge), encoded
+    over the sf0.1 documents corpus in one Arrow pass — the regime where
+    the per-merge-job loop and the nested Column fold both fall over."""
+    import random
+
+    rng = random.Random(13)
+    vocab = [
+        "".join(rng.choice("abcdefghijklmnop") for _ in range(rng.randint(4, 10)))
+        for _ in range(2500)
+    ]
+    # every vocab word appears (so the merge space is the full ~17k symbol
+    # pairs), plus a zipf-ish popular head so rankings are meaningful
+    texts = [" ".join(vocab[i : i + 25]) for i in range(0, len(vocab), 25)]
+    texts += [
+        " ".join(rng.choice(vocab[:100]) for _ in range(80))
+        for _ in range(100)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe.bpe_train(df, n_merges=5000, min_pair_freq=1, mode="local")
+    assert len(merges) >= 5000, len(merges)
+
+    from security_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    enc = bpe.apply_bpe(docs, merges)  # > max_fold_merges -> Arrow path
+    stats = enc.select(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size("bpe_tokens")).alias("toks"),
+    ).collect()[0]
+    assert stats["docs"] == 5000
+    assert stats["toks"] > 0
