@@ -678,23 +678,30 @@ def ivf_fit_codebook_distributed(
         F.sum(F.col("_vn")[i].cast(_SUM_DEC)).alias(f"_s{i}")
         for i in range(dim)
     ]
-    for _ in range(n_iter):
-        agg = (
-            ivf_assign(vn, cents, vec_col="_vn", cluster_col="_c")
-            .groupBy("_c")
-            .agg(F.count(F.lit(1)).alias("_n"), *sums)
-            .collect()
-        )
-        new = [list(c) for c in cents]
-        for r in agg:
-            s = [float(r[f"_s{i}"]) for i in range(dim)]
-            acc = 0.0
-            for x in s:
-                acc = acc + x * x
-            nrm = math.sqrt(acc)
-            if nrm > 1e-12:
-                new[r["_c"] - 1] = [x / nrm for x in s]
-        cents = new
+    # the normalized corpus is read once per Lloyd iteration: persist it so
+    # the scan + normalization run ONCE, not n_iter times (bit-identical
+    # output — caching changes where rows come from, not their values)
+    vn = vn.persist()
+    try:
+        for _ in range(n_iter):
+            agg = (
+                ivf_assign(vn, cents, vec_col="_vn", cluster_col="_c")
+                .groupBy("_c")
+                .agg(F.count(F.lit(1)).alias("_n"), *sums)
+                .collect()
+            )
+            new = [list(c) for c in cents]
+            for r in agg:
+                s = [float(r[f"_s{i}"]) for i in range(dim)]
+                acc = 0.0
+                for x in s:
+                    acc = acc + x * x
+                nrm = math.sqrt(acc)
+                if nrm > 1e-12:
+                    new[r["_c"] - 1] = [x / nrm for x in s]
+            cents = new
+    finally:
+        vn.unpersist()
     return cents
 
 
@@ -723,6 +730,12 @@ def pq_fit_codebooks_distributed(
     if dim_row is None:
         raise ValueError("corpus is empty")
     dim = dim_row["d"]
+    if dim % n_sub != 0:
+        raise ValueError(
+            f"vector dim {dim} is not divisible by n_sub {n_sub}; trailing "
+            "dims would be silently dropped — pad the vectors or pick a "
+            "divisor"
+        )
     d_sub = dim // n_sub
 
     from security_data_pipeline_spark.operators.sampling import hash_hex16
@@ -752,41 +765,68 @@ def pq_fit_codebooks_distributed(
         F.sum(F.col("_sv")[i].cast(_SUM_DEC)).alias(f"_s{i}")
         for i in range(d_sub)
     ]
-    for _ in range(n_iter):
-        lit = F.lit([[[float(x) for x in cw] for cw in b] for b in books])
-        scored = F.transform(
-            F.element_at(lit, F.col("_m") + 1),
-            lambda cw, i: F.struct(
-                F.aggregate(
-                    F.zip_with(F.col("_sv"), cw, lambda x, c: (x - c) * (x - c)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d2"),
-                i.cast("int").alias("idx"),
-            ),
-        )
-        best = F.aggregate(
-            scored,
-            F.struct(
-                F.lit(float("inf")).alias("d2"),
-                F.lit(-1).cast("int").alias("idx"),
-            ),
-            lambda acc, x: F.when(x["d2"] < acc["d2"], x).otherwise(acc),
-        )
-        agg = (
-            subs.withColumn("_k", best["idx"])
-            .groupBy("_m", "_k")
-            .agg(F.count(F.lit(1)).alias("_n"), *sums)
-            .collect()
-        )
-        new = [[list(cw) for cw in b] for b in books]
-        for r in agg:
-            n = r["_n"]
-            new[r["_m"]][r["_k"]] = [
-                float(r[f"_s{i}"]) / n for i in range(d_sub)
-            ]
-        books = new
+    # one materialization of the exploded (subspace, subvector) rows feeds
+    # every Lloyd iteration instead of n_iter corpus rescans
+    subs = subs.persist()
+    try:
+        for _ in range(n_iter):
+            books = _pq_lloyd_step(subs, books, sums, d_sub)
+    finally:
+        subs.unpersist()
     return books
+
+
+def _pq_lloyd_step(
+    subs: DataFrame,
+    books: list[list[list[float]]],
+    sums: list,
+    d_sub: int,
+) -> list[list[list[float]]]:
+    """One PQ Lloyd iteration: assign every (subspace, subvector) row to
+    its nearest codeword against the broadcast codebook literal, reduce to
+    n_sub·k rows of counts + DECIMAL sums, update means driver-side."""
+    lit = F.lit([[[float(x) for x in cw] for cw in b] for b in books])
+    scored = F.transform(
+        F.element_at(lit, F.col("_m") + 1),
+        lambda cw, i: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("_sv"), cw, lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            i.cast("int").alias("idx"),
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(float("inf")).alias("d2"),
+            F.lit(-1).cast("int").alias("idx"),
+        ),
+        lambda acc, x: F.when(x["d2"] < acc["d2"], x).otherwise(acc),
+    )
+    agg = (
+        subs.withColumn("_k", best["idx"])
+        .groupBy("_m", "_k")
+        .agg(F.count(F.lit(1)).alias("_n"), *sums)
+        .collect()
+    )
+    new = [[list(cw) for cw in b] for b in books]
+    for r in agg:
+        if r["_k"] < 0:
+            # every squared distance compared NaN (NaN < x is false for
+            # all x), so idx never advanced past the -1 seed — a NaN
+            # subvector in the corpus. Failing loudly beats the silent
+            # Python-negative-index overwrite of the LAST codeword.
+            raise ValueError(
+                f"NaN subvector(s) in subspace {r['_m']}: "
+                f"{r['_n']} rows could not be assigned to any codeword"
+            )
+        n = r["_n"]
+        new[r["_m"]][r["_k"]] = [
+            float(r[f"_s{i}"]) / n for i in range(d_sub)
+        ]
+    return new
 
 
 def _centroid_sims(vec_col: str, centroids: list[list[float]]) -> F.Column:

@@ -709,3 +709,55 @@ def test_enrich_stream_with_cidrs_id_col_passthrough(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert got == {1: "corp", 2: None}
+
+
+def test_lloyd_fits_scan_corpus_once_not_per_iteration(spark):
+    """The normalized corpus is persisted across Lloyd iterations: the
+    upstream evaluation (instrumented with an accumulator-bumping UDF) must
+    run ~2x over the corpus (dim/init probes + one materialization), never
+    n_iter times. Also pins the dim % n_sub validation and the NaN guard."""
+    import pytest
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    n, n_iter = 300, 8
+
+    def make_corpus(acc):
+        @udf(ArrayType(DoubleType()))
+        def emb(i):
+            acc.add(1)
+            return [float((i * 7 + j) % 13) + 1.0 for j in range(8)]
+
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"), emb("id").alias("embedding")
+        )
+
+    acc = spark.sparkContext.accumulator(0)
+    similarity.ivf_fit_codebook_distributed(
+        make_corpus(acc), n_centroids=4, n_iter=n_iter
+    )
+    # unpersisted: >= (n_iter + 2) * n evaluations; persisted: ~3n
+    assert acc.value <= 4 * n, (acc.value, n)
+
+    acc2 = spark.sparkContext.accumulator(0)
+    similarity.pq_fit_codebooks_distributed(
+        make_corpus(acc2), n_codewords=4, n_sub=4, n_iter=n_iter
+    )
+    assert acc2.value <= 4 * n, (acc2.value, n)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_fit_codebooks_distributed(
+            make_corpus(spark.sparkContext.accumulator(0)), n_sub=3
+        )
+
+    @udf(ArrayType(DoubleType()))
+    def nan_emb(i):
+        return [float("nan")] * 8
+
+    bad = spark.range(20).select(
+        F.col("id").alias("vec_id"), nan_emb("id").alias("embedding")
+    )
+    with pytest.raises(ValueError, match="NaN subvector"):
+        similarity.pq_fit_codebooks_distributed(
+            bad, n_codewords=2, n_sub=2, n_iter=1
+        )
