@@ -114,7 +114,15 @@ def _pillow_decode_batch(
     """Real image decode via Pillow — same output contract as the stub:
     (media_id, width, height, channels, pixels) with pixels the
     channel-interleaved [0, 1] floats. Executor-side only (inside
-    ``mapInPandas``); never imported when Pillow is absent."""
+    ``mapInPandas``); never imported when Pillow is absent.
+
+    Modes are canonicalized before flattening so the [0, 1]
+    intensity contract actually holds: palette images ('P') are converted
+    to RGB/RGBA (raw palette INDICES are not intensities), bilevel ('1')
+    to L, and CMYK/YCbCr/etc. to RGB; 16/32-bit integer modes ('I;16',
+    'I') scale by 65535 instead of 255. Without this, a palette image
+    would ship index/255 garbage downstream.
+    """
     import io
 
     import numpy as np
@@ -123,7 +131,17 @@ def _pillow_decode_batch(
     out = {"media_id": [], "width": [], "height": [], "channels": [], "pixels": []}
     for media_id, blob in zip(pdf[id_col], pdf[blob_col]):
         img = Image.open(io.BytesIO(bytes(blob)))
+        mode = img.mode
+        if mode == "1":
+            img = img.convert("L")
+        elif mode == "P":
+            img = img.convert(
+                "RGBA" if "transparency" in img.info else "RGB"
+            )
+        elif mode not in ("L", "LA", "RGB", "RGBA", "I", "I;16"):
+            img = img.convert("RGB")
         arr = np.asarray(img)
+        scale = 65535.0 if img.mode in ("I", "I;16") else 255.0
         if arr.ndim == 2:
             channels = 1
         else:
@@ -133,7 +151,7 @@ def _pillow_decode_batch(
         out["height"].append(img.height)
         out["channels"].append(channels)
         out["pixels"].append(
-            (arr.reshape(-1) / 255.0).astype(np.float32)
+            (arr.reshape(-1) / scale).astype(np.float32)
         )
     return pd.DataFrame(out)
 

@@ -3941,6 +3941,76 @@ def events_ip_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_stream_lpm_enrich",
+    sql=REGISTRY["events_ip_lpm"].sql,
+    description=(
+        "The STREAMING LPM enrichment path itself under oracle check "
+        "(streaming/pipeline.py:enrich_stream_with_cidrs): the synthetic-"
+        "IP facts are staged to parquet, re-read as a FILE STREAM in two "
+        "micro-batches (maxFilesPerTrigger), each batch enriched inside "
+        "foreachBatch by the batch ip_lpm_join (id_col=event_id "
+        "passthrough — no surrogate), appended to a parquet sink, drained "
+        "with availableNow, and the sink's union rolled up per label. "
+        "Must equal the one-shot batch oracle (same SQL as events_ip_lpm) "
+        "exactly: micro-batching is an execution detail, not a semantics "
+        "change — the witness the streaming wrapper lacked when only its "
+        "operator was checked"
+    ),
+)
+def events_stream_lpm_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from security_data_pipeline_spark.streaming.pipeline import (
+        enrich_stream_with_cidrs,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_lpm_")
+    facts_dir = f"{tmp}/facts"
+    sink_dir = f"{tmp}/enriched"
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        ((F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296))
+        .cast("long")
+        .alias("ip"),
+    )
+    ev.repartition(4).write.parquet(facts_dir)
+    feed_dir = f"{tmp}/feed"
+    spark.createDataFrame(
+        list(_CIDR_ROWS), "prefix long, prefix_len int, label string"
+    ).write.parquet(feed_dir)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ip long")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(facts_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink_dir)
+
+    q = enrich_stream_with_cidrs(
+        stream,
+        feed_dir,
+        f"{tmp}/ckpt",
+        sink,
+        how="inner",
+        id_col="event_id",
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(sink_dir)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max("matched_len").cast("int").alias("matched_len"),
+        )
+    )
+
+
 # quarter selector in bits 60-61 + multiplicative hash in the low bits:
 # deterministic, overflow-free in both engines at any sf (max ≈ 3·2^60 +
 # user_id·2654435761 < 2^62), and spreads facts across all four /4 arms

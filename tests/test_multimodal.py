@@ -112,3 +112,56 @@ def test_resize_images_box_average(spark):
         expect = a.reshape(4, 2, 4, 2).mean(axis=(1, 3)).astype(np.float32)
         got = np.array(r["pixels"], dtype=np.float32).reshape(4, 4)
         np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
+def test_pillow_decode_real_png_through_auto(spark):
+    """Tests-extra leg: wherever Pillow IS installable, decoder='auto' must
+    decode a real PNG with the same output schema as the stub path, with
+    palette and 16-bit modes canonicalized to the [0,1] intensity contract.
+    Skip-marked in codec-free containers (this repo's default runtime)."""
+    import io
+
+    pytest.importorskip("PIL")
+    import numpy as np
+    from PIL import Image
+
+    def png_bytes(img):
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rgb = Image.fromarray(
+        (np.arange(2 * 3 * 3) % 256).reshape(2, 3, 3).astype("uint8"), "RGB"
+    )
+    pal = rgb.convert("P", palette=Image.ADAPTIVE)
+    i16 = Image.fromarray(
+        (np.arange(6).reshape(2, 3) * 1000).astype("int32"), "I"
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(png_bytes(rgb))),
+         (2, bytearray(png_bytes(pal))),
+         (3, bytearray(png_bytes(i16)))],
+        "media_id long, blob binary",
+    )
+    assert multimodal._resolve_decoder("auto", "image") == "pillow"
+    out = {r.media_id: r for r in
+           multimodal.decode_images(df, decoder="auto").collect()}
+    stub = multimodal.decode_images(df, decoder="fake")
+    assert stub.schema == multimodal.decode_images(df, decoder="auto").schema
+    # RGB round-trips exactly
+    r1 = out[1]
+    assert (r1.width, r1.height, r1.channels) == (3, 2, 3)
+    assert r1.pixels == pytest.approx(
+        [v / 255.0 for v in (np.arange(2 * 3 * 3) % 256)], abs=1e-6
+    )
+    # palette canonicalized to RGB intensities, never raw indices/255
+    r2 = out[2]
+    assert r2.channels == 3
+    assert r2.pixels == pytest.approx(r1.pixels, abs=2 / 255)
+    # 32-bit integer mode scales by 65535, stays in [0, 1]
+    r3 = out[3]
+    assert r3.channels == 1
+    assert max(r3.pixels) <= 1.0
+    assert r3.pixels == pytest.approx(
+        [v * 1000 / 65535.0 for v in range(6)], abs=1e-6
+    )
