@@ -50,6 +50,13 @@ BENCH_QUERIES: tuple[str, ...] = (
     "events_time_bucket_rollup",
     "doc_winnow_pairs",
     "doc_lm_scores",
+    # driver-window composites, benched AS the driver runs them — the
+    # wall-clock the driver pays includes their union/unpivot overhead,
+    # which per-arm numbers don't capture
+    "temporal_net_suite",
+    "event_windows_suite",
+    "scale_suite",
+    "security_detections",
 )
 
 # Pinned result sizes per scale factor: a bench run also smoke-checks that
@@ -70,6 +77,8 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_ip_lpm": 4, "events_ip6_lpm": 4,
         "events_time_bucket_rollup": 14385, "doc_winnow_pairs": 251,
         "doc_lm_scores": 5000,
+        "temporal_net_suite": 44324, "event_windows_suite": 200000,
+        "scale_suite": 141, "security_detections": 11195,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -84,8 +93,106 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_ip_lpm": 4, "events_ip6_lpm": 4,
         "events_time_bucket_rollup": 7206, "doc_winnow_pairs": 25,
         "doc_lm_scores": 500,
+        "temporal_net_suite": 16014, "event_windows_suite": 20000,
+        "scale_suite": 124, "security_detections": 1135,
     },
 }
+
+
+def _skew_entries(spark):
+    """Skew stress profile: the repo's 100x skew claims measured, not
+    argued, on a synthesized hot-key dataset big enough for skew to bite
+    (2M events, 90% of all rows on ONE user — the NAT-gateway /
+    service-account shape; the sf0.1 events table is too small for any
+    single task to dominate). Three operator pairs over the SAME input:
+
+    - sessionize naive vs bucketed — per-key WINDOW functions have no
+      map-side combine, so the naive form sorts the hot user's 1M rows in
+      ONE task; day-bucketing splits the sort and merges chains after.
+      The skew-resistant form must win here, and the margin grows with
+      the hot key (SCALE.md).
+    - shuffle-hash join plain vs salted (broadcast disabled, AQE skew-join
+      off for the pair — at 100 TB the dim side can exceed broadcast
+      range) — the hot key funnels 1.8M probe+emit rows into one join
+      task; salting spreads them 32-way.
+    - groupBy counts plain vs salted — the CONTROL pair: algebraic aggs
+      partial-aggregate map-side, so a hot key reduces to one row per
+      partition BEFORE the shuffle and plain wins; salting pays an extra
+      shuffle for nothing. Salting is for the non-combinable shapes
+      (windows, joins, collect_*), and the bench records that boundary
+      rather than pretending otherwise.
+
+    Returns (entries, conf_overrides_for_join_pair).
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from security_data_pipeline_spark.operators import features, skew
+
+    tmp = tempfile.mkdtemp(prefix="bench_skew_")
+    n = 2_000_000
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.when(F.pmod("id", 10) < 9, F.lit(1))
+        .otherwise(F.pmod("id", 2000) + 2)
+        .alias("user_id"),
+        F.timestamp_micros(
+            F.lit(1700000000000000) + F.col("id") * 400_000
+        ).alias("timestamp"),
+    )
+    ev.repartition(32).write.parquet(f"{tmp}/ev")
+    ev = spark.read.parquet(f"{tmp}/ev")
+    dim = spark.range(20_000).select(
+        (F.col("id") + 1).alias("user_id"),
+        # wide payload: the hot join task must emit its rows, not only
+        # probe — output serialization is part of what skew serializes
+        F.concat(*[F.sha2(F.col("id").cast("string"), 256)] * 4).alias(
+            "attr"
+        ),
+    )
+    dim.write.parquet(f"{tmp}/dim")
+    dim = spark.read.parquet(f"{tmp}/dim")
+
+    naive = features.add_session_features(
+        ev, gap_minutes=30, tiebreak_cols=("event_id",), include_stats=False
+    )
+    bucketed = features.add_session_features_bucketed(
+        ev, gap_minutes=30, bucket_hours=24.0,
+        tiebreak_cols=("event_id",), include_stats=False,
+    )
+    plain_join = ev.join(dim.hint("shuffle_hash"), ["user_id"])
+    salted_join = skew.salted_join(
+        ev, dim.hint("shuffle_hash"), on=["user_id"], n_salts=32
+    )
+    plain_counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("timestamp").alias("first_ts"),
+        F.max("timestamp").alias("last_ts"),
+    )
+    salted_counts = skew.salted_agg(
+        ev,
+        keys=["user_id"],
+        aggs={
+            "n_events": ("event_id", "count"),
+            "first_ts": ("timestamp", "min"),
+            "last_ts": ("timestamp", "max"),
+        },
+        n_salts=16,
+    )
+    entries = [
+        ("skew_sessionize_naive", naive, False),
+        ("skew_sessionize_bucketed", bucketed, False),
+        ("skew_join_plain", plain_join, True),
+        ("skew_join_salted", salted_join, True),
+        ("skew_counts_plain", plain_counts, False),
+        ("skew_counts_salted", salted_counts, False),
+    ]
+    join_confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+    }
+    return entries, join_confs
 
 
 def main() -> None:
@@ -103,14 +210,17 @@ def main() -> None:
 
     expected = EXPECTED_ROWS.get(sf, {})
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        spec = REGISTRY[name]
-        df = spec.fn(spark, sf_dir)
-        if name in expected:  # untimed smoke-check of the result size
+
+    def bench_one(name: str, df, expected_n: int | None) -> int | None:
+        n = None
+        if expected_n is not None:  # untimed smoke-check of the result size
             n = df.count()
-            assert n == expected[name], (
-                f"{name}: {n} rows, expected {expected[name]}"
+            assert n == expected_n, (
+                f"{name}: {n} rows, expected {expected_n}"
             )
+        elif name.startswith("skew_"):
+            n = df.count()  # no pin (synthesized input); counted for the
+            # cross-pair equality assert below
         # settle the JVM between queries: 20+ distinct plans in one session
         # accumulate garbage; an explicit GC here keeps collection pauses
         # out of the timed region. (The code-cache side of this problem is
@@ -141,6 +251,29 @@ def main() -> None:
             f"(max {max(samples):.3f}s over {len(samples)} runs)",
             file=sys.stderr,
         )
+        return n
+
+    for name in BENCH_QUERIES:
+        bench_one(name, REGISTRY[name].fn(spark, sf_dir), expected.get(name))
+
+    # skew stress profile (same timing discipline); each pair must agree on
+    # its result cardinality — the skew-resistant form is a physical-plan
+    # change, never a semantics change
+    skew_counts: dict[str, int] = {}
+    entries, join_confs = _skew_entries(spark)
+    saved = {k: spark.conf.get(k) for k in join_confs}
+    for name, df, needs_join_confs in entries:
+        for k, v in (join_confs if needs_join_confs else saved).items():
+            spark.conf.set(k, v)
+        skew_counts[name] = bench_one(name, df, None)
+    for k, v in saved.items():
+        spark.conf.set(k, v)
+    for a, b in [
+        ("skew_sessionize_naive", "skew_sessionize_bucketed"),
+        ("skew_join_plain", "skew_join_salted"),
+        ("skew_counts_plain", "skew_counts_salted"),
+    ]:
+        assert skew_counts[a] == skew_counts[b], (a, b, skew_counts)
 
     total = round(sum(timings.values()), 3)
     print(
