@@ -1757,6 +1757,61 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_cosine_sq8",
+    sql="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), mm AS (
+  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+  FROM e, generate_series(1, 64) t(i) GROUP BY i
+), mv AS (
+  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM mm
+), cn AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, 64),
+           i -> CASE WHEN maxs[i] = mins[i] THEN mins[i]
+                ELSE mins[i]
+                     + floor((v[i] - mins[i]) / (maxs[i] - mins[i]) * 255.0
+                             + 0.5)
+                       * (maxs[i] - mins[i]) / 255.0 END) AS dq
+  FROM e, mv
+), cnn AS (
+  SELECT vec_id, dq,
+         sqrt(list_aggregate(list_transform(dq, x -> x*x), 'sum')) AS nrm
+  FROM cn
+), qn AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
+  FROM e WHERE vec_id < 10
+)
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       ROUND(list_aggregate(list_transform(generate_series(1, 64),
+                                           i -> q.v[i]*c.dq[i]), 'sum')
+             / (q.nrm*c.nrm), 6) AS cosine_sim
+FROM qn q JOIN cnn c ON c.vec_id <> q.vec_id
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine_sim DESC, neighbor_id) <= 5
+""",
+    description=(
+        "SQ8 scalar-quantized ANN (similarity.ann_sq8_topk): the corpus "
+        "side scores on its 8-bit-per-dimension quantize-dequantize "
+        "reconstruction (per-dim min/max grid — ONE training-free corpus "
+        "pass; the persisted index is array<int> codes, ~4-8x smaller "
+        "than float arrays, sq8_encode), the query side stays exact — "
+        "the asymmetric-distance tier between full-precision brute force "
+        "and PQ-ADC. Grid, fused encode+decode arithmetic, norms, dot "
+        "folds, and the top-k tiebreak all replicate token-identically "
+        "in the DuckDB oracle"
+    ),
+)
+def knn_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_sq8_topk(
+        emb, k=5, query_pred=F.col("vec_id") < 10
+    )
+
+
+@query(
     "embedding_norm_stats",
     sql=_COSINE_CTE
     + """
