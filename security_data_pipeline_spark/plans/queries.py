@@ -3928,6 +3928,65 @@ def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_jaccard_prefix_pairs",
+    sql="""
+WITH base AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0)),
+           i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))
+         AS ts
+  FROM documents
+), nz AS (
+  SELECT doc_id, ts FROM base WHERE len(ts) > 0
+), toks AS (
+  SELECT doc_id, unnest(ts) AS t FROM nz
+), dfreq AS (
+  SELECT t, COUNT(*) AS df FROM toks GROUP BY t
+), ranked AS (
+  SELECT doc_id,
+         list_transform(list_sort(list({'df': df, 't': t})), s -> s.t) AS ord
+  FROM toks JOIN dfreq USING (t) GROUP BY doc_id
+), pref AS (
+  SELECT doc_id, len(ord) AS n, ord AS toks,
+         unnest(ord[1 : len(ord) - CAST(ceil(len(ord) * 0.8) AS INT) + 1])
+           AS p
+  FROM ranked
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.n AS na, b.n AS nb, a.toks AS ta, b.toks AS tb
+  FROM pref a JOIN pref b ON a.p = b.p AND a.doc_id < b.doc_id
+  WHERE CAST(b.n AS DOUBLE) >= a.n * 0.8
+    AND CAST(a.n AS DOUBLE) >= b.n * 0.8
+), verified AS (
+  SELECT id_a, id_b,
+         ROUND(CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+               / CAST(na + nb - len(list_intersect(ta, tb)) AS DOUBLE), 6)
+           AS jaccard
+  FROM cand
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.8
+""",
+    description=(
+        "EXACT threshold set-similarity self-join via prefix filtering "
+        "(dedup.jaccard_prefix_join — the PPJoin-family candidate bound): "
+        "5-gram shingle sets sorted by global (document-frequency, token) "
+        "rarity order WITHOUT a global rank window, prefix length "
+        "n - ceil(0.8n) + 1, candidates = pairs sharing a rare PREFIX "
+        "shingle + length filter, exact Jaccard verify on the carried "
+        "arrays. Zero recall loss (returns exactly ngram_jaccard_pairs' "
+        "pairs, asserted in tests) with pruned candidates; the whole "
+        "pipeline — rarity sort, prefix arithmetic, list intersection — "
+        "replicates in the DuckDB oracle"
+    ),
+)
+def doc_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_prefix_join(
+        docs, threshold=0.8, id_col="doc_id", text_col="text", ngram=5
+    )
+
+
 _CIDR_ROWS: tuple[tuple[int, int, str], ...] = (
     (0, 1, "net_low"),  # 0.0.0.0/1
     (1 << 31, 1, "net_high"),  # 128.0.0.0/1

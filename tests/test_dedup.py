@@ -144,3 +144,73 @@ def test_winnow_null_text_emits_no_fingerprints(spark):
     assert {r["doc_id"] for r in fps} == {3}
     # without the NULL filter, docs 1 and 2 would share md5('') and pair up
     assert winnow_dup_pairs(df, min_shared=1).count() == 0
+
+
+def test_jaccard_prefix_join_exact_vs_bruteforce(spark):
+    """The prefix filter must lose NOTHING: every pair with token-set
+    Jaccard >= t, verified against an O(n^2) brute force on a corpus with
+    known overlaps."""
+    import itertools
+
+    texts = {
+        1: "alpha beta gamma delta epsilon",
+        2: "alpha beta gamma delta zeta",      # 4/6 = 0.667 vs 1
+        3: "alpha beta gamma delta epsilon",   # exact dup of 1
+        4: "omega psi chi phi upsilon",        # disjoint
+        5: "alpha beta gamma theta iota",      # 3/7 vs 1
+        6: "omega psi chi phi tau",            # 4/6 vs 4
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    t = 0.6
+    sets = {i: set(s.split()) for i, s in texts.items()}
+    expect = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if round(jac, 6) >= t:
+            expect.add((a, b, round(jac, 6)))
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.jaccard_prefix_join(df, threshold=t).collect()
+    }
+    assert got == expect, (got, expect)
+    assert (1, 3, 1.0) in got and (1, 2, 0.666667) in got
+
+
+def test_jaccard_prefix_join_matches_bucketed_ngram_form(spark):
+    """ngram=5 mode returns EXACTLY the pairs of ngram_jaccard_pairs
+    (uncapped) — the recall-lossless sibling over the same shingle sets."""
+    from security_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    pp = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.jaccard_prefix_join(
+            docs, threshold=0.8, ngram=5
+        ).collect()
+    }
+    ng = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert pp == ng and len(pp) == 25
+
+
+def test_jaccard_prefix_join_prunes_stopword_buckets(spark):
+    """The rarity order puts ubiquitous tokens at the END of each set, so
+    a stop-word shared by every doc never enters a short prefix — unlike
+    share-any-token candidate generation, which would go quadratic."""
+    n = 60
+    # every doc: 9 shared stop-words + 6 unique tokens -> jaccard between
+    # distinct docs = 9/21 < 0.6; prefix length = 15 - ceil(0.6*15) + 1 = 7
+    # < 7 unique slots only if... unique tokens are rarer than the shared
+    # ones, so prefixes hold ONLY unique tokens -> zero candidates
+    stop = " ".join(f"the{j}" for j in range(9))
+    rows = [
+        (i, f"{stop} u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f") for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.jaccard_prefix_join(df, threshold=0.6)
+    assert out.count() == 0
