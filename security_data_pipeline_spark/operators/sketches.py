@@ -1,0 +1,141 @@
+"""Frequent-items (heavy hitters) sketch — Misra-Gries summaries as
+mergeable per-partition partials.
+
+Completes the repo's mergeable-sketch family (HLL / DataSketches / bitmap
+distinct counts in ``events_distinct_sketch``, KLL-style quantile sketches
+in ``price_quantiles_sketch``): "which items dominate this stream" — top
+talkers by IP, hot users, dominant event types — answered with BOUNDED
+memory and a shuffle of k rows per partition, independent of item
+cardinality. An exact ``groupBy(item).count()`` shuffles one row per
+distinct item per partition; at 100 TB with billions of distinct IPs the
+sketch shuffles kilobytes instead.
+
+Algorithm (public, Misra & Gries 1982; merge analysis Agarwal et al.,
+PODS'12): each partition keeps at most ``k`` counters; an arriving item
+either increments its counter, claims a free slot, or — when all slots are
+taken — triggers a decrement of EVERY counter by the minimum counter value
+(weighted batch form), dropping zeros. Per partition, ``d`` = total amount
+decremented from any one counter, so a kept counter ``c`` brackets the true
+partition count in ``[c, c + d]`` and an absent item has true count ≤ d.
+Summaries merge by summing counters; the global bracket is
+``[Σc, Σc + Σd]`` and ANY item with true global count > Σd is guaranteed
+present in the union — the detection threshold the self-checking query
+asserts.
+
+This is the one sketch here that genuinely needs per-partition imperative
+state (a decrement-on-overflow loop over a bounded dict), so it runs in
+``mapInPandas`` — Arrow batches are pre-reduced with ``collections.Counter``
+and fed to the sketch as (item, weight) pairs, so the Python loop touches
+distinct-items-per-batch entries, not rows. Everything downstream (merge,
+brackets, violation checks) is JVM-side Column math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("pid", LongType()),
+        StructField("item", StringType()),
+        StructField("cnt", LongType()),
+        StructField("d", LongType()),
+    ]
+)
+
+
+def misra_gries_partials(
+    df: DataFrame, item_col: str, k: int = 64
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries: ≤ ``k`` rows
+    ``(pid, item, cnt, d)`` per input partition (``d`` — that partition's
+    total per-counter decrement — repeats on each of its rows; a partition
+    whose every item was decremented away emits one ``item IS NULL`` row so
+    its ``d`` still reaches the merge). NULL items are ignored (no
+    frequency semantics)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def sketch_partition(batches):
+        import pandas as pd
+        from collections import Counter
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        counters: dict = {}
+        d = 0
+        for pdf in batches:
+            batch = Counter(pdf[item_col].dropna().astype(str))
+            for item, w in batch.items():
+                if item in counters:
+                    counters[item] += w
+                    continue
+                if len(counters) < k:
+                    counters[item] = w
+                    continue
+                # weighted decrement round: remove the largest mass that
+                # zeroes at least one counter (or the newcomer)
+                delta = min(min(counters.values()), w)
+                d += delta
+                counters = {
+                    i: c - delta for i, c in counters.items() if c > delta
+                }
+                if w > delta:
+                    counters[item] = w - delta
+        if counters:
+            yield pd.DataFrame(
+                {
+                    "pid": [pid] * len(counters),
+                    "item": list(counters.keys()),
+                    "cnt": list(counters.values()),
+                    "d": [d] * len(counters),
+                }
+            )
+        elif d:
+            yield pd.DataFrame(
+                {"pid": [pid], "item": [None], "cnt": [0], "d": [d]}
+            )
+
+    return df.select(F.col(item_col).cast("string").alias(item_col)).mapInPandas(
+        sketch_partition, schema=_PARTIAL_SCHEMA
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, item_col: str, k: int = 64
+) -> DataFrame:
+    """Approximate frequent items with deterministic error BRACKETS:
+    ``(item, count_lo, count_hi, threshold)`` where the item's true count
+    lies in ``[count_lo, count_hi]`` and EVERY item whose true count
+    exceeds ``threshold`` (= Σ of per-partition decrements) is guaranteed
+    to appear. Candidates are the union of per-partition sketch survivors;
+    the merge is one JVM ``groupBy(item)`` over ≤ k rows per partition.
+
+    The candidate SET depends on partitioning (any Misra-Gries does), but
+    the brackets and the threshold guarantee hold under every layout —
+    that invariant, not the set, is what the self-checking registered
+    query asserts against exact counts.
+    """
+    partials = misra_gries_partials(df, item_col, k)
+    d_total = partials.groupBy("pid").agg(F.first("d").alias("_d")).agg(
+        F.sum("_d").alias("threshold")
+    )
+    merged = (
+        partials.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("count_lo"))
+    )
+    return merged.join(F.broadcast(d_total), how="cross").select(
+        "item",
+        "count_lo",
+        (F.col("count_lo") + F.col("threshold")).alias("count_hi"),
+        "threshold",
+    )

@@ -424,6 +424,74 @@ def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_heavy_hitters",
+    sql="""
+SELECT CAST(NULL AS VARCHAR) AS check_name, CAST(NULL AS VARCHAR) AS item,
+       CAST(NULL AS BIGINT) AS count_lo, CAST(NULL AS BIGINT) AS count_hi,
+       CAST(NULL AS BIGINT) AS exact_count,
+       CAST(NULL AS BIGINT) AS threshold
+FROM events WHERE FALSE
+""",
+    description=(
+        "Frequent-items (heavy hitters) Misra-Gries sketch "
+        "(operators/sketches.py) in self-checking form — emits ONLY "
+        "invariant violations vs exact counts, so the correct result is "
+        "the empty set. Two configurations: (1) event_type at k=64 — "
+        "cardinality under k, so the sketch must be EXACT (zero "
+        "threshold, bracket equality); (2) user_id at k=8 — heavy "
+        "decrementing, asserting the two guarantees every Misra-Gries "
+        "merge carries under ANY partitioning: each candidate's exact "
+        "count lies in [count_lo, count_hi], and every item with exact "
+        "count > threshold (the summed per-partition decrements) appears "
+        "among the candidates. At 100 TB the sketch shuffles <= k rows "
+        "per partition instead of one row per distinct item — the "
+        "top-talkers query over billions of IPs"
+    ),
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def violations(item_col: str, k: int, check: str) -> DataFrame:
+        hh = sketches.heavy_hitters(ev, item_col, k=k)
+        exact = (
+            ev.filter(F.col(item_col).isNotNull())
+            .groupBy(F.col(item_col).cast("string").alias("item"))
+            .agg(F.count(F.lit(1)).alias("exact_count"))
+        )
+        thr = hh.agg(F.max("threshold").alias("threshold"))
+        bracket = (
+            hh.join(exact, "item")
+            .filter(
+                (F.col("exact_count") < F.col("count_lo"))
+                | (F.col("exact_count") > F.col("count_hi"))
+            )
+            .select(
+                F.lit(f"{check}_bracket").alias("check_name"),
+                "item", "count_lo", "count_hi", "exact_count", "threshold",
+            )
+        )
+        missed = (
+            exact.join(hh.select("item"), "item", "left_anti")
+            .join(F.broadcast(thr), how="cross")
+            .filter(F.col("exact_count") > F.col("threshold"))
+            .select(
+                F.lit(f"{check}_missed").alias("check_name"),
+                "item",
+                F.lit(None).cast("long").alias("count_lo"),
+                F.lit(None).cast("long").alias("count_hi"),
+                "exact_count", "threshold",
+            )
+        )
+        return bracket.unionByName(missed)
+
+    return violations("event_type", 64, "types_exact").unionByName(
+        violations("user_id", 8, "users_sketch")
+    )
+
+
+@query(
     "events_null_counts",
     sql="""
 SELECT CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls,
