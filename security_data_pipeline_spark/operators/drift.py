@@ -1,0 +1,157 @@
+"""Distribution drift detection between two slices of a dataset — the
+data-quality gate every long-running training-data or security pipeline
+needs ("did this week's feed stop looking like last week's?").
+
+Two standard, complementary statistics per group:
+
+- **PSI** (population stability index): equal-width bins fitted on the
+  REFERENCE slice's [min, max], Laplace-smoothed bin shares,
+  ``Σ (p_i - q_i) · ln(p_i / q_i)``. The industry thumb-rules (<0.1 stable,
+  >0.25 drifted) assume exactly this construction.
+- **KS statistic** (two-sample Kolmogorov-Smirnov): max ECDF gap
+  ``sup_x |F_ref(x) - F_cur(x)|`` — binning-free, sensitive to shape
+  shifts PSI's coarse bins can miss.
+
+Scale shape: everything is counts. Each side reduces to per-(group, bin)
+or per-(group, distinct value) counts with map-side combine — the raw
+slices are scanned once each and never joined row-to-row; the ECDF runs
+over DISTINCT values (bounded by value cardinality, not row count). The
+sequential-window cumulative sums and fixed-operand-order arithmetic make
+both statistics bit-reproducible in any SQL engine — the registered query
+checks them against DuckDB verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def value_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-group PSI and KS between ``ref`` and ``cur``.
+
+    Output: ``group_cols + (n_ref, n_cur, psi, ks)`` (psi/ks round 6).
+    Groups present in only one side are dropped (no distribution to
+    compare); NULL values are ignored. Bins are fitted on the reference
+    slice; current-side values outside the reference range clamp into the
+    edge bins (that mass SHOWING UP in the edge bins is exactly the drift
+    signal). Laplace smoothing (+0.5 per bin) keeps empty bins finite.
+    """
+    g = list(group_cols)
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            *g, F.col(value_col).cast("double").alias("_v")
+        ).filter(F.col("_v").isNotNull()).withColumn("_side", F.lit(tag))
+
+    r = side(ref, "r")
+    c = side(cur, "c")
+
+    stats = r.groupBy(*g).agg(
+        F.min("_v").alias("_mn"), F.max("_v").alias("_mx")
+    )
+    both = r.unionByName(c).join(stats, g)
+    # equal-width bin on the REF range, clamped to [0, n_bins-1]
+    raw_idx = F.floor(
+        (F.col("_v") - F.col("_mn"))
+        / (F.col("_mx") - F.col("_mn"))
+        * F.lit(n_bins)
+    )
+    idx = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+        F.least(F.greatest(raw_idx, F.lit(0)), F.lit(n_bins - 1))
+    )
+    bin_counts = (
+        both.withColumn("_b", idx)
+        .groupBy(*g, "_side", "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    totals = bin_counts.groupBy(*g, "_side").agg(F.sum("_n").alias("_tot"))
+    bc = bin_counts.join(totals, g + ["_side"])
+    p = (F.col("_n").cast("double") + F.lit(0.5)) / (
+        F.col("_tot").cast("double") + F.lit(0.5 * n_bins)
+    )
+    shares = bc.select(*g, "_side", "_b", "_tot", p.alias("_p"))
+    rs = shares.filter(F.col("_side") == "r").select(
+        *g,
+        F.col("_b"),
+        F.col("_p").alias("_pr"),
+        F.col("_tot").alias("n_ref"),
+    )
+    cs = shares.filter(F.col("_side") == "c").select(
+        *g,
+        F.col("_b"),
+        F.col("_p").alias("_pc"),
+        F.col("_tot").alias("n_cur"),
+    )
+    # full outer per bin: a bin empty on one side takes the smoothed floor
+    nr = rs.groupBy(*g).agg(F.max("n_ref").alias("n_ref"))
+    nc = cs.groupBy(*g).agg(F.max("n_cur").alias("n_cur"))
+    grid = (
+        rs.select(*g, "_b")
+        .unionByName(cs.select(*g, "_b"))
+        .distinct()
+        .join(nr, g)
+        .join(nc, g)
+    )
+    floor_r = F.lit(0.5) / (F.col("n_ref").cast("double") + F.lit(0.5 * n_bins))
+    floor_c = F.lit(0.5) / (F.col("n_cur").cast("double") + F.lit(0.5 * n_bins))
+    joined = (
+        grid.join(rs.select(*g, "_b", "_pr"), g + ["_b"], "left")
+        .join(cs.select(*g, "_b", "_pc"), g + ["_b"], "left")
+        .withColumn("_pr", F.coalesce(F.col("_pr"), floor_r))
+        .withColumn("_pc", F.coalesce(F.col("_pc"), floor_c))
+    )
+    # each PSI term is a double, but the SUM accumulates as DECIMAL so the
+    # result is order-free (a double sum is partition-order-dependent and
+    # could round differently across engines)
+    term = (F.col("_pr") - F.col("_pc")) * F.log(F.col("_pr") / F.col("_pc"))
+    psi = joined.groupBy(*g, "n_ref", "n_cur").agg(
+        F.round(
+            F.sum(term.cast("decimal(38,18)")).cast("double"), 6
+        ).alias("psi")
+    )
+
+    # KS over distinct values: cumulative counts in value order (sequential
+    # window -> reproducible), gap evaluated at every observed value
+    vals = (
+        both.groupBy(*g, "_v")
+        .agg(
+            F.sum((F.col("_side") == "r").cast("long")).alias("_nr"),
+            F.sum((F.col("_side") == "c").cast("long")).alias("_nc"),
+        )
+    )
+    w = (
+        Window.partitionBy(*g)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf = vals.select(
+        *g,
+        F.sum("_nr").over(w).alias("_cr"),
+        F.sum("_nc").over(w).alias("_cc"),
+    )
+    ks = (
+        ecdf.join(nr, g)
+        .join(nc, g)
+        .groupBy(*g)
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("_cr").cast("double")
+                        / F.col("n_ref").cast("double")
+                        - F.col("_cc").cast("double")
+                        / F.col("n_cur").cast("double")
+                    )
+                ),
+                6,
+            ).alias("ks")
+        )
+    )
+    return psi.join(ks, g).select(*g, "n_ref", "n_cur", "psi", "ks")

@@ -424,6 +424,112 @@ def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_value_drift",
+    sql="""
+WITH ev AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev
+), sides AS (
+  SELECT event_type, v, CASE WHEN us < mid THEN 'r' ELSE 'c' END AS side
+  FROM ev, b
+), stats AS (
+  SELECT event_type, MIN(v) AS mn, MAX(v) AS mx
+  FROM sides WHERE side = 'r' GROUP BY event_type
+), binned AS (
+  SELECT s.event_type, s.side,
+         CASE WHEN mx = mn THEN 0
+              ELSE least(greatest(
+                     CAST(floor((v - mn) / (mx - mn) * 10) AS BIGINT),
+                     0), 9) END AS bin
+  FROM sides s JOIN stats USING (event_type)
+), bin_counts AS (
+  SELECT event_type, side, bin, COUNT(*) AS n
+  FROM binned GROUP BY event_type, side, bin
+), totals AS (
+  SELECT event_type, side, SUM(n) AS tot
+  FROM bin_counts GROUP BY event_type, side
+), shares AS (
+  SELECT bc.event_type, bc.side, bc.bin, t.tot,
+         (CAST(bc.n AS DOUBLE) + 0.5) / (CAST(t.tot AS DOUBLE) + 5.0) AS p
+  FROM bin_counts bc JOIN totals t USING (event_type, side)
+), nr AS (
+  SELECT event_type, MAX(tot) AS n_ref FROM shares WHERE side = 'r'
+  GROUP BY event_type
+), nc AS (
+  SELECT event_type, MAX(tot) AS n_cur FROM shares WHERE side = 'c'
+  GROUP BY event_type
+), grid AS (
+  SELECT DISTINCT event_type, bin FROM shares
+), gj AS (
+  SELECT g.event_type, g.bin, nr.n_ref, nc.n_cur,
+         COALESCE(r.p, 0.5 / (CAST(nr.n_ref AS DOUBLE) + 5.0)) AS pr,
+         COALESCE(c.p, 0.5 / (CAST(nc.n_cur AS DOUBLE) + 5.0)) AS pc
+  FROM grid g JOIN nr USING (event_type) JOIN nc USING (event_type)
+  LEFT JOIN (SELECT event_type, bin, p FROM shares WHERE side = 'r') r
+    USING (event_type, bin)
+  LEFT JOIN (SELECT event_type, bin, p FROM shares WHERE side = 'c') c
+    USING (event_type, bin)
+), psi AS (
+  SELECT event_type, n_ref, n_cur,
+         ROUND(CAST(SUM(CAST((pr - pc) * ln(pr / pc)
+                             AS DECIMAL(38,18))) AS DOUBLE), 6) AS psi
+  FROM gj GROUP BY event_type, n_ref, n_cur
+), vals AS (
+  SELECT event_type, v,
+         SUM(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS nr_,
+         SUM(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS nc_
+  FROM sides GROUP BY event_type, v
+), ecdf AS (
+  SELECT event_type,
+         SUM(nr_) OVER (PARTITION BY event_type ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cr,
+         SUM(nc_) OVER (PARTITION BY event_type ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cc
+  FROM vals
+), ks AS (
+  SELECT e.event_type,
+         ROUND(MAX(ABS(CAST(cr AS DOUBLE) / CAST(n_ref AS DOUBLE)
+                       - CAST(cc AS DOUBLE) / CAST(n_cur AS DOUBLE))), 6)
+           AS ks
+  FROM ecdf e JOIN nr USING (event_type) JOIN nc USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT p.event_type, CAST(p.n_ref AS BIGINT) AS n_ref,
+       CAST(p.n_cur AS BIGINT) AS n_cur, p.psi, k.ks
+FROM psi p JOIN ks k USING (event_type)
+""",
+    description=(
+        "Distribution drift per event type (operators/drift.py:"
+        "value_drift): the events stream split at its temporal midpoint, "
+        "early half = reference, late half = current; PSI over 10 "
+        "equal-width reference-fitted bins (Laplace-smoothed, "
+        "DECIMAL-accumulated — order-free) and the two-sample KS "
+        "statistic over the exact distinct-value ECDFs (sequential "
+        "cumulative window). Everything reduces to counts with map-side "
+        "combine — the slices are never joined row-to-row, and the ECDF "
+        "is bounded by value cardinality, not row count. The "
+        "training-data / feed drift gate, oracle-checked bit-for-bit"
+    ),
+)
+def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators.drift import value_drift
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value", F.unix_micros(F.col("ts")).alias("_us"))
+        .filter(F.col("value").isNotNull())
+    )
+    b = ev.agg(F.min("_us").alias("mn"), F.max("_us").alias("mx")).first()
+    mid = (b["mn"] + b["mx"]) // 2
+    ref = ev.filter(F.col("_us") < mid)
+    cur = ev.filter(F.col("_us") >= mid)
+    return value_drift(ref, cur, "value", ["event_type"], n_bins=10)
+
+
+@query(
     "events_heavy_hitters",
     sql="""
 SELECT CAST(NULL AS VARCHAR) AS check_name, CAST(NULL AS VARCHAR) AS item,
