@@ -13,7 +13,7 @@ double division).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small English stopword core — enough for a ratio heuristic; deliberately
@@ -307,4 +307,121 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     ratio = n_stop.cast("double") / F.nullif(n_tok, F.lit(0)).cast("double")
     return df.withColumn(
         "lang_guess", F.when(ratio >= 0.03, "en").otherwise("other")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a literal term query — the lexical
+    ranking half of hybrid search (pair with an ANN ranker through
+    :func:`hybrid_rrf`). Lucene-style idf ``ln((N - df + 0.5)/(df + 0.5)
+    + 1)`` (never negative), standard tf saturation and length
+    normalization.
+
+    Scale shape: per-term tf and the doc length are per-row Column math
+    over ONE corpus scan; the only driver traffic is one tiny row of
+    corpus statistics (N, avgdl, one df per query term — |terms| values,
+    embedded as literals like the ANN codebooks), so scoring fuses into
+    the scan and the only shuffle is the top-k TakeOrdered. Output:
+    ``(id, bm25, rank)`` for the k best (score DESC, id ASC — ties
+    deterministic).
+    """
+    import math
+
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+    )
+    tf_cols = [
+        F.size(F.filter(toks, lambda t: t == F.lit(term))).alias(f"_tf{i}")
+        for i, term in enumerate(query_terms)
+    ]
+    base = df.select(
+        F.col(id_col), F.size(toks).alias("_dl"), *tf_cols
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_dlsum"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    ).first()
+    n_docs = stats["_n"]
+    if not n_docs:
+        raise ValueError("empty corpus")
+    avgdl = float(stats["_dlsum"]) / float(n_docs)
+    idfs = [
+        math.log((n_docs - stats[f"_df{i}"] + 0.5) / (stats[f"_df{i}"] + 0.5) + 1.0)
+        for i in range(len(query_terms))
+    ]
+
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl").cast("double") / F.lit(avgdl)
+    )
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        term_score = F.lit(idfs[i]) * tf * F.lit(k1 + 1.0) / (tf + norm)
+        score = term_score if score is None else score + term_score
+    # TakeOrdered first (distributed partial top-k, no global sort task),
+    # THEN a row_number over the k survivors — the rank window only ever
+    # sees k rows
+    top = (
+        base.select(id_col, F.round(score, 6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("bm25"), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def hybrid_rrf(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rrf_k: int = 60,
+    k: int = 20,
+    rank_col: str = "rank",
+    suffixes: tuple[str, str] = ("a", "b"),
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankers (Cormack et al., SIGIR'09):
+    ``score(d) = Σ 1/(rrf_k + rank_i(d))`` over the lists containing d.
+    The standard way to combine lexical (BM25) and vector (ANN) retrieval
+    without score calibration — only RANKS cross the boundary.
+
+    Fusion is a full-outer join on the id with the two reciprocal terms
+    added in FIXED order (no aggregation), so the result is deterministic
+    to the last bit; candidate lists are top-k sized — the join is over
+    hundreds of rows regardless of corpus size. Output:
+    ``(id, rrf_score, rank_{a}, rank_{b})`` for the ``k`` best
+    (score DESC, id ASC).
+    """
+    sa, sb = suffixes
+    a = ranked_a.select(
+        F.col(id_col), F.col(rank_col).alias(f"rank_{sa}")
+    )
+    bdf = ranked_b.select(
+        F.col(id_col), F.col(rank_col).alias(f"rank_{sb}")
+    )
+    j = a.join(bdf, id_col, "full_outer")
+    term = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(c).cast("double")),
+        F.lit(0.0),
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.col(id_col))
+    return (
+        j.withColumn(
+            "rrf_score", F.round(term(f"rank_{sa}") + term(f"rank_{sb}"), 6)
+        )
+        .withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+        .select(id_col, "rrf_score", "fused_rank", f"rank_{sa}", f"rank_{sb}")
     )

@@ -424,6 +424,108 @@ def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_hybrid_search",
+    sql="""
+WITH docs AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, len(toks) AS dl,
+         len(list_filter(toks, t -> t = 'scan')) AS tf0,
+         len(list_filter(toks, t -> t = 'agg')) AS tf1,
+         len(list_filter(toks, t -> t = 'key')) AS tf2
+  FROM docs
+), st AS (
+  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM base
+), lex AS (
+  SELECT doc_id,
+         ROUND(
+           ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * (1.2 + 1.0)
+             / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+         + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * (1.2 + 1.0)
+             / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+         + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * (1.2 + 1.0)
+             / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 6) AS bm25
+  FROM base, st
+), lex_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+  FROM lex WHERE bm25 > 0
+  ORDER BY bm25 DESC, doc_id LIMIT 50
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), nn AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
+  FROM e
+), vec AS (
+  SELECT c.vec_id AS doc_id,
+         ROUND(list_aggregate(list_transform(generate_series(1, len(q.v)),
+                                             i -> q.v[i]*c.v[i]), 'sum')
+               / (q.nrm*c.nrm), 6) AS cosine_sim
+  FROM nn q JOIN nn c ON q.vec_id = 0 AND c.vec_id <> 0
+), vec_rank AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, doc_id) AS rank_vec
+  FROM vec ORDER BY cosine_sim DESC, doc_id LIMIT 50
+), fused AS (
+  SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / (60.0 + CAST(l.rank_lex AS DOUBLE)), 0.0)
+             + COALESCE(1.0 / (60.0 + CAST(r.rank_vec AS DOUBLE)), 0.0), 6)
+           AS rrf_score,
+         l.rank_lex, r.rank_vec
+  FROM lex_rank l FULL OUTER JOIN vec_rank r ON l.doc_id = r.doc_id
+)
+SELECT doc_id, rrf_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+         AS fused_rank,
+       CAST(rank_lex AS INT) AS rank_lex, CAST(rank_vec AS INT) AS rank_vec
+FROM fused
+ORDER BY rrf_score DESC, doc_id LIMIT 20
+""",
+    description=(
+        "Hybrid retrieval: Okapi BM25 lexical top-50 (textops.bm25_topk — "
+        "Lucene-style idf, tf saturation, length normalization; corpus "
+        "stats are ONE driver row of literals, scoring fuses into the "
+        "scan, top-k via TakeOrdered) fused with exact-cosine vector "
+        "top-50 against the doc-0 embedding by reciprocal-rank fusion "
+        "(textops.hybrid_rrf — score = sum of 1/(60+rank), full-outer "
+        "join of two k-row lists, fixed-order addition, no score "
+        "calibration). The documents/embeddings tables share ids, so "
+        "this is the real lexical+semantic hybrid a retrieval pipeline "
+        "runs; every stage replicates in the DuckDB oracle"
+    ),
+)
+def doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = textops.bm25_topk(
+        docs, ["scan", "agg", "key"], k=50, id_col="doc_id"
+    )
+    knn = similarity.knn_bruteforce(
+        corpus=emb, queries=emb.filter(F.col("vec_id") == 0), k=50
+    )
+    w = Window.orderBy(F.desc("cosine_sim"), F.col("doc_id"))
+    vec = knn.select(
+        F.col("neighbor_id").alias("doc_id"), "cosine_sim"
+    ).withColumn("rank", F.row_number().over(w))
+    fused = textops.hybrid_rrf(
+        lex, vec, id_col="doc_id", rrf_k=60, k=20, suffixes=("lex", "vec")
+    )
+    return fused.select(
+        "doc_id", "rrf_score",
+        F.col("fused_rank").cast("int").alias("fused_rank"),
+        F.col("rank_lex").cast("int").alias("rank_lex"),
+        F.col("rank_vec").cast("int").alias("rank_vec"),
+    )
+
+
+@query(
     "events_value_drift",
     sql="""
 WITH ev AS (

@@ -108,3 +108,49 @@ def test_unigram_lm_vocab_cap_sends_tail_to_oov(spark):
     # both docs still score and doc 1 (more 'a' mass) scores better
     out = {r["doc_id"]: r for r in unigram_lm_scores(df, max_vocab=1).collect()}
     assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+
+
+def test_bm25_ranks_term_frequency_and_length(spark):
+    from security_data_pipeline_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark tuning"),          # high tf, short
+            (2, "spark " + "filler " * 50),            # one hit, long doc
+            (3, "spark tuning guide"),                 # one hit, short
+            (4, "nothing relevant here"),              # no hit
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["bm25"], r["rank"])
+        for r in textops.bm25_topk(docs, ["spark"], k=10).collect()
+    }
+    assert 4 not in out  # zero-score docs never rank
+    assert out[1][1] == 1  # tf saturation still rewards repetition
+    # length normalization: the short single-hit doc outranks the long one
+    assert out[3][0] > out[2][0]
+
+
+def test_hybrid_rrf_fuses_and_is_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from security_data_pipeline_spark.operators import textops
+
+    a = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(12, 1), (13, 2)], "doc_id long, rank int"
+    )
+    out = {
+        r["doc_id"]: (r["rrf_score"], r["fused_rank"])
+        for r in textops.hybrid_rrf(a, b, k=10).collect()
+    }
+    # doc 12 appears in both lists -> highest fused score
+    assert out[12][1] == 1
+    assert out[12][0] == round(1 / 63 + 1 / 61, 6)
+    # one-list docs score exactly their single reciprocal term
+    assert out[10][0] == round(1 / 61, 6)
+    assert out[13][0] == round(1 / 62, 6)
+    assert set(out) == {10, 11, 12, 13}
