@@ -962,7 +962,10 @@ def jaccard_prefix_join(
     toks = base.select("_id", F.explode("_ts").alias("_t"))
     dfreq = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
     # per-doc tokens sorted by the global (df ASC, token ASC) rarity order,
-    # assembled WITHOUT a global rank: the (df, token) pair IS the order
+    # assembled WITHOUT a global rank: the (df, token) pair IS the order.
+    # localCheckpoint: ranked feeds FOUR consumers (both prefix-join sides
+    # + both verify join-backs) — pinning it runs the tokenize + df-count +
+    # sort pipeline once instead of four corpus scans.
     ranked = (
         toks.join(dfreq, "_t")
         .groupBy("_id")
@@ -975,19 +978,23 @@ def jaccard_prefix_join(
             "_id",
             F.transform("_sorted", lambda s: s["_t"]).alias("_ord"),
         )
+        .localCheckpoint(eager=False)
     )
     n = F.size("_ord")
     prefix_len = n - F.ceil(n.cast("double") * F.lit(float(threshold))).cast(
         "int"
     ) + F.lit(1)
+    # the candidate join ships only (id, set size, prefix token) — the
+    # token arrays do NOT ride the prefix explosion (that would copy each
+    # doc's array once per prefix token); the verify fetches them by two
+    # narrow join-backs against the checkpointed frame
     pref = ranked.select(
         "_id",
         n.alias("_n"),
-        F.col("_ord").alias("_toks"),
         F.explode(F.slice("_ord", 1, prefix_len)).alias("_p"),
     )
-    a = pref.toDF("_id_a", "_n_a", "_toks_a", "_p")
-    b = pref.toDF("_id_b", "_n_b", "_toks_b", "_p")
+    a = pref.toDF("_id_a", "_n_a", "_p")
+    b = pref.toDF("_id_b", "_n_b", "_p")
     t = float(threshold)
     cand = (
         a.join(b, "_p")
@@ -996,8 +1003,15 @@ def jaccard_prefix_join(
             (F.col("_n_b").cast("double") >= F.col("_n_a") * F.lit(t))
             & (F.col("_n_a").cast("double") >= F.col("_n_b") * F.lit(t))
         )
-        .select("_id_a", "_id_b", "_n_a", "_n_b", "_toks_a", "_toks_b")
+        .select("_id_a", "_id_b", "_n_a", "_n_b")
         .dropDuplicates(["_id_a", "_id_b"])
+    )
+    cand = cand.join(
+        ranked.select(F.col("_id").alias("_id_a"), F.col("_ord").alias("_toks_a")),
+        "_id_a",
+    ).join(
+        ranked.select(F.col("_id").alias("_id_b"), F.col("_ord").alias("_toks_b")),
+        "_id_b",
     )
     inter = F.size(F.array_intersect("_toks_a", "_toks_b"))
     jac = inter.cast("double") / (
