@@ -50,6 +50,13 @@ BENCH_QUERIES: tuple[str, ...] = (
     "events_time_bucket_rollup",
     "doc_winnow_pairs",
     "doc_lm_scores",
+    # round-5 additions: exact prefix-filter join, SQ8 ANN, hybrid
+    # retrieval, drift gate, heavy-hitters sketch
+    "doc_jaccard_prefix_pairs",
+    "knn_cosine_sq8",
+    "doc_hybrid_search",
+    "events_value_drift",
+    "events_heavy_hitters",
     # driver-window composites, benched AS the driver runs them — the
     # wall-clock the driver pays includes their union/unpivot overhead,
     # which per-arm numbers don't capture
@@ -79,6 +86,9 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_lm_scores": 5000,
         "temporal_net_suite": 44324, "event_windows_suite": 200000,
         "scale_suite": 141, "security_detections": 11195,
+        "doc_jaccard_prefix_pairs": 255, "knn_cosine_sq8": 50,
+        "doc_hybrid_search": 20, "events_value_drift": 5,
+        "events_heavy_hitters": 0,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -95,6 +105,9 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_lm_scores": 500,
         "temporal_net_suite": 16014, "event_windows_suite": 20000,
         "scale_suite": 124, "security_detections": 1135,
+        "doc_jaccard_prefix_pairs": 25, "knn_cosine_sq8": 50,
+        "doc_hybrid_search": 20, "events_value_drift": 5,
+        "events_heavy_hitters": 0,
     },
 }
 
