@@ -50,13 +50,18 @@ def value_drift(
             *g, F.col(value_col).cast("double").alias("_v")
         ).filter(F.col("_v").isNotNull()).withColumn("_side", F.lit(tag))
 
-    r = side(ref, "r")
-    c = side(cur, "c")
-
-    stats = r.groupBy(*g).agg(
-        F.min("_v").alias("_mn"), F.max("_v").alias("_mx")
+    # one narrow (group, value, side) frame feeds FOUR consumers (ref
+    # stats, bin counts, totals, the ECDF value histogram) — checkpoint it
+    # so the two input slices are scanned once, not once per consumer
+    sides = side(ref, "r").unionByName(side(cur, "c")).localCheckpoint(
+        eager=False
     )
-    both = r.unionByName(c).join(stats, g)
+    stats = (
+        sides.filter(F.col("_side") == "r")
+        .groupBy(*g)
+        .agg(F.min("_v").alias("_mn"), F.max("_v").alias("_mx"))
+    )
+    both = sides.join(stats, g)
     # equal-width bin on the REF range, clamped to [0, n_bins-1]
     raw_idx = F.floor(
         (F.col("_v") - F.col("_mn"))
@@ -120,7 +125,7 @@ def value_drift(
     # KS over distinct values: cumulative counts in value order (sequential
     # window -> reproducible), gap evaluated at every observed value
     vals = (
-        both.groupBy(*g, "_v")
+        sides.groupBy(*g, "_v")
         .agg(
             F.sum((F.col("_side") == "r").cast("long")).alias("_nr"),
             F.sum((F.col("_side") == "c").cast("long")).alias("_nc"),

@@ -915,6 +915,24 @@ def _temporal_net_suite_sql() -> str:
             "window_id",
             [("n_items", "n_items"), ("total_qty", "total_qty")],
         ),
+        _unpivot_arm_sql(
+            "pj",
+            "jaccard_prefix",
+            "CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR)",
+            [("jaccard", "jaccard")],
+        ),
+        _unpivot_arm_sql(
+            "sq",
+            "sq8",
+            "CAST(query_id AS VARCHAR) || '|' || CAST(neighbor_id AS VARCHAR)",
+            [("cosine_sim", "cosine_sim")],
+        ),
+        _unpivot_arm_sql(
+            "hy",
+            "hybrid",
+            "CAST(doc_id AS VARCHAR)",
+            [("rrf_score", "rrf_score"), ("fused_rank", "fused_rank")],
+        ),
     ]
     body = "\nUNION ALL\n".join(arms)
     return f"""
@@ -924,7 +942,10 @@ tb AS ({cte("events_time_bucket_rollup")}),
 wn AS ({cte("doc_winnow_pairs")}),
 lm AS ({cte("doc_lm_scores")}),
 bp AS ({cte("doc_bpe_top_pairs")}),
-ov AS ({cte("shipment_audit_overlap")})
+ov AS ({cte("shipment_audit_overlap")}),
+pj AS ({cte("doc_jaccard_prefix_pairs")}),
+sq AS ({cte("knn_cosine_sq8")}),
+hy AS ({cte("doc_hybrid_search")})
 {body}
 """
 
@@ -943,7 +964,10 @@ ov AS ({cte("shipment_audit_overlap")})
         "containment; (5) unigram-LM perplexity quality scores; (6) the "
         "BPE tokenizer-training pair ranking (frequency-weighted adjacent "
         "symbol pairs, total-order top-20); (7) the interval-overlap "
-        "bin join (shipment intervals x audit windows). All seven "
+        "bin join (shipment intervals x audit windows); (8) the EXACT "
+        "prefix-filter Jaccard join (PPJoin bound, recall-lossless); "
+        "(9) SQ8 scalar-quantized ANN top-k (asymmetric 8-bit scoring); "
+        "(10) BM25 + reciprocal-rank-fusion hybrid retrieval. All ten "
         "unpivoted to one (suite, item, metric, value) stream; "
         "constituents stay registered for granular oracle checks"
     ),
@@ -1030,6 +1054,45 @@ def temporal_net_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("interval_overlap").alias("suite"), "item", "metric", "value"
         )
     )
+
+    pj = run("doc_jaccard_prefix_pairs")
+    parts.append(
+        pj.select(
+            F.lit("jaccard_prefix").alias("suite"),
+            F.concat(
+                F.col("id_a").cast("string"),
+                F.lit("|"),
+                F.col("id_b").cast("string"),
+            ).alias("item"),
+            F.lit("jaccard").alias("metric"),
+            F.col("jaccard").cast("double").alias("value"),
+        )
+    )
+
+    sq = run("knn_cosine_sq8")
+    parts.append(
+        sq.select(
+            F.lit("sq8").alias("suite"),
+            F.concat(
+                F.col("query_id").cast("string"),
+                F.lit("|"),
+                F.col("neighbor_id").cast("string"),
+            ).alias("item"),
+            F.lit("cosine_sim").alias("metric"),
+            F.col("cosine_sim").cast("double").alias("value"),
+        )
+    )
+
+    hy = run("doc_hybrid_search")
+    hy_metrics = ["rrf_score", "fused_rank"]
+    parts.append(
+        hy.select(
+            F.col("doc_id").cast("string").alias("item"),
+            *[F.col(m).cast("double").alias(m) for m in hy_metrics],
+        )
+        .unpivot(["item"], hy_metrics, "metric", "value")
+        .select(F.lit("hybrid").alias("suite"), "item", "metric", "value")
+    )
     return _union(parts)
 
 
@@ -1082,6 +1145,23 @@ def _scale_suite_sql() -> str:
             "'all'",
             [("n_docs_kept", "n_kept"), ("score_sum", "score_sum")],
         ),
+        _unpivot_arm_sql(
+            "dr",
+            "drift",
+            "event_type",
+            [
+                ("psi", "psi"),
+                ("ks", "ks"),
+                ("n_ref", "n_ref"),
+                ("n_cur", "n_cur"),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "hh",
+            "heavy_hitters",
+            "COALESCE(check_name, '') || '|' || COALESCE(item, '')",
+            [("exact_count", "exact_count")],
+        ),
     ]
     body = "\nUNION ALL\n".join(arms)
     return f"""
@@ -1093,7 +1173,9 @@ clfagg AS (
   SELECT SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
          CAST(SUM(CAST(clf_score AS DECIMAL(18,6))) AS DOUBLE) AS score_sum
   FROM clf
-)
+),
+dr AS ({cte("events_value_drift")}),
+hh AS ({cte("events_heavy_hitters")})
 {body}
 """
 
@@ -1109,7 +1191,10 @@ clfagg AS (
         "ingest batches and checked against a direct recompute; (3) "
         "k-anonymity suppression — surviving quasi-identifier groups with "
         "sizes; (4) the logistic classifier quality gate — kept-doc count "
-        "and exact-decimal score mass. All four unpivoted to one "
+        "and exact-decimal score mass; (5) the PSI/KS distribution-drift "
+        "gate per event type; (6) the Misra-Gries heavy-hitters sketch in "
+        "self-checking form (zero rows unless an invariant breaks — a "
+        "violation would break the suite hash). All six unpivoted to one "
         "(suite, item, metric, value) stream; constituents stay registered "
         "for granular oracle checks"
     ),
@@ -1182,6 +1267,34 @@ def scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("score_sum").alias("metric"),
                 F.col("score_sum").alias("value"),
             )
+        )
+    )
+
+    dr = run("events_value_drift")
+    dr_metrics = ["psi", "ks", "n_ref", "n_cur"]
+    parts.append(
+        dr.select(
+            F.col("event_type").alias("item"),
+            *[F.col(m).cast("double").alias(m) for m in dr_metrics],
+        )
+        .unpivot(["item"], dr_metrics, "metric", "value")
+        .select(F.lit("drift").alias("suite"), "item", "metric", "value")
+    )
+
+    # self-checking arm: contributes ZERO rows when the sketch invariants
+    # hold — any Misra-Gries bracket/detection violation would surface as
+    # extra rows and break the suite's count+hash against the oracle
+    hh = run("events_heavy_hitters")
+    parts.append(
+        hh.select(
+            F.lit("heavy_hitters").alias("suite"),
+            F.concat(
+                F.coalesce(F.col("check_name"), F.lit("")),
+                F.lit("|"),
+                F.coalesce(F.col("item"), F.lit("")),
+            ).alias("item"),
+            F.lit("exact_count").alias("metric"),
+            F.col("exact_count").cast("double").alias("value"),
         )
     )
     return _union(parts)
