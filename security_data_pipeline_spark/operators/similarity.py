@@ -943,12 +943,20 @@ def ann_ivf_topk(
     )
     if query_pred is not None:
         q = q.filter(query_pred)
-    # Per-query probe ranking is ARRAY-LOCAL: all centroid sims for a query
-    # already sit in one array, so top-n_probe is a sort_array + slice in
-    # the same projection — no posexplode → shuffle → row_number round trip
-    # (which costs a full exchange of the query set at any scale). The
-    # struct sorts (sim DESC, -cid DESC ≡ cid ASC): lowest centroid id
-    # wins ties, matching the window form it replaces.
+    return _ivf_probe_and_rerank(clustered, q, cents, k, n_probe)
+
+
+def _ivf_probe_queries(q: DataFrame, cents: list[list[float]], n_probe: int) -> DataFrame:
+    """(query_id, _v_q, _nrm_q, _probe) — each query exploded to its
+    ``n_probe`` nearest clusters. Per-query probe ranking is ARRAY-LOCAL:
+    all centroid sims for a query already sit in one array, so top-n_probe
+    is a sort_array + slice in the same projection — no posexplode →
+    shuffle → row_number round trip (which costs a full exchange of the
+    query set at any scale). The struct sorts (sim DESC, -cid DESC ≡ cid
+    ASC): lowest centroid id wins ties, matching the window form it
+    replaces."""
+    from security_data_pipeline_spark.functions.vectors import l2_norm
+
     ranked = F.slice(
         F.sort_array(
             F.transform(
@@ -963,7 +971,7 @@ def ann_ivf_topk(
         1,
         n_probe,
     )
-    probes = q.select(
+    return q.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("_v_q"),
         l2_norm("embedding").alias("_nrm_q"),
@@ -975,6 +983,19 @@ def ann_ivf_topk(
         (-F.col("_probe_s")["negcid"]).alias("_probe"),
     )
 
+
+def _ivf_probe_and_rerank(
+    clustered: DataFrame,
+    q: DataFrame,
+    cents: list[list[float]],
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Broadcast the probe list against the clustered corpus, exact-cosine
+    re-rank, keep k per query (sim DESC, neighbor-id ASC)."""
+    from security_data_pipeline_spark.functions.vectors import dot_product
+
+    probes = _ivf_probe_queries(q, cents, n_probe)
     sim = F.round(
         dot_product(F.col("_v_q"), F.col("_v_c"))
         / (F.col("_nrm_q") * F.col("_nrm_c")),
@@ -995,6 +1016,81 @@ def ann_ivf_topk(
         .filter(F.col("_rank") <= k)
         .drop("_rank")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "error",
+) -> list[list[float]]:
+    """PERSIST an IVF index: the corpus written as parquet PARTITIONED BY
+    its map-side cluster assignment (``ivf_cluster=<cid>/`` directories),
+    plus the codebook returned for the search side. This is the 100 TB
+    index shape: a probed search touches ONLY its n_probe cluster
+    directories — the other (n_centroids - n_probe)/n_centroids of the
+    corpus is never opened, enforced by parquet partition pruning rather
+    than a runtime filter. Build cost is one corpus pass + one shuffle
+    (the partitioned write); incremental refreshes append new rows to
+    their cluster directories.
+    """
+    cents = centroids if centroids is not None else ivf_centroid_vectors(
+        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    clustered = ivf_assign(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ),
+        cents,
+        vec_col="embedding",
+    )
+    clustered.write.mode(mode).partitionBy("ivf_cluster").parquet(path)
+    return cents
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probed search over a :func:`build_ivf_index` layout. The union of
+    the queries' probe lists (≤ |queries|·n_probe cluster ids, driver-
+    collected — tiny) becomes a LITERAL ``isin`` filter on the partition
+    column, so the scan statically prunes to the probed directories
+    (``PartitionFilters`` in the plan — asserted in tests); scoring and
+    re-rank are identical to :func:`ann_ivf_topk` (bit-equal results,
+    asserted). Identical output contract: (query_id, neighbor_id,
+    cosine_sim)."""
+    from security_data_pipeline_spark.functions.vectors import l2_norm
+
+    q = queries.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    probe_ids = sorted(
+        r["_probe"]
+        for r in _ivf_probe_queries(q, centroids, n_probe)
+        .select("_probe")
+        .distinct()
+        .collect()
+    )
+    corpus = spark.read.parquet(path).filter(
+        F.col("ivf_cluster").isin(probe_ids)
+    )
+    clustered = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("_v_c"),
+        l2_norm("embedding").alias("_nrm_c"),
+        "ivf_cluster",
+    )
+    return _ivf_probe_and_rerank(clustered, q, centroids, k, n_probe)
 
 
 def semantic_dedup_drops(

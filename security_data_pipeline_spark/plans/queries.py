@@ -2757,6 +2757,38 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_index_roundtrip",
+    sql=_ivf_oracle_sql(),
+    description=(
+        "PERSISTED IVF index roundtrip (similarity.build_ivf_index/"
+        "search_ivf_index): the corpus is written as parquet PARTITIONED "
+        "BY its cluster assignment, then searched by reading back ONLY "
+        "the probed cluster directories — the probe union becomes a "
+        "literal isin on the partition column, so parquet partition "
+        "pruning (not a runtime filter) skips the unprobed "
+        "(n_centroids - n_probe)/n_centroids of the corpus; plan-asserted "
+        "in tests/test_plans.py. Same oracle as knn_cosine_ivf: the "
+        "persisted layout must change WHERE bytes are read, never the "
+        "answer"
+    ),
+)
+def ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_index_") + "/index"
+    cents = similarity.build_ivf_index(emb, path, n_centroids=16)
+    return similarity.search_ivf_index(
+        spark,
+        path,
+        queries=emb.filter(F.col("vec_id") < 200),
+        centroids=cents,
+        k=3,
+        n_probe=4,
+    )
+
+
+@query(
     "embedding_label_centroids",
     sql="""
 WITH e AS (

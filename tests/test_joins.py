@@ -798,3 +798,45 @@ def test_sq8_encode_and_recall(spark):
     # measured 1.0 at sf0.1 (8 bits/dim loses almost nothing); 0.9 floor
     # guards against a broken grid, not noise
     assert recall >= 0.9, recall
+
+
+def test_ivf_index_roundtrip_prunes_partitions_and_matches_inmemory(spark, tmp_path):
+    """The persisted IVF index must (a) return bit-identical results to the
+    in-memory ann_ivf_topk, and (b) physically prune: the probed search's
+    scan carries the cluster isin as a PARTITION filter, and only the
+    probed cluster directories are read."""
+    from security_data_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    path = str(tmp_path / "ivf_index")
+    cents = similarity.build_ivf_index(emb, path, n_centroids=16)
+
+    pred = F.col("vec_id") < 3
+    persisted = similarity.search_ivf_index(
+        spark, path, queries=emb.filter(pred), centroids=cents, k=3, n_probe=4
+    )
+    in_memory = similarity.ann_ivf_topk(
+        emb, k=3, n_centroids=16, n_probe=4, query_pred=pred, centroids=cents
+    )
+    got = sorted(map(tuple, persisted.collect()))
+    exp = sorted(map(tuple, in_memory.collect()))
+    assert got == exp and len(got) > 0
+
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "ivf_cluster" in plan.split("PartitionFilters", 1)[1][:300], plan[:2000]
+    # layout on disk: one directory per cluster, and the scan's selected
+    # partitions are a strict subset when probes < clusters
+    import re
+
+    dirs = {p.name for p in (tmp_path / "ivf_index").iterdir()
+            if p.name.startswith("ivf_cluster=")}
+    assert len(dirs) == 16
+    m = re.findall(r"ivf_cluster=(\d+)", plan.split("PartitionFilters", 1)[1][:500])
+    probed = {
+        r["_probe"]
+        for r in similarity._ivf_probe_queries(
+            emb.filter(pred).select("vec_id", "embedding"), cents, 4
+        ).select("_probe").distinct().collect()
+    }
+    assert len(probed) < 16  # the prune is real on this corpus
