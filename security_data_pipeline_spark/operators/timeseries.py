@@ -1,0 +1,90 @@
+"""Time-series densification: regular-grid resampling with gap zero-fill,
+and forward fill over ordered NULL runs — the telemetry prep every
+security/metrics pipeline does before rate math or charting ("no events in
+that hour" must be a row saying 0, not a missing row; a sensor's last
+reading carries forward until the next one).
+
+Scale shape: resampling aggregates FIRST (one partial-agged groupBy to one
+row per (key, bucket)) and only then densifies — the grid explosion works
+on per-key bucket RANGES (two longs per key), never on raw rows, so grid
+cost is Σ_key span/step rows regardless of input volume. Forward fill is
+one ordered window per key with O(1) state (``last(ignorenulls)``) — the
+same running-value idiom the as-of join uses. Both are pure Column/window
+math, replicated verbatim in the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_counts(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    step_seconds: int,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Per-key regular time grid at ``step_seconds``: one row for EVERY
+    bucket between each key's first and last event, with ``n_events``
+    zero-filled on empty buckets and (optionally) an exact DECIMAL-summed
+    ``value_sum`` that stays NULL on empty buckets (so a downstream
+    :func:`forward_fill` can distinguish "no data" from 0.0).
+
+    Output: ``keys + (bucket_ts timestamp, n_events long[, value_sum
+    double])``, one row per (key, grid bucket).
+    """
+    step_us = int(step_seconds) * 1_000_000
+    # floor(double division): epoch micros < 2^53 are exact in doubles and
+    # bucket-boundary values divide exactly, so this matches integer
+    # division for every representable timestamp — and replicates verbatim
+    # in engines whose `/` is float division (DuckDB oracle)
+    bucket = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(step_us)).cast(
+        "long"
+    )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("value_sum")
+        )
+    per_bucket = df.groupBy(*keys, bucket.alias("_b")).agg(*aggs)
+    spans = per_bucket.groupBy(*keys).agg(
+        F.min("_b").alias("_b0"), F.max("_b").alias("_b1")
+    )
+    grid = spans.select(
+        *keys, F.explode(F.sequence("_b0", "_b1")).alias("_b")
+    )
+    out = grid.join(per_bucket, keys + ["_b"], "left").select(
+        *keys,
+        F.timestamp_micros(F.col("_b") * F.lit(step_us)).alias("bucket_ts"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        *([F.col("value_sum")] if value_col is not None else []),
+    )
+    return out
+
+
+def forward_fill(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    cols: list[str],
+    suffix: str = "_ffill",
+) -> DataFrame:
+    """Carry each column's most recent non-NULL value forward in
+    ``order_col`` order within each key (classic LOCF). Appends
+    ``{col}{suffix}`` columns; rows before a key's first observation stay
+    NULL. One ordered window per key, O(1) running state."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            f"{c}{suffix}", F.last(F.col(c), ignorenulls=True).over(w)
+        )
+    return out

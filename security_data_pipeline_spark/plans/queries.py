@@ -632,6 +632,56 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_hourly_resampled",
+    sql="""
+WITH pb AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0)
+              AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS value_sum
+  FROM events GROUP BY event_type, 2
+), spans AS (
+  SELECT event_type, MIN(b) AS b0, MAX(b) AS b1 FROM pb GROUP BY event_type
+), grid AS (
+  SELECT event_type, unnest(generate_series(b0, b1)) AS b FROM spans
+), dense AS (
+  SELECT g.event_type, g.b,
+         COALESCE(pb.n_events, 0) AS n_events, pb.value_sum
+  FROM grid g LEFT JOIN pb ON pb.event_type = g.event_type AND pb.b = g.b
+)
+SELECT event_type, make_timestamp(b * 3600000000) AS bucket_ts, n_events,
+       value_sum,
+       last_value(value_sum IGNORE NULLS)
+         OVER (PARTITION BY event_type ORDER BY b
+               ROWS UNBOUNDED PRECEDING) AS value_sum_ffill
+FROM dense
+""",
+    description=(
+        "Time-series densification (operators/timeseries.py): per-type "
+        "hourly grid with EVERY bucket between first and last event "
+        "present — counts zero-filled, value sums NULL on empty buckets "
+        "(no data ≠ 0.0) then carried forward LOCF-style. Aggregates "
+        "FIRST, densifies after: the grid explodes per-key bucket RANGES "
+        "(two longs per key), never raw rows, so densification cost is "
+        "span/step per key regardless of input volume; forward fill is "
+        "one O(1)-state ordered window. The telemetry prep before any "
+        "rate math — a missing hour must be a row saying 0"
+    ),
+)
+def events_hourly_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events")
+    dense = timeseries.resample_counts(
+        ev, "ts", ["event_type"], step_seconds=3600, value_col="value"
+    )
+    return timeseries.forward_fill(
+        dense, ["event_type"], "bucket_ts", ["value_sum"]
+    )
+
+
+@query(
     "events_heavy_hitters",
     sql="""
 SELECT CAST(NULL AS VARCHAR) AS check_name, CAST(NULL AS VARCHAR) AS item,

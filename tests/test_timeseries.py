@@ -1,0 +1,66 @@
+"""Resampling/gap-fill and forward-fill: dense grids, zero vs NULL
+semantics, LOCF behavior."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from security_data_pipeline_spark.operators import timeseries
+
+T0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+
+def _ts(hours: float) -> dt.datetime:
+    return T0 + dt.timedelta(hours=hours)
+
+
+def test_resample_fills_gaps_with_zero_counts(spark):
+    rows = [
+        ("a", _ts(0), 1.0),
+        ("a", _ts(0.5), 2.0),   # same hour as above
+        ("a", _ts(3), 4.0),     # hours 1-2 missing
+        ("b", _ts(10), 8.0),    # single-bucket key
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        (r["k"], r["bucket_ts"]): (r["n_events"], r["value_sum"])
+        for r in timeseries.resample_counts(
+            df, "ts", ["k"], 3600, value_col="v"
+        ).collect()
+    }
+    assert out[("a", _ts(0))] == (2, 3.0)
+    assert out[("a", _ts(1))] == (0, None)  # gap: zero count, NULL sum
+    assert out[("a", _ts(2))] == (0, None)
+    assert out[("a", _ts(3))] == (1, 4.0)
+    assert out[("b", _ts(10))] == (1, 8.0)
+    assert len(out) == 5  # a: hours 0-3 inclusive; b: one bucket
+
+
+def test_forward_fill_locf_per_key(spark):
+    rows = [
+        ("a", 1, None), ("a", 2, 5.0), ("a", 3, None), ("a", 4, None),
+        ("a", 5, 7.0), ("b", 1, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, o long, v double")
+    out = {
+        (r["k"], r["o"]): r["v_ffill"]
+        for r in timeseries.forward_fill(df, ["k"], "o", ["v"]).collect()
+    }
+    assert out[("a", 1)] is None  # before first observation
+    assert out[("a", 2)] == 5.0
+    assert out[("a", 3)] == 5.0
+    assert out[("a", 4)] == 5.0
+    assert out[("a", 5)] == 7.0
+    assert out[("b", 1)] is None  # keys independent
+
+
+def test_resample_grid_size_is_span_not_rows(spark):
+    # 10k rows inside ONE hour must produce ONE grid row, not 10k
+    rows = [("a", _ts(i / 20000.0), 1.0) for i in range(10000)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    dense = timeseries.resample_counts(df, "ts", ["k"], 3600, value_col="v")
+    got = dense.collect()
+    assert len(got) == 1
+    assert got[0]["n_events"] == 10000
