@@ -57,6 +57,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "doc_hybrid_search",
     "events_value_drift",
     "events_heavy_hitters",
+    "events_hourly_resampled",
     # driver-window composites, benched AS the driver runs them — the
     # wall-clock the driver pays includes their union/unpivot overhead,
     # which per-arm numbers don't capture
@@ -88,7 +89,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "scale_suite": 161, "security_detections": 11195,
         "doc_jaccard_prefix_pairs": 255, "knn_cosine_sq8": 50,
         "doc_hybrid_search": 20, "events_value_drift": 5,
-        "events_heavy_hitters": 0,
+        "events_heavy_hitters": 0, "events_hourly_resampled": 3600,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -107,7 +108,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "scale_suite": 144, "security_detections": 1135,
         "doc_jaccard_prefix_pairs": 25, "knn_cosine_sq8": 50,
         "doc_hybrid_search": 20, "events_value_drift": 5,
-        "events_heavy_hitters": 0,
+        "events_heavy_hitters": 0, "events_hourly_resampled": 3600,
     },
 }
 
