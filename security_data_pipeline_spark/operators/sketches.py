@@ -32,7 +32,7 @@ brackets, violation checks) is JVM-side Column math.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
@@ -138,4 +138,60 @@ def heavy_hitters(
         "count_lo",
         (F.col("count_lo") + F.col("threshold")).alias("count_hi"),
         "threshold",
+    )
+
+
+def merge_heavy_hitter_states(
+    a: DataFrame, b: DataFrame, k: int = 64
+) -> DataFrame:
+    """Merge two heavy-hitter states (rows ``(item, count_lo, threshold)``
+    — :func:`heavy_hitters` output, or a previous merge) into one state of
+    ≤ ``k`` counters, the Agarwal et al. (PODS'12) mergeable-summaries
+    construction: union the counters, subtract the (k+1)-th largest
+    merged count from every counter (dropping non-positives), and add
+    that subtraction to the carried threshold. Invariants preserved
+    (associatively, so states can merge across days / streams / sites):
+    ``count_lo ≤ true ≤ count_lo + threshold`` and every item with true
+    count > threshold is present.
+
+    All-Column math over sketch-sized inputs: one groupBy over ≤ 2k rows,
+    a rank window over ≤ 2k rows, two broadcast 1-row aggregates. The
+    per-side threshold is max'd off that side's rows (it repeats on each;
+    an EMPTY side contributes 0).
+    """
+
+    def side_threshold(df: DataFrame, alias: str) -> DataFrame:
+        return df.groupBy().agg(
+            F.coalesce(F.max("threshold"), F.lit(0)).alias(alias)
+        )
+
+    d_prev = side_threshold(a, "_da").join(
+        side_threshold(b, "_db"), how="cross"
+    ).select((F.col("_da") + F.col("_db")).alias("_d"))
+
+    merged = (
+        a.select("item", "count_lo")
+        .unionByName(b.select("item", "count_lo"))
+        .filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("count_lo").alias("_c"))
+    )
+    w = Window.orderBy(F.desc("_c"), F.col("item"))
+    ranked = merged.withColumn("_rn", F.row_number().over(w))
+    # the (k+1)-th largest merged count is the subtraction; 0 when ≤ k
+    # items survive the union
+    delta = (
+        ranked.filter(F.col("_rn") == k + 1)
+        .groupBy()
+        .agg(F.coalesce(F.max("_c"), F.lit(0)).alias("_delta"))
+    )
+    return (
+        ranked.join(F.broadcast(delta), how="cross")
+        .join(F.broadcast(d_prev), how="cross")
+        .filter(F.col("_c") > F.col("_delta"))
+        .select(
+            "item",
+            (F.col("_c") - F.col("_delta")).alias("count_lo"),
+            (F.col("_d") + F.col("_delta")).alias("threshold"),
+        )
     )

@@ -321,3 +321,82 @@ def maintain_rollup_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def maintain_heavy_hitters_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    item_col: str,
+    k: int = 64,
+    trigger_available_now: bool = True,
+):
+    """Streaming top-talkers: each micro-batch reduces to a ≤ k-row
+    Misra-Gries summary (``operators/sketches.py``) and folds into the
+    persisted sketch state via the mergeable-summaries merge — the state
+    stays ≤ k rows FOREVER while its brackets
+    (``count_lo ≤ true ≤ count_lo + threshold``) and detection guarantee
+    (any item with true stream count > threshold is present) keep holding
+    over the whole stream history. The per-batch work is one sketch pass
+    over the batch plus a merge over ≤ 2k rows — never a historical
+    rescan, never unbounded state; the "who dominates this feed" question
+    (top source IPs, hottest accounts) answered incrementally at any
+    stream volume.
+
+    State swap is the same crash-safe scratch-generation protocol as
+    :func:`maintain_rollup_stream` (merged → ``{state_path}__next`` →
+    rewritten to ``state_path``; a crash mid-swap recovers the scratch).
+    Returns the StreamingQuery; read the state with
+    ``spark.read.parquet(state_path)``.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from security_data_pipeline_spark.operators import sketches
+
+    scratch = f"{state_path}__next"
+
+    def _missing(e: AnalysisException) -> bool:
+        for probe in ("getCondition", "getErrorClass"):
+            try:
+                cond = getattr(e, probe)()
+            except Exception:
+                continue
+            if cond is not None:
+                return cond == "PATH_NOT_FOUND"
+        return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
+
+    def _read_state(spark):
+        try:
+            return spark.read.parquet(state_path)
+        except AnalysisException as e:
+            if not _missing(e):
+                raise
+        try:
+            return spark.read.parquet(scratch)
+        except AnalysisException as e:
+            if not _missing(e):
+                raise
+        return None
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = sketches.heavy_hitters(batch_df, item_col, k=k).select(
+            "item", "count_lo", "threshold"
+        )
+        prev = _read_state(spark)
+        merged = (
+            new
+            if prev is None
+            else sketches.merge_heavy_hitter_states(prev, new, k=k)
+        )
+        merged.write.mode("overwrite").parquet(scratch)
+        spark.read.parquet(scratch).write.mode("overwrite").parquet(state_path)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -80,3 +80,82 @@ def test_randomized_invariants(spark):
     df = spark.createDataFrame(rows, "i long, item string")
     for k, parts in ((4, 16), (16, 4), (64, 32)):
         _check_invariants(df, "item", k=k, n_partitions=parts)
+
+
+def _invariants_vs_exact(state_rows, exact):
+    state = {r["item"]: (r["count_lo"], r["threshold"]) for r in state_rows}
+    thr = next(iter(state.values()))[1] if state else 0
+    for item, (lo, t) in state.items():
+        assert lo <= exact.get(item, 0) <= lo + t, (item, lo, exact.get(item), t)
+    for item, n in exact.items():
+        if n > thr:
+            assert item in state, (item, n, thr)
+    return state, thr
+
+
+def test_merge_heavy_hitter_states_invariants(spark):
+    rng = random.Random(5)
+    rows1 = [(i, "HOT") for i in range(3000)] + [
+        (10_000 + i, f"a{i % 300}") for i in range(2000)
+    ]
+    rows2 = [(i, "HOT") for i in range(1000)] + [
+        (50_000 + i, f"b{i % 400}") for i in range(3000)
+    ]
+    rng.shuffle(rows1)
+    rng.shuffle(rows2)
+    d1 = spark.createDataFrame(rows1, "i long, item string")
+    d2 = spark.createDataFrame(rows2, "i long, item string")
+    s1 = sketches.heavy_hitters(d1, "item", k=8)
+    s2 = sketches.heavy_hitters(d2, "item", k=8)
+    merged = sketches.merge_heavy_hitter_states(s1, s2, k=8).collect()
+    assert len(merged) <= 8  # bounded state after merge
+    exact = {}
+    for _, it in rows1 + rows2:
+        exact[it] = exact.get(it, 0) + 1
+    state, thr = _invariants_vs_exact(merged, exact)
+    assert "HOT" in state  # 4000 occurrences dominate every threshold
+    assert thr > 0
+
+
+def test_streaming_heavy_hitters_fold(spark, tmp_path):
+    """Three micro-batches folded into a persisted <= k-row sketch whose
+    brackets and detection guarantee hold over the WHOLE stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_heavy_hitters_stream,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    batches = [
+        ["HOT"] * 500 + [f"x{i}" for i in range(200)],
+        ["HOT"] * 300 + [f"y{i}" for i in range(300)],
+        ["HOT"] * 400 + ["WARM"] * 150 + [f"z{i}" for i in range(100)],
+    ]
+    for bi, items in enumerate(batches):
+        pq.write_table(
+            pa.table({"item": items}), src / f"b{bi}.parquet"
+        )
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = maintain_heavy_hitters_stream(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        item_col="item",
+        k=8,
+    )
+    q.awaitTermination(120)
+    state_rows = spark.read.parquet(str(tmp_path / "state")).collect()
+    assert 0 < len(state_rows) <= 8
+    exact = {}
+    for items in batches:
+        for it in items:
+            exact[it] = exact.get(it, 0) + 1
+    state, thr = _invariants_vs_exact(state_rows, exact)
+    assert "HOT" in state  # 1200 total must survive every fold
