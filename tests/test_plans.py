@@ -246,3 +246,42 @@ def test_no_unbroadcast_cartesian_in_any_query(spark, name):
     baselines are the only sanctioned cross-join physical form."""
     plan = _plan(REGISTRY[name].fn(spark, SF))
     assert "CartesianProduct" not in plan, name
+
+
+def test_sq8_broadcasts_queries_never_shuffles_corpus(spark):
+    """SQ8 ANN: the query side is broadcast; the corpus reaches scoring
+    without a hash exchange (only the top-k window shuffles, keyed on
+    query_id — k rows per query)."""
+    plan = _plan(REGISTRY["knn_cosine_sq8"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    pre_window = plan.split("Window", 1)[1] if "Window" in plan else plan
+    assert "hashpartitioning(neighbor_id" not in pre_window
+
+
+def test_prefix_join_pins_ranked_frame(spark):
+    """The rarity-ranked frame is localCheckpoint-ed: its four consumers
+    read materialized blocks (Scan ExistingRDD), not four corpus scans."""
+    plan = _plan(REGISTRY["doc_jaccard_prefix_pairs"].fn(spark, SF))
+    assert "ExistingRDD" in plan
+    assert plan.count("FileScan parquet") == 0, plan.count("FileScan parquet")
+
+
+def test_resample_aggregates_before_densifying(spark):
+    """Resampling must reduce rows to (key, bucket) BEFORE the grid join —
+    partial aggregation below the first exchange, and the grid generator
+    (explode of sequence) sits above aggregated inputs, never raw rows."""
+    plan = _plan(REGISTRY["events_hourly_resampled"].fn(spark, SF))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "Generate explode(sequence" in plan.replace("\n", " ") or "explode" in plan
+
+
+def test_bm25_stats_are_literals_not_joins(spark):
+    """BM25 corpus statistics (N, avgdl, per-term idf) are baked as
+    literals: the lexical ranker's plan has at most the fusion join — no
+    stats join-back against the corpus."""
+    from security_data_pipeline_spark.operators import textops
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(textops.bm25_topk(docs, ["scan", "agg"], k=10))
+    assert "Join" not in plan, plan[:1500]
+    assert "TakeOrderedAndProject" in plan
