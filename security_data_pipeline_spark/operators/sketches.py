@@ -123,21 +123,37 @@ def heavy_hitters(
     the brackets and the threshold guarantee hold under every layout —
     that invariant, not the set, is what the self-checking registered
     query asserts against exact counts.
+
+    Degenerate case: a stream whose every counter decrements away yields
+    an EMPTY candidate set but a nonzero threshold — losing that
+    threshold would silently understate the error bound of any later
+    :func:`merge_heavy_hitter_states`. The output then contains ONE
+    ``item IS NULL`` carrier row (count_lo 0) holding the threshold —
+    the same convention the per-partition partials use.
     """
     partials = misra_gries_partials(df, item_col, k)
     d_total = partials.groupBy("pid").agg(F.first("d").alias("_d")).agg(
-        F.sum("_d").alias("threshold")
+        F.coalesce(F.sum("_d"), F.lit(0)).alias("threshold")
     )
     merged = (
         partials.filter(F.col("item").isNotNull())
         .groupBy("item")
         .agg(F.sum("cnt").alias("count_lo"))
     )
-    return merged.join(F.broadcast(d_total), how="cross").select(
-        "item",
-        "count_lo",
-        (F.col("count_lo") + F.col("threshold")).alias("count_hi"),
-        "threshold",
+    # LEFT join from the (always 1-row) threshold side: an empty candidate
+    # set degrades to one NULL-item carrier row instead of dropping the
+    # threshold on the floor
+    return (
+        d_total.withColumn("_j", F.lit(1))
+        .join(merged.withColumn("_j", F.lit(1)), "_j", "left")
+        .select(
+            "item",
+            F.coalesce(F.col("count_lo"), F.lit(0)).alias("count_lo"),
+            (
+                F.coalesce(F.col("count_lo"), F.lit(0)) + F.col("threshold")
+            ).alias("count_hi"),
+            "threshold",
+        )
     )
 
 

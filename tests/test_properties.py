@@ -290,3 +290,89 @@ def test_ip6_lpm_join_matches_bruteforce_model(spark, cidr_raw, ips):
     for i, ip in enumerate(ips):
         exp = model(ip)
         assert got[i] == (exp if exp else (None, None)), (hex(ip), cidrs)
+
+
+# --- round-5 operators vs tiny Python models ---
+
+_corpus = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=2,
+    max_size=7,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_corpus, thr=st.sampled_from([0.34, 0.5, 0.67, 0.8]))
+def test_jaccard_prefix_join_matches_bruteforce_model(spark, docs, thr):
+    """The PPJoin bound must be recall-lossless for ANY corpus/threshold:
+    output == brute-force token-set Jaccard (same rounding)."""
+    import itertools
+
+    from security_data_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_prefix_join(df, threshold=thr).collect()
+    }
+    sets = {i: set(d) for i, d in enumerate(docs)}
+    exp = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        j = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+        if j >= thr:
+            exp[(a, b)] = j
+    assert got == exp, (docs, thr, got, exp)
+
+
+_stream = st.lists(
+    st.lists(
+        st.sampled_from(["h", "w", "x", "y", "z"]), min_size=1, max_size=30
+    ),
+    min_size=2,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=_stream, k=st.sampled_from([2, 3, 8]))
+def test_heavy_hitter_merge_invariants_random_streams(spark, batches, k):
+    """Merging per-batch sketches must keep the brackets and the detection
+    guarantee against exact combined counts, for any batches and k."""
+    from collections import Counter
+
+    from security_data_pipeline_spark.operators import sketches
+
+    states = []
+    for items in batches:
+        df = spark.createDataFrame(
+            [(i, it) for i, it in enumerate(items)], "i long, item string"
+        )
+        states.append(sketches.heavy_hitters(df, "item", k=k))
+    merged = states[0].select("item", "count_lo", "threshold")
+    for s in states[1:]:
+        merged = sketches.merge_heavy_hitter_states(merged, s, k=k)
+    rows = merged.collect()
+    assert len(rows) <= k
+    exact = Counter(it for items in batches for it in items)
+    thr = rows[0]["threshold"] if rows else 0
+    for r in rows:
+        assert r["count_lo"] <= exact[r["item"]] <= r["count_lo"] + r["threshold"]
+    for item, n in exact.items():
+        if n > thr:
+            assert item in {r["item"] for r in rows}, (batches, k, item, n, thr)

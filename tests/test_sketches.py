@@ -159,3 +159,31 @@ def test_streaming_heavy_hitters_fold(spark, tmp_path):
             exact[it] = exact.get(it, 0) + 1
     state, thr = _invariants_vs_exact(state_rows, exact)
     assert "HOT" in state  # 1200 total must survive every fold
+
+
+def test_empty_candidate_set_carries_threshold(spark):
+    # k=2, one partition, three equal-weight items: the third insert's
+    # decrement round zeroes every counter — the sketch has NO candidates
+    # but a real threshold, which must survive as a NULL-item carrier row
+    # (and through a merge), never be silently dropped
+    rows = [(i, it) for i, it in enumerate(["h"] * 5 + ["w"] * 5 + ["x"] * 5)]
+    df = spark.createDataFrame(rows, "i long, item string").coalesce(1)
+    hh = sketches.heavy_hitters(df, "item", k=2).collect()
+    assert len(hh) == 1
+    assert hh[0]["item"] is None
+    assert hh[0]["count_lo"] == 0 and hh[0]["threshold"] == 5
+    # exact counts are all 5 <= threshold: the detection guarantee holds
+    # vacuously, as it must
+
+    other = spark.createDataFrame(
+        [(i, "HOT") for i in range(40)], "i long, item string"
+    ).coalesce(1)
+    s2 = sketches.heavy_hitters(other, "item", k=2)
+    merged = sketches.merge_heavy_hitter_states(
+        sketches.heavy_hitters(df, "item", k=2), s2, k=2
+    ).collect()
+    state = {r["item"]: (r["count_lo"], r["threshold"]) for r in merged}
+    assert "HOT" in state
+    lo, thr = state["HOT"]
+    assert thr >= 5  # the degenerate sketch's error bound was carried
+    assert lo <= 40 <= lo + thr
