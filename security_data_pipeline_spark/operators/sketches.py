@@ -201,13 +201,21 @@ def merge_heavy_hitter_states(
         .groupBy()
         .agg(F.coalesce(F.max("_c"), F.lit(0)).alias("_delta"))
     )
-    return (
-        ranked.join(F.broadcast(delta), how="cross")
-        .join(F.broadcast(d_prev), how="cross")
+    bounds = delta.join(d_prev, how="cross")  # always exactly one row
+    survivors = (
+        ranked.join(F.broadcast(bounds), how="cross")
         .filter(F.col("_c") > F.col("_delta"))
+        .select("item", (F.col("_c") - F.col("_delta")).alias("count_lo"))
+    )
+    # LEFT join from the 1-row bounds side: when the subtraction zeroes
+    # EVERY counter (k+1 equal counts), the merged threshold must survive
+    # as the NULL-item carrier row — same convention as heavy_hitters
+    return (
+        bounds.withColumn("_j", F.lit(1))
+        .join(survivors.withColumn("_j", F.lit(1)), "_j", "left")
         .select(
             "item",
-            (F.col("_c") - F.col("_delta")).alias("count_lo"),
+            F.coalesce(F.col("count_lo"), F.lit(0)).alias("count_lo"),
             (F.col("_d") + F.col("_delta")).alias("threshold"),
         )
     )

@@ -368,11 +368,16 @@ def test_heavy_hitter_merge_invariants_random_streams(spark, batches, k):
     for s in states[1:]:
         merged = sketches.merge_heavy_hitter_states(merged, s, k=k)
     rows = merged.collect()
-    assert len(rows) <= k
+    # a NULL-item carrier row may hold the threshold when every counter
+    # decremented away; real counters stay bounded at k
+    counters = [r for r in rows if r["item"] is not None]
+    assert len(counters) <= k
     exact = Counter(it for items in batches for it in items)
-    thr = rows[0]["threshold"] if rows else 0
-    for r in rows:
+    thr = max((r["threshold"] for r in rows), default=0)
+    for r in counters:
         assert r["count_lo"] <= exact[r["item"]] <= r["count_lo"] + r["threshold"]
     for item, n in exact.items():
         if n > thr:
-            assert item in {r["item"] for r in rows}, (batches, k, item, n, thr)
+            assert item in {r["item"] for r in counters}, (
+                batches, k, item, n, thr,
+            )
