@@ -219,3 +219,85 @@ def merge_heavy_hitter_states(
             (F.col("_d") + F.col("_delta")).alias("threshold"),
         )
     )
+
+
+def count_min_build(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a DataFrame of
+    ``depth × width`` counter cells: row ``(row_id, col_id, cnt)`` where
+    ``col_id = xxhash64(item, seed + row_id) mod width``. The complement
+    of the Misra-Gries sketch: MG says WHICH items dominate; count-min
+    answers "how often did THIS item occur" for ANY item, in O(depth)
+    lookups, with the one-sided guarantee ``estimate ≥ true`` always
+    (collisions only ADD) and ``estimate ≤ true + εN`` w.h.p. for
+    ``ε = e/width``.
+
+    Pure JVM math: each row explodes to ``depth`` (row_id, col_id) cells
+    (seeded xxhash64 — no Python), one partial-aggregated groupBy reduces
+    to ≤ depth·width rows TOTAL regardless of item cardinality, and
+    sketches MERGE by unioning and re-summing cells (counter matrices
+    add) — the same partial-aggregate contract as the HLL/bitmap family.
+    NULL items are ignored."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    rows = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(depth - 1)),
+            lambda i: F.struct(
+                i.cast("int").alias("row_id"),
+                F.pmod(
+                    F.xxhash64(F.col(item_col).cast("string"), F.lit(seed) + i),
+                    F.lit(width),
+                ).cast("int").alias("col_id"),
+            ),
+        )
+    )
+    return (
+        df.filter(F.col(item_col).isNotNull())
+        .select(rows.alias("_c"))
+        .groupBy(F.col("_c.row_id").alias("row_id"), F.col("_c.col_id").alias("col_id"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """Point-frequency estimates for ``items`` against a
+    :func:`count_min_build` sketch (same depth/width/seed): each item
+    hashes to its ``depth`` cells, joins the (≤ depth·width row,
+    broadcastable) sketch, and takes the MIN surviving counter — absent
+    cells count 0, so items never inserted estimate 0. Output: one row
+    per input item with ``cm_estimate``."""
+    cells = items.select(
+        F.col(item_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(depth - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("row_id"),
+                    F.pmod(
+                        F.xxhash64(
+                            F.col(item_col).cast("string"), F.lit(seed) + i
+                        ),
+                        F.lit(width),
+                    ).cast("int").alias("col_id"),
+                ),
+            )
+        ).alias("_c"),
+    ).select(item_col, F.col("_c.row_id").alias("row_id"), F.col("_c.col_id").alias("col_id"))
+    joined = cells.join(F.broadcast(sketch), ["row_id", "col_id"], "left")
+    return (
+        joined.groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_estimate"))
+    )

@@ -750,6 +750,65 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_countmin_check",
+    sql="""
+SELECT CAST(NULL AS VARCHAR) AS check_name, CAST(NULL AS VARCHAR) AS item,
+       CAST(NULL AS BIGINT) AS cm_estimate, CAST(NULL AS BIGINT) AS exact_count
+FROM events WHERE FALSE
+""",
+    description=(
+        "Count-min sketch (operators/sketches.py:count_min_build/"
+        "count_min_estimate) in self-checking form — emits ONLY guarantee "
+        "violations, so the correct result is empty. Two arms over the "
+        "per-user event counts (depth 4, width 1024, seeded xxhash64): "
+        "(1) underestimate — impossible by construction (collisions only "
+        "ADD; an estimate below the exact count means the sketch is "
+        "broken); (2) overestimate beyond the e/width * N error bound "
+        "(deterministic for fixed data+seed; measured max overshoot 194 "
+        "vs bound 266 at sf0.1). The sketch is <= depth*width rows TOTAL "
+        "regardless of item cardinality and merges by cell addition — "
+        "the point-frequency complement of the Misra-Gries candidates"
+    ),
+)
+def events_countmin_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from security_data_pipeline_spark.operators import sketches
+
+    depth, width = 4, 1024
+    ev = load_table(spark, sf_dir, "events")
+    sk = sketches.count_min_build(ev, "user_id", depth=depth, width=width)
+    est = sketches.count_min_estimate(
+        sk, ev.select("user_id").distinct(), "user_id",
+        depth=depth, width=width,
+    )
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    n_total = ev.filter(F.col("user_id").isNotNull()).groupBy().agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    j = est.join(exact, "user_id").join(F.broadcast(n_total), how="cross")
+    bound = F.ceil(F.col("_n") * F.lit(math.e / width)).cast("long")
+
+    def arm(cond, name):
+        return j.filter(cond).select(
+            F.lit(name).alias("check_name"),
+            F.col("user_id").cast("string").alias("item"),
+            F.col("cm_estimate").cast("long").alias("cm_estimate"),
+            "exact_count",
+        )
+
+    return arm(
+        F.col("cm_estimate") < F.col("exact_count"), "underestimate"
+    ).unionByName(
+        arm(F.col("cm_estimate") > F.col("exact_count") + bound, "overshoot")
+    )
+
+
+@query(
     "events_null_counts",
     sql="""
 SELECT CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls,

@@ -187,3 +187,45 @@ def test_empty_candidate_set_carries_threshold(spark):
     lo, thr = state["HOT"]
     assert thr >= 5  # the degenerate sketch's error bound was carried
     assert lo <= 40 <= lo + thr
+
+
+def test_count_min_never_underestimates_and_merges(spark):
+    rng = random.Random(9)
+    rows = [(i, f"u{int(rng.paretovariate(1.2)) % 400}") for i in range(20_000)]
+    df = spark.createDataFrame(rows, "i long, item string")
+    from collections import Counter
+
+    exact = Counter(it for _, it in rows)
+    sk = sketches.count_min_build(df, "item", depth=4, width=256)
+    assert sk.count() <= 4 * 256  # bounded regardless of cardinality
+    items = spark.createDataFrame(
+        [(it,) for it in list(exact) + ["NEVER_SEEN"]], "item string"
+    )
+    est = {
+        r["item"]: r["cm_estimate"]
+        for r in sketches.count_min_estimate(
+            sk, items, "item", depth=4, width=256
+        ).collect()
+    }
+    assert est["NEVER_SEEN"] == 0
+    n = len(rows)
+    import math
+
+    for it, true in exact.items():
+        assert est[it] >= true, (it, est[it], true)  # one-sided, always
+        assert est[it] <= true + math.e / 256 * n * 3  # generous eps bound
+
+    # mergeability: sketches of two halves, cells summed, equal the
+    # whole-stream sketch EXACTLY (counter matrices add)
+    h1 = spark.createDataFrame(rows[:10_000], "i long, item string")
+    h2 = spark.createDataFrame(rows[10_000:], "i long, item string")
+    merged = (
+        sketches.count_min_build(h1, "item", depth=4, width=256)
+        .unionByName(sketches.count_min_build(h2, "item", depth=4, width=256))
+        .groupBy("row_id", "col_id")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = sketches.count_min_build(df, "item", depth=4, width=256)
+    a = {(r["row_id"], r["col_id"]): r["cnt"] for r in merged.collect()}
+    b = {(r["row_id"], r["col_id"]): r["cnt"] for r in whole.collect()}
+    assert a == b
