@@ -124,16 +124,15 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    jac = inter.select(
-        "id_a",
-        "id_b",
-        F.round(
-            F.col("_inter").cast("double")
-            / (F.col("_sa") + F.col("_sb") - F.col("_inter")).cast("double"),
-            6,
-        ).alias("jaccard"),
+    # threshold on the UNROUNDED ratio (rounding first would admit pairs
+    # up to ~5e-7 below threshold); round only the reported value
+    raw = (
+        F.col("_inter").cast("double")
+        / (F.col("_sa") + F.col("_sb") - F.col("_inter")).cast("double")
     )
-    return jac.filter(F.col("jaccard") >= threshold)
+    return inter.filter(raw >= threshold).select(
+        "id_a", "id_b", F.round(raw, 6).alias("jaccard")
+    )
 
 
 def md5_hex(c: Column, n_chars: int = 16) -> Column:
@@ -369,15 +368,16 @@ def minhash_lsh_pairs(
         )
     inter = F.size(F.array_intersect(F.col("_p.a._hs"), F.col("_p.b._hs")))
     union = F.size("_p.a._hs") + F.size("_p.b._hs") - inter
+    # filter on the unrounded ratio, round only for output (matches the
+    # DuckDB oracle, which already thresholds the raw division)
+    raw = inter.cast("double") / union.cast("double")
     return (
-        pairs.select(
+        pairs.filter(raw >= verify_threshold)
+        .select(
             F.col("_p.a._id").alias("id_a"),
             F.col("_p.b._id").alias("id_b"),
-            F.round(inter.cast("double") / union.cast("double"), 6).alias(
-                "jaccard"
-            ),
+            F.round(raw, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= verify_threshold)
         .distinct()
     )
 
@@ -1017,12 +1017,13 @@ def jaccard_prefix_join(
     jac = inter.cast("double") / (
         F.col("_n_a") + F.col("_n_b") - inter
     ).cast("double")
+    # EXACT threshold: compare the unrounded jaccard (round-then-filter
+    # would admit pairs up to ~5e-7 below t); round only the output
     return (
-        cand.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= F.lit(t))
+        cand.filter(jac >= F.lit(t))
         .select(
             F.col("_id_a").alias("id_a"),
             F.col("_id_b").alias("id_b"),
-            "jaccard",
+            F.round(jac, 6).alias("jaccard"),
         )
     )

@@ -131,7 +131,15 @@ def heavy_hitters(
     ``item IS NULL`` carrier row (count_lo 0) holding the threshold —
     the same convention the per-partition partials use.
     """
-    partials = misra_gries_partials(df, item_col, k)
+    # TWO consumers (threshold aggregate, candidate merge) read this frame;
+    # the mapInPandas sketch depends on partition content/row order, so an
+    # unpinned plan could evaluate the sketch twice (task retry, AQE
+    # replan) and pair run-A's threshold with run-B's candidates — breaking
+    # the [count_lo, count_hi] bracket. Pin one run, same convention as
+    # joins._tag_rows / dedup.jaccard_prefix_join.
+    partials = misra_gries_partials(df, item_col, k).localCheckpoint(
+        eager=False
+    )
     d_total = partials.groupBy("pid").agg(F.first("d").alias("_d")).agg(
         F.coalesce(F.sum("_d"), F.lit(0)).alias("threshold")
     )

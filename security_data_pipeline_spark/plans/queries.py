@@ -763,9 +763,13 @@ FROM events WHERE FALSE
         "per-user event counts (depth 4, width 1024, seeded xxhash64): "
         "(1) underestimate — impossible by construction (collisions only "
         "ADD; an estimate below the exact count means the sketch is "
-        "broken); (2) overestimate beyond the e/width * N error bound "
-        "(deterministic for fixed data+seed; measured max overshoot 194 "
-        "vs bound 266 at sf0.1). The sketch is <= depth*width rows TOTAL "
+        "broken); (2) overestimate beyond 4x the e/width * N error bound. "
+        "The classic bound holds per item only with prob ~1-e^-depth "
+        "(~98% at depth 4), so asserting it raw could trip on a fully "
+        "correct sketch under a new seed/scale; at 4x, Markov per hash "
+        "row gives P(overshoot) <= (4e)^-depth ~ 7e-5 per item — safe at "
+        "any pinned SF (measured max overshoot 194 vs raw bound 266 at "
+        "sf0.1). The sketch is <= depth*width rows TOTAL "
         "regardless of item cardinality and merges by cell addition — "
         "the point-frequency complement of the Misra-Gries candidates"
     ),
@@ -791,7 +795,10 @@ def events_countmin_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("_n")
     )
     j = est.join(exact, "user_id").join(F.broadcast(n_total), how="cross")
-    bound = F.ceil(F.col("_n") * F.lit(math.e / width)).cast("long")
+    # 4x the classic eN/width bound: the raw bound is only ~98%-per-item
+    # at depth 4, the widened one fails with P <= (4e)^-depth ~ 7e-5 —
+    # a self-check that cannot legitimately trip on regenerated data
+    bound = F.ceil(F.col("_n") * F.lit(4.0 * math.e / width)).cast("long")
 
     def arm(cond, name):
         return j.filter(cond).select(
@@ -4377,12 +4384,13 @@ WITH base AS (
     AND CAST(a.n AS DOUBLE) >= b.n * 0.8
 ), verified AS (
   SELECT id_a, id_b,
-         ROUND(CAST(len(list_intersect(ta, tb)) AS DOUBLE)
-               / CAST(na + nb - len(list_intersect(ta, tb)) AS DOUBLE), 6)
-           AS jaccard
+         CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+           / CAST(na + nb - len(list_intersect(ta, tb)) AS DOUBLE)
+           AS raw_jac
   FROM cand
 )
-SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.8
+SELECT id_a, id_b, ROUND(raw_jac, 6) AS jaccard
+FROM verified WHERE raw_jac >= 0.8
 """,
     description=(
         "EXACT threshold set-similarity self-join via prefix filtering "

@@ -346,8 +346,36 @@ def maintain_heavy_hitters_stream(
     State swap is the same crash-safe scratch-generation protocol as
     :func:`maintain_rollup_stream` (merged → ``{state_path}__next`` →
     rewritten to ``state_path``; a crash mid-swap recovers the scratch).
-    Returns the StreamingQuery; read the state with
-    ``spark.read.parquet(state_path)``.
+    foreachBatch is only at-least-once, and a double-merged batch would
+    inflate ``count_lo`` past the true count (lower-bracket violation) —
+    so the state carries a ``_last_batch_id`` column and a replayed batch
+    (``batch_id ≤`` the recorded one, i.e. a crash landed after the state
+    overwrite but before the checkpoint commit) skips the merge and only
+    completes the swap, making the fold effectively exactly-once. The
+    same guard pattern extends to :func:`maintain_rollup_stream`, whose
+    docstring documents the caveat instead. Returns the StreamingQuery;
+    read the state with ``spark.read.parquet(state_path)`` (drop
+    ``_last_batch_id`` for the pure sketch).
+    """
+    _fold = _heavy_hitter_fold(state_path, item_col, k)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _heavy_hitter_fold(state_path: str, item_col: str, k: int):
+    """Build the foreachBatch fold for :func:`maintain_heavy_hitters_stream`.
+
+    Module-level so the replay guard is directly unit-testable: calling
+    the returned fold twice with the same ``batch_id`` (the at-least-once
+    crash-replay scenario) must leave the persisted state byte-identical
+    instead of double-merging the batch.
     """
     from pyspark.errors.exceptions.captured import AnalysisException
 
@@ -366,37 +394,45 @@ def maintain_heavy_hitters_stream(
         return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
 
     def _read_state(spark):
+        """Return ``(state_df, recovered_from_scratch)`` or ``(None, False)``."""
         try:
-            return spark.read.parquet(state_path)
+            return spark.read.parquet(state_path), False
         except AnalysisException as e:
             if not _missing(e):
                 raise
         try:
-            return spark.read.parquet(scratch)
+            return spark.read.parquet(scratch), True
         except AnalysisException as e:
             if not _missing(e):
                 raise
-        return None
+        return None, False
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         spark = batch_df.sparkSession
+        prev, from_scratch = _read_state(spark)
+        if prev is not None and "_last_batch_id" in prev.columns:
+            applied = prev.agg(F.max("_last_batch_id")).first()[0]
+            if applied is not None and applied >= batch_id:
+                # at-least-once replay: this batch is already folded into
+                # the persisted state (crash after the overwrite, before
+                # the checkpoint commit). Merging again would double-count
+                # and break the lower bracket -- finish the interrupted
+                # swap (scratch -> state) if needed and do nothing else.
+                if from_scratch:
+                    prev.write.mode("overwrite").parquet(state_path)
+                return
+            prev = prev.drop("_last_batch_id")
         new = sketches.heavy_hitters(batch_df, item_col, k=k).select(
             "item", "count_lo", "threshold"
         )
-        prev = _read_state(spark)
         merged = (
             new
             if prev is None
             else sketches.merge_heavy_hitter_states(prev, new, k=k)
-        )
+        ).withColumn("_last_batch_id", F.lit(batch_id).cast("long"))
         merged.write.mode("overwrite").parquet(scratch)
         spark.read.parquet(scratch).write.mode("overwrite").parquet(state_path)
 
-    writer = (
-        stream_df.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_path)
-        .foreachBatch(_fold)
-    )
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _fold

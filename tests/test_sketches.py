@@ -229,3 +229,54 @@ def test_count_min_never_underestimates_and_merges(spark):
     a = {(r["row_id"], r["col_id"]): r["cnt"] for r in merged.collect()}
     b = {(r["row_id"], r["col_id"]): r["cnt"] for r in whole.collect()}
     assert a == b
+
+
+def test_streaming_fold_replay_is_exactly_once(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering a batch (crash after
+    the state overwrite, before checkpoint commit) must NOT double-merge —
+    the _last_batch_id guard skips the merge and the state is unchanged."""
+    from security_data_pipeline_spark.streaming.pipeline import (
+        _heavy_hitter_fold,
+    )
+
+    state = str(tmp_path / "state")
+    fold = _heavy_hitter_fold(state, "item", k=8)
+    b0 = spark.createDataFrame(
+        [("HOT",)] * 50 + [(f"x{i}",) for i in range(20)], "item string"
+    )
+    b1 = spark.createDataFrame(
+        [("HOT",)] * 30 + [("WARM",)] * 25, "item string"
+    )
+    fold(b0, 0)
+    fold(b1, 1)
+
+    def snap():
+        return sorted(
+            map(tuple, spark.read.parquet(state).collect())
+        )
+
+    before = snap()
+    assert all(r[-1] == 1 for r in before)  # _last_batch_id recorded
+    fold(b1, 1)  # replay: guard must skip the merge entirely
+    assert snap() == before
+    # the brackets still hold against exact counts over b0+b1 once
+    rows = spark.read.parquet(state).collect()
+    by_item = {r["item"]: r for r in rows if r["item"] is not None}
+    hot = by_item["HOT"]
+    assert hot["count_lo"] <= 80 <= hot["count_lo"] + hot["threshold"]
+
+    # crash-mid-swap recovery under replay: state dir gone, scratch holds
+    # the last generation -> the guard completes the swap, still no merge
+    import shutil
+
+    shutil.rmtree(state)
+    fold(b1, 1)
+    assert snap() == before
+
+    # a genuinely NEW batch after the replay still folds normally
+    b2 = spark.createDataFrame([("HOT",)] * 10, "item string")
+    fold(b2, 2)
+    after = spark.read.parquet(state).collect()
+    assert all(r["_last_batch_id"] == 2 for r in after)
+    hot = {r["item"]: r for r in after if r["item"] is not None}["HOT"]
+    assert hot["count_lo"] <= 90 <= hot["count_lo"] + hot["threshold"]
