@@ -9,16 +9,27 @@ Two standard, complementary statistics per group:
   ``Σ (p_i - q_i) · ln(p_i / q_i)``. The industry thumb-rules (<0.1 stable,
   >0.25 drifted) assume exactly this construction.
 - **KS statistic** (two-sample Kolmogorov-Smirnov): max ECDF gap
-  ``sup_x |F_ref(x) - F_cur(x)|`` — binning-free, sensitive to shape
-  shifts PSI's coarse bins can miss.
+  ``sup_x |F_ref(x) - F_cur(x)|`` — finer-grained than PSI's coarse
+  bins, sensitive to shape shifts they can miss.
 
 Scale shape: everything is counts. Each side reduces to per-(group, bin)
-or per-(group, distinct value) counts with map-side combine — the raw
-slices are scanned once each and never joined row-to-row; the ECDF runs
-over DISTINCT values (bounded by value cardinality, not row count). The
+or per-(group, grid-cell) counts with map-side combine — the raw slices
+are scanned once each and never joined row-to-row. The KS ECDF runs, by
+default, over a BOUNDED reference-fitted value grid (``ks_grid`` cells +
+one out-of-range cell per side), so the per-group sequential window sees
+≤ ``ks_grid + 2`` rows no matter how many distinct values the metric
+takes — a continuous metric at 100× data cannot serialize one giant task
+per group (the exact distinct-value ECDF, whose window row count IS the
+group's value cardinality, stays available via ``ks_grid=None``).
+Quantization error is ≤ the largest in-range cell's ECDF mass on either
+side (~1/ks_grid for smooth distributions); the gap contributed by
+current-side mass OUTSIDE the reference range is preserved exactly —
+below-range mass accumulates before any reference mass (its full gap is
+evaluated at the underflow cell) and the above-range gap's maximum occurs
+at the last in-range cell, where F_ref is already 1. The
 sequential-window cumulative sums and fixed-operand-order arithmetic make
 both statistics bit-reproducible in any SQL engine — the registered query
-checks them against DuckDB verbatim.
+checks them against DuckDB verbatim, grid construction included.
 """
 
 from __future__ import annotations
@@ -27,12 +38,54 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _ks_value_frame(
+    both: DataFrame, g: list[str], ks_grid: int | None
+) -> DataFrame:
+    """Per-(group, value-point) side counts feeding the KS ECDF window.
+
+    ``both`` carries ``g + (_v, _side, _mn, _mx)`` (reference-fitted
+    min/max already joined on). With ``ks_grid`` set, ``_v`` is quantized
+    onto ``ks_grid`` equal-width cells over the reference range plus one
+    underflow (−1) and one overflow (``ks_grid``) cell — the output is
+    ≤ ``ks_grid + 2`` rows per group regardless of value cardinality,
+    which is what keeps the downstream ordered window from serializing a
+    whole continuous-valued group into one task at scale. With
+    ``ks_grid=None`` the exact distinct values pass through.
+    """
+    if ks_grid is None:
+        vk = F.col("_v")
+    else:
+        span = F.col("_mx") - F.col("_mn")
+        # strict comparisons route out-of-range mass to the sentinel
+        # cells (the floor only ever sees in-range v, so its double->long
+        # conversion cannot overflow however far the current range
+        # extends); in-range mass clamps to [0, grid-1] so the reference
+        # max stays in the last IN-RANGE cell — the evaluation point
+        # where an entirely-above-range current side shows its full gap
+        raw = F.floor((F.col("_v") - F.col("_mn")) / span * F.lit(ks_grid))
+        vk = (
+            F.when(F.col("_v") < F.col("_mn"), F.lit(-1))
+            .when(F.col("_v") > F.col("_mx"), F.lit(ks_grid))
+            .when(span == F.lit(0), F.lit(0))
+            .otherwise(
+                F.least(F.greatest(raw, F.lit(0)), F.lit(ks_grid - 1))
+            )
+            .cast("long")
+            .cast("double")
+        )
+    return both.groupBy(*g, vk.alias("_vk")).agg(
+        F.sum((F.col("_side") == "r").cast("long")).alias("_nr"),
+        F.sum((F.col("_side") == "c").cast("long")).alias("_nc"),
+    )
+
+
 def value_drift(
     ref: DataFrame,
     cur: DataFrame,
     value_col: str,
     group_cols: list[str],
     n_bins: int = 10,
+    ks_grid: int | None = 4096,
 ) -> DataFrame:
     """Per-group PSI and KS between ``ref`` and ``cur``.
 
@@ -42,6 +95,14 @@ def value_drift(
     slice; current-side values outside the reference range clamp into the
     edge bins (that mass SHOWING UP in the edge bins is exactly the drift
     signal). Laplace smoothing (+0.5 per bin) keeps empty bins finite.
+
+    ``ks_grid`` (default 4096) bounds the KS ECDF to a reference-fitted
+    value grid so the per-group ordered window never exceeds
+    ``ks_grid + 2`` rows — see the module docstring for the error bound
+    (≤ max in-range cell mass; out-of-range drift gaps preserved
+    exactly). ``ks_grid=None`` computes the exact distinct-value ECDF
+    (window rows = the group's value cardinality — fine for discrete
+    metrics, a single-task serialization hazard for continuous ones).
     """
     g = list(group_cols)
 
@@ -122,18 +183,13 @@ def value_drift(
         ).alias("psi")
     )
 
-    # KS over distinct values: cumulative counts in value order (sequential
-    # window -> reproducible), gap evaluated at every observed value
-    vals = (
-        sides.groupBy(*g, "_v")
-        .agg(
-            F.sum((F.col("_side") == "r").cast("long")).alias("_nr"),
-            F.sum((F.col("_side") == "c").cast("long")).alias("_nc"),
-        )
-    )
+    # KS: cumulative counts in value order (sequential window ->
+    # reproducible), gap evaluated at every grid cell (bounded — default)
+    # or every observed distinct value (ks_grid=None)
+    vals = _ks_value_frame(both, g, ks_grid)
     w = (
         Window.partitionBy(*g)
-        .orderBy("_v")
+        .orderBy("_vk")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ecdf = vals.select(

@@ -580,15 +580,22 @@ WITH ev AS (
                              AS DECIMAL(38,18))) AS DOUBLE), 6) AS psi
   FROM gj GROUP BY event_type, n_ref, n_cur
 ), vals AS (
-  SELECT event_type, v,
+  SELECT s.event_type,
+         CAST(CASE WHEN v < mn THEN -1
+                   WHEN v > mx THEN 4096
+                   WHEN mx = mn THEN 0
+                   ELSE least(greatest(CAST(floor(
+                          (v - mn) / (mx - mn) * 4096) AS BIGINT), 0), 4095)
+              END AS DOUBLE) AS vk,
          SUM(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS nr_,
          SUM(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS nc_
-  FROM sides GROUP BY event_type, v
+  FROM sides s JOIN stats USING (event_type)
+  GROUP BY 1, 2
 ), ecdf AS (
   SELECT event_type,
-         SUM(nr_) OVER (PARTITION BY event_type ORDER BY v
+         SUM(nr_) OVER (PARTITION BY event_type ORDER BY vk
                         ROWS UNBOUNDED PRECEDING) AS cr,
-         SUM(nc_) OVER (PARTITION BY event_type ORDER BY v
+         SUM(nc_) OVER (PARTITION BY event_type ORDER BY vk
                         ROWS UNBOUNDED PRECEDING) AS cc
   FROM vals
 ), ks AS (
@@ -609,11 +616,16 @@ FROM psi p JOIN ks k USING (event_type)
         "early half = reference, late half = current; PSI over 10 "
         "equal-width reference-fitted bins (Laplace-smoothed, "
         "DECIMAL-accumulated — order-free) and the two-sample KS "
-        "statistic over the exact distinct-value ECDFs (sequential "
-        "cumulative window). Everything reduces to counts with map-side "
-        "combine — the slices are never joined row-to-row, and the ECDF "
-        "is bounded by value cardinality, not row count. The "
-        "training-data / feed drift gate, oracle-checked bit-for-bit"
+        "statistic over ECDFs quantized onto a 4096-cell "
+        "reference-fitted grid (+1 underflow/overflow cell each side): "
+        "the per-group ordered window sees <= 4098 rows no matter how "
+        "many distinct values the metric takes, so a continuous metric "
+        "at 100x cannot serialize a group into one task; KS error <= max "
+        "in-range cell mass, out-of-range drift gaps preserved exactly "
+        "(exact distinct-value ECDF available via ks_grid=None). "
+        "Everything reduces to counts with map-side combine — the slices "
+        "are never joined row-to-row. The training-data / feed drift "
+        "gate, oracle-checked bit-for-bit, grid construction included"
     ),
 )
 def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:

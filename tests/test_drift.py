@@ -62,3 +62,53 @@ def test_constant_reference_range(spark):
     d = _drift(spark, ref, cur)
     assert d["a"]["ks"] == 0.5
     assert d["a"]["psi"] == 0.0  # one shared bin -> same share both sides
+
+
+def test_ks_grid_bounds_ecdf_input_at_high_cardinality(spark):
+    """A continuous metric (distinct ~ row count) must NOT feed the KS
+    window one row per distinct value — the grid caps it at grid+2 rows
+    per group, the property that keeps one group from serializing into a
+    single giant task at 100x."""
+    from security_data_pipeline_spark.operators.drift import _ks_value_frame
+
+    n = 50_000
+    rows = [("a", i * 0.0001) for i in range(n)]  # all-distinct values
+    ref = _mk(spark, rows)
+    cur = _mk(spark, [("a", 1.0 + i * 0.0001) for i in range(n)])
+    g = ["grp"]
+    sides = ref.selectExpr("grp", "v AS _v", "'r' AS _side").unionByName(
+        cur.selectExpr("grp", "v AS _v", "'c' AS _side")
+    )
+    stats = (
+        sides.filter(F.col("_side") == "r")
+        .groupBy("grp")
+        .agg(F.min("_v").alias("_mn"), F.max("_v").alias("_mx"))
+    )
+    both = sides.join(stats, g)
+    grid = 512
+    bounded = _ks_value_frame(both, g, grid)
+    assert bounded.count() <= grid + 2  # vs 100k rows for the exact ECDF
+    exact = _ks_value_frame(both, g, None)
+    assert exact.count() > 100 * (grid + 2)  # sanity: truly high-cardinality
+
+
+def test_ks_grid_tracks_exact_ks_within_cell_resolution(spark):
+    """Grid KS is a lower bound on exact KS with error <= max in-range
+    cell mass; on a smooth shifted distribution 4096 cells are far finer
+    than the true gap."""
+    import random
+
+    rng = random.Random(7)
+    ref = [("a", rng.gauss(0.0, 1.0)) for _ in range(4000)]
+    cur = [("a", rng.gauss(0.6, 1.0)) for _ in range(4000)]
+    d_grid = _drift(spark, ref, cur)  # default ks_grid=4096
+    out_exact = value_drift(
+        _mk(spark, ref), _mk(spark, cur), "v", ["grp"], 10, ks_grid=None
+    )
+    exact = {r["grp"]: r.asDict() for r in out_exact.collect()}
+    kg, ke = d_grid["a"]["ks"], exact["a"]["ks"]
+    assert kg <= ke + 1e-9
+    assert ke - kg < 0.02, (kg, ke)  # shift of 0.6 sigma -> KS ~ 0.23
+    assert kg > 0.15
+    # PSI identical: the grid only touches the KS branch
+    assert d_grid["a"]["psi"] == exact["a"]["psi"]
