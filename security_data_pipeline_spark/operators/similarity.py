@@ -1263,6 +1263,7 @@ def ann_sq8_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     minmax: tuple[list[float], list[float]] | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k over an SQ8 scalar-quantized corpus — the
     production tier between full-precision brute force (4-8x the scan
@@ -1281,6 +1282,14 @@ def ann_sq8_topk(
     """
     from security_data_pipeline_spark.functions.vectors import dot_product, l2_norm
 
+    if query_pred is None and not allow_quadratic:
+        # same guard as cosine_dup_pairs: an unbounded query side makes
+        # this an O(n²) broadcast-NLJ over the whole corpus
+        raise ValueError(
+            "ann_sq8_topk without query_pred scores every corpus vector "
+            "against every other (O(n²)); pass a bounded query_pred, or "
+            "allow_quadratic=True for a small oracle corpus"
+        )
     if minmax is None:
         minmax = sq8_minmax(corpus, vec_col=vec_col)
     mins, maxs = minmax

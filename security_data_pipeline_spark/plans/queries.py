@@ -4676,6 +4676,121 @@ def events_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "schema_evolution_report",
+    sql="""
+WITH g1 AS (
+  SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars
+  FROM documents WHERE doc_id % 2 = 0
+), g2 AS (
+  SELECT doc_id, lang, n_chars, CAST(length(source) AS INTEGER) AS src_len
+  FROM documents WHERE doc_id % 2 = 1
+), merged AS (
+  SELECT 1 AS gen, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
+         CAST(COUNT(*) AS BIGINT) AS src_len_nulls
+  FROM g1
+  UNION ALL
+  SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT),
+         CAST(SUM(CASE WHEN src_len IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM g2
+), unp AS (
+  SELECT 'merged' AS kind, CAST(gen AS VARCHAR) AS key,
+         m.metric, m.value
+  FROM merged,
+       LATERAL (VALUES ('n_rows', CAST(n_rows AS VARCHAR)),
+                       ('n_chars_sum', CAST(n_chars_sum AS VARCHAR)),
+                       ('src_len_nulls', CAST(src_len_nulls AS VARCHAR)))
+         AS m(metric, value)
+  UNION ALL
+  SELECT 'diff', 'n_chars', 'retyped', 'int -> bigint'
+  UNION ALL
+  SELECT 'diff', 'src_len', 'added', '- -> int'
+)
+SELECT kind, key, metric, value FROM unp ORDER BY kind, key, metric
+""",
+    description=(
+        "Schema evolution witness (sources/evolution.py): stages a "
+        "two-generation parquet dataset from the documents table (gen-1 = "
+        "even doc_ids with n_chars narrowed to INT; gen-2 = odd doc_ids "
+        "with n_chars widened back to BIGINT plus an ADDED src_len "
+        "column), reads the root under a declared target schema — the "
+        "widening path: parquet schema-merge rejects ANY type change, "
+        "even lossless ones, so the reader instead upcasts old files' "
+        "int32 during the scan with no footer sweep — and emits (a) "
+        "per-generation aggregates over the "
+        "MERGED frame proving old rows surface NULL for the added column "
+        "and the widened type sums losslessly, and (b) the schema_diff "
+        "report rows (retyped / added) between the generations. The "
+        "oracle reproduces the merge semantics directly on the documents "
+        "view — per-generation projections unioned by name with the "
+        "absent column as NULL"
+    ),
+)
+def schema_evolution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from security_data_pipeline_spark.sources.evolution import (
+        read_evolving_parquet,
+        schema_diff,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="sdp_evolution_")
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", F.col("n_chars").cast("int").alias("n_chars")
+    ).write.mode("overwrite").parquet(f"{root}/gen=1")
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.length("source").cast("int").alias("src_len"),
+    ).write.mode("overwrite").parquet(f"{root}/gen=2")
+
+    # mergeSchema alone would FAIL here (int -> bigint is a type change,
+    # which parquet schema-merge rejects even when lossless); the declared
+    # target schema is the widening path — the reader upcasts gen-1's
+    # int32 n_chars during the scan and NULL-fills the absent src_len
+    merged = read_evolving_parquet(
+        spark,
+        root,
+        target_schema=(
+            "doc_id bigint, lang string, n_chars bigint, src_len int, gen int"
+        ),
+    )
+    per_gen = merged.groupBy("gen").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("n_chars_sum"),
+        F.sum(F.col("src_len").isNull().cast("long")).alias("src_len_nulls"),
+    )
+    merged_rows = per_gen.select(
+        F.lit("merged").alias("kind"),
+        F.col("gen").cast("string").alias("key"),
+        F.explode(
+            F.create_map(
+                F.lit("n_rows"), F.col("n_rows").cast("string"),
+                F.lit("n_chars_sum"), F.col("n_chars_sum").cast("string"),
+                F.lit("src_len_nulls"), F.col("src_len_nulls").cast("string"),
+            )
+        ).alias("metric", "value"),
+    )
+    diff = schema_diff(
+        spark.read.parquet(f"{root}/gen=1"),
+        spark.read.parquet(f"{root}/gen=2"),
+    )
+    diff_rows = diff.select(
+        F.lit("diff").alias("kind"),
+        F.col("column").alias("key"),
+        F.col("change").alias("metric"),
+        F.concat(
+            F.coalesce(F.col("from_type"), F.lit("-")),
+            F.lit(" -> "),
+            F.coalesce(F.col("to_type"), F.lit("-")),
+        ).alias("value"),
+    )
+    return merged_rows.unionByName(diff_rows).orderBy("kind", "key", "metric")
+
+
 # Composite driver-window queries register on import (they reuse the
 # operators and oracle-SQL builders defined above, so the import must come
 # after those definitions).

@@ -16,14 +16,31 @@ from pyspark.sql import functions as F
 
 
 def read_evolving_parquet(
-    spark: SparkSession, path: str, merge_schema: bool = True
+    spark: SparkSession,
+    path: str,
+    merge_schema: bool = True,
+    target_schema: str | None = None,
 ) -> DataFrame:
     """Read a parquet dataset written across schema generations.
-    ``mergeSchema=True`` unions every file footer's schema (one extra
-    footer pass at planning; per-file, not per-row cost): rows from files
-    predating a column surface NULL for it. Incompatible type changes
-    (e.g. long → string) fail the MERGE loudly at plan time — exactly
-    where a schema break should surface, not inside a downstream cast."""
+
+    Two evolution regimes, matching what parquet actually supports:
+
+    - **Additive** (columns added over time): ``mergeSchema=True`` unions
+      every file footer's schema (one extra footer pass at planning;
+      per-file, not per-row cost) — rows from files predating a column
+      surface NULL for it. ANY type change, even a lossless widening like
+      int → bigint, fails the merge loudly at plan time — exactly where a
+      schema break should surface, not inside a downstream cast.
+    - **Widened** (a column's type grew, e.g. int32 → int64 when a
+      counter outgrew its type): pass ``target_schema`` (DDL string or
+      StructType) declaring the CURRENT schema. The parquet reader
+      upcasts old files' narrower physical types losslessly during the
+      scan and fills columns absent from old files with NULL — no footer
+      sweep at all (the declared schema skips inference), which is also
+      the cheaper call on a 100 TB / million-file dataset.
+    """
+    if target_schema is not None:
+        return spark.read.schema(target_schema).parquet(path)
     return (
         spark.read.option("mergeSchema", str(merge_schema).lower())
         .parquet(path)

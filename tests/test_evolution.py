@@ -55,3 +55,40 @@ def test_schema_diff_reports_all_change_kinds(spark):
     assert diff["v"] == ("retyped", "double", "int")
     assert "id" not in diff
     assert evolution.schema_diff(old, old).count() == 0
+
+
+def test_target_schema_widens_and_null_fills(spark, tmp_path):
+    """The declared-schema path: old int32 files upcast losslessly to the
+    widened bigint column, files missing a column surface NULL, and no
+    footer sweep is needed (mergeSchema would reject the retype)."""
+    from pyspark.sql import functions as F
+
+    from security_data_pipeline_spark.sources.evolution import (
+        read_evolving_parquet,
+    )
+
+    root = str(tmp_path / "ds")
+    spark.range(3).select(
+        F.col("id").cast("int").alias("n")
+    ).write.parquet(f"{root}/gen=1")
+    spark.range(3, 6).select(
+        F.col("id").alias("n"), F.lit(7).alias("extra")
+    ).write.parquet(f"{root}/gen=2")
+
+    df = read_evolving_parquet(
+        spark, root, target_schema="n bigint, extra int, gen int"
+    )
+    assert df.schema.simpleString() == (
+        "struct<n:bigint,extra:int,gen:int>"
+    )
+    rows = {r["n"]: (r["extra"], r["gen"]) for r in df.collect()}
+    assert rows[0] == (None, 1)  # old file: upcast + NULL-filled
+    assert rows[5] == (7, 2)
+    assert sum(v for v in rows) == 15  # all six rows, summed as long
+
+    # and the merge path still fails LOUDLY on the same layout
+    import pytest
+
+    with pytest.raises(Exception) as ei:
+        read_evolving_parquet(spark, root, merge_schema=True).schema
+    assert "MERGE" in str(ei.value).upper()

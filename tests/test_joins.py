@@ -840,3 +840,19 @@ def test_ivf_index_roundtrip_prunes_partitions_and_matches_inmemory(spark, tmp_p
         ).select("_probe").distinct().collect()
     }
     assert len(probed) < 16  # the prune is real on this corpus
+
+
+def test_ann_sq8_refuses_quadratic_default(spark):
+    """No query_pred -> all-pairs broadcast-NLJ; must raise without the
+    explicit opt-in, matching cosine_dup_pairs' guard."""
+    import pytest
+
+    from security_data_pipeline_spark.operators import similarity
+    from security_data_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="quadratic"):
+        similarity.ann_sq8_topk(emb, k=3)
+    # opt-in still works on a small oracle corpus
+    out = similarity.ann_sq8_topk(emb.limit(20), k=3, allow_quadratic=True)
+    assert out.count() > 0
