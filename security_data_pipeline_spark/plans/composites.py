@@ -452,14 +452,20 @@ FROM ({_ivf_oracle_sql()})
 UNION ALL
 SELECT 'pq', query_id, neighbor_id, adc_dist
 FROM ({_PQ_ADC_SQL})
+UNION ALL
+SELECT 'ivf_idx', query_id, neighbor_id, cosine_sim
+FROM ({_ivf_oracle_sql()})
 """,
     description=(
         "The approximate-nearest-neighbor family in one tagged result: "
         "LSH band-join (hash-pruned), IVF probe-join (cluster-pruned, "
-        "map-side centroid assignment), and PQ asymmetric-distance "
-        "(compressed codes ride the shuffle) top-k over the same query "
-        "set — every index deterministic and oracle-checked end-to-end; "
-        "score is cosine similarity for lsh/ivf and ADC distance for pq"
+        "map-side centroid assignment), PQ asymmetric-distance "
+        "(compressed codes ride the shuffle), and the PERSISTED IVF index "
+        "(built to parquet partitioned by cluster, searched via partition "
+        "pruning — sharing the in-memory IVF's oracle, so the hash check "
+        "asserts the persisted layout changes WHERE bytes are read, "
+        "never the answer) — top-k over the same query set; score is "
+        "cosine similarity for lsh/ivf/ivf_idx and ADC distance for pq"
     ),
 )
 def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,7 +495,15 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         F.col("adc_dist").alias("score"),
     )
-    return _union([lsh, ivf, pq])
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+
+    ivf_idx = REGISTRY["ann_index_roundtrip"].fn(spark, sf_dir).select(
+        F.lit("ivf_idx").alias("method"),
+        "query_id",
+        "neighbor_id",
+        F.col("cosine_sim").alias("score"),
+    )
+    return _union([lsh, ivf, pq, ivf_idx])
 
 
 # ---------------------------------------------------------------------------
@@ -1162,6 +1176,28 @@ def _scale_suite_sql() -> str:
             "COALESCE(check_name, '') || '|' || COALESCE(item, '')",
             [("exact_count", "exact_count")],
         ),
+        _unpivot_arm_sql(
+            "rsa",
+            "resample",
+            "event_type",
+            [
+                ("n_buckets", "n_buckets"),
+                ("zero_buckets", "zero_buckets"),
+                ("events_total", "events_total"),
+                ("ffill_mass", "ffill_mass"),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "cm",
+            "count_min",
+            "COALESCE(check_name, '') || '|' || COALESCE(item, '')",
+            [("cm_estimate", "cm_estimate")],
+        ),
+        (
+            "SELECT 'evolution' AS suite, "
+            "kind || '|' || \"key\" || '|' || metric || '|' || value AS item, "
+            "'present' AS metric, CAST(1.0 AS DOUBLE) AS value FROM ev"
+        ),
     ]
     body = "\nUNION ALL\n".join(arms)
     return f"""
@@ -1175,7 +1211,19 @@ clfagg AS (
   FROM clf
 ),
 dr AS ({cte("events_value_drift")}),
-hh AS ({cte("events_heavy_hitters")})
+hh AS ({cte("events_heavy_hitters")}),
+rs AS ({cte("events_hourly_resampled")}),
+rsa AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(CASE WHEN n_events = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zero_buckets,
+         CAST(SUM(n_events) AS BIGINT) AS events_total,
+         CAST(SUM(CAST(value_sum_ffill AS DECIMAL(18,6))) AS DOUBLE)
+           AS ffill_mass
+  FROM rs GROUP BY event_type
+),
+cm AS ({cte("events_countmin_check")}),
+ev AS ({cte("schema_evolution_report")})
 {body}
 """
 
@@ -1194,9 +1242,15 @@ hh AS ({cte("events_heavy_hitters")})
         "and exact-decimal score mass; (5) the PSI/KS distribution-drift "
         "gate per event type; (6) the Misra-Gries heavy-hitters sketch in "
         "self-checking form (zero rows unless an invariant breaks — a "
-        "violation would break the suite hash). All six unpivoted to one "
-        "(suite, item, metric, value) stream; constituents stay registered "
-        "for granular oracle checks"
+        "violation would break the suite hash); (7) the hourly "
+        "resample/LOCF densifier summarized per type (bucket count = "
+        "span, zero-filled bucket count, decimal-exact carried-forward "
+        "mass); (8) the count-min sketch self-check (violations-only, "
+        "like the heavy hitters); (9) the schema-evolution report — "
+        "per-generation merge aggregates and schema_diff rows folded "
+        "into the item key. All nine unpivoted to one (suite, item, "
+        "metric, value) stream; constituents stay registered for "
+        "granular oracle checks"
     ),
 )
 def scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1295,6 +1349,56 @@ def scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("item"),
             F.lit("exact_count").alias("metric"),
             F.col("exact_count").cast("double").alias("value"),
+        )
+    )
+
+    rs = run("events_hourly_resampled")
+    rsa = rs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("n_events") == 0).cast("long")).alias("zero_buckets"),
+        F.sum("n_events").alias("events_total"),
+        F.sum(F.col("value_sum_ffill").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("ffill_mass"),
+    )
+    rs_metrics = ["n_buckets", "zero_buckets", "events_total", "ffill_mass"]
+    parts.append(
+        rsa.select(
+            F.col("event_type").alias("item"),
+            *[F.col(m).cast("double").alias(m) for m in rs_metrics],
+        )
+        .unpivot(["item"], rs_metrics, "metric", "value")
+        .select(F.lit("resample").alias("suite"), "item", "metric", "value")
+    )
+
+    # second self-checking arm: the count-min guarantee violations-only
+    # stream — correct result is zero contributed rows
+    cm = run("events_countmin_check")
+    parts.append(
+        cm.select(
+            F.lit("count_min").alias("suite"),
+            F.concat(
+                F.coalesce(F.col("check_name"), F.lit("")),
+                F.lit("|"),
+                F.coalesce(F.col("item"), F.lit("")),
+            ).alias("item"),
+            F.lit("cm_estimate").alias("metric"),
+            F.col("cm_estimate").cast("double").alias("value"),
+        )
+    )
+
+    # schema-evolution witness: merge aggregates + diff rows; the whole
+    # (kind, key, metric, value) tuple folds into the hashed item string
+    ev = run("schema_evolution_report")
+    parts.append(
+        ev.select(
+            F.lit("evolution").alias("suite"),
+            F.concat(
+                F.col("kind"), F.lit("|"), F.col("key"), F.lit("|"),
+                F.col("metric"), F.lit("|"), F.col("value"),
+            ).alias("item"),
+            F.lit("present").alias("metric"),
+            F.lit(1.0).alias("value"),
         )
     )
     return _union(parts)
