@@ -142,7 +142,7 @@ def _skew_entries(spark):
 
     from pyspark.sql import functions as F
 
-    from security_data_pipeline_spark.operators import features, skew
+    from security_data_pipeline_spark.operators import features, skew, timeseries
 
     tmp = tempfile.mkdtemp(prefix="bench_skew_")
     n = 2_000_000
@@ -154,6 +154,10 @@ def _skew_entries(spark):
         F.timestamp_micros(
             F.lit(1700000000000000) + F.col("id") * 400_000
         ).alias("timestamp"),
+        # sparse sensor reading (5% non-NULL) for the forward-fill pair
+        F.when(F.pmod("id", 20) == 0, F.col("id").cast("double")).alias(
+            "val"
+        ),
     )
     ev.repartition(32).write.parquet(f"{tmp}/ev")
     ev = spark.read.parquet(f"{tmp}/ev")
@@ -184,6 +188,15 @@ def _skew_entries(spark):
         F.min("timestamp").alias("first_ts"),
         F.max("timestamp").alias("last_ts"),
     )
+    # forward-fill pair: LOCF is a per-key ordered window with NO
+    # map-side combine — the naive form sorts the hot user's 1.8M rows in
+    # ONE task; hour-bucketing fills locally and crosses boundaries via a
+    # carry frame of one row per ACTIVE bucket (~222 rows for the hot key)
+    ev_o = ev.withColumn("_ous", F.unix_micros("timestamp"))
+    ffill_naive = timeseries.forward_fill(ev_o, ["user_id"], "_ous", ["val"])
+    ffill_bucketed = timeseries.forward_fill_bucketed(
+        ev_o, ["user_id"], "_ous", ["val"], bucket_width=3.6e9
+    )
     salted_counts = skew.salted_agg(
         ev,
         keys=["user_id"],
@@ -201,6 +214,8 @@ def _skew_entries(spark):
         ("skew_join_salted", salted_join, True),
         ("skew_counts_plain", plain_counts, False),
         ("skew_counts_salted", salted_counts, False),
+        ("skew_ffill_naive", ffill_naive, False),
+        ("skew_ffill_bucketed", ffill_bucketed, False),
     ]
     join_confs = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
@@ -286,6 +301,7 @@ def main() -> None:
         ("skew_sessionize_naive", "skew_sessionize_bucketed"),
         ("skew_join_plain", "skew_join_salted"),
         ("skew_counts_plain", "skew_counts_salted"),
+        ("skew_ffill_naive", "skew_ffill_bucketed"),
     ]:
         assert skew_counts[a] == skew_counts[b], (a, b, skew_counts)
 

@@ -123,20 +123,45 @@ def value_drift(
         .agg(F.min("_v").alias("_mn"), F.max("_v").alias("_mx"))
     )
     both = sides.join(stats, g)
-    # equal-width bin on the REF range, clamped to [0, n_bins-1]
+    bin_counts = (
+        both.withColumn("_b", bin_index_expr(n_bins))
+        .groupBy(*g, "_side", "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    psi = psi_from_bin_counts(bin_counts, g, n_bins)
+
+    # KS: cumulative counts in value order (sequential window ->
+    # reproducible), gap evaluated at every grid cell (bounded — default)
+    # or every observed distinct value (ks_grid=None)
+    ks = ks_from_cells(_ks_value_frame(both, g, ks_grid), g)
+    return psi.join(ks, g).select(*g, "n_ref", "n_cur", "psi", "ks")
+
+
+def bin_index_expr(n_bins: int) -> F.Column:
+    """Equal-width PSI bin index on the REFERENCE range, clamped to
+    ``[0, n_bins-1]`` — expects ``_v`` (value), ``_mn``/``_mx``
+    (reference min/max) columns in scope."""
     raw_idx = F.floor(
         (F.col("_v") - F.col("_mn"))
         / (F.col("_mx") - F.col("_mn"))
         * F.lit(n_bins)
     )
-    idx = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+    return F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
         F.least(F.greatest(raw_idx, F.lit(0)), F.lit(n_bins - 1))
     )
-    bin_counts = (
-        both.withColumn("_b", idx)
-        .groupBy(*g, "_side", "_b")
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
+
+
+def psi_from_bin_counts(
+    bin_counts: DataFrame, g: list[str], n_bins: int
+) -> DataFrame:
+    """PSI from per-(group, side, bin) counts — rows
+    ``g + (_side ∈ r|c, _b, _n)``. Counts are the SUFFICIENT STATISTIC for
+    PSI, which is what makes the statistic incrementally maintainable: a
+    stream folds new counts in by addition and recomputes PSI from the
+    merged state, bit-identical to the batch computation on the same
+    cumulative data (tests/test_streaming.py proves it). Output:
+    ``g + (n_ref, n_cur, psi)``; groups present on only one side drop.
+    """
     totals = bin_counts.groupBy(*g, "_side").agg(F.sum("_n").alias("_tot"))
     bc = bin_counts.join(totals, g + ["_side"])
     p = (F.col("_n").cast("double") + F.lit(0.5)) / (
@@ -177,16 +202,25 @@ def value_drift(
     # result is order-free (a double sum is partition-order-dependent and
     # could round differently across engines)
     term = (F.col("_pr") - F.col("_pc")) * F.log(F.col("_pr") / F.col("_pc"))
-    psi = joined.groupBy(*g, "n_ref", "n_cur").agg(
+    return joined.groupBy(*g, "n_ref", "n_cur").agg(
         F.round(
             F.sum(term.cast("decimal(38,18)")).cast("double"), 6
         ).alias("psi")
     )
 
-    # KS: cumulative counts in value order (sequential window ->
-    # reproducible), gap evaluated at every grid cell (bounded — default)
-    # or every observed distinct value (ks_grid=None)
-    vals = _ks_value_frame(both, g, ks_grid)
+
+def ks_from_cells(vals: DataFrame, g: list[str]) -> DataFrame:
+    """KS statistic from per-(group, value-point) side counts — rows
+    ``g + (_vk, _nr, _nc)`` (:func:`_ks_value_frame` output). Like the
+    PSI counts, grid-cell counts are a sufficient statistic that merges
+    by addition — the property the streaming drift gate exploits, and
+    one the EXACT distinct-value ECDF shares only at unbounded state.
+    Output: ``g + (ks,)``."""
+    # one-sided groups (n=0 on either side) have no distribution to
+    # compare — drop them BEFORE the division (ANSI mode: x/0 raises)
+    totals = vals.groupBy(*g).agg(
+        F.sum("_nr").alias("n_ref"), F.sum("_nc").alias("n_cur")
+    ).filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
     w = (
         Window.partitionBy(*g)
         .orderBy("_vk")
@@ -197,9 +231,8 @@ def value_drift(
         F.sum("_nr").over(w).alias("_cr"),
         F.sum("_nc").over(w).alias("_cc"),
     )
-    ks = (
-        ecdf.join(nr, g)
-        .join(nc, g)
+    return (
+        ecdf.join(totals, g)
         .groupBy(*g)
         .agg(
             F.round(
@@ -215,4 +248,3 @@ def value_drift(
             ).alias("ks")
         )
     )
-    return psi.join(ks, g).select(*g, "n_ref", "n_cur", "psi", "ks")

@@ -88,3 +88,91 @@ def forward_fill(
             f"{c}{suffix}", F.last(F.col(c), ignorenulls=True).over(w)
         )
     return out
+
+
+def forward_fill_bucketed(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    cols: list[str],
+    bucket_width: float,
+    suffix: str = "_ffill",
+) -> DataFrame:
+    """LOCF identical to :func:`forward_fill`, but skew-resistant — the
+    ordered window runs per (key, order-bucket), then a compact per-bucket
+    carry-in merge crosses bucket boundaries (the same decomposition
+    :func:`~security_data_pipeline_spark.operators.features.add_session_features_bucketed`
+    applies to the running session sum).
+
+    The plain form sorts each key's ENTIRE history in one task — for the
+    hot key of a skewed feed (NAT gateway, service account) that is one
+    straggler task holding the stage at 100×. Here the hot key's timeline
+    splits into ``bucket_width``-sized slices of ``order_col`` (which must
+    be numeric — pass ``unix_micros(ts)`` for timestamps) that fill in
+    parallel, and the only per-key sequential work is ONE ROW PER ACTIVE
+    BUCKET:
+
+    1. local pass — ``last(col, ignorenulls)`` within (key, bucket),
+       exactly the plain algorithm;
+    2. bucket summary — each bucket's last non-NULL value per column
+       (a lexicographic max over (order, value) structs: one groupBy row
+       per (key, bucket), map-side combined);
+    3. carry pass — forward-fill the summaries per key over the bucket
+       index EXCLUSIVE of the current bucket (unboundedPreceding → -1):
+       the value entering each bucket from everything before it;
+    4. join the carry-in back on (key, bucket) and
+       ``coalesce(local, carry_in)``.
+
+    Rows before a key's first observation stay NULL through every stage,
+    matching the plain form. Equivalence on random gap patterns is
+    property-tested in tests/test_timeseries.py.
+    """
+    b = F.floor(F.col(order_col) / F.lit(float(bucket_width))).cast("long")
+    out = df.withColumn("_fb", b)
+    w_local = (
+        Window.partitionBy(*keys, "_fb")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in cols:
+        out = out.withColumn(
+            f"{c}{suffix}", F.last(F.col(c), ignorenulls=True).over(w_local)
+        )
+    # one row per (key, active bucket): the bucket's last non-NULL value
+    # per column, as a lexicographic max over (order, value) structs so
+    # NULL values never win
+    summaries = out.groupBy(*keys, "_fb").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(
+                        F.col(order_col).alias("o"), F.col(c).alias("v")
+                    ),
+                )
+            )["v"].alias(f"_last_{c}")
+            for c in cols
+        ]
+    )
+    w_carry = (
+        Window.partitionBy(*keys)
+        .orderBy("_fb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summaries.select(
+        *keys,
+        "_fb",
+        *[
+            F.last(F.col(f"_last_{c}"), ignorenulls=True)
+            .over(w_carry)
+            .alias(f"_carry_{c}")
+            for c in cols
+        ],
+    )
+    out = out.join(carry, keys + ["_fb"])
+    for c in cols:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.coalesce(F.col(f"{c}{suffix}"), F.col(f"_carry_{c}")),
+        )
+    return out.drop("_fb", *[f"_carry_{c}" for c in cols])

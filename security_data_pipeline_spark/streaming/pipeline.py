@@ -436,3 +436,191 @@ def _heavy_hitter_fold(state_path: str, item_col: str, k: int):
         spark.read.parquet(scratch).write.mode("overwrite").parquet(state_path)
 
     return _fold
+
+
+def maintain_drift_stream(
+    stream_df: DataFrame,
+    ref: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    value_col: str,
+    group_cols: list[str],
+    n_bins: int = 10,
+    ks_grid: int = 4096,
+    trigger_available_now: bool = True,
+):
+    """Streaming distribution-drift gate: PSI and KS of the stream-so-far
+    against a FIXED reference slice, updated per micro-batch — "is this
+    feed still shaped like the week we validated?" answered continuously.
+
+    Both statistics reduce to counts over a bounded domain (PSI's
+    ``n_bins`` reference-fitted bins; KS's ``ks_grid`` value cells — the
+    bounded grid is exactly what makes KS streamable, the exact
+    distinct-value ECDF would need unbounded state), and counts merge by
+    ADDITION — so the persisted state is one row per (group, bin/cell),
+    ≤ ``|groups| * (n_bins + ks_grid + 2)`` rows forever, folded with a
+    per-batch aggregate the size of the batch's distinct cells. The
+    reference side (range stats, bin counts, cell counts) is computed
+    ONCE at setup and persisted beside the state.
+
+    Per-batch PSI/KS over the cumulative counts is BIT-IDENTICAL to the
+    batch :func:`~security_data_pipeline_spark.operators.drift.value_drift`
+    on (reference, all stream data so far) — both route through the same
+    ``psi_from_bin_counts`` / ``ks_from_cells`` on the same sufficient
+    statistics; tests/test_streaming.py proves the equality per batch.
+    Replays are exactly-once via the ``_last_batch_id`` guard
+    (:func:`_heavy_hitter_fold`'s protocol). Read the current gate from
+    ``{state_path}__psi`` — columns ``group_cols + (n_ref, n_cur, psi,
+    ks)``. Returns the StreamingQuery.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+    from pyspark.sql import functions as F
+
+    from security_data_pipeline_spark.operators.drift import (
+        _ks_value_frame,
+        bin_index_expr,
+        ks_from_cells,
+        psi_from_bin_counts,
+    )
+
+    g = list(group_cols)
+    scratch = f"{state_path}__next"
+    refstats_path = f"{state_path}__refstats"
+    refcounts_path = f"{state_path}__refcounts"
+    psi_path = f"{state_path}__psi"
+
+    # --- setup: reference sufficient statistics, computed once ---------
+    ref_side = (
+        ref.select(*g, F.col(value_col).cast("double").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .withColumn("_side", F.lit("r"))
+    ).localCheckpoint(eager=False)
+    stats = ref_side.groupBy(*g).agg(
+        F.min("_v").alias("_mn"), F.max("_v").alias("_mx")
+    )
+    stats.write.mode("overwrite").parquet(refstats_path)
+    ref_joined = ref_side.join(
+        ref.sparkSession.read.parquet(refstats_path), g
+    )
+    ref_bins = (
+        ref_joined.withColumn("_b", bin_index_expr(n_bins))
+        .groupBy(*g, "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(*g, F.lit("bin").alias("kind"),
+                F.col("_b").cast("double").alias("pt"), "_n")
+    )
+    ref_cells = _ks_value_frame(ref_joined, g, ks_grid).select(
+        *g, F.lit("cell").alias("kind"), F.col("_vk").alias("pt"),
+        F.col("_nr").alias("_n"),
+    )
+    ref_bins.unionByName(ref_cells).write.mode("overwrite").parquet(
+        refcounts_path
+    )
+
+    def _missing(e: AnalysisException) -> bool:
+        for probe in ("getCondition", "getErrorClass"):
+            try:
+                cond = getattr(e, probe)()
+            except Exception:
+                continue
+            if cond is not None:
+                return cond == "PATH_NOT_FOUND"
+        return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
+
+    def _read_state(spark):
+        try:
+            return spark.read.parquet(state_path), False
+        except AnalysisException as e:
+            if not _missing(e):
+                raise
+        try:
+            return spark.read.parquet(scratch), True
+        except AnalysisException as e:
+            if not _missing(e):
+                raise
+        return None, False
+
+    def _emit_gate(spark) -> None:
+        """Recompute PSI/KS from (static ref counts, cumulative state)."""
+        cur = spark.read.parquet(state_path).drop("_last_batch_id")
+        refc = spark.read.parquet(refcounts_path)
+        rb = refc.filter(F.col("kind") == "bin")
+        cb = cur.filter(F.col("kind") == "bin")
+        bins = rb.select(
+            *g, F.lit("r").alias("_side"), F.col("pt").alias("_b"), "_n"
+        ).unionByName(
+            cb.select(
+                *g, F.lit("c").alias("_side"), F.col("pt").alias("_b"), "_n"
+            )
+        )
+        psi = psi_from_bin_counts(bins, g, n_bins)
+        cells = (
+            refc.filter(F.col("kind") == "cell")
+            .select(*g, F.col("pt").alias("_vk"), F.col("_n").alias("_nr"))
+            .join(
+                cur.filter(F.col("kind") == "cell").select(
+                    *g, F.col("pt").alias("_vk"), F.col("_n").alias("_nc")
+                ),
+                g + ["_vk"],
+                "full_outer",
+            )
+            .select(
+                *g,
+                "_vk",
+                F.coalesce(F.col("_nr"), F.lit(0)).alias("_nr"),
+                F.coalesce(F.col("_nc"), F.lit(0)).alias("_nc"),
+            )
+        )
+        ks = ks_from_cells(cells, g)
+        psi.join(ks, g).select(*g, "n_ref", "n_cur", "psi", "ks").write.mode(
+            "overwrite"
+        ).parquet(psi_path)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev, from_scratch = _read_state(spark)
+        if prev is not None and "_last_batch_id" in prev.columns:
+            applied = prev.agg(F.max("_last_batch_id")).first()[0]
+            if applied is not None and applied >= batch_id:
+                if from_scratch:
+                    prev.write.mode("overwrite").parquet(state_path)
+                _emit_gate(spark)
+                return
+            prev = prev.drop("_last_batch_id")
+        b = (
+            batch_df.select(*g, F.col(value_col).cast("double").alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .withColumn("_side", F.lit("c"))
+            .join(spark.read.parquet(refstats_path), g)
+        ).localCheckpoint(eager=False)
+        b_bins = (
+            b.withColumn("_b", bin_index_expr(n_bins))
+            .groupBy(*g, "_b")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .select(*g, F.lit("bin").alias("kind"),
+                    F.col("_b").cast("double").alias("pt"), "_n")
+        )
+        b_cells = _ks_value_frame(b, g, ks_grid).select(
+            *g, F.lit("cell").alias("kind"), F.col("_vk").alias("pt"),
+            F.col("_nc").alias("_n"),
+        )
+        new = b_bins.unionByName(b_cells)
+        merged = (
+            new
+            if prev is None
+            else prev.unionByName(new)
+            .groupBy(*g, "kind", "pt")
+            .agg(F.sum("_n").alias("_n"))
+        ).withColumn("_last_batch_id", F.lit(batch_id).cast("long"))
+        merged.write.mode("overwrite").parquet(scratch)
+        spark.read.parquet(scratch).write.mode("overwrite").parquet(state_path)
+        _emit_gate(spark)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

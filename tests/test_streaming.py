@@ -528,3 +528,76 @@ def test_stream_stream_join_within_time_bound(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ssj_mem").collect()
     }
     assert got == {(1, 10), (3, 12)}
+
+
+def test_streaming_drift_gate_equals_batch_per_cumulative_data(spark, tmp_path):
+    """Per-batch PSI/KS from the folded count state must equal the batch
+    value_drift on (reference, all stream data so far) — counts are the
+    sufficient statistic, so the stream pays per-batch aggregates while
+    reporting the exact batch answer."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.operators.drift import value_drift
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_drift_stream,
+    )
+
+    rng = random.Random(5)
+    ref_rows = [
+        ("a", rng.gauss(0.0, 1.0)) for _ in range(1500)
+    ] + [("b", rng.uniform(0.0, 10.0)) for _ in range(1000)]
+    ref = spark.createDataFrame(ref_rows, "grp string, v double")
+
+    batches = [
+        [("a", rng.gauss(0.2 * i, 1.0)) for _ in range(400)]
+        + [("b", rng.uniform(0.0, 10.0 + 2.0 * i)) for _ in range(300)]
+        for i in range(3)
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    for bi, rows in enumerate(batches):
+        pq.write_table(
+            pa.table(
+                {"grp": [r[0] for r in rows], "v": [r[1] for r in rows]}
+            ),
+            src / f"b{bi}.parquet",
+        )
+    stream = (
+        spark.readStream.schema("grp string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "state")
+    q = maintain_drift_stream(
+        stream,
+        ref,
+        state,
+        str(tmp_path / "ckpt"),
+        value_col="v",
+        group_cols=["grp"],
+        n_bins=10,
+        ks_grid=256,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["grp"]: (r["n_ref"], r["n_cur"], r["psi"], r["ks"])
+        for r in spark.read.parquet(f"{state}__psi").collect()
+    }
+    all_cur = spark.createDataFrame(
+        [r for rows in batches for r in rows], "grp string, v double"
+    )
+    want = {
+        r["grp"]: (r["n_ref"], r["n_cur"], r["psi"], r["ks"])
+        for r in value_drift(
+            ref, all_cur, "v", ["grp"], n_bins=10, ks_grid=256
+        ).collect()
+    }
+    assert got == want
+    assert got["a"][2] > 0.02  # the shift is actually detected
+    # state stays bounded: <= |groups| * (n_bins + grid + 2) count rows
+    n_state = spark.read.parquet(state).count()
+    assert n_state <= 2 * (10 + 256 + 2)

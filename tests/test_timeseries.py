@@ -64,3 +64,56 @@ def test_resample_grid_size_is_span_not_rows(spark):
     got = dense.collect()
     assert len(got) == 1
     assert got[0]["n_events"] == 10000
+
+
+def test_forward_fill_bucketed_equals_plain_on_random_gaps(spark):
+    """Property: the bucketed decomposition must reproduce the plain LOCF
+    exactly — across bucket boundaries, leading-NULL runs, all-NULL keys,
+    and multiple fill columns — on randomized gap patterns."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for k in ("hot", "warm", "allnull"):
+        n = 400 if k == "hot" else 60
+        for i in range(n):
+            v = None if (k == "allnull" or rng.random() < 0.7) else float(i)
+            u = None if rng.random() < 0.8 else i * 10
+            rows.append((k, float(i), v, u))
+    df = spark.createDataFrame(
+        rows, "k string, o double, v double, u long"
+    ).repartition(8)
+
+    from security_data_pipeline_spark.operators import timeseries
+
+    plain = timeseries.forward_fill(df, ["k"], "o", ["v", "u"])
+    # width 7 => the hot key spans ~58 buckets, none aligned to gap edges
+    bucketed = timeseries.forward_fill_bucketed(
+        df, ["k"], "o", ["v", "u"], bucket_width=7.0
+    )
+
+    def snap(d):
+        return sorted(
+            (r["k"], r["o"], r["v_ffill"], r["u_ffill"]) for r in d.collect()
+        )
+
+    assert snap(bucketed) == snap(plain)
+    # sanity: the plain fill actually carried values (not vacuous)
+    filled = [t for t in snap(plain) if t[2] is not None]
+    assert len(filled) > 100
+
+
+def test_forward_fill_bucketed_carry_frame_is_compact(spark):
+    """The only per-key sequential pass runs over ONE ROW PER ACTIVE
+    BUCKET — the property that breaks the hot key's single-task sort."""
+    from security_data_pipeline_spark.operators import timeseries
+
+    rows = [("hot", float(i), float(i) if i % 5 == 0 else None) for i in range(10_000)]
+    df = spark.createDataFrame(rows, "k string, o double, v double")
+    out = timeseries.forward_fill_bucketed(
+        df, ["k"], "o", ["v"], bucket_width=100.0
+    )
+    assert out.count() == 10_000
+    # the summaries frame the carry window sorts is bounded by bucket count
+    b = df.groupBy("k", (F.floor(F.col("o") / 100.0)).alias("_fb")).count()
+    assert b.count() == 100  # 10k rows -> 100 carry rows for the hot key
