@@ -238,6 +238,44 @@ def stream_stream_join(
     return l_wm.join(r_wm, key_cond & time_cond, how)
 
 
+def _stamp_batch(df: DataFrame, batch_id: int, tag: str) -> DataFrame:
+    """Stamp persisted fold state with its batch id and checkpoint
+    lineage tag (see :func:`_check_replay`)."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "_last_batch_id", F.lit(batch_id).cast("long")
+    ).withColumn("_fold_tag", F.lit(tag))
+
+
+def _check_replay(prev, batch_id: int, tag: str):
+    """Return ``(replayed, prev_without_guard_cols)``.
+
+    A batch is a REPLAY only when the state records this batch id or a
+    later one FROM THE SAME CHECKPOINT LINEAGE (``_fold_tag`` — the
+    checkpoint path). The tag matters: batch ids restart at 0 under a
+    fresh checkpoint, and an intentional fresh-checkpoint restart over
+    kept state (the scratch-recovery pattern) must fold normally rather
+    than be mistaken for a crash replay. State written before the guard
+    existed (no ``_last_batch_id`` column) folds normally too.
+    """
+    from pyspark.sql import functions as F
+
+    if prev is None or "_last_batch_id" not in prev.columns:
+        return False, prev
+    row = prev.agg(
+        F.max("_last_batch_id").alias("b"),
+        (
+            F.max("_fold_tag")
+            if "_fold_tag" in prev.columns
+            else F.lit(None).cast("string")
+        ).alias("t"),
+    ).first()
+    if row["b"] is not None and row["b"] >= batch_id and row["t"] == tag:
+        return True, prev
+    return False, prev.drop("_last_batch_id", "_fold_tag")
+
+
 def maintain_rollup_stream(
     stream_df: DataFrame,
     state_path: str,
@@ -264,11 +302,13 @@ def maintain_rollup_stream(
     instead of silently restarting from empty. Only a genuinely-missing
     path takes the first-batch branch; any other read/merge error (e.g. a
     schema mismatch after changing ``measures`` between runs) propagates.
-    Exactly-once: the foreachBatch body is idempotent per batch only
-    through the checkpoint's batch tracking — a replayed batch re-merges
-    (standard foreachBatch at-least-once caveat); deployments needing
-    exactness key the state by batch_id generation (the scratch path
-    pattern extends directly).
+    Exactly-once: foreachBatch alone is at-least-once, so the state
+    carries a ``_last_batch_id`` column and a replayed batch (its id ≤
+    the recorded one — a crash landed between the state overwrite and
+    the checkpoint commit) skips the merge and only completes the swap;
+    ``finalize`` readers are unaffected (they select named columns). The
+    same guard protects :func:`maintain_heavy_hitters_stream` and
+    :func:`maintain_drift_stream`.
     """
     from pyspark.errors.exceptions.captured import AnalysisException
 
@@ -289,26 +329,40 @@ def maintain_rollup_stream(
         return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
 
     def _read_state(spark):
+        """Return ``(state_df, recovered_from_scratch)`` or ``(None, False)``."""
         try:
-            return spark.read.parquet(state_path)
+            return spark.read.parquet(state_path), False
         except AnalysisException as e:
             if not _missing(e):
                 raise
         try:  # crashed mid-swap: recover the scratch generation
-            return spark.read.parquet(scratch)
+            return spark.read.parquet(scratch), True
         except AnalysisException as e:
             if not _missing(e):
                 raise
-        return None  # genuine first batch
+        return None, False  # genuine first batch
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         spark = batch_df.sparkSession
+        prev, from_scratch = _read_state(spark)
+        replayed, prev = _check_replay(prev, batch_id, checkpoint_path)
+        if replayed:
+            # at-least-once replay (crash after the state overwrite,
+            # before checkpoint commit): the batch is already merged —
+            # re-merging would double-count every partial. Complete
+            # the interrupted swap if needed and do nothing else.
+            if from_scratch:
+                prev.write.mode("overwrite").parquet(state_path)
+            return
         new = inc.partial_aggs(batch_df, keys, measures, distinct_cols)
-        prev = _read_state(spark)
-        merged = (
+        merged = _stamp_batch(
             new
             if prev is None
-            else inc.merge_partials([prev, new], keys, measures, distinct_cols)
+            else inc.merge_partials([prev, new], keys, measures, distinct_cols),
+            batch_id,
+            checkpoint_path,
         )
         merged.write.mode("overwrite").parquet(scratch)
         spark.read.parquet(scratch).write.mode("overwrite").parquet(state_path)
@@ -357,7 +411,7 @@ def maintain_heavy_hitters_stream(
     read the state with ``spark.read.parquet(state_path)`` (drop
     ``_last_batch_id`` for the pure sketch).
     """
-    _fold = _heavy_hitter_fold(state_path, item_col, k)
+    _fold = _heavy_hitter_fold(state_path, item_col, k, tag=checkpoint_path)
 
     writer = (
         stream_df.writeStream.outputMode("append")
@@ -369,7 +423,7 @@ def maintain_heavy_hitters_stream(
     return writer.start()
 
 
-def _heavy_hitter_fold(state_path: str, item_col: str, k: int):
+def _heavy_hitter_fold(state_path: str, item_col: str, k: int, tag: str = ""):
     """Build the foreachBatch fold for :func:`maintain_heavy_hitters_stream`.
 
     Module-level so the replay guard is directly unit-testable: calling
@@ -408,30 +462,28 @@ def _heavy_hitter_fold(state_path: str, item_col: str, k: int):
         return None, False
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import functions as F
-
         spark = batch_df.sparkSession
         prev, from_scratch = _read_state(spark)
-        if prev is not None and "_last_batch_id" in prev.columns:
-            applied = prev.agg(F.max("_last_batch_id")).first()[0]
-            if applied is not None and applied >= batch_id:
-                # at-least-once replay: this batch is already folded into
-                # the persisted state (crash after the overwrite, before
-                # the checkpoint commit). Merging again would double-count
-                # and break the lower bracket -- finish the interrupted
-                # swap (scratch -> state) if needed and do nothing else.
-                if from_scratch:
-                    prev.write.mode("overwrite").parquet(state_path)
-                return
-            prev = prev.drop("_last_batch_id")
+        replayed, prev = _check_replay(prev, batch_id, tag)
+        if replayed:
+            # at-least-once replay: this batch is already folded into
+            # the persisted state (crash after the overwrite, before
+            # the checkpoint commit). Merging again would double-count
+            # and break the lower bracket -- finish the interrupted
+            # swap (scratch -> state) if needed and do nothing else.
+            if from_scratch:
+                prev.write.mode("overwrite").parquet(state_path)
+            return
         new = sketches.heavy_hitters(batch_df, item_col, k=k).select(
             "item", "count_lo", "threshold"
         )
-        merged = (
+        merged = _stamp_batch(
             new
             if prev is None
-            else sketches.merge_heavy_hitter_states(prev, new, k=k)
-        ).withColumn("_last_batch_id", F.lit(batch_id).cast("long"))
+            else sketches.merge_heavy_hitter_states(prev, new, k=k),
+            batch_id,
+            tag,
+        )
         merged.write.mode("overwrite").parquet(scratch)
         spark.read.parquet(scratch).write.mode("overwrite").parquet(state_path)
 
@@ -542,7 +594,7 @@ def maintain_drift_stream(
 
     def _emit_gate(spark) -> None:
         """Recompute PSI/KS from (static ref counts, cumulative state)."""
-        cur = spark.read.parquet(state_path).drop("_last_batch_id")
+        cur = spark.read.parquet(state_path).drop("_last_batch_id", "_fold_tag")
         refc = spark.read.parquet(refcounts_path)
         rb = refc.filter(F.col("kind") == "bin")
         cb = cur.filter(F.col("kind") == "bin")
@@ -579,14 +631,12 @@ def maintain_drift_stream(
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         prev, from_scratch = _read_state(spark)
-        if prev is not None and "_last_batch_id" in prev.columns:
-            applied = prev.agg(F.max("_last_batch_id")).first()[0]
-            if applied is not None and applied >= batch_id:
-                if from_scratch:
-                    prev.write.mode("overwrite").parquet(state_path)
-                _emit_gate(spark)
-                return
-            prev = prev.drop("_last_batch_id")
+        replayed, prev = _check_replay(prev, batch_id, checkpoint_path)
+        if replayed:
+            if from_scratch:
+                prev.write.mode("overwrite").parquet(state_path)
+            _emit_gate(spark)
+            return
         b = (
             batch_df.select(*g, F.col(value_col).cast("double").alias("_v"))
             .filter(F.col("_v").isNotNull())
@@ -611,7 +661,8 @@ def maintain_drift_stream(
             else prev.unionByName(new)
             .groupBy(*g, "kind", "pt")
             .agg(F.sum("_n").alias("_n"))
-        ).withColumn("_last_batch_id", F.lit(batch_id).cast("long"))
+        )
+        merged = _stamp_batch(merged, batch_id, checkpoint_path)
         merged.write.mode("overwrite").parquet(scratch)
         spark.read.parquet(scratch).write.mode("overwrite").parquet(state_path)
         _emit_gate(spark)

@@ -256,7 +256,8 @@ def test_streaming_fold_replay_is_exactly_once(spark, tmp_path):
         )
 
     before = snap()
-    assert all(r[-1] == 1 for r in before)  # _last_batch_id recorded
+    rows_before = spark.read.parquet(state).collect()
+    assert all(r["_last_batch_id"] == 1 for r in rows_before)
     fold(b1, 1)  # replay: guard must skip the merge entirely
     assert snap() == before
     # the brackets still hold against exact counts over b0+b1 once
