@@ -1198,6 +1198,12 @@ def _scale_suite_sql() -> str:
             "kind || '|' || \"key\" || '|' || metric || '|' || value AS item, "
             "'present' AS metric, CAST(1.0 AS DOUBLE) AS value FROM ev"
         ),
+        _unpivot_arm_sql(
+            "qc",
+            "quantile",
+            "event_type || '|' || CAST(q AS VARCHAR)",
+            [("approx_value", "approx_value")],
+        ),
     ]
     body = "\nUNION ALL\n".join(arms)
     return f"""
@@ -1223,7 +1229,8 @@ rsa AS (
   FROM rs GROUP BY event_type
 ),
 cm AS ({cte("events_countmin_check")}),
-ev AS ({cte("schema_evolution_report")})
+ev AS ({cte("schema_evolution_report")}),
+qc AS ({cte("events_quantile_check")})
 {body}
 """
 
@@ -1248,7 +1255,9 @@ ev AS ({cte("schema_evolution_report")})
         "mass); (8) the count-min sketch self-check (violations-only, "
         "like the heavy hitters); (9) the schema-evolution report — "
         "per-generation merge aggregates and schema_diff rows folded "
-        "into the item key. All nine unpivoted to one (suite, item, "
+        "into the item key; (10) the Greenwald-Khanna approximate-"
+        "quantile self-check (violations-only). All ten unpivoted to "
+        "one (suite, item, "
         "metric, value) stream; constituents stay registered for "
         "granular oracle checks"
     ),
@@ -1399,6 +1408,19 @@ def scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("item"),
             F.lit("present").alias("metric"),
             F.lit(1.0).alias("value"),
+        )
+    )
+
+    # third self-checking arm: approximate-quantile guarantee violations
+    qc = run("events_quantile_check")
+    parts.append(
+        qc.select(
+            F.lit("quantile").alias("suite"),
+            F.concat(
+                F.col("event_type"), F.lit("|"), F.col("q").cast("string")
+            ).alias("item"),
+            F.lit("approx_value").alias("metric"),
+            F.col("approx_value").cast("double").alias("value"),
         )
     )
     return _union(parts)

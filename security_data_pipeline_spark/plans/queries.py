@@ -828,6 +828,84 @@ def events_countmin_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_quantile_check",
+    sql="""
+SELECT CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS DOUBLE) AS q,
+       CAST(NULL AS DOUBLE) AS approx_value, CAST(NULL AS BIGINT) AS rank_lo,
+       CAST(NULL AS BIGINT) AS rank_hi, CAST(NULL AS DOUBLE) AS target_rank
+FROM events WHERE FALSE
+""",
+    description=(
+        "Approximate-quantile sketch in self-checking form — emits ONLY "
+        "guarantee violations, so the correct result is empty (the "
+        "events_countmin_check / events_heavy_hitters convention). "
+        "percentile_approx is Spark's built-in Greenwald-Khanna sketch: "
+        "mergeable partial-aggregate state (it partial-aggregates "
+        "map-side like any algebraic agg), rank error <= n/accuracy. "
+        "Per event type and q in {0.25, 0.5, 0.75, 0.9, 0.99} at "
+        "accuracy 1000, the returned value's exact rank INTERVAL "
+        "[count(< v)+1, count(<= v)] (duplicates widen it) must cover "
+        "q*n within +-(n/accuracy + 1): the 25 approx values broadcast "
+        "back against one counting pass over the events — no sort, no "
+        "per-group serialization, the quantile complement of the "
+        "count-frequency sketches"
+    ),
+)
+def events_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    accuracy = 1000
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.col("value").cast("double").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+    )
+    approx = (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("_v", qs, accuracy).alias("_avs"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "event_type",
+            "_n",
+            F.explode(
+                F.arrays_zip(
+                    F.array(*[F.lit(q) for q in qs]).alias("q"),
+                    F.col("_avs").alias("av"),
+                )
+            ).alias("_z"),
+        )
+        .select(
+            "event_type", "_n", F.col("_z.q").alias("q"),
+            F.col("_z.av").alias("av"),
+        )
+    )
+    ranks = (
+        ev.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type", "q", "av", "_n")
+        .agg(
+            (F.sum((F.col("_v") < F.col("av")).cast("long")) + F.lit(1)).alias(
+                "rank_lo"
+            ),
+            F.sum((F.col("_v") <= F.col("av")).cast("long")).alias("rank_hi"),
+        )
+    )
+    err = F.col("_n").cast("double") / F.lit(float(accuracy)) + F.lit(1.0)
+    target = F.col("q") * F.col("_n").cast("double")
+    violated = (target < F.col("rank_lo").cast("double") - err) | (
+        target > F.col("rank_hi").cast("double") + err
+    )
+    return ranks.filter(violated).select(
+        "event_type",
+        "q",
+        F.col("av").alias("approx_value"),
+        "rank_lo",
+        "rank_hi",
+        target.alias("target_rank"),
+    )
+
+
+@query(
     "events_null_counts",
     sql="""
 SELECT CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls,

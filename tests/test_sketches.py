@@ -281,3 +281,31 @@ def test_streaming_fold_replay_is_exactly_once(spark, tmp_path):
     assert all(r["_last_batch_id"] == 2 for r in after)
     hot = {r["item"]: r for r in after if r["item"] is not None}["HOT"]
     assert hot["count_lo"] <= 90 <= hot["count_lo"] + hot["threshold"]
+
+
+def test_percentile_approx_rank_bound_and_check_can_fire(spark):
+    """The Greenwald-Khanna rank guarantee the events_quantile_check
+    asserts: the approx value's exact-rank interval covers q*n within
+    n/accuracy (+1 slack); and the SAME bound arithmetic flags a value
+    that is genuinely at the wrong rank — the self-check is falsifiable,
+    not vacuous."""
+    import random
+
+    rng = random.Random(3)
+    vals = [rng.random() * 100.0 for _ in range(20_000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    n = len(vals)
+    acc = 1000
+    qs = [0.25, 0.5, 0.9]
+    avs = df.agg(F.percentile_approx("v", qs, acc).alias("a")).first()["a"]
+    s = sorted(vals)
+    for q, av in zip(qs, avs):
+        lo = sum(1 for x in vals if x < av) + 1
+        hi = sum(1 for x in vals if x <= av)
+        err = n / acc + 1
+        assert lo - err <= q * n <= hi + err, (q, lo, hi)
+    # falsifiability: the q=0.9 bound must REJECT the true median
+    med = s[n // 2]
+    lo = sum(1 for x in vals if x < med) + 1
+    hi = sum(1 for x in vals if x <= med)
+    assert not (lo - (n / acc + 1) <= 0.9 * n <= hi + (n / acc + 1))
