@@ -644,6 +644,75 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_stream_drift",
+    sql=None,  # replaced with the batch drift oracle right after definition
+    description=(
+        "The PSI/KS drift gate RE-HOSTED as a stream "
+        "(streaming/pipeline.py:maintain_drift_stream) and held to the "
+        "FULL batch oracle: the current-half of the events table arrives "
+        "as micro-batches (maxFilesPerTrigger=2 over 4 files -> real "
+        "cross-batch merges), each batch folds bounded bin/cell counts "
+        "into persisted state under the exactly-once replay guard, and "
+        "the emitted gate is compared against the SAME DuckDB SQL as "
+        "events_value_drift — the stream must produce bit-for-bit the "
+        "batch statistic because counts over the bounded grids are a "
+        "sufficient statistic that merges by addition"
+    ),
+)
+def events_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_drift_stream,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+            F.unix_micros(F.col("ts")).alias("_us"),
+        )
+        .filter(F.col("value").isNotNull())
+    )
+    b = ev.agg(F.min("_us").alias("mn"), F.max("_us").alias("mx")).first()
+    mid = (b["mn"] + b["mx"]) // 2
+    ref = ev.filter(F.col("_us") < mid).select("event_type", "value")
+    cur = ev.filter(F.col("_us") >= mid).select("event_type", "value")
+
+    tmp = tempfile.mkdtemp(prefix="stream_drift_")
+    cur_dir = f"{tmp}/cur"
+    cur.repartition(4).write.parquet(cur_dir)
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(cur_dir)
+    )
+    q = maintain_drift_stream(
+        stream,
+        ref,
+        f"{tmp}/state",
+        f"{tmp}/ckpt",
+        value_col="value",
+        group_cols=["event_type"],
+        n_bins=10,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{tmp}/state__psi").select(
+        "event_type", "n_ref", "n_cur", "psi", "ks"
+    )
+
+
+# the stream's gate must equal the batch statistic — hold it to the very
+# same oracle SQL (registered after both definitions exist)
+REGISTRY["events_stream_drift"] = QuerySpec(
+    fn=REGISTRY["events_stream_drift"].fn,
+    sql=REGISTRY["events_value_drift"].sql,
+    description=REGISTRY["events_stream_drift"].description,
+)
+
+
+@query(
     "events_hourly_resampled",
     sql="""
 WITH pb AS (
