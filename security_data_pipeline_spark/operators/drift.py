@@ -111,8 +111,8 @@ def value_drift(
             *g, F.col(value_col).cast("double").alias("_v")
         ).filter(F.col("_v").isNotNull()).withColumn("_side", F.lit(tag))
 
-    # one narrow (group, value, side) frame feeds FOUR consumers (ref
-    # stats, bin counts, totals, the ECDF value histogram) — checkpoint it
+    # one narrow (group, value, side) frame feeds THREE consumers (ref
+    # stats, the PSI bin counts, the KS cell histogram) — checkpoint it
     # so the two input slices are scanned once, not once per consumer
     sides = side(ref, "r").unionByName(side(cur, "c")).localCheckpoint(
         eager=False
