@@ -644,6 +644,41 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_ffill_bucketed",
+    sql="""
+SELECT event_id, user_id, value,
+       last_value(value IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING) AS value_ffill
+FROM events
+""",
+    description=(
+        "SKEW-RESISTANT forward fill held to the PLAIN-LOCF oracle "
+        "(operators/timeseries.py:forward_fill_bucketed): per-user LOCF "
+        "of the value column in event-id order, computed as local fills "
+        "within (user, 1000-id buckets) plus a carry-in merge of one row "
+        "per active bucket — so a hot key's history never sorts in one "
+        "task — while the oracle is the single ordered window the plain "
+        "form runs. Equality is exactly the operator's contract: the "
+        "bucketed decomposition is a physical-plan change, never a "
+        "semantics change (also property-tested on random gaps and "
+        "measured as the skew_ffill bench pair, 2.6x at 90%-hot-key)"
+    ),
+)
+def events_ffill_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators.timeseries import (
+        forward_fill_bucketed,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
+    return forward_fill_bucketed(
+        ev, ["user_id"], "event_id", ["value"], bucket_width=1000.0
+    ).select("event_id", "user_id", "value", "value_ffill")
+
+
+@query(
     "events_stream_drift",
     sql=None,  # replaced with the batch drift oracle right after definition
     description=(
