@@ -285,3 +285,25 @@ def test_bm25_stats_are_literals_not_joins(spark):
     plan = _plan(textops.bm25_topk(docs, ["scan", "agg"], k=10))
     assert "Join" not in plan, plan[:1500]
     assert "TakeOrderedAndProject" in plan
+
+
+def test_quantile_check_broadcasts_approx_values(spark):
+    """The 25 approx quantile values broadcast back against the events
+    scan — the rank-counting pass is one broadcast hash join plus one
+    aggregate, never a fact-table shuffle keyed on the quantile frame."""
+    plan = _plan(REGISTRY["events_quantile_check"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_grid_keeps_drift_window_input_aggregated(spark):
+    """The KS branch's ordered window consumes the per-(group, cell)
+    aggregate, not raw rows: a HashAggregate (the cell histogram) sits
+    below the Window operator in the drift plan."""
+    plan = _plan(REGISTRY["events_value_drift"].fn(spark, SF))
+    assert "Window" in plan
+    # the plan contains the bounded-cell aggregate feeding the window —
+    # grid arithmetic (floor((v - mn) / ...) clamped) appears as the
+    # aggregate's grouping expression
+    flat = plan.replace("\n", " ")
+    assert "4096" in flat  # the grid constant reached the plan
