@@ -32,6 +32,7 @@ from security_data_pipeline_spark.plans.queries import (
     _PQ_ADC_SQL,
     _dsum,
     _ivf_oracle_sql,
+    _ivf_sq8_oracle_sql,
     _lsh_oracle_sql,
     load_table,
     query,
@@ -455,6 +456,9 @@ FROM ({_PQ_ADC_SQL})
 UNION ALL
 SELECT 'ivf_idx', query_id, neighbor_id, cosine_sim
 FROM ({_ivf_oracle_sql()})
+UNION ALL
+SELECT 'ivf_sq8', query_id, neighbor_id, cosine_sim
+FROM ({_ivf_sq8_oracle_sql()})
 """,
     description=(
         "The approximate-nearest-neighbor family in one tagged result: "
@@ -464,8 +468,11 @@ FROM ({_ivf_oracle_sql()})
         "(built to parquet partitioned by cluster, searched via partition "
         "pruning — sharing the in-memory IVF's oracle, so the hash check "
         "asserts the persisted layout changes WHERE bytes are read, "
-        "never the answer) — top-k over the same query set; score is "
-        "cosine similarity for lsh/ivf/ivf_idx and ADC distance for pq"
+        "never the answer), and the COMPRESSED SQ8-over-IVF index "
+        "(per-cluster 8-bit grids, scores oracle-checked through the "
+        "quantize->dequantize reconstruction) — top-k over the same "
+        "query set; score is cosine similarity for lsh/ivf/ivf_idx/"
+        "ivf_sq8 and ADC distance for pq"
     ),
 )
 def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -503,7 +510,13 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         F.col("cosine_sim").alias("score"),
     )
-    return _union([lsh, ivf, pq, ivf_idx])
+    ivf_sq8 = REGISTRY["ann_index_sq8_roundtrip"].fn(spark, sf_dir).select(
+        F.lit("ivf_sq8").alias("method"),
+        "query_id",
+        "neighbor_id",
+        F.col("cosine_sim").alias("score"),
+    )
+    return _union([lsh, ivf, pq, ivf_idx, ivf_sq8])
 
 
 # ---------------------------------------------------------------------------
@@ -1204,6 +1217,16 @@ def _scale_suite_sql() -> str:
             "event_type || '|' || CAST(q AS VARCHAR)",
             [("approx_value", "approx_value")],
         ),
+        _unpivot_arm_sql(
+            "ffa",
+            "ffill",
+            "'all'",
+            [
+                ("ffill_mass", "ffill_mass"),
+                ("n_filled", "n_filled"),
+                ("n_lead_null", "n_lead_null"),
+            ],
+        ),
     ]
     body = "\nUNION ALL\n".join(arms)
     return f"""
@@ -1230,7 +1253,17 @@ rsa AS (
 ),
 cm AS ({cte("events_countmin_check")}),
 ev AS ({cte("schema_evolution_report")}),
-qc AS ({cte("events_quantile_check")})
+qc AS ({cte("events_quantile_check")}),
+ff AS ({cte("events_ffill_bucketed")}),
+ffa AS (
+  SELECT CAST(SUM(CAST(value_ffill AS DECIMAL(18,6))) AS DOUBLE)
+           AS ffill_mass,
+         CAST(SUM(CASE WHEN value IS NULL AND value_ffill IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+         CAST(SUM(CASE WHEN value_ffill IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_lead_null
+  FROM ff
+)
 {body}
 """
 
@@ -1256,7 +1289,10 @@ qc AS ({cte("events_quantile_check")})
         "like the heavy hitters); (9) the schema-evolution report — "
         "per-generation merge aggregates and schema_diff rows folded "
         "into the item key; (10) the Greenwald-Khanna approximate-"
-        "quantile self-check (violations-only). All ten unpivoted to "
+        "quantile self-check (violations-only); (11) the skew-resistant "
+        "bucketed forward fill summarized as carried-mass / filled-row / "
+        "leading-NULL checksums against the plain-LOCF oracle. All "
+        "eleven unpivoted to "
         "one (suite, item, "
         "metric, value) stream; constituents stay registered for "
         "granular oracle checks"
@@ -1422,5 +1458,32 @@ def scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("approx_value").alias("metric"),
             F.col("approx_value").cast("double").alias("value"),
         )
+    )
+
+    # skew-resistant forward fill: the 100k-row LOCF result folds to three
+    # checksum metrics (decimal-exact carried mass, rows genuinely filled,
+    # leading NULLs) so the window slot witnesses the bucketed fill's
+    # VALUES, not just its row count
+    ff = run("events_ffill_bucketed")
+    ffa = ff.agg(
+        F.sum(F.col("value_ffill").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("ffill_mass"),
+        F.sum(
+            (F.col("value").isNull() & F.col("value_ffill").isNotNull())
+            .cast("long")
+        ).alias("n_filled"),
+        F.sum(F.col("value_ffill").isNull().cast("long")).alias(
+            "n_lead_null"
+        ),
+    )
+    ff_metrics = ["ffill_mass", "n_filled", "n_lead_null"]
+    parts.append(
+        ffa.select(
+            F.lit("all").alias("item"),
+            *[F.col(m).cast("double").alias(m) for m in ff_metrics],
+        )
+        .unpivot(["item"], ff_metrics, "metric", "value")
+        .select(F.lit("ffill").alias("suite"), "item", "metric", "value")
     )
     return _union(parts)
