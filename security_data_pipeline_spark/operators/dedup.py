@@ -256,35 +256,24 @@ def _bucket_pairs(ids: Column) -> Column:
     )
 
 
-def minhash_lsh_pairs(
+def _minhash_band_frame(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 5,
-    num_perm: int = 32,
-    n_bands: int = 8,
-    verify_threshold: float | None = 0.8,
-    portable: bool = False,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_perm: int,
+    n_bands: int,
+    verify: bool,
+    portable: bool,
 ) -> DataFrame:
-    """MinHash + LSH banding near-dup pairs.
-
-    rows_per_band = num_perm // n_bands; docs colliding in ANY band become
-    candidates (equi-join on (band, band_hash)); candidates optionally
-    verified with exact n-gram Jaccard. Output: ``id_a, id_b`` (+``jaccard``
-    when verifying).
-
-    ``portable=True`` derives every hash from md5 (fixed-width hex
-    strings) instead of xxhash64, making the whole index reproducible in
-    ANSI-ish SQL — the oracle-checked registered form. The verify shingle
-    set still shuffles as 8-byte longs (``conv`` of the 15-hex-char hash —
-    injective, so intersection counts equal the oracle's string
-    intersects); measured within ~25% of the xxhash64 path.
-    """
+    """One corpus scan -> the LSH band frame ``(_id[, _hs], band, bhash)``
+    (n_bands rows per doc, shingle hashes carried when verifying) — the
+    shared index half of :func:`minhash_lsh_pairs` (self-join pairing) and
+    :func:`cross_corpus_neardups` (two-sided equi-join pairing)."""
     rows_per_band = num_perm // n_bands
     # two projections: hash shingle strings ONCE into a concrete column,
     # then num_perm cheap fixed-width rehash permutations over it (see
     # minhash_signature note on HOF-lambda subexpression elimination)
-    verify = verify_threshold is not None
     from security_data_pipeline_spark.operators.skew import fan_out
 
     if portable:
@@ -331,7 +320,7 @@ def minhash_lsh_pairs(
             return F.md5(F.concat_ws("|", *els).cast("binary"))
         return F.xxhash64(*els)
 
-    bands = sig.select(
+    return sig.select(
         "_id",
         *(["_hs"] if verify else []),
         F.explode(
@@ -346,6 +335,36 @@ def minhash_lsh_pairs(
             )
         ).alias("_b"),
     ).select("_id", *(["_hs"] if verify else []), "_b.band", "_b.bhash")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_perm: int = 32,
+    n_bands: int = 8,
+    verify_threshold: float | None = 0.8,
+    portable: bool = False,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs.
+
+    rows_per_band = num_perm // n_bands; docs colliding in ANY band become
+    candidates (equi-join on (band, band_hash)); candidates optionally
+    verified with exact n-gram Jaccard. Output: ``id_a, id_b`` (+``jaccard``
+    when verifying).
+
+    ``portable=True`` derives every hash from md5 (fixed-width hex
+    strings) instead of xxhash64, making the whole index reproducible in
+    ANSI-ish SQL — the oracle-checked registered form. The verify shingle
+    set still shuffles as 8-byte longs (``conv`` of the 15-hex-char hash —
+    injective, so intersection counts equal the oracle's string
+    intersects); measured within ~25% of the xxhash64 path.
+    """
+    verify = verify_threshold is not None
+    bands = _minhash_band_frame(
+        df, id_col, text_col, n, num_perm, n_bands, verify, portable
+    )
 
     # When verifying, each doc's hashed shingle set rides along through the
     # band shuffle (n_bands× replication of ~8 bytes/shingle) so the exact
@@ -379,6 +398,65 @@ def minhash_lsh_pairs(
             F.round(raw, 6).alias("jaccard"),
         )
         .distinct()
+    )
+
+
+def cross_corpus_neardups(
+    df_new: DataFrame,
+    df_ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_perm: int = 32,
+    n_bands: int = 8,
+    verify_threshold: float | None = 0.8,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-duplicates of NEW documents against an EXISTING corpus — the
+    ingest-time dedup a training pipeline runs on every fresh crawl ("is
+    this page already in the training set?"), where the reference side is
+    far too large to broadcast (so the n-gram
+    :func:`~security_data_pipeline_spark.operators.textops`-style
+    broadcast decontamination doesn't apply).
+
+    Both sides build the SAME MinHash band frame
+    (:func:`_minhash_band_frame` — identical shingle hash, permutations,
+    band hashing, so a doc present on both sides ALWAYS collides with
+    itself); candidates are then a plain equi-join on ``(band, bhash)``
+    between the sides. Two-sided pairing is STRICTLY CHEAPER than the
+    self-join form: no per-bucket pair explosion, no ``id_a < id_b``
+    dedup — the join's |new_bucket|×|ref_bucket| work replaces the
+    self-join's |bucket|² and never pairs new-with-new or ref-with-ref.
+    Output: ``(new_id, ref_id[, jaccard])``, verified against
+    ``verify_threshold`` exactly like :func:`minhash_lsh_pairs` (filter
+    on the unrounded ratio, round for output).
+
+    Scale shape: one scan + one banded shuffle per side, candidates
+    bounded by cross-side bucket co-occupancy. Ids may overlap between
+    corpora (they are different tables); a shared id that is a true
+    near-dup simply reports itself.
+    """
+    verify = verify_threshold is not None
+    bn = _minhash_band_frame(
+        df_new, id_col, text_col, n, num_perm, n_bands, verify, portable
+    ).withColumnsRenamed(
+        {"_id": "new_id", **({"_hs": "_hs_n"} if verify else {})}
+    )
+    br = _minhash_band_frame(
+        df_ref, id_col, text_col, n, num_perm, n_bands, verify, portable
+    ).withColumnsRenamed(
+        {"_id": "ref_id", **({"_hs": "_hs_r"} if verify else {})}
+    )
+    cand = bn.join(br, ["band", "bhash"]).drop("band", "bhash")
+    if not verify:
+        return cand.select("new_id", "ref_id").distinct()
+    cand = cand.dropDuplicates(["new_id", "ref_id"])
+    inter = F.size(F.array_intersect(F.col("_hs_n"), F.col("_hs_r")))
+    union = F.size("_hs_n") + F.size("_hs_r") - inter
+    raw = inter.cast("double") / union.cast("double")
+    return (
+        cand.filter(raw >= verify_threshold)
+        .select("new_id", "ref_id", F.round(raw, 6).alias("jaccard"))
     )
 
 

@@ -2248,6 +2248,72 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CROSS_CORPUS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         substr(md5(unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 4, 0)),
+           i -> array_to_string(t[i:i+4], ' '))))), 1, 15) AS hs
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), permed AS (
+  SELECT s.doc_id, p.i AS perm,
+         MIN(substr(md5(CAST(p.i // 8 AS VARCHAR) || ':' || s.hs),
+                    1 + 4 * (p.i % 8), 4)) AS sig
+  FROM sh s CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) p
+  GROUP BY s.doc_id, p.i
+), bands AS (
+  SELECT doc_id, perm // 4 AS band,
+         md5(string_agg(sig, '|' ORDER BY perm)) AS bhash
+  FROM permed GROUP BY doc_id, perm // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bhash = b.bhash
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+), inter AS (
+  SELECT c.new_id, c.ref_id, COUNT(*) AS i
+  FROM cand c JOIN sh x ON x.doc_id = c.new_id
+              JOIN sh y ON y.doc_id = c.ref_id AND y.hs = x.hs
+  GROUP BY c.new_id, c.ref_id
+)
+SELECT new_id, ref_id,
+       ROUND(CAST(i AS DOUBLE)/CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = new_id
+           JOIN sizes sb ON sb.doc_id = ref_id
+WHERE CAST(i AS DOUBLE)/CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05
+"""
+
+
+@query(
+    "doc_cross_corpus_dups",
+    sql=_CROSS_CORPUS_SQL,
+    description=(
+        "Cross-corpus near-dup (dedup.cross_corpus_neardups): a NEW slice "
+        "(even doc_ids, the fresh crawl) deduplicated AGAINST an EXISTING "
+        "slice (odd doc_ids, the training set) — both sides build the "
+        "same md5-portable MinHash band frame, candidates are a two-sided "
+        "equi-join on (band, bhash), strictly cheaper than the self-join "
+        "form (no per-bucket pair explosion, never pairs within a side), "
+        "exact-Jaccard verified on the carried shingle sets. The "
+        "ingest-time question 'is this page already in the corpus?' at "
+        "reference sizes far beyond broadcast range — entire index "
+        "replicated in the DuckDB oracle"
+    ),
+)
+def doc_cross_corpus_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cross_corpus_neardups(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        id_col="doc_id", text_col="text", n=5,
+        num_perm=32, n_bands=8, verify_threshold=0.05, portable=True,
+    )
+
+
 _SIMHASH_SQL = """
 WITH toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents

@@ -214,3 +214,33 @@ def test_jaccard_prefix_join_prunes_stopword_buckets(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = dedup.jaccard_prefix_join(df, threshold=0.6)
     assert out.count() == 0
+
+
+def test_cross_corpus_neardups_matches_self_join_cross_pairs(spark):
+    """Two-sided pairing must recover exactly the self-join's pairs that
+    straddle the side split — same index, cheaper pairing, no recall
+    change; and it must never pair within one side."""
+    from security_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 0)
+    ref = docs.filter(F.col("doc_id") % 2 == 1)
+    cross = {
+        (r["new_id"], r["ref_id"], r["jaccard"])
+        for r in dedup.cross_corpus_neardups(
+            new, ref, verify_threshold=0.05, portable=True
+        ).collect()
+    }
+    self_pairs = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, verify_threshold=0.05, portable=True
+        ).collect()
+    }
+    want = {
+        (a, b, j) if a % 2 == 0 else (b, a, j)
+        for (a, b, j) in self_pairs
+        if (a % 2) != (b % 2)
+    }
+    assert cross == want and len(cross) > 0
+    assert all(n % 2 == 0 and r % 2 == 1 for n, r, _ in cross)
