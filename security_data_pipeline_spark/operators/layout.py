@@ -149,3 +149,88 @@ def zorder_layout(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
+
+
+def list_data_files(spark, path: str, suffix: str = ".parquet"):
+    """Recursively list a dataset directory's data files as
+    ``[(path, bytes)]`` via the Hadoop FileSystem API — works against any
+    FS Spark can read (local, HDFS, object stores); metadata-only, no
+    jobs. The planning half of :func:`compact_dataset`."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    out: list[tuple[str, int]] = []
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().toString()
+        if name.endswith(suffix):
+            out.append((name, int(st.getLen())))
+    return out
+
+
+def compaction_plan(
+    spark, path: str, target_file_bytes: int = 256 * 1024 * 1024
+) -> dict:
+    """Small-files report for a parquet dataset: file count, total bytes,
+    and the output file count a compaction should produce
+    (``ceil(total / target)``). Pure FS metadata — the cheap health probe
+    a 100 TB table runs per partition before deciding to rewrite.
+
+    Small files are the silent scan killer at scale: parquet splits at
+    row-group granularity, so a million 1 MB files means a million scan
+    tasks (scheduling overhead dominates), tiny row groups defeat min/max
+    pruning, and object-store LIST/GET round-trips multiply. The fix is a
+    periodic rewrite toward ``target_file_bytes`` (the same default Spark
+    uses for ``maxPartitionBytes``).
+    """
+    files = list_data_files(spark, path)
+    total = sum(b for _, b in files)
+    n_out = max(1, -(-total // int(target_file_bytes)))
+    return {
+        "files_before": len(files),
+        "bytes_total": total,
+        "files_after": n_out,
+        "avg_file_bytes_before": total // max(1, len(files)),
+    }
+
+
+def compact_dataset(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    n_files: int | None = None,
+    partition_by: tuple[str, ...] = (),
+) -> dict:
+    """Rewrite a parquet dataset into ``n_files`` (or the
+    :func:`compaction_plan` size) at ``out_path`` — generation-based, the
+    original is untouched until the caller swaps directories (same
+    crash-safe convention as the streaming state swap; an in-place
+    rewrite that dies mid-delete loses data).
+
+    Unpartitioned: ``repartition(n)`` → n equal-ish files (round-robin —
+    content-balanced regardless of input skew). Partitioned: repartition
+    on the partition columns so each partition's rows land in one task —
+    one file per partition value, the compacted shape for
+    directory-pruned layouts (hot partitions that need multiple files
+    should be compacted per-directory with the unpartitioned form).
+    Returns the plan dict plus ``rows`` (count preserved is asserted by
+    the caller's tests, not silently assumed here — the rewrite is the
+    same rows by construction, but the report makes it checkable).
+    """
+    plan = compaction_plan(spark, path, target_file_bytes)
+    n = int(n_files) if n_files is not None else plan["files_after"]
+    df = spark.read.parquet(path)
+    if partition_by:
+        (
+            df.repartition(*[F.col(c) for c in partition_by])
+            .write.mode("error")
+            .partitionBy(*partition_by)
+            .parquet(out_path)
+        )
+    else:
+        df.repartition(n).write.mode("error").parquet(out_path)
+    plan["files_after"] = len(list_data_files(spark, out_path))
+    plan["rows"] = spark.read.parquet(out_path).count()
+    return plan

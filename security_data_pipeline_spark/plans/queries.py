@@ -1010,6 +1010,47 @@ def events_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_compaction_report",
+    sql="""
+SELECT CAST(64 AS BIGINT) AS files_before, CAST(4 AS BIGINT) AS files_after,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events
+""",
+    description=(
+        "Small-files compaction through REAL file I/O "
+        "(operators/layout.py:compact_dataset): the events table staged "
+        "as 64 fragment files, rewritten generation-style into 4 — "
+        "before/after counts read back from the actual filesystem via "
+        "the Hadoop FS API (not trusted from the plan) and row count "
+        "from the rewritten data, so the oracle row fails if the rewrite "
+        "drops files, rows, or leaves fragments. Small files are the "
+        "silent scan killer at 100 TB (a task per tiny file, dead row-"
+        "group stats, object-store round-trips); the operator is the "
+        "periodic OPTIMIZE-style rewrite toward a target file size"
+    ),
+)
+def events_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from security_data_pipeline_spark.operators import layout
+
+    tmp = tempfile.mkdtemp(prefix="compaction_")
+    src, out = f"{tmp}/frag", f"{tmp}/compact"
+    load_table(spark, sf_dir, "events").repartition(64).write.parquet(src)
+    report = layout.compact_dataset(spark, src, out, n_files=4)
+    return spark.createDataFrame(
+        [
+            (
+                report["files_before"],
+                report["files_after"],
+                report["rows"],
+            )
+        ],
+        "files_before long, files_after long, n_rows long",
+    )
+
+
+@query(
     "events_null_counts",
     sql="""
 SELECT CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls,
