@@ -141,3 +141,35 @@ def scd2_apply(
     )
     closed_history = dim.filter(~F.col(is_current)).select(*hist_cols)
     return kept_current.unionByName(opened).unionByName(closed_history)
+
+
+def dataset_checksum(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Order-free content checksum of a dataset over ``cols`` — one row
+    ``(n_rows, checksum)`` where ``checksum`` is the exact DECIMAL sum of
+    a 60-bit md5-derived integer per row. Addition commutes, so the value
+    is independent of partitioning, file layout, and row order: two
+    dataset GENERATIONS (a compaction rewrite, a Z-order relayout, a
+    migrated copy on another engine) are byte-equivalent in content iff
+    their checksums and row counts match — without sorting or shuffling
+    anything (one scan, map-side partial sums). md5-over-concat keeps it
+    reproducible in any SQL engine (same primitive as the portable dedup
+    paths); NULLs fold as a sentinel distinct from empty strings.
+
+    This is the generation-diff primitive: `compact_dataset` /
+    `zorder_layout` callers assert checksum equality before swapping
+    directories, and an incremental pipeline detects upstream restatement
+    by checksumming per partition.
+    """
+    row_repr = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\\x00")) for c in cols]
+    )
+    row_hash = F.conv(
+        F.substring(F.md5(row_repr.cast("binary")), 1, 15), 16, 10
+    ).cast("decimal(38,0)")
+    # checksum emitted as STRING: the exact integer exceeds int64 and a
+    # decimal->float conversion in a consumer would silently lose the low
+    # bits that make the checksum a checksum
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash).cast("string").alias("checksum"),
+    )

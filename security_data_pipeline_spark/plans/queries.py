@@ -1010,6 +1010,36 @@ def events_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_dataset_checksum",
+    sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CAST(CONCAT('0x', substr(md5(
+             COALESCE(CAST(event_id AS VARCHAR), chr(0)) || '|' ||
+             COALESCE(CAST(user_id AS VARCHAR), chr(0)) || '|' ||
+             COALESCE(event_type, chr(0))), 1, 15)) AS BIGINT)
+           AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+FROM events
+""",
+    description=(
+        "Order-free dataset content checksum "
+        "(operators/merge.py:dataset_checksum): exact DECIMAL sum of a "
+        "60-bit md5-derived integer per row — identical under any "
+        "partitioning, file layout, or row order, so two dataset "
+        "generations (compaction rewrite, Z-order relayout, cross-engine "
+        "copy) are content-equal iff counts and checksums match, with no "
+        "sort and no shuffle (one scan, map-side partial sums). The "
+        "generation-diff primitive compaction/relayout callers assert "
+        "before swapping directories"
+    ),
+)
+def events_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators.merge import dataset_checksum
+
+    ev = load_table(spark, sf_dir, "events")
+    return dataset_checksum(ev, ["event_id", "user_id", "event_type"])
+
+
+@query(
     "events_compaction_report",
     sql="""
 SELECT CAST(64 AS BIGINT) AS files_before, CAST(4 AS BIGINT) AS files_after,

@@ -147,3 +147,34 @@ def test_compaction_rewrites_small_files(spark, tmp_path):
         d = f.rsplit("/", 2)[-2]
         per_dir[d] = per_dir.get(d, 0) + 1
     assert set(per_dir.values()) == {1} and len(per_dir) == 5
+
+
+def test_checksum_invariant_under_relayout_and_sensitive_to_change(spark, tmp_path):
+    """The generation-diff primitive: identical content under a 64->4
+    compaction rewrite yields the identical checksum; one changed row
+    changes it."""
+    from security_data_pipeline_spark.operators import layout
+    from security_data_pipeline_spark.operators.merge import dataset_checksum
+    from security_data_pipeline_spark.sources.catalog import load_table
+
+    cols = ["event_id", "user_id", "event_type"]
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(*cols)
+    src, out = str(tmp_path / "a"), str(tmp_path / "b")
+    ev.repartition(64).write.parquet(src)
+    layout.compact_dataset(spark, src, out, n_files=4)
+
+    def ck(path):
+        return tuple(
+            dataset_checksum(spark.read.parquet(path), cols).first()
+        )
+
+    assert ck(src) == ck(out)
+    # sensitivity: flip one row's event_type
+    mutated = spark.read.parquet(src).withColumn(
+        "event_type",
+        F.when(F.col("event_id") == 7, F.lit("TAMPERED")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    m = tuple(dataset_checksum(mutated, cols).first())
+    assert m[0] == ck(src)[0] and m[1] != ck(src)[1]
