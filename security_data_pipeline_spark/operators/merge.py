@@ -173,3 +173,24 @@ def dataset_checksum(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(row_hash).cast("string").alias("checksum"),
     )
+
+
+def dataset_checksum_by(
+    df: DataFrame, cols: Sequence[str], by: Sequence[str]
+) -> DataFrame:
+    """Per-group form of :func:`dataset_checksum` — one
+    ``by + (n_rows, checksum)`` row per group. The incremental-pipeline
+    primitive: checksum a partitioned table per partition value, compare
+    against yesterday's manifest, and ONLY the partitions whose checksum
+    moved need reprocessing (upstream restatement detection without
+    re-reading unaffected partitions downstream)."""
+    row_repr = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
+    row_hash = F.conv(
+        F.substring(F.md5(row_repr.cast("binary")), 1, 15), 16, 10
+    ).cast("decimal(38,0)")
+    return df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash).cast("string").alias("checksum"),
+    )

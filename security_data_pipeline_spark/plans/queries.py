@@ -1040,6 +1040,37 @@ def events_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_checksum_by_type",
+    sql="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CAST(CONCAT('0x', substr(md5(
+             COALESCE(CAST(event_id AS VARCHAR), chr(0)) || '|' ||
+             COALESCE(CAST(user_id AS VARCHAR), chr(0)) || '|' ||
+             COALESCE(event_type, chr(0))), 1, 15)) AS BIGINT)
+           AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+FROM events GROUP BY event_type
+""",
+    description=(
+        "Per-partition dataset checksums (merge.dataset_checksum_by): "
+        "the incremental-restatement detector — checksum each partition "
+        "value, diff against yesterday's manifest, reprocess ONLY the "
+        "partitions whose checksum moved. Same order-free exact-DECIMAL "
+        "construction as events_dataset_checksum, one scan with map-side "
+        "partial sums"
+    ),
+)
+def events_checksum_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators.merge import (
+        dataset_checksum_by,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return dataset_checksum_by(
+        ev, ["event_id", "user_id", "event_type"], ["event_type"]
+    )
+
+
+@query(
     "events_compaction_report",
     sql="""
 SELECT CAST(64 AS BIGINT) AS files_before, CAST(4 AS BIGINT) AS files_after,
