@@ -411,6 +411,7 @@ def cross_corpus_neardups(
     n_bands: int = 8,
     verify_threshold: float | None = 0.8,
     portable: bool = False,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicates of NEW documents against an EXISTING corpus — the
     ingest-time dedup a training pipeline runs on every fresh crawl ("is
@@ -432,7 +433,14 @@ def cross_corpus_neardups(
     on the unrounded ratio, round for output).
 
     Scale shape: one scan + one banded shuffle per side, candidates
-    bounded by cross-side bucket co-occupancy. Ids may overlap between
+    bounded by cross-side bucket co-occupancy. ``bucket_cap`` drops band
+    buckets holding more than the cap docs ON EITHER SIDE before the
+    join — the banding analogue of ``ngram_jaccard_pairs(df_cap=...)``:
+    a boilerplate-heavy corpus (empty pages, templated chrome) can give
+    thousands of docs per side an IDENTICAL band signature, and that one
+    bucket's join emits |new_bucket|x|ref_bucket| candidates. Capped
+    buckets trade recall ONLY among those pathological groups (documented
+    recall trade, same as df_cap); None = exact. Ids may overlap between
     corpora (they are different tables); a shared id that is a true
     near-dup simply reports itself.
     """
@@ -447,6 +455,19 @@ def cross_corpus_neardups(
     ).withColumnsRenamed(
         {"_id": "ref_id", **({"_hs": "_hs_r"} if verify else {})}
     )
+    if bucket_cap is not None:
+        for side in ("bn", "br"):
+            frame = bn if side == "bn" else br
+            ok = (
+                frame.groupBy("band", "bhash")
+                .agg(F.count(F.lit(1)).alias("_cnt"))
+                .filter(F.col("_cnt") <= bucket_cap)
+                .select("band", "bhash")
+            )
+            if side == "bn":
+                bn = bn.join(ok, ["band", "bhash"], "left_semi")
+            else:
+                br = br.join(ok, ["band", "bhash"], "left_semi")
     cand = bn.join(br, ["band", "bhash"]).drop("band", "bhash")
     if not verify:
         return cand.select("new_id", "ref_id").distinct()

@@ -78,3 +78,25 @@ def test_winnow_df_cap_bounds_boilerplate_buckets(spark):
     docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
     pairs2 = dedup.winnow_dup_pairs(docs2, min_shared=1, df_cap=16).count()
     assert pairs2 == 3, pairs2
+
+
+def test_cross_corpus_bucket_cap_bounds_boilerplate_buckets(spark):
+    """A degenerate corpus (identical boilerplate docs on both sides)
+    puts everything in one band bucket: uncapped candidates are
+    |new| x |ref|; bucket_cap drops the pathological bucket before the
+    join, keeping candidate work linear on template-heavy corpora."""
+    from pyspark.sql import functions as F
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new = docs.filter(F.col("doc_id") % 2 == 0)
+    ref = docs.filter(F.col("doc_id") % 2 == 1)
+    uncapped = dedup.cross_corpus_neardups(
+        new, ref, verify_threshold=None
+    ).count()
+    assert uncapped == 100 * 100  # the quadratic blow-up is real
+    capped = dedup.cross_corpus_neardups(
+        new, ref, verify_threshold=None, bucket_cap=10
+    ).count()
+    assert capped == 0  # the one pathological bucket is dropped entirely
