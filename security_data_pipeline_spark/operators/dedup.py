@@ -346,6 +346,7 @@ def minhash_lsh_pairs(
     n_bands: int = 8,
     verify_threshold: float | None = 0.8,
     portable: bool = False,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs.
 
@@ -353,6 +354,12 @@ def minhash_lsh_pairs(
     candidates (equi-join on (band, band_hash)); candidates optionally
     verified with exact n-gram Jaccard. Output: ``id_a, id_b`` (+``jaccard``
     when verifying).
+
+    ``bucket_cap`` drops band buckets holding more than the cap docs
+    BEFORE the |bucket|² pair explosion — the banding analogue of
+    :func:`ngram_jaccard_pairs`'s stop-shingle ``df_cap``: boilerplate
+    corpora give many docs identical band signatures, and recall is
+    traded only inside those pathological buckets. None = exact.
 
     ``portable=True`` derives every hash from md5 (fixed-width hex
     strings) instead of xxhash64, making the whole index reproducible in
@@ -378,6 +385,8 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_set(member)).alias("_ms"))
         .filter(F.size("_ms") >= 2)
     )
+    if bucket_cap is not None:
+        buckets = buckets.filter(F.size("_ms") <= bucket_cap)
     pairs = buckets.select(F.explode(_bucket_pairs(F.col("_ms"))).alias("_p"))
     if not verify:
         return (
@@ -587,6 +596,7 @@ def _simhash_dup_pairs_portable(
     text_col: str,
     max_hamming: int,
     n_blocks: int,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """md5-derived SimHash pairs — same pigeonhole block join as the fast
     path, every hash reproducible in the DuckDB oracle (relational form:
@@ -630,6 +640,8 @@ def _simhash_dup_pairs_portable(
         )
         .filter(F.size("_ms") >= 2)
     )
+    if bucket_cap is not None:
+        buckets = buckets.filter(F.size("_ms") <= bucket_cap)
     cand = (
         buckets.select(F.explode(_bucket_pairs(F.col("_ms"))).alias("_p"))
         .select(
@@ -657,18 +669,24 @@ def simhash_dup_pairs(
     max_hamming: int = 3,
     n_blocks: int = 4,
     portable: bool = False,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs via the pigeonhole block trick: split the 64-bit
     hash into ``n_blocks`` blocks; any pair within ``max_hamming <
     n_blocks`` must agree on ≥1 whole block → candidates are a block-value
     equi-join, verified by popcount of XOR.
 
+    ``bucket_cap`` drops block buckets larger than the cap before the
+    |bucket|² pair explosion (the stop-shingle/df_cap analogue —
+    boilerplate corpora hash to identical blocks; recall traded only
+    inside those buckets; None = exact).
+
     ``portable=True`` switches to md5-derived bit arrays (cross-engine
     reproducible, oracle-checked registered form; see
     :func:`simhash_bits_from_hex`)."""
     if portable:
         return _simhash_dup_pairs_portable(
-            df, id_col, text_col, max_hamming, n_blocks
+            df, id_col, text_col, max_hamming, n_blocks, bucket_cap
         )
     block_bits = 64 // n_blocks
     # token hashes materialized once (separate projection), then 64 cheap
@@ -707,6 +725,8 @@ def simhash_dup_pairs(
         )
         .filter(F.size("_ms") >= 2)
     )
+    if bucket_cap is not None:
+        buckets = buckets.filter(F.size("_ms") <= bucket_cap)
     cand = (
         buckets.select(F.explode(_bucket_pairs(F.col("_ms"))).alias("_p"))
         .select(

@@ -100,3 +100,24 @@ def test_cross_corpus_bucket_cap_bounds_boilerplate_buckets(spark):
         new, ref, verify_threshold=None, bucket_cap=10
     ).count()
     assert capped == 0  # the one pathological bucket is dropped entirely
+
+
+def test_minhash_and_simhash_bucket_caps(spark):
+    """Identical boilerplate docs collapse into one band/block bucket in
+    the SELF-join forms too — the cap removes the |bucket|^2 explosion
+    (recall traded only inside the pathological bucket)."""
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(100)], "doc_id long, text string"
+    )
+    mh = dedup.minhash_lsh_pairs(docs, verify_threshold=None).count()
+    assert mh == 100 * 99 // 2
+    assert (
+        dedup.minhash_lsh_pairs(
+            docs, verify_threshold=None, bucket_cap=10
+        ).count()
+        == 0
+    )
+    sh = dedup.simhash_dup_pairs(docs).count()
+    assert sh == 100 * 99 // 2
+    assert dedup.simhash_dup_pairs(docs, bucket_cap=10).count() == 0
