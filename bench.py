@@ -58,6 +58,15 @@ BENCH_QUERIES: tuple[str, ...] = (
     "events_value_drift",
     "events_heavy_hitters",
     "events_hourly_resampled",
+    # round-6 additions: cross-corpus dedup, bucketed LOCF, checksums,
+    # GK-quantile self-check, compressed persisted index (search timed;
+    # index build happens once at plan-build, outside the timed region)
+    "doc_cross_corpus_dups",
+    "events_ffill_bucketed",
+    "events_dataset_checksum",
+    "events_checksum_by_type",
+    "events_quantile_check",
+    "ann_index_sq8_roundtrip",
     # driver-window composites, benched AS the driver runs them — the
     # wall-clock the driver pays includes their union/unpivot overhead,
     # which per-arm numbers don't capture
@@ -90,6 +99,9 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_jaccard_prefix_pairs": 255, "knn_cosine_sq8": 50,
         "doc_hybrid_search": 20, "events_value_drift": 5,
         "events_heavy_hitters": 0, "events_hourly_resampled": 3600,
+        "doc_cross_corpus_dups": 120, "events_ffill_bucketed": 100000,
+        "events_dataset_checksum": 1, "events_checksum_by_type": 5,
+        "events_quantile_check": 0, "ann_index_sq8_roundtrip": 600,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -109,6 +121,9 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_jaccard_prefix_pairs": 25, "knn_cosine_sq8": 50,
         "doc_hybrid_search": 20, "events_value_drift": 5,
         "events_heavy_hitters": 0, "events_hourly_resampled": 3600,
+        "doc_cross_corpus_dups": 12, "events_ffill_bucketed": 10000,
+        "events_dataset_checksum": 1, "events_checksum_by_type": 5,
+        "events_quantile_check": 0, "ann_index_sq8_roundtrip": 600,
     },
 }
 
