@@ -846,6 +846,44 @@ def connected_components(
     )
 
 
+def pick_cluster_survivors(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware dedup survivorship: per near-dup cluster keep the
+    HIGHEST-SCORING member (ties → lowest id) instead of the arbitrary
+    lowest-id canonical — the policy an actual training-data pipeline
+    wants ("of these five near-identical pages, keep the cleanest one").
+
+    ``clusters`` = :func:`connected_components` output (id, cluster);
+    ``scores`` = any per-doc quality signal (classifier score, length,
+    LM perplexity negated). Output: ``id_col, cluster_col, survivor_id,
+    keep`` for every member. The argmax is ONE aggregate of a
+    lexicographic (score, -id, id) struct per cluster — no window over
+    members, no per-cluster sort; the survivor frame (one row per
+    cluster) joins back on the cluster key.
+    """
+    member = clusters.join(scores, id_col)
+    best = member.groupBy(cluster_col).agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("s"),
+                (-F.col(id_col)).alias("negid"),
+                F.col(id_col).alias("id"),
+            )
+        )["id"].alias("survivor_id")
+    )
+    return clusters.join(best, cluster_col).select(
+        id_col,
+        cluster_col,
+        "survivor_id",
+        (F.col(id_col) == F.col("survivor_id")).alias("keep"),
+    )
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

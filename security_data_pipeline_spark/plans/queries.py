@@ -2291,6 +2291,77 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "neardup_survivors",
+    sql="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 4, 0)),
+           i -> array_to_string(t[i:i+4], ' ')))) AS sh
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jac AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE)/CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.3
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM jac
+  UNION ALL
+  SELECT id_b, id_a FROM jac
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+), clusters AS (
+  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+), best AS (
+  SELECT cluster_id, doc_id AS survivor_id FROM (
+    SELECT c.cluster_id, c.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                              ORDER BY d.n_chars DESC, c.doc_id) AS rn
+    FROM clusters c JOIN documents d USING (doc_id)
+  ) WHERE rn = 1
+)
+SELECT c.doc_id, c.cluster_id, b.survivor_id,
+       (c.doc_id = b.survivor_id) AS keep
+FROM clusters c JOIN best b USING (cluster_id)
+""",
+    description=(
+        "Quality-aware dedup survivorship "
+        "(dedup.pick_cluster_survivors): near-dup connected components "
+        "re-resolved to keep the HIGHEST-QUALITY member per cluster "
+        "(n_chars as the quality signal here; ties -> lowest id) instead "
+        "of the arbitrary lowest-id canonical — 'of these near-identical "
+        "pages keep the cleanest'. The argmax is one lexicographic-"
+        "struct aggregate per cluster (no per-cluster sort); oracle = "
+        "recursive-CTE closure + windowed argmax"
+    ),
+)
+def neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=5, threshold=0.3
+    )
+    cc = dedup.connected_components(edges, nodes=docs, id_col="doc_id")
+    return dedup.pick_cluster_survivors(
+        cc,
+        docs.select("doc_id", F.col("n_chars").alias("score")),
+        id_col="doc_id",
+        cluster_col="cluster_id",
+        score_col="score",
+    )
+
+
 _MINHASH_SQL = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents

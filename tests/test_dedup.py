@@ -244,3 +244,25 @@ def test_cross_corpus_neardups_matches_self_join_cross_pairs(spark):
     }
     assert cross == want and len(cross) > 0
     assert all(n % 2 == 0 and r % 2 == 1 for n, r, _ in cross)
+
+
+def test_pick_cluster_survivors_policy(spark):
+    """Highest score wins; ties break to the lowest id; every member of a
+    cluster maps to the same survivor; singletons keep themselves."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 9), (10, 9)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (7, 1.0), (9, 2.0), (10, 2.0)],
+        "doc_id long, score double",
+    )
+    out = {
+        r["doc_id"]: (r["survivor_id"], r["keep"])
+        for r in dedup.pick_cluster_survivors(clusters, scores).collect()
+    }
+    # cluster 1: 2 and 3 tie at 9.0 -> lowest id 2 wins
+    assert out[1] == (2, False) and out[2] == (2, True) and out[3] == (2, False)
+    assert out[7] == (7, True)  # singleton
+    # cluster 9: tie at 2.0 -> 9 wins
+    assert out[9] == (9, True) and out[10] == (9, False)
