@@ -846,6 +846,53 @@ def connected_components(
     )
 
 
+def connected_components_incremental(
+    prev_labels: DataFrame,
+    new_edges: DataFrame,
+    new_nodes: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Fold NEW nodes and edges into an existing component labeling
+    without re-walking old clusters — the ingest-time companion of
+    :func:`cross_corpus_neardups`: every crawl adds documents and
+    near-dup edges, and recomputing the closure over the whole corpus
+    per crawl is a full-graph job that grows with corpus size, not crawl
+    size.
+
+    The trick is standard star contraction: each previously-labeled node
+    contributes ONE virtual edge ``(node, its_label)``, collapsing every
+    old component to a star of diameter ≤ 2. Min-label propagation over
+    (virtual ∪ new) edges then converges in ~(new-edge diameter + 2)
+    rounds regardless of how large or stringy the OLD components were —
+    and old labels can only merge DOWNWARD when a new edge bridges two
+    components, so the result provably equals the full recompute on the
+    cumulative graph (label = min node id of the merged component;
+    equality property-tested on random graphs).
+
+    ``prev_labels`` = a prior :func:`connected_components` (or this
+    function's) output; ``new_nodes`` = this batch's node frame (ids not
+    in ``prev_labels`` label themselves before propagation). The
+    per-batch cost is the propagation over |prev_nodes| + |batch| rows —
+    with per-round work dominated by the (small) frontier of labels that
+    still change, not by old-component internal structure.
+    """
+    virtual = prev_labels.select(
+        F.col(id_col).alias(a_col), F.col("cluster_id").alias(b_col)
+    ).filter(F.col(a_col) != F.col(b_col))
+    all_edges = new_edges.select(a_col, b_col).unionByName(virtual)
+    all_nodes = (
+        prev_labels.select(id_col)
+        .unionByName(new_nodes.select(id_col))
+        .distinct()
+    )
+    return connected_components(
+        all_edges, all_nodes, a_col, b_col, id_col, max_iter
+    )
+
+
 def pick_cluster_survivors(
     clusters: DataFrame,
     scores: DataFrame,

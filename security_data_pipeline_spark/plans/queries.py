@@ -2292,6 +2292,44 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "neardup_clusters_incremental",
+    sql=None,  # bound to neardup_clusters' oracle right after definition
+    description=(
+        "INCREMENTAL near-dup clustering "
+        "(dedup.connected_components_incremental): the corpus split into "
+        "an OLD half (doc_id < 250: labeled first, standalone) and a NEW "
+        "batch (remaining docs + every bridging edge) folded in via star "
+        "contraction — each old node contributes one virtual (node, "
+        "label) edge, so old components collapse to diameter-2 stars and "
+        "propagation cost follows the BATCH, not the corpus. Held to the "
+        "SAME recursive-CTE oracle as the full recompute "
+        "(neardup_clusters): per-crawl incremental labeling must be "
+        "indistinguishable from relabeling the cumulative graph"
+    ),
+)
+def neardup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=5, threshold=0.3
+    ).localCheckpoint(eager=False)
+    old_docs = docs.filter(F.col("doc_id") < 250)
+    old_edges = edges.filter(
+        (F.col("id_a") < 250) & (F.col("id_b") < 250)
+    )
+    prev = dedup.connected_components(old_edges, old_docs, id_col="doc_id")
+    new_docs = docs.filter(F.col("doc_id") >= 250)
+    new_edges = edges.filter(
+        (F.col("id_a") >= 250) | (F.col("id_b") >= 250)
+    )
+    cc = dedup.connected_components_incremental(
+        prev, new_edges, new_docs, id_col="doc_id"
+    )
+    return cc.withColumn(
+        "is_canonical", F.col("cluster_id") == F.col("doc_id")
+    )
+
+
+@query(
     "neardup_survivors",
     sql="""
 WITH RECURSIVE toks AS (
@@ -5315,6 +5353,15 @@ def schema_evolution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value"),
     )
     return merged_rows.unionByName(diff_rows).orderBy("kind", "key", "metric")
+
+
+# incremental labeling must equal the full recompute — hold it to the
+# exact oracle of neardup_clusters
+REGISTRY["neardup_clusters_incremental"] = QuerySpec(
+    fn=REGISTRY["neardup_clusters_incremental"].fn,
+    sql=REGISTRY["neardup_clusters"].sql,
+    description=REGISTRY["neardup_clusters_incremental"].description,
+)
 
 
 # Composite driver-window queries register on import (they reuse the

@@ -266,3 +266,44 @@ def test_pick_cluster_survivors_policy(spark):
     assert out[7] == (7, True)  # singleton
     # cluster 9: tie at 2.0 -> 9 wins
     assert out[9] == (9, True) and out[10] == (9, False)
+
+
+def test_incremental_components_equal_full_recompute(spark):
+    """Star contraction: folding a new batch's nodes/edges into an old
+    labeling equals the full recompute on the cumulative graph — across
+    merges of old components, brand-new components, and singletons."""
+    import random
+
+    rng = random.Random(17)
+    nodes1 = list(range(0, 60))
+    edges1 = [(i, i + 1) for i in range(0, 30, 2)]  # 15 two-cliques
+    nodes2 = list(range(60, 100))
+    # new-new edges, plus bridges that MERGE old components
+    edges2 = (
+        [(rng.choice(nodes2), rng.choice(nodes2)) for _ in range(25)]
+        + [(1, 3), (5, 61)]  # old-old bridge, old-new bridge
+    )
+
+    def df_edges(e):
+        return spark.createDataFrame(
+            [(a, b) for a, b in e if a != b] or [(0, 0)],
+            "id_a long, id_b long",
+        ).filter(F.col("id_a") != F.col("id_b"))
+
+    def df_nodes(n):
+        return spark.createDataFrame([(x,) for x in n], "doc_id long")
+
+    full = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components(
+            df_edges(edges1 + edges2), df_nodes(nodes1 + nodes2)
+        ).collect()
+    }
+    prev = dedup.connected_components(df_edges(edges1), df_nodes(nodes1))
+    inc = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components_incremental(
+            prev, df_edges(edges2), df_nodes(nodes2)
+        ).collect()
+    }
+    assert inc == full
