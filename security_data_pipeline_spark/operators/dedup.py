@@ -456,12 +456,31 @@ def cross_corpus_neardups(
     verify = verify_threshold is not None
     bn = _minhash_band_frame(
         df_new, id_col, text_col, n, num_perm, n_bands, verify, portable
-    ).withColumnsRenamed(
-        {"_id": "new_id", **({"_hs": "_hs_n"} if verify else {})}
     )
     br = _minhash_band_frame(
         df_ref, id_col, text_col, n, num_perm, n_bands, verify, portable
-    ).withColumnsRenamed(
+    )
+    return _band_join_pairs(bn, br, verify_threshold, bucket_cap)
+
+
+def _band_join_pairs(
+    bn: DataFrame,
+    br: DataFrame,
+    verify_threshold: float | None,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Two-sided candidate pairing over :func:`_minhash_band_frame`
+    outputs (``_id[, _hs], band, bhash``): equi-join on (band, bhash),
+    optional per-side ``bucket_cap``, optional exact-Jaccard verify on the
+    carried shingle sets. Output ``(new_id, ref_id[, jaccard])`` — shared
+    by :func:`cross_corpus_neardups` (frames built in-process) and the
+    streaming near-dup maintainer (reference side read from the persisted
+    band index)."""
+    verify = verify_threshold is not None
+    bn = bn.withColumnsRenamed(
+        {"_id": "new_id", **({"_hs": "_hs_n"} if verify else {})}
+    )
+    br = br.withColumnsRenamed(
         {"_id": "ref_id", **({"_hs": "_hs_r"} if verify else {})}
     )
     if bucket_cap is not None:

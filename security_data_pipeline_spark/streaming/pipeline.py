@@ -675,3 +675,140 @@ def maintain_drift_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def maintain_neardup_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_perm: int = 32,
+    n_bands: int = 8,
+    verify_threshold: float = 0.8,
+    bucket_cap: int | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming NEAR-dup maintenance: every micro-batch of documents is
+    checked against the corpus-so-far and folded into a live cluster
+    labeling — the full ingest-time dedup loop ("is this page a near-dup
+    of anything we already have, and which cluster does it join?") run
+    incrementally at crawl cadence.
+
+    Per batch, three batch-sized pieces of work — nothing rescans the
+    corpus:
+
+    1. the batch's MinHash band frame (one batch scan) is joined against
+       the PERSISTED band index (``{state_path}__bands``, the cumulative
+       corpus index) — candidate generation cost follows cross-side
+       bucket co-occupancy, exactly :func:`...dedup.cross_corpus_neardups`;
+    2. within-batch pairs come from the self-join form on the batch;
+    3. the verified edges fold into the persisted labeling via
+       :func:`...dedup.connected_components_incremental` — star
+       contraction keeps propagation cost proportional to the batch.
+
+    State: ``{state_path}`` = the labels (scratch-swap + exactly-once
+    lineage-tagged batch-id guard, the shared fold protocol);
+    ``{state_path}__bands/batch=<id>/`` = one idempotent per-batch
+    directory of band rows (an overwrite of its own directory on crash
+    replay — never an append, so replays cannot duplicate the index).
+    A crash between the index write and the labels commit replays the
+    batch: the re-read index then already contains this batch's bands, so
+    the cross join also emits the batch's internal pairs — harmless,
+    edges are set-semantics under connected components. The final
+    labeling provably equals the batch recompute over the cumulative
+    corpus (tests/test_streaming.py).
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+    from pyspark.sql import functions as F
+
+    from security_data_pipeline_spark.operators import dedup
+
+    scratch = f"{state_path}__next"
+    bands_root = f"{state_path}__bands"
+
+    def _missing(e: AnalysisException) -> bool:
+        for probe in ("getCondition", "getErrorClass"):
+            try:
+                cond = getattr(e, probe)()
+            except Exception:
+                continue
+            if cond is not None:
+                return cond == "PATH_NOT_FOUND"
+        return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
+
+    def _read(spark, path):
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException as e:
+            if not _missing(e):
+                raise
+        return None
+
+    def _read_state(spark):
+        df = _read(spark, state_path)
+        if df is not None:
+            return df, False
+        df = _read(spark, scratch)
+        return df, df is not None
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev, from_scratch = _read_state(spark)
+        replayed, prev = _check_replay(prev, batch_id, checkpoint_path)
+        if replayed:
+            if from_scratch:
+                prev.write.mode("overwrite").parquet(state_path)
+            return
+        batch = batch_df.select(id_col, text_col).localCheckpoint()
+        # prior index read BEFORE this batch's directory is (re)written;
+        # on crash replay the dir already exists and merely adds the
+        # batch's internal pairs a second time (set-semantics, harmless)
+        index = _read(spark, bands_root)
+        bb = dedup._minhash_band_frame(
+            batch, id_col, text_col, n, num_perm, n_bands, True, False
+        )
+        bb.write.mode("overwrite").parquet(f"{bands_root}/batch={batch_id}")
+        self_pairs = dedup.minhash_lsh_pairs(
+            batch,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            num_perm=num_perm,
+            n_bands=n_bands,
+            verify_threshold=verify_threshold,
+            bucket_cap=bucket_cap,
+        ).select("id_a", "id_b")
+        edges = self_pairs
+        if index is not None:
+            cross = dedup._band_join_pairs(
+                bb,
+                index.drop("batch"),
+                verify_threshold,
+                bucket_cap,
+            ).select(
+                F.col("new_id").alias("id_a"), F.col("ref_id").alias("id_b")
+            )
+            edges = edges.unionByName(cross)
+        nodes = batch.select(id_col)
+        if prev is None:
+            labels = dedup.connected_components(
+                edges, nodes, id_col=id_col
+            )
+        else:
+            labels = dedup.connected_components_incremental(
+                prev, edges, nodes, id_col=id_col
+            )
+        merged = _stamp_batch(labels, batch_id, checkpoint_path)
+        merged.write.mode("overwrite").parquet(scratch)
+        spark.read.parquet(scratch).write.mode("overwrite").parquet(state_path)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

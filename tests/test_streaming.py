@@ -601,3 +601,76 @@ def test_streaming_drift_gate_equals_batch_per_cumulative_data(spark, tmp_path):
     # state stays bounded: <= |groups| * (n_bins + grid + 2) count rows
     n_state = spark.read.parquet(state).count()
     assert n_state <= 2 * (10 + 256 + 2)
+
+
+def test_streaming_neardup_labels_equal_batch_recompute(spark, tmp_path):
+    """The streaming dedup loop (band-index join + incremental components
+    per batch) must end at EXACTLY the labeling a batch recompute over the
+    cumulative corpus produces — across within-batch dups, cross-batch
+    dups, and chains that merge clusters created in earlier batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.operators import dedup
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_neardup_stream,
+    )
+
+    def doc(seed: int, extra: str = "") -> str:
+        words = [f"w{seed}x{i}" for i in range(12)]
+        return " ".join(words) + (" " + extra if extra else "")
+
+    batches = [
+        [(0, doc(0)), (1, doc(0, "tail")), (2, doc(7)), (3, doc(9))],
+        [(4, doc(0, "other")), (5, doc(7, "tail")), (6, doc(11))],
+        [(7, doc(9, "x")), (8, doc(11, "y")), (9, doc(0))],
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    for bi, rows in enumerate(batches):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "text": [r[1] for r in rows],
+                }
+            ),
+            src / f"b{bi}.parquet",
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "labels")
+    q = maintain_neardup_stream(
+        stream,
+        state,
+        str(tmp_path / "ckpt"),
+        verify_threshold=0.3,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in spark.read.parquet(state)
+        .select("doc_id", "cluster_id")
+        .collect()
+    }
+    all_docs = spark.createDataFrame(
+        [r for rows in batches for r in rows], "doc_id long, text string"
+    )
+    edges = dedup.minhash_lsh_pairs(all_docs, verify_threshold=0.3)
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components(
+            edges, all_docs, id_col="doc_id"
+        ).collect()
+    }
+    assert got == want
+    # sanity: the test actually exercises non-trivial merges
+    clusters = {}
+    for d, c in want:
+        clusters.setdefault(c, set()).add(d)
+    assert any(len(v) >= 3 for v in clusters.values())
+    assert len(clusters) < 10
