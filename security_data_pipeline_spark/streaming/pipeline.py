@@ -812,3 +812,83 @@ def maintain_neardup_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream_against_corpus(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    sink: Callable[[DataFrame, int], None],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_available_now: bool = True,
+):
+    """Streaming EXACT dedup against the whole historical corpus — the
+    companion of :func:`dedup_stream_by_content` (which bounds its state
+    to the watermark horizon) for the pipeline that must never re-ingest
+    a document it has EVER seen: survivors of each micro-batch are those
+    whose canonical fingerprint (md5 of whitespace-collapsed lowercased
+    text) is absent from the persisted fingerprint index, delivered to
+    ``sink``; the batch's new fingerprints then join the index.
+
+    Per-batch work is one LEFT ANTI join of the batch against the
+    fingerprint index — at 100 TB the index is a parquet table of one
+    16-byte row per distinct document ever seen, and the anti join
+    shuffles only the BATCH (the index side is scanned, never rewritten).
+    The index grows by one idempotent per-batch directory
+    (``{state_path}/batch=<id>`` — an overwrite on crash replay, never an
+    append, so replays cannot duplicate fingerprints; a duplicated
+    fingerprint would anyway only re-drop, never re-admit). Within-batch
+    duplicates keep the lowest id. Returns the StreamingQuery.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+    from pyspark.sql import functions as F
+
+    from security_data_pipeline_spark.operators.textops import fingerprint
+
+    def _missing(e: AnalysisException) -> bool:
+        for probe in ("getCondition", "getErrorClass"):
+            try:
+                cond = getattr(e, probe)()
+            except Exception:
+                continue
+            if cond is not None:
+                return cond == "PATH_NOT_FOUND"
+        return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        with_fp = batch_df.withColumn("_fp", fingerprint(text_col))
+        # within-batch exact dedup first: lowest id survives
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_fp").orderBy(id_col)
+        local = (
+            with_fp.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            index = spark.read.parquet(state_path).select("_fp")
+        except AnalysisException as e:
+            if not _missing(e):
+                raise
+            index = None
+        fresh = (
+            local
+            if index is None
+            else local.join(index, "_fp", "left_anti")
+        ).localCheckpoint()
+        sink(fresh.drop("_fp"), batch_id)
+        fresh.select("_fp").write.mode("overwrite").parquet(
+            f"{state_path}/batch={batch_id}"
+        )
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

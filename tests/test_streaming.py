@@ -674,3 +674,58 @@ def test_streaming_neardup_labels_equal_batch_recompute(spark, tmp_path):
         clusters.setdefault(c, set()).add(d)
     assert any(len(v) >= 3 for v in clusters.values())
     assert len(clusters) < 10
+
+
+def test_streaming_dedup_against_corpus_never_readmits(spark, tmp_path):
+    """A document seen in ANY earlier batch (not just the watermark
+    horizon) must not survive again; within-batch dups keep the lowest
+    id; the survivor set equals the batch keep-first over everything."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.streaming.pipeline import (
+        dedup_stream_against_corpus,
+    )
+
+    batches = [
+        [(1, "alpha beta gamma"), (2, "alpha  BETA gamma"), (3, "delta x")],
+        [(4, "ALPHA beta gamma"), (5, "epsilon y")],
+        [(6, "delta x"), (7, "epsilon y"), (8, "zeta new")],
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    import os
+    import time
+
+    base = time.time() - 100
+    for bi, rows in enumerate(batches):
+        f = src / f"b{bi}.parquet"
+        pq.write_table(
+            pa.table(
+                {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+            ),
+            f,
+        )
+        # the file source orders batches by modification time; quick
+        # successive writes can tie, making arrival order (and therefore
+        # first-seen-wins) nondeterministic — pin strictly increasing mtimes
+        os.utime(f, (base + bi, base + bi))
+    out = str(tmp_path / "out")
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    q = dedup_stream_against_corpus(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src)),
+        str(tmp_path / "fps"),
+        str(tmp_path / "ckpt"),
+        sink,
+    )
+    q.awaitTermination(120)
+    survivors = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    )
+    # 1 survives (2 and 4 are case/space variants of it), 3, 5, 8
+    assert survivors == [1, 3, 5, 8]
