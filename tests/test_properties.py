@@ -381,3 +381,100 @@ def test_heavy_hitter_merge_invariants_random_streams(spark, batches, k):
             assert item in {r["item"] for r in counters}, (
                 batches, k, item, n, thr,
             )
+
+
+# --- round-6: bucketed LOCF ≡ plain, incremental components ≡ full -------
+
+_gap_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2"]),
+        st.integers(min_value=0, max_value=40),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=9).map(float)),
+    ),
+    min_size=1,
+    max_size=14,
+    unique_by=lambda t: (t[0], t[1]),  # unique (key, order) -> total order
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_gap_rows)
+def test_forward_fill_bucketed_equals_plain_property(spark, rows):
+    from security_data_pipeline_spark.operators import timeseries
+
+    df = spark.createDataFrame(
+        [(k, float(o), v) for k, o, v in rows], "k string, o double, v double"
+    )
+    plain = {
+        (r["k"], r["o"]): r["v_ffill"]
+        for r in timeseries.forward_fill(df, ["k"], "o", ["v"]).collect()
+    }
+    # width 7 never aligns with the 0..40 offsets' gap structure
+    bucketed = {
+        (r["k"], r["o"]): r["v_ffill"]
+        for r in timeseries.forward_fill_bucketed(
+            df, ["k"], "o", ["v"], bucket_width=7.0
+        ).collect()
+    }
+    assert bucketed == plain
+
+
+_graph = st.tuples(
+    st.lists(  # old edges over nodes 0..11
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        max_size=8,
+    ),
+    st.lists(  # new edges over nodes 0..19 (bridges old<->new likely)
+        st.tuples(
+            st.integers(min_value=0, max_value=19),
+            st.integers(min_value=0, max_value=19),
+        ),
+        max_size=10,
+    ),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(g=_graph)
+def test_incremental_components_equal_full_property(spark, g):
+    from pyspark.sql import functions as F
+
+    from security_data_pipeline_spark.operators import dedup
+
+    old_edges, new_edges = g
+
+    def edf(e):
+        rows = [(a, b) for a, b in e if a != b]
+        return spark.createDataFrame(
+            rows or [(0, 0)], "id_a long, id_b long"
+        ).filter(F.col("id_a") != F.col("id_b"))
+
+    def ndf(n):
+        return spark.createDataFrame([(x,) for x in n], "doc_id long")
+
+    old_nodes, new_nodes = list(range(12)), list(range(12, 20))
+    prev = dedup.connected_components(edf(old_edges), ndf(old_nodes))
+    inc = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components_incremental(
+            prev, edf(new_edges), ndf(new_nodes)
+        ).collect()
+    }
+    full = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components(
+            edf(old_edges + new_edges), ndf(old_nodes + new_nodes)
+        ).collect()
+    }
+    assert inc == full
