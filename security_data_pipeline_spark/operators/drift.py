@@ -248,3 +248,75 @@ def ks_from_cells(vals: DataFrame, g: list[str]) -> DataFrame:
             ).alias("ks")
         )
     )
+
+
+def drift_trend(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str],
+    bucket_seconds: int = 7 * 24 * 3600,
+    n_bins: int = 10,
+) -> DataFrame:
+    """PSI TREND: every time bucket scored against its PREDECESSOR — the
+    continuous form of the drift gate ("which week stopped looking like
+    the week before it?"), one row per (group, bucket pair).
+
+    One pass over the raw rows: each row lands in its bucket ``w`` and
+    contributes TWICE to the binned counts — as the REFERENCE side of
+    pair ``w`` (binned on bucket w's own min/max) and as the CURRENT side
+    of pair ``w-1`` (binned on bucket w-1's stats, clamped to its edge
+    bins exactly like :func:`value_drift`). Bucket stats are one compact
+    per-(group, bucket) aggregate joined back, so the shuffles carry
+    counts, never value-to-value joins; the PSI math is the shared
+    :func:`psi_from_bin_counts` (Laplace smoothing, DECIMAL-exact sums),
+    making every pair's number identical to calling :func:`value_drift`
+    on those two slices. Output:
+    ``group_cols + (bucket, n_ref, n_cur, psi)`` where ``bucket`` is the
+    CURRENT bucket index (epoch-seconds / bucket_seconds) and the
+    reference is ``bucket - 1``; pairs missing either side drop.
+    """
+    g = list(group_cols)
+    w = F.floor(
+        F.unix_micros(F.col(ts_col)) / F.lit(int(bucket_seconds) * 1_000_000)
+    ).cast("long")
+    vals = (
+        df.select(
+            *g, w.alias("_w"), F.col(value_col).cast("double").alias("_v")
+        )
+        .filter(F.col("_v").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    stats = vals.groupBy(*g, "_w").agg(
+        F.min("_v").alias("_mn"), F.max("_v").alias("_mx")
+    )
+    # reference contribution: pair w, binned on w's stats
+    ref_side = (
+        vals.join(stats, g + ["_w"])
+        .withColumn("_b", bin_index_expr(n_bins))
+        .select(
+            *g, (F.col("_w") + 1).alias("_pair"),
+            F.lit("r").alias("_side"), "_b",
+        )
+    )
+    # current contribution: pair w, binned on w-1's stats
+    prev_stats = stats.select(
+        *g, (F.col("_w") + 1).alias("_w"), "_mn", "_mx"
+    )
+    cur_side = (
+        vals.join(prev_stats, g + ["_w"])
+        .withColumn("_b", bin_index_expr(n_bins))
+        .select(
+            *g, F.col("_w").alias("_pair"),
+            F.lit("c").alias("_side"), "_b",
+        )
+    )
+    bin_counts = (
+        ref_side.unionByName(cur_side)
+        .groupBy(*g, "_pair", "_side", "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    out = psi_from_bin_counts(bin_counts, g + ["_pair"], n_bins)
+    return out.select(
+        *g, F.col("_pair").alias("bucket"), "n_ref", "n_cur", "psi"
+    )

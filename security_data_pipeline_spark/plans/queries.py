@@ -644,6 +644,88 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_drift_trend",
+    sql="""
+WITH ev AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v,
+         CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 604800000000.0)
+              AS BIGINT) AS w
+  FROM events WHERE value IS NOT NULL
+), stats AS (
+  SELECT event_type, w, MIN(v) AS mn, MAX(v) AS mx
+  FROM ev GROUP BY event_type, w
+), sides AS (
+  SELECT e.event_type, e.w + 1 AS pair, 'r' AS side,
+         CASE WHEN mx = mn THEN 0
+              ELSE least(greatest(
+                     CAST(floor((v - mn) / (mx - mn) * 10) AS BIGINT),
+                     0), 9) END AS b
+  FROM ev e JOIN stats s ON s.event_type = e.event_type AND s.w = e.w
+  UNION ALL
+  SELECT e.event_type, e.w AS pair, 'c' AS side,
+         CASE WHEN mx = mn THEN 0
+              ELSE least(greatest(
+                     CAST(floor((v - mn) / (mx - mn) * 10) AS BIGINT),
+                     0), 9) END AS b
+  FROM ev e JOIN stats s ON s.event_type = e.event_type AND s.w = e.w - 1
+), bin_counts AS (
+  SELECT event_type, pair, side, b, COUNT(*) AS n
+  FROM sides GROUP BY event_type, pair, side, b
+), totals AS (
+  SELECT event_type, pair, side, SUM(n) AS tot
+  FROM bin_counts GROUP BY event_type, pair, side
+), shares AS (
+  SELECT bc.event_type, bc.pair, bc.side, bc.b, t.tot,
+         (CAST(bc.n AS DOUBLE) + 0.5) / (CAST(t.tot AS DOUBLE) + 5.0) AS p
+  FROM bin_counts bc JOIN totals t USING (event_type, pair, side)
+), nr AS (
+  SELECT event_type, pair, MAX(tot) AS n_ref FROM shares WHERE side = 'r'
+  GROUP BY event_type, pair
+), nc AS (
+  SELECT event_type, pair, MAX(tot) AS n_cur FROM shares WHERE side = 'c'
+  GROUP BY event_type, pair
+), grid AS (
+  SELECT DISTINCT event_type, pair, b FROM shares
+), gj AS (
+  SELECT g.event_type, g.pair, g.b, nr.n_ref, nc.n_cur,
+         COALESCE(r.p, 0.5 / (CAST(nr.n_ref AS DOUBLE) + 5.0)) AS pr,
+         COALESCE(c.p, 0.5 / (CAST(nc.n_cur AS DOUBLE) + 5.0)) AS pc
+  FROM grid g JOIN nr USING (event_type, pair) JOIN nc USING (event_type, pair)
+  LEFT JOIN (SELECT event_type, pair, b, p FROM shares WHERE side = 'r') r
+    USING (event_type, pair, b)
+  LEFT JOIN (SELECT event_type, pair, b, p FROM shares WHERE side = 'c') c
+    USING (event_type, pair, b)
+)
+SELECT event_type, pair AS bucket, CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       ROUND(CAST(SUM(CAST((pr - pc) * ln(pr / pc)
+                           AS DECIMAL(38,18))) AS DOUBLE), 6) AS psi
+FROM gj GROUP BY event_type, pair, n_ref, n_cur
+""",
+    description=(
+        "PSI drift TREND (operators/drift.py:drift_trend): every weekly "
+        "bucket of the events stream scored against its predecessor per "
+        "event type — the continuous 'which week stopped looking like "
+        "the one before' monitor. ONE pass over the raw rows: each row "
+        "contributes twice to the binned counts (reference of its own "
+        "pair on its bucket's min/max, current of the previous pair on "
+        "the predecessor's stats), stats are a compact per-(type, week) "
+        "aggregate joined back, and the shared psi_from_bin_counts makes "
+        "every pair bit-equal to calling value_drift on those two "
+        "slices (asserted in tests/test_drift.py). Shuffles carry "
+        "counts, never value-to-value joins"
+    ),
+)
+def events_drift_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators.drift import drift_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    return drift_trend(
+        ev, "ts", "value", ["event_type"], bucket_seconds=7 * 24 * 3600
+    )
+
+
+@query(
     "events_ffill_bucketed",
     sql="""
 SELECT event_id, user_id, value,

@@ -112,3 +112,47 @@ def test_ks_grid_tracks_exact_ks_within_cell_resolution(spark):
     assert kg > 0.15
     # PSI identical: the grid only touches the KS branch
     assert d_grid["a"]["psi"] == exact["a"]["psi"]
+
+
+def test_drift_trend_pairs_equal_pairwise_value_drift(spark):
+    """Each bucket's trend PSI must equal value_drift on that (prev, cur)
+    slice pair — the one-pass trend is a re-arrangement, not a new
+    statistic; and an injected shift bucket is flagged."""
+    import random
+
+    from security_data_pipeline_spark.operators.drift import (
+        drift_trend,
+        value_drift,
+    )
+
+    rng = random.Random(9)
+    rows = []
+    step = 3600  # one bucket = 1h here
+    for b in range(4):
+        mean = 10.0 if b != 2 else 30.0  # bucket 2 drifts vs bucket 1
+        for i in range(300):
+            ts = b * step + rng.randrange(step)
+            rows.append(("a", ts, rng.gauss(mean, 2.0)))
+    df = spark.createDataFrame(
+        rows, "grp string, sec long, v double"
+    ).select(
+        "grp", F.timestamp_seconds(F.col("sec")).alias("ts"), "v"
+    )
+    trend = {
+        r["bucket"]: (r["n_ref"], r["n_cur"], r["psi"])
+        for r in drift_trend(
+            df, "ts", "v", ["grp"], bucket_seconds=step
+        ).collect()
+    }
+    assert sorted(trend) == [1, 2, 3]
+    for b in (1, 2, 3):
+        ref = df.filter(
+            F.floor(F.unix_micros("ts") / (step * 1_000_000)) == b - 1
+        )
+        cur = df.filter(
+            F.floor(F.unix_micros("ts") / (step * 1_000_000)) == b
+        )
+        pair = value_drift(ref, cur, "v", ["grp"]).first()
+        assert trend[b] == (pair["n_ref"], pair["n_cur"], pair["psi"]), b
+    assert trend[2][2] > 0.25  # the injected shift crosses the thumb-rule
+    assert trend[1][2] < 0.1 and trend[3][2] > 0.25  # and the recovery too
