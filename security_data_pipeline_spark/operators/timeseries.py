@@ -76,7 +76,12 @@ def forward_fill(
     """Carry each column's most recent non-NULL value forward in
     ``order_col`` order within each key (classic LOCF). Appends
     ``{col}{suffix}`` columns; rows before a key's first observation stay
-    NULL. One ordered window per key, O(1) running state."""
+    NULL. One ordered window per key, O(1) running state.
+
+    ``order_col`` must be a TOTAL order per key: on ties LOCF is
+    ill-defined and the filled value follows partition-internal row
+    order (non-deterministic under retries/AQE — the same caveat as any
+    ordered window; registered queries order by unique ids)."""
     w = (
         Window.partitionBy(*keys)
         .orderBy(order_col)
@@ -124,8 +129,10 @@ def forward_fill_bucketed(
        ``coalesce(local, carry_in)``.
 
     Rows before a key's first observation stay NULL through every stage,
-    matching the plain form. Equivalence on random gap patterns is
-    property-tested in tests/test_timeseries.py.
+    matching the plain form (including its total-order requirement on
+    ``order_col`` — see :func:`forward_fill`). Equivalence on random gap
+    patterns is property-tested in tests/test_timeseries.py and under
+    hypothesis in tests/test_properties.py.
     """
     b = F.floor(F.col(order_col) / F.lit(float(bucket_width))).cast("long")
     out = df.withColumn("_fb", b)
