@@ -143,6 +143,35 @@ def scd2_apply(
     return kept_current.unionByName(opened).unionByName(closed_history)
 
 
+def row_content_hash(cols: Sequence[str]) -> Column:
+    """60-bit md5-derived integer for one row over ``cols`` — the SINGLE
+    hash expression behind :func:`dataset_checksum` and
+    :func:`dataset_checksum_by` (one definition so the global and
+    per-group forms cannot diverge).
+
+    The row encoding is UNAMBIGUOUS: each field is length-prefixed
+    (``<char_len>:<value>``) and NULL folds to ``-:`` — a token no
+    non-null field can produce (its prefix position never holds ``-``).
+    So ``("a|b","c")`` vs ``("a","b|c")``, ``("", NULL)`` vs
+    ``(NULL, "")`` and every other concatenation collision hash
+    differently, unlike a separator-joined encoding. Everything is plain
+    ANSI-expressible string math (length/concat/md5), so the identical
+    value is computable in DuckDB/Trino for cross-engine generation
+    diffs.
+    """
+    parts: list[Column] = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit("-:")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
+    return F.conv(
+        F.substring(F.md5(F.concat(*parts).cast("binary")), 1, 15), 16, 10
+    ).cast("decimal(38,0)")
+
+
 def dataset_checksum(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Order-free content checksum of a dataset over ``cols`` — one row
     ``(n_rows, checksum)`` where ``checksum`` is the exact DECIMAL sum of
@@ -151,27 +180,21 @@ def dataset_checksum(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     dataset GENERATIONS (a compaction rewrite, a Z-order relayout, a
     migrated copy on another engine) are byte-equivalent in content iff
     their checksums and row counts match — without sorting or shuffling
-    anything (one scan, map-side partial sums). md5-over-concat keeps it
-    reproducible in any SQL engine (same primitive as the portable dedup
-    paths); NULLs fold as a sentinel distinct from empty strings.
+    anything (one scan, map-side partial sums). The row encoding
+    (:func:`row_content_hash`) is length-prefixed, so NULL / empty /
+    separator-bearing values cannot collide.
 
     This is the generation-diff primitive: `compact_dataset` /
     `zorder_layout` callers assert checksum equality before swapping
     directories, and an incremental pipeline detects upstream restatement
     by checksumming per partition.
     """
-    row_repr = F.concat_ws(
-        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\\x00")) for c in cols]
-    )
-    row_hash = F.conv(
-        F.substring(F.md5(row_repr.cast("binary")), 1, 15), 16, 10
-    ).cast("decimal(38,0)")
     # checksum emitted as STRING: the exact integer exceeds int64 and a
     # decimal->float conversion in a consumer would silently lose the low
     # bits that make the checksum a checksum
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(row_hash).cast("string").alias("checksum"),
+        F.sum(row_content_hash(cols)).cast("string").alias("checksum"),
     )
 
 
@@ -183,14 +206,10 @@ def dataset_checksum_by(
     primitive: checksum a partitioned table per partition value, compare
     against yesterday's manifest, and ONLY the partitions whose checksum
     moved need reprocessing (upstream restatement detection without
-    re-reading unaffected partitions downstream)."""
-    row_repr = F.concat_ws(
-        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
-    )
-    row_hash = F.conv(
-        F.substring(F.md5(row_repr.cast("binary")), 1, 15), 16, 10
-    ).cast("decimal(38,0)")
+    re-reading unaffected partitions downstream). Identical row encoding
+    to the global form (:func:`row_content_hash`), so per-group checksums
+    are consistent with the whole-dataset checksum by construction."""
     return df.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(row_hash).cast("string").alias("checksum"),
+        F.sum(row_content_hash(cols)).cast("string").alias("checksum"),
     )

@@ -1096,9 +1096,10 @@ def events_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CAST(CAST(CONCAT('0x', substr(md5(
-             COALESCE(CAST(event_id AS VARCHAR), chr(0)) || '|' ||
-             COALESCE(CAST(user_id AS VARCHAR), chr(0)) || '|' ||
-             COALESCE(event_type, chr(0))), 1, 15)) AS BIGINT)
+             CASE WHEN event_id IS NULL THEN '-:' ELSE CONCAT(CAST(length(CAST(event_id AS VARCHAR)) AS VARCHAR), ':', CAST(event_id AS VARCHAR)) END ||
+             CASE WHEN user_id IS NULL THEN '-:' ELSE CONCAT(CAST(length(CAST(user_id AS VARCHAR)) AS VARCHAR), ':', CAST(user_id AS VARCHAR)) END ||
+             CASE WHEN event_type IS NULL THEN '-:' ELSE CONCAT(CAST(length(event_type) AS VARCHAR), ':', event_type) END
+             ), 1, 15)) AS BIGINT)
            AS DECIMAL(38,0))) AS VARCHAR) AS checksum
 FROM events
 """,
@@ -1126,9 +1127,10 @@ def events_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CAST(CAST(CONCAT('0x', substr(md5(
-             COALESCE(CAST(event_id AS VARCHAR), chr(0)) || '|' ||
-             COALESCE(CAST(user_id AS VARCHAR), chr(0)) || '|' ||
-             COALESCE(event_type, chr(0))), 1, 15)) AS BIGINT)
+             CASE WHEN event_id IS NULL THEN '-:' ELSE CONCAT(CAST(length(CAST(event_id AS VARCHAR)) AS VARCHAR), ':', CAST(event_id AS VARCHAR)) END ||
+             CASE WHEN user_id IS NULL THEN '-:' ELSE CONCAT(CAST(length(CAST(user_id AS VARCHAR)) AS VARCHAR), ':', CAST(user_id AS VARCHAR)) END ||
+             CASE WHEN event_type IS NULL THEN '-:' ELSE CONCAT(CAST(length(event_type) AS VARCHAR), ':', event_type) END
+             ), 1, 15)) AS BIGINT)
            AS DECIMAL(38,0))) AS VARCHAR) AS checksum
 FROM events GROUP BY event_type
 """,

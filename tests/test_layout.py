@@ -178,3 +178,141 @@ def test_checksum_invariant_under_relayout_and_sensitive_to_change(spark, tmp_pa
     )
     m = tuple(dataset_checksum(mutated, cols).first())
     assert m[0] == ck(src)[0] and m[1] != ck(src)[1]
+
+
+def _checksum_oracle_sql(cols, table, by=None):
+    """DuckDB mirror of merge.row_content_hash — same length-prefixed
+    encoding (`<len>:<value>`, NULL -> '-:')."""
+    enc = " || ".join(
+        f"CASE WHEN {c} IS NULL THEN '-:' ELSE CONCAT(CAST(length(CAST({c} "
+        f"AS VARCHAR)) AS VARCHAR), ':', CAST({c} AS VARCHAR)) END"
+        for c in cols
+    )
+    expr = (
+        "CAST(SUM(CAST(CAST(CONCAT('0x', substr(md5("
+        + enc
+        + "), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR)"
+    )
+    if by:
+        bycols = ", ".join(by)
+        return (
+            f"SELECT {bycols}, CAST(COUNT(*) AS BIGINT) AS n_rows, {expr} AS "
+            f"checksum FROM {table} GROUP BY {bycols} ORDER BY {bycols}"
+        )
+    return (
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, {expr} AS checksum "
+        f"FROM {table}"
+    )
+
+
+def test_checksum_null_sentinel_and_separator_unambiguous(spark, tmp_path):
+    """NULL-bearing and '|'-bearing rows: (a) the Spark checksum matches
+    the DuckDB oracle encoding (catches the r6 4-char-'\\x00' sentinel
+    divergence), (b) the global and per-group forms agree on the same
+    rows, (c) rows that a '|'-joined encoding would conflate hash
+    differently."""
+    import duckdb
+
+    from security_data_pipeline_spark.operators.merge import (
+        dataset_checksum,
+        dataset_checksum_by,
+    )
+
+    rows = [
+        ("a|b", "c", "g1"),
+        ("a", "b|c", "g1"),  # '|'-joined encodings conflate these two
+        (None, "", "g2"),
+        ("", None, "g2"),  # and these two under a shared NULL sentinel
+        (None, None, "g2"),
+        ("\\x00", "x", "g1"),  # the literal 4-char string r6 used
+        ("\x00", "x", "g1"),  # vs a real NUL byte in the data
+    ]
+    df = spark.createDataFrame(rows, "a string, b string, grp string")
+    path = str(tmp_path / "nulls")
+    df.write.parquet(path)
+    back = spark.read.parquet(path)
+
+    got = tuple(dataset_checksum(back, ["a", "b"]).first())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM '{path}/*.parquet'")
+    exp = con.sql(_checksum_oracle_sql(["a", "b"], "t")).fetchone()
+    assert got == exp, f"spark {got} vs duckdb {exp}"
+
+    got_by = sorted(
+        map(tuple, dataset_checksum_by(back, ["a", "b"], ["grp"]).collect())
+    )
+    exp_by = [tuple(r) for r in con.sql(
+        _checksum_oracle_sql(["a", "b"], "t", by=["grp"])
+    ).fetchall()]
+    assert got_by == exp_by
+    con.close()
+
+    # global == exact decimal sum over the per-group checksums: the two
+    # primitives must agree about the same rows (the generation-diff
+    # contract the r6 sentinel divergence broke)
+    assert int(got[1]) == sum(int(r[2]) for r in got_by)
+    assert got[0] == sum(r[1] for r in got_by)
+
+    # all 7 rows hash distinctly: no '|'-ambiguity, no NULL/empty/sentinel
+    # collisions
+    from security_data_pipeline_spark.operators.merge import row_content_hash
+
+    hashes = [
+        r[0]
+        for r in back.select(
+            row_content_hash(["a", "b"]).cast("string").alias("h")
+        ).collect()
+    ]
+    assert len(set(hashes)) == len(rows), hashes
+
+
+def test_checksum_properties_hypothesis(spark, tmp_path):
+    """Property check over adversarial row sets (NULLs, empties, '|', ':',
+    digits-only strings): global checksum == DuckDB oracle, per-group sums
+    reconcile to the global, and any single-value mutation moves it."""
+    import duckdb
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from security_data_pipeline_spark.operators.merge import (
+        dataset_checksum,
+        dataset_checksum_by,
+    )
+
+    val = st.one_of(
+        st.none(),
+        st.sampled_from(["", "|", ":", "a|b", "1:ab", "-:", "\\x00"]),
+        st.text(alphabet="ab|:0123456789-", max_size=6),
+    )
+    rows_strategy = st.lists(
+        st.tuples(val, val, st.sampled_from(["g1", "g2"])),
+        min_size=1,
+        max_size=12,
+    )
+
+    @given(rows=rows_strategy)
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(rows):
+        df = spark.createDataFrame(rows, "a string, b string, grp string")
+        g = tuple(dataset_checksum(df, ["a", "b"]).first())
+        con = duckdb.connect()
+        pdf = df.toPandas()  # noqa: F841 — registered below by name
+        con.register("t", pdf)
+        e = con.sql(_checksum_oracle_sql(["a", "b"], "t")).fetchone()
+        con.close()
+        assert g == e, f"{rows}: spark {g} vs duckdb {e}"
+        by = dataset_checksum_by(df, ["a", "b"], ["grp"]).collect()
+        assert int(g[1]) == sum(int(r["checksum"]) for r in by)
+        # single-value mutation sensitivity: append ONE char to column a of
+        # the first row (covers the NULL -> value transition too)
+        mut = [(("m" if a is None else a + "m"), b, grp) for a, b, grp in rows[:1]]
+        mdf = spark.createDataFrame(mut + rows[1:], df.schema)
+        m = tuple(dataset_checksum(mdf, ["a", "b"]).first())
+        assert m[1] != g[1], f"mutation not detected for {rows}"
+
+    check()
