@@ -38,6 +38,9 @@ def main() -> None:
         desc = " ".join(spec.description.split())
         if len(desc) > 300:
             desc = desc[:297] + "..."
+        # a literal '|' in a description (e.g. a concat expression) would
+        # split the markdown table cell
+        desc = desc.replace("|", "\\|")
         lines.append(f"| {i} | `{name}` | {scope} | {oracle} | {desc} |")
     lines.append("")
     with open("QUERIES.md", "w") as f:

@@ -925,22 +925,24 @@ def pick_cluster_survivors(
     wants ("of these five near-identical pages, keep the cleanest one").
 
     ``clusters`` = :func:`connected_components` output (id, cluster);
-    ``scores`` = any per-doc quality signal (classifier score, length,
-    LM perplexity negated). Output: ``id_col, cluster_col, survivor_id,
-    keep`` for every member. The argmax is ONE aggregate of a
-    lexicographic (score, -id, id) struct per cluster — no window over
-    members, no per-cluster sort; the survivor frame (one row per
-    cluster) joins back on the cluster key.
+    ``scores`` = any per-doc NUMERIC quality signal (classifier score,
+    length, LM perplexity negated) — non-null per member. Ids may be any
+    orderable type (the string doc ids the rest of this module accepts
+    included): the argmax is ONE ``min_by`` aggregate over a
+    lexicographic (-score, id) struct per cluster — negation touches only
+    the numeric score, never the id — so no window over members, no
+    per-cluster sort; the survivor frame (one row per cluster) joins back
+    on the cluster key. Deterministic: the (−score, id) key is unique
+    per member.
     """
     member = clusters.join(scores, id_col)
     best = member.groupBy(cluster_col).agg(
-        F.max(
+        F.min_by(
+            F.col(id_col),
             F.struct(
-                F.col(score_col).alias("s"),
-                (-F.col(id_col)).alias("negid"),
-                F.col(id_col).alias("id"),
-            )
-        )["id"].alias("survivor_id")
+                (-F.col(score_col)).alias("ns"), F.col(id_col).alias("id")
+            ),
+        ).alias("survivor_id")
     )
     return clusters.join(best, cluster_col).select(
         id_col,

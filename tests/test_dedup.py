@@ -268,6 +268,28 @@ def test_pick_cluster_survivors_policy(spark):
     assert out[9] == (9, True) and out[10] == (9, False)
 
 
+def test_pick_cluster_survivors_string_ids(spark):
+    """String doc ids (what connected_components/minhash accept) must work:
+    the tie-break orders ids lexicographically without numeric casts."""
+    clusters = spark.createDataFrame(
+        [("d/a", "c1"), ("d/b", "c1"), ("d/c", "c1"), ("x", "x")],
+        "doc_id string, cluster_id string",
+    )
+    scores = spark.createDataFrame(
+        [("d/a", 1.0), ("d/b", 7.0), ("d/c", 7.0), ("x", 0.5)],
+        "doc_id string, score double",
+    )
+    out = {
+        r["doc_id"]: (r["survivor_id"], r["keep"])
+        for r in dedup.pick_cluster_survivors(clusters, scores).collect()
+    }
+    # d/b and d/c tie at 7.0 -> lexicographically lowest id d/b wins
+    assert out["d/a"] == ("d/b", False)
+    assert out["d/b"] == ("d/b", True)
+    assert out["d/c"] == ("d/b", False)
+    assert out["x"] == ("x", True)
+
+
 def test_incremental_components_equal_full_recompute(spark):
     """Star contraction: folding a new batch's nodes/edges into an old
     labeling equals the full recompute on the cumulative graph — across
