@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from security_data_pipeline_spark.operators import cleaning, normalization
 from security_data_pipeline_spark.sources.raw_events import RAW_EVENTS_SCHEMA
@@ -677,6 +678,71 @@ def maintain_drift_stream(
     return writer.start()
 
 
+def _lineage_tag(checkpoint_path: str) -> str:
+    """Stable per-checkpoint-lineage directory token (leading letter so
+    parquet partition-value type inference can never read it as a
+    number)."""
+    import hashlib
+
+    return "t" + hashlib.md5(checkpoint_path.encode()).hexdigest()[:8]
+
+
+def _dir_committed(spark: SparkSession, path: str) -> bool:
+    """True iff a per-batch index directory finished its write (the
+    ``_SUCCESS`` marker exists) — the commit point of the corpus-index
+    maintainers' replay guards."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(jpath)
+
+
+def prune_band_index(index: DataFrame, bb: DataFrame, pfx_mod: int) -> DataFrame:
+    """Restrict the persisted band index to the partitions the batch band
+    frame ``bb`` can possibly collide with: collect the batch's distinct
+    ``_pk`` partition keys (≤ n_bands·pfx_mod values — bounded, tiny) and
+    filter the index on them, which Spark turns into a directory-pruned
+    read (``PartitionFilters``) rather than a full-index scan."""
+    pks = [
+        r["_pk"]
+        for r in bb.select(_band_pk(pfx_mod).alias("_pk")).distinct().collect()
+    ]
+    return index.filter(F.col("_pk").isin(pks)).drop("_tag", "batch", "_pk")
+
+
+def _band_pk(pfx_mod: int):
+    """Partition key of a band-index row: band and a bounded bhash prefix,
+    folded into one string value (leading 'p' defeats numeric partition
+    type inference)."""
+    return F.concat(
+        F.lit("p"),
+        (F.col("band") * pfx_mod + F.pmod(F.col("bhash"), F.lit(pfx_mod)))
+        .cast("string"),
+    )
+
+
+def _fp_pfx():
+    """Bounded partition prefix of a fingerprint: 'p' + first 2 hex chars
+    (256 values; the letter defeats numeric partition type inference)."""
+    return F.concat(F.lit("p"), F.substring(F.col("_fp"), 1, 2))
+
+
+def corpus_fresh_rows(local: DataFrame, index: DataFrame) -> DataFrame:
+    """Rows of ``local`` whose ``_fp`` is absent from the persisted
+    fingerprint ``index`` — computed with a directory-pruned map-side
+    index scan and two batch-side broadcasts, so NO Exchange ever holds
+    the index (see :func:`dedup_stream_against_corpus`)."""
+    prefixes = [
+        r["_pfx"]
+        for r in local.select(_fp_pfx().alias("_pfx")).distinct().collect()
+    ]
+    pruned = index.filter(F.col("_pfx").isin(prefixes)).select("_fp")
+    matched = pruned.join(
+        F.broadcast(local.select("_fp")), "_fp", "left_semi"
+    )
+    return local.join(F.broadcast(matched), "_fp", "left_anti")
+
+
 def maintain_neardup_stream(
     stream_df: DataFrame,
     state_path: str,
@@ -688,6 +754,7 @@ def maintain_neardup_stream(
     n_bands: int = 8,
     verify_threshold: float = 0.8,
     bucket_cap: int | None = None,
+    pfx_mod: int = 32,
     trigger_available_now: bool = True,
 ):
     """Streaming NEAR-dup maintenance: every micro-batch of documents is
@@ -696,13 +763,19 @@ def maintain_neardup_stream(
     of anything we already have, and which cluster does it join?") run
     incrementally at crawl cadence.
 
-    Per batch, three batch-sized pieces of work — nothing rescans the
-    corpus:
+    Per batch, three batch-sized pieces of work — nothing rescans or
+    reshuffles the corpus:
 
     1. the batch's MinHash band frame (one batch scan) is joined against
-       the PERSISTED band index (``{state_path}__bands``, the cumulative
-       corpus index) — candidate generation cost follows cross-side
-       bucket co-occupancy, exactly :func:`...dedup.cross_corpus_neardups`;
+       the PERSISTED band index (``{state_path}__bands``) — the index is
+       PARTITIONED by ``_pk = band·pfx_mod + (bhash mod pfx_mod)``
+       (``n_bands·pfx_mod`` directories, 256 at the defaults), the batch's
+       distinct partition keys (a bounded ≤256-row driver list) prune the
+       read to only the directories the batch can collide with, and the
+       batch band frame is BROADCAST into the join — so the index side is
+       a directory-pruned map-side scan with NO Exchange, per-batch cost
+       follows the batch's bucket coverage, not corpus size
+       (plan-asserted in tests/test_streaming.py);
     2. within-batch pairs come from the self-join form on the batch;
     3. the verified edges fold into the persisted labeling via
        :func:`...dedup.connected_components_incremental` — star
@@ -710,13 +783,16 @@ def maintain_neardup_stream(
 
     State: ``{state_path}`` = the labels (scratch-swap + exactly-once
     lineage-tagged batch-id guard, the shared fold protocol);
-    ``{state_path}__bands/batch=<id>/`` = one idempotent per-batch
-    directory of band rows (an overwrite of its own directory on crash
-    replay — never an append, so replays cannot duplicate the index).
+    ``{state_path}__bands/_tag=<lineage>/batch=<id>/_pk=<k>/`` = one
+    idempotent per-batch directory tree of band rows (an overwrite of its
+    own directory on crash replay — never an append, so replays cannot
+    duplicate the index; the lineage level keeps a fresh-checkpoint
+    restart's batch 0 from clobbering an earlier lineage's batch 0).
     A crash between the index write and the labels commit replays the
     batch: the re-read index then already contains this batch's bands, so
     the cross join also emits the batch's internal pairs — harmless,
-    edges are set-semantics under connected components. The final
+    edges are set-semantics under connected components. ``bucket_cap``
+    aggregates bucket sizes over the PRUNED directories only. The final
     labeling provably equals the batch recompute over the cumulative
     corpus (tests/test_streaming.py).
     """
@@ -727,6 +803,7 @@ def maintain_neardup_stream(
 
     scratch = f"{state_path}__next"
     bands_root = f"{state_path}__bands"
+    tag = _lineage_tag(checkpoint_path)
 
     def _missing(e: AnalysisException) -> bool:
         for probe in ("getCondition", "getErrorClass"):
@@ -768,8 +845,10 @@ def maintain_neardup_stream(
         index = _read(spark, bands_root)
         bb = dedup._minhash_band_frame(
             batch, id_col, text_col, n, num_perm, n_bands, True, False
-        )
-        bb.write.mode("overwrite").parquet(f"{bands_root}/batch={batch_id}")
+        ).localCheckpoint()
+        bb.withColumn("_pk", _band_pk(pfx_mod)).write.partitionBy(
+            "_pk"
+        ).mode("overwrite").parquet(f"{bands_root}/_tag={tag}/batch={batch_id}")
         self_pairs = dedup.minhash_lsh_pairs(
             batch,
             id_col=id_col,
@@ -782,9 +861,11 @@ def maintain_neardup_stream(
         ).select("id_a", "id_b")
         edges = self_pairs
         if index is not None:
+            # batch side broadcast: the index side streams map-side with
+            # directory pruning — no Exchange touches the corpus index
             cross = dedup._band_join_pairs(
-                bb,
-                index.drop("batch"),
+                F.broadcast(bb),
+                prune_band_index(index, bb, pfx_mod),
                 verify_threshold,
                 bucket_cap,
             ).select(
@@ -831,20 +912,45 @@ def dedup_stream_against_corpus(
     text) is absent from the persisted fingerprint index, delivered to
     ``sink``; the batch's new fingerprints then join the index.
 
-    Per-batch work is one LEFT ANTI join of the batch against the
-    fingerprint index — at 100 TB the index is a parquet table of one
-    16-byte row per distinct document ever seen, and the anti join
-    shuffles only the BATCH (the index side is scanned, never rewritten).
-    The index grows by one idempotent per-batch directory
-    (``{state_path}/batch=<id>`` — an overwrite on crash replay, never an
-    append, so replays cannot duplicate fingerprints; a duplicated
-    fingerprint would anyway only re-drop, never re-admit). Within-batch
-    duplicates keep the lowest id. Returns the StreamingQuery.
+    Per-batch work touches the corpus index only through a DIRECTORY-
+    PRUNED MAP-SIDE scan — no Exchange ever holds the index
+    (plan-asserted in tests/test_streaming.py):
+
+    - the index is partitioned by a bounded fingerprint prefix
+      (``_pfx = 'p' + first 2 hex chars`` → 256 directories); the batch's
+      distinct prefixes (a ≤256-row driver list) prune the read to only
+      the directories the batch can hit;
+    - the anti join is computed as two BROADCAST joins that never build
+      on the index: ``matched = pruned_index LEFT SEMI
+      broadcast(batch_fps)`` (index streams map-side), then ``fresh =
+      batch LEFT ANTI broadcast(matched)`` (matched ≤ batch size). A
+      direct ``batch LEFT ANTI index`` would be forced into a sort-merge
+      or shuffled-hash join at scale — Spark cannot broadcast the LEFT
+      side of a LeftAnti — shuffling the whole ever-seen index per batch.
+      The broadcasts are batch-sized, so size micro-batches via the
+      trigger (maxFilesPerTrigger / maxBytesPerTrigger) as usual.
+
+    The index grows by one idempotent per-batch directory tree
+    (``{state_path}/_tag=<lineage>/batch=<id>/_pfx=<p>/`` — an overwrite
+    on crash replay, never an append, so replays cannot duplicate
+    fingerprints; the lineage level keeps a fresh-checkpoint restart's
+    batch 0 from clobbering an earlier lineage's; a duplicated
+    fingerprint would anyway only re-drop, never re-admit).
+
+    Delivery: the batch's committed index directory (its ``_SUCCESS``
+    marker) is the guard — a replay of an already-committed batch skips
+    the sink entirely, so duplicates can reach ``sink`` ONLY when a crash
+    lands in the window between the sink call and the index commit
+    (at-least-once in that window, exactly-once otherwise; state is
+    correct either way). Within-batch duplicates keep the lowest id.
+    Returns the StreamingQuery.
     """
     from pyspark.errors.exceptions.captured import AnalysisException
     from pyspark.sql import functions as F
 
     from security_data_pipeline_spark.operators.textops import fingerprint
+
+    tag = _lineage_tag(checkpoint_path)
 
     def _missing(e: AnalysisException) -> bool:
         for probe in ("getCondition", "getErrorClass"):
@@ -858,6 +964,12 @@ def dedup_stream_against_corpus(
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        batch_dir = f"{state_path}/_tag={tag}/batch={batch_id}"
+        if _dir_committed(spark, batch_dir):
+            # replay of a fully-committed batch: the index write follows
+            # the sink, so the sink already ran — skip to avoid
+            # re-delivering the same survivors
+            return
         with_fp = batch_df.withColumn("_fp", fingerprint(text_col))
         # within-batch exact dedup first: lowest id survives
         from pyspark.sql import Window
@@ -867,22 +979,21 @@ def dedup_stream_against_corpus(
             with_fp.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
-        )
+        ).localCheckpoint()
         try:
-            index = spark.read.parquet(state_path).select("_fp")
+            index = spark.read.parquet(state_path)
         except AnalysisException as e:
             if not _missing(e):
                 raise
             index = None
-        fresh = (
-            local
-            if index is None
-            else local.join(index, "_fp", "left_anti")
-        ).localCheckpoint()
+        if index is None:
+            fresh = local.localCheckpoint()
+        else:
+            fresh = corpus_fresh_rows(local, index).localCheckpoint()
         sink(fresh.drop("_fp"), batch_id)
-        fresh.select("_fp").write.mode("overwrite").parquet(
-            f"{state_path}/batch={batch_id}"
-        )
+        fresh.select(
+            "_fp", _fp_pfx().alias("_pfx")
+        ).write.partitionBy("_pfx").mode("overwrite").parquet(batch_dir)
 
     writer = (
         stream_df.writeStream.outputMode("append")

@@ -729,3 +729,180 @@ def test_streaming_dedup_against_corpus_never_readmits(spark, tmp_path):
     )
     # 1 survives (2 and 4 are case/space variants of it), 3, 5, 8
     assert survivors == [1, 3, 5, 8]
+
+
+def test_corpus_fingerprint_join_prunes_and_never_shuffles_index(
+    spark, tmp_path
+):
+    """The 100 TB contract of dedup_stream_against_corpus: the persisted
+    fingerprint index is read with directory pruning (PartitionFilters on
+    the bounded _pfx prefix) and NO shuffle Exchange ever holds the index
+    — both joins broadcast batch-sized sides only."""
+    from security_data_pipeline_spark.operators.textops import fingerprint
+    from security_data_pipeline_spark.streaming.pipeline import (
+        _fp_pfx,
+        corpus_fresh_rows,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"historic doc number {i}") for i in range(64)],
+        "doc_id long, text string",
+    ).withColumn("_fp", fingerprint("text"))
+    root = str(tmp_path / "fps")
+    corpus.select("_fp", _fp_pfx().alias("_pfx")).write.partitionBy(
+        "_pfx"
+    ).parquet(root + "/_tag=tabc/batch=0")
+    index = spark.read.parquet(root)
+
+    batch = spark.createDataFrame(
+        [(i, f"historic doc number {i}") for i in range(60, 70)],
+        "doc_id long, text string",
+    ).withColumn("_fp", fingerprint("text"))
+    fresh = corpus_fresh_rows(batch, index)
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # no shuffle anywhere in this subplan: only broadcast exchanges
+    assert "Exchange hashpartitioning" not in plan, plan
+    pruned_scans = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line
+        and "_pfx" in line
+        and (" IN " in line or "INSET" in line)
+    ]
+    assert pruned_scans, plan
+    # and it still computes the right answer
+    assert sorted(r["doc_id"] for r in fresh.collect()) == [64, 65, 66, 67, 68, 69]
+
+
+def test_band_index_join_prunes_and_never_shuffles_index(spark, tmp_path):
+    """Same contract for maintain_neardup_stream's band index: pruned
+    directory read, batch band frame broadcast, no sort-merge join; the
+    only hash exchange is the candidate-pair dedup (bounded by cross-side
+    bucket co-occupancy, i.e. batch-sized)."""
+    from pyspark.sql import functions as F
+
+    from security_data_pipeline_spark.operators import dedup
+    from security_data_pipeline_spark.streaming.pipeline import (
+        _band_pk,
+        prune_band_index,
+    )
+
+    def doc(seed: int, extra: str = "") -> str:
+        return " ".join(f"w{seed}x{i}" for i in range(12)) + (
+            " " + extra if extra else ""
+        )
+
+    corpus = spark.createDataFrame(
+        [(i, doc(i)) for i in range(30)], "doc_id long, text string"
+    )
+    bb_all = dedup._minhash_band_frame(
+        corpus, "doc_id", "text", 5, 32, 8, True, False
+    )
+    root = str(tmp_path / "bands")
+    bb_all.withColumn("_pk", _band_pk(32)).write.partitionBy("_pk").parquet(
+        root + "/_tag=tabc/batch=0"
+    )
+    index = spark.read.parquet(root)
+
+    batch = spark.createDataFrame(
+        [(100, doc(3, "tail")), (101, doc(999))], "doc_id long, text string"
+    )
+    bb = dedup._minhash_band_frame(
+        batch, "doc_id", "text", 5, 32, 8, True, False
+    ).localCheckpoint()
+    pairs = dedup._band_join_pairs(
+        F.broadcast(bb), prune_band_index(index, bb, 32), 0.3, None
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the single hash exchange is the candidate-pair dropDuplicates
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    pruned_scans = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line
+        and "_pk" in line
+        and (" IN " in line or "INSET" in line)
+    ]
+    assert pruned_scans, plan
+    # doc 100 is a near-dup of corpus doc 3; doc 101 matches nothing
+    got = {(r["new_id"], r["ref_id"]) for r in pairs.collect()}
+    assert got == {(100, 3)}
+
+
+def test_corpus_dedup_replay_skips_sink_and_new_lineage_keeps_index(
+    spark, tmp_path
+):
+    """Crash-replay delivery guard: re-running the drained stream with the
+    SAME checkpoint path wiped (every batch replays, ids restart at 0 with
+    identical batch dirs committed) must not re-deliver any survivor; a
+    FRESH checkpoint path (new lineage) must not clobber the existing
+    index — every re-sent doc is a known dup, zero deliveries."""
+    import os
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.streaming.pipeline import (
+        dedup_stream_against_corpus,
+    )
+
+    batches = [
+        [(1, "alpha beta"), (2, "delta x")],
+        [(3, "alpha  BETA"), (4, "epsilon y")],
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    base = time.time() - 100
+    for bi, rows in enumerate(batches):
+        f = src / f"b{bi}.parquet"
+        pq.write_table(
+            pa.table(
+                {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+            ),
+            f,
+        )
+        os.utime(f, (base + bi, base + bi))
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "fps")
+    ckpt = str(tmp_path / "ckpt")
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    def run(checkpoint):
+        q = dedup_stream_against_corpus(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src)),
+            state,
+            checkpoint,
+            sink,
+        )
+        q.awaitTermination(120)
+
+    run(ckpt)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert first == [1, 2, 4]  # 3 is a case/space dup of 1
+
+    # full replay: same checkpoint path, checkpoint state lost — every
+    # batch re-fires with the same ids; committed index dirs skip the sink
+    shutil.rmtree(ckpt)
+    run(ckpt)
+    replay = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert replay == first, "replay re-delivered survivors"
+
+    # fresh lineage over kept state: new tag dirs, old index intact, and
+    # every re-sent doc is already fingerprinted -> no new deliveries
+    run(str(tmp_path / "ckpt2"))
+    again = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert again == first
+    tags = {d for d in os.listdir(state) if d.startswith("_tag=")}
+    assert len(tags) == 2, tags
+    n_fps = spark.read.parquet(state).count()
+    assert n_fps == 3  # alpha-beta, delta-x, epsilon-y; never duplicated
