@@ -1166,6 +1166,205 @@ def build_ivf_sq8_index(
     return cents
 
 
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental refresh of a :func:`build_ivf_index` layout — the
+    nightly-ingest path: assign ONLY the new vectors map-side against the
+    EXISTING codebook (a driver-list literal, so the only shuffle is the
+    partitioned write of the new rows) and APPEND them to their cluster
+    directories. Search plans are unchanged — partition pruning doesn't
+    care how many generations a directory holds. Given the same codebook,
+    an append-built index holds exactly the rows a full rebuild would
+    (assignment is a deterministic argmax), asserted bit-equal in tests.
+
+    Centroids are NOT refitted here; after many appends the assignment
+    drifts from what a refit would give — watch
+    :func:`ivf_index_staleness` for when a rebuild pays for itself.
+    """
+    clustered = ivf_assign(
+        new_vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ),
+        centroids,
+        vec_col="embedding",
+    )
+    clustered.write.mode("append").partitionBy("ivf_cluster").parquet(path)
+
+
+def append_to_ivf_sq8_index(
+    spark,
+    new_vectors: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental refresh of a :func:`build_ivf_sq8_index` layout: new
+    vectors are assigned against the existing codebook and encoded on the
+    EXISTING per-cluster grids (read from the ``{path}__grid`` sidecar —
+    the grids must stay fixed, or old codes would decode on a different
+    scale than new ones). A new vector can fall OUTSIDE its cluster's
+    fitted (mins, maxs) box; its codes CLAMP to [0, 255] (reconstruction
+    saturates at the grid edge) and the vector is counted as an
+    out-of-grid violation. Returns the per-cluster violation report
+    ``(ivf_cluster, n_appended, n_out_of_grid)`` and journals it to
+    ``{path}__viol`` so :func:`ivf_index_staleness` can accumulate grid
+    staleness across appends. One batch-sized pass; the index itself
+    grows by an appended file per touched cluster directory.
+    """
+    grid = spark.read.parquet(f"{path}__grid")
+    clustered = ivf_assign(
+        new_vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ),
+        centroids,
+        vec_col="embedding",
+    )
+    v = F.col("embedding").cast("array<double>")
+    mn = F.col("mins")
+    mx = F.col("maxs")
+    out_of_grid = F.exists(
+        F.transform(
+            v,
+            lambda x, i: (x < F.element_at(mn, i + 1))
+            | (x > F.element_at(mx, i + 1)),
+        ),
+        lambda b: b,
+    )
+    codes = F.transform(
+        v,
+        lambda x, i: F.when(
+            F.element_at(mx, i + 1) == F.element_at(mn, i + 1), F.lit(0)
+        )
+        .otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(255),
+                    F.floor(
+                        (x - F.element_at(mn, i + 1))
+                        / (F.element_at(mx, i + 1) - F.element_at(mn, i + 1))
+                        * F.lit(255.0)
+                        + F.lit(0.5)
+                    ),
+                ),
+            )
+        )
+        .cast("int"),
+    )
+    enc = (
+        clustered.join(F.broadcast(grid), "ivf_cluster")
+        .select(
+            "vec_id",
+            codes.alias("sq8_codes"),
+            "ivf_cluster",
+            out_of_grid.alias("_oog"),
+        )
+        .localCheckpoint()
+    )
+    enc.drop("_oog").write.mode("append").partitionBy("ivf_cluster").parquet(
+        path
+    )
+    report = enc.groupBy("ivf_cluster").agg(
+        F.count(F.lit(1)).alias("n_appended"),
+        F.sum(F.col("_oog").cast("long")).alias("n_out_of_grid"),
+    )
+    report.write.mode("append").parquet(f"{path}__viol")
+    return report
+
+
+def ivf_index_staleness(
+    spark,
+    path: str,
+    size_skew_factor: float = 4.0,
+    out_of_grid_frac: float = 0.01,
+) -> DataFrame:
+    """Staleness report for a persisted IVF / IVF-SQ8 index — the signal
+    that tells the operator when append-only refresh has drifted far
+    enough that a rebuild (centroid refit, grid refit) pays for itself.
+
+    Per cluster: ``n_rows`` (a partition-column-only count — column
+    pruning reads no vector data), ``bytes`` (filesystem metadata via
+    ``list_data_files``), cumulative ``n_appended`` / ``n_out_of_grid``
+    from the append journal (``{path}__viol``, zero if the index has
+    never been appended to), and two flags — ``size_skew`` (cluster holds
+    > ``size_skew_factor`` × the median cluster's rows: the centroid no
+    longer splits the data well, probes of that cluster scan far more
+    than 1/n_centroids of the corpus) and ``grid_stale`` (more than
+    ``out_of_grid_frac`` of appended vectors clamped outside the fitted
+    quantization box). ``rebuild_hint`` = either flag.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from security_data_pipeline_spark.operators.layout import list_data_files
+
+    rows = (
+        spark.read.parquet(path)
+        .groupBy("ivf_cluster")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    by_dir: dict[int, int] = {}
+    for fname, size in list_data_files(spark, path):
+        seg = [s for s in fname.split("/") if s.startswith("ivf_cluster=")]
+        if seg:
+            cid = int(seg[-1].split("=", 1)[1])
+            by_dir[cid] = by_dir.get(cid, 0) + size
+    bytes_df = spark.createDataFrame(
+        [(k, v) for k, v in by_dir.items()] or [(None, None)],
+        "ivf_cluster int, bytes long",
+    )
+    try:
+        viol = (
+            spark.read.parquet(f"{path}__viol")
+            .groupBy("ivf_cluster")
+            .agg(
+                F.sum("n_appended").alias("n_appended"),
+                F.sum("n_out_of_grid").alias("n_out_of_grid"),
+            )
+        )
+    except AnalysisException:
+        viol = spark.createDataFrame(
+            [],
+            "ivf_cluster int, n_appended long, n_out_of_grid long",
+        )
+    report = (
+        rows.join(bytes_df, "ivf_cluster", "left")
+        .join(viol, "ivf_cluster", "left")
+        .na.fill({"n_appended": 0, "n_out_of_grid": 0})
+    )
+    med = report.agg(
+        F.expr("percentile_approx(n_rows, 0.5)").alias("_med")
+    )
+    return (
+        report.crossJoin(F.broadcast(med))
+        .select(
+            "ivf_cluster",
+            "n_rows",
+            "bytes",
+            "n_appended",
+            "n_out_of_grid",
+            (F.col("n_rows") > F.lit(size_skew_factor) * F.col("_med")).alias(
+                "size_skew"
+            ),
+            (
+                (F.col("n_appended") > 0)
+                & (
+                    F.col("n_out_of_grid")
+                    > F.lit(out_of_grid_frac) * F.col("n_appended")
+                )
+            ).alias("grid_stale"),
+        )
+        .withColumn(
+            "rebuild_hint", F.col("size_skew") | F.col("grid_stale")
+        )
+    )
+
+
 def sq8_dequant_codes(
     codes_col: str, mins_col: str, maxs_col: str
 ) -> F.Column:

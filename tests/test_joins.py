@@ -912,3 +912,102 @@ def test_ivf_sq8_index_recall_parity_and_compression(spark, tmp_path):
     float_bytes = du(fpath)
     sq8_bytes = du(qpath) + du(qpath + "__grid")
     assert sq8_bytes < 0.6 * float_bytes, (sq8_bytes, float_bytes)
+
+
+def test_ivf_index_append_equals_full_rebuild(spark, tmp_path):
+    """Incremental refresh contract: build the index on half the corpus,
+    append the other half against the SAME codebook — search results must
+    be BIT-EQUAL to a full rebuild with that codebook (assignment is a
+    deterministic argmax, so the layouts hold identical rows)."""
+    from security_data_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    full_path = str(tmp_path / "ivf_full")
+    cents = similarity.build_ivf_index(half_a, inc_path, n_centroids=16)
+    similarity.append_to_ivf_index(half_b, inc_path, cents)
+    similarity.build_ivf_index(emb, full_path, centroids=cents)
+
+    pred = F.col("vec_id") < 30
+    q = emb.filter(pred)
+    got = sorted(map(tuple, similarity.search_ivf_index(
+        spark, inc_path, queries=q, centroids=cents, k=3, n_probe=4
+    ).collect()))
+    exp = sorted(map(tuple, similarity.search_ivf_index(
+        spark, full_path, queries=q, centroids=cents, k=3, n_probe=4
+    ).collect()))
+    assert got == exp and len(got) > 0
+
+
+def test_ivf_sq8_append_roundtrip_violations_and_staleness(spark, tmp_path):
+    """SQ8 append: new vectors encode on the EXISTING per-cluster grids;
+    search over the appended index keeps the full rebuild's neighbor sets
+    within quantization tolerance (recall ≥ 0.9); vectors outside the
+    fitted grid clamp and are counted; the staleness report surfaces the
+    violation fraction and per-cluster sizes."""
+    from security_data_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    inc_path = str(tmp_path / "sq8_inc")
+    full_path = str(tmp_path / "sq8_full")
+    cents = similarity.build_ivf_sq8_index(half_a, inc_path, n_centroids=16)
+    report = similarity.append_to_ivf_sq8_index(
+        spark, half_b, inc_path, cents
+    )
+    n_app, n_oog1 = report.agg(
+        F.sum("n_appended"), F.sum("n_out_of_grid")
+    ).first()
+    assert n_app == half_b.count()
+    # grids were fitted on half_a only, so SOME half_b components clamp —
+    # that's the drift signal working, not an error
+    similarity.build_ivf_sq8_index(emb, full_path, centroids=cents)
+
+    pred = F.col("vec_id") < 30
+    q = emb.filter(pred)
+    inc = similarity.search_ivf_sq8_index(
+        spark, inc_path, queries=q, centroids=cents, k=3, n_probe=4
+    )
+    full = similarity.search_ivf_sq8_index(
+        spark, full_path, queries=q, centroids=cents, k=3, n_probe=4
+    )
+    inc_sets: dict[int, set] = {}
+    for r in inc.collect():
+        inc_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    full_sets: dict[int, set] = {}
+    for r in full.collect():
+        full_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert inc_sets.keys() == full_sets.keys()
+    hits = sum(len(inc_sets[k_] & full_sets[k_]) for k_ in inc_sets)
+    total = sum(len(full_sets[k_]) for k_ in full_sets)
+    assert hits / total >= 0.9, hits / total
+
+    # out-of-grid appends clamp and are journaled: scale a few vectors far
+    # outside any fitted box
+    blown = half_b.limit(8).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 25.0).alias("embedding"),
+    )
+    rep2 = similarity.append_to_ivf_sq8_index(spark, blown, inc_path, cents)
+    assert rep2.agg(F.sum("n_out_of_grid")).first()[0] == 8
+    # clamped codes stay decodable in range
+    codes = spark.read.parquet(inc_path).select(
+        F.array_max("sq8_codes").alias("hi"), F.array_min("sq8_codes").alias("lo")
+    ).agg(F.max("hi"), F.min("lo")).first()
+    assert codes[0] <= 255 and codes[1] >= 0
+
+    stale = similarity.ivf_index_staleness(spark, inc_path).collect()
+    assert len(stale) == 16
+    assert sum(r["n_rows"] for r in stale) == emb.count() + 8
+    assert all(r["bytes"] > 0 for r in stale)
+    assert sum(r["n_out_of_grid"] for r in stale) == n_oog1 + 8
+    # the blown-up vectors exceed 1% of their clusters' appends
+    assert any(r["grid_stale"] for r in stale)
+    assert all(
+        r["rebuild_hint"] == (r["size_skew"] or r["grid_stale"]) for r in stale
+    )
