@@ -1227,6 +1227,27 @@ def _scale_suite_sql() -> str:
                 ("n_lead_null", "n_lead_null"),
             ],
         ),
+        _unpivot_arm_sql(
+            "dt",
+            "drift_trend",
+            "event_type || '|' || CAST(bucket AS VARCHAR)",
+            [("psi", "psi"), ("n_ref", "n_ref"), ("n_cur", "n_cur")],
+        ),
+        (
+            "SELECT 'checksum' AS suite, 'global|' || checksum AS item, "
+            "'n_rows' AS metric, CAST(n_rows AS DOUBLE) AS value FROM ck"
+        ),
+        (
+            "SELECT 'checksum' AS suite, event_type || '|' || checksum AS "
+            "item, 'n_rows' AS metric, CAST(n_rows AS DOUBLE) AS value "
+            "FROM ckt"
+        ),
+        _unpivot_arm_sql(
+            "xc",
+            "cross_corpus",
+            "CAST(new_id AS VARCHAR) || '|' || CAST(ref_id AS VARCHAR)",
+            [("jaccard", "jaccard")],
+        ),
     ]
     body = "\nUNION ALL\n".join(arms)
     return f"""
@@ -1263,7 +1284,11 @@ ffa AS (
          CAST(SUM(CASE WHEN value_ffill IS NULL THEN 1 ELSE 0 END)
               AS BIGINT) AS n_lead_null
   FROM ff
-)
+),
+dt AS ({cte("events_drift_trend")}),
+ck AS ({cte("events_dataset_checksum")}),
+ckt AS ({cte("events_checksum_by_type")}),
+xc AS ({cte("doc_cross_corpus_dups")})
 {body}
 """
 
@@ -1291,8 +1316,14 @@ ffa AS (
         "into the item key; (10) the Greenwald-Khanna approximate-"
         "quantile self-check (violations-only); (11) the skew-resistant "
         "bucketed forward fill summarized as carried-mass / filled-row / "
-        "leading-NULL checksums against the plain-LOCF oracle. All "
-        "eleven unpivoted to "
+        "leading-NULL checksums against the plain-LOCF oracle; (12) the "
+        "PSI drift TREND — every weekly bucket scored against its "
+        "predecessor per event type in one counts-only pass; (13) the "
+        "order-free dataset checksums, global and per-event-type — the "
+        "exact DECIMAL content digests fold into the hashed item string "
+        "so the driver witnesses every bit; (14) cross-corpus MinHash "
+        "near-dup — the fresh-crawl-vs-training-set two-sided band join "
+        "with verified Jaccard per pair. All fourteen unpivoted to "
         "one (suite, item, "
         "metric, value) stream; constituents stay registered for "
         "granular oracle checks"
@@ -1485,5 +1516,57 @@ def scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unpivot(["item"], ff_metrics, "metric", "value")
         .select(F.lit("ffill").alias("suite"), "item", "metric", "value")
+    )
+
+    # drift TREND: every weekly bucket vs its predecessor, per type
+    dt = run("events_drift_trend")
+    dt_metrics = ["psi", "n_ref", "n_cur"]
+    parts.append(
+        dt.select(
+            F.concat(
+                F.col("event_type"), F.lit("|"), F.col("bucket").cast("string")
+            ).alias("item"),
+            *[F.col(m).cast("double").alias(m) for m in dt_metrics],
+        )
+        .unpivot(["item"], dt_metrics, "metric", "value")
+        .select(F.lit("drift_trend").alias("suite"), "item", "metric", "value")
+    )
+
+    # dataset checksums: the exact DECIMAL digest strings ride in the item
+    # key (a double-cast would drop the low bits that make them checksums)
+    ck = run("events_dataset_checksum")
+    parts.append(
+        ck.select(
+            F.lit("checksum").alias("suite"),
+            F.concat(F.lit("global|"), F.col("checksum")).alias("item"),
+            F.lit("n_rows").alias("metric"),
+            F.col("n_rows").cast("double").alias("value"),
+        )
+    )
+    ckt = run("events_checksum_by_type")
+    parts.append(
+        ckt.select(
+            F.lit("checksum").alias("suite"),
+            F.concat(
+                F.col("event_type"), F.lit("|"), F.col("checksum")
+            ).alias("item"),
+            F.lit("n_rows").alias("metric"),
+            F.col("n_rows").cast("double").alias("value"),
+        )
+    )
+
+    # cross-corpus near-dup pairs (fresh crawl vs training set)
+    xc = run("doc_cross_corpus_dups")
+    parts.append(
+        xc.select(
+            F.lit("cross_corpus").alias("suite"),
+            F.concat(
+                F.col("new_id").cast("string"),
+                F.lit("|"),
+                F.col("ref_id").cast("string"),
+            ).alias("item"),
+            F.lit("jaccard").alias("metric"),
+            F.col("jaccard").cast("double").alias("value"),
+        )
     )
     return _union(parts)
