@@ -1003,3 +1003,167 @@ def dedup_stream_against_corpus(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def maintain_locf_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    sink: Callable[[DataFrame, int], None],
+    keys: list[str],
+    order_col: str,
+    cols: list[str],
+    suffix: str = "_ffill",
+    pfx_mod: int = 256,
+    trigger_available_now: bool = True,
+):
+    """Streaming LOCF (forward fill): each micro-batch's rows are filled
+    from the batch itself PLUS a persisted per-key carry state — the
+    streaming re-host of :func:`...timeseries.forward_fill`, completing
+    the timeseries family. The carry state is exactly the mergeable
+    summary :func:`...timeseries.forward_fill_bucketed` derives per
+    bucket: for every (key, column), the lexicographically latest
+    ``struct(order, value)`` with a non-NULL value.
+
+    Scale shape — per-batch work never scans or shuffles the full state:
+
+    - state is PARTITIONED by a bounded key-hash prefix
+      (``_kp = 'p' + pmod(xxhash64(keys), pfx_mod)``); the batch's
+      distinct prefixes (a ≤``pfx_mod``-row driver list) prune every
+      state read to the touched directories;
+    - the carry join builds only batch-sized sides: ``relevant = pruned
+      LEFT SEMI broadcast(batch_keys)`` (state streams map-side), then
+      the filled batch LEFT JOINs ``broadcast(relevant)``;
+    - the fold rewrites ONLY the touched prefix directories (dynamic
+      partition overwrite) with the per-key max-merge of old state and
+      the batch's summaries.
+
+    Crash safety comes from ALGEBRA, not ordering: the state fold is a
+    per-key ``max`` over (order, value) structs — IDEMPOTENT, so a
+    replayed merge is a no-op and a crash mid-write (some prefixes
+    swapped, some not) is healed by re-merging. The lineage-tagged batch
+    id stamped into the touched prefixes guards DELIVERY: a replay whose
+    pruned state already records this batch id re-merges the state but
+    skips the sink (a replayed fill would otherwise coalesce from the
+    batch's OWN folded summaries and emit different values). Only a
+    crash in the sink→state-write window re-delivers (at-least-once
+    there, exactly-once otherwise — the same bound as the other
+    maintainers).
+
+    Contract: ``order_col`` must be numeric (pass ``unix_micros(ts)``)
+    and a total order per key, and each key's observations must arrive
+    in non-decreasing order ACROSS batches (the append-only telemetry
+    shape; an in-order file stream qualifies). A row arriving below its
+    key's carried order is filled with the carried (later) value —
+    streams have no global reorder, the same documented divergence as
+    watermark-bounded dedup. Stream ≡ batch equality on in-order batches
+    is asserted in tests/test_streaming.py.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from security_data_pipeline_spark.operators.timeseries import forward_fill
+
+    tag = _lineage_tag(checkpoint_path)
+
+    def _missing(e: AnalysisException) -> bool:
+        for probe in ("getCondition", "getErrorClass"):
+            try:
+                cond = getattr(e, probe)()
+            except Exception:
+                continue
+            if cond is not None:
+                return cond == "PATH_NOT_FOUND"
+        return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
+
+    def _kp():
+        return F.concat(
+            F.lit("p"),
+            F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(pfx_mod))
+            .cast("string"),
+        )
+
+    def _summaries(batch: DataFrame) -> DataFrame:
+        return batch.groupBy(*keys).agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col(c).isNotNull(),
+                        F.struct(
+                            F.col(order_col).cast("double").alias("o"),
+                            F.col(c).alias("v"),
+                        ),
+                    )
+                ).alias(f"_last_{c}")
+                for c in cols
+            ]
+        )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint()
+        prefixes = [
+            r["_kp"]
+            for r in batch.select(_kp().alias("_kp")).distinct().collect()
+        ]
+        try:
+            state = spark.read.parquet(state_path)
+        except AnalysisException as e:
+            if not _missing(e):
+                raise
+            state = None
+        pruned = (
+            state.filter(F.col("_kp").isin(prefixes)).drop("_kp")
+            if state is not None
+            else None
+        )
+        replayed, pruned = _check_replay(pruned, batch_id, checkpoint_path)
+        summ = _summaries(batch)
+        if not replayed:
+            filled = forward_fill(batch, keys, order_col, cols, suffix)
+            if pruned is not None:
+                relevant = pruned.join(
+                    F.broadcast(batch.select(*keys).distinct()),
+                    keys,
+                    "left_semi",
+                )
+                carry = relevant.select(
+                    *keys,
+                    *[
+                        F.col(f"_last_{c}")["v"].alias(f"_carry_{c}")
+                        for c in cols
+                    ],
+                )
+                filled = filled.join(F.broadcast(carry), keys, "left")
+                for c in cols:
+                    filled = filled.withColumn(
+                        f"{c}{suffix}",
+                        F.coalesce(
+                            F.col(f"{c}{suffix}"), F.col(f"_carry_{c}")
+                        ),
+                    )
+                filled = filled.drop(*[f"_carry_{c}" for c in cols])
+            sink(filled, batch_id)
+        # idempotent max-merge of the touched prefixes (runs on replay
+        # too: it heals a crash that swapped only some directories)
+        merged = (
+            summ
+            if pruned is None
+            else pruned.unionByName(summ)
+            .groupBy(*keys)
+            .agg(*[F.max(f"_last_{c}").alias(f"_last_{c}") for c in cols])
+        )
+        out = _stamp_batch(merged, batch_id, checkpoint_path).withColumn(
+            "_kp", _kp()
+        )
+        out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_kp").parquet(state_path)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -906,3 +906,88 @@ def test_corpus_dedup_replay_skips_sink_and_new_lineage_keeps_index(
     assert len(tags) == 2, tags
     n_fps = spark.read.parquet(state).count()
     assert n_fps == 3  # alpha-beta, delta-x, epsilon-y; never duplicated
+
+
+def test_streaming_locf_equals_batch_forward_fill(spark, tmp_path):
+    """In-order micro-batches through maintain_locf_stream must emit the
+    EXACT per-row fills a batch forward_fill over the cumulative input
+    produces — across gaps inside a batch, keys silent for whole batches,
+    and keys whose first observation arrives late. State stays one row per
+    key under the prefix-partitioned layout."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.operators.timeseries import forward_fill
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_locf_stream,
+    )
+
+    # (key, order, value): key a observes then goes silent; key b is NULL
+    # until batch 2; key c appears only in batch 3
+    batches = [
+        [("a", 1, 10.0), ("a", 2, None), ("b", 1, None)],
+        [("a", 3, None), ("b", 2, 20.0), ("b", 3, None)],
+        [("a", 4, 40.0), ("b", 4, None), ("c", 1, None), ("c", 2, 5.0)],
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    base = time.time() - 100
+    for bi, rows in enumerate(batches):
+        f = src / f"b{bi}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "k": [r[0] for r in rows],
+                    "o": [r[1] for r in rows],
+                    "v": pa.array([r[2] for r in rows], type=pa.float64()),
+                }
+            ),
+            f,
+        )
+        os.utime(f, (base + bi, base + bi))
+
+    out = str(tmp_path / "out")
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    q = maintain_locf_stream(
+        spark.readStream.schema("k string, o long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src)),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        sink,
+        keys=["k"],
+        order_col="o",
+        cols=["v"],
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["k"], r["o"]): r["v_ffill"]
+        for r in spark.read.parquet(out).collect()
+    }
+    all_rows = spark.createDataFrame(
+        [r for rows in batches for r in rows], "k string, o long, v double"
+    )
+    want = {
+        (r["k"], r["o"]): r["v_ffill"]
+        for r in forward_fill(all_rows, ["k"], "o", ["v"]).collect()
+    }
+    assert got == want
+    # the test exercises real carries: a's batch-2/3 NULLs fill from 10.0,
+    # b's batch-3 NULL from 20.0, c's leading NULL stays None
+    assert got[("a", 3)] == 10.0 and got[("b", 4)] == 20.0
+    assert got[("c", 1)] is None
+
+    # state: one row per key, prefix-partitioned on disk
+    state = spark.read.parquet(str(tmp_path / "state"))
+    assert state.count() == 3
+    assert "_kp" in state.columns
+    rows = {r["k"]: r["_last_v"] for r in state.collect()}
+    assert rows["a"]["v"] == 40.0 and rows["b"]["v"] == 20.0
+    assert rows["c"]["v"] == 5.0
