@@ -95,3 +95,21 @@ def test_entry_smoke(spark):
     from security_data_pipeline_spark.plans.pipeline import OUTPUT_COLUMNS
 
     assert list(df.columns) == list(OUTPUT_COLUMNS)
+
+
+# The self-checking sketch queries (emit rows ONLY when a bound breaks)
+# are tuned against sf0.1 headroom; a second scale factor catches a bound
+# that only holds at one data size (tighter distributions, smaller N).
+SELF_CHECKING = ("events_countmin_check", "events_quantile_check",
+                 "events_heavy_hitters")
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("name", SELF_CHECKING)
+def test_self_checking_sketches_hold_at_other_scales(spark, name, sf_dir):
+    """Zero violation rows at BOTH the smaller and larger scale factor —
+    sf0.01 is already covered by the registry-wide parity sweep."""
+    got = REGISTRY[name].fn(spark, sf_dir)
+    rows = got.collect()
+    assert rows == [], f"{name}@{sf_dir}: {rows[:5]}"
