@@ -67,6 +67,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "events_checksum_by_type",
     "events_quantile_check",
     "ann_index_sq8_roundtrip",
+    "ann_index_staleness",
     "events_drift_trend",
     # driver-window composites, benched AS the driver runs them — the
     # wall-clock the driver pays includes their union/unpivot overhead,
@@ -103,6 +104,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_cross_corpus_dups": 120, "events_ffill_bucketed": 100000,
         "events_dataset_checksum": 1, "events_checksum_by_type": 5,
         "events_quantile_check": 0, "ann_index_sq8_roundtrip": 600,
+        "ann_index_staleness": 16,
         "events_drift_trend": 20,
     },
     "0.01": {
@@ -126,6 +128,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_cross_corpus_dups": 12, "events_ffill_bucketed": 10000,
         "events_dataset_checksum": 1, "events_checksum_by_type": 5,
         "events_quantile_check": 0, "ann_index_sq8_roundtrip": 600,
+        "ann_index_staleness": 16,
         "events_drift_trend": 20,
     },
 }

@@ -1258,15 +1258,27 @@ def append_to_ivf_sq8_index(
         .cast("int"),
     )
     enc = (
-        clustered.join(F.broadcast(grid), "ivf_cluster")
+        clustered.join(F.broadcast(grid), "ivf_cluster", "left")
         .select(
             "vec_id",
             codes.alias("sq8_codes"),
             "ivf_cluster",
             out_of_grid.alias("_oog"),
+            F.col("mins").isNull().alias("_no_grid"),
         )
         .localCheckpoint()
     )
+    n_no_grid = enc.filter("_no_grid").count()
+    if n_no_grid:
+        # a cluster with zero build-time members has no quantization grid;
+        # dropping its vectors silently would lose data — the operator must
+        # rebuild (lowest-id / k-means codebooks always seed every cluster,
+        # so this only fires on a hand-supplied degenerate codebook)
+        raise ValueError(
+            f"{n_no_grid} vectors assigned to clusters with no fitted grid"
+            " — rebuild the index"
+        )
+    enc = enc.drop("_no_grid")
     enc.drop("_oog").write.mode("append").partitionBy("ivf_cluster").parquet(
         path
     )

@@ -3564,6 +3564,116 @@ def ann_index_sq8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_staleness_oracle_sql(
+    n_centroids: int = 16,
+    size_skew_factor: float = 4.0,
+    out_of_grid_frac: float = 0.01,
+) -> str:
+    """DuckDB replication of the build-half/append-half staleness report:
+    the lowest-id codebook is fitted on the EVEN vec_ids, every vector is
+    assigned by the shared argmax-cosine rule, the per-cluster SQ8 grids
+    come from the even half only, and the odd (appended) half is checked
+    component-wise against those grids. quantile_disc matches Spark's
+    discrete percentile_approx median over the 16 cluster sizes."""
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, len(a.v)),"
+        " i -> a.v[i]*c.cv[i]), 'sum')"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
+  FROM e
+), cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, v AS cv, nrm AS cnrm
+  FROM (SELECT vec_id, v, nrm FROM n WHERE vec_id % 2 = 0
+        ORDER BY vec_id LIMIT {n_centroids})
+), assign AS (
+  SELECT a.vec_id, c.cid, ROUND({dot} / (a.nrm * c.cnrm), 6) AS sim
+  FROM n a CROSS JOIN cent c
+), clustered AS (
+  SELECT vec_id, cid FROM assign
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid) = 1
+), comps AS (
+  SELECT cl.cid, nn.vec_id, t.i, nn.v[t.i] AS x
+  FROM clustered cl JOIN n nn ON nn.vec_id = cl.vec_id,
+       UNNEST(generate_series(1, len(nn.v))) AS t(i)
+), grid AS (
+  SELECT cid, i, MIN(x) AS mn, MAX(x) AS mx FROM comps
+  WHERE vec_id % 2 = 0 GROUP BY cid, i
+), odd_oog AS (
+  SELECT c.vec_id, c.cid,
+         MAX(CASE WHEN c.x < g.mn OR c.x > g.mx THEN 1 ELSE 0 END) AS oog
+  FROM comps c JOIN grid g ON g.cid = c.cid AND g.i = c.i
+  WHERE c.vec_id % 2 = 1
+  GROUP BY c.vec_id, c.cid
+), per AS (
+  SELECT cid, COUNT(*) AS n_rows,
+         SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n_appended
+  FROM clustered GROUP BY cid
+), oogs AS (
+  SELECT cid, SUM(oog) AS n_out_of_grid FROM odd_oog GROUP BY cid
+), med AS (
+  SELECT quantile_disc(n_rows, 0.5) AS m FROM per
+)
+SELECT CAST(p.cid AS INT) AS ivf_cluster,
+       CAST(p.n_rows AS BIGINT) AS n_rows,
+       CAST(p.n_appended AS BIGINT) AS n_appended,
+       CAST(COALESCE(o.n_out_of_grid, 0) AS BIGINT) AS n_out_of_grid,
+       (CAST(p.n_rows AS DOUBLE) > {size_skew_factor} * med.m)
+         AS size_skew,
+       (p.n_appended > 0 AND CAST(COALESCE(o.n_out_of_grid, 0) AS DOUBLE)
+          > {out_of_grid_frac} * CAST(p.n_appended AS DOUBLE))
+         AS grid_stale,
+       ((CAST(p.n_rows AS DOUBLE) > {size_skew_factor} * med.m)
+        OR (p.n_appended > 0
+            AND CAST(COALESCE(o.n_out_of_grid, 0) AS DOUBLE)
+                > {out_of_grid_frac} * CAST(p.n_appended AS DOUBLE)))
+         AS rebuild_hint
+FROM per p LEFT JOIN oogs o ON o.cid = p.cid CROSS JOIN med
+"""
+
+
+@query(
+    "ann_index_staleness",
+    sql=_ivf_staleness_oracle_sql(),
+    description=(
+        "Persisted-index INCREMENTAL REFRESH witness (similarity."
+        "append_to_ivf_sq8_index + ivf_index_staleness): the compressed "
+        "IVF index is built on the even vec_ids, the odd half is "
+        "appended against the existing codebook and per-cluster grids "
+        "(out-of-grid components clamp and are journaled), and the "
+        "staleness report — per-cluster rows, appended counts, grid "
+        "violations, size-skew / grid-stale / rebuild flags — is "
+        "oracle-verified: the DuckDB side refits the even-half codebook "
+        "and grids and re-derives every count and flag relationally. "
+        "This is the nightly-ingest decision signal: WHEN does "
+        "append-only refresh drift enough that a rebuild pays"
+    ),
+)
+def ann_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    evens = emb.filter(F.col("vec_id") % 2 == 0)
+    odds = emb.filter(F.col("vec_id") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="ivf_stale_") + "/index"
+    cents = similarity.build_ivf_sq8_index(evens, path, n_centroids=16)
+    similarity.append_to_ivf_sq8_index(spark, odds, path, cents)
+    return similarity.ivf_index_staleness(spark, path).select(
+        "ivf_cluster",
+        "n_rows",
+        "n_appended",
+        "n_out_of_grid",
+        "size_skew",
+        "grid_stale",
+        "rebuild_hint",
+    )
+
+
 @query(
     "embedding_label_centroids",
     sql="""
