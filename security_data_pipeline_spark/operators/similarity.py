@@ -1196,35 +1196,17 @@ def append_to_ivf_index(
     clustered.write.mode("append").partitionBy("ivf_cluster").parquet(path)
 
 
-def append_to_ivf_sq8_index(
-    spark,
-    new_vectors: DataFrame,
-    path: str,
-    centroids: list[list[float]],
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Incremental refresh of a :func:`build_ivf_sq8_index` layout: new
-    vectors are assigned against the existing codebook and encoded on the
-    EXISTING per-cluster grids (read from the ``{path}__grid`` sidecar —
-    the grids must stay fixed, or old codes would decode on a different
-    scale than new ones). A new vector can fall OUTSIDE its cluster's
-    fitted (mins, maxs) box; its codes CLAMP to [0, 255] (reconstruction
-    saturates at the grid edge) and the vector is counted as an
-    out-of-grid violation. Returns the per-cluster violation report
-    ``(ivf_cluster, n_appended, n_out_of_grid)`` and journals it to
-    ``{path}__viol`` so :func:`ivf_index_staleness` can accumulate grid
-    staleness across appends. One batch-sized pass; the index itself
-    grows by an appended file per touched cluster directory.
-    """
-    grid = spark.read.parquet(f"{path}__grid")
-    clustered = ivf_assign(
-        new_vectors.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
-        ),
-        centroids,
-        vec_col="embedding",
-    )
+def sq8_encode_against_grid(clustered: DataFrame, grid: DataFrame) -> DataFrame:
+    """Encode assigned vectors (``vec_id, embedding, ivf_cluster``) on an
+    EXISTING per-cluster grid: codes CLAMP to [0, 255] when a component
+    falls outside the fitted (mins, maxs) box and the row is flagged
+    ``_oog``. Raises if any vector lands in a cluster with no fitted grid
+    (a cluster empty at build time — silently dropping its vectors would
+    lose data; lowest-id / k-means codebooks always seed every cluster,
+    so this only fires on a hand-supplied degenerate codebook). Returns a
+    locally-checkpointed ``(vec_id, sq8_codes, ivf_cluster, _oog)``
+    frame — the shared encode half of :func:`append_to_ivf_sq8_index`
+    and the streaming index maintainer."""
     v = F.col("embedding").cast("array<double>")
     mn = F.col("mins")
     mx = F.col("maxs")
@@ -1270,15 +1252,43 @@ def append_to_ivf_sq8_index(
     )
     n_no_grid = enc.filter("_no_grid").count()
     if n_no_grid:
-        # a cluster with zero build-time members has no quantization grid;
-        # dropping its vectors silently would lose data — the operator must
-        # rebuild (lowest-id / k-means codebooks always seed every cluster,
-        # so this only fires on a hand-supplied degenerate codebook)
         raise ValueError(
             f"{n_no_grid} vectors assigned to clusters with no fitted grid"
             " — rebuild the index"
         )
-    enc = enc.drop("_no_grid")
+    return enc.drop("_no_grid")
+
+
+def append_to_ivf_sq8_index(
+    spark,
+    new_vectors: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental refresh of a :func:`build_ivf_sq8_index` layout: new
+    vectors are assigned against the existing codebook and encoded on the
+    EXISTING per-cluster grids (read from the ``{path}__grid`` sidecar —
+    the grids must stay fixed, or old codes would decode on a different
+    scale than new ones). A new vector can fall OUTSIDE its cluster's
+    fitted (mins, maxs) box; its codes CLAMP to [0, 255] (reconstruction
+    saturates at the grid edge) and the vector is counted as an
+    out-of-grid violation. Returns the per-cluster violation report
+    ``(ivf_cluster, n_appended, n_out_of_grid)`` and journals it to
+    ``{path}__viol`` so :func:`ivf_index_staleness` can accumulate grid
+    staleness across appends. One batch-sized pass; the index itself
+    grows by an appended file per touched cluster directory.
+    """
+    grid = spark.read.parquet(f"{path}__grid")
+    clustered = ivf_assign(
+        new_vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ),
+        centroids,
+        vec_col="embedding",
+    )
+    enc = sq8_encode_against_grid(clustered, grid)
     enc.drop("_oog").write.mode("append").partitionBy("ivf_cluster").parquet(
         path
     )

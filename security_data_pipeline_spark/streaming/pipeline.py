@@ -1167,3 +1167,84 @@ def maintain_locf_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def maintain_ann_index_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sq8_grid_path: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming IVF index maintenance — the ingest half of the persisted
+    ANN index run at crawl cadence: every micro-batch of new vectors is
+    assigned MAP-SIDE against the fixed codebook (a literal; no shuffle
+    beyond the batch's own partitioned write, and no read or join ever
+    touches the existing index) and lands as one idempotent per-batch
+    directory tree ``{index_path}/_b=<lineage>-<id>/ivf_cluster=<c>/`` —
+    an overwrite of its own directory on crash replay, never an append,
+    so replays cannot duplicate vectors, and the lineage token keeps a
+    fresh-checkpoint restart's batch 0 from clobbering an earlier
+    lineage's.
+
+    :func:`...similarity.search_ivf_index` reads the root unchanged:
+    partition discovery surfaces ``(_b, ivf_cluster)`` and the probe
+    filter on ``ivf_cluster`` prunes directories exactly as in the
+    flat batch layout (asserted bit-equal to a full rebuild in tests).
+    :func:`...similarity.ivf_index_staleness` likewise aggregates the
+    streamed layout as-is — the rebuild signal for when the fixed
+    codebook has drifted.
+
+    With ``sq8_grid_path`` set (the ``{path}__grid`` sidecar of an
+    initial :func:`...similarity.build_ivf_sq8_index`), batches are SQ8-
+    encoded on the existing per-cluster grids instead (out-of-grid
+    components clamp; per-batch violation counts land idempotently under
+    ``{index_path}__viol/_b=.../``), producing a streamed layout
+    :func:`...similarity.search_ivf_sq8_index` reads directly.
+    """
+    from security_data_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        sq8_encode_against_grid,
+    )
+
+    tag = _lineage_tag(checkpoint_path)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        clustered = ivf_assign(
+            batch_df.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+            ),
+            centroids,
+            vec_col="embedding",
+        )
+        batch_dir = f"{index_path}/_b={tag}-{batch_id}"
+        if sq8_grid_path is None:
+            clustered.write.mode("overwrite").partitionBy(
+                "ivf_cluster"
+            ).parquet(batch_dir)
+            return
+        grid = spark.read.parquet(sq8_grid_path)
+        enc = sq8_encode_against_grid(clustered, grid)
+        enc.drop("_oog").write.mode("overwrite").partitionBy(
+            "ivf_cluster"
+        ).parquet(batch_dir)
+        enc.groupBy("ivf_cluster").agg(
+            F.count(F.lit(1)).alias("n_appended"),
+            F.sum(F.col("_oog").cast("long")).alias("n_out_of_grid"),
+        ).write.mode("overwrite").parquet(
+            f"{index_path}__viol/_b={tag}-{batch_id}"
+        )
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

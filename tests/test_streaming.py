@@ -991,3 +991,92 @@ def test_streaming_locf_equals_batch_forward_fill(spark, tmp_path):
     rows = {r["k"]: r["_last_v"] for r in state.collect()}
     assert rows["a"]["v"] == 40.0 and rows["b"]["v"] == 20.0
     assert rows["c"]["v"] == 5.0
+
+
+def test_streaming_ann_index_equals_full_rebuild(spark, tmp_path):
+    """Vectors streamed through maintain_ann_index_stream in 3 batches
+    must yield BIT-EQUAL probed search results to a flat batch-built
+    index with the same codebook; the streamed layout also feeds the
+    staleness report, and the SQ8 variant matches the append-built
+    compressed index."""
+    import os
+    import time
+
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from security_data_pipeline_spark.operators import similarity
+    from security_data_pipeline_spark.sources.catalog import load_table
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_ann_index_stream,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cents = similarity.ivf_centroid_vectors(emb, n_centroids=16)
+
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "in"
+    src.mkdir()
+    base = time.time() - 100
+    for bi in range(3):
+        f = src / f"b{bi}.parquet"
+        part = emb.filter(F.col("vec_id") % 3 == bi).select(
+            "vec_id", "embedding"
+        )
+        pq.write_table(
+            pa.Table.from_pandas(part.toPandas(), preserve_index=False), f
+        )
+        os.utime(f, (base + bi, base + bi))
+
+    def stream():
+        return (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+
+    idx = str(tmp_path / "ivf_stream")
+    q = maintain_ann_index_stream(
+        stream(), idx, str(tmp_path / "ckpt"), cents
+    )
+    q.awaitTermination(120)
+
+    flat = str(tmp_path / "ivf_flat")
+    similarity.build_ivf_index(emb, flat, centroids=cents)
+    queries = emb.filter(F.col("vec_id") < 20)
+    got = sorted(map(tuple, similarity.search_ivf_index(
+        spark, idx, queries=queries, centroids=cents, k=3, n_probe=4
+    ).collect()))
+    exp = sorted(map(tuple, similarity.search_ivf_index(
+        spark, flat, queries=queries, centroids=cents, k=3, n_probe=4
+    ).collect()))
+    assert got == exp and len(got) > 0
+
+    stale = similarity.ivf_index_staleness(spark, idx).collect()
+    assert len(stale) == 16
+    assert sum(r["n_rows"] for r in stale) == emb.count()
+
+    # SQ8 variant: initial build fits the grids, the stream extends them
+    sq_built = str(tmp_path / "sq8_built")
+    similarity.build_ivf_sq8_index(emb, sq_built, centroids=cents)
+    sq_stream = str(tmp_path / "sq8_stream")
+    # reuse the built grids as the streamed index's sidecar contract
+    spark.read.parquet(f"{sq_built}__grid").write.parquet(
+        f"{sq_stream}__grid"
+    )
+    q2 = maintain_ann_index_stream(
+        stream(),
+        sq_stream,
+        str(tmp_path / "ckpt2"),
+        cents,
+        sq8_grid_path=f"{sq_stream}__grid",
+    )
+    q2.awaitTermination(120)
+    got_sq = sorted(map(tuple, similarity.search_ivf_sq8_index(
+        spark, sq_stream, queries=queries, centroids=cents, k=3, n_probe=4
+    ).collect()))
+    exp_sq = sorted(map(tuple, similarity.search_ivf_sq8_index(
+        spark, sq_built, queries=queries, centroids=cents, k=3, n_probe=4
+    ).collect()))
+    assert got_sq == exp_sq and len(got_sq) > 0
