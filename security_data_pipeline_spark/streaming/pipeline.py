@@ -1248,3 +1248,79 @@ def maintain_ann_index_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def consolidate_stream_index(
+    spark: SparkSession,
+    root: str,
+    partition_col: str,
+    distinct: bool = False,
+) -> dict:
+    """Compact a streamed corpus index's per-batch directory trees
+    (``{root}/_tag=*/batch=*/{partition_col}=*`` — the layouts
+    :func:`dedup_stream_against_corpus` and :func:`maintain_neardup_stream`
+    grow one directory per micro-batch) into ONE consolidated generation
+    with a single file per partition directory — the small-files
+    maintenance a long-running ingest needs (10k batches × 256 prefix
+    dirs is millions of tiny files; a consolidated index is 256).
+
+    ``distinct=True`` dedups rows (the fingerprint index is a SET — safe
+    and slightly smaller; band rows are already unique per (_id, band)).
+    The consolidated tree keeps the exact 3-level layout
+    (``_tag=c<n>/batch=0/{partition_col}=*``), so pruned reads, the
+    maintainers, and their plan shapes are unchanged.
+
+    Crash-safe by DUPLICATE TOLERANCE, not atomicity: the consolidated
+    generation is MOVED INTO the root before the old per-batch trees are
+    deleted, and both consumers are duplicate-tolerant (a fingerprint
+    seen twice still only drops; duplicate band rows only re-emit
+    already-deduplicated candidate pairs), so a crash at any step leaves
+    a correct — merely larger — index; re-running finishes the job.
+    Run it OFFLINE (stream stopped, checkpoint committed): deleting old
+    batch directories also deletes the exact-dedup maintainer's
+    per-batch delivery guards, so a stream with an UNCOMMITTED final
+    batch could re-deliver it after consolidation.
+
+    Returns ``{"files_before", "files_after", "rows"}``.
+    """
+    from security_data_pipeline_spark.operators.layout import list_data_files
+
+    jvm = spark._jvm
+    jroot = jvm.org.apache.hadoop.fs.Path(root)
+    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    old_tags = []
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if name.startswith("_tag="):
+            old_tags.append(name)
+    taken = {t.split("=", 1)[1] for t in old_tags}
+    n = 0
+    while f"c{n}" in taken:
+        n += 1
+    new_tag = f"c{n}"
+
+    files_before = len(list_data_files(spark, root))
+    data = spark.read.parquet(root).drop("_tag", "batch")
+    if distinct:
+        data = data.distinct()
+    # one file per partition directory: cluster rows by the partition col
+    data = data.repartition(F.col(partition_col))
+    scratch = f"{root}__consolidating"
+    out_dir = f"{scratch}/_tag={new_tag}/batch=0"
+    data.write.mode("overwrite").partitionBy(partition_col).parquet(out_dir)
+    rows = spark.read.parquet(out_dir).count()
+
+    # move the new generation in FIRST, then drop the old trees
+    src = jvm.org.apache.hadoop.fs.Path(f"{scratch}/_tag={new_tag}")
+    dst = jvm.org.apache.hadoop.fs.Path(f"{root}/_tag={new_tag}")
+    if not fs.rename(src, dst):
+        raise IOError(f"rename {src} -> {dst} failed")
+    fs.delete(jvm.org.apache.hadoop.fs.Path(scratch), True)
+    for t in old_tags:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{t}"), True)
+    return {
+        "files_before": files_before,
+        "files_after": len(list_data_files(spark, root)),
+        "rows": rows,
+    }

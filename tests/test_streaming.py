@@ -1080,3 +1080,86 @@ def test_streaming_ann_index_equals_full_rebuild(spark, tmp_path):
         spark, sq_built, queries=queries, centroids=cents, k=3, n_probe=4
     ).collect()))
     assert got_sq == exp_sq and len(got_sq) > 0
+
+
+def test_consolidate_stream_index_preserves_dedup_and_prunes(spark, tmp_path):
+    """Compacting the per-batch fingerprint trees into one generation must
+    not change behavior: a later stream batch against the consolidated
+    index still never readmits anything, the pruned-read plan shape is
+    unchanged, and files shrink to one per prefix directory."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.streaming.pipeline import (
+        consolidate_stream_index,
+        dedup_stream_against_corpus,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    base = time.time() - 100
+
+    def add_batch(bi, rows):
+        f = src / f"b{bi}.parquet"
+        pq.write_table(
+            pa.table(
+                {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+            ),
+            f,
+        )
+        os.utime(f, (base + bi, base + bi))
+
+    # 40 docs per batch: md5 prefixes collide across batches, so the
+    # per-batch trees hold multiple files per prefix directory
+    batches = [
+        [(bi * 100 + i, f"doc number {bi} dash {i}") for i in range(40)]
+        for bi in range(3)
+    ]
+    for bi, rows in enumerate(batches):
+        add_batch(bi, rows)
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "fps")
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    def run(ckpt):
+        q = dedup_stream_against_corpus(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src)),
+            state,
+            ckpt,
+            sink,
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt"))
+    assert spark.read.parquet(out).count() == 120  # all unique so far
+
+    n_pfx = (
+        spark.read.parquet(state).select("_pfx").distinct().count()
+    )
+    report = consolidate_stream_index(spark, state, "_pfx", distinct=True)
+    assert report["rows"] == 120
+    assert report["files_after"] < report["files_before"]
+    assert report["files_after"] == n_pfx  # one file per prefix directory
+    # exactly one generation left on disk
+    gens = {d for d in os.listdir(state) if d.startswith("_tag=")}
+    assert gens == {"_tag=c0"}
+
+    # continue ingesting on a fresh lineage: old content must still drop
+    add_batch(
+        3,
+        [(901, "DOC  number 0 dash 3"), (902, "brand new doc"),
+         (903, "doc number 2 dash 39")],
+    )
+    run(str(tmp_path / "ckpt2"))
+    survivors = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    # 901/903 are case/space dups of consolidated content; 902 is new
+    want = sorted([r[0] for b in batches for r in b] + [902])
+    assert survivors == want
