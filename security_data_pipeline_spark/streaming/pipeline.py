@@ -1005,6 +1005,53 @@ def dedup_stream_against_corpus(
     return writer.start()
 
 
+def locf_key_prefix(keys: list[str], pfx_mod: int):
+    """Bounded state-partition key for the LOCF maintainer: 'p' +
+    pmod(xxhash64(keys), pfx_mod) (the letter defeats numeric partition
+    type inference)."""
+    return F.concat(
+        F.lit("p"),
+        F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(pfx_mod)).cast(
+            "string"
+        ),
+    )
+
+
+def locf_fill_with_carry(
+    batch: DataFrame,
+    pruned_state: DataFrame | None,
+    keys: list[str],
+    order_col: str,
+    cols: list[str],
+    suffix: str = "_ffill",
+) -> DataFrame:
+    """Forward-fill ``batch`` locally, then coalesce leading NULL runs
+    from the persisted carry state — with only batch-sized join builds:
+    ``relevant = pruned_state LEFT SEMI broadcast(batch_keys)`` (state
+    streams map-side, no Exchange) and ``filled LEFT JOIN
+    broadcast(relevant)``. The per-batch compute half of
+    :func:`maintain_locf_stream`, factored for direct plan assertions."""
+    from security_data_pipeline_spark.operators.timeseries import forward_fill
+
+    filled = forward_fill(batch, keys, order_col, cols, suffix)
+    if pruned_state is None:
+        return filled
+    relevant = pruned_state.join(
+        F.broadcast(batch.select(*keys).distinct()), keys, "left_semi"
+    )
+    carry = relevant.select(
+        *keys,
+        *[F.col(f"_last_{c}")["v"].alias(f"_carry_{c}") for c in cols],
+    )
+    filled = filled.join(F.broadcast(carry), keys, "left")
+    for c in cols:
+        filled = filled.withColumn(
+            f"{c}{suffix}",
+            F.coalesce(F.col(f"{c}{suffix}"), F.col(f"_carry_{c}")),
+        )
+    return filled.drop(*[f"_carry_{c}" for c in cols])
+
+
 def maintain_locf_stream(
     stream_df: DataFrame,
     state_path: str,
@@ -1061,8 +1108,6 @@ def maintain_locf_stream(
     """
     from pyspark.errors.exceptions.captured import AnalysisException
 
-    from security_data_pipeline_spark.operators.timeseries import forward_fill
-
     tag = _lineage_tag(checkpoint_path)
 
     def _missing(e: AnalysisException) -> bool:
@@ -1076,11 +1121,7 @@ def maintain_locf_stream(
         return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
 
     def _kp():
-        return F.concat(
-            F.lit("p"),
-            F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(pfx_mod))
-            .cast("string"),
-        )
+        return locf_key_prefix(keys, pfx_mod)
 
     def _summaries(batch: DataFrame) -> DataFrame:
         return batch.groupBy(*keys).agg(
@@ -1119,29 +1160,9 @@ def maintain_locf_stream(
         replayed, pruned = _check_replay(pruned, batch_id, checkpoint_path)
         summ = _summaries(batch)
         if not replayed:
-            filled = forward_fill(batch, keys, order_col, cols, suffix)
-            if pruned is not None:
-                relevant = pruned.join(
-                    F.broadcast(batch.select(*keys).distinct()),
-                    keys,
-                    "left_semi",
-                )
-                carry = relevant.select(
-                    *keys,
-                    *[
-                        F.col(f"_last_{c}")["v"].alias(f"_carry_{c}")
-                        for c in cols
-                    ],
-                )
-                filled = filled.join(F.broadcast(carry), keys, "left")
-                for c in cols:
-                    filled = filled.withColumn(
-                        f"{c}{suffix}",
-                        F.coalesce(
-                            F.col(f"{c}{suffix}"), F.col(f"_carry_{c}")
-                        ),
-                    )
-                filled = filled.drop(*[f"_carry_{c}" for c in cols])
+            filled = locf_fill_with_carry(
+                batch, pruned, keys, order_col, cols, suffix
+            )
             sink(filled, batch_id)
         # idempotent max-merge of the touched prefixes (runs on replay
         # too: it heals a crash that swapped only some directories)

@@ -1163,3 +1163,57 @@ def test_consolidate_stream_index_preserves_dedup_and_prunes(spark, tmp_path):
     # 901/903 are case/space dups of consolidated content; 902 is new
     want = sorted([r[0] for b in batches for r in b] + [902])
     assert survivors == want
+
+
+def test_locf_state_join_prunes_and_never_shuffles_state(spark, tmp_path):
+    """The LOCF maintainer's 100 TB contract: the persisted per-key carry
+    state is read with directory pruning on the key-hash prefix and NO
+    shuffle Exchange ever holds the state — the carry path builds only
+    batch-sized broadcast sides (the batch's own window fill is the sole
+    hash exchange)."""
+    from pyspark.sql import functions as F
+
+    from security_data_pipeline_spark.streaming.pipeline import (
+        locf_fill_with_carry,
+        locf_key_prefix,
+    )
+
+    state = spark.createDataFrame(
+        [(f"k{i}", (float(i), float(i) * 10.0)) for i in range(512)],
+        "k string, _last_v struct<o double, v double>",
+    )
+    root = str(tmp_path / "state")
+    state.withColumn("_kp", locf_key_prefix(["k"], 256)).write.partitionBy(
+        "_kp"
+    ).parquet(root)
+    persisted = spark.read.parquet(root)
+
+    batch = spark.createDataFrame(
+        [("k3", 100, None), ("k3", 101, 7.0), ("k7", 100, None)],
+        "k string, o long, v double",
+    ).localCheckpoint()
+    prefixes = [
+        r["_kp"]
+        for r in batch.select(locf_key_prefix(["k"], 256).alias("_kp"))
+        .distinct()
+        .collect()
+    ]
+    pruned = persisted.filter(F.col("_kp").isin(prefixes)).drop("_kp")
+    filled = locf_fill_with_carry(batch, pruned, ["k"], "o", ["v"])
+
+    plan = filled._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # the only hash exchanges are batch-sized: the window fill and the
+    # batch-keys distinct feeding the semi-join broadcast
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    pruned_scans = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line
+        and "_kp" in line
+        and (" IN " in line or "INSET" in line)
+    ]
+    assert pruned_scans, plan
+    got = {(r["k"], r["o"]): r["v_ffill"] for r in filled.collect()}
+    assert got == {("k3", 100): 30.0, ("k3", 101): 7.0, ("k7", 100): 70.0}
