@@ -893,23 +893,53 @@ def connected_components_incremental(
 
     ``prev_labels`` = a prior :func:`connected_components` (or this
     function's) output; ``new_nodes`` = this batch's node frame (ids not
-    in ``prev_labels`` label themselves before propagation). The
-    per-batch cost is the propagation over |prev_nodes| + |batch| rows —
-    with per-round work dominated by the (small) frontier of labels that
-    still change, not by old-component internal structure.
+    in ``prev_labels`` label themselves before propagation).
+
+    Propagation runs over AFFECTED components only: a component of the
+    cumulative graph either contains an endpoint of a new edge or a new
+    node — in which case every prior sub-component it merges intersects
+    the batch's touched set and is pulled into the propagation — or it
+    contains none and provably cannot change (labels are min member ids;
+    no new edge reaches it). Untouched labels pass through as a map-side
+    anti-join with NO propagation shuffles, so per-batch shuffle volume
+    follows |touched components| + |batch|, never corpus size: the old
+    corpus is read (one column-pruned scan to split touched from
+    untouched), never re-walked. The touched frontier (edge endpoints +
+    new nodes, then their cluster ids) is broadcast — batch-bounded in
+    the ingest use this exists for; equality with the full recompute is
+    property-tested on random graphs either way.
     """
-    virtual = prev_labels.select(
-        F.col(id_col).alias(a_col), F.col("cluster_id").alias(b_col)
-    ).filter(F.col(a_col) != F.col(b_col))
-    all_edges = new_edges.select(a_col, b_col).unionByName(virtual)
-    all_nodes = (
-        prev_labels.select(id_col)
+    touched = (
+        new_edges.select(F.col(a_col).alias(id_col))
+        .unionByName(new_edges.select(F.col(b_col).alias(id_col)))
         .unionByName(new_nodes.select(id_col))
         .distinct()
     )
-    return connected_components(
-        all_edges, all_nodes, a_col, b_col, id_col, max_iter
+    affected_cids = (
+        prev_labels.join(F.broadcast(touched), id_col, "left_semi")
+        .select("cluster_id")
+        .distinct()
     )
+    affected = prev_labels.join(
+        F.broadcast(affected_cids), "cluster_id", "left_semi"
+    )
+    untouched = prev_labels.join(
+        F.broadcast(affected_cids), "cluster_id", "left_anti"
+    ).select(id_col, "cluster_id")
+    # star contraction over the affected slice only
+    virtual = affected.select(
+        F.col(id_col).alias(a_col), F.col("cluster_id").alias(b_col)
+    ).filter(F.col(a_col) != F.col(b_col))
+    all_edges = new_edges.select(a_col, b_col).unionByName(virtual)
+    cc_nodes = (
+        affected.select(id_col)
+        .unionByName(new_nodes.select(id_col))
+        .distinct()
+    )
+    relabeled = connected_components(
+        all_edges, cc_nodes, a_col, b_col, id_col, max_iter
+    )
+    return untouched.unionByName(relabeled)
 
 
 def pick_cluster_survivors(

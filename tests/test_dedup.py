@@ -329,3 +329,35 @@ def test_incremental_components_equal_full_recompute(spark):
         ).collect()
     }
     assert inc == full
+
+
+def test_incremental_cc_propagates_only_affected_components(spark, monkeypatch):
+    """The scale contract of the incremental fold: components no new edge
+    touches never enter the propagation (they pass through an anti-join),
+    so per-batch shuffle volume follows the touched slice, not the
+    corpus. Pinned by spying on the node set handed to
+    connected_components."""
+    prev = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (11, 10), (20, 20)],
+        "doc_id long, cluster_id long",
+    )
+    edges = spark.createDataFrame([(2, 30)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(30,)], "doc_id long")
+
+    captured = {}
+    orig = dedup.connected_components
+
+    def spy(e, n, *a, **k):
+        captured["nodes"] = {r[0] for r in n.collect()}
+        return orig(e, n, *a, **k)
+
+    monkeypatch.setattr(dedup, "connected_components", spy)
+    out = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components_incremental(
+            prev, edges, nodes
+        ).collect()
+    }
+    # only the touched component {1,2} and the new node walk
+    assert captured["nodes"] == {1, 2, 30}
+    assert out == {(1, 1), (2, 1), (30, 1), (10, 10), (11, 10), (20, 20)}
