@@ -675,6 +675,53 @@ def test_streaming_neardup_labels_equal_batch_recompute(spark, tmp_path):
     assert any(len(v) >= 3 for v in clusters.values())
     assert len(clusters) < 10
 
+    # compact the band index's per-batch trees, then keep ingesting on a
+    # fresh lineage: the consolidated index must behave identically
+    from security_data_pipeline_spark.streaming.pipeline import (
+        consolidate_stream_index,
+    )
+
+    report = consolidate_stream_index(spark, f"{state}__bands", "_pk")
+    assert report["rows"] > 0
+    batch4 = [(10, doc(0, "again")), (11, doc(42))]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in batch4],
+                "text": [r[1] for r in batch4],
+            }
+        ),
+        src / "b3.parquet",
+    )
+    q2 = maintain_neardup_stream(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src)),
+        state,
+        str(tmp_path / "ckpt2"),
+        verify_threshold=0.3,
+    )
+    q2.awaitTermination(180)
+    got4 = {
+        (r["doc_id"], r["cluster_id"])
+        for r in spark.read.parquet(state)
+        .select("doc_id", "cluster_id")
+        .collect()
+    }
+    all4 = spark.createDataFrame(
+        [r for rows in batches for r in rows] + batch4,
+        "doc_id long, text string",
+    )
+    edges4 = dedup.minhash_lsh_pairs(all4, verify_threshold=0.3)
+    want4 = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components(
+            edges4, all4, id_col="doc_id"
+        ).collect()
+    }
+    assert got4 == want4
+    assert (10, 0) in got4  # doc 10 joined doc 0's cluster POST-compaction
+
 
 def test_streaming_dedup_against_corpus_never_readmits(spark, tmp_path):
     """A document seen in ANY earlier batch (not just the watermark
