@@ -956,21 +956,28 @@ def pick_cluster_survivors(
 
     ``clusters`` = :func:`connected_components` output (id, cluster);
     ``scores`` = any per-doc NUMERIC quality signal (classifier score,
-    length, LM perplexity negated) — non-null per member. Ids may be any
-    orderable type (the string doc ids the rest of this module accepts
-    included): the argmax is ONE ``min_by`` aggregate over a
-    lexicographic (-score, id) struct per cluster — negation touches only
-    the numeric score, never the id — so no window over members, no
-    per-cluster sort; the survivor frame (one row per cluster) joins back
-    on the cluster key. Deterministic: the (−score, id) key is unique
-    per member.
+    length, LM perplexity negated). Ids may be any orderable type (the
+    string doc ids the rest of this module accepts included): the argmax
+    is ONE ``min_by`` aggregate over a lexicographic (null-score flag,
+    -score, id) struct per cluster — negation touches only the numeric
+    score, never the id — so no window over members, no per-cluster
+    sort; the survivor frame (one row per cluster) joins back on the
+    cluster key. A NULL score always LOSES to any scored member (struct
+    ordering sorts a NULL field first, so a bare ``-score`` key would
+    elect the unscored doc); a cluster whose members are all unscored
+    falls back to the lowest id. Deterministic: the key is unique per
+    member.
     """
     member = clusters.join(scores, id_col)
     best = member.groupBy(cluster_col).agg(
         F.min_by(
             F.col(id_col),
             F.struct(
-                (-F.col(score_col)).alias("ns"), F.col(id_col).alias("id")
+                F.col(score_col).isNull().cast("int").alias("nl"),
+                F.coalesce(
+                    -F.col(score_col).cast("double"), F.lit(0.0)
+                ).alias("ns"),
+                F.col(id_col).alias("id"),
             ),
         ).alias("survivor_id")
     )

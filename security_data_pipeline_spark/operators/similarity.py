@@ -1028,14 +1028,18 @@ def build_ivf_index(
     mode: str = "error",
 ) -> list[list[float]]:
     """PERSIST an IVF index: the corpus written as parquet PARTITIONED BY
-    its map-side cluster assignment (``ivf_cluster=<cid>/`` directories),
-    plus the codebook returned for the search side. This is the 100 TB
-    index shape: a probed search touches ONLY its n_probe cluster
-    directories — the other (n_centroids - n_probe)/n_centroids of the
-    corpus is never opened, enforced by parquet partition pruning rather
-    than a runtime filter. Build cost is one corpus pass + one shuffle
-    (the partitioned write); incremental refreshes append new rows to
-    their cluster directories.
+    its map-side cluster assignment under a GENERATION level
+    (``_b=base/ivf_cluster=<cid>/`` directories — the same two-level
+    layout the streaming index maintainer and the incremental appenders
+    produce, so built, appended, and streamed generations coexist under
+    one discovery root), plus the codebook returned for the search side.
+    This is the 100 TB index shape: a probed search touches ONLY its
+    n_probe cluster directories — the other
+    (n_centroids - n_probe)/n_centroids of the corpus is never opened,
+    enforced by parquet partition pruning rather than a runtime filter.
+    Build cost is one corpus pass + one shuffle (the partitioned write);
+    incremental refreshes land as their own idempotent ``_b=a-<token>``
+    generation directories (:func:`append_to_ivf_index`).
     """
     cents = centroids if centroids is not None else ivf_centroid_vectors(
         corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
@@ -1047,7 +1051,9 @@ def build_ivf_index(
         cents,
         vec_col="embedding",
     )
-    clustered.write.mode(mode).partitionBy("ivf_cluster").parquet(path)
+    clustered.write.mode(mode).partitionBy("ivf_cluster").parquet(
+        f"{path}/_b=base"
+    )
     return cents
 
 
@@ -1158,7 +1164,7 @@ def build_ivf_sq8_index(
         .select("vec_id", codes.alias("sq8_codes"), "ivf_cluster")
         .write.mode(mode)
         .partitionBy("ivf_cluster")
-        .parquet(path)
+        .parquet(f"{path}/_b=base")
     )
     grid.write.mode(
         "overwrite" if mode == "overwrite" else mode
@@ -1166,20 +1172,41 @@ def build_ivf_sq8_index(
     return cents
 
 
+def _append_generation_dir(path: str, token: str) -> str:
+    """Directory of one idempotent append generation. ``token`` names the
+    INGEST RUN (a date, a batch id — stable across retries of the same
+    run, distinct across runs): the generation is written with
+    ``overwrite``, so a retry after a partial failure replaces its own
+    directory instead of duplicating rows — the same discipline as the
+    streaming maintainer's per-batch ``_b=<lineage>-<id>`` directories,
+    which share this namespace."""
+    if not token or "/" in token or token in ("base",):
+        raise ValueError(
+            "token must be a non-empty path-safe ingest-run name"
+            f" (not 'base'), got {token!r}"
+        )
+    return f"{path}/_b=a-{token}"
+
+
 def append_to_ivf_index(
     new_vectors: DataFrame,
     path: str,
     centroids: list[list[float]],
+    token: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
     """Incremental refresh of a :func:`build_ivf_index` layout — the
     nightly-ingest path: assign ONLY the new vectors map-side against the
     EXISTING codebook (a driver-list literal, so the only shuffle is the
-    partitioned write of the new rows) and APPEND them to their cluster
-    directories. Search plans are unchanged — partition pruning doesn't
-    care how many generations a directory holds. Given the same codebook,
-    an append-built index holds exactly the rows a full rebuild would
+    partitioned write of the new rows) and land them as ONE new
+    generation directory ``_b=a-<token>/ivf_cluster=<c>/``. The write is
+    an OVERWRITE of the generation's own directory, so retrying a failed
+    ingest run (same ``token``) is idempotent — a plain append would
+    duplicate every vector the first attempt already committed. Search
+    plans are unchanged — partition pruning prunes on ``ivf_cluster``
+    across however many generations exist. Given the same codebook, an
+    append-built index holds exactly the rows a full rebuild would
     (assignment is a deterministic argmax), asserted bit-equal in tests.
 
     Centroids are NOT refitted here; after many appends the assignment
@@ -1193,7 +1220,9 @@ def append_to_ivf_index(
         centroids,
         vec_col="embedding",
     )
-    clustered.write.mode("append").partitionBy("ivf_cluster").parquet(path)
+    clustered.write.mode("overwrite").partitionBy("ivf_cluster").parquet(
+        _append_generation_dir(path, token)
+    )
 
 
 def sq8_encode_against_grid(clustered: DataFrame, grid: DataFrame) -> DataFrame:
@@ -1264,6 +1293,7 @@ def append_to_ivf_sq8_index(
     new_vectors: DataFrame,
     path: str,
     centroids: list[list[float]],
+    token: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1277,10 +1307,15 @@ def append_to_ivf_sq8_index(
     out-of-grid violation. Returns the per-cluster violation report
     ``(ivf_cluster, n_appended, n_out_of_grid)`` and journals it to
     ``{path}__viol`` so :func:`ivf_index_staleness` can accumulate grid
-    staleness across appends. One batch-sized pass; the index itself
-    grows by an appended file per touched cluster directory.
+    staleness across appends. One batch-sized pass; both the index rows
+    and the journal land as the ingest run's OWN ``_b=a-<token>``
+    generation directory (overwrite — a retry after a partial failure,
+    e.g. the index write committed but the journal write died, replaces
+    its own generation instead of duplicating vectors and double-counting
+    violations).
     """
     grid = spark.read.parquet(f"{path}__grid")
+    gen_dir = _append_generation_dir(path, token)
     clustered = ivf_assign(
         new_vectors.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
@@ -1289,14 +1324,14 @@ def append_to_ivf_sq8_index(
         vec_col="embedding",
     )
     enc = sq8_encode_against_grid(clustered, grid)
-    enc.drop("_oog").write.mode("append").partitionBy("ivf_cluster").parquet(
-        path
-    )
+    enc.drop("_oog").write.mode("overwrite").partitionBy(
+        "ivf_cluster"
+    ).parquet(gen_dir)
     report = enc.groupBy("ivf_cluster").agg(
         F.count(F.lit(1)).alias("n_appended"),
         F.sum(F.col("_oog").cast("long")).alias("n_out_of_grid"),
     )
-    report.write.mode("append").parquet(f"{path}__viol")
+    report.write.mode("overwrite").parquet(f"{path}__viol/_b=a-{token}")
     return report
 
 

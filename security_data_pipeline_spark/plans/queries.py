@@ -3662,7 +3662,7 @@ def ann_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     odds = emb.filter(F.col("vec_id") % 2 == 1)
     path = tempfile.mkdtemp(prefix="ivf_stale_") + "/index"
     cents = similarity.build_ivf_sq8_index(evens, path, n_centroids=16)
-    similarity.append_to_ivf_sq8_index(spark, odds, path, cents)
+    similarity.append_to_ivf_sq8_index(spark, odds, path, cents, "odds")
     return similarity.ivf_index_staleness(spark, path).select(
         "ivf_cluster",
         "n_rows",

@@ -239,6 +239,21 @@ def stream_stream_join(
     return l_wm.join(r_wm, key_cond & time_cond, how)
 
 
+def _missing_path(e) -> bool:
+    """True iff ``e`` (an AnalysisException) is a missing-path read — the
+    ONE copy of the PATH_NOT_FOUND probe every state-reading maintainer
+    shares: structured error class first (stable API), message text as
+    the fallback for runtimes that predate error classes."""
+    for probe in ("getCondition", "getErrorClass"):
+        try:
+            cond = getattr(e, probe)()
+        except Exception:
+            continue
+        if cond is not None:
+            return cond == "PATH_NOT_FOUND"
+    return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
+
+
 def _stamp_batch(df: DataFrame, batch_id: int, tag: str) -> DataFrame:
     """Stamp persisted fold state with its batch id and checkpoint
     lineage tag (see :func:`_check_replay`)."""
@@ -257,24 +272,35 @@ def _check_replay(prev, batch_id: int, tag: str):
     checkpoint path). The tag matters: batch ids restart at 0 under a
     fresh checkpoint, and an intentional fresh-checkpoint restart over
     kept state (the scratch-recovery pattern) must fold normally rather
-    than be mistaken for a crash replay. State written before the guard
-    existed (no ``_last_batch_id`` column) folds normally too.
+    than be mistaken for a crash replay. The max batch id is taken ONLY
+    over rows stamped with the CURRENT lineage tag — state whose stamps
+    mix lineages (the prefix-partitioned LOCF fold rewrites only touched
+    directories, so an old lineage's stamps survive a restart) must not
+    pair an old lineage's high batch id with the new lineage's tag.
+    State written before the guard existed (no ``_last_batch_id``
+    column) folds normally too.
+
+    The returned frame ALWAYS has the guard columns dropped (both
+    branches) so folds that keep merging on replay — the LOCF healing
+    merge — can union it with unstamped batch summaries; callers that
+    need the stamped frame back (the scratch-recovery rewrite) keep
+    their own reference to the raw state read.
     """
     from pyspark.sql import functions as F
 
     if prev is None or "_last_batch_id" not in prev.columns:
         return False, prev
-    row = prev.agg(
-        F.max("_last_batch_id").alias("b"),
-        (
-            F.max("_fold_tag")
-            if "_fold_tag" in prev.columns
-            else F.lit(None).cast("string")
-        ).alias("t"),
-    ).first()
-    if row["b"] is not None and row["b"] >= batch_id and row["t"] == tag:
-        return True, prev
-    return False, prev.drop("_last_batch_id", "_fold_tag")
+    if "_fold_tag" in prev.columns:
+        same_lineage_id = F.max(
+            F.when(F.col("_fold_tag") == F.lit(tag), F.col("_last_batch_id"))
+        )
+        clean = prev.drop("_last_batch_id", "_fold_tag")
+    else:
+        same_lineage_id = F.lit(None).cast("long")
+        clean = prev.drop("_last_batch_id")
+    row = prev.agg(same_lineage_id.alias("b")).first()
+    replayed = row["b"] is not None and row["b"] >= batch_id
+    return replayed, clean
 
 
 def maintain_rollup_stream(
@@ -317,29 +343,17 @@ def maintain_rollup_stream(
 
     scratch = f"{state_path}__next"
 
-    def _missing(e: AnalysisException) -> bool:
-        # structured error class first (stable API), message text as the
-        # fallback for runtimes that predate error classes
-        for probe in ("getCondition", "getErrorClass"):
-            try:
-                cond = getattr(e, probe)()
-            except Exception:
-                continue
-            if cond is not None:
-                return cond == "PATH_NOT_FOUND"
-        return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
-
     def _read_state(spark):
         """Return ``(state_df, recovered_from_scratch)`` or ``(None, False)``."""
         try:
             return spark.read.parquet(state_path), False
         except AnalysisException as e:
-            if not _missing(e):
+            if not _missing_path(e):
                 raise
         try:  # crashed mid-swap: recover the scratch generation
             return spark.read.parquet(scratch), True
         except AnalysisException as e:
-            if not _missing(e):
+            if not _missing_path(e):
                 raise
         return None, False  # genuine first batch
 
@@ -347,15 +361,15 @@ def maintain_rollup_stream(
         from pyspark.sql import functions as F
 
         spark = batch_df.sparkSession
-        prev, from_scratch = _read_state(spark)
-        replayed, prev = _check_replay(prev, batch_id, checkpoint_path)
+        raw, from_scratch = _read_state(spark)
+        replayed, prev = _check_replay(raw, batch_id, checkpoint_path)
         if replayed:
             # at-least-once replay (crash after the state overwrite,
             # before checkpoint commit): the batch is already merged —
             # re-merging would double-count every partial. Complete
             # the interrupted swap if needed and do nothing else.
             if from_scratch:
-                prev.write.mode("overwrite").parquet(state_path)
+                raw.write.mode("overwrite").parquet(state_path)
             return
         new = inc.partial_aggs(batch_df, keys, measures, distinct_cols)
         merged = _stamp_batch(
@@ -438,34 +452,24 @@ def _heavy_hitter_fold(state_path: str, item_col: str, k: int, tag: str = ""):
 
     scratch = f"{state_path}__next"
 
-    def _missing(e: AnalysisException) -> bool:
-        for probe in ("getCondition", "getErrorClass"):
-            try:
-                cond = getattr(e, probe)()
-            except Exception:
-                continue
-            if cond is not None:
-                return cond == "PATH_NOT_FOUND"
-        return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
-
     def _read_state(spark):
         """Return ``(state_df, recovered_from_scratch)`` or ``(None, False)``."""
         try:
             return spark.read.parquet(state_path), False
         except AnalysisException as e:
-            if not _missing(e):
+            if not _missing_path(e):
                 raise
         try:
             return spark.read.parquet(scratch), True
         except AnalysisException as e:
-            if not _missing(e):
+            if not _missing_path(e):
                 raise
         return None, False
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        prev, from_scratch = _read_state(spark)
-        replayed, prev = _check_replay(prev, batch_id, tag)
+        raw, from_scratch = _read_state(spark)
+        replayed, prev = _check_replay(raw, batch_id, tag)
         if replayed:
             # at-least-once replay: this batch is already folded into
             # the persisted state (crash after the overwrite, before
@@ -473,7 +477,7 @@ def _heavy_hitter_fold(state_path: str, item_col: str, k: int, tag: str = ""):
             # and break the lower bracket -- finish the interrupted
             # swap (scratch -> state) if needed and do nothing else.
             if from_scratch:
-                prev.write.mode("overwrite").parquet(state_path)
+                raw.write.mode("overwrite").parquet(state_path)
             return
         new = sketches.heavy_hitters(batch_df, item_col, k=k).select(
             "item", "count_lo", "threshold"
@@ -570,26 +574,16 @@ def maintain_drift_stream(
         refcounts_path
     )
 
-    def _missing(e: AnalysisException) -> bool:
-        for probe in ("getCondition", "getErrorClass"):
-            try:
-                cond = getattr(e, probe)()
-            except Exception:
-                continue
-            if cond is not None:
-                return cond == "PATH_NOT_FOUND"
-        return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
-
     def _read_state(spark):
         try:
             return spark.read.parquet(state_path), False
         except AnalysisException as e:
-            if not _missing(e):
+            if not _missing_path(e):
                 raise
         try:
             return spark.read.parquet(scratch), True
         except AnalysisException as e:
-            if not _missing(e):
+            if not _missing_path(e):
                 raise
         return None, False
 
@@ -631,11 +625,11 @@ def maintain_drift_stream(
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        prev, from_scratch = _read_state(spark)
-        replayed, prev = _check_replay(prev, batch_id, checkpoint_path)
+        raw, from_scratch = _read_state(spark)
+        replayed, prev = _check_replay(raw, batch_id, checkpoint_path)
         if replayed:
             if from_scratch:
-                prev.write.mode("overwrite").parquet(state_path)
+                raw.write.mode("overwrite").parquet(state_path)
             _emit_gate(spark)
             return
         b = (
@@ -703,6 +697,12 @@ def prune_band_index(index: DataFrame, bb: DataFrame, pfx_mod: int) -> DataFrame
     ``_pk`` partition keys (≤ n_bands·pfx_mod values — bounded, tiny) and
     filter the index on them, which Spark turns into a directory-pruned
     read (``PartitionFilters``) rather than a full-index scan."""
+    if "_pk" not in index.columns:
+        raise RuntimeError(
+            "band index has no _pk partition column — state written by a"
+            " pre-prefix-layout version; run migrate_stream_index(spark,"
+            " path, 'band') offline once, then restart the stream"
+        )
     pks = [
         r["_pk"]
         for r in bb.select(_band_pk(pfx_mod).alias("_pk")).distinct().collect()
@@ -732,6 +732,13 @@ def corpus_fresh_rows(local: DataFrame, index: DataFrame) -> DataFrame:
     fingerprint ``index`` — computed with a directory-pruned map-side
     index scan and two batch-side broadcasts, so NO Exchange ever holds
     the index (see :func:`dedup_stream_against_corpus`)."""
+    if "_pfx" not in index.columns:
+        raise RuntimeError(
+            "fingerprint index has no _pfx partition column — state"
+            " written by a pre-prefix-layout version; run"
+            " migrate_stream_index(spark, path, 'fingerprint') offline"
+            " once, then restart the stream"
+        )
     prefixes = [
         r["_pfx"]
         for r in local.select(_fp_pfx().alias("_pfx")).distinct().collect()
@@ -805,21 +812,11 @@ def maintain_neardup_stream(
     bands_root = f"{state_path}__bands"
     tag = _lineage_tag(checkpoint_path)
 
-    def _missing(e: AnalysisException) -> bool:
-        for probe in ("getCondition", "getErrorClass"):
-            try:
-                cond = getattr(e, probe)()
-            except Exception:
-                continue
-            if cond is not None:
-                return cond == "PATH_NOT_FOUND"
-        return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
-
     def _read(spark, path):
         try:
             return spark.read.parquet(path)
         except AnalysisException as e:
-            if not _missing(e):
+            if not _missing_path(e):
                 raise
         return None
 
@@ -832,11 +829,11 @@ def maintain_neardup_stream(
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        prev, from_scratch = _read_state(spark)
-        replayed, prev = _check_replay(prev, batch_id, checkpoint_path)
+        raw, from_scratch = _read_state(spark)
+        replayed, prev = _check_replay(raw, batch_id, checkpoint_path)
         if replayed:
             if from_scratch:
-                prev.write.mode("overwrite").parquet(state_path)
+                raw.write.mode("overwrite").parquet(state_path)
             return
         batch = batch_df.select(id_col, text_col).localCheckpoint()
         # prior index read BEFORE this batch's directory is (re)written;
@@ -846,9 +843,6 @@ def maintain_neardup_stream(
         bb = dedup._minhash_band_frame(
             batch, id_col, text_col, n, num_perm, n_bands, True, False
         ).localCheckpoint()
-        bb.withColumn("_pk", _band_pk(pfx_mod)).write.partitionBy(
-            "_pk"
-        ).mode("overwrite").parquet(f"{bands_root}/_tag={tag}/batch={batch_id}")
         self_pairs = dedup.minhash_lsh_pairs(
             batch,
             id_col=id_col,
@@ -872,6 +866,16 @@ def maintain_neardup_stream(
                 F.col("new_id").alias("id_a"), F.col("ref_id").alias("id_b")
             )
             edges = edges.unionByName(cross)
+        # edges MATERIALIZE (eager localCheckpoint) before the batch's
+        # band directory is overwritten: on a crash replay the overwrite
+        # replaces the very part-files the index scan just listed, and a
+        # lazy cross-join plan executed later (inside the connected-
+        # components iterations) would hit the stale listing with
+        # FileNotFoundException — a stuck replay loop.
+        edges = edges.localCheckpoint()
+        bb.withColumn("_pk", _band_pk(pfx_mod)).write.partitionBy(
+            "_pk"
+        ).mode("overwrite").parquet(f"{bands_root}/_tag={tag}/batch={batch_id}")
         nodes = batch.select(id_col)
         if prev is None:
             labels = dedup.connected_components(
@@ -952,16 +956,6 @@ def dedup_stream_against_corpus(
 
     tag = _lineage_tag(checkpoint_path)
 
-    def _missing(e: AnalysisException) -> bool:
-        for probe in ("getCondition", "getErrorClass"):
-            try:
-                cond = getattr(e, probe)()
-            except Exception:
-                continue
-            if cond is not None:
-                return cond == "PATH_NOT_FOUND"
-        return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
-
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_dir = f"{state_path}/_tag={tag}/batch={batch_id}"
@@ -983,7 +977,7 @@ def dedup_stream_against_corpus(
         try:
             index = spark.read.parquet(state_path)
         except AnalysisException as e:
-            if not _missing(e):
+            if not _missing_path(e):
                 raise
             index = None
         if index is None:
@@ -1110,16 +1104,6 @@ def maintain_locf_stream(
 
     tag = _lineage_tag(checkpoint_path)
 
-    def _missing(e: AnalysisException) -> bool:
-        for probe in ("getCondition", "getErrorClass"):
-            try:
-                cond = getattr(e, probe)()
-            except Exception:
-                continue
-            if cond is not None:
-                return cond == "PATH_NOT_FOUND"
-        return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
-
     def _kp():
         return locf_key_prefix(keys, pfx_mod)
 
@@ -1149,7 +1133,7 @@ def maintain_locf_stream(
         try:
             state = spark.read.parquet(state_path)
         except AnalysisException as e:
-            if not _missing(e):
+            if not _missing_path(e):
                 raise
             state = None
         pruned = (
@@ -1269,6 +1253,73 @@ def maintain_ann_index_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def migrate_stream_index(
+    spark: SparkSession,
+    root: str,
+    kind: str,
+    pfx_mod: int = 32,
+) -> dict:
+    """One-shot OFFLINE migration of a corpus index written by the
+    pre-prefix-layout maintainers (flat ``{root}/batch=<id>/`` parquet,
+    no lineage or prefix-partition levels) into the pruned layout the
+    current readers require (``_tag=legacy/batch=0/_pfx=*`` for
+    ``kind='fingerprint'``, ``.../_pk=*`` for ``kind='band'`` — ``pfx_mod``
+    must match the stream's setting). Without it, a restart over old
+    state fails fast in :func:`corpus_fresh_rows` /
+    :func:`prune_band_index` (missing partition column), and a tree
+    MIXING old flat and new tagged directories cannot even be
+    partition-discovered — hence migrate once, offline, before the first
+    restart on the new version.
+
+    Crash-safe by ordering + resume, not atomicity: the migrated
+    generation is fully written to a scratch sibling, RENAMED into the
+    root first, and only then are the old batch directories deleted
+    (the legacy generation's presence implies it is complete, so a
+    re-run just finishes the deletions). Returns
+    ``{"batches_migrated", "rows"}``.
+    """
+    if kind not in ("fingerprint", "band"):
+        raise ValueError(f"kind must be 'fingerprint' or 'band', got {kind!r}")
+
+    jvm = spark._jvm
+    jroot = jvm.org.apache.hadoop.fs.Path(root)
+    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jroot):
+        return {"batches_migrated": 0, "rows": 0}
+
+    old_dirs = [
+        st.getPath().getName()
+        for st in fs.listStatus(jroot)
+        if st.getPath().getName().startswith("batch=")
+    ]
+    legacy = jvm.org.apache.hadoop.fs.Path(f"{root}/_tag=legacy")
+    if fs.exists(legacy):
+        # resume: the legacy generation is complete (renamed in whole);
+        # finish deleting whatever old directories remain
+        for d in old_dirs:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{d}"), True)
+        return {"batches_migrated": len(old_dirs), "rows": 0}
+    if not old_dirs:
+        return {"batches_migrated": 0, "rows": 0}  # already new layout
+
+    data = spark.read.parquet(root).drop("batch")
+    pcol = "_pfx" if kind == "fingerprint" else "_pk"
+    expr = _fp_pfx() if kind == "fingerprint" else _band_pk(pfx_mod)
+    out = data.withColumn(pcol, expr).repartition(F.col(pcol))
+    scratch = f"{root}__migrating"
+    out.write.mode("overwrite").partitionBy(pcol).parquet(
+        f"{scratch}/_tag=legacy/batch=0"
+    )
+    rows = spark.read.parquet(f"{scratch}/_tag=legacy/batch=0").count()
+    src = jvm.org.apache.hadoop.fs.Path(f"{scratch}/_tag=legacy")
+    if not fs.rename(src, legacy):
+        raise IOError(f"rename {src} -> {legacy} failed")
+    fs.delete(jvm.org.apache.hadoop.fs.Path(scratch), True)
+    for d in old_dirs:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{d}"), True)
+    return {"batches_migrated": len(old_dirs), "rows": rows}
 
 
 def consolidate_stream_index(

@@ -290,6 +290,27 @@ def test_pick_cluster_survivors_string_ids(spark):
     assert out["x"] == ("x", True)
 
 
+def test_pick_cluster_survivors_null_scores_lose(spark):
+    """A NULL score must never beat a scored member (a bare -score struct
+    key sorts the NULL field first and would elect the unscored doc); a
+    cluster whose members are ALL unscored falls back to the lowest id."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5)], "doc_id long, cluster_id long"
+    )
+    scores = spark.createDataFrame(
+        [(1, None), (2, 0.9), (5, None), (6, None)],
+        "doc_id long, score double",
+    )
+    out = {
+        r["doc_id"]: (r["survivor_id"], r["keep"])
+        for r in dedup.pick_cluster_survivors(clusters, scores).collect()
+    }
+    # cluster 1: the scored doc 2 wins over NULL-scored doc 1
+    assert out[1] == (2, False) and out[2] == (2, True)
+    # cluster 5: all NULL -> lowest id 5
+    assert out[5] == (5, True) and out[6] == (5, False)
+
+
 def test_incremental_components_equal_full_recompute(spark):
     """Star contraction: folding a new batch's nodes/edges into an old
     labeling equals the full recompute on the cumulative graph — across

@@ -829,8 +829,11 @@ def test_ivf_index_roundtrip_prunes_partitions_and_matches_inmemory(spark, tmp_p
     # partitions are a strict subset when probes < clusters
     import re
 
-    dirs = {p.name for p in (tmp_path / "ivf_index").iterdir()
-            if p.name.startswith("ivf_cluster=")}
+    dirs = {
+        p.name
+        for p in (tmp_path / "ivf_index" / "_b=base").iterdir()
+        if p.name.startswith("ivf_cluster=")
+    }
     assert len(dirs) == 16
     m = re.findall(r"ivf_cluster=(\d+)", plan.split("PartitionFilters", 1)[1][:500])
     probed = {
@@ -928,7 +931,7 @@ def test_ivf_index_append_equals_full_rebuild(spark, tmp_path):
     inc_path = str(tmp_path / "ivf_inc")
     full_path = str(tmp_path / "ivf_full")
     cents = similarity.build_ivf_index(half_a, inc_path, n_centroids=16)
-    similarity.append_to_ivf_index(half_b, inc_path, cents)
+    similarity.append_to_ivf_index(half_b, inc_path, cents, "night1")
     similarity.build_ivf_index(emb, full_path, centroids=cents)
 
     pred = F.col("vec_id") < 30
@@ -958,7 +961,7 @@ def test_ivf_sq8_append_roundtrip_violations_and_staleness(spark, tmp_path):
     full_path = str(tmp_path / "sq8_full")
     cents = similarity.build_ivf_sq8_index(half_a, inc_path, n_centroids=16)
     report = similarity.append_to_ivf_sq8_index(
-        spark, half_b, inc_path, cents
+        spark, half_b, inc_path, cents, "night1"
     )
     n_app, n_oog1 = report.agg(
         F.sum("n_appended"), F.sum("n_out_of_grid")
@@ -993,7 +996,9 @@ def test_ivf_sq8_append_roundtrip_violations_and_staleness(spark, tmp_path):
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform("embedding", lambda x: x * 25.0).alias("embedding"),
     )
-    rep2 = similarity.append_to_ivf_sq8_index(spark, blown, inc_path, cents)
+    rep2 = similarity.append_to_ivf_sq8_index(
+        spark, blown, inc_path, cents, "night2"
+    )
     assert rep2.agg(F.sum("n_out_of_grid")).first()[0] == 8
     # clamped codes stay decodable in range
     codes = spark.read.parquet(inc_path).select(
@@ -1011,3 +1016,49 @@ def test_ivf_sq8_append_roundtrip_violations_and_staleness(spark, tmp_path):
     assert all(
         r["rebuild_hint"] == (r["size_skew"] or r["grid_stale"]) for r in stale
     )
+
+
+def test_ivf_append_retry_same_token_is_idempotent(spark, tmp_path):
+    """Retrying a failed ingest run (same token) must not duplicate
+    vectors or double-count violations: each append lands as its own
+    _b=a-<token> generation directory written with overwrite, so the
+    retry replaces the partial generation instead of appending beside
+    it. A token reusing the build generation's name is rejected."""
+    import pytest
+
+    from security_data_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    fpath = str(tmp_path / "ivf_f")
+    cents = similarity.build_ivf_index(half_a, fpath, n_centroids=4)
+    similarity.append_to_ivf_index(half_b, fpath, cents, "run1")
+    n1 = spark.read.parquet(fpath).count()
+    similarity.append_to_ivf_index(half_b, fpath, cents, "run1")  # retry
+    assert spark.read.parquet(fpath).count() == n1 == emb.count()
+
+    qpath = str(tmp_path / "ivf_q")
+    cents_q = similarity.build_ivf_sq8_index(half_a, qpath, n_centroids=4)
+    similarity.append_to_ivf_sq8_index(spark, half_b, qpath, cents_q, "run1")
+    n_rows = spark.read.parquet(qpath).count()
+    viol = (
+        spark.read.parquet(qpath + "__viol")
+        .agg(F.sum("n_appended"))
+        .first()[0]
+    )
+    # retry of the SAME run: index rows and journaled counts unchanged
+    similarity.append_to_ivf_sq8_index(spark, half_b, qpath, cents_q, "run1")
+    assert spark.read.parquet(qpath).count() == n_rows
+    assert (
+        spark.read.parquet(qpath + "__viol")
+        .agg(F.sum("n_appended"))
+        .first()[0]
+        == viol
+    )
+
+    with pytest.raises(ValueError, match="token"):
+        similarity.append_to_ivf_index(half_b, fpath, cents, "base")
+    with pytest.raises(ValueError, match="token"):
+        similarity.append_to_ivf_index(half_b, fpath, cents, "")

@@ -1264,3 +1264,335 @@ def test_locf_state_join_prunes_and_never_shuffles_state(spark, tmp_path):
     assert pruned_scans, plan
     got = {(r["k"], r["o"]): r["v_ffill"] for r in filled.collect()}
     assert got == {("k3", 100): 30.0, ("k3", 101): 7.0, ("k7", 100): 70.0}
+
+
+def test_check_replay_mixed_lineage_and_clean_return(spark):
+    """The replay guard over prefix-partitioned state: stamps from an OLD
+    checkpoint lineage (dynamic partition overwrite rewrites only touched
+    prefixes, so they survive a restart) must not combine their high batch
+    id with the current lineage's tag and flag a live batch as replayed;
+    and the returned frame must carry NO guard columns on EITHER branch so
+    the LOCF healing merge can union it with unstamped batch summaries."""
+    from security_data_pipeline_spark.streaming.pipeline import _check_replay
+
+    # the old lineage tag sorts BELOW the current one, so the buggy
+    # independent max(_fold_tag) equals the current tag while
+    # max(_last_batch_id) comes from the old lineage — the cross-combine
+    mixed = spark.createDataFrame(
+        [("k1", 1.0, 0, "tNEW"), ("k2", 2.0, 7, "tAAA")],
+        "k string, v double, _last_batch_id long, _fold_tag string",
+    )
+    # old lineage's id 7 must NOT pair with the current tag: batch 1 folds
+    replayed, clean = _check_replay(mixed, 1, "tNEW")
+    assert not replayed
+    assert set(clean.columns) == {"k", "v"}
+
+    # genuine replay under the current lineage
+    replayed, clean = _check_replay(mixed, 0, "tNEW")
+    assert replayed
+    # the healing merge unions this with an unstamped summary frame —
+    # guard columns must already be gone
+    assert set(clean.columns) == {"k", "v"}
+    summ = spark.createDataFrame([("k9", 9.0)], "k string, v double")
+    assert clean.unionByName(summ).count() == 3
+
+    # stamps from another lineage only: fold normally
+    replayed, clean = _check_replay(mixed, 0, "tELSEWHERE")
+    assert not replayed
+
+    # pre-guard state (no stamp columns): fold normally
+    old = spark.createDataFrame([("k1", 1.0)], "k string, v double")
+    replayed, clean = _check_replay(old, 5, "tNEW")
+    assert not replayed and set(clean.columns) == {"k", "v"}
+
+
+def test_streaming_locf_new_lineage_over_mixed_stamps_delivers(
+    spark, tmp_path
+):
+    """Restarting LOCF with a FRESH checkpoint over kept state leaves
+    prefix directories stamped by the old lineage; a later batch whose
+    pruned slice mixes old- and new-lineage stamps must still fold and
+    DELIVER (the cross-lineage max(batch_id)×max(tag) combination used to
+    flag it replayed and silently skip the sink). The checkpoint names are
+    chosen so the new lineage tag sorts lexicographically AFTER the old
+    one — the exact ordering that triggered the false positive."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.operators.timeseries import forward_fill
+    from security_data_pipeline_spark.streaming.pipeline import (
+        _lineage_tag,
+        locf_key_prefix,
+        maintain_locf_stream,
+    )
+
+    # two keys in DIFFERENT state prefixes (so old stamps can survive a
+    # partial rewrite)
+    probe = spark.createDataFrame(
+        [(f"k{i}",) for i in range(32)], "k string"
+    ).select("k", locf_key_prefix(["k"], 256).alias("_kp"))
+    by_pfx = {}
+    for r in probe.collect():
+        by_pfx.setdefault(r["_kp"], []).append(r["k"])
+    k1, k2 = [ks[0] for ks in list(by_pfx.values())[:2]]
+
+    # checkpoint names ordered so tag(ckpt_b) > tag(ckpt_a) lexicographically
+    ckpt_a = str(tmp_path / "ckpt_a")
+    ckpt_b = None
+    for i in range(64):
+        cand = str(tmp_path / f"ckpt_b{i}")
+        if _lineage_tag(cand) > _lineage_tag(ckpt_a):
+            ckpt_b = cand
+            break
+    assert ckpt_b is not None
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    def run(src_dir, ckpt):
+        q = maintain_locf_stream(
+            spark.readStream.schema("k string, o long, v double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir),
+            state,
+            ckpt,
+            sink,
+            keys=["k"],
+            order_col="o",
+            cols=["v"],
+        )
+        q.awaitTermination(120)
+
+    def write_batch(d, name, rows, mtime):
+        f = pathlib.Path(d) / name
+        pq.write_table(
+            pa.table(
+                {
+                    "k": [r[0] for r in rows],
+                    "o": [r[1] for r in rows],
+                    "v": pa.array([r[2] for r in rows], type=pa.float64()),
+                }
+            ),
+            str(f),
+        )
+        os.utime(f, (mtime, mtime))
+
+    base = time.time() - 100
+    src_a = tmp_path / "in_a"
+    src_a.mkdir()
+    # lineage A: two batches touching BOTH prefixes -> stamps (tag_a, 1)
+    write_batch(src_a, "b0.parquet", [(k1, 1, 10.0), (k2, 1, 20.0)], base)
+    write_batch(
+        src_a, "b1.parquet", [(k1, 2, None), (k2, 2, None)], base + 1
+    )
+    run(str(src_a), ckpt_a)
+
+    # lineage B over the SAME state: batch 0 touches only k1's prefix
+    # (re-stamped tag_b,0); batch 1 touches BOTH prefixes -> its pruned
+    # slice mixes (tag_b,0) and (tag_a,1)
+    src_b = tmp_path / "in_b"
+    src_b.mkdir()
+    write_batch(src_b, "b0.parquet", [(k1, 3, 30.0)], base + 2)
+    write_batch(
+        src_b, "b1.parquet", [(k1, 4, None), (k2, 3, None)], base + 3
+    )
+    run(str(src_b), ckpt_b)
+
+    got = {
+        (r["k"], r["o"]): r["v_ffill"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # the mixed-stamp batch DID deliver, with the right carries
+    assert (k1, 4) in got and (k2, 3) in got, sorted(got)
+    all_rows = spark.createDataFrame(
+        [
+            (k1, 1, 10.0), (k2, 1, 20.0), (k1, 2, None), (k2, 2, None),
+            (k1, 3, 30.0), (k1, 4, None), (k2, 3, None),
+        ],
+        "k string, o long, v double",
+    )
+    want = {
+        (r["k"], r["o"]): r["v_ffill"]
+        for r in forward_fill(all_rows, ["k"], "o", ["v"]).collect()
+    }
+    assert got == want
+
+
+def test_streaming_neardup_replay_after_band_write_crash(spark, tmp_path):
+    """Crash between the band-index write and the labels commit: the
+    replayed batch re-reads an index that ALREADY holds its own band
+    directory, then overwrites that directory (new part-file names). The
+    fold must materialize its edges BEFORE the overwrite — a lazy
+    cross-join executed later (inside the connected-components iterations)
+    would list the stale files and die with FileNotFoundException on every
+    restart. The healed labeling must equal the batch recompute."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.operators import dedup
+    from security_data_pipeline_spark.streaming.pipeline import (
+        _band_pk,
+        _lineage_tag,
+        maintain_neardup_stream,
+    )
+
+    def doc(seed: int, extra: str = "") -> str:
+        words = [f"w{seed}x{i}" for i in range(12)]
+        return " ".join(words) + (" " + extra if extra else "")
+
+    b0 = [(0, doc(0)), (1, doc(0, "tail")), (2, doc(7))]
+    b1 = [(3, doc(0, "other")), (4, doc(7, "tail")), (5, doc(11))]
+    src = tmp_path / "in"
+    src.mkdir()
+    base = time.time() - 100
+
+    def write_batch(name, rows, mtime):
+        f = src / name
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "text": [r[1] for r in rows],
+                }
+            ),
+            str(f),
+        )
+        os.utime(f, (mtime, mtime))
+
+    write_batch("b0.parquet", b0, base)
+    state = str(tmp_path / "labels")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = maintain_neardup_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src)),
+            state,
+            ckpt,
+            verify_threshold=0.3,
+        )
+        q.awaitTermination(180)
+
+    run()  # batch 0 folds; labels stamped batch 0
+
+    # simulate the crashed batch-1 attempt: its band directory committed,
+    # labels NOT — exactly the window the docstring calls harmless
+    bdf = spark.createDataFrame(b1, "doc_id long, text string")
+    bb = dedup._minhash_band_frame(
+        bdf, "doc_id", "text", 5, 32, 8, True, False
+    )
+    tag = _lineage_tag(ckpt)
+    bb.withColumn("_pk", _band_pk(32)).write.partitionBy("_pk").mode(
+        "overwrite"
+    ).parquet(f"{state}__bands/_tag={tag}/batch=1")
+
+    write_batch("b1.parquet", b1, base + 1)
+    run()  # replayed fold overwrites its own band dir mid-plan
+
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in spark.read.parquet(state)
+        .select("doc_id", "cluster_id")
+        .collect()
+    }
+    all_docs = spark.createDataFrame(b0 + b1, "doc_id long, text string")
+    edges = dedup.minhash_lsh_pairs(all_docs, verify_threshold=0.3)
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components(
+            edges, all_docs, id_col="doc_id"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_migrate_stream_index_from_flat_layout(spark, tmp_path):
+    """State written by the pre-prefix maintainers (flat batch=N dirs, no
+    _tag/_pfx levels) must fail fast in the pruned readers with a message
+    naming the migration, and migrate_stream_index must rewrite it into
+    the pruned layout so a restarted stream keeps recognizing every
+    historical fingerprint. A partially-deleted re-run resumes."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.operators.textops import fingerprint
+    from security_data_pipeline_spark.streaming.pipeline import (
+        corpus_fresh_rows,
+        dedup_stream_against_corpus,
+        migrate_stream_index,
+    )
+
+    state = str(tmp_path / "fps")
+    old_docs = [(1, "alpha beta"), (2, "delta x")]
+    old_fps = spark.createDataFrame(
+        old_docs, "doc_id long, text string"
+    ).select(fingerprint("text").alias("_fp"))
+    # the round-6 layout: one flat batch directory, no partition levels
+    old_fps.write.parquet(f"{state}/batch=0")
+
+    # pruned reader refuses the un-migrated layout by name
+    flat = spark.read.parquet(state)
+    local = spark.createDataFrame(
+        [(9, "alpha beta")], "doc_id long, text string"
+    ).withColumn("_fp", fingerprint("text"))
+    with pytest.raises(RuntimeError, match="migrate_stream_index"):
+        corpus_fresh_rows(local, flat)
+
+    report = migrate_stream_index(spark, state, "fingerprint")
+    assert report["batches_migrated"] == 1 and report["rows"] == 2
+    migrated = spark.read.parquet(state)
+    assert {"_fp", "_pfx", "_tag", "batch"} <= set(migrated.columns)
+    assert migrated.count() == 2
+
+    # a restarted stream must keep dropping the historical docs
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [(3, "ALPHA   beta"), (4, "new doc")]  # 3 dups historical 1
+    f = src / "b0.parquet"
+    pq.write_table(
+        pa.table(
+            {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+        ),
+        str(f),
+    )
+    os.utime(f, (time.time() - 10, time.time() - 10))
+    out = str(tmp_path / "out")
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    q = dedup_stream_against_corpus(
+        spark.readStream.schema("doc_id long, text string").parquet(str(src)),
+        state,
+        str(tmp_path / "ckpt"),
+        sink,
+    )
+    q.awaitTermination(120)
+    assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [4]
+
+    # idempotent re-run on the migrated tree: nothing to do
+    again = migrate_stream_index(spark, state, "fingerprint")
+    assert again["batches_migrated"] == 0
+
+    # resume path: a leftover old dir beside a completed legacy gen is
+    # just deleted, never re-read
+    os.makedirs(f"{state}/batch=9", exist_ok=True)
+    resumed = migrate_stream_index(spark, state, "fingerprint")
+    assert resumed["batches_migrated"] == 1
+    assert not os.path.exists(f"{state}/batch=9")
+
+    with pytest.raises(ValueError, match="kind"):
+        migrate_stream_index(spark, state, "bands")
