@@ -1335,6 +1335,163 @@ def append_to_ivf_sq8_index(
     return report
 
 
+def _index_generations(spark, path: str) -> list[str]:
+    """Names of the ``_b=<gen>`` generation directories under an index
+    root (build ``base``, appends ``a-<token>``, streamed batches
+    ``<lineage>-<id>``, compactions ``c<n>``)."""
+    jvm = spark._jvm
+    jroot = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jroot):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(jroot)
+        if st.getPath().getName().startswith("_b=")
+    ]
+
+
+def compact_ann_index(spark, path: str) -> dict:
+    """Fold an IVF index's accumulated generation directories (the build,
+    every append run, every streamed batch) into ONE generation with one
+    file per cluster directory — the small-files maintenance a
+    long-ingesting index needs (10k streamed batches × 16 clusters is
+    160k tiny files; a compacted index is 16). Works on float and SQ8
+    layouts alike: rows are copied VERBATIM (no re-encode, no refit —
+    grids and codebook unchanged), so probed searches return bit-equal
+    results over the compacted tree.
+
+    Rows are deduplicated by ``vec_id``, which is what makes the
+    operation CRASH-RESUMABLE: the compacted generation is renamed into
+    the root before the old generations are deleted, so a crash in the
+    window leaves every row present (some twice) — re-running dedups and
+    finishes. Run it OFFLINE: until the old generations are gone, a
+    probed search can surface a duplicated neighbor. Returns
+    ``{"generations_before", "files_before", "files_after", "rows"}``.
+    """
+    from security_data_pipeline_spark.operators.layout import list_data_files
+
+    gens = _index_generations(spark, path)
+    if not gens:
+        return {
+            "generations_before": 0,
+            "files_before": 0,
+            "files_after": 0,
+            "rows": 0,
+        }
+    taken = {g.split("=", 1)[1] for g in gens}
+    n = 0
+    while f"c{n}" in taken:
+        n += 1
+    new_gen = f"c{n}"
+
+    files_before = len(list_data_files(spark, path))
+    data = (
+        spark.read.parquet(path)
+        .drop("_b")
+        .dropDuplicates(["vec_id"])
+        .repartition(F.col("ivf_cluster"))
+    )
+    scratch = f"{path}__compacting"
+    out_dir = f"{scratch}/_b={new_gen}"
+    data.write.mode("overwrite").partitionBy("ivf_cluster").parquet(out_dir)
+    rows = spark.read.parquet(out_dir).count()
+
+    jvm = spark._jvm
+    jroot = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    src = jvm.org.apache.hadoop.fs.Path(out_dir)
+    dst = jvm.org.apache.hadoop.fs.Path(f"{path}/_b={new_gen}")
+    if not fs.rename(src, dst):
+        raise IOError(f"rename {src} -> {dst} failed")
+    fs.delete(jvm.org.apache.hadoop.fs.Path(scratch), True)
+    for g in gens:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{g}"), True)
+    return {
+        "generations_before": len(gens),
+        "files_before": files_before,
+        "files_after": len(list_data_files(spark, path)),
+        "rows": rows,
+    }
+
+
+def rebuild_ivf_index(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    centroids: list[list[float]] | None = None,
+    sq8: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Act on :func:`ivf_index_staleness`'s ``rebuild_hint``: re-fit the
+    codebook on the CURRENT corpus (:func:`ivf_fit_codebook` spherical
+    k-means on a deterministic sample, unless ``centroids`` pins one),
+    rebuild the index from SOURCE vectors into one fresh generation, swap
+    it in, and reset the append/violation journal — closing the loop the
+    staleness report opens (size-skewed clusters re-split, and for
+    ``sq8=True`` the per-cluster grids re-fit so clamped appends decode
+    on a box that actually covers them).
+
+    ``corpus`` must be the source float vectors: an SQ8 index stores only
+    codes, and re-fitting grids on lossy reconstructions would compound
+    quantization error generation over generation.
+
+    Same offline/crash contract as :func:`compact_ann_index`: the new
+    generation is fully written to a scratch sibling, renamed in, and
+    only then are the old generations, the ``__viol`` journal, and (for
+    a layout switching off sq8) the stale ``__grid`` sidecar removed;
+    re-running heals any window. Returns the new codebook.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_fit_codebook(
+            corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    )
+    old_gens = _index_generations(spark, path)
+    scratch = f"{path}__rebuilding"
+    build = build_ivf_sq8_index if sq8 else build_ivf_index
+    build(
+        corpus,
+        scratch,
+        centroids=cents,
+        id_col=id_col,
+        vec_col=vec_col,
+        mode="overwrite",
+    )
+
+    jvm = spark._jvm
+    jroot = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(jroot)
+    taken = {g.split("=", 1)[1] for g in old_gens}
+    n = 0
+    while f"r{n}" in taken:
+        n += 1
+    src = jvm.org.apache.hadoop.fs.Path(f"{scratch}/_b=base")
+    dst = jvm.org.apache.hadoop.fs.Path(f"{path}/_b=r{n}")
+    if not fs.rename(src, dst):
+        raise IOError(f"rename {src} -> {dst} failed")
+    if sq8:
+        # the grid sidecar must match the swapped-in codes: overwrite it
+        # from the rebuild's sidecar before the old generations go
+        spark.read.parquet(f"{scratch}__grid").write.mode(
+            "overwrite"
+        ).parquet(f"{path}__grid")
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{scratch}__grid"), True)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(scratch), True)
+    for g in old_gens:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{g}"), True)
+    # the journal described appends to the REPLACED generations
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}__viol"), True)
+    if not sq8:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}__grid"), True)
+    return cents
+
+
 def ivf_index_staleness(
     spark,
     path: str,

@@ -1062,3 +1062,101 @@ def test_ivf_append_retry_same_token_is_idempotent(spark, tmp_path):
         similarity.append_to_ivf_index(half_b, fpath, cents, "base")
     with pytest.raises(ValueError, match="token"):
         similarity.append_to_ivf_index(half_b, fpath, cents, "")
+
+
+def test_compact_ann_index_folds_generations_bit_equal(spark, tmp_path):
+    """Compaction folds the build + every append generation into one
+    directory per cluster without changing a single search result (rows
+    copy verbatim), and dedup-by-vec_id makes a crashed half-compacted
+    tree (rows present twice) heal on re-run."""
+    import os
+
+    from security_data_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+    cents = similarity.build_ivf_index(half_a, path, n_centroids=8)
+    similarity.append_to_ivf_index(half_b, path, cents, "night1")
+
+    q = emb.filter(F.col("vec_id") < 20)
+    before = sorted(map(tuple, similarity.search_ivf_index(
+        spark, path, queries=q, centroids=cents, k=3, n_probe=3
+    ).collect()))
+
+    report = similarity.compact_ann_index(spark, path)
+    assert report["generations_before"] == 2
+    assert report["rows"] == emb.count()
+    assert report["files_after"] < report["files_before"]
+    gens = [d for d in os.listdir(path) if d.startswith("_b=")]
+    assert gens == ["_b=c0"]
+
+    after = sorted(map(tuple, similarity.search_ivf_index(
+        spark, path, queries=q, centroids=cents, k=3, n_probe=3
+    ).collect()))
+    assert after == before and len(after) > 0
+
+    # crash-resume: duplicate the lone generation (the state a crash
+    # between rename-in and old-gen deletion leaves), re-compact — the
+    # vec_id dedup restores exactly one copy of every row
+    import shutil
+
+    shutil.copytree(f"{path}/_b=c0", f"{path}/_b=a-dup")
+    report2 = similarity.compact_ann_index(spark, path)
+    assert report2["rows"] == emb.count()
+    healed = sorted(map(tuple, similarity.search_ivf_index(
+        spark, path, queries=q, centroids=cents, k=3, n_probe=3
+    ).collect()))
+    assert healed == before
+
+
+def test_rebuild_ivf_sq8_index_clears_staleness(spark, tmp_path):
+    """The staleness loop closes: appends outside the fitted grids raise
+    grid_stale; rebuild_ivf_index refits codebook + grids on the CURRENT
+    corpus, swaps one fresh generation in, and resets the journal — the
+    rebuilt tree is bit-equal to a fresh build with the same codebook and
+    reports no staleness."""
+    import os
+
+    from security_data_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "sq8")
+    cents0 = similarity.build_ivf_sq8_index(half_a, path, n_centroids=8)
+    blown = half_b.limit(8).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 25.0).alias("embedding"),
+    )
+    similarity.append_to_ivf_sq8_index(spark, half_b, path, cents0, "n1")
+    similarity.append_to_ivf_sq8_index(spark, blown, path, cents0, "n2")
+    stale = similarity.ivf_index_staleness(spark, path).collect()
+    assert any(r["grid_stale"] for r in stale)
+
+    corpus = emb.select("vec_id", "embedding").unionByName(blown)
+    cents1 = similarity.rebuild_ivf_index(
+        spark, corpus, path, n_centroids=8, sq8=True
+    )
+    assert len(cents1) == 8
+    gens = [d for d in os.listdir(path) if d.startswith("_b=")]
+    assert gens == ["_b=r0"]
+    assert not os.path.exists(path + "__viol")
+
+    fresh = similarity.ivf_index_staleness(spark, path).collect()
+    assert all(r["n_appended"] == 0 for r in fresh)
+    assert not any(r["grid_stale"] for r in fresh)
+    assert sum(r["n_rows"] for r in fresh) == corpus.count()
+
+    # bit-equal to a from-scratch build with the refit codebook
+    ref_path = str(tmp_path / "sq8_ref")
+    similarity.build_ivf_sq8_index(corpus, ref_path, centroids=cents1)
+    q = emb.filter(F.col("vec_id") < 20)
+    got = sorted(map(tuple, similarity.search_ivf_sq8_index(
+        spark, path, queries=q, centroids=cents1, k=3, n_probe=3
+    ).collect()))
+    exp = sorted(map(tuple, similarity.search_ivf_sq8_index(
+        spark, ref_path, queries=q, centroids=cents1, k=3, n_probe=3
+    ).collect()))
+    assert got == exp and len(got) > 0

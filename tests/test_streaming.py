@@ -1128,6 +1128,16 @@ def test_streaming_ann_index_equals_full_rebuild(spark, tmp_path):
     ).collect()))
     assert got_sq == exp_sq and len(got_sq) > 0
 
+    # offline compaction of the STREAMED per-batch generations: one
+    # generation left, searches still bit-equal (rows copy verbatim)
+    report = similarity.compact_ann_index(spark, idx)
+    assert report["generations_before"] == 3
+    assert report["files_after"] < report["files_before"]
+    compacted = sorted(map(tuple, similarity.search_ivf_index(
+        spark, idx, queries=queries, centroids=cents, k=3, n_probe=4
+    ).collect()))
+    assert compacted == exp
+
 
 def test_consolidate_stream_index_preserves_dedup_and_prunes(spark, tmp_path):
     """Compacting the per-batch fingerprint trees into one generation must
