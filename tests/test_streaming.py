@@ -1334,7 +1334,6 @@ def test_streaming_locf_new_lineage_over_mixed_stamps_delivers(
 
     from security_data_pipeline_spark.operators.timeseries import forward_fill
     from security_data_pipeline_spark.streaming.pipeline import (
-        _lineage_tag,
         locf_key_prefix,
         maintain_locf_stream,
     )
@@ -1349,15 +1348,13 @@ def test_streaming_locf_new_lineage_over_mixed_stamps_delivers(
         by_pfx.setdefault(r["_kp"], []).append(r["k"])
     k1, k2 = [ks[0] for ks in list(by_pfx.values())[:2]]
 
-    # checkpoint names ordered so tag(ckpt_b) > tag(ckpt_a) lexicographically
+    # the fold stamps _fold_tag with the raw checkpoint path; name the new
+    # lineage to sort lexicographically AFTER the old one, so the buggy
+    # independent max(_fold_tag) lands on the CURRENT tag while
+    # max(_last_batch_id) comes from the old lineage
     ckpt_a = str(tmp_path / "ckpt_a")
-    ckpt_b = None
-    for i in range(64):
-        cand = str(tmp_path / f"ckpt_b{i}")
-        if _lineage_tag(cand) > _lineage_tag(ckpt_a):
-            ckpt_b = cand
-            break
-    assert ckpt_b is not None
+    ckpt_b = str(tmp_path / "ckpt_b")
+    assert ckpt_b > ckpt_a
 
     state = str(tmp_path / "state")
     out = str(tmp_path / "out")
