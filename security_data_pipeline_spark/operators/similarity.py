@@ -1351,6 +1351,64 @@ def _index_generations(spark, path: str) -> list[str]:
     ]
 
 
+def _fold_viol_journal(spark, path: str, new_gen: str) -> None:
+    """Fold the append journal's accumulated ``_b=`` generations into one
+    per-cluster sum row (sum-preserving, so :func:`ivf_index_staleness`
+    is unchanged). Sums are NOT dedupable, so the swap is resumable
+    instead of duplicate-tolerant: the fold is fully written to a
+    scratch sibling first, the old generations are deleted, and only
+    then does the fold move in — a crash between the deletes and the
+    move leaves a committed scratch fold that the next call detects and
+    finishes; a crash mid-write leaves an uncommitted scratch that is
+    discarded and refolded from the intact journal."""
+    viol_root = f"{path}__viol"
+    vscratch = f"{viol_root}__compacting"
+    jvm = spark._jvm
+    jroot = jvm.org.apache.hadoop.fs.Path(viol_root)
+    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _committed(gen_dir: str) -> bool:
+        return fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{gen_dir}/_SUCCESS")
+        )
+
+    viol_gens = _index_generations(spark, viol_root)
+    vs_gens = [
+        g for g in _index_generations(spark, vscratch)
+        if _committed(f"{vscratch}/{g}")
+    ]
+    if vs_gens:
+        # resume an interrupted swap: the committed fold already holds
+        # the journal's full sums — clear the old generations and move in
+        for g in viol_gens:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{viol_root}/{g}"), True)
+        src = jvm.org.apache.hadoop.fs.Path(f"{vscratch}/{vs_gens[0]}")
+        dst = jvm.org.apache.hadoop.fs.Path(f"{viol_root}/{vs_gens[0]}")
+        if not fs.rename(src, dst):
+            raise IOError(f"rename {src} -> {dst} failed")
+        fs.delete(jvm.org.apache.hadoop.fs.Path(vscratch), True)
+        return
+    fs.delete(jvm.org.apache.hadoop.fs.Path(vscratch), True)
+    if len(viol_gens) <= 1:
+        return
+    folded = (
+        spark.read.parquet(viol_root)
+        .groupBy("ivf_cluster")
+        .agg(
+            F.sum("n_appended").alias("n_appended"),
+            F.sum("n_out_of_grid").alias("n_out_of_grid"),
+        )
+    )
+    folded.write.mode("overwrite").parquet(f"{vscratch}/_b={new_gen}")
+    for g in viol_gens:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{viol_root}/{g}"), True)
+    src = jvm.org.apache.hadoop.fs.Path(f"{vscratch}/_b={new_gen}")
+    dst = jvm.org.apache.hadoop.fs.Path(f"{viol_root}/_b={new_gen}")
+    if not fs.rename(src, dst):
+        raise IOError(f"rename {src} -> {dst} failed")
+    fs.delete(jvm.org.apache.hadoop.fs.Path(vscratch), True)
+
+
 def compact_ann_index(spark, path: str) -> dict:
     """Fold an IVF index's accumulated generation directories (the build,
     every append run, every streamed batch) into ONE generation with one
@@ -1366,8 +1424,11 @@ def compact_ann_index(spark, path: str) -> dict:
     the root before the old generations are deleted, so a crash in the
     window leaves every row present (some twice) — re-running dedups and
     finishes. Run it OFFLINE: until the old generations are gone, a
-    probed search can surface a duplicated neighbor. Returns
-    ``{"generations_before", "files_before", "files_after", "rows"}``.
+    probed search can surface a duplicated neighbor. The append journal's
+    per-run generations fold too (per-cluster sums — staleness report
+    unchanged; see :func:`_fold_viol_journal` for its resumable swap).
+    Returns ``{"generations_before", "files_before", "files_after",
+    "rows"}``.
     """
     from security_data_pipeline_spark.operators.layout import list_data_files
 
@@ -1407,6 +1468,8 @@ def compact_ann_index(spark, path: str) -> dict:
     fs.delete(jvm.org.apache.hadoop.fs.Path(scratch), True)
     for g in gens:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{g}"), True)
+
+    _fold_viol_journal(spark, path, new_gen)
     return {
         "generations_before": len(gens),
         "files_before": files_before,

@@ -1135,6 +1135,29 @@ def test_rebuild_ivf_sq8_index_clears_staleness(spark, tmp_path):
     stale = similarity.ivf_index_staleness(spark, path).collect()
     assert any(r["grid_stale"] for r in stale)
 
+    # compacting the appended index also folds the journal's per-run
+    # generations: the staleness report is unchanged except for bytes
+    # (compaction shrinks files — that's the point)
+    def _no_bytes(rows):
+        return sorted(
+            (r["ivf_cluster"], r["n_rows"], r["n_appended"],
+             r["n_out_of_grid"], r["size_skew"], r["grid_stale"],
+             r["rebuild_hint"])
+            for r in rows
+        )
+
+    before_stale = _no_bytes(stale)
+    creport = similarity.compact_ann_index(spark, path)
+    assert creport["generations_before"] == 3  # base + two appends
+    viol_gens = [
+        d for d in os.listdir(path + "__viol") if d.startswith("_b=")
+    ]
+    assert len(viol_gens) == 1
+    after_stale = _no_bytes(
+        similarity.ivf_index_staleness(spark, path).collect()
+    )
+    assert after_stale == before_stale
+
     corpus = emb.select("vec_id", "embedding").unionByName(blown)
     cents1 = similarity.rebuild_ivf_index(
         spark, corpus, path, n_centroids=8, sq8=True

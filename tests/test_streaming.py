@@ -1603,3 +1603,89 @@ def test_migrate_stream_index_from_flat_layout(spark, tmp_path):
 
     with pytest.raises(ValueError, match="kind"):
         migrate_stream_index(spark, state, "bands")
+
+
+def test_migrate_band_index_then_stream_continues(spark, tmp_path):
+    """Band-index migration end-to-end: a corpus whose band index was
+    written by the pre-prefix version (flat batch=N, no _pk/_tag) and
+    whose labels state predates the replay guard must, after
+    migrate_stream_index(kind='band'), serve a restarted near-dup stream
+    whose final labeling equals the batch recompute over old + new docs."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.operators import dedup
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_neardup_stream,
+        migrate_stream_index,
+    )
+
+    def doc(seed: int, extra: str = "") -> str:
+        words = [f"w{seed}x{i}" for i in range(12)]
+        return " ".join(words) + (" " + extra if extra else "")
+
+    b0 = [(0, doc(0)), (1, doc(0, "tail")), (2, doc(7))]
+    b1 = [(3, doc(0, "other")), (4, doc(7, "tail")), (5, doc(11))]
+
+    state = str(tmp_path / "labels")
+    docs0 = spark.createDataFrame(b0, "doc_id long, text string")
+    # pre-guard labels state: plain (doc_id, cluster_id), no stamp columns
+    labels0 = dedup.connected_components(
+        dedup.minhash_lsh_pairs(docs0, verify_threshold=0.3),
+        docs0,
+        id_col="doc_id",
+    )
+    labels0.write.parquet(state)
+    # pre-prefix band index: one flat batch directory
+    bb0 = dedup._minhash_band_frame(
+        docs0, "doc_id", "text", 5, 32, 8, True, False
+    )
+    bb0.write.parquet(f"{state}__bands/batch=0")
+
+    report = migrate_stream_index(spark, f"{state}__bands", "band")
+    assert report["batches_migrated"] == 1 and report["rows"] > 0
+    migrated = spark.read.parquet(f"{state}__bands")
+    assert {"_pk", "_tag", "batch"} <= set(migrated.columns)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    f = src / "b1.parquet"
+    pq.write_table(
+        pa.table(
+            {"doc_id": [r[0] for r in b1], "text": [r[1] for r in b1]}
+        ),
+        str(f),
+    )
+    os.utime(f, (time.time() - 10, time.time() - 10))
+    q = maintain_neardup_stream(
+        spark.readStream.schema("doc_id long, text string").parquet(str(src)),
+        state,
+        str(tmp_path / "ckpt"),
+        verify_threshold=0.3,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in spark.read.parquet(state)
+        .select("doc_id", "cluster_id")
+        .collect()
+    }
+    all_docs = spark.createDataFrame(b0 + b1, "doc_id long, text string")
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components(
+            dedup.minhash_lsh_pairs(all_docs, verify_threshold=0.3),
+            all_docs,
+            id_col="doc_id",
+        ).collect()
+    }
+    assert got == want
+    # the cross-batch merge is real: doc 3 joined doc 0's old cluster
+    clusters = {}
+    for d, c in got:
+        clusters.setdefault(c, set()).add(d)
+    assert any({0, 3} <= m for m in clusters.values())
