@@ -1183,3 +1183,63 @@ def test_rebuild_ivf_sq8_index_clears_staleness(spark, tmp_path):
         spark, ref_path, queries=q, centroids=cents1, k=3, n_probe=3
     ).collect()))
     assert got == exp and len(got) > 0
+
+
+def test_fold_viol_journal_resume_paths(spark, tmp_path):
+    """The journal fold's two crash states heal: a COMMITTED scratch fold
+    (crash between the old-generation deletes and the rename) is moved in
+    as-is without re-reading the journal; an UNCOMMITTED scratch (crash
+    mid-write) is discarded and the fold redone from the intact journal."""
+    import os
+    import pathlib
+
+    from security_data_pipeline_spark.operators.similarity import (
+        _fold_viol_journal,
+    )
+
+    path = str(tmp_path / "idx")
+    viol = path + "__viol"
+    rows1 = [(0, 10, 1), (1, 20, 2)]
+    rows2 = [(0, 5, 0), (2, 7, 3)]
+    spark.createDataFrame(
+        rows1, "ivf_cluster int, n_appended long, n_out_of_grid long"
+    ).write.parquet(f"{viol}/_b=a-r1")
+    spark.createDataFrame(
+        rows2, "ivf_cluster int, n_appended long, n_out_of_grid long"
+    ).write.parquet(f"{viol}/_b=a-r2")
+
+    # crash state 1: committed scratch fold beside the old generations —
+    # the fold holds the full sums; old gens must be dropped, fold moved in
+    scratch = viol + "__compacting"
+    folded = [(0, 15, 1), (1, 20, 2), (2, 7, 3)]
+    spark.createDataFrame(
+        folded, "ivf_cluster int, n_appended long, n_out_of_grid long"
+    ).write.parquet(f"{scratch}/_b=c9")
+    _fold_viol_journal(spark, path, "c0")
+    gens = sorted(d for d in os.listdir(viol) if d.startswith("_b="))
+    assert gens == ["_b=c9"]
+    assert not os.path.exists(scratch)
+    got = sorted(
+        map(tuple, spark.read.parquet(viol).drop("_b").collect())
+    )
+    assert got == sorted(folded)
+
+    # crash state 2: uncommitted scratch (no _SUCCESS) — discarded, fold
+    # redone from the journal generations
+    viol2 = str(tmp_path / "idx2") + "__viol"
+    spark.createDataFrame(
+        rows1, "ivf_cluster int, n_appended long, n_out_of_grid long"
+    ).write.parquet(f"{viol2}/_b=a-r1")
+    spark.createDataFrame(
+        rows2, "ivf_cluster int, n_appended long, n_out_of_grid long"
+    ).write.parquet(f"{viol2}/_b=a-r2")
+    junk = pathlib.Path(viol2 + "__compacting") / "_b=c5"
+    junk.mkdir(parents=True)
+    (junk / "part-00000.parquet").write_bytes(b"torn write")
+    _fold_viol_journal(spark, str(tmp_path / "idx2"), "c0")
+    gens2 = sorted(d for d in os.listdir(viol2) if d.startswith("_b="))
+    assert gens2 == ["_b=c0"]
+    got2 = sorted(
+        map(tuple, spark.read.parquet(viol2).drop("_b").collect())
+    )
+    assert got2 == sorted(folded)
