@@ -45,10 +45,18 @@ def keep_last_dedup(
 
 
 def shingles(col: Column | str, n: int = 5, delim: str = " ") -> Column:
-    """Word n-gram shingles as an array<string> (distinct, order-free)."""
+    """Word n-gram shingles as an array<string> (distinct, order-free).
+
+    Documents shorter than ``n`` tokens yield an EMPTY array: the start
+    index must be guarded per-branch because ``sequence(1, 0)`` counts
+    DOWN through 0 and ``slice`` rejects a 0 start — a bare
+    ``sequence(1, greatest(len-(n-1), 0))`` crashes the whole stage on
+    the first short document."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(c, delim)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(delim, F.slice(toks, i, n)))
     )
@@ -276,14 +284,17 @@ def _minhash_band_frame(
     # minhash_signature note on HOF-lambda subexpression elimination)
     from security_data_pipeline_spark.operators.skew import fan_out
 
-    if portable:
-        # Exclude zero-shingle docs (the oracle's unnest drops them) with a
-        # predicate on the RAW column. NEVER filter on the derived _hs:
-        # PushDownPredicate substitutes the alias, so the whole shingle+md5
-        # pipeline lands in a Filter at the scan — BELOW the fan_out
-        # exchange, i.e. single-partition on a one-row-group file, then
-        # evaluates again in the projection. Measured 3× on this operator.
-        df = df.filter(F.size(F.split(F.col(text_col), " ")) >= n)
+    # Exclude zero-shingle docs (NULL or shorter than n tokens) with a
+    # predicate on the RAW column — they carry no n-gram evidence, yet
+    # their all-NULL signatures band-collide with EACH OTHER and the
+    # verify ratio divides by an empty union (ANSI divide-by-zero crash);
+    # the portable oracle's unnest drops them anyway. NEVER filter on the
+    # derived _hs: PushDownPredicate substitutes the alias, so the whole
+    # shingle+md5 pipeline lands in a Filter at the scan — BELOW the
+    # fan_out exchange, i.e. single-partition on a one-row-group file,
+    # then evaluates again in the projection. Measured 3× on this
+    # operator.
+    df = df.filter(F.size(F.split(F.col(text_col), " ")) >= n)
     shingle_hash = (lambda s: md5_hex(s, 15)) if portable else F.xxhash64
     hashed = fan_out(df, id_col).select(
         F.col(id_col).alias("_id"),
@@ -795,6 +806,62 @@ def contaminated_doc_ids(
         corpus_grams.join(F.broadcast(bench_grams), "_g", "left_semi")
         .select(id_col)
         .distinct()
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Per EVAL-doc leak report — the other direction of
+    :func:`contaminated_doc_ids` (which flags TRAINING docs to drop, this
+    says which BENCHMARK items are compromised and how badly): for each
+    benchmark doc, how many of its distinct word n-grams appear anywhere
+    in the corpus, the contamination fraction, and the worst-case corpus
+    document frequency among the leaked grams (a gram in 10k corpus docs
+    is boilerplate; one in 2 is a verbatim leak).
+
+    Physical shape for 100 TB: the benchmark's distinct grams broadcast
+    (eval suites are KBs–MBs); the corpus's grams stream through that
+    broadcast as a map-side LEFT SEMI filter BEFORE any aggregation, so
+    the document-frequency groupBy only ever shuffles grams that match
+    the benchmark (a benchmark-sized set) — the corpus is never shuffled
+    and no corpus-wide gram table is built. Output: ``(id_col, n_grams,
+    n_hit, contamination_frac, max_corpus_df)`` — one row per benchmark
+    doc, zeros for clean ones, frac 0.0 for docs shorter than ``n``
+    tokens.
+    """
+    gs = shingles(text_col, n)
+    bench = benchmark.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.transform(
+                gs, lambda g: F.struct(g.alias("g"), F.size(gs).alias("_n"))
+            )
+        ).alias("_x"),
+    ).select(id_col, F.col("_x.g").alias("_g"))
+    bench_set = bench.filter(F.col("_g").isNotNull()).select("_g").distinct()
+    corpus_grams = corpus.select(
+        F.explode(shingles(text_col, n)).alias("_g")
+    )
+    matched = (
+        corpus_grams.join(F.broadcast(bench_set), "_g", "left_semi")
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    joined = bench.join(F.broadcast(matched), "_g", "left")
+    n_grams = F.count(F.col("_g"))
+    n_hit = F.count(F.col("_df"))
+    return joined.groupBy(id_col).agg(
+        n_grams.alias("n_grams"),
+        n_hit.alias("n_hit"),
+        F.round(
+            F.when(n_grams > 0, n_hit / n_grams).otherwise(F.lit(0.0)), 6
+        ).alias("contamination_frac"),
+        F.coalesce(F.max("_df"), F.lit(0)).alias("max_corpus_df"),
     )
 
 

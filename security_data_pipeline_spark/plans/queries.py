@@ -3995,6 +3995,57 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_contamination_report",
+    sql="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 3, 0)),
+           i -> array_to_string(t[i:i+3], ' ')))) AS g
+  FROM toks
+), bench AS (
+  SELECT doc_id, g FROM grams WHERE doc_id < 20
+), corpus_df AS (
+  SELECT g, COUNT(*) AS df FROM grams
+  WHERE doc_id >= 20 AND g IN (SELECT DISTINCT g FROM bench)
+  GROUP BY g
+), rep AS (
+  SELECT b.doc_id, COUNT(b.g) AS n_grams, COUNT(c.df) AS n_hit,
+         MAX(c.df) AS max_df
+  FROM bench b LEFT JOIN corpus_df c USING (g)
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(r.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(r.n_hit, 0) AS BIGINT) AS n_hit,
+       CASE WHEN COALESCE(r.n_grams, 0) > 0
+            THEN ROUND(CAST(r.n_hit AS DOUBLE) / CAST(r.n_grams AS DOUBLE), 6)
+            ELSE 0.0 END AS contamination_frac,
+       CAST(COALESCE(r.max_df, 0) AS BIGINT) AS max_corpus_df
+FROM documents d LEFT JOIN rep r ON r.doc_id = d.doc_id
+WHERE d.doc_id < 20
+""",
+    description=(
+        "Per EVAL-doc leak report (dedup.contamination_report — the other "
+        "direction of doc_decontaminate): for each benchmark doc (ids < "
+        "20), how many of its distinct word 4-grams appear in the corpus, "
+        "the contamination fraction, and the worst corpus document "
+        "frequency among leaked grams (boilerplate vs verbatim leak). "
+        "Benchmark grams broadcast; corpus grams are broadcast-semi-"
+        "FILTERED before any aggregation, so the document-frequency "
+        "groupBy shuffles only benchmark-matching grams — the corpus is "
+        "never shuffled"
+    ),
+)
+def doc_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    rest = docs.filter(F.col("doc_id") >= 20)
+    return dedup.contamination_report(rest, bench, n=4)
+
+
+@query(
     "doc_mixture_sample",
     sql="""
 WITH weighted AS (

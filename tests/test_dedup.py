@@ -382,3 +382,63 @@ def test_incremental_cc_propagates_only_affected_components(spark, monkeypatch):
     # only the touched component {1,2} and the new node walk
     assert captured["nodes"] == {1, 2, 30}
     assert out == {(1, 1), (2, 1), (30, 1), (10, 10), (11, 10), (20, 20)}
+
+
+def test_contamination_report_edges(spark):
+    """Per-eval-doc report: hit counts and worst corpus df are exact;
+    clean docs report zeros; docs shorter than n tokens report 0 grams
+    and frac 0.0 rather than disappearing or dividing by zero."""
+    bench = spark.createDataFrame(
+        [
+            (1, "a b c d e"),      # grams: "a b c", "b c d", "c d e"
+            (2, "x y z w"),        # grams: "x y z", "y z w" — clean
+            (3, "too short"),      # < 3 tokens -> zero grams
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "a b c d q"),     # contains "a b c", "b c d"
+            (11, "p q a b c"),     # contains "a b c"
+            (12, "nothing here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (
+            r["n_grams"], r["n_hit"], r["contamination_frac"],
+            r["max_corpus_df"],
+        )
+        for r in dedup.contamination_report(corpus, bench, n=3).collect()
+    }
+    # doc 1: 3 grams, 2 leaked; "a b c" appears in 2 corpus docs
+    assert out[1] == (3, 2, round(2 / 3, 6), 2)
+    assert out[2] == (2, 0, 0.0, 0)
+    assert out[3] == (0, 0, 0.0, 0)
+
+
+def test_shingle_ops_tolerate_short_and_null_docs(spark):
+    """Docs shorter than n tokens (or NULL) must neither crash the
+    shingle pipeline (sequence(1,0) counts DOWN into an illegal slice
+    start) nor band-collide with each other on empty signatures (ANSI
+    divide-by-zero in the verify ratio, spurious candidate pairs
+    without it). They carry no n-gram evidence, so they simply never
+    pair."""
+    df = spark.createDataFrame(
+        [
+            (1, "hi"),
+            (2, "yo"),
+            (3, None),
+            (4, "the quick brown fox jumps over the lazy dog today ok"),
+            (5, "the quick brown fox jumps over the lazy dog today no"),
+        ],
+        "doc_id long, text string",
+    )
+    jac = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    assert jac == {(4, 5)}
+    ver = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(df, verify_threshold=0.3).collect()}
+    assert ver == {(4, 5)}
+    cand = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(df, verify_threshold=None).collect()}
+    assert cand == {(4, 5)}, "empty signatures must not band-collide"
+    cross = {(r.new_id, r.ref_id) for r in dedup.cross_corpus_neardups(df, df, verify_threshold=0.3).collect()}
+    assert cross == {(4, 4), (4, 5), (5, 4), (5, 5)}
