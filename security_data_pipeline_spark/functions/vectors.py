@@ -35,3 +35,16 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """dot(a,b) / (||a|| * ||b||); NULL if either norm is zero."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom != 0.0, dot_product(a, b) / denom)
+
+
+def directional(df, vec_col: str = "embedding"):
+    """Rows whose vector HAS a direction: non-NULL with nonzero norm.
+
+    Cosine similarity is undefined for the zero vector, and the
+    similarity operators precompute norms for reuse — a raw
+    ``dot/(na*nb)`` over a zero or NULL vector is an ANSI
+    divide-by-zero stage failure, not a NULL. Every public similarity
+    entry filters through this, so degenerate embeddings (a failed
+    encoder emitting zeros, a NULL from a left join) are IGNORED rather
+    than crashing the job or polluting top-k output."""
+    return df.filter(l2_norm(vec_col) > 0.0)

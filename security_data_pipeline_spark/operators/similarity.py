@@ -38,8 +38,14 @@ def knn_bruteforce(
     round(sim, 6) DESC with neighbor-id ASC tiebreak (deterministic across
     engines; raw-double rank order could differ in the last ulp).
     """
-    from security_data_pipeline_spark.functions.vectors import dot_product, l2_norm
+    from security_data_pipeline_spark.functions.vectors import (
+        directional,
+        dot_product,
+        l2_norm,
+    )
 
+    queries = directional(queries, vec_col)
+    corpus = directional(corpus, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qvec"),
@@ -105,7 +111,9 @@ def cosine_dup_pairs(
     shuffle_parts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    base = df.select(
+    from security_data_pipeline_spark.functions.vectors import directional
+
+    base = directional(df, vec_col).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
         l2_norm(vec_col).alias("_nrm"),
@@ -209,9 +217,13 @@ def cosine_dup_pairs_lsh(
     Deterministic seed → oracle-checkable, like :func:`ann_lsh_topk`.
     Recall < 1 by design: a pair only surfaces if it collides in ≥1 band.
     """
-    from security_data_pipeline_spark.functions.vectors import dot_product, l2_norm
+    from security_data_pipeline_spark.functions.vectors import (
+        directional,
+        dot_product,
+        l2_norm,
+    )
 
-    base = df.select(
+    base = directional(df, vec_col).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
     bands = lsh_bucket_candidates(
@@ -270,7 +282,11 @@ def ann_lsh_topk(
     candidates); neighbors are only as complete as the buckets allow —
     that's the approximation.
     """
-    base = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    from security_data_pipeline_spark.functions.vectors import directional
+
+    base = directional(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
     bands = lsh_bucket_candidates(
         base, n_planes=n_planes, n_bands=n_bands, seed=seed, dim=dim
     ).select("vec_id", "band", "bucket")
@@ -347,8 +363,11 @@ def pq_codebooks_lowest_ids(
     realistic per-subspace k-means form behind the same interface.
     Returns ``codebooks[m][k] = list[d_sub floats]``.
     """
+    from security_data_pipeline_spark.functions.vectors import directional
+
     rows = (
-        corpus.orderBy(id_col)
+        directional(corpus, vec_col)
+        .orderBy(id_col)
         .limit(n_codewords)
         .select(F.col(vec_col).cast("array<double>").alias("v"))
         .collect()
@@ -378,10 +397,12 @@ def pq_fit_codebooks(
     without touching encode/search."""
     import numpy as np
 
+    from security_data_pipeline_spark.functions.vectors import directional
     from security_data_pipeline_spark.operators.sampling import hash_hex16
 
     rows = (
-        corpus.select(
+        directional(corpus, vec_col)
+        .select(
             F.col(vec_col).cast("array<double>").alias("v"),
             hash_hex16(F.col(id_col)).alias("_h"),
         )
@@ -478,6 +499,9 @@ def ann_pq_adc_topk(
     ``query_id, neighbor_id, adc_dist`` (ascending distance = most
     similar; vectors are L2-normalized, so d² = 2 − 2·cos).
     """
+    from security_data_pipeline_spark.functions.vectors import directional
+
+    corpus = directional(corpus, vec_col)
     cbs = (
         codebooks
         if codebooks is not None
@@ -540,10 +564,15 @@ def ivf_centroid_vectors(
     so the same centroids are derivable in ANSI SQL (``ORDER BY id LIMIT
     k``) and the whole index is oracle-checkable. At 100 TB you'd swap in
     k-means|| centroids from a sample; every downstream step is unchanged
-    (the codebook is an opaque list of literals either way).
+    (the codebook is an opaque list of literals either way). Zero-norm
+    and NULL vectors are skipped — a zero centroid has no direction and
+    its literal norm would divide every assignment by zero.
     """
+    from security_data_pipeline_spark.functions.vectors import directional
+
     rows = (
-        corpus.orderBy(id_col)
+        directional(corpus, vec_col)
+        .orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(vec_col).cast("array<double>").alias("v"))
         .collect()
@@ -577,10 +606,12 @@ def ivf_fit_codebook(
     """
     import numpy as np
 
+    from security_data_pipeline_spark.functions.vectors import directional
     from security_data_pipeline_spark.operators.sampling import hash_hex16
 
     rows = (
-        corpus.select(
+        directional(corpus, vec_col)
+        .select(
             F.col(vec_col).cast("array<double>").alias("v"),
             hash_hex16(F.col(id_col)).alias("_h"),
         )
@@ -653,6 +684,9 @@ def ivf_fit_codebook_distributed(
 
     from security_data_pipeline_spark.operators.sampling import hash_hex16
 
+    from security_data_pipeline_spark.functions.vectors import directional
+
+    corpus = directional(corpus, vec_col)
     dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
     if dim_row is None:
         raise ValueError("corpus is empty")
@@ -726,6 +760,9 @@ def pq_fit_codebooks_distributed(
     as :func:`ivf_fit_codebook_distributed` (lowest-``md5(id)`` init rows,
     exact decimal sums, lowest-index tie-breaks).
     """
+    from security_data_pipeline_spark.functions.vectors import directional
+
+    corpus = directional(corpus, vec_col)
     dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
     if dim_row is None:
         raise ValueError("corpus is empty")
@@ -845,6 +882,13 @@ def _centroid_sims(vec_col: str, centroids: list[list[float]]) -> F.Column:
 
     from security_data_pipeline_spark.functions.vectors import dot_product, l2_norm
 
+    zero = [i for i, cv in enumerate(centroids) if not any(cv)]
+    if zero:
+        raise ValueError(
+            f"codebook has zero-norm centroids at positions {zero} — a "
+            "zero centroid has no direction and divides every assignment "
+            "by zero; fit the codebook on directional vectors"
+        )
     matrix = F.lit([[float(x) for x in cv] for cv in centroids])
     norms = F.lit(
         [math.sqrt(sum(x * x for x in cv)) for cv in centroids]
@@ -875,7 +919,12 @@ def ivf_assign(
     array twice, and after ``CollapseProject`` inlines the alias the whole
     k×dim similarity computation runs TWICE per row. The strict ``>`` in
     the fold keeps the earlier (lowest-id) centroid on ties — the same
-    tie-break ``array_position``'s first-match gives."""
+    tie-break ``array_position``'s first-match gives. Zero-norm and
+    NULL vectors are dropped (no direction, and the cosine fold would
+    divide by zero)."""
+    from security_data_pipeline_spark.functions.vectors import directional
+
+    df = directional(df, vec_col)
     scored = F.transform(
         _centroid_sims(vec_col, centroids),
         lambda s, i: F.struct(
@@ -955,8 +1004,12 @@ def _ivf_probe_queries(q: DataFrame, cents: list[list[float]], n_probe: int) -> 
     query set at any scale). The struct sorts (sim DESC, -cid DESC ≡ cid
     ASC): lowest centroid id wins ties, matching the window form it
     replaces."""
-    from security_data_pipeline_spark.functions.vectors import l2_norm
+    from security_data_pipeline_spark.functions.vectors import (
+        directional,
+        l2_norm,
+    )
 
+    q = directional(q, "embedding")
     ranked = F.slice(
         F.sort_array(
             F.transform(
@@ -1915,6 +1968,9 @@ def ann_sq8_topk(
             "against every other (O(n²)); pass a bounded query_pred, or "
             "allow_quadratic=True for a small oracle corpus"
         )
+    from security_data_pipeline_spark.functions.vectors import directional
+
+    corpus = directional(corpus, vec_col)
     if minmax is None:
         minmax = sq8_minmax(corpus, vec_col=vec_col)
     mins, maxs = minmax

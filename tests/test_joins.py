@@ -1243,3 +1243,52 @@ def test_fold_viol_journal_resume_paths(spark, tmp_path):
         map(tuple, spark.read.parquet(viol2).drop("_b").collect())
     )
     assert got2 == sorted(folded)
+
+
+def test_similarity_ops_ignore_degenerate_vectors(spark):
+    """Zero-norm and NULL embeddings have no direction: every public
+    similarity entry must IGNORE them instead of dividing by zero (ANSI
+    stage failure) or electing a zero centroid whose literal norm poisons
+    every assignment. A codebook passed in with a zero centroid is
+    rejected by name."""
+    import pytest
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, None),
+            (4, [0.5, 0.5, 0.0, 0.0]),
+            (5, [0.9, 0.4, 0.0, 0.1]),
+            (6, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    knn = similarity.knn_bruteforce(emb, emb, k=1)
+    ids = {r["query_id"] for r in knn.collect()}
+    assert 1 not in ids and 3 not in ids  # degenerate rows never query
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_dup_pairs(
+            emb, threshold=0.5, allow_quadratic=True
+        ).collect()
+    }
+    assert pairs == {(2, 4), (2, 5), (4, 5)}
+    # lowest-id codebooks skip the zero vector instead of electing it
+    cents = similarity.ivf_centroid_vectors(emb, n_centroids=2)
+    assert cents[0] == [1.0, 0.0, 0.0, 0.0]
+    assert similarity.ann_ivf_topk(
+        emb, k=2, n_centroids=2, n_probe=2, query_pred=F.col("vec_id") <= 2
+    ).count() > 0
+    assert similarity.semantic_dedup_drops(
+        emb, threshold=0.4, n_centroids=2
+    ).count() >= 0
+    assert len(similarity.ivf_fit_codebook(emb, n_centroids=2, sample_cap=10)) == 2
+    assert similarity.ann_pq_adc_topk(
+        emb, k=2, n_sub=2, n_codewords=2, query_pred=F.col("vec_id") <= 2
+    ).count() > 0
+    assert similarity.ann_sq8_topk(
+        emb, k=2, query_pred=F.col("vec_id") <= 2
+    ).count() > 0
+    with pytest.raises(ValueError, match="zero-norm centroids"):
+        similarity.ivf_assign(emb, [[0.0, 0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0]])
