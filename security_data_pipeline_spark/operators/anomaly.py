@@ -46,7 +46,18 @@ def inter_arrival_stats(
     gap² overflows BIGINT for day-scale gaps) map-side-combined, and the
     mean/variance come from one token-identical double expression:
     ``var = (ss - s*s/n) / (n - 1)``.
+
+    ``min_gaps`` must be ≥ 2 (sample variance divides by n−1). A stream
+    whose every gap is ZERO (events batch-logged with one timestamp)
+    has an undefined cv (0/0) and reports NULL —
+    :func:`beacon_candidates` ranks those LAST, so timestamp artifacts
+    can't crowd genuine beacons out of the triage list.
     """
+    if min_gaps < 2:
+        raise ValueError(
+            f"min_gaps must be >= 2 (sample variance needs n-1 > 0), "
+            f"got {min_gaps}"
+        )
     w = Window.partitionBy(*key_cols).orderBy(ts_col, id_col)
     us = F.unix_micros(F.col(ts_col))
     gap = (us - F.lag(us).over(w)).alias("gap_us")
@@ -70,7 +81,9 @@ def inter_arrival_stats(
         *key_cols,
         "n_gaps",
         F.round(mean_us / F.lit(1_000_000.0), 6).alias("mean_gap_seconds"),
-        F.round(F.sqrt(var_us2) / mean_us, 6).alias("gap_cv"),
+        F.round(
+            F.when(mean_us > 0.0, F.sqrt(var_us2) / mean_us), 6
+        ).alias("gap_cv"),
     )
 
 
@@ -84,7 +97,11 @@ def beacon_candidates(
     candidates ranked for triage. TakeOrdered (per-partition top-k + driver
     merge) — never a global sort of the stats table."""
     stats = inter_arrival_stats(events, key_cols=key_cols, min_gaps=min_gaps)
-    return stats.orderBy(F.col("gap_cv").asc(), *key_cols).limit(top_k)
+    # nulls LAST: an all-zero-gap stream (NULL cv, a timestamp artifact)
+    # must not outrank real low-cv beacons
+    return stats.orderBy(
+        F.col("gap_cv").asc_nulls_last(), *key_cols
+    ).limit(top_k)
 
 
 def volume_zscores(

@@ -292,16 +292,26 @@ def _tag_rows(facts: DataFrame, id_col: str | None, rid: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
 
+IPV4_RE = r"^(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}$"
+
+
 def ip_to_long(col: Column | str) -> Column:
-    """Dotted-quad IPv4 string → unsigned-32 value in a long. Pure Column
-    arithmetic (split + fold), reproducible in any SQL dialect."""
+    """Dotted-quad IPv4 string → unsigned-32 value in a long; NULL for
+    anything that is not a well-formed address (wrong octet count,
+    out-of-range octet, junk). Pure Column arithmetic (regex gate +
+    split + fold), reproducible in any SQL dialect. The gate matters
+    under ANSI mode: a bare ``cast('not-an-ip' AS BIGINT)`` is a
+    STAGE-FATAL error, and real traffic logs always contain malformed
+    addresses — a NULL key simply never matches any prefix, so the LPM
+    join leaves the row unenriched instead of killing the job."""
     c = F.col(col) if isinstance(col, str) else col
     o = F.split(c, r"\.")
-    return (
+    return F.when(
+        c.rlike(IPV4_RE),
         o[0].cast("long") * F.lit(16777216)
         + o[1].cast("long") * F.lit(65536)
         + o[2].cast("long") * F.lit(256)
-        + o[3].cast("long")
+        + o[3].cast("long"),
     )
 
 
@@ -396,6 +406,11 @@ def ip6_to_longs(col: Column | str) -> Column:
     IPv4-mapped / dotted-tail forms (``::ffff:1.2.3.4``) are handled by
     folding the dotted quad into the low 32 bits — what a dual-stack feed
     actually ships.
+
+    Malformed addresses (non-hex groups, wrong group count, bad dotted
+    tail) yield a NULL struct — ``conv`` silently maps junk hex to 0, so
+    an ungated parse would alias garbage onto ``::`` and falsely match
+    any ``::/n`` feed prefix; a NULL key matches nothing instead.
     """
     c0 = F.col(col) if isinstance(col, str) else col
     v4_re = r"([0-9]+\.[0-9]+\.[0-9]+\.[0-9]+)$"
@@ -429,7 +444,17 @@ def ip6_to_longs(col: Column | str) -> Column:
 
     hi = pack(groups[0], groups[1], groups[2], groups[3])
     lo = pack(groups[4], groups[5], groups[6], groups[7]).bitwiseOR(v4_val)
-    return F.struct(hi.alias("hi"), lo.alias("lo"))
+    hexg = "[0-9A-Fa-f]{1,4}"
+    v6_re = (
+        f"^(({hexg}(:{hexg}){{7}})"
+        f"|(({hexg}(:{hexg})*)?::({hexg}(:{hexg})*)?))$"
+    )
+    valid = (
+        c.rlike(v6_re)
+        & (F.size(F.concat(left, pad, right)) == 8)
+        & (~has_v4 | v4_str.rlike(IPV4_RE))
+    )
+    return F.when(valid, F.struct(hi.alias("hi"), lo.alias("lo")))
 
 
 def _signed64(v: int) -> int:
@@ -463,7 +488,7 @@ def parse_cidr6(col: Column | str, strict: bool = True) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     parts = F.split(c, "/")
-    plen = F.get(parts, 1).cast("int")
+    plen = F.get(parts, 1).try_cast("int")  # see parse_cidr
     addr = ip6_to_longs(parts[0])
     hi_bits = F.least(plen, F.lit(64))
     lo_bits = F.greatest(plen - F.lit(64), F.lit(0))
@@ -582,7 +607,10 @@ def parse_cidr(col: Column | str, strict: bool = True) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     parts = F.split(c, "/")
-    plen = F.get(parts, 1).cast("int")
+    # try_cast: a non-numeric length ("1.2.3.0/ab") must reach the NAMED
+    # raise_error below (or NULL passthrough), not die as an anonymous
+    # ANSI cast failure inside the validity predicate itself
+    plen = F.get(parts, 1).try_cast("int")
     raw = ip_to_long(parts[0])
     p = F.pow(F.lit(2.0), (F.lit(32) - plen).cast("double"))
     masked = (

@@ -294,3 +294,38 @@ def test_stratified_sample_small_group_returns_all(spark):
     assert stratified_sample(df, "grp", 10, "id").count() == 2
     with pytest.raises(ValueError):
         stratified_sample(df, "grp", 0, "id")
+
+
+def test_inter_arrival_degenerate_streams(spark):
+    """A stream whose every gap is zero (batch-logged timestamps) reports
+    NULL cv instead of dividing by zero, and ranks LAST in
+    beacon_candidates so timestamp artifacts can't outrank real beacons;
+    min_gaps < 2 is rejected (sample variance needs n-1 > 0)."""
+    import datetime as dt
+
+    import pytest
+
+    T0 = dt.datetime(2024, 1, 1)
+    rows = [("dup", T0, "login", i) for i in range(12)] + [
+        ("beacon", T0 + dt.timedelta(seconds=7 * i), "ping", 100 + i)
+        for i in range(12)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_type string, event_id long"
+    )
+    stats = {
+        r["user_id"]: (r["mean_gap_seconds"], r["gap_cv"])
+        for r in anomaly.inter_arrival_stats(
+            ev, ts_col="ts", id_col="event_id"
+        ).collect()
+    }
+    assert stats["dup"] == (0.0, None)
+    assert stats["beacon"][1] == 0.0  # perfectly regular, cv defined
+    top = anomaly.beacon_candidates(
+        ev, min_gaps=5, key_cols=("user_id", "event_type")
+    ).first()
+    assert top["user_id"] == "beacon"
+    with pytest.raises(ValueError, match="min_gaps"):
+        anomaly.inter_arrival_stats(
+            ev, ts_col="ts", id_col="event_id", min_gaps=1
+        )

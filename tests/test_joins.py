@@ -1292,3 +1292,39 @@ def test_similarity_ops_ignore_degenerate_vectors(spark):
     ).count() > 0
     with pytest.raises(ValueError, match="zero-norm centroids"):
         similarity.ivf_assign(emb, [[0.0, 0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0]])
+
+
+def test_ip_parsers_null_on_malformed(spark):
+    """Real traffic contains malformed addresses: ip_to_long and
+    ip6_to_longs must key them as NULL (matches nothing) instead of dying
+    on an ANSI cast or — worse for v6, where conv() maps junk hex to 0 —
+    aliasing garbage onto :: and falsely matching ::/n feed prefixes.
+    Strict CIDR parsing keeps raising its NAMED error, including for a
+    non-numeric prefix length (previously an anonymous cast failure)."""
+    import pytest
+
+    v4 = spark.createDataFrame(
+        [("1.2.3.4",), ("not-an-ip",), (None,), ("300.1.2.999",),
+         ("1.2.3",), ("1.2.3.4.5",), ("01.2.3.4",)],
+        "ip string",
+    )
+    got = [r["v"] for r in v4.select(joins.ip_to_long("ip").alias("v")).collect()]
+    assert got[0] == 16909060
+    assert got[1:6] == [None] * 5
+    assert got[6] is None  # leading zeros rejected (ambiguous octal)
+
+    v6 = spark.createDataFrame(
+        [("2001:db8::1",), ("junk::zz",), ("::",), ("1:2:3:4:5:6:7:8:9",),
+         ("::ffff:300.1.2.3",), ("::ffff:1.2.3.4",)],
+        "ip string",
+    )
+    hl = [r["s"] for r in v6.select(joins.ip6_to_longs("ip").alias("s")).collect()]
+    assert hl[0] is not None and hl[2] is not None and hl[5] is not None
+    assert hl[1] is None and hl[3] is None and hl[4] is None
+
+    bad = spark.createDataFrame([("1.2.3.0/ab",)], "cidr string")
+    with pytest.raises(Exception, match="malformed IPv4 CIDR"):
+        bad.select(joins.parse_cidr("cidr")).collect()
+    assert bad.select(
+        joins.parse_cidr("cidr", strict=False).alias("p")
+    ).first()["p"]["prefix"] is None
