@@ -159,6 +159,10 @@ def list_data_files(spark, path: str, suffix: str = ".parquet"):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        # a never-written dataset has no files — callers (staleness
+        # reports, compaction planners) treat that as empty, not an error
+        return []
     it = fs.listFiles(jpath, True)
     out: list[tuple[str, int]] = []
     while it.hasNext():

@@ -335,8 +335,12 @@ def bm25_topk(
     """
     import math
 
+    # NULL text = empty document: it scores nothing but still counts in
+    # N/avgdl, and an all-NULL corpus must not crash the driver-side
+    # stats collection (sum of all-NULL lengths is NULL)
     toks = F.filter(
-        F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda t: t != F.lit(""),
     )
     tf_cols = [
         F.size(F.filter(toks, lambda t: t == F.lit(term))).alias(f"_tf{i}")
@@ -357,6 +361,10 @@ def bm25_topk(
     if not n_docs:
         raise ValueError("empty corpus")
     avgdl = float(stats["_dlsum"]) / float(n_docs)
+    if avgdl == 0.0:
+        # every document is empty: no term can match (all tf = 0, every
+        # score filtered), but the length norm must not divide by zero
+        avgdl = 1.0
     idfs = [
         math.log((n_docs - stats[f"_df{i}"] + 0.5) / (stats[f"_df{i}"] + 0.5) + 1.0)
         for i in range(len(query_terms))
