@@ -1174,6 +1174,102 @@ def maintain_locf_stream(
     return writer.start()
 
 
+def maintain_checksum_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    cols: list[str],
+    by: list[str],
+    trigger_available_now: bool = True,
+):
+    """Streaming per-partition content checksums — the live half of
+    :func:`...merge.dataset_checksum_by`. Each micro-batch reduces to one
+    ``by + (n_rows, checksum)`` row per touched group (``checksum`` = the
+    exact DECIMAL sum of :func:`...merge.row_content_hash` per row), and
+    the persisted manifest folds by plain addition — counts and
+    row-hash sums are commutative monoids, so the streamed state equals
+    :func:`dataset_checksum_by` over the cumulative input EXACTLY
+    (tested), while only batch-sized work runs per trigger. This is the
+    restatement-detection primitive kept current at ingest cadence: a
+    downstream comparing today's manifest to yesterday's reprocesses
+    only the groups whose checksum moved — without a historical rescan
+    to recompute either manifest.
+
+    The checksum value rides a DECIMAL(38,0) internally (exact addition;
+    the string form of the batch operators is for consumers) and is
+    emitted as STRING in the persisted state for the same
+    low-bits-are-the-point reason. Same fold protocol as the other
+    whole-state maintainers: scratch-swap writes, missing-path fallback,
+    lineage-tagged batch-id replay guard (a replayed batch would
+    double-add its sums).
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from security_data_pipeline_spark.operators.merge import row_content_hash
+
+    scratch = f"{state_path}__next"
+
+    def _read_state(spark):
+        try:
+            return spark.read.parquet(state_path), False
+        except AnalysisException as e:
+            if not _missing_path(e):
+                raise
+        try:
+            return spark.read.parquet(scratch), True
+        except AnalysisException as e:
+            if not _missing_path(e):
+                raise
+        return None, False
+
+    def _summarize(df: DataFrame) -> DataFrame:
+        return df.groupBy(*by).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(row_content_hash(cols)).alias("_sum"),
+        )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        raw, from_scratch = _read_state(spark)
+        replayed, prev = _check_replay(raw, batch_id, checkpoint_path)
+        if replayed:
+            if from_scratch:
+                raw.write.mode("overwrite").parquet(state_path)
+            return
+        new = _summarize(batch_df)
+        if prev is None:
+            merged = new
+        else:
+            merged = (
+                prev.select(
+                    *by,
+                    "n_rows",
+                    F.col("checksum").cast("decimal(38,0)").alias("_sum"),
+                )
+                .unionByName(new)
+                .groupBy(*by)
+                .agg(
+                    F.sum("n_rows").alias("n_rows"),
+                    F.sum("_sum").cast("decimal(38,0)").alias("_sum"),
+                )
+            )
+        merged = merged.select(
+            *by, "n_rows", F.col("_sum").cast("string").alias("checksum")
+        )
+        merged = _stamp_batch(merged, batch_id, checkpoint_path)
+        merged.write.mode("overwrite").parquet(scratch)
+        spark.read.parquet(scratch).write.mode("overwrite").parquet(state_path)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def maintain_ann_index_stream(
     stream_df: DataFrame,
     index_path: str,

@@ -1689,3 +1689,85 @@ def test_migrate_band_index_then_stream_continues(spark, tmp_path):
     for d, c in got:
         clusters.setdefault(c, set()).add(d)
     assert any({0, 3} <= m for m in clusters.values())
+
+
+def test_streaming_checksum_equals_batch_manifest(spark, tmp_path):
+    """The streamed per-group checksum manifest must EXACTLY equal
+    dataset_checksum_by over the cumulative input (row-hash sums and
+    counts are commutative monoids), including groups silent for whole
+    batches and NULL-bearing values exercising the sentinel encoding;
+    a full same-checkpoint replay must not double-add."""
+    import os
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.operators.merge import (
+        dataset_checksum_by,
+    )
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_checksum_stream,
+    )
+
+    batches = [
+        [("a", "x", 1), ("a", None, 2), ("b", "y|z", 3)],
+        [("a", "", 4), ("c", "w", 5)],
+        [("b", "y", 6), ("c", None, 7), ("a", "x", 8)],
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    base = time.time() - 100
+    for bi, rows in enumerate(batches):
+        f = src / f"b{bi}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "grp": [r[0] for r in rows],
+                    "val": [r[1] for r in rows],
+                    "n": [r[2] for r in rows],
+                }
+            ),
+            str(f),
+        )
+        os.utime(f, (base + bi, base + bi))
+
+    state = str(tmp_path / "manifest")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = maintain_checksum_stream(
+            spark.readStream.schema("grp string, val string, n long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src)),
+            state,
+            ckpt,
+            cols=["val", "n"],
+            by=["grp"],
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = {
+        r["grp"]: (r["n_rows"], r["checksum"])
+        for r in spark.read.parquet(state).collect()
+    }
+    all_rows = spark.createDataFrame(
+        [r for rows in batches for r in rows], "grp string, val string, n long"
+    )
+    want = {
+        r["grp"]: (r["n_rows"], r["checksum"])
+        for r in dataset_checksum_by(all_rows, ["val", "n"], ["grp"]).collect()
+    }
+    assert got == want and len(got) == 3
+
+    # full replay under the same checkpoint path: guard skips every
+    # re-fired batch, sums unchanged
+    shutil.rmtree(ckpt)
+    run()
+    again = {
+        r["grp"]: (r["n_rows"], r["checksum"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert again == want
