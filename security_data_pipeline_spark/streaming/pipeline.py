@@ -1174,6 +1174,78 @@ def maintain_locf_stream(
     return writer.start()
 
 
+def curate_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    sink: Callable[[DataFrame, int], None],
+    benchmark: DataFrame | None = None,
+    min_quality: float | None = None,
+    ngram_n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_available_now: bool = True,
+):
+    """Streaming INGEST CURATION: the full accept-a-crawl-page decision —
+    "have we ever seen this content, is it good enough, does it leak the
+    eval set?" — run per micro-batch as one composed fold. Stages, in
+    the order that discards cheapest first:
+
+    1. exact dedup against the WHOLE corpus history
+       (:func:`dedup_stream_against_corpus` — directory-pruned
+       fingerprint index, batch-sized broadcasts, idempotent per-batch
+       index growth);
+    2. quality gate: ``min_quality`` over
+       :func:`...textops.quality_features`'s ``quality_score`` (pure
+       Column math — fuses into the batch scan);
+    3. benchmark decontamination: drop survivors sharing any word
+       ``ngram_n``-gram with ``benchmark``
+       (:func:`...dedup.contaminated_doc_ids` — eval grams broadcast,
+       batch streams through a LEFT SEMI, here inverted to ANTI).
+
+    Only stage-1 survivors pay stages 2-3, and both later stages are
+    batch-local (zero streaming state beyond the fingerprint index), so
+    per-batch cost follows the batch. Composition is BY THE SINK: the
+    dedup maintainer's delivery guard, crash-replay bound, and index
+    discipline apply unchanged — a curated doc is delivered exactly once
+    outside the documented sink→index-commit window, and REJECTED docs
+    still enter the fingerprint index (a re-crawl of a rejected page is
+    dropped as a known dup, not re-scored). The quality/contamination
+    policy columns stay out of the delivered frame.
+    """
+    from security_data_pipeline_spark.operators.dedup import (
+        contaminated_doc_ids,
+    )
+    from security_data_pipeline_spark.operators.textops import (
+        quality_features,
+    )
+
+    def _curate(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df
+        if min_quality is not None:
+            out = (
+                quality_features(out, text_col=text_col)
+                .filter(F.col("quality_score") >= F.lit(min_quality))
+                .select(*batch_df.columns)
+            )
+        if benchmark is not None:
+            bad = contaminated_doc_ids(
+                out, benchmark, id_col=id_col, text_col=text_col, n=ngram_n
+            )
+            out = out.join(F.broadcast(bad), id_col, "left_anti")
+        sink(out, batch_id)
+
+    return dedup_stream_against_corpus(
+        stream_df,
+        state_path,
+        checkpoint_path,
+        _curate,
+        text_col=text_col,
+        id_col=id_col,
+        trigger_available_now=trigger_available_now,
+    )
+
+
 def maintain_checksum_stream(
     stream_df: DataFrame,
     state_path: str,

@@ -1771,3 +1771,67 @@ def test_streaming_checksum_equals_batch_manifest(spark, tmp_path):
         for r in spark.read.parquet(state).collect()
     }
     assert again == want
+
+
+def test_curate_stream_dedup_quality_decontamination(spark, tmp_path):
+    """The composed ingest-curation fold: corpus-history exact dedup,
+    then quality gate, then benchmark decontamination — delivered docs
+    are exactly the clean set, and a later RE-CRAWL of a rejected doc is
+    dropped as a known dup (rejected docs still enter the fingerprint
+    index), never re-scored and re-delivered."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.streaming.pipeline import curate_stream
+
+    good1 = "the quick brown fox jumps over the lazy dog and then the end"
+    good2 = "a different page with the usual words and some more of the text"
+    leaked = "the secret eval question is about the number of planets here"
+    batches = [
+        [(1, good1), (2, "x"), (3, leaked)],          # 2 low-quality, 3 leaks
+        [(4, good1), (5, good2), (6, "x")],           # 4 dups 1; 6 re-crawls 2
+        [(7, leaked), (8, good2)],                    # 7 re-crawls 3; 8 dups 5
+    ]
+    bench = spark.createDataFrame(
+        [(100, "the secret eval question is hard")], "doc_id long, text string"
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    base = time.time() - 100
+    for bi, rows in enumerate(batches):
+        f = src / f"b{bi}.parquet"
+        pq.write_table(
+            pa.table(
+                {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+            ),
+            str(f),
+        )
+        os.utime(f, (base + bi, base + bi))
+    out = str(tmp_path / "out")
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    q = curate_stream(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src)),
+        str(tmp_path / "fps"),
+        str(tmp_path / "ckpt"),
+        sink,
+        benchmark=bench,
+        min_quality=0.2,
+        ngram_n=4,
+    )
+    q.awaitTermination(180)
+
+    delivered = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    # 1 and 5 are the only clean first-sightings; every re-crawl (4, 6, 7,
+    # 8) is a known fingerprint — including re-crawls of REJECTED docs
+    assert delivered == [1, 5]
+    # the index holds every distinct fingerprint ever seen, accepted or not
+    n_fps = spark.read.parquet(str(tmp_path / "fps")).count()
+    assert n_fps == 4  # good1, "x", leaked, good2
