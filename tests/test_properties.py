@@ -478,3 +478,157 @@ def test_incremental_components_equal_full_property(spark, g):
         ).collect()
     }
     assert inc == full
+
+
+_ip_like = st.one_of(
+    # well-formed dotted quads
+    st.tuples(*[st.integers(0, 255)] * 4).map(
+        lambda t: ".".join(map(str, t))
+    ),
+    # near-misses: bad octets, wrong counts, junk, leading zeros
+    st.tuples(*[st.integers(0, 400)] * 4).map(
+        lambda t: ".".join(map(str, t))
+    ),
+    st.sampled_from(
+        ["", "1.2.3", "1.2.3.4.5", "01.2.3.4", "a.b.c.d", "1..2.3",
+         "256.1.1.1", " 1.2.3.4", "1.2.3.4 "]
+    ),
+    st.text(alphabet="0123456789.x:", max_size=16),
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_ip_like, min_size=1, max_size=30, unique=True))
+def test_ip_to_long_matches_stdlib(spark, ips):
+    """ip_to_long vs the stdlib ipaddress oracle over valid AND malformed
+    strings: valid dotted quads map to the exact u32, everything the
+    stdlib rejects maps to NULL (never a crash, never a wrong number).
+    The stdlib also rejects leading-zero octets — same policy."""
+    import ipaddress
+
+    from security_data_pipeline_spark.operators import joins
+
+    def model(s):
+        try:
+            return int(ipaddress.IPv4Address(s))
+        except Exception:
+            return None
+
+    df = spark.createDataFrame([(s,) for s in ips], "ip string")
+    got = {
+        r["ip"]: r["v"]
+        for r in df.select("ip", joins.ip_to_long("ip").alias("v")).collect()
+    }
+    for s in ips:
+        assert got[s] == model(s), s
+
+
+_hex_group = st.integers(0, 0xFFFF).map(lambda v: format(v, "x"))
+_v6_like = st.one_of(
+    # full 8-group form
+    st.lists(_hex_group, min_size=8, max_size=8).map(":".join),
+    # one :: compression with random halves
+    st.tuples(
+        st.lists(_hex_group, min_size=0, max_size=3),
+        st.lists(_hex_group, min_size=0, max_size=3),
+    ).map(lambda t: ":".join(t[0]) + "::" + ":".join(t[1])),
+    # v4-mapped tails
+    st.tuples(*[st.integers(0, 255)] * 4).map(
+        lambda t: "::ffff:" + ".".join(map(str, t))
+    ),
+    # malformed
+    st.sampled_from(
+        ["junk::zz", "1:2:3:4:5:6:7:8:9", ":::", "12345::", "::ffff:300.1.2.3",
+         "1:2:3:4:5:6:7", "g::1", ""]
+    ),
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_v6_like, min_size=1, max_size=25, unique=True))
+def test_ip6_to_longs_matches_stdlib(spark, ips):
+    """ip6_to_longs vs the stdlib ipaddress oracle: every address the
+    stdlib accepts maps to the exact (hi, lo) 64-bit halves (two's
+    complement); everything it rejects maps to NULL."""
+    import ipaddress
+
+    from security_data_pipeline_spark.operators import joins
+
+    def signed64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def model(s):
+        try:
+            v = int(ipaddress.IPv6Address(s))
+        except Exception:
+            return None
+        return (signed64(v >> 64), signed64(v & ((1 << 64) - 1)))
+
+    df = spark.createDataFrame([(s,) for s in ips], "ip string")
+    got = {
+        r["ip"]: (None if r["s"] is None else (r["s"]["hi"], r["s"]["lo"]))
+        for r in df.select("ip", joins.ip6_to_longs("ip").alias("s")).collect()
+    }
+    for s in ips:
+        assert got[s] == model(s), s
+
+
+_words = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_doc_text = st.lists(_words, min_size=0, max_size=8).map(" ".join)
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(_doc_text, min_size=1, max_size=5),
+    st.lists(_doc_text, min_size=1, max_size=5),
+)
+def test_contamination_report_matches_model(spark, bench_texts, corpus_texts):
+    """contamination_report vs a pure-python model over tiny vocabularies
+    (gram collisions and shared boilerplate likely): per-bench-doc gram
+    counts, hit counts, fraction, and worst corpus document frequency."""
+    from security_data_pipeline_spark.operators import dedup
+
+    n = 2
+
+    def grams(text):
+        toks = [t for t in text.split(" ")]
+        return {
+            " ".join(toks[i : i + n])
+            for i in range(len(toks) - n + 1)
+        } if len(toks) >= n else set()
+
+    corpus_grams = [grams(t) for t in corpus_texts]
+    df_of = {}
+    for gs in corpus_grams:
+        for g in gs:
+            df_of[g] = df_of.get(g, 0) + 1
+
+    bench = spark.createDataFrame(
+        list(enumerate(bench_texts)), "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(corpus_texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_grams"], r["n_hit"], r["contamination_frac"],
+            r["max_corpus_df"],
+        )
+        for r in dedup.contamination_report(corpus, bench, n=n).collect()
+    }
+    for i, t in enumerate(bench_texts):
+        gs = grams(t)
+        hits = [g for g in gs if g in df_of]
+        frac = round(len(hits) / len(gs), 6) if gs else 0.0
+        mx = max((df_of[g] for g in hits), default=0)
+        assert got[i] == (len(gs), len(hits), frac, mx), (i, t)
