@@ -69,6 +69,10 @@ BENCH_QUERIES: tuple[str, ...] = (
     "ann_index_sq8_roundtrip",
     "ann_index_staleness",
     "events_drift_trend",
+    # round-7 addition: per-eval-doc contamination report (benchmark
+    # grams broadcast; corpus grams broadcast-semi-filtered before the
+    # df aggregation — the corpus never shuffles)
+    "doc_contamination_report",
     # driver-window composites, benched AS the driver runs them — the
     # wall-clock the driver pays includes their union/unpivot overhead,
     # which per-arm numbers don't capture
@@ -105,7 +109,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_dataset_checksum": 1, "events_checksum_by_type": 5,
         "events_quantile_check": 0, "ann_index_sq8_roundtrip": 600,
         "ann_index_staleness": 16,
-        "events_drift_trend": 20,
+        "events_drift_trend": 20, "doc_contamination_report": 20,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -129,7 +133,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_dataset_checksum": 1, "events_checksum_by_type": 5,
         "events_quantile_check": 0, "ann_index_sq8_roundtrip": 600,
         "ann_index_staleness": 16,
-        "events_drift_trend": 20,
+        "events_drift_trend": 20, "doc_contamination_report": 20,
     },
 }
 

@@ -792,11 +792,15 @@ def contaminated_doc_ids(
     ``explode(<HOF expr>)`` re-evaluates the shingle pipeline once per
     emitted gram (see SCALE.md).
     """
+    from security_data_pipeline_spark.operators.skew import fan_out
+
     bench_grams = benchmark.select(
         F.explode(shingles(text_col, n)).alias("_g")
     ).distinct()
     gs = shingles(text_col, n)
-    corpus_grams = corpus.select(
+    # fan_out first: a one-row-group documents file would otherwise run
+    # the whole gram explode on one core
+    corpus_grams = fan_out(corpus, id_col).select(
         F.col(id_col),
         F.explode(
             F.transform(gs, lambda g: F.struct(g.alias("g"), F.size(gs).alias("_n")))
@@ -843,8 +847,12 @@ def contamination_report(
             )
         ).alias("_x"),
     ).select(id_col, F.col("_x.g").alias("_g"))
+    from security_data_pipeline_spark.operators.skew import fan_out
+
     bench_set = bench.filter(F.col("_g").isNotNull()).select("_g").distinct()
-    corpus_grams = corpus.select(
+    # fan_out first: documents tables often land as one row group, and a
+    # single-partition scan would run the whole gram explode on one core
+    corpus_grams = fan_out(corpus, id_col).select(
         F.explode(shingles(text_col, n)).alias("_g")
     )
     matched = (
