@@ -1666,6 +1666,15 @@ WITH base AS (
 ), uniq AS (
   SELECT source, doc_id, n_tokens FROM kept
   QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 3, 0)),
+           i -> array_to_string(string_split(text, ' ')[i:i+3], ' ')))) AS g
+  FROM documents
+), cont AS (
+  SELECT DISTINCT grams.doc_id FROM grams
+  JOIN (SELECT DISTINCT g FROM grams WHERE doc_id < 20) bg USING (g)
+  WHERE grams.doc_id >= 20
 ), raw AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_in
   FROM documents GROUP BY source
@@ -1673,18 +1682,26 @@ WITH base AS (
 SELECT raw.source, docs_in,
        CAST(COALESCE(kc.n, 0) AS BIGINT) AS docs_kept,
        CAST(COALESCE(uc.n, 0) AS BIGINT) AS docs_unique,
-       CAST(COALESCE(uc.toks, 0) AS BIGINT) AS tokens_unique
+       CAST(COALESCE(uc.toks, 0) AS BIGINT) AS tokens_unique,
+       CAST(COALESCE(cc.n, 0) AS BIGINT) AS docs_clean
 FROM raw
 LEFT JOIN (SELECT source, COUNT(*) AS n FROM kept GROUP BY source) kc
   USING (source)
 LEFT JOIN (SELECT source, COUNT(*) AS n, SUM(n_tokens) AS toks
            FROM uniq GROUP BY source) uc
   USING (source)
+LEFT JOIN (SELECT u.source, COUNT(*) AS n FROM uniq u
+           WHERE u.doc_id >= 20
+             AND u.doc_id NOT IN (SELECT doc_id FROM cont)
+           GROUP BY u.source) cc
+  USING (source)
 """,
     description=(
         "End-to-end corpus curation: quality filter (length + punct) → "
         "language filter → global exact dedup by fingerprint (keep lowest "
-        "id) → per-source retention funnel — the composite a pretraining "
+        "id) → benchmark decontamination (dedup.contaminated_doc_ids: "
+        "eval 4-grams of ids < 20 broadcast, survivors anti-joined) → "
+        "per-source retention funnel — the composite a pretraining "
         "pipeline runs, every stage an engine operator, value-checked as "
         "one statement"
     ),
@@ -1712,15 +1729,27 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("docs_unique"),
         F.sum("n_tokens").cast("long").alias("tokens_unique"),
     )
+    # final stage: drop unique survivors leaking the eval set (ids < 20)
+    eligible = uniq.filter(F.col("doc_id") >= 20)
+    bad = dedup.contaminated_doc_ids(
+        eligible, docs.filter(F.col("doc_id") < 20), n=4
+    )
+    cc = (
+        eligible.join(F.broadcast(bad), "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("docs_clean"))
+    )
     return (
         raw.join(F.broadcast(kc), "source", "left")
         .join(F.broadcast(uc), "source", "left")
+        .join(F.broadcast(cc), "source", "left")
         .select(
             "source",
             "docs_in",
             F.coalesce("docs_kept", F.lit(0)).alias("docs_kept"),
             F.coalesce("docs_unique", F.lit(0)).alias("docs_unique"),
             F.coalesce("tokens_unique", F.lit(0)).alias("tokens_unique"),
+            F.coalesce("docs_clean", F.lit(0)).alias("docs_clean"),
         )
     )
 
