@@ -191,7 +191,12 @@ def decode_images(
     and raises otherwise; ``"auto"`` picks Pillow when present, the stub
     when not — same output schema either way, so pipelines are portable
     between stub and real runtimes.
+
+    NULL blobs (a failed fetch upstream) are dropped ENGINE-SIDE before
+    the Arrow hop: there is nothing to decode, and a None reaching the
+    Python worker would kill the whole batch, not one row.
     """
+    df = df.filter(F.col(blob_col).isNotNull())
     resolved = _resolve_decoder(decoder, "image")
     decode = (
         _pillow_decode_batch if resolved == "pillow" else _fake_decode_batch
@@ -228,7 +233,9 @@ def sample_frames(
     the 1→N explode shape (mapInPandas can yield more rows than it
     consumes). The stub derives a deterministic pseudo frame count from
     the blob length; ``decoder="av"`` (or ``"auto"`` with PyAV importable)
-    counts real container frames instead, same output schema."""
+    counts real container frames instead, same output schema. NULL blobs
+    drop engine-side (see :func:`decode_images`)."""
+    df = df.filter(F.col(blob_col).isNotNull())
     resolved = _resolve_decoder(decoder, "video")
 
     def n_frames_of(blob: bytes) -> int:

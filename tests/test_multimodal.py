@@ -165,3 +165,20 @@ def test_pillow_decode_real_png_through_auto(spark):
     assert r3.pixels == pytest.approx(
         [v * 1000 / 65535.0 for v in range(6)], abs=1e-6
     )
+
+
+def test_decode_drops_null_blobs_engine_side(spark):
+    """A NULL blob (failed fetch upstream) must drop before the Arrow
+    hop: a None reaching the Python decode worker kills the whole batch,
+    not one row. Zero-byte blobs still decode (the stub hashes them)."""
+    from security_data_pipeline_spark.operators import multimodal
+
+    blobs = spark.createDataFrame(
+        [(1, bytearray(b"")), (2, None), (3, bytearray(b"\x89PNGxxxx"))],
+        "media_id long, blob binary",
+    )
+    decoded = multimodal.decode_images(blobs)
+    assert sorted(r["media_id"] for r in decoded.collect()) == [1, 3]
+    assert multimodal.image_mean_brightness(decoded).count() == 2
+    frames = multimodal.sample_frames(blobs, every_n=2)
+    assert sorted(set(r["media_id"] for r in frames.collect())) == [1, 3]
