@@ -1729,13 +1729,20 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("docs_unique"),
         F.sum("n_tokens").cast("long").alias("tokens_unique"),
     )
-    # final stage: drop unique survivors leaking the eval set (ids < 20)
-    eligible = uniq.filter(F.col("doc_id") >= 20)
+    # final stage: drop unique survivors leaking the eval set (ids < 20).
+    # The drop list is computed from the RAW table, not the funnel output:
+    # contamination is a per-doc property, so the result is identical,
+    # while the gram explode reads a plain scan instead of re-deriving
+    # the regex-heavy quality/langid/window lineage a second time
+    # (measured 7.2 s -> ~1 s for the whole query at sf0.1). The anti
+    # join is NOT broadcast: the drop list scales with the corpus's
+    # contamination rate, not with the benchmark.
     bad = dedup.contaminated_doc_ids(
-        eligible, docs.filter(F.col("doc_id") < 20), n=4
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20), n=4
     )
     cc = (
-        eligible.join(F.broadcast(bad), "doc_id", "left_anti")
+        uniq.filter(F.col("doc_id") >= 20)
+        .join(bad, "doc_id", "left_anti")
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("docs_clean"))
     )
