@@ -836,15 +836,14 @@ def contamination_report(
     doc, zeros for clean ones, frac 0.0 for docs shorter than ``n``
     tokens.
     """
-    gs = shingles(text_col, n)
+    # plain explode_outer: zero-gram docs keep one NULL row, and nothing
+    # else may ride inside the generator (a second reference to the
+    # shingle HOF re-evaluates the pipeline per emitted gram — the
+    # quadratic contaminated_doc_ids paid before it was measured out)
     bench = benchmark.select(
         F.col(id_col),
-        F.explode_outer(
-            F.transform(
-                gs, lambda g: F.struct(g.alias("g"), F.size(gs).alias("_n"))
-            )
-        ).alias("_x"),
-    ).select(id_col, F.col("_x.g").alias("_g"))
+        F.explode_outer(shingles(text_col, n)).alias("_g"),
+    )
     from security_data_pipeline_spark.operators.skew import fan_out
 
     bench_set = bench.filter(F.col("_g").isNotNull()).select("_g").distinct()
