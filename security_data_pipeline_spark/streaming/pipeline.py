@@ -1174,6 +1174,96 @@ def maintain_locf_stream(
     return writer.start()
 
 
+def maintain_scd2_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    keys: list[str],
+    attrs: list[str],
+    ts_col: str = "ts",
+    trigger_available_now: bool = True,
+):
+    """Streaming type-2 dimension maintenance — the CDC half of the
+    warehouse family run at micro-batch cadence: each batch of change
+    rows (``keys + attrs + ts_col``) folds into the persisted dimension
+    via :func:`...merge.scd2_apply` — differing updates close the
+    current version and open a new one, unseen keys insert, equal
+    updates no-op, history rows pass through untouched.
+
+    Batch granularity IS the version granularity: a key changed twice
+    within one micro-batch keeps only its LATEST change (per-key
+    ``max_by`` over ``ts_col`` before the apply — the standard
+    micro-batch CDC collapse; size batches via the trigger if
+    intra-batch churn must be versioned). Updates must arrive with
+    non-decreasing ``ts_col`` per key across batches, like every
+    append-only CDC tail.
+
+    State is the dimension itself (keys + attrs + valid_from/valid_to/
+    is_current), rewritten per batch through the shared whole-state fold
+    protocol: scratch-swap writes, missing-path fallback, lineage-tagged
+    batch-id replay guard (a replayed batch would close the version it
+    just opened against itself). Dimensions are small relative to facts
+    — that is what makes whole-state rewrite the right shape; fact-sized
+    streams belong in the prefix-partitioned maintainers. The streamed
+    dimension is proven equal to sequential batch ``scd2_apply`` in
+    tests/test_streaming.py.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from security_data_pipeline_spark.operators.merge import scd2_apply
+
+    scratch = f"{state_path}__next"
+
+    def _read_state(spark):
+        try:
+            return spark.read.parquet(state_path), False
+        except AnalysisException as e:
+            if not _missing_path(e):
+                raise
+        try:
+            return spark.read.parquet(scratch), True
+        except AnalysisException as e:
+            if not _missing_path(e):
+                raise
+        return None, False
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        raw, from_scratch = _read_state(spark)
+        replayed, prev = _check_replay(raw, batch_id, checkpoint_path)
+        if replayed:
+            if from_scratch:
+                raw.write.mode("overwrite").parquet(state_path)
+            return
+        # micro-batch CDC collapse: latest change per key this batch
+        updates = batch_df.groupBy(*keys).agg(
+            F.max_by(F.struct(*attrs, ts_col), F.col(ts_col)).alias("_u")
+        ).select(*keys, "_u.*")
+        if prev is None:
+            ts_type = batch_df.schema[ts_col].dataType
+            prev = spark.createDataFrame(
+                [],
+                batch_df.select(*keys, *attrs)
+                .withColumn("valid_from", F.lit(None).cast(ts_type))
+                .withColumn("valid_to", F.lit(None).cast(ts_type))
+                .withColumn("is_current", F.lit(True))
+                .schema,
+            )
+        dim = scd2_apply(prev, updates, keys, attrs, ts_col=ts_col)
+        merged = _stamp_batch(dim, batch_id, checkpoint_path)
+        merged.write.mode("overwrite").parquet(scratch)
+        spark.read.parquet(scratch).write.mode("overwrite").parquet(state_path)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def curate_stream(
     stream_df: DataFrame,
     state_path: str,

@@ -1835,3 +1835,106 @@ def test_curate_stream_dedup_quality_decontamination(spark, tmp_path):
     # the index holds every distinct fingerprint ever seen, accepted or not
     n_fps = spark.read.parquet(str(tmp_path / "fps")).count()
     assert n_fps == 4  # good1, "x", leaked, good2
+
+
+def test_streaming_scd2_equals_sequential_batch_apply(spark, tmp_path):
+    """CDC batches streamed through maintain_scd2_stream must yield the
+    EXACT dimension sequential batch scd2_apply produces over the same
+    batch sequence — version opens/closes, unseen-key inserts, equal-
+    update no-ops, intra-batch collapse to the latest change per key —
+    and a full same-checkpoint replay must not re-close versions."""
+    import datetime as dt
+    import os
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.operators.merge import scd2_apply
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_scd2_stream,
+    )
+
+    T = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)  # noqa: E731
+    batches = [
+        # k1 churns twice in one batch -> only the second versioned
+        [("k1", "a", T(0)), ("k1", "b", T(1)), ("k2", "x", T(0))],
+        [("k1", "b", T(5)), ("k3", "n", T(6))],   # equal update no-ops
+        [("k2", "y", T(9)), ("k1", "c", T(9))],   # two version closes
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    base = time.time() - 100
+    for bi, rows in enumerate(batches):
+        f = src / f"b{bi}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "k": [r[0] for r in rows],
+                    "v": [r[1] for r in rows],
+                    "ts": pa.array(
+                        [r[2] for r in rows], type=pa.timestamp("us")
+                    ),
+                }
+            ),
+            str(f),
+        )
+        os.utime(f, (base + bi, base + bi))
+
+    state = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = maintain_scd2_stream(
+            spark.readStream.schema("k string, v string, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src)),
+            state,
+            ckpt,
+            keys=["k"],
+            attrs=["v"],
+            ts_col="ts",
+        )
+        q.awaitTermination(120)
+
+    run()
+
+    def snap(df):
+        return sorted(
+            (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in df.collect()
+        )
+
+    got = snap(
+        spark.read.parquet(state).drop("_last_batch_id", "_fold_tag")
+    )
+
+    # sequential batch reference with the same per-batch collapse
+    dim = spark.createDataFrame(
+        [],
+        "k string, v string, valid_from timestamp, valid_to timestamp,"
+        " is_current boolean",
+    )
+    for rows in batches:
+        b = spark.createDataFrame(rows, "k string, v string, ts timestamp")
+        upd = b.groupBy("k").agg(
+            F.max_by(F.struct("v", "ts"), F.col("ts")).alias("_u")
+        ).select("k", "_u.*")
+        dim = spark.createDataFrame(
+            scd2_apply(dim, upd, ["k"], ["v"], ts_col="ts").collect(),
+            dim.schema,
+        )
+    want = snap(dim)
+    assert got == want
+    # sanity: the history is non-trivial
+    assert sum(1 for r in got if not r[4]) == 2  # two closed versions
+    assert sum(1 for r in got if r[4]) == 3      # three open keys
+
+    # full replay under the same checkpoint: guard skips every batch
+    shutil.rmtree(ckpt)
+    run()
+    again = snap(
+        spark.read.parquet(state).drop("_last_batch_id", "_fold_tag")
+    )
+    assert again == want
