@@ -292,7 +292,10 @@ def _tag_rows(facts: DataFrame, id_col: str | None, rid: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
 
-IPV4_RE = r"^(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}$"
+# \A/\z anchors, NOT ^/$: Java's $ matches before a trailing newline, and
+# raw traffic logs routinely carry line terminators — "1.2.3.4\n" must be
+# malformed, matching the stdlib oracle
+IPV4_RE = r"\A(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}\z"
 
 
 def ip_to_long(col: Column | str) -> Column:
@@ -446,12 +449,19 @@ def ip6_to_longs(col: Column | str) -> Column:
     lo = pack(groups[4], groups[5], groups[6], groups[7]).bitwiseOR(v4_val)
     hexg = "[0-9A-Fa-f]{1,4}"
     v6_re = (
-        f"^(({hexg}(:{hexg}){{7}})"
-        f"|(({hexg}(:{hexg})*)?::({hexg}(:{hexg})*)?))$"
-    )
+        "\\A(({h}(:{h}){{7}})"
+        "|(({h}(:{h})*)?::({h}(:{h})*)?))\\z"
+    ).format(h=hexg)
+    # a '::' must stand for AT LEAST one zero group (RFC 4291): with 8
+    # explicit groups the pad is empty and the size check alone would
+    # accept '1:2:3:4:5:6:7:8::' et al. — the stdlib rejects them
+    compress_ok = F.when(
+        F.size(halves) > 1, (F.size(left) + F.size(right)) <= 7
+    ).otherwise(F.lit(True))
     valid = (
         c.rlike(v6_re)
         & (F.size(F.concat(left, pad, right)) == 8)
+        & compress_ok
         & (~has_v4 | v4_str.rlike(IPV4_RE))
     )
     return F.when(valid, F.struct(hi.alias("hi"), lo.alias("lo")))

@@ -491,7 +491,7 @@ _ip_like = st.one_of(
     ),
     st.sampled_from(
         ["", "1.2.3", "1.2.3.4.5", "01.2.3.4", "a.b.c.d", "1..2.3",
-         "256.1.1.1", " 1.2.3.4", "1.2.3.4 "]
+         "256.1.1.1", " 1.2.3.4", "1.2.3.4 ", "1.2.3.4\n", "1.2.3.4\r\n"]
     ),
     st.text(alphabet="0123456789.x:", max_size=16),
 )
@@ -542,7 +542,10 @@ _v6_like = st.one_of(
     # malformed
     st.sampled_from(
         ["junk::zz", "1:2:3:4:5:6:7:8:9", ":::", "12345::", "::ffff:300.1.2.3",
-         "1:2:3:4:5:6:7", "g::1", ""]
+         "1:2:3:4:5:6:7", "g::1", "", "2001:db8::1\n",
+         # a '::' must replace AT LEAST one group (RFC 4291)
+         "1:2:3:4:5:6:7:8::", "1::2:3:4:5:6:7:8", "::1:2:3:4:5:6:7:8",
+         "1:2:3:4::5:6:7:8"]
     ),
 )
 
