@@ -1404,61 +1404,67 @@ def _index_generations(spark, path: str) -> list[str]:
     ]
 
 
+def _read_viol_journal(spark, viol_root: str) -> DataFrame:
+    """Canonical, replay-safe view of the append/violation journal:
+    ``(src_gen, ivf_cluster, n_appended, n_out_of_grid)``.
+
+    Every report row is keyed by the GENERATION that first produced it —
+    fresh per-batch/append directories carry the key implicitly as their
+    ``_b`` partition value; a folded generation preserves it explicitly
+    in a ``src_gen`` column. The read coalesces the two and dedups by
+    ``(src_gen, ivf_cluster)``, so a crash-replayed micro-batch that
+    re-creates its per-batch directory AFTER a fold already captured it
+    (the identical report now present under both its own ``_b`` and the
+    fold's ``src_gen``) counts exactly ONCE. Duplicates can only arise
+    from idempotent re-writes of the same generation, so their contents
+    are identical and the surviving row is deterministic in value.
+    Legacy pre-src_gen folds read back keyed by their own fold name —
+    correct sums, though batches folded before the keyed layout cannot
+    retroactively heal an already-double-counted replay."""
+    df = spark.read.option("mergeSchema", "true").parquet(viol_root)
+    if "src_gen" not in df.columns:
+        df = df.withColumn("src_gen", F.lit(None).cast("string"))
+    return (
+        df.withColumn(
+            "src_gen", F.coalesce("src_gen", F.col("_b").cast("string"))
+        )
+        .dropDuplicates(["src_gen", "ivf_cluster"])
+        .select("src_gen", "ivf_cluster", "n_appended", "n_out_of_grid")
+    )
+
+
 def _fold_viol_journal(spark, path: str, new_gen: str) -> None:
-    """Fold the append journal's accumulated ``_b=`` generations into one
-    per-cluster sum row (sum-preserving, so :func:`ivf_index_staleness`
-    is unchanged). Sums are NOT dedupable, so the swap is resumable
-    instead of duplicate-tolerant: the fold is fully written to a
-    scratch sibling first, the old generations are deleted, and only
-    then does the fold move in — a crash between the deletes and the
-    move leaves a committed scratch fold that the next call detects and
-    finishes; a crash mid-write leaves an uncommitted scratch that is
-    discarded and refolded from the intact journal."""
+    """Fold the append journal's accumulated ``_b=`` generations into ONE
+    generation of generation-keyed rows: ``src_gen`` preserved per row,
+    values untouched, so :func:`ivf_index_staleness` (which sums the
+    deduped :func:`_read_viol_journal` view) is unchanged. Keying rows by
+    source generation is what makes the swap safe around crashes WITHOUT
+    a resume protocol: the fold is written to a scratch sibling, renamed
+    in FIRST, and only then are the captured generations deleted — any
+    crash in the window leaves duplicate reports the read-time dedup
+    already ignores, and a generation landing after the capture listing
+    (a replayed batch, a concurrent ingest run) is never deleted because
+    only the captured names are."""
     viol_root = f"{path}__viol"
     vscratch = f"{viol_root}__compacting"
     jvm = spark._jvm
     jroot = jvm.org.apache.hadoop.fs.Path(viol_root)
     fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
-
-    def _committed(gen_dir: str) -> bool:
-        return fs.exists(
-            jvm.org.apache.hadoop.fs.Path(f"{gen_dir}/_SUCCESS")
-        )
-
-    viol_gens = _index_generations(spark, viol_root)
-    vs_gens = [
-        g for g in _index_generations(spark, vscratch)
-        if _committed(f"{vscratch}/{g}")
-    ]
-    if vs_gens:
-        # resume an interrupted swap: the committed fold already holds
-        # the journal's full sums — clear the old generations and move in
-        for g in viol_gens:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{viol_root}/{g}"), True)
-        src = jvm.org.apache.hadoop.fs.Path(f"{vscratch}/{vs_gens[0]}")
-        dst = jvm.org.apache.hadoop.fs.Path(f"{viol_root}/{vs_gens[0]}")
-        if not fs.rename(src, dst):
-            raise IOError(f"rename {src} -> {dst} failed")
-        fs.delete(jvm.org.apache.hadoop.fs.Path(vscratch), True)
-        return
+    # leftover scratch — torn or committed — is discardable: the fold
+    # re-derives from the journal, which the swap never mutates before
+    # the fold is safely renamed in
     fs.delete(jvm.org.apache.hadoop.fs.Path(vscratch), True)
-    if len(viol_gens) <= 1:
+    captured = _index_generations(spark, viol_root)
+    if len(captured) <= 1:
         return
-    folded = (
-        spark.read.parquet(viol_root)
-        .groupBy("ivf_cluster")
-        .agg(
-            F.sum("n_appended").alias("n_appended"),
-            F.sum("n_out_of_grid").alias("n_out_of_grid"),
-        )
-    )
+    folded = _read_viol_journal(spark, viol_root)
     folded.write.mode("overwrite").parquet(f"{vscratch}/_b={new_gen}")
-    for g in viol_gens:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{viol_root}/{g}"), True)
     src = jvm.org.apache.hadoop.fs.Path(f"{vscratch}/_b={new_gen}")
     dst = jvm.org.apache.hadoop.fs.Path(f"{viol_root}/_b={new_gen}")
     if not fs.rename(src, dst):
         raise IOError(f"rename {src} -> {dst} failed")
+    for g in captured:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{viol_root}/{g}"), True)
     fs.delete(jvm.org.apache.hadoop.fs.Path(vscratch), True)
 
 
@@ -1476,10 +1482,18 @@ def compact_ann_index(spark, path: str) -> dict:
     operation CRASH-RESUMABLE: the compacted generation is renamed into
     the root before the old generations are deleted, so a crash in the
     window leaves every row present (some twice) — re-running dedups and
-    finishes. Run it OFFLINE: until the old generations are gone, a
-    probed search can surface a duplicated neighbor. The append journal's
-    per-run generations fold too (per-cluster sums — staleness report
-    unchanged; see :func:`_fold_viol_journal` for its resumable swap).
+    finishes. The survivor is DETERMINISTIC: per ``vec_id``, append and
+    streamed-batch generations outrank the build/compaction/rebuild
+    generation they sit beside (anything beside a fold landed after it,
+    or is an identical replay), the numeric suffix then orders streamed
+    batches so the LATEST batch wins — a re-appended embedding keeps its
+    newest value — and name then row content break any remaining tie, so
+    which row survives never depends on partition evaluation order and
+    re-running a crashed compaction converges on the same tree. Run it OFFLINE: until the old
+    generations are gone, a probed search can surface a duplicated
+    neighbor. The append journal's per-run generations fold too
+    (generation-keyed rows — staleness report unchanged; see
+    :func:`_fold_viol_journal` for its duplicate-tolerant swap).
     Returns ``{"generations_before", "files_before", "files_after",
     "rows"}``.
     """
@@ -1500,10 +1514,28 @@ def compact_ann_index(spark, path: str) -> dict:
     new_gen = f"c{n}"
 
     files_before = len(list_data_files(spark, path))
+    raw = spark.read.parquet(path)
+    val_cols = [c for c in raw.columns if c != "_b"]
+    # generation recency: build/compaction/rebuild generations (base,
+    # c<n>, r<n>) rank below appends and streamed batches — anything
+    # sitting beside a fold either landed after it or is an identical
+    # replay — and within a class the numeric suffix orders streamed
+    # batches so the latest batch wins; name then row content break
+    # remaining ties, so the survivor never depends on partition order
+    gen_name = F.col("_b").cast("string")
+    suffix = F.regexp_extract(gen_name, r"(\d+)\z", 1)
+    gen_order = F.struct(
+        (~gen_name.rlike(r"\A(base|[cr]\d+)\z")).cast("int").alias("cls"),
+        F.when(suffix == "", F.lit(-1))
+        .otherwise(suffix.cast("long"))
+        .alias("num"),
+        gen_name.alias("name"),
+    )
+    row = F.struct(*val_cols)
     data = (
-        spark.read.parquet(path)
-        .drop("_b")
-        .dropDuplicates(["vec_id"])
+        raw.groupBy("vec_id")
+        .agg(F.max_by(row, F.struct(gen_order, row)).alias("_r"))
+        .select("_r.*")
         .repartition(F.col("ivf_cluster"))
     )
     scratch = f"{path}__compacting"
@@ -1650,7 +1682,7 @@ def ivf_index_staleness(
     )
     try:
         viol = (
-            spark.read.parquet(f"{path}__viol")
+            _read_viol_journal(spark, f"{path}__viol")
             .groupBy("ivf_cluster")
             .agg(
                 F.sum("n_appended").alias("n_appended"),

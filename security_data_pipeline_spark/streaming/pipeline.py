@@ -303,6 +303,32 @@ def _check_replay(prev, batch_id: int, tag: str):
     return replayed, clean
 
 
+def _read_state(spark, state_path: str, scratch: str):
+    """Shared whole-state-fold read: ``(state_df, recovered_from_scratch)``.
+
+    The ONE copy of the try-state-then-scratch probe every persisted-fold
+    maintainer shares: the committed state first; else the scratch
+    generation (the final overwrite deletes the state before rewriting
+    it, so a crash in that window leaves the last merged fold only in
+    scratch); else ``(None, False)`` — a genuine first batch. Only a
+    missing path takes a fallback; any other read error (e.g. a schema
+    mismatch after changing the fold spec between runs) propagates.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(state_path), False
+    except AnalysisException as e:
+        if not _missing_path(e):
+            raise
+    try:
+        return spark.read.parquet(scratch), True
+    except AnalysisException as e:
+        if not _missing_path(e):
+            raise
+    return None, False
+
+
 def maintain_rollup_stream(
     stream_df: DataFrame,
     state_path: str,
@@ -337,31 +363,16 @@ def maintain_rollup_stream(
     same guard protects :func:`maintain_heavy_hitters_stream` and
     :func:`maintain_drift_stream`.
     """
-    from pyspark.errors.exceptions.captured import AnalysisException
 
     from security_data_pipeline_spark.operators import incremental as inc
 
     scratch = f"{state_path}__next"
 
-    def _read_state(spark):
-        """Return ``(state_df, recovered_from_scratch)`` or ``(None, False)``."""
-        try:
-            return spark.read.parquet(state_path), False
-        except AnalysisException as e:
-            if not _missing_path(e):
-                raise
-        try:  # crashed mid-swap: recover the scratch generation
-            return spark.read.parquet(scratch), True
-        except AnalysisException as e:
-            if not _missing_path(e):
-                raise
-        return None, False  # genuine first batch
-
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
         spark = batch_df.sparkSession
-        raw, from_scratch = _read_state(spark)
+        raw, from_scratch = _read_state(spark, state_path, scratch)
         replayed, prev = _check_replay(raw, batch_id, checkpoint_path)
         if replayed:
             # at-least-once replay (crash after the state overwrite,
@@ -446,29 +457,14 @@ def _heavy_hitter_fold(state_path: str, item_col: str, k: int, tag: str = ""):
     crash-replay scenario) must leave the persisted state byte-identical
     instead of double-merging the batch.
     """
-    from pyspark.errors.exceptions.captured import AnalysisException
 
     from security_data_pipeline_spark.operators import sketches
 
     scratch = f"{state_path}__next"
 
-    def _read_state(spark):
-        """Return ``(state_df, recovered_from_scratch)`` or ``(None, False)``."""
-        try:
-            return spark.read.parquet(state_path), False
-        except AnalysisException as e:
-            if not _missing_path(e):
-                raise
-        try:
-            return spark.read.parquet(scratch), True
-        except AnalysisException as e:
-            if not _missing_path(e):
-                raise
-        return None, False
-
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        raw, from_scratch = _read_state(spark)
+        raw, from_scratch = _read_state(spark, state_path, scratch)
         replayed, prev = _check_replay(raw, batch_id, tag)
         if replayed:
             # at-least-once replay: this batch is already folded into
@@ -530,7 +526,6 @@ def maintain_drift_stream(
     ``{state_path}__psi`` — columns ``group_cols + (n_ref, n_cur, psi,
     ks)``. Returns the StreamingQuery.
     """
-    from pyspark.errors.exceptions.captured import AnalysisException
     from pyspark.sql import functions as F
 
     from security_data_pipeline_spark.operators.drift import (
@@ -574,19 +569,6 @@ def maintain_drift_stream(
         refcounts_path
     )
 
-    def _read_state(spark):
-        try:
-            return spark.read.parquet(state_path), False
-        except AnalysisException as e:
-            if not _missing_path(e):
-                raise
-        try:
-            return spark.read.parquet(scratch), True
-        except AnalysisException as e:
-            if not _missing_path(e):
-                raise
-        return None, False
-
     def _emit_gate(spark) -> None:
         """Recompute PSI/KS from (static ref counts, cumulative state)."""
         cur = spark.read.parquet(state_path).drop("_last_batch_id", "_fold_tag")
@@ -625,7 +607,7 @@ def maintain_drift_stream(
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        raw, from_scratch = _read_state(spark)
+        raw, from_scratch = _read_state(spark, state_path, scratch)
         replayed, prev = _check_replay(raw, batch_id, checkpoint_path)
         if replayed:
             if from_scratch:
@@ -820,16 +802,9 @@ def maintain_neardup_stream(
                 raise
         return None
 
-    def _read_state(spark):
-        df = _read(spark, state_path)
-        if df is not None:
-            return df, False
-        df = _read(spark, scratch)
-        return df, df is not None
-
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        raw, from_scratch = _read_state(spark)
+        raw, from_scratch = _read_state(spark, state_path, scratch)
         replayed, prev = _check_replay(raw, batch_id, checkpoint_path)
         if replayed:
             if from_scratch:
@@ -1192,11 +1167,12 @@ def maintain_scd2_stream(
 
     Batch granularity IS the version granularity: a key changed twice
     within one micro-batch keeps only its LATEST change (per-key
-    ``max_by`` over ``ts_col`` before the apply — the standard
-    micro-batch CDC collapse; size batches via the trigger if
-    intra-batch churn must be versioned). Updates must arrive with
-    non-decreasing ``ts_col`` per key across batches, like every
-    append-only CDC tail.
+    ``max_by`` over ``(ts_col, attrs)`` before the apply — the standard
+    micro-batch CDC collapse, with the attribute values breaking
+    equal-timestamp ties deterministically; size batches via the
+    trigger if intra-batch churn must be versioned). Updates must
+    arrive with non-decreasing ``ts_col`` per key across batches, like
+    every append-only CDC tail.
 
     State is the dimension itself (keys + attrs + valid_from/valid_to/
     is_current), rewritten per batch through the shared whole-state fold
@@ -1208,36 +1184,28 @@ def maintain_scd2_stream(
     dimension is proven equal to sequential batch ``scd2_apply`` in
     tests/test_streaming.py.
     """
-    from pyspark.errors.exceptions.captured import AnalysisException
 
     from security_data_pipeline_spark.operators.merge import scd2_apply
 
     scratch = f"{state_path}__next"
 
-    def _read_state(spark):
-        try:
-            return spark.read.parquet(state_path), False
-        except AnalysisException as e:
-            if not _missing_path(e):
-                raise
-        try:
-            return spark.read.parquet(scratch), True
-        except AnalysisException as e:
-            if not _missing_path(e):
-                raise
-        return None, False
-
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        raw, from_scratch = _read_state(spark)
+        raw, from_scratch = _read_state(spark, state_path, scratch)
         replayed, prev = _check_replay(raw, batch_id, checkpoint_path)
         if replayed:
             if from_scratch:
                 raw.write.mode("overwrite").parquet(state_path)
             return
-        # micro-batch CDC collapse: latest change per key this batch
+        # micro-batch CDC collapse: latest change per key this batch;
+        # equal-timestamp changes (common in second-granularity CDC
+        # tails) tie-break on the attribute values so the surviving
+        # version never depends on partition evaluation order
         updates = batch_df.groupBy(*keys).agg(
-            F.max_by(F.struct(*attrs, ts_col), F.col(ts_col)).alias("_u")
+            F.max_by(
+                F.struct(*attrs, ts_col),
+                F.struct(F.col(ts_col), *[F.col(a) for a in attrs]),
+            ).alias("_u")
         ).select(*keys, "_u.*")
         if prev is None:
             ts_type = batch_df.schema[ts_col].dataType
@@ -1365,24 +1333,10 @@ def maintain_checksum_stream(
     lineage-tagged batch-id replay guard (a replayed batch would
     double-add its sums).
     """
-    from pyspark.errors.exceptions.captured import AnalysisException
 
     from security_data_pipeline_spark.operators.merge import row_content_hash
 
     scratch = f"{state_path}__next"
-
-    def _read_state(spark):
-        try:
-            return spark.read.parquet(state_path), False
-        except AnalysisException as e:
-            if not _missing_path(e):
-                raise
-        try:
-            return spark.read.parquet(scratch), True
-        except AnalysisException as e:
-            if not _missing_path(e):
-                raise
-        return None, False
 
     def _summarize(df: DataFrame) -> DataFrame:
         return df.groupBy(*by).agg(
@@ -1392,7 +1346,7 @@ def maintain_checksum_stream(
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        raw, from_scratch = _read_state(spark)
+        raw, from_scratch = _read_state(spark, state_path, scratch)
         replayed, prev = _check_replay(raw, batch_id, checkpoint_path)
         if replayed:
             if from_scratch:

@@ -1110,6 +1110,26 @@ def test_compact_ann_index_folds_generations_bit_equal(spark, tmp_path):
     ).collect()))
     assert healed == before
 
+    # a re-appended vec_id keeps its NEWEST value through compaction: the
+    # deterministic survivor rule ranks the append generation above the
+    # compacted fold it lands beside, never an arbitrary partition pick
+    upd = emb.filter(F.col("vec_id") == 2).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(1.0)).alias(
+            "embedding"
+        ),
+    )
+    similarity.append_to_ivf_index(upd, path, cents, "night2")
+    similarity.compact_ann_index(spark, path)
+    survivors = (
+        spark.read.parquet(path)
+        .filter(F.col("vec_id") == 2)
+        .select("embedding")
+        .collect()
+    )
+    assert len(survivors) == 1
+    assert survivors[0]["embedding"] == upd.first()["embedding"]
+
 
 def test_rebuild_ivf_sq8_index_clears_staleness(spark, tmp_path):
     """The staleness loop closes: appends outside the fitted grids raise
@@ -1185,64 +1205,118 @@ def test_rebuild_ivf_sq8_index_clears_staleness(spark, tmp_path):
     assert got == exp and len(got) > 0
 
 
-def test_fold_viol_journal_resume_paths(spark, tmp_path):
-    """The journal fold's two crash states heal: a COMMITTED scratch fold
-    (crash between the old-generation deletes and the rename) is moved in
-    as-is without re-reading the journal; an UNCOMMITTED scratch (crash
-    mid-write) is discarded and the fold redone from the intact journal."""
+def test_fold_viol_journal_crash_and_replay_paths(spark, tmp_path):
+    """The generation-keyed journal heals every crash window it used to
+    lose counts in:
+
+    - a COMMITTED leftover scratch beside a generation that landed AFTER
+      it is DISCARDED and the fold re-derived over everything present
+      (the r6 resume would have deleted the post-crash generation's sums
+      while moving in the stale fold);
+    - a TORN scratch is discarded the same way;
+    - a micro-batch REPLAYED after a fold already captured it re-creates
+      its per-batch directory without double-counting (read-time dedup on
+      (src_gen, ivf_cluster)), and the next fold converges back to one
+      generation with unchanged sums;
+    - a LEGACY fold (pre-src_gen, pure sums) reads back keyed by its own
+      name and coexists with keyed generations."""
     import os
     import pathlib
 
     from security_data_pipeline_spark.operators.similarity import (
         _fold_viol_journal,
+        _read_viol_journal,
     )
 
+    schema = "ivf_cluster int, n_appended long, n_out_of_grid long"
     path = str(tmp_path / "idx")
     viol = path + "__viol"
     rows1 = [(0, 10, 1), (1, 20, 2)]
     rows2 = [(0, 5, 0), (2, 7, 3)]
-    spark.createDataFrame(
-        rows1, "ivf_cluster int, n_appended long, n_out_of_grid long"
-    ).write.parquet(f"{viol}/_b=a-r1")
-    spark.createDataFrame(
-        rows2, "ivf_cluster int, n_appended long, n_out_of_grid long"
-    ).write.parquet(f"{viol}/_b=a-r2")
+    rows3 = [(1, 2, 0)]
+    spark.createDataFrame(rows1, schema).write.parquet(f"{viol}/_b=a-r1")
+    spark.createDataFrame(rows2, schema).write.parquet(f"{viol}/_b=a-r2")
 
-    # crash state 1: committed scratch fold beside the old generations —
-    # the fold holds the full sums; old gens must be dropped, fold moved in
+    def _sums():
+        return sorted(
+            map(
+                tuple,
+                _read_viol_journal(spark, viol)
+                .groupBy("ivf_cluster")
+                .agg(F.sum("n_appended"), F.sum("n_out_of_grid"))
+                .collect(),
+            )
+        )
+
+    # crash state 1: a committed scratch fold captured r1+r2, the crash
+    # happened before the swap, and a THIRD generation landed afterwards —
+    # the stale scratch must not cost r3 its counts
     scratch = viol + "__compacting"
-    folded = [(0, 15, 1), (1, 20, 2), (2, 7, 3)]
-    spark.createDataFrame(
-        folded, "ivf_cluster int, n_appended long, n_out_of_grid long"
-    ).write.parquet(f"{scratch}/_b=c9")
-    _fold_viol_journal(spark, path, "c0")
-    gens = sorted(d for d in os.listdir(viol) if d.startswith("_b="))
-    assert gens == ["_b=c9"]
-    assert not os.path.exists(scratch)
-    got = sorted(
-        map(tuple, spark.read.parquet(viol).drop("_b").collect())
+    stale_fold = [(0, 15, 1), (1, 20, 2), (2, 7, 3)]
+    spark.createDataFrame(stale_fold, schema).write.parquet(
+        f"{scratch}/_b=c9"
     )
-    assert got == sorted(folded)
+    spark.createDataFrame(rows3, schema).write.parquet(f"{viol}/_b=a-r3")
+    _fold_viol_journal(spark, path, "c0")
+    assert sorted(
+        d for d in os.listdir(viol) if d.startswith("_b=")
+    ) == ["_b=c0"]
+    assert not os.path.exists(scratch)
+    expect = sorted([(0, 15, 1), (1, 22, 2), (2, 7, 3)])
+    assert _sums() == expect
 
-    # crash state 2: uncommitted scratch (no _SUCCESS) — discarded, fold
-    # redone from the journal generations
-    viol2 = str(tmp_path / "idx2") + "__viol"
-    spark.createDataFrame(
-        rows1, "ivf_cluster int, n_appended long, n_out_of_grid long"
-    ).write.parquet(f"{viol2}/_b=a-r1")
-    spark.createDataFrame(
-        rows2, "ivf_cluster int, n_appended long, n_out_of_grid long"
-    ).write.parquet(f"{viol2}/_b=a-r2")
-    junk = pathlib.Path(viol2 + "__compacting") / "_b=c5"
+    # replay after the fold: batch a-r2's idempotent overwrite re-creates
+    # its directory beside the fold that already captured it — counted once
+    spark.createDataFrame(rows2, schema).write.parquet(f"{viol}/_b=a-r2")
+    assert _sums() == expect
+    _fold_viol_journal(spark, path, "c1")
+    assert sorted(
+        d for d in os.listdir(viol) if d.startswith("_b=")
+    ) == ["_b=c1"]
+    assert _sums() == expect
+
+    # crash state 2: torn scratch (no _SUCCESS) — discarded even when the
+    # journal is already a single generation (early return path)
+    junk = pathlib.Path(scratch) / "_b=c5"
     junk.mkdir(parents=True)
     (junk / "part-00000.parquet").write_bytes(b"torn write")
-    _fold_viol_journal(spark, str(tmp_path / "idx2"), "c0")
-    gens2 = sorted(d for d in os.listdir(viol2) if d.startswith("_b="))
-    assert gens2 == ["_b=c0"]
-    got2 = sorted(
-        map(tuple, spark.read.parquet(viol2).drop("_b").collect())
+    _fold_viol_journal(spark, path, "c2")
+    assert not os.path.exists(scratch)
+    assert _sums() == expect
+
+    # legacy pre-src_gen fold beside a keyed generation: sums add up and
+    # the next fold carries both forward
+    path2 = str(tmp_path / "idx2")
+    viol2 = path2 + "__viol"
+    spark.createDataFrame(stale_fold, schema).write.parquet(
+        f"{viol2}/_b=c0"
     )
-    assert got2 == sorted(folded)
+    spark.createDataFrame(rows3, schema).write.parquet(f"{viol2}/_b=a-r3")
+    legacy_expect = sorted([(0, 15, 1), (1, 22, 2), (2, 7, 3)])
+    got = sorted(
+        map(
+            tuple,
+            _read_viol_journal(spark, viol2)
+            .groupBy("ivf_cluster")
+            .agg(F.sum("n_appended"), F.sum("n_out_of_grid"))
+            .collect(),
+        )
+    )
+    assert got == legacy_expect
+    _fold_viol_journal(spark, path2, "c1")
+    assert sorted(
+        d for d in os.listdir(viol2) if d.startswith("_b=")
+    ) == ["_b=c1"]
+    got2 = sorted(
+        map(
+            tuple,
+            _read_viol_journal(spark, viol2)
+            .groupBy("ivf_cluster")
+            .agg(F.sum("n_appended"), F.sum("n_out_of_grid"))
+            .collect(),
+        )
+    )
+    assert got2 == legacy_expect
 
 
 def test_similarity_ops_ignore_degenerate_vectors(spark):

@@ -1858,8 +1858,11 @@ def test_streaming_scd2_equals_sequential_batch_apply(spark, tmp_path):
 
     T = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)  # noqa: E731
     batches = [
-        # k1 churns twice in one batch -> only the second versioned
-        [("k1", "a", T(0)), ("k1", "b", T(1)), ("k2", "x", T(0))],
+        # k1 churns twice in one batch -> only the second versioned;
+        # k4 churns twice at the SAME timestamp -> the attr tie-break
+        # picks 'q' deterministically (max over (ts, attrs))
+        [("k1", "a", T(0)), ("k1", "b", T(1)), ("k2", "x", T(0)),
+         ("k4", "q", T(2)), ("k4", "p", T(2))],
         [("k1", "b", T(5)), ("k3", "n", T(6))],   # equal update no-ops
         [("k2", "y", T(9)), ("k1", "c", T(9))],   # two version closes
     ]
@@ -1919,7 +1922,9 @@ def test_streaming_scd2_equals_sequential_batch_apply(spark, tmp_path):
     for rows in batches:
         b = spark.createDataFrame(rows, "k string, v string, ts timestamp")
         upd = b.groupBy("k").agg(
-            F.max_by(F.struct("v", "ts"), F.col("ts")).alias("_u")
+            F.max_by(
+                F.struct("v", "ts"), F.struct(F.col("ts"), F.col("v"))
+            ).alias("_u")
         ).select("k", "_u.*")
         dim = spark.createDataFrame(
             scd2_apply(dim, upd, ["k"], ["v"], ts_col="ts").collect(),
@@ -1929,7 +1934,8 @@ def test_streaming_scd2_equals_sequential_batch_apply(spark, tmp_path):
     assert got == want
     # sanity: the history is non-trivial
     assert sum(1 for r in got if not r[4]) == 2  # two closed versions
-    assert sum(1 for r in got if r[4]) == 3      # three open keys
+    assert sum(1 for r in got if r[4]) == 4      # four open keys
+    assert ("k4", "q") in {(r[0], r[1]) for r in got if r[4]}
 
     # full replay under the same checkpoint: guard skips every batch
     shutil.rmtree(ckpt)
