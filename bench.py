@@ -73,6 +73,10 @@ BENCH_QUERIES: tuple[str, ...] = (
     # grams broadcast; corpus grams broadcast-semi-filtered before the
     # df aggregation — the corpus never shuffles)
     "doc_contamination_report",
+    # round-7 addition: manifest-pruned file skipping over a Z-ordered
+    # layout (zorder write + manifest build happen at plan-build time;
+    # the timed region is the pruned scan + aggregate)
+    "events_file_skipping",
     # driver-window composites, benched AS the driver runs them — the
     # wall-clock the driver pays includes their union/unpivot overhead,
     # which per-arm numbers don't capture
@@ -110,6 +114,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_quantile_check": 0, "ann_index_sq8_roundtrip": 600,
         "ann_index_staleness": 16,
         "events_drift_trend": 20, "doc_contamination_report": 20,
+        "events_file_skipping": 1,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -134,6 +139,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_quantile_check": 0, "ann_index_sq8_roundtrip": 600,
         "ann_index_staleness": 16,
         "events_drift_trend": 20, "doc_contamination_report": 20,
+        "events_file_skipping": 1,
     },
 }
 

@@ -33,12 +33,20 @@ repaid on every pruned read.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zvalue", "zvalue_fixed", "zorder_layout"]
+__all__ = [
+    "zvalue",
+    "zvalue_fixed",
+    "zorder_layout",
+    "file_stats_manifest",
+    "build_file_manifest",
+    "prune_files",
+    "read_pruned",
+]
 
 
 def _bucket_tree(col: Column, cuts: Sequence[float], lo: int, hi: int) -> Column:
@@ -171,6 +179,139 @@ def list_data_files(spark, path: str, suffix: str = ".parquet"):
         if name.endswith(suffix):
             out.append((name, int(st.getLen())))
     return out
+
+
+def file_stats_manifest(
+    spark, path: str, cols: Sequence[str]
+) -> DataFrame:
+    """Per-FILE column statistics over ``cols`` — the data-skipping
+    manifest that turns :func:`zorder_layout` from row-group pruning into
+    FILE pruning, the way Delta/Iceberg manifests do, on vanilla parquet.
+
+    One row per data file: ``(file_path, file_size, n_rows)`` plus
+    ``{col}__min / {col}__max / {col}__nulls`` per tracked column. Built
+    from ONE scan that reads ONLY ``cols`` plus the ``_metadata`` hidden
+    struct (column pruning keeps untracked columns on disk), reduced by a
+    map-side-combining groupBy on the file path — output is one row per
+    file, so the manifest for a million-file table is a million rows of
+    plain parquet, queryable and diffable like any other dataset.
+    """
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+        ]
+    return (
+        df.select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.file_size").alias("file_size"),
+            *[F.col(c) for c in cols],
+        )
+        .groupBy("file_path", "file_size")
+        .agg(*aggs)
+    )
+
+
+def build_file_manifest(
+    spark, path: str, cols: Sequence[str], manifest_path: str | None = None
+) -> str:
+    """Materialize :func:`file_stats_manifest` beside the dataset
+    (``{path}__manifest`` by default) and return the manifest path. Call
+    after a layout rewrite (:func:`zorder_layout` + write,
+    :func:`compact_dataset`) — the manifest describes a GENERATION of
+    files; appends after the build degrade :func:`prune_files` to
+    no-pruning for the new files, never to wrong answers."""
+    mp = manifest_path or f"{path}__manifest"
+    file_stats_manifest(spark, path, cols).write.mode("overwrite").parquet(
+        mp
+    )
+    return mp
+
+
+def _norm_file_path(p: str) -> str:
+    """Normalize a file URI for comparison across listing APIs: the
+    ``_metadata`` column reports ``file:/x``, Hadoop listings
+    ``file:///x`` — same file."""
+    if ":/" in p:
+        scheme, rest = p.split(":/", 1)
+        return f"{scheme}:/{rest.lstrip('/')}"
+    return p
+
+
+def prune_files(
+    spark,
+    path: str,
+    ranges: Mapping[str, tuple],
+    manifest_path: str | None = None,
+) -> dict:
+    """Driver-side manifest pruning — which files can hold rows matching
+    EVERY ``col BETWEEN lo AND hi`` in ``ranges`` (inclusive bounds).
+
+    A file is kept when each range overlaps its ``[min, max]`` — i.e.
+    NOT (max < lo OR min > hi). All-NULL stats never overlap: a range
+    predicate is NULL-excluding, so a file whose tracked column is
+    entirely NULL cannot contribute a matching row. Files on disk but
+    absent from the manifest (appended since the build) are ALWAYS
+    included — a stale manifest degrades to reading more, never to
+    missing rows.
+
+    Returns ``{"files", "unlisted", "n_total", "n_skipped"}``. The
+    matched list lives on the driver — the same O(matched files) the
+    scheduler materializes to plan any scan, which is exactly how table
+    formats do manifest pruning.
+    """
+    mp = manifest_path or f"{path}__manifest"
+    m = spark.read.parquet(mp)
+    cond = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        overlap = ~(
+            (F.col(f"{c}__max") < F.lit(lo))
+            | (F.col(f"{c}__min") > F.lit(hi))
+        )
+        cond = cond & F.coalesce(overlap, F.lit(False))
+    matched = [
+        r["file_path"]
+        for r in m.filter(cond).select("file_path").collect()
+    ]
+    listed = {
+        _norm_file_path(r["file_path"])
+        for r in m.select("file_path").collect()
+    }
+    on_disk = [p_ for p_, _ in list_data_files(spark, path)]
+    unlisted = [
+        p_ for p_ in on_disk if _norm_file_path(p_) not in listed
+    ]
+    return {
+        "files": matched,
+        "unlisted": unlisted,
+        "n_total": len(on_disk),
+        "n_skipped": len(on_disk) - len(matched) - len(unlisted),
+    }
+
+
+def read_pruned(
+    spark,
+    path: str,
+    ranges: Mapping[str, tuple],
+    manifest_path: str | None = None,
+) -> DataFrame:
+    """Manifest-pruned scan: read only the files :func:`prune_files`
+    keeps (plus any unlisted ones). The caller STILL applies the row
+    filter — the contract is ``read_pruned(path, ranges).filter(pred)``
+    ≡ ``spark.read.parquet(path).filter(pred)`` for any ``pred`` at
+    least as strict as the conjunction of the ranges; the manifest only
+    removes files that cannot contain matches. On a Z-ordered layout the
+    kept set concentrates around the queried hyper-rectangle, so the
+    scan reads a small fraction of the files row-group pruning alone
+    would still have to open."""
+    sel = prune_files(spark, path, ranges, manifest_path=manifest_path)
+    files = sel["files"] + sel["unlisted"]
+    if not files:
+        return spark.read.parquet(path).limit(0)
+    return spark.read.parquet(*files)
 
 
 def compaction_plan(

@@ -1196,6 +1196,59 @@ def events_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_file_skipping",
+    sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS sum_id,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       TRUE AS files_skipped
+FROM events
+WHERE event_id BETWEEN 0 AND 999 AND value BETWEEN 0 AND 50
+""",
+    description=(
+        "FILE-level data skipping through REAL file I/O "
+        "(operators/layout.py:build_file_manifest/read_pruned): the "
+        "events table is Z-ordered over (event_id, value) into 16 files, "
+        "a per-file min/max manifest is built from one column-pruned "
+        "scan, and a box query reads ONLY the files whose stats overlap "
+        "the ranges — the Delta/Iceberg OPTIMIZE-ZORDER + manifest-prune "
+        "loop on vanilla parquet. SELF-CHECKING: files_skipped is "
+        "computed from the actual prune report (TRUE only if the "
+        "manifest skipped >0 of the 16 files), and the aggregate over "
+        "the pruned+filtered scan must equal DuckDB's over the original "
+        "table — so a manifest that prunes a file it shouldn't (missing "
+        "rows) or never prunes (dead manifest) both fail the row hash. "
+        "At 100 TB this is the difference between opening a million "
+        "files for row-group pruning and opening the few the manifest "
+        "keeps"
+    ),
+)
+def events_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from security_data_pipeline_spark.operators import layout
+
+    tmp = tempfile.mkdtemp(prefix="fileskip_")
+    path = f"{tmp}/events_z"
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    layout.zorder_layout(ev, ["event_id", "value"], num_files=16).write.parquet(path)
+    layout.build_file_manifest(spark, path, ["event_id", "value"])
+    ranges = {"event_id": (0, 999), "value": (0.0, 50.0)}
+    sel = layout.prune_files(spark, path, ranges)
+    pruned = layout.read_pruned(spark, path, ranges).filter(
+        F.col("event_id").between(0, 999)
+        & F.col("value").between(0.0, 50.0)
+    )
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").cast("long").alias("sum_id"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ).withColumn("files_skipped", F.lit(sel["n_skipped"] > 0))
+
+
+@query(
     "events_null_counts",
     sql="""
 SELECT CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls,

@@ -316,3 +316,53 @@ def test_checksum_properties_hypothesis(spark, tmp_path):
         assert m[1] != g[1], f"mutation not detected for {rows}"
 
     check()
+
+
+def test_file_manifest_prunes_zordered_scan(spark, tmp_path):
+    """The data-skipping loop closes: a Z-ordered layout + per-file
+    manifest lets a box query read a MINORITY of files, and the pruned
+    scan returns exactly the rows a full scan returns — including with a
+    stale manifest (appended file read unpruned, never dropped) and an
+    all-NULL file (range predicates are NULL-excluding, so it prunes)."""
+    df = _grid_df(spark, 64)
+    path = str(tmp_path / "grid")
+    layout.zorder_layout(df, ["x", "y"], num_files=16, bits_per_col=6).write.parquet(path)
+    mp = layout.build_file_manifest(spark, path, ["x", "y"])
+
+    ranges = {"x": (10, 19), "y": (50, 59)}
+    pred = F.col("x").between(10, 19) & F.col("y").between(50, 59)
+    sel = layout.prune_files(spark, path, ranges)
+    assert sel["n_total"] == 16 and not sel["unlisted"]
+    # the 10x10 box intersects few z-ranges; most files skip
+    assert sel["n_skipped"] >= 8, sel
+
+    full = sorted(
+        map(tuple, spark.read.parquet(path).filter(pred).collect())
+    )
+    pruned = sorted(
+        map(tuple, layout.read_pruned(spark, path, ranges).filter(pred).collect())
+    )
+    assert pruned == full and len(full) == 100
+
+    # stale manifest: a file appended AFTER the build is always read
+    spark.createDataFrame([(15, 55)], "x long, y long").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    sel2 = layout.prune_files(spark, path, ranges)
+    assert len(sel2["unlisted"]) == 1
+    pruned2 = layout.read_pruned(spark, path, ranges).filter(pred).count()
+    assert pruned2 == 101
+
+    # all-NULL tracked column: min/max are NULL -> the file prunes
+    null_path = str(tmp_path / "nulls")
+    spark.createDataFrame(
+        [(None, None)] * 5, "x long, y long"
+    ).coalesce(1).write.parquet(null_path)
+    layout.build_file_manifest(spark, null_path, ["x", "y"])
+    sel3 = layout.prune_files(spark, null_path, ranges)
+    assert sel3["files"] == [] and sel3["n_skipped"] == 1
+    assert layout.read_pruned(spark, null_path, ranges).filter(pred).count() == 0
+
+    # empty keep-set short-circuit keeps the schema
+    assert layout.read_pruned(spark, null_path, ranges).columns == ["x", "y"]
+    assert mp.endswith("__manifest")
