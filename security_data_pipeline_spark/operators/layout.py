@@ -44,6 +44,7 @@ __all__ = [
     "zorder_layout",
     "file_stats_manifest",
     "build_file_manifest",
+    "update_file_manifest",
     "prune_files",
     "read_pruned",
 ]
@@ -241,6 +242,88 @@ def _norm_file_path(p: str) -> str:
     return p
 
 
+def _read_manifest(spark, mp: str) -> DataFrame:
+    """Read a manifest, falling back to the ``__next`` scratch generation
+    (a crash during :func:`update_file_manifest`'s final overwrite leaves
+    the merged manifest only there — same recovery convention as the
+    streaming state swaps)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(mp)
+    except AnalysisException:
+        return spark.read.parquet(f"{mp}__next")
+
+
+def update_file_manifest(
+    spark, path: str, cols: Sequence[str], manifest_path: str | None = None
+) -> dict:
+    """Incremental manifest refresh — the nightly-append path: stat ONLY
+    the files added since the last build (the unlisted set), drop rows
+    for files that no longer exist (a compaction or delete), and swap
+    the merged manifest in. Cost follows the APPEND, not the table: a
+    100 TB table that gained 100 files tonight scans 100 files, while
+    :func:`build_file_manifest` would rescan everything.
+
+    Swap is scratch-then-overwrite (``{mp}__next`` → ``{mp}``); readers
+    (:func:`prune_files`) fall back to the scratch on a crash window and
+    a re-run heals it. Returns ``{"added", "dropped", "kept"}`` row
+    counts. The tracked ``cols`` must match the original build — stats
+    columns are unioned by name."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    mp = manifest_path or f"{path}__manifest"
+    try:
+        old = spark.read.parquet(mp)
+    except AnalysisException:
+        # crash window of a previous refresh: the merged manifest lives
+        # only in the scratch — complete the interrupted swap FIRST, so
+        # the scratch is free to be overwritten again below
+        spark.read.parquet(f"{mp}__next").write.mode("overwrite").parquet(
+            mp
+        )
+        old = spark.read.parquet(mp)
+    on_disk = {_norm_file_path(p_) for p_, _ in list_data_files(spark, path)}
+    listed = {
+        _norm_file_path(r["file_path"])
+        for r in old.select("file_path").collect()
+    }
+    unlisted = sorted(on_disk - listed)
+    norm_col = F.regexp_replace(
+        "file_path", r"^([A-Za-z0-9+.-]+):/+", r"$1:/"
+    )
+    kept = old.filter(norm_col.isin(list(on_disk)))
+    if unlisted:
+        df = spark.read.parquet(*unlisted)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in cols:
+            aggs += [
+                F.min(c).alias(f"{c}__min"),
+                F.max(c).alias(f"{c}__max"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            ]
+        fresh = (
+            df.select(
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.file_size").alias("file_size"),
+                *[F.col(c) for c in cols],
+            )
+            .groupBy("file_path", "file_size")
+            .agg(*aggs)
+        )
+        merged = kept.unionByName(fresh)
+    else:
+        merged = kept
+    merged.write.mode("overwrite").parquet(f"{mp}__next")
+    spark.read.parquet(f"{mp}__next").write.mode("overwrite").parquet(mp)
+    n_total = len(on_disk)
+    return {
+        "added": len(unlisted),
+        "dropped": len(listed - on_disk),
+        "kept": n_total - len(unlisted),
+    }
+
+
 def prune_files(
     spark,
     path: str,
@@ -264,7 +347,7 @@ def prune_files(
     formats do manifest pruning.
     """
     mp = manifest_path or f"{path}__manifest"
-    m = spark.read.parquet(mp)
+    m = _read_manifest(spark, mp)
     cond = F.lit(True)
     for c, (lo, hi) in ranges.items():
         overlap = ~(
@@ -308,7 +391,9 @@ def read_pruned(
     scan reads a small fraction of the files row-group pruning alone
     would still have to open."""
     sel = prune_files(spark, path, ranges, manifest_path=manifest_path)
-    files = sel["files"] + sel["unlisted"]
+    # dict.fromkeys: a manifest holding duplicate rows for one file (a
+    # healed crash window) must not read that file twice
+    files = list(dict.fromkeys(sel["files"] + sel["unlisted"]))
     if not files:
         return spark.read.parquet(path).limit(0)
     return spark.read.parquet(*files)

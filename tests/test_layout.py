@@ -366,3 +366,58 @@ def test_file_manifest_prunes_zordered_scan(spark, tmp_path):
     # empty keep-set short-circuit keeps the schema
     assert layout.read_pruned(spark, null_path, ranges).columns == ["x", "y"]
     assert mp.endswith("__manifest")
+
+
+def test_update_file_manifest_follows_the_append(spark, tmp_path):
+    """Incremental manifest refresh: appended files get stats WITHOUT
+    rescanning the table, rows for deleted files drop, a crash between
+    the scratch write and the final overwrite heals (readers fall back
+    to the scratch; a re-run completes), and pruning over the refreshed
+    manifest is exact again."""
+    import os
+    import shutil
+
+    df = _grid_df(spark, 32)
+    path = str(tmp_path / "grid")
+    layout.zorder_layout(df, ["x", "y"], num_files=8, bits_per_col=5).write.parquet(path)
+    mp = layout.build_file_manifest(spark, path, ["x", "y"])
+
+    # nightly append: two new files land
+    spark.createDataFrame(
+        [(100, 100), (101, 101)], "x long, y long"
+    ).repartition(2).write.mode("append").parquet(path)
+    rep = layout.update_file_manifest(spark, path, ["x", "y"])
+    assert rep["added"] == 2 and rep["dropped"] == 0 and rep["kept"] == 8
+    # the refreshed manifest covers everything: nothing unlisted, and the
+    # new region prunes precisely
+    sel = layout.prune_files(spark, path, {"x": (100, 101), "y": (100, 101)})
+    assert not sel["unlisted"]
+    assert sel["n_skipped"] >= 8
+    pred = F.col("x") >= 100
+    assert (
+        layout.read_pruned(spark, path, {"x": (100, 101), "y": (100, 101)})
+        .filter(pred)
+        .count()
+        == 2
+    )
+
+    # a file disappears (compaction/delete): its row drops on refresh
+    victim = next(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    os.remove(f"{path}/{victim}")
+    rep2 = layout.update_file_manifest(spark, path, ["x", "y"])
+    assert rep2["dropped"] == 1 and rep2["added"] == 0
+    n_manifest = spark.read.parquet(mp).count()
+    assert n_manifest == 9
+
+    # crash window: final overwrite never happened — manifest dir gone,
+    # merged state only in __next; readers fall back, re-run heals
+    shutil.rmtree(mp + "__next")
+    shutil.copytree(mp, mp + "__next")
+    shutil.rmtree(mp)
+    sel2 = layout.prune_files(spark, path, {"x": (0, 5), "y": (0, 5)})
+    assert sel2["n_total"] == 9 and not sel2["unlisted"]
+    rep3 = layout.update_file_manifest(spark, path, ["x", "y"])
+    assert rep3 == {"added": 0, "dropped": 0, "kept": 9}
+    assert spark.read.parquet(mp).count() == 9
