@@ -421,3 +421,72 @@ def test_update_file_manifest_follows_the_append(spark, tmp_path):
     rep3 = layout.update_file_manifest(spark, path, ["x", "y"])
     assert rep3 == {"added": 0, "dropped": 0, "kept": 9}
     assert spark.read.parquet(mp).count() == 9
+
+
+def test_prune_files_exact_hypothesis(spark, tmp_path):
+    """Property: for ANY point set (with NULLs) laid out into multiple
+    files and ANY query box, the manifest-pruned scan + row filter
+    returns exactly what a full scan + filter returns — pruning may only
+    remove files that cannot match."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vals = st.one_of(st.none(), st.integers(min_value=-20, max_value=20))
+    points = st.lists(st.tuples(vals, vals), min_size=1, max_size=60)
+    boxes = st.tuples(
+        st.integers(min_value=-25, max_value=25),
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=-25, max_value=25),
+        st.integers(min_value=0, max_value=15),
+    )
+    counter = [0]
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(pts=points, box=boxes)
+    def run(pts, box):
+        counter[0] += 1
+        path = str(tmp_path / f"h{counter[0]}")
+        df = spark.createDataFrame(pts, "x long, y long")
+        df.repartition(4).write.parquet(path)
+        layout.build_file_manifest(spark, path, ["x", "y"])
+        x_lo, dx, y_lo, dy = box
+        ranges = {"x": (x_lo, x_lo + dx), "y": (y_lo, y_lo + dy)}
+        pred = F.col("x").between(x_lo, x_lo + dx) & F.col("y").between(
+            y_lo, y_lo + dy
+        )
+        full = sorted(
+            map(tuple, spark.read.parquet(path).filter(pred).collect())
+        )
+        pruned = sorted(
+            map(
+                tuple,
+                layout.read_pruned(spark, path, ranges)
+                .filter(pred)
+                .collect(),
+            )
+        )
+        assert pruned == full
+
+    run()
+
+
+def test_file_stats_manifest_scan_is_column_pruned(spark, tmp_path):
+    """The manifest build must not read untracked columns: its scan's
+    ReadSchema carries only the tracked cols (+ _metadata, which is
+    synthesized, not read from data pages) — on a wide 100 TB table the
+    build cost follows the TRACKED columns."""
+    spark.createDataFrame(
+        [(1, 2, "wide_payload" * 100)], "x long, y long, payload string"
+    ).write.parquet(str(tmp_path / "wide"))
+    m = layout.file_stats_manifest(spark, str(tmp_path / "wide"), ["x"])
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    read_schema = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ]
+    assert read_schema, plan
+    assert "payload" not in read_schema[0]
+    assert "x:" in read_schema[0] or "x" in read_schema[0]
