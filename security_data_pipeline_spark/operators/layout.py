@@ -292,7 +292,20 @@ def update_file_manifest(
     norm_col = F.regexp_replace(
         "file_path", r"^([A-Za-z0-9+.-]+):/+", r"$1:/"
     )
-    kept = old.filter(norm_col.isin(list(on_disk)))
+    # semi-join, not isin: a million-file table would otherwise compile a
+    # million-literal predicate into the plan
+    disk_df = spark.createDataFrame(
+        [(p_,) for p_ in sorted(on_disk)], "_disk_path string"
+    )
+    kept = (
+        old.withColumn("_norm", norm_col)
+        .join(
+            F.broadcast(disk_df),
+            F.col("_norm") == F.col("_disk_path"),
+            "left_semi",
+        )
+        .drop("_norm")
+    )
     if unlisted:
         df = spark.read.parquet(*unlisted)
         aggs = [F.count(F.lit(1)).alias("n_rows")]

@@ -198,6 +198,63 @@ def dataset_checksum(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     )
 
 
+def checksum_manifest_diff(
+    old: DataFrame, new: DataFrame, by: Sequence[str]
+) -> DataFrame:
+    """Diff two generations' :func:`dataset_checksum_by` manifests — the
+    decision step of incremental reprocessing: which partitions actually
+    need recomputing after an upstream rewrite.
+
+    ``old`` and ``new`` are manifests keyed by ``by`` with ``(n_rows,
+    checksum)``. One full-outer join on the keys — NULL-SAFE, so a
+    NULL-keyed partition (the unattributed bucket every real dimension
+    carries) is one partition in both generations, not a spurious
+    removed+added pair — classifies every partition: ``added`` (key only
+    in new), ``removed`` (only in old), ``changed`` (both, content moved
+    in row count or checksum), ``unchanged``. Downstream reprocesses
+    only ``added``/``changed`` keys and retracts ``removed`` ones — at
+    100 TB the manifests are |partitions|-sized, so the nightly decision
+    is a join over thousands of rows, not a rescan of anything.
+    """
+    by = list(by)
+    o = old.select(
+        *by,
+        F.col("n_rows").alias("n_rows_old"),
+        F.col("checksum").alias("checksum_old"),
+    ).alias("_o")
+    n = new.select(
+        *by,
+        F.col("n_rows").alias("n_rows_new"),
+        F.col("checksum").alias("checksum_new"),
+    ).alias("_n")
+    cond = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"_o.{k}").eqNullSafe(F.col(f"_n.{k}"))
+            for k in by
+        ],
+    )
+    status = (
+        F.when(F.col("n_rows_old").isNull(), F.lit("added"))
+        .when(F.col("n_rows_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("n_rows_old").eqNullSafe(F.col("n_rows_new"))
+            & F.col("checksum_old").eqNullSafe(F.col("checksum_new")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"_o.{k}"), F.col(f"_n.{k}")).alias(k)
+            for k in by
+        ],
+        "n_rows_old",
+        "n_rows_new",
+        status.alias("status"),
+    )
+
+
 def dataset_checksum_by(
     df: DataFrame, cols: Sequence[str], by: Sequence[str]
 ) -> DataFrame:

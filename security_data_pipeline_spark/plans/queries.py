@@ -1155,6 +1155,85 @@ def events_checksum_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_restatement_diff",
+    sql="""
+WITH newgen AS (
+  SELECT event_id,
+         CASE WHEN event_id = 7 THEN CAST(-999 AS BIGINT)
+              ELSE user_id END AS user_id,
+         event_type
+  FROM events WHERE event_type <> 'error'
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 'backfill_source'
+),
+oldm AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         SUM(CAST(CAST(CONCAT('0x', substr(md5(
+             CASE WHEN event_id IS NULL THEN '-:' ELSE CONCAT(CAST(length(CAST(event_id AS VARCHAR)) AS VARCHAR), ':', CAST(event_id AS VARCHAR)) END ||
+             CASE WHEN user_id IS NULL THEN '-:' ELSE CONCAT(CAST(length(CAST(user_id AS VARCHAR)) AS VARCHAR), ':', CAST(user_id AS VARCHAR)) END ||
+             CASE WHEN event_type IS NULL THEN '-:' ELSE CONCAT(CAST(length(event_type) AS VARCHAR), ':', event_type) END
+             ), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS checksum
+  FROM events GROUP BY event_type
+),
+newm AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         SUM(CAST(CAST(CONCAT('0x', substr(md5(
+             CASE WHEN event_id IS NULL THEN '-:' ELSE CONCAT(CAST(length(CAST(event_id AS VARCHAR)) AS VARCHAR), ':', CAST(event_id AS VARCHAR)) END ||
+             CASE WHEN user_id IS NULL THEN '-:' ELSE CONCAT(CAST(length(CAST(user_id AS VARCHAR)) AS VARCHAR), ':', CAST(user_id AS VARCHAR)) END ||
+             CASE WHEN event_type IS NULL THEN '-:' ELSE CONCAT(CAST(length(event_type) AS VARCHAR), ':', event_type) END
+             ), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS checksum
+  FROM newgen GROUP BY event_type
+)
+SELECT COALESCE(o.event_type, n.event_type) AS event_type,
+       o.n_rows AS n_rows_old, n.n_rows AS n_rows_new,
+       CASE WHEN o.n_rows IS NULL THEN 'added'
+            WHEN n.n_rows IS NULL THEN 'removed'
+            WHEN o.n_rows = n.n_rows AND o.checksum = n.checksum
+                 THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM oldm o FULL OUTER JOIN newm n ON o.event_type = n.event_type
+""",
+    description=(
+        "Incremental-reprocessing DECISION (merge.checksum_manifest_diff "
+        "over two dataset_checksum_by manifests): a restated generation "
+        "— one type's rows dropped (removed), one row's user_id rewritten "
+        "with the row COUNT unchanged (changed, caught by checksum alone), "
+        "a brand-new source type (added) — is diffed against the original "
+        "per-type manifest by one full-outer join; every partition gets "
+        "added/removed/changed/unchanged. Downstream reprocesses only the "
+        "moved partitions: at 100 TB the nightly decision is a join over "
+        "|partitions| manifest rows, never a rescan"
+    ),
+)
+def events_restatement_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators.merge import (
+        checksum_manifest_diff,
+        dataset_checksum_by,
+    )
+
+    cols = ["event_id", "user_id", "event_type"]
+    ev = load_table(spark, sf_dir, "events").select(*cols)
+    newgen = (
+        ev.filter(F.col("event_type") != "error")
+        .withColumn(
+            "user_id",
+            F.when(F.col("event_id") == 7, F.lit(-999)).otherwise(
+                F.col("user_id")
+            ).cast("long"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, -1, "backfill_source")],
+                "event_id long, user_id long, event_type string",
+            )
+        )
+    )
+    old_m = dataset_checksum_by(ev, cols, ["event_type"])
+    new_m = dataset_checksum_by(newgen, cols, ["event_type"])
+    return checksum_manifest_diff(old_m, new_m, ["event_type"])
+
+
+@query(
     "events_compaction_report",
     sql="""
 SELECT CAST(64 AS BIGINT) AS files_before, CAST(4 AS BIGINT) AS files_after,

@@ -490,3 +490,50 @@ def test_file_stats_manifest_scan_is_column_pruned(spark, tmp_path):
     assert read_schema, plan
     assert "payload" not in read_schema[0]
     assert "x:" in read_schema[0] or "x" in read_schema[0]
+
+
+def test_checksum_manifest_diff_classifies_with_null_keys(spark):
+    """The reprocessing decision: added/removed/changed/unchanged per
+    partition, with the NULL-keyed partition treated as ONE partition in
+    both generations (null-safe join) — never a spurious removed+added
+    pair."""
+    from security_data_pipeline_spark.operators.merge import (
+        checksum_manifest_diff,
+        dataset_checksum_by,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", "p1"),   # p1 unchanged
+            (2, "b", "p2"),   # p2 changed (value moves)
+            (3, "c", "p3"),   # p3 removed
+            (4, "d", None),   # NULL partition: row count stays, value moves
+        ],
+        "id long, v string, pk string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", "p1"),
+            (2, "B", "p2"),
+            (5, "e", "p4"),   # p4 added
+            (4, "D", None),
+        ],
+        "id long, v string, pk string",
+    )
+    cols = ["id", "v"]
+    diff = checksum_manifest_diff(
+        dataset_checksum_by(old, cols, ["pk"]),
+        dataset_checksum_by(new, cols, ["pk"]),
+        ["pk"],
+    )
+    got = {r["pk"]: r["status"] for r in diff.collect()}
+    assert got == {
+        "p1": "unchanged",
+        "p2": "changed",
+        "p3": "removed",
+        "p4": "added",
+        None: "changed",
+    }
+    rows = {r["pk"]: (r["n_rows_old"], r["n_rows_new"]) for r in diff.collect()}
+    assert rows["p3"] == (1, None) and rows["p4"] == (None, 1)
+    assert rows[None] == (1, 1)
