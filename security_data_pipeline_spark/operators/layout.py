@@ -182,22 +182,10 @@ def list_data_files(spark, path: str, suffix: str = ".parquet"):
     return out
 
 
-def file_stats_manifest(
-    spark, path: str, cols: Sequence[str]
-) -> DataFrame:
-    """Per-FILE column statistics over ``cols`` — the data-skipping
-    manifest that turns :func:`zorder_layout` from row-group pruning into
-    FILE pruning, the way Delta/Iceberg manifests do, on vanilla parquet.
-
-    One row per data file: ``(file_path, file_size, n_rows)`` plus
-    ``{col}__min / {col}__max / {col}__nulls`` per tracked column. Built
-    from ONE scan that reads ONLY ``cols`` plus the ``_metadata`` hidden
-    struct (column pruning keeps untracked columns on disk), reduced by a
-    map-side-combining groupBy on the file path — output is one row per
-    file, so the manifest for a million-file table is a million rows of
-    plain parquet, queryable and diffable like any other dataset.
-    """
-    df = spark.read.parquet(path)
+def _file_stats(df, cols: Sequence[str]):
+    """The ONE stats aggregation behind :func:`file_stats_manifest` and
+    :func:`update_file_manifest` — built and refreshed manifests cannot
+    diverge in what they track."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs += [
@@ -214,6 +202,24 @@ def file_stats_manifest(
         .groupBy("file_path", "file_size")
         .agg(*aggs)
     )
+
+
+def file_stats_manifest(
+    spark, path: str, cols: Sequence[str]
+) -> DataFrame:
+    """Per-FILE column statistics over ``cols`` — the data-skipping
+    manifest that turns :func:`zorder_layout` from row-group pruning into
+    FILE pruning, the way Delta/Iceberg manifests do, on vanilla parquet.
+
+    One row per data file: ``(file_path, file_size, n_rows)`` plus
+    ``{col}__min / {col}__max / {col}__nulls`` per tracked column. Built
+    from ONE scan that reads ONLY ``cols`` plus the ``_metadata`` hidden
+    struct (column pruning keeps untracked columns on disk), reduced by a
+    map-side-combining groupBy on the file path — output is one row per
+    file, so the manifest for a million-file table is a million rows of
+    plain parquet, queryable and diffable like any other dataset.
+    """
+    return _file_stats(spark.read.parquet(path), cols)
 
 
 def build_file_manifest(
@@ -246,13 +252,27 @@ def _read_manifest(spark, mp: str) -> DataFrame:
     """Read a manifest, falling back to the ``__next`` scratch generation
     (a crash during :func:`update_file_manifest`'s final overwrite leaves
     the merged manifest only there — same recovery convention as the
-    streaming state swaps)."""
+    streaming state swaps). ONLY a genuinely-missing primary takes the
+    fallback: a corrupted or schema-mismatched manifest must surface, not
+    silently serve a stale scratch."""
     from pyspark.errors.exceptions.captured import AnalysisException
+
+    from security_data_pipeline_spark.fsutil import missing_path
 
     try:
         return spark.read.parquet(mp)
-    except AnalysisException:
+    except AnalysisException as e:
+        if not missing_path(e):
+            raise
+    try:
         return spark.read.parquet(f"{mp}__next")
+    except AnalysisException as e:
+        if not missing_path(e):
+            raise
+    raise FileNotFoundError(
+        f"no manifest at {mp} (or its __next scratch) — run"
+        " build_file_manifest first"
+    )
 
 
 def update_file_manifest(
@@ -272,10 +292,14 @@ def update_file_manifest(
     columns are unioned by name."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
+    from security_data_pipeline_spark.fsutil import missing_path
+
     mp = manifest_path or f"{path}__manifest"
     try:
         old = spark.read.parquet(mp)
-    except AnalysisException:
+    except AnalysisException as e:
+        if not missing_path(e):
+            raise
         # crash window of a previous refresh: the merged manifest lives
         # only in the scratch — complete the interrupted swap FIRST, so
         # the scratch is free to be overwritten again below
@@ -306,27 +330,11 @@ def update_file_manifest(
         )
         .drop("_norm")
     )
-    if unlisted:
-        df = spark.read.parquet(*unlisted)
-        aggs = [F.count(F.lit(1)).alias("n_rows")]
-        for c in cols:
-            aggs += [
-                F.min(c).alias(f"{c}__min"),
-                F.max(c).alias(f"{c}__max"),
-                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            ]
-        fresh = (
-            df.select(
-                F.col("_metadata.file_path").alias("file_path"),
-                F.col("_metadata.file_size").alias("file_size"),
-                *[F.col(c) for c in cols],
-            )
-            .groupBy("file_path", "file_size")
-            .agg(*aggs)
-        )
-        merged = kept.unionByName(fresh)
-    else:
-        merged = kept
+    merged = (
+        kept.unionByName(_file_stats(spark.read.parquet(*unlisted), cols))
+        if unlisted
+        else kept
+    )
     merged.write.mode("overwrite").parquet(f"{mp}__next")
     spark.read.parquet(f"{mp}__next").write.mode("overwrite").parquet(mp)
     n_total = len(on_disk)
@@ -349,15 +357,17 @@ def prune_files(
     A file is kept when each range overlaps its ``[min, max]`` — i.e.
     NOT (max < lo OR min > hi). All-NULL stats never overlap: a range
     predicate is NULL-excluding, so a file whose tracked column is
-    entirely NULL cannot contribute a matching row. Files on disk but
-    absent from the manifest (appended since the build) are ALWAYS
-    included — a stale manifest degrades to reading more, never to
-    missing rows.
+    entirely NULL cannot contribute a matching row. The decision is
+    reconciled against the CURRENT directory listing, so a stale
+    manifest degrades instead of lying: files on disk but absent from
+    the manifest (appended since the build) are ALWAYS included, and
+    manifest rows for files no longer on disk are ignored (a directory
+    scan would not read them either).
 
-    Returns ``{"files", "unlisted", "n_total", "n_skipped"}``. The
-    matched list lives on the driver — the same O(matched files) the
-    scheduler materializes to plan any scan, which is exactly how table
-    formats do manifest pruning.
+    Returns ``{"files", "unlisted", "n_total", "n_skipped"}``. One job
+    over the manifest (a (path, keep) pair per file — the same order of
+    driver state as the listing any scan planner materializes) plus one
+    FS listing; the SCAN itself is bounded by the matched files.
     """
     mp = manifest_path or f"{path}__manifest"
     m = _read_manifest(spark, mp)
@@ -368,31 +378,35 @@ def prune_files(
             | (F.col(f"{c}__min") > F.lit(hi))
         )
         cond = cond & F.coalesce(overlap, F.lit(False))
-    matched = [
-        r["file_path"]
-        for r in m.filter(cond).select("file_path").collect()
-    ]
-    listed = {
-        _norm_file_path(r["file_path"])
-        for r in m.select("file_path").collect()
+    decisions = m.select("file_path", cond.alias("_keep")).collect()
+    listed = {_norm_file_path(r["file_path"]) for r in decisions}
+    keep = {
+        _norm_file_path(r["file_path"]) for r in decisions if r["_keep"]
     }
-    on_disk = [p_ for p_, _ in list_data_files(spark, path)]
-    unlisted = [
-        p_ for p_ in on_disk if _norm_file_path(p_) not in listed
-    ]
+    files: list[str] = []
+    unlisted: list[str] = []
+    n_total = 0
+    for p_, _ in list_data_files(spark, path):
+        n_total += 1
+        np_ = _norm_file_path(p_)
+        if np_ not in listed:
+            unlisted.append(p_)
+        elif np_ in keep:
+            files.append(p_)
     return {
-        "files": matched,
+        "files": files,
         "unlisted": unlisted,
-        "n_total": len(on_disk),
-        "n_skipped": len(on_disk) - len(matched) - len(unlisted),
+        "n_total": n_total,
+        "n_skipped": n_total - len(files) - len(unlisted),
     }
 
 
 def read_pruned(
     spark,
     path: str,
-    ranges: Mapping[str, tuple],
+    ranges: Mapping[str, tuple] | None = None,
     manifest_path: str | None = None,
+    selection: dict | None = None,
 ) -> DataFrame:
     """Manifest-pruned scan: read only the files :func:`prune_files`
     keeps (plus any unlisted ones). The caller STILL applies the row
@@ -402,11 +416,16 @@ def read_pruned(
     removes files that cannot contain matches. On a Z-ordered layout the
     kept set concentrates around the queried hyper-rectangle, so the
     scan reads a small fraction of the files row-group pruning alone
-    would still have to open."""
-    sel = prune_files(spark, path, ranges, manifest_path=manifest_path)
-    # dict.fromkeys: a manifest holding duplicate rows for one file (a
-    # healed crash window) must not read that file twice
-    files = list(dict.fromkeys(sel["files"] + sel["unlisted"]))
+    would still have to open. Pass ``selection`` (a :func:`prune_files`
+    result) to reuse an already-computed decision instead of pruning
+    twice."""
+    if selection is None:
+        if ranges is None:
+            raise ValueError("read_pruned needs ranges or selection")
+        selection = prune_files(
+            spark, path, ranges, manifest_path=manifest_path
+        )
+    files = selection["files"] + selection["unlisted"]
     if not files:
         return spark.read.parquet(path).limit(0)
     return spark.read.parquet(*files)

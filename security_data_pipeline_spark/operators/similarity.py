@@ -1450,9 +1450,40 @@ def _fold_viol_journal(spark, path: str, new_gen: str) -> None:
     jvm = spark._jvm
     jroot = jvm.org.apache.hadoop.fs.Path(viol_root)
     fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
-    # leftover scratch — torn or committed — is discardable: the fold
-    # re-derives from the journal, which the swap never mutates before
-    # the fold is safely renamed in
+
+    # A leftover KEYED scratch (src_gen column — this protocol) is
+    # discardable: the swap never mutates the journal before the fold is
+    # safely renamed in, so a refold re-derives everything. A committed
+    # LEGACY scratch (pre-src_gen pure sums) is NOT: the replaced
+    # protocol deleted journal generations BEFORE its rename, so the
+    # scratch may hold the only copy of some sums — honor it with the
+    # legacy resume semantics once (delete the journal generations, move
+    # the fold in; a generation that landed after that crash is lost,
+    # which was the replaced protocol's documented behavior and the
+    # reason it was replaced).
+    def _committed(gen_dir: str) -> bool:
+        return fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{gen_dir}/_SUCCESS")
+        )
+
+    vs_gens = [
+        g for g in _index_generations(spark, vscratch)
+        if _committed(f"{vscratch}/{g}")
+    ]
+    if vs_gens:
+        legacy = (
+            "src_gen"
+            not in spark.read.parquet(f"{vscratch}/{vs_gens[0]}").columns
+        )
+        if legacy:
+            for g in _index_generations(spark, viol_root):
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(f"{viol_root}/{g}"), True
+                )
+            src = jvm.org.apache.hadoop.fs.Path(f"{vscratch}/{vs_gens[0]}")
+            dst = jvm.org.apache.hadoop.fs.Path(f"{viol_root}/{vs_gens[0]}")
+            if not fs.rename(src, dst):
+                raise IOError(f"rename {src} -> {dst} failed")
     fs.delete(jvm.org.apache.hadoop.fs.Path(vscratch), True)
     captured = _index_generations(spark, viol_root)
     if len(captured) <= 1:

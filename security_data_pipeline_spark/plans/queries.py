@@ -1315,7 +1315,7 @@ def events_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout.build_file_manifest(spark, path, ["event_id", "value"])
     ranges = {"event_id": (0, 999), "value": (0.0, 50.0)}
     sel = layout.prune_files(spark, path, ranges)
-    pruned = layout.read_pruned(spark, path, ranges).filter(
+    pruned = layout.read_pruned(spark, path, selection=sel).filter(
         F.col("event_id").between(0, 999)
         & F.col("value").between(0.0, 50.0)
     )

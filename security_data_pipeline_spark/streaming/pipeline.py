@@ -17,6 +17,9 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# the ONE copy of the PATH_NOT_FOUND probe every state-reading maintainer
+# (and the layout manifest reader) shares lives in fsutil
+from security_data_pipeline_spark.fsutil import missing_path as _missing_path
 from security_data_pipeline_spark.operators import cleaning, normalization
 from security_data_pipeline_spark.sources.raw_events import RAW_EVENTS_SCHEMA
 from security_data_pipeline_spark.streaming.sessionize import session_window_stats
@@ -239,19 +242,7 @@ def stream_stream_join(
     return l_wm.join(r_wm, key_cond & time_cond, how)
 
 
-def _missing_path(e) -> bool:
-    """True iff ``e`` (an AnalysisException) is a missing-path read — the
-    ONE copy of the PATH_NOT_FOUND probe every state-reading maintainer
-    shares: structured error class first (stable API), message text as
-    the fallback for runtimes that predate error classes."""
-    for probe in ("getCondition", "getErrorClass"):
-        try:
-            cond = getattr(e, probe)()
-        except Exception:
-            continue
-        if cond is not None:
-            return cond == "PATH_NOT_FOUND"
-    return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
+
 
 
 def _stamp_batch(df: DataFrame, batch_id: int, tag: str) -> DataFrame:

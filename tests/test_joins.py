@@ -1248,12 +1248,23 @@ def test_fold_viol_journal_crash_and_replay_paths(spark, tmp_path):
             )
         )
 
-    # crash state 1: a committed scratch fold captured r1+r2, the crash
-    # happened before the swap, and a THIRD generation landed afterwards —
-    # the stale scratch must not cost r3 its counts
+    # crash state 1: a committed KEYED scratch fold captured r1+r2, the
+    # crash happened before the rename, and a THIRD generation landed
+    # afterwards — the stale scratch is discarded (the keyed protocol
+    # never touched the journal) and the refold must not cost r3 its
+    # counts
     scratch = viol + "__compacting"
-    stale_fold = [(0, 15, 1), (1, 20, 2), (2, 7, 3)]
-    spark.createDataFrame(stale_fold, schema).write.parquet(
+    kschema = (
+        "src_gen string, ivf_cluster int,"
+        " n_appended long, n_out_of_grid long"
+    )
+    keyed_fold = [
+        ("a-r1", 0, 10, 1),
+        ("a-r1", 1, 20, 2),
+        ("a-r2", 0, 5, 0),
+        ("a-r2", 2, 7, 3),
+    ]
+    spark.createDataFrame(keyed_fold, kschema).write.parquet(
         f"{scratch}/_b=c9"
     )
     spark.createDataFrame(rows3, schema).write.parquet(f"{viol}/_b=a-r3")
@@ -1283,6 +1294,32 @@ def test_fold_viol_journal_crash_and_replay_paths(spark, tmp_path):
     _fold_viol_journal(spark, path, "c2")
     assert not os.path.exists(scratch)
     assert _sums() == expect
+
+    # legacy MIGRATION: a committed PRE-src_gen scratch may hold the only
+    # copy of some sums (the replaced protocol deleted journal gens
+    # before its rename) — it is honored with the legacy resume
+    # semantics: journal generations dropped, fold moved in
+    path3 = str(tmp_path / "idx3")
+    viol3 = path3 + "__viol"
+    stale_fold = [(0, 15, 1), (1, 20, 2), (2, 7, 3)]
+    spark.createDataFrame(rows1, schema).write.parquet(f"{viol3}/_b=a-r1")
+    spark.createDataFrame(stale_fold, schema).write.parquet(
+        f"{viol3}__compacting/_b=c9"
+    )
+    _fold_viol_journal(spark, path3, "c0")
+    assert sorted(
+        d for d in os.listdir(viol3) if d.startswith("_b=")
+    ) == ["_b=c9"]
+    got3 = sorted(
+        map(
+            tuple,
+            _read_viol_journal(spark, viol3)
+            .groupBy("ivf_cluster")
+            .agg(F.sum("n_appended"), F.sum("n_out_of_grid"))
+            .collect(),
+        )
+    )
+    assert got3 == sorted(stale_fold)
 
     # legacy pre-src_gen fold beside a keyed generation: sums add up and
     # the next fold carries both forward

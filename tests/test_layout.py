@@ -406,6 +406,16 @@ def test_update_file_manifest_follows_the_append(spark, tmp_path):
         f for f in os.listdir(path) if f.endswith(".parquet")
     )
     os.remove(f"{path}/{victim}")
+    # stale manifest with a DEAD entry: pruning ignores it (a directory
+    # scan would not read it either), n_skipped stays non-negative, and
+    # the pruned read works instead of raising PATH_NOT_FOUND
+    wide = {"x": (-1000, 1000), "y": (-1000, 1000)}
+    sel_dead = layout.prune_files(spark, path, wide)
+    assert sel_dead["n_skipped"] >= 0
+    assert (
+        layout.read_pruned(spark, path, wide).count()
+        == spark.read.parquet(path).count()
+    )
     rep2 = layout.update_file_manifest(spark, path, ["x", "y"])
     assert rep2["dropped"] == 1 and rep2["added"] == 0
     n_manifest = spark.read.parquet(mp).count()
