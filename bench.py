@@ -77,6 +77,12 @@ BENCH_QUERIES: tuple[str, ...] = (
     # layout (zorder write + manifest build happen at plan-build time;
     # the timed region is the pruned scan + aggregate)
     "events_file_skipping",
+    # round-7 additions: corpus mixing family — DSIR importance
+    # resampling + Gumbel top-k, per-key caps (over-cap-only window),
+    # deterministic mixture upsampling
+    "doc_importance_resample",
+    "doc_source_caps",
+    "doc_mixture_epochs",
     # driver-window composites, benched AS the driver runs them — the
     # wall-clock the driver pays includes their union/unpivot overhead,
     # which per-arm numbers don't capture
@@ -115,6 +121,8 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "ann_index_staleness": 16,
         "events_drift_trend": 20, "doc_contamination_report": 20,
         "events_file_skipping": 1,
+        "doc_importance_resample": 25, "doc_source_caps": 800,
+        "doc_mixture_epochs": 4931,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -140,6 +148,8 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "ann_index_staleness": 16,
         "events_drift_trend": 20, "doc_contamination_report": 20,
         "events_file_skipping": 1,
+        "doc_importance_resample": 25, "doc_source_caps": 439,
+        "doc_mixture_epochs": 491,
     },
 }
 

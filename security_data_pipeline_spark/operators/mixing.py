@@ -1,0 +1,390 @@
+"""Corpus mixing / dataset-composition operators for training-data
+pipelines: hashed-n-gram importance resampling (DSIR-style), per-key
+document caps, and deterministic mixture upsampling.
+
+These are the operators that decide WHAT a 100 TB corpus contributes to a
+training run, as opposed to the cleaning/dedup operators that decide what
+survives at all:
+
+- **Importance resampling** (Xie et al. 2023, "Data Selection for Language
+  Models via Importance Resampling" — public arXiv:2302.03169): score every
+  raw document by how target-like its hashed-n-gram distribution is
+  (log-likelihood ratio of two smoothed bag-of-hashed-bigrams models), then
+  draw a fixed-size sample ∝ exp(score) with deterministic Gumbel top-k.
+- **Per-key caps** (per-domain / per-source caps, the standard crawl
+  curation step): keep at most ``cap`` documents per key, best-first.
+- **Mixture upsampling**: replicate each source by a fractional epoch
+  weight (the "data mixture" table every LLM paper publishes), with the
+  fractional part resolved per-document by key hash — deterministic,
+  engine-independent, re-run-stable.
+
+Cross-engine determinism (the module's oracle discipline): n-gram buckets
+are md5-derived (identical hex on Spark/DuckDB), log-ratio terms are
+rounded to 9 decimals and summed as DECIMAL (order-free, exact — the
+`hour_of_day_entropy` convention from operators/anomaly.py), and all
+sampling randomness is md5-hash-derived, never RNG.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from security_data_pipeline_spark.operators.sampling import _hex4, hash_hex16
+
+# terms are |ln ratio| ≤ ~40, so precision 20 scale 9 holds any single term
+# and any corpus-sized accumulation (11 integer digits); crucially
+# (20,9)+(20,9) → (21,9) stays UNDER Spark's 38-precision cap, so the fused
+# fold accumulates exactly — at (38,9) the addition would overflow to
+# (38,8) and silently shed the 9th decimal
+_TERM_DEC = "decimal(20,9)"
+# 2^32 as an exact double: the hash-uniform denominator
+_U32_SPAN = 4294967296.0
+
+
+def _text(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _toks(text_col: Column | str) -> Column:
+    """Lowercased whitespace tokens, empties dropped — the module-wide
+    tokenization, shared verbatim with the DuckDB oracles
+    (``list_filter(string_split(lower(text), ' '), t -> t <> '')``)."""
+    return F.filter(
+        F.split(F.lower(_text(text_col)), " "), lambda t: t != F.lit("")
+    )
+
+
+def gram_bucket(gram: Column, num_buckets: int) -> Column:
+    """Uniform bucket id in ``[0, num_buckets)`` for one n-gram string:
+    first 8 md5 hex chars as an integer, mod the bucket count. md5 keeps
+    the bucketing reproducible on any engine (DuckDB:
+    ``CAST(CONCAT('0x', substr(md5(g),1,8)) AS BIGINT) % B``)."""
+    return (
+        F.conv(F.substring(F.md5(gram.cast("binary")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % num_buckets
+    )
+
+
+def bigram_buckets(
+    text_col: Column | str, num_buckets: int = 512
+) -> Column:
+    """``array<bigint>`` of hashed word-bigram bucket ids for a document.
+
+    Bigrams are built by zipping the token array with itself shifted by
+    one (``zip_with(slice(tk,1,m), slice(tk,2,m), concat)``) — pure array
+    math fused into the scan, no explode, no UDF; a 0- or 1-token document
+    yields an empty array (``greatest(size-1, 0)`` keeps the slice length
+    legal, so no conditional branch ever evaluates an out-of-range index).
+    """
+    tk = _toks(text_col)
+    m = F.greatest(F.size(tk) - F.lit(1), F.lit(0))
+    grams = F.zip_with(
+        F.slice(tk, 1, m),
+        F.slice(tk, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.transform(grams, lambda g: gram_bucket(g, num_buckets))
+
+
+def bucket_log_ratio(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    num_buckets: int = 512,
+    lam: float = 1.0,
+) -> DataFrame:
+    """Per-bucket importance term over the FULL bucket domain:
+    ``term = round(ln p_target(b) - ln p_raw(b), 9)`` as ``decimal(38,9)``,
+    where each ``p`` is the add-λ-smoothed hashed-bigram distribution of
+    its corpus. Returns ``(bucket, term)`` with exactly ``num_buckets``
+    rows — bounded, broadcastable, collectable.
+
+    Scale shape: each corpus contributes one explode→count aggregation
+    (map-side combined — the shuffle carries ≤ ``num_buckets`` rows per
+    partition, not tokens); totals are 1-row aggregates cross-joined back.
+    Rounding each term to 9 decimals BEFORE any accumulation makes every
+    downstream sum order-free and bit-equal across engines (the libm-ulp
+    discipline used by ``hour_of_day_entropy``).
+    """
+    spark = raw.sparkSession
+
+    def counts(df: DataFrame, cnt_name: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(bigram_buckets(text_col, num_buckets)).alias(
+                    "bucket"
+                )
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(cnt_name))
+        )
+
+    tc = counts(target, "tcnt")
+    rc = counts(raw, "rcnt")
+    # a side with zero bigrams sums to NULL — coalesce to 0 so the smoothed
+    # model degrades to uniform instead of poisoning every term with NULL
+    tot = tc.agg(
+        F.coalesce(F.sum("tcnt"), F.lit(0)).alias("tt")
+    ).crossJoin(rc.agg(F.coalesce(F.sum("rcnt"), F.lit(0)).alias("rr")))
+    dom = spark.range(num_buckets).select(F.col("id").alias("bucket"))
+    denom_add = float(lam * num_buckets)
+    term = F.round(
+        F.log(
+            (F.coalesce(F.col("tcnt"), F.lit(0)) + F.lit(lam))
+            / (F.col("tt") + F.lit(denom_add))
+        )
+        - F.log(
+            (F.coalesce(F.col("rcnt"), F.lit(0)) + F.lit(lam))
+            / (F.col("rr") + F.lit(denom_add))
+        ),
+        9,
+    ).cast(_TERM_DEC)
+    return (
+        dom.join(tc, "bucket", "left")
+        .join(rc, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("bucket", term.alias("term"))
+    )
+
+
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 512,
+    lam: float = 1.0,
+    out_col: str = "importance",
+) -> DataFrame:
+    """DSIR importance weight per raw document: the sum of per-bigram
+    log-likelihood-ratio terms under the target-vs-raw hashed-bigram
+    models. Returns ``raw`` + ``out_col`` (double; a document with no
+    bigrams scores 0.0).
+
+    Plan shape: the ratio frame is ``num_buckets`` rows → BROADCAST to the
+    exploded (id, bucket) frame (rows = corpus bigram count — the same
+    scale as any tokenization pass); one groupBy on the doc id sums exact
+    decimals. For the shuffle-free form see
+    :func:`importance_weights_fused` (bounded collect of the same ratio
+    frame, scoring fused into the scan) — the two are property-tested
+    equal.
+    """
+    ratio = bucket_log_ratio(target, raw, text_col, num_buckets, lam)
+    exploded = raw.select(
+        F.col(id_col),
+        F.explode(bigram_buckets(text_col, num_buckets)).alias("bucket"),
+    )
+    per_doc = (
+        exploded.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("term").alias("_imp_dec"))
+    )
+    return (
+        raw.join(per_doc, id_col, "left")
+        .withColumn(
+            out_col,
+            F.coalesce(F.col("_imp_dec").cast("double"), F.lit(0.0)),
+        )
+        .drop("_imp_dec")
+    )
+
+
+def importance_weights_fused(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 512,
+    lam: float = 1.0,
+    out_col: str = "importance",
+) -> DataFrame:
+    """Shuffle-free :func:`importance_weights`: the bounded ratio frame
+    (``num_buckets`` rows) is collected once and baked into the plan as a
+    literal decimal array; each document's weight is then
+    ``aggregate(buckets, 0, (acc, b) -> acc + terms[b+1])`` — map-side
+    only, fused into the corpus scan, zero joins and zero shuffles over
+    the raw side (the BM25 "corpus statistics collapse to driver
+    literals" pattern). Identical output to the join form (decimal
+    accumulation is exact in both), property-tested in
+    tests/test_mixing.py.
+
+    Use this form when the raw side is the 100 TB corpus: the only
+    distributed work is the scan itself.
+    """
+    ratio_rows = bucket_log_ratio(
+        target, raw, text_col, num_buckets, lam
+    ).collect()
+    terms: list[Decimal] = [Decimal(0)] * num_buckets
+    for row in ratio_rows:
+        terms[row["bucket"]] = row["term"]
+    arr = F.array(
+        *[F.lit(str(t)).cast(_TERM_DEC) for t in terms]
+    )
+    zero = F.lit("0").cast(_TERM_DEC)
+    imp = F.aggregate(
+        bigram_buckets(text_col, num_buckets),
+        zero,
+        lambda acc, b: (
+            acc + F.element_at(arr, (b + F.lit(1)).cast("int"))
+        ).cast(_TERM_DEC),
+    )
+    return raw.withColumn(out_col, imp.cast("double"))
+
+
+def gumbel_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "gumbel",
+    key_col: str = "samp_key",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: top-``k`` rows
+    by ``weight + Gumbel(hash-uniform)`` — the Gumbel-top-k trick draws a
+    sample ∝ exp(weight) (exactly the DSIR resampling step), but with the
+    noise derived from ``md5(salt || id)`` instead of an RNG, so the draw
+    is reproducible on any engine, any partitioning, any rerun.
+
+    ``u = (hash32 + 0.5) / 2^32`` is an exact dyadic rational strictly
+    inside (0, 1) (no log-of-zero edge); the key is rounded to 6 decimals
+    before ranking with the id as the total tie-break. ``orderBy + limit``
+    compiles to TakeOrdered — per-partition top-k then a k-row driver
+    merge, never a global sort.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt), F.col(id_col).cast("string")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(_U32_SPAN)
+    key = F.round(F.col(weight_col) - F.log(-F.log(u)), 6)
+    return (
+        df.withColumn(key_col, key)
+        .orderBy(F.desc(key_col), id_col)
+        .limit(k)
+    )
+
+
+def cap_per_key_plain(
+    df: DataFrame,
+    key_cols: list[str],
+    cap: int,
+    order_by: list[Column],
+) -> DataFrame:
+    """Reference form of :func:`cap_per_key`: one row_number window over
+    every key. ``order_by`` MUST be a total order (end it with an id
+    column) or survivors are partitioning-dependent. Every row — hot and
+    cold keys alike — rides the window shuffle and sort; use
+    :func:`cap_per_key` at scale."""
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    w = Window.partitionBy(*key_cols).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    cap: int,
+    order_by: list[Column],
+) -> DataFrame:
+    """Per-key document cap (per-domain caps, best-first): keep at most
+    ``cap`` rows per key, ranked by ``order_by`` (a TOTAL order — end it
+    with an id). Output equals :func:`cap_per_key_plain`
+    (property-tested), but the plan only windows rows whose key is
+    actually OVER the cap:
+
+    - one map-side-combined groupBy finds the over-cap key list — at most
+      |rows|/cap keys, usually a tiny fraction of the corpus;
+    - under-cap rows pass through a broadcast LEFT ANTI against that list
+      (map-side, no shuffle, no sort);
+    - only over-cap rows ride the row_number window.
+
+    On a crawl where most domains are under the cap this removes the
+    full-corpus shuffle+sort entirely; the cost follows the capped tail,
+    not the corpus. A single pathological key (10^9 docs behind one
+    domain) still sorts through one task — prefilter such keys with
+    ``hash_sample`` at a few × cap/n_key before the exact window, as
+    stratified_sample documents.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    over = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select(*key_cols)
+    )
+    under_rows = df.join(F.broadcast(over), key_cols, "left_anti")
+    over_rows = df.join(F.broadcast(over), key_cols, "left_semi")
+    capped = cap_per_key_plain(over_rows, key_cols, cap, order_by)
+    return under_rows.unionByName(capped)
+
+
+def mixture_upsample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+    salt: str = "mix",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic data-mixture replication: each row appears
+    ``floor(w)`` times plus one extra copy for a ``frac(w)`` hash-share of
+    its source's rows, where ``w`` is the source's mixture weight (epochs
+    over that source). Weight 0 drops the source; weight 2.5 yields every
+    row twice and half the rows (chosen by id hash, not RNG) a third
+    time. Output gains ``epoch_col`` (1-based bigint copy index).
+
+    This is the upsampling step of the published LLM mixture tables
+    (e.g. several epochs over a small high-quality source per one epoch
+    of crawl). Map-side only: a bounded CASE over sources picks the copy
+    count, ``explode(sequence(1, n))`` emits the copies — no shuffle, no
+    join, stable under re-partitioning and appends.
+    """
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError("mixture weights must be >= 0")
+
+    def _per_source(fn) -> Column:
+        expr = None
+        for src, w in weights.items():
+            val = fn(w)
+            expr = (
+                F.when(F.col(source_col) == src, val)
+                if expr is None
+                else expr.when(F.col(source_col) == src, val)
+            )
+        dflt = fn(default_weight)
+        return dflt if expr is None else expr.otherwise(dflt)
+
+    n_int = _per_source(lambda w: F.lit(int(w)))
+    thr = _per_source(lambda w: F.lit(_hex4(w - int(w))))
+    extra = (hash_hex16(id_col, salt) < thr).cast("int")
+    n = (n_int + extra).alias("_n")
+    return (
+        df.withColumn("_n", n)
+        .filter(F.col("_n") >= 1)
+        .withColumn(
+            epoch_col, F.explode(F.sequence(F.lit(1), F.col("_n")))
+        )
+        .withColumn(epoch_col, F.col(epoch_col).cast("bigint"))
+        .drop("_n")
+    )

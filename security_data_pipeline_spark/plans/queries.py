@@ -5768,6 +5768,141 @@ def schema_evolution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged_rows.unionByName(diff_rows).orderBy("kind", "key", "metric")
 
 
+@query(
+    "doc_importance_resample",
+    sql="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM documents
+), bdocs AS (
+  SELECT doc_id, lang,
+         list_transform(
+           list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]),
+           g -> CAST(CONCAT('0x', substr(md5(g), 1, 8)) AS BIGINT) % 128
+         ) AS bk
+  FROM toks
+), rb AS (
+  SELECT doc_id, unnest(bk) AS bucket FROM bdocs
+), tb AS (
+  SELECT unnest(bk) AS bucket FROM bdocs WHERE lang = 'en'
+), tc AS (
+  SELECT bucket, COUNT(*) AS tcnt FROM tb GROUP BY 1
+), rc AS (
+  SELECT bucket, COUNT(*) AS rcnt FROM rb GROUP BY 1
+), tot AS (
+  SELECT (SELECT COUNT(*) FROM tb) AS tt, (SELECT COUNT(*) FROM rb) AS rr
+), dom AS (
+  SELECT unnest(range(0, 128)) AS bucket
+), ratio AS (
+  SELECT d.bucket,
+         CAST(ROUND(
+             ln((COALESCE(tc.tcnt, 0) + 1.0) / (tot.tt + 128.0))
+           - ln((COALESCE(rc.rcnt, 0) + 1.0) / (tot.rr + 128.0)), 9)
+         AS DECIMAL(20,9)) AS term
+  FROM dom d LEFT JOIN tc ON d.bucket = tc.bucket
+             LEFT JOIN rc ON d.bucket = rc.bucket, tot
+), pw AS (
+  SELECT rb.doc_id, SUM(ratio.term) AS imp_dec
+  FROM rb JOIN ratio ON rb.bucket = ratio.bucket GROUP BY 1
+), wts AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(pw.imp_dec, 0) AS DOUBLE) AS imp
+  FROM documents d LEFT JOIN pw ON d.doc_id = pw.doc_id
+)
+SELECT doc_id, ROUND(imp, 6) AS importance,
+       ROUND(imp - ln(-ln((CAST(CONCAT('0x',
+             substr(md5('gumbel' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) + 0.5) / 4294967296.0)), 6) AS samp_key
+FROM wts
+ORDER BY samp_key DESC, doc_id
+LIMIT 25
+""",
+    description=(
+        "DSIR-style importance resampling (hashed-bigram log-likelihood "
+        "ratio of target=en docs vs the full corpus, add-1 smoothing over "
+        "128 md5 buckets; per-doc weight = exact decimal sum of round-9 "
+        "terms) followed by deterministic Gumbel top-25 — weighted "
+        "sampling without replacement with md5-derived noise, TakeOrdered "
+        "not a global sort"
+    ),
+)
+def doc_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    weighted = mixing.importance_weights(docs, target, num_buckets=128)
+    return mixing.gumbel_topk(weighted, "importance", 25).select(
+        "doc_id",
+        F.round("importance", 6).alias("importance"),
+        "samp_key",
+    )
+
+
+@query(
+    "doc_source_caps",
+    sql="""
+SELECT doc_id, source, lang, n_chars FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source, lang
+                           ORDER BY n_chars DESC, doc_id) <= 8
+""",
+    description=(
+        "Per-(source, lang) document cap, best-first by length: the "
+        "per-domain-cap curation step. Only keys OVER the cap ride the "
+        "row_number window; under-cap rows pass through a broadcast "
+        "anti-join map-side (property-tested equal to the plain "
+        "all-rows window)"
+    ),
+)
+def doc_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import mixing
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    return mixing.cap_per_key(
+        docs,
+        ["source", "lang"],
+        8,
+        [F.desc("n_chars"), F.asc("doc_id")],
+    )
+
+
+@query(
+    "doc_mixture_epochs",
+    sql="""
+WITH w AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                     WHEN 'src2' THEN 0 ELSE 1 END
+         + CASE WHEN substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4) <
+                     CASE source WHEN 'src0' THEN '8000'
+                                 WHEN 'src1' THEN '4000'
+                                 WHEN 'src2' THEN '0000'
+                                 ELSE '0000' END
+                THEN 1 ELSE 0 END AS n
+  FROM documents
+)
+SELECT doc_id, source, CAST(unnest(range(1, n + 1)) AS BIGINT) AS epoch
+FROM w WHERE n >= 1
+""",
+    description=(
+        "Deterministic data-mixture upsampling: src0 at weight 2.5 (two "
+        "copies each + an md5-hash-chosen half a third), src1 at 0.25, "
+        "src2 dropped, everything else one epoch — the published-LLM "
+        "mixture-table replication step, map-side explode only, no RNG"
+    ),
+)
+def doc_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import mixing
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixing.mixture_upsample(
+        docs, {"src0": 2.5, "src1": 0.25, "src2": 0.0}
+    )
+
+
 # incremental labeling must equal the full recompute — hold it to the
 # exact oracle of neardup_clusters
 REGISTRY["neardup_clusters_incremental"] = QuerySpec(

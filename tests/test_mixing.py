@@ -1,0 +1,259 @@
+"""Corpus-mixing operators: importance resampling, per-key caps, mixture
+upsampling (operators/mixing.py).
+
+Property strategy: tiny random corpora with deliberate degeneracies (empty
+texts, single tokens, tied order keys, all-same-key frames) — each example
+round-trips a Spark job, so the budget goes to input diversity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from security_data_pipeline_spark.operators import mixing
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps"]
+
+_texts = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=6).map(
+        " ".join
+    )
+    | st.sampled_from(["", " ", "  alpha  ", "alpha"]),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _docs(spark, texts, extra_flag=True):
+    rows = [
+        (i, t, i % 2 == 0 if extra_flag else False)
+        for i, t in enumerate(texts)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+
+
+# ---------------------------------------------------------------------------
+# bigram buckets
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_buckets_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "  "), (3, "one"), (4, "a b"), (5, "a  b   c")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["bk"]
+        for r in df.select(
+            "doc_id", mixing.bigram_buckets("text", 16).alias("bk")
+        ).collect()
+    }
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert len(got[4]) == 1
+    # repeated separators collapse via the empty-token filter: "a  b   c"
+    # tokenizes to [a, b, c], so its first bigram bucket equals "a b"'s
+    assert len(got[5]) == 2 and got[5][0] == got[4][0]
+    assert all(0 <= b < 16 for bk in got.values() for b in bk)
+
+
+# ---------------------------------------------------------------------------
+# importance weights: fused ≡ join, zero-bigram docs score 0
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_texts)
+def test_importance_fused_equals_join(spark, texts):
+    docs = _docs(spark, texts)
+    target = docs.filter(F.col("tgt"))
+    j = mixing.importance_weights(docs, target, num_buckets=32)
+    f = mixing.importance_weights_fused(docs, target, num_buckets=32)
+    a = {r["doc_id"]: r["importance"] for r in j.collect()}
+    b = {r["doc_id"]: r["importance"] for r in f.collect()}
+    assert a == b
+    for i, t in enumerate(texts):
+        if len([w for w in t.split(" ") if w]) < 2:
+            assert a[i] == 0.0
+
+
+def test_importance_weights_prefer_target_like_docs(spark):
+    # target speaks only 'alpha beta'; raw adds 'gamma delta' noise — the
+    # target-like doc must outscore the noise doc
+    rows = [
+        (0, "alpha beta alpha beta", True),
+        (1, "alpha beta alpha beta", False),
+        (2, "gamma delta gamma delta", False),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    w = mixing.importance_weights(docs, docs.filter(F.col("tgt")), num_buckets=64)
+    got = {r["doc_id"]: r["importance"] for r in w.collect()}
+    assert got[1] > got[2]
+    assert got[0] == got[1]  # identical text, identical weight
+
+
+# ---------------------------------------------------------------------------
+# gumbel top-k
+# ---------------------------------------------------------------------------
+
+
+def test_gumbel_topk_deterministic_and_bounded(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).cast("double").alias("w")
+    )
+    a = [r["doc_id"] for r in mixing.gumbel_topk(df, "w", 10).collect()]
+    b = [
+        r["doc_id"]
+        for r in mixing.gumbel_topk(df.repartition(13), "w", 10).collect()
+    ]
+    assert len(a) == 10 and sorted(a) == sorted(b)
+    # a different salt draws a different sample (overwhelmingly)
+    c = [
+        r["doc_id"]
+        for r in mixing.gumbel_topk(df, "w", 10, salt="other").collect()
+    ]
+    assert sorted(a) != sorted(c)
+    # the noise keys stay finite (u strictly inside (0,1))
+    keys = [r["samp_key"] for r in mixing.gumbel_topk(df, "w", 100).collect()]
+    assert all(math.isfinite(k) for k in keys)
+
+
+# ---------------------------------------------------------------------------
+# cap_per_key ≡ plain window form
+# ---------------------------------------------------------------------------
+
+_cap_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2", "k3"]),
+        st.integers(min_value=0, max_value=3),  # tied order values likely
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_cap_rows, cap=st.integers(min_value=1, max_value=4))
+def test_cap_per_key_matches_plain(spark, rows, cap):
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)],
+        "rid long, key string, val long",
+    )
+    order = [F.desc("val"), F.asc("rid")]
+    fast = mixing.cap_per_key(df, ["key"], cap, order)
+    plain = mixing.cap_per_key_plain(df, ["key"], cap, order)
+    assert {r["rid"] for r in fast.collect()} == {
+        r["rid"] for r in plain.collect()
+    }
+
+
+def test_cap_per_key_windows_only_over_cap_rows(spark):
+    # the bypass is structural: under-cap rows reach the output through a
+    # broadcast anti join, never a Window — the plan carries exactly one
+    # Window and two broadcast joins
+    df = spark.range(100).select(
+        (F.col("id") % 5).cast("string").alias("key"),
+        F.col("id").alias("rid"),
+        (F.col("id") % 3).alias("val"),
+    )
+    out = mixing.cap_per_key(df, ["key"], 3, [F.desc("val"), F.asc("rid")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly one Window node (WindowGroupLimit pre-shuffle top-k pushdown
+    # nodes are a bonus, not a second window pass)
+    assert plan.count("Window [row_number()") == 1
+    assert plan.count("BroadcastHashJoin") == 2
+    assert out.count() == 15
+
+
+def test_cap_per_key_rejects_bad_cap(spark):
+    df = spark.range(1).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        mixing.cap_per_key(df, ["k"], 0, [F.asc("k")])
+
+
+# ---------------------------------------------------------------------------
+# mixture upsampling
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    w=st.floats(min_value=0.0, max_value=3.0, allow_nan=False).map(
+        lambda x: round(x, 2)
+    )
+)
+def test_mixture_copy_counts_bracket_weight(spark, w):
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("source")
+    )
+    out = mixing.mixture_upsample(docs, {"s": w})
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    lo, hi = int(w), int(w) + (0 if w == int(w) else 1)
+    assert all(lo <= n <= max(hi, 1) for n in per_doc.values())
+    # epochs are 1..n per doc
+    eps = out.groupBy("doc_id").agg(
+        F.min("epoch").alias("mn"), F.max("epoch").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bad = eps.filter(
+        (F.col("mn") != 1) | (F.col("mx") != F.col("n"))
+    ).count()
+    assert bad == 0
+
+
+def test_mixture_deterministic_across_partitioning(spark):
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    wts = {"s0": 2.5, "s1": 0.25, "s2": 0.0}
+    a = sorted(
+        tuple(r) for r in mixing.mixture_upsample(docs, wts).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in mixing.mixture_upsample(docs.repartition(17), wts).collect()
+    )
+    assert a == b
+    assert not any(r[1] == "s2" for r in a)
+
+
+def test_mixture_rejects_negative_weight(spark):
+    docs = spark.range(1).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("source")
+    )
+    with pytest.raises(ValueError):
+        mixing.mixture_upsample(docs, {"s": -0.5})
+
+
+# ---------------------------------------------------------------------------
+# plan shape: the fused scorer adds no exchange over the raw corpus
+# ---------------------------------------------------------------------------
+
+
+def test_fused_importance_plan_has_no_exchange(spark, sf_oracle):
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    target = docs.filter(F.col("lang") == "en")
+    scored = mixing.importance_weights_fused(docs, target, num_buckets=64)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    # scoring is fused into the scan: project over FileScan, nothing else
+    assert "Exchange" not in plan
+    assert "Join" not in plan
