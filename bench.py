@@ -238,6 +238,17 @@ def _skew_entries(spark):
     ffill_bucketed = timeseries.forward_fill_bucketed(
         ev_o, ["user_id"], "_ous", ["val"], bucket_width=3.6e9
     )
+    # per-key cap pair: the SECOND control pair (SCALE.md) — plain
+    # rank-limit windows are already shuffle-pruned by Spark's
+    # WindowGroupLimit rewrite (the hot user forwards <= cap rows per map
+    # partition), so the hand-rolled over-cap-only bypass pays a counts
+    # pass + two broadcast probes to save a shuffle that was already
+    # small; plain must win, and the pair records that boundary
+    from security_data_pipeline_spark.operators import mixing
+
+    cap_order = [F.desc("timestamp"), F.asc("event_id")]
+    cap_plain = mixing.cap_per_key(ev, ["user_id"], 1000, cap_order)
+    cap_bypass = mixing.cap_per_key_bypass(ev, ["user_id"], 1000, cap_order)
     salted_counts = skew.salted_agg(
         ev,
         keys=["user_id"],
@@ -257,6 +268,8 @@ def _skew_entries(spark):
         ("skew_counts_salted", salted_counts, False),
         ("skew_ffill_naive", ffill_naive, False),
         ("skew_ffill_bucketed", ffill_bucketed, False),
+        ("skew_cap_plain", cap_plain, False),
+        ("skew_cap_bypass", cap_bypass, False),
     ]
     join_confs = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
@@ -343,6 +356,7 @@ def main() -> None:
         ("skew_join_plain", "skew_join_salted"),
         ("skew_counts_plain", "skew_counts_salted"),
         ("skew_ffill_naive", "skew_ffill_bucketed"),
+        ("skew_cap_plain", "skew_cap_bypass"),
     ]:
         assert skew_counts[a] == skew_counts[b], (a, b, skew_counts)
 

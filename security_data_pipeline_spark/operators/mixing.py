@@ -91,27 +91,22 @@ def bigram_buckets(
     return F.transform(grams, lambda g: gram_bucket(g, num_buckets))
 
 
-def bucket_log_ratio(
+def bucket_counts(
     target: DataFrame,
     raw: DataFrame,
     text_col: str = "text",
     num_buckets: int = 512,
-    lam: float = 1.0,
 ) -> DataFrame:
-    """Per-bucket importance term over the FULL bucket domain:
-    ``term = round(ln p_target(b) - ln p_raw(b), 9)`` as ``decimal(38,9)``,
-    where each ``p`` is the add-λ-smoothed hashed-bigram distribution of
-    its corpus. Returns ``(bucket, term)`` with exactly ``num_buckets``
-    rows — bounded, broadcastable, collectable.
+    """Partial hashed-bigram bucket counts for the two corpora:
+    ``(bucket, tcnt, rcnt)``, rows only for buckets actually seen
+    (``ratio_from_bucket_counts`` treats absent/NULL as 0). These counts
+    are a commutative monoid under per-bucket addition — exactly the
+    state the streaming maintainer folds per micro-batch.
 
     Scale shape: each corpus contributes one explode→count aggregation
     (map-side combined — the shuffle carries ≤ ``num_buckets`` rows per
-    partition, not tokens); totals are 1-row aggregates cross-joined back.
-    Rounding each term to 9 decimals BEFORE any accumulation makes every
-    downstream sum order-free and bit-equal across engines (the libm-ulp
-    discipline used by ``hour_of_day_entropy``).
+    partition, not tokens).
     """
-    spark = raw.sparkSession
 
     def counts(df: DataFrame, cnt_name: str) -> DataFrame:
         return (
@@ -124,13 +119,35 @@ def bucket_log_ratio(
             .agg(F.count(F.lit(1)).alias(cnt_name))
         )
 
-    tc = counts(target, "tcnt")
-    rc = counts(raw, "rcnt")
+    return (
+        counts(target, "tcnt")
+        .join(counts(raw, "rcnt"), "bucket", "full_outer")
+        .select("bucket", "tcnt", "rcnt")
+    )
+
+
+def ratio_from_bucket_counts(
+    counts: DataFrame, num_buckets: int, lam: float = 1.0
+) -> DataFrame:
+    """Finalize ``(bucket, tcnt, rcnt)`` partial counts into the
+    full-domain ``(bucket, term)`` ratio frame:
+    ``term = round(ln p_target(b) - ln p_raw(b), 9)`` as decimal, where
+    each ``p`` is the add-λ-smoothed distribution implied by the counts.
+    Exactly ``num_buckets`` rows — bounded, broadcastable, collectable.
+    Shared by the batch form (:func:`bucket_log_ratio`) and the
+    streaming state reader, so the two CANNOT diverge.
+
+    Rounding each term to 9 decimals BEFORE any accumulation makes every
+    downstream sum order-free and bit-equal across engines (the libm-ulp
+    discipline used by ``hour_of_day_entropy``).
+    """
+    spark = counts.sparkSession
     # a side with zero bigrams sums to NULL — coalesce to 0 so the smoothed
     # model degrades to uniform instead of poisoning every term with NULL
-    tot = tc.agg(
-        F.coalesce(F.sum("tcnt"), F.lit(0)).alias("tt")
-    ).crossJoin(rc.agg(F.coalesce(F.sum("rcnt"), F.lit(0)).alias("rr")))
+    tot = counts.agg(
+        F.coalesce(F.sum("tcnt"), F.lit(0)).alias("tt"),
+        F.coalesce(F.sum("rcnt"), F.lit(0)).alias("rr"),
+    )
     dom = spark.range(num_buckets).select(F.col("id").alias("bucket"))
     denom_add = float(lam * num_buckets)
     term = F.round(
@@ -145,10 +162,24 @@ def bucket_log_ratio(
         9,
     ).cast(_TERM_DEC)
     return (
-        dom.join(tc, "bucket", "left")
-        .join(rc, "bucket", "left")
+        dom.join(counts, "bucket", "left")
         .crossJoin(F.broadcast(tot))
         .select("bucket", term.alias("term"))
+    )
+
+
+def bucket_log_ratio(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    num_buckets: int = 512,
+    lam: float = 1.0,
+) -> DataFrame:
+    """Per-bucket importance term over the FULL bucket domain — the batch
+    composition of :func:`bucket_counts` + :func:`ratio_from_bucket_counts`
+    (see those for the scale shape and determinism discipline)."""
+    return ratio_from_bucket_counts(
+        bucket_counts(target, raw, text_col, num_buckets), num_buckets, lam
     )
 
 
@@ -278,17 +309,27 @@ def gumbel_topk(
     )
 
 
-def cap_per_key_plain(
+def cap_per_key(
     df: DataFrame,
     key_cols: list[str],
     cap: int,
     order_by: list[Column],
 ) -> DataFrame:
-    """Reference form of :func:`cap_per_key`: one row_number window over
-    every key. ``order_by`` MUST be a total order (end it with an id
-    column) or survivors are partitioning-dependent. Every row — hot and
-    cold keys alike — rides the window shuffle and sort; use
-    :func:`cap_per_key` at scale."""
+    """Per-key document cap (per-domain caps, best-first): keep at most
+    ``cap`` rows per key, ranked by ``order_by`` (a TOTAL order — end it
+    with an id column, or survivors are partitioning-dependent).
+
+    One row_number window — and that is the SCALE-CORRECT form on this
+    engine, not a naive baseline: Spark rewrites ``rank-limit`` windows
+    with a WindowGroupLimit pair, the partial node running BEFORE the
+    exchange, so every map partition forwards at most ``cap`` rows per
+    over-cap key. A 10^9-row hot domain shuffles ≤ cap·n_partitions
+    rows, not 10^9 — the skew resistance window functions normally lack
+    is built in for exactly this shape (plan-pinned in
+    tests/test_mixing.py). The hand-rolled alternative that windows only
+    over-cap keys (:func:`cap_per_key_bypass`) measured SLOWER at every
+    tested shape — see its docstring before reaching for it.
+    """
     if cap < 1:
         raise ValueError("cap must be >= 1")
     w = Window.partitionBy(*key_cols).orderBy(*order_by)
@@ -299,30 +340,29 @@ def cap_per_key_plain(
     )
 
 
-def cap_per_key(
+def cap_per_key_bypass(
     df: DataFrame,
     key_cols: list[str],
     cap: int,
     order_by: list[Column],
 ) -> DataFrame:
-    """Per-key document cap (per-domain caps, best-first): keep at most
-    ``cap`` rows per key, ranked by ``order_by`` (a TOTAL order — end it
-    with an id). Output equals :func:`cap_per_key_plain`
-    (property-tested), but the plan only windows rows whose key is
-    actually OVER the cap:
+    """Variant of :func:`cap_per_key` that windows ONLY over-cap keys:
+    a map-side-combined groupBy finds the over-cap key list, under-cap
+    rows leave through a broadcast LEFT ANTI (no shuffle, no sort), and
+    only over-cap rows ride the row_number window. Output is identical
+    (property-tested).
 
-    - one map-side-combined groupBy finds the over-cap key list — at most
-      |rows|/cap keys, usually a tiny fraction of the corpus;
-    - under-cap rows pass through a broadcast LEFT ANTI against that list
-      (map-side, no shuffle, no sort);
-    - only over-cap rows ride the row_number window.
-
-    On a crawl where most domains are under the cap this removes the
-    full-corpus shuffle+sort entirely; the cost follows the capped tail,
-    not the corpus. A single pathological key (10^9 docs behind one
-    domain) still sorts through one task — prefilter such keys with
-    ``hash_sample`` at a few × cap/n_key before the exact window, as
-    stratified_sample documents.
+    MEASURED SLOWER than the plain window on every local shape tried
+    (2M narrow rows: 0.49 s vs 0.80 s; 500k wide ~512 B rows, 90 %
+    under-cap: 0.69 s vs 1.10 s; same wide frame fully cached: 0.41 s
+    vs 0.80 s): WindowGroupLimit already prunes the over-cap shuffle,
+    so the bypass only saves shuffling the UNDER-cap rows — and pays a
+    counts pass plus two broadcast probes over the full input for it.
+    Its remaining domain is a network-bound cluster shuffle where
+    bytes-over-fabric for the under-cap majority dominate two extra
+    (column-pruned, co-located) scans; measure there before preferring
+    it. Kept as the measured control of that trade, per the
+    ``skew_counts`` control-pair discipline.
     """
     if cap < 1:
         raise ValueError("cap must be >= 1")
@@ -334,7 +374,7 @@ def cap_per_key(
     )
     under_rows = df.join(F.broadcast(over), key_cols, "left_anti")
     over_rows = df.join(F.broadcast(over), key_cols, "left_semi")
-    capped = cap_per_key_plain(over_rows, key_cols, cap, order_by)
+    capped = cap_per_key(over_rows, key_cols, cap, order_by)
     return under_rows.unionByName(capped)
 
 

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from security_data_pipeline_spark.operators import anomaly, similarity, textops
 from security_data_pipeline_spark.plans.queries import (
     _PQ_ADC_SQL,
+    REGISTRY,
     _dsum,
     _ivf_oracle_sql,
     _ivf_sq8_oracle_sql,
@@ -240,9 +241,11 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_DSIR_CTE = REGISTRY["doc_importance_resample"].sql.strip().rstrip(";")
+
 @query(
     "doc_sampling_suite",
-    sql="""
+    sql=f"""
 WITH split AS (
   SELECT CASE
            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
@@ -281,14 +284,45 @@ SELECT 'mixture', bucket, CAST(SUM(kept) AS BIGINT),
        ROUND(CAST(SUM(kept * n_chars) AS DOUBLE)
              / CAST(NULLIF(SUM(kept), 0) AS DOUBLE), 6)
 FROM mix GROUP BY bucket
+UNION ALL
+SELECT 'caps' AS scheme, source AS bucket, CAST(COUNT(*) AS BIGINT),
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 6)
+FROM (
+  SELECT doc_id, source, lang, n_chars FROM documents
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY source, lang
+                             ORDER BY n_chars DESC, doc_id) <= 8
+) GROUP BY source
+UNION ALL
+SELECT 'epochs', source, CAST(SUM(n) AS BIGINT),
+       ROUND(CAST(SUM(n * n_chars) AS DOUBLE)
+             / CAST(SUM(n) AS DOUBLE), 6)
+FROM (
+  SELECT doc_id, source, n_chars,
+         CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                     WHEN 'src2' THEN 0 ELSE 1 END
+         + CASE WHEN substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4) <
+                     CASE source WHEN 'src0' THEN '8000'
+                                 WHEN 'src1' THEN '4000'
+                                 WHEN 'src2' THEN '0000'
+                                 ELSE '0000' END
+                THEN 1 ELSE 0 END AS n
+  FROM documents
+) GROUP BY source HAVING SUM(n) > 0
+UNION ALL
+SELECT 'dsir', 'top25', CAST(COUNT(*) AS BIGINT),
+       ROUND(AVG(CAST(d.n_chars AS DOUBLE)), 6)
+FROM ({_DSIR_CTE}) s JOIN documents d ON s.doc_id = d.doc_id
 """,
     description=(
-        "Deterministic sampling suite in one tagged result: md5 "
+        "Deterministic sampling/mixing suite in one tagged result: md5 "
         "train/val/test hash split, fixed-size per-stratum draw (40 "
-        "lowest-(md5, id) docs per source), and weighted mixture "
-        "sampling by per-source hash thresholds. All three are "
-        "RNG-free — stable under re-partitioning, appends, and engine "
-        "changes — and summarized as (n_docs, avg_chars) per bucket"
+        "lowest-(md5, id) docs per source), weighted mixture DOWNsampling "
+        "by per-source hash thresholds, per-(source, lang) caps "
+        "(WindowGroupLimit-pruned rank-limit window), fractional-epoch "
+        "mixture UPsampling (src0 2.5x, src1 0.25x, src2 dropped), and "
+        "the DSIR importance-resampled top-25 draw. All six are RNG-free "
+        "— stable under re-partitioning, appends, and engine changes — "
+        "and summarized as (n_docs, avg_chars) per bucket"
     ),
 )
 def doc_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,7 +378,45 @@ def doc_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("mixture").alias("scheme"), "bucket", "n_docs", "avg_chars")
     )
-    return _union([split, strat, mix])
+    from security_data_pipeline_spark.operators import mixing
+
+    caps = (
+        mixing.cap_per_key(
+            docs.select("doc_id", "source", "lang", "n_chars"),
+            ["source", "lang"],
+            8,
+            [F.desc("n_chars"), F.asc("doc_id")],
+        )
+        .groupBy(F.col("source").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), avg_chars)
+        .select(F.lit("caps").alias("scheme"), "bucket", "n_docs", "avg_chars")
+    )
+    epochs = (
+        mixing.mixture_upsample(
+            docs.select("doc_id", "source", "n_chars"),
+            {"src0": 2.5, "src1": 0.25, "src2": 0.0},
+        )
+        .groupBy(F.col("source").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), avg_chars)
+        .select(F.lit("epochs").alias("scheme"), "bucket", "n_docs", "avg_chars")
+    )
+    dsir = (
+        mixing.gumbel_topk(
+            mixing.importance_weights(
+                docs, docs.filter(F.col("lang") == "en"), num_buckets=128
+            ),
+            "importance",
+            25,
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"), avg_chars)
+        .select(
+            F.lit("dsir").alias("scheme"),
+            F.lit("top25").alias("bucket"),
+            "n_docs",
+            "avg_chars",
+        )
+    )
+    return _union([split, strat, mix, caps, epochs, dsir])
 
 
 # ---------------------------------------------------------------------------

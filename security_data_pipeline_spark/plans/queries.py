@@ -5849,10 +5849,11 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY source, lang
 """,
     description=(
         "Per-(source, lang) document cap, best-first by length: the "
-        "per-domain-cap curation step. Only keys OVER the cap ride the "
-        "row_number window; under-cap rows pass through a broadcast "
-        "anti-join map-side (property-tested equal to the plain "
-        "all-rows window)"
+        "per-domain-cap curation step. One rank-limit window that "
+        "Spark's WindowGroupLimit rewrite shuffle-prunes map-side "
+        "(hot keys forward <= cap rows per partition, plan-pinned); "
+        "the hand-rolled over-cap-only bypass measured slower and is "
+        "kept as a control variant"
     ),
 )
 def doc_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:

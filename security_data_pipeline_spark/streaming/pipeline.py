@@ -1377,6 +1377,89 @@ def maintain_checksum_stream(
     return writer.start()
 
 
+def maintain_importance_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    target_expr: str,
+    text_col: str = "text",
+    num_buckets: int = 512,
+    trigger_available_now: bool = True,
+):
+    """Streaming DSIR model maintenance: keep the hashed-bigram bucket
+    counts of a growing corpus (raw side = every document, target side =
+    documents matching ``target_expr``, a boolean SQL expression over the
+    stream's columns) current at ingest cadence, so the importance-weight
+    ratio table used for data selection is always fit to the WHOLE corpus
+    seen so far — without ever rescanning it.
+
+    Bucket counts are a commutative monoid (per-bucket addition), so the
+    fold is the checksum-manifest protocol verbatim: each micro-batch
+    reduces to ≤ ``num_buckets`` ``(bucket, tcnt, rcnt)`` rows
+    (map-side-combined explode→count, the only data-sized work), the
+    persisted state merges by addition, and the state is ≤ ``num_buckets``
+    rows FOREVER — the streaming-KS-grid argument again: a bounded model
+    domain is precisely what makes the statistic streamable. Scratch-swap
+    writes + the lineage-tagged batch-id replay guard give exactly-once
+    folding (a replayed batch would double-count its bigrams).
+
+    Read the live model with
+    ``mixing.ratio_from_bucket_counts(spark.read.parquet(state_path).
+    drop("_last_batch_id", "_fold_tag"), num_buckets)`` — the SAME
+    finalizer the batch form uses, so the streamed ratio table is
+    bit-equal to ``bucket_log_ratio`` over the cumulative input
+    (asserted in tests/test_streaming.py); feed it to
+    ``importance_weights_fused`` for shuffle-free scoring of any corpus.
+    """
+    from security_data_pipeline_spark.operators import mixing
+
+    scratch = f"{state_path}__next"
+
+    def _summarize(df: DataFrame) -> DataFrame:
+        tgt = F.expr(target_expr).cast("boolean")
+        ex = df.select(
+            F.coalesce(tgt, F.lit(False)).alias("_t"),
+            F.explode(
+                mixing.bigram_buckets(text_col, num_buckets)
+            ).alias("bucket"),
+        )
+        return ex.groupBy("bucket").agg(
+            F.sum(F.col("_t").cast("long")).alias("tcnt"),
+            F.count(F.lit(1)).alias("rcnt"),
+        )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        raw, from_scratch = _read_state(spark, state_path, scratch)
+        replayed, prev = _check_replay(raw, batch_id, checkpoint_path)
+        if replayed:
+            if from_scratch:
+                raw.write.mode("overwrite").parquet(state_path)
+            return
+        new = _summarize(batch_df)
+        if prev is not None:
+            new = (
+                prev.unionByName(new)
+                .groupBy("bucket")
+                .agg(
+                    F.sum("tcnt").alias("tcnt"),
+                    F.sum("rcnt").alias("rcnt"),
+                )
+            )
+        merged = _stamp_batch(new, batch_id, checkpoint_path)
+        merged.write.mode("overwrite").parquet(scratch)
+        spark.read.parquet(scratch).write.mode("overwrite").parquet(state_path)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def maintain_ann_index_stream(
     stream_df: DataFrame,
     index_path: str,

@@ -126,7 +126,7 @@ def test_gumbel_topk_deterministic_and_bounded(spark):
 
 
 # ---------------------------------------------------------------------------
-# cap_per_key ≡ plain window form
+# cap_per_key ≡ bypass variant
 # ---------------------------------------------------------------------------
 
 _cap_rows = st.lists(
@@ -145,23 +145,25 @@ _cap_rows = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=_cap_rows, cap=st.integers(min_value=1, max_value=4))
-def test_cap_per_key_matches_plain(spark, rows, cap):
+def test_cap_per_key_bypass_matches_plain(spark, rows, cap):
     df = spark.createDataFrame(
         [(i, k, v) for i, (k, v) in enumerate(rows)],
         "rid long, key string, val long",
     )
     order = [F.desc("val"), F.asc("rid")]
-    fast = mixing.cap_per_key(df, ["key"], cap, order)
-    plain = mixing.cap_per_key_plain(df, ["key"], cap, order)
-    assert {r["rid"] for r in fast.collect()} == {
-        r["rid"] for r in plain.collect()
+    plain = mixing.cap_per_key(df, ["key"], cap, order)
+    bypass = mixing.cap_per_key_bypass(df, ["key"], cap, order)
+    assert {r["rid"] for r in plain.collect()} == {
+        r["rid"] for r in bypass.collect()
     }
 
 
-def test_cap_per_key_windows_only_over_cap_rows(spark):
-    # the bypass is structural: under-cap rows reach the output through a
-    # broadcast anti join, never a Window — the plan carries exactly one
-    # Window and two broadcast joins
+def test_cap_per_key_shuffle_is_group_limit_pruned(spark):
+    # the scale claim in the docstring is a PLAN property: Spark must
+    # plant a partial WindowGroupLimit below the exchange so a hot key
+    # forwards <= cap rows per map partition, plus the final node above —
+    # if an engine upgrade drops the rewrite, the cap silently reverts to
+    # shuffling whole hot keys and this pin catches it
     df = spark.range(100).select(
         (F.col("id") % 5).cast("string").alias("key"),
         F.col("id").alias("rid"),
@@ -169,8 +171,23 @@ def test_cap_per_key_windows_only_over_cap_rows(spark):
     )
     out = mixing.cap_per_key(df, ["key"], 3, [F.desc("val"), F.asc("rid")])
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # exactly one Window node (WindowGroupLimit pre-shuffle top-k pushdown
-    # nodes are a bonus, not a second window pass)
+    assert plan.count("WindowGroupLimit") == 2
+    assert plan.count("Window [row_number()") == 1
+    assert out.count() == 15
+
+
+def test_cap_per_key_bypass_windows_only_over_cap_rows(spark):
+    # the bypass is structural: under-cap rows reach the output through a
+    # broadcast anti join, never a Window
+    df = spark.range(100).select(
+        (F.col("id") % 5).cast("string").alias("key"),
+        F.col("id").alias("rid"),
+        (F.col("id") % 3).alias("val"),
+    )
+    out = mixing.cap_per_key_bypass(
+        df, ["key"], 3, [F.desc("val"), F.asc("rid")]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window [row_number()") == 1
     assert plan.count("BroadcastHashJoin") == 2
     assert out.count() == 15

@@ -1944,3 +1944,113 @@ def test_streaming_scd2_equals_sequential_batch_apply(spark, tmp_path):
         spark.read.parquet(state).drop("_last_batch_id", "_fold_tag")
     )
     assert again == want
+
+def test_streaming_importance_equals_batch_model(spark, tmp_path):
+    """The streamed DSIR bucket-count state, finalized through the SAME
+    ratio_from_bucket_counts the batch form uses, must be bit-equal to
+    bucket_log_ratio over the cumulative input — including empty-target
+    prefixes (batch 0 has no target docs: the smoothed model degrades to
+    uniform, not NULL) — and a full same-checkpoint replay must not
+    double-count bigrams."""
+    import os
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.operators import mixing
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_importance_stream,
+    )
+
+    B = 64
+    batches = [
+        # batch 0: raw only (no 'en' docs yet) — empty-target model
+        [(1, "gamma delta gamma", "de"), (2, "x", "de")],
+        [(3, "alpha beta alpha beta", "en"), (4, "", "de")],
+        [(5, "alpha beta gamma", "en"), (6, "delta delta delta", "fr")],
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    base = time.time() - 100
+    for bi, rows in enumerate(batches):
+        f = src / f"b{bi}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "text": [r[1] for r in rows],
+                    "lang": [r[2] for r in rows],
+                }
+            ),
+            str(f),
+        )
+        os.utime(f, (base + bi, base + bi))
+
+    state = str(tmp_path / "model")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = maintain_importance_stream(
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src)),
+            state,
+            ckpt,
+            target_expr="lang = 'en'",
+            num_buckets=B,
+        )
+        q.awaitTermination(120)
+
+    def streamed_ratio():
+        counts = spark.read.parquet(state).drop(
+            "_last_batch_id", "_fold_tag"
+        )
+        return {
+            r["bucket"]: r["term"]
+            for r in mixing.ratio_from_bucket_counts(counts, B).collect()
+        }
+
+    run()
+    all_rows = spark.createDataFrame(
+        [r for rows in batches for r in rows],
+        "doc_id long, text string, lang string",
+    )
+    want = {
+        r["bucket"]: r["term"]
+        for r in mixing.bucket_log_ratio(
+            all_rows.filter("lang = 'en'"), all_rows, num_buckets=B
+        ).collect()
+    }
+    got = streamed_ratio()
+    assert got == want and len(got) == B
+
+    # scoring through the streamed model must equal the batch fused form
+    scored_batch = {
+        r["doc_id"]: r["importance"]
+        for r in mixing.importance_weights_fused(
+            all_rows, all_rows.filter("lang = 'en'"), num_buckets=B
+        ).collect()
+    }
+    counts = spark.read.parquet(state).drop("_last_batch_id", "_fold_tag")
+    ratio = mixing.ratio_from_bucket_counts(counts, B)
+    exploded = all_rows.select(
+        "doc_id",
+        F.explode(mixing.bigram_buckets("text", B)).alias("bucket"),
+    )
+    scored_stream = {
+        r["doc_id"]: float(r["imp"])
+        for r in exploded.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("term").cast("double").alias("imp"))
+        .collect()
+    }
+    for did, imp in scored_stream.items():
+        assert imp == scored_batch[did]
+
+    # full replay under the same checkpoint lineage: guard skips every
+    # re-fired batch, counts unchanged
+    shutil.rmtree(ckpt)
+    run()
+    assert streamed_ratio() == want
