@@ -78,11 +78,13 @@ BENCH_QUERIES: tuple[str, ...] = (
     # the timed region is the pruned scan + aggregate)
     "events_file_skipping",
     # round-7 additions: corpus mixing family — DSIR importance
-    # resampling + Gumbel top-k, per-key caps (over-cap-only window),
-    # deterministic mixture upsampling
+    # resampling + Gumbel top-k, per-key caps (WindowGroupLimit-pruned
+    # rank-limit window), deterministic mixture upsampling, and the
+    # global-shuffle training order
     "doc_importance_resample",
     "doc_source_caps",
     "doc_mixture_epochs",
+    "doc_training_order",
     # driver-window composites, benched AS the driver runs them — the
     # wall-clock the driver pays includes their union/unpivot overhead,
     # which per-arm numbers don't capture
@@ -122,7 +124,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_drift_trend": 20, "doc_contamination_report": 20,
         "events_file_skipping": 1,
         "doc_importance_resample": 25, "doc_source_caps": 800,
-        "doc_mixture_epochs": 4931,
+        "doc_mixture_epochs": 4931, "doc_training_order": 5000,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -149,7 +151,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_drift_trend": 20, "doc_contamination_report": 20,
         "events_file_skipping": 1,
         "doc_importance_resample": 25, "doc_source_caps": 439,
-        "doc_mixture_epochs": 491,
+        "doc_mixture_epochs": 491, "doc_training_order": 500,
     },
 }
 

@@ -428,3 +428,58 @@ def mixture_upsample(
         .withColumn(epoch_col, F.col(epoch_col).cast("bigint"))
         .drop("_n")
     )
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "shuffle",
+    shard_col: str = "shard",
+    key_col: str = "sort_key",
+) -> DataFrame:
+    """Deterministic global shuffle for training order — the step that
+    turns a curated corpus into the randomized-but-reproducible sequence
+    a trainer consumes. Each row gets a ``shard`` (md5-hash mod
+    ``n_shards``) and a ``sort_key`` (the full md5 hex): reading the
+    shards in shard order, each sorted by ``(sort_key, id)``, yields a
+    uniform pseudorandom permutation of the corpus that is identical on
+    any engine, any partitioning, any rerun — change ``salt`` for a new
+    epoch's permutation.
+
+    This is how a 100 TB corpus shuffles WITHOUT a global sort: the
+    assignment is map-side Column math, and each shard orders
+    independently at write time (:func:`write_training_shards`), so the
+    largest sort is corpus/n_shards — sized to fit one task by choosing
+    ``n_shards``, with no cross-shard coordination at all.
+    """
+    h = F.md5(
+        F.concat(F.lit(salt), F.col(id_col).cast("string")).cast("binary")
+    )
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_shards
+    )
+    return df.withColumn(shard_col, shard).withColumn(key_col, h)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "shuffle",
+) -> None:
+    """Materialize :func:`training_order` as one directory per shard
+    (``shard=<i>/``), rows inside each shard's files sorted by
+    ``(sort_key, id)`` — the on-disk layout a data loader streams in
+    order. ``repartition(n_shards, shard)`` + ``sortWithinPartitions``
+    does the per-shard sort task-locally (no global exchange beyond the
+    one shard shuffle); ``partitionBy`` splits the directories."""
+    ordered = training_order(df, id_col, n_shards, salt)
+    (
+        ordered.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "sort_key", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

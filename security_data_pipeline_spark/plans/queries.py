@@ -5904,6 +5904,30 @@ def doc_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_training_order",
+    sql="""
+SELECT doc_id,
+       CAST(CONCAT('0x', substr(md5('shuffle' || CAST(doc_id AS VARCHAR)),
+            1, 8)) AS BIGINT) % 8 AS shard,
+       md5('shuffle' || CAST(doc_id AS VARCHAR)) AS sort_key
+FROM documents
+""",
+    description=(
+        "Deterministic global shuffle for training order: md5 shard "
+        "assignment (8 shards) + within-shard sort key — a uniform "
+        "pseudorandom permutation of the corpus reproducible on any "
+        "engine with NO global sort (each shard orders independently at "
+        "write time; see write_training_shards)"
+    ),
+)
+def doc_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import mixing
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return mixing.training_order(docs, n_shards=8)
+
+
 # incremental labeling must equal the full recompute — hold it to the
 # exact oracle of neardup_clusters
 REGISTRY["neardup_clusters_incremental"] = QuerySpec(

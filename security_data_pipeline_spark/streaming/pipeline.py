@@ -1460,6 +1460,75 @@ def maintain_importance_stream(
     return writer.start()
 
 
+def maintain_sample_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "gumbel",
+    trigger_available_now: bool = True,
+):
+    """Streaming weighted sampling WITHOUT replacement: maintain, over an
+    unbounded stream, the exact size-``k`` sample a batch
+    :func:`...mixing.gumbel_topk` would draw from everything seen so far
+    (∝ exp(weight), the Efraimidis–Spirakis reservoir generalized to
+    log-space weights).
+
+    The Gumbel key makes this trivially streamable: each row's key
+    ``round(weight − ln(−ln(u_md5(id))), 6)`` is a PURE function of the
+    row, so "top-k of the union" = "top-k of (state ∪ batch top-k)" —
+    the fold is a union + TakeOrdered over ≤ 2k rows, state is exactly
+    ≤ k rows forever, and no RNG state needs replaying. Same protocol as
+    the other whole-state maintainers (scratch-swap, lineage-tagged
+    replay guard — a replayed batch would be harmless here since the
+    fold is idempotent by construction, but the guard keeps the batch-id
+    stamp monotone for observability).
+
+    Stream ≡ batch equality (bit-for-bit, including the tie-break on id)
+    is asserted in tests/test_streaming.py.
+    """
+    from security_data_pipeline_spark.operators import mixing
+
+    scratch = f"{state_path}__next"
+
+    def _topk(df: DataFrame) -> DataFrame:
+        return mixing.gumbel_topk(
+            df, weight_col, k, id_col=id_col, salt=salt
+        )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        raw, from_scratch = _read_state(spark, state_path, scratch)
+        replayed, prev = _check_replay(raw, batch_id, checkpoint_path)
+        if replayed:
+            if from_scratch:
+                raw.write.mode("overwrite").parquet(state_path)
+            return
+        new = _topk(batch_df)
+        if prev is not None:
+            # state rows already carry samp_key; recomputing it is the
+            # same pure function, so fold on the union of raw columns
+            new = _topk(
+                prev.drop("samp_key").unionByName(
+                    new.drop("samp_key"), allowMissingColumns=False
+                )
+            )
+        merged = _stamp_batch(new, batch_id, checkpoint_path)
+        merged.write.mode("overwrite").parquet(scratch)
+        spark.read.parquet(scratch).write.mode("overwrite").parquet(state_path)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def maintain_ann_index_stream(
     stream_df: DataFrame,
     index_path: str,

@@ -274,3 +274,48 @@ def test_fused_importance_plan_has_no_exchange(spark, sf_oracle):
     # scoring is fused into the scan: project over FileScan, nothing else
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# training order / shard writing
+# ---------------------------------------------------------------------------
+
+
+def test_training_order_is_a_balanced_permutation(spark):
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    out = mixing.training_order(df, n_shards=16)
+    rows = out.collect()
+    assert len(rows) == 2000
+    assert len({r["sort_key"] for r in rows}) == 2000  # injective key
+    per_shard = {}
+    for r in rows:
+        per_shard[r["shard"]] = per_shard.get(r["shard"], 0) + 1
+    assert set(per_shard) == set(range(16))
+    # md5 is uniform: no shard wildly off 125 (loose 3x bound, not a
+    # statistical test — catches a broken mod, not bad luck)
+    assert all(40 <= n <= 375 for n in per_shard.values())
+    # different salt -> different permutation
+    other = mixing.training_order(df, n_shards=16, salt="epoch2")
+    a = {r["doc_id"]: r["sort_key"] for r in rows}
+    b = {r["doc_id"]: r["sort_key"] for r in other.collect()}
+    assert a != b
+
+
+def test_write_training_shards_sorted_dirs(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    path = str(tmp_path / "shards")
+    mixing.write_training_shards(df, path, n_shards=8)
+    dirs = sorted(glob.glob(f"{path}/shard=*"))
+    assert len(dirs) == 8
+    seen = set()
+    for d in dirs:
+        for f in sorted(glob.glob(f"{d}/*.parquet")):
+            keys = pq.read_table(f, columns=["sort_key"])["sort_key"].to_pylist()
+            assert keys == sorted(keys)  # within-file order
+        tbl = spark.read.parquet(d)
+        seen |= {r["doc_id"] for r in tbl.select("doc_id").collect()}
+    assert seen == set(range(500))  # a permutation: nothing lost or duplicated

@@ -2054,3 +2054,83 @@ def test_streaming_importance_equals_batch_model(spark, tmp_path):
     shutil.rmtree(ckpt)
     run()
     assert streamed_ratio() == want
+
+def test_streaming_sample_equals_batch_gumbel_topk(spark, tmp_path):
+    """The streamed weighted sample must be BIT-EQUAL to the batch Gumbel
+    top-k over the cumulative input — including a batch that displaces
+    earlier winners — state stays <= k rows, and a full same-checkpoint
+    replay leaves the sample unchanged."""
+    import os
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.operators import mixing
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_sample_stream,
+    )
+
+    K = 5
+    batches = [
+        [(i, float(i % 3)) for i in range(0, 20)],
+        [(i, float(i % 7)) for i in range(20, 40)],
+        # heavy weights late: must displace earlier sample members
+        [(i, 50.0) for i in range(40, 44)],
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    base = time.time() - 100
+    for bi, rows in enumerate(batches):
+        f = src / f"b{bi}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "w": [r[1] for r in rows],
+                }
+            ),
+            str(f),
+        )
+        os.utime(f, (base + bi, base + bi))
+
+    state = str(tmp_path / "sample")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = maintain_sample_stream(
+            spark.readStream.schema("doc_id long, w double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src)),
+            state,
+            ckpt,
+            weight_col="w",
+            k=K,
+        )
+        q.awaitTermination(120)
+
+    def streamed():
+        return sorted(
+            (r["doc_id"], r["w"], r["samp_key"])
+            for r in spark.read.parquet(state)
+            .drop("_last_batch_id", "_fold_tag")
+            .collect()
+        )
+
+    run()
+    all_rows = spark.createDataFrame(
+        [r for rows in batches for r in rows], "doc_id long, w double"
+    )
+    want = sorted(
+        (r["doc_id"], r["w"], r["samp_key"])
+        for r in mixing.gumbel_topk(all_rows, "w", K).collect()
+    )
+    got = streamed()
+    assert got == want and len(got) == K
+    # the displacing batch actually displaced: every late heavy doc is in
+    assert {d for d, _, _ in got} >= {40, 41, 42, 43}
+
+    shutil.rmtree(ckpt)
+    run()
+    assert streamed() == want
