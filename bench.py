@@ -161,7 +161,7 @@ def _skew_entries(spark):
     argued, on a synthesized hot-key dataset big enough for skew to bite
     (2M events, 90% of all rows on ONE user — the NAT-gateway /
     service-account shape; the sf0.1 events table is too small for any
-    single task to dominate). Three operator pairs over the SAME input:
+    single task to dominate). Operator pairs over the SAME input:
 
     - sessionize naive vs bucketed — per-key WINDOW functions have no
       map-side combine, so the naive form sorts the hot user's 1M rows in

@@ -245,7 +245,11 @@ def importance_weights_fused(
     tests/test_mixing.py.
 
     Use this form when the raw side is the 100 TB corpus: the only
-    distributed work is the scan itself.
+    distributed work is the scan itself. The literal array puts
+    ``num_buckets`` constants in the plan — fine through a few thousand
+    buckets (the DSIR regime); for an unusually wide model prefer the
+    broadcast-join form, whose ratio side ships once per executor
+    instead of living in every serialized plan fragment.
     """
     ratio_rows = bucket_log_ratio(
         target, raw, text_col, num_buckets, lam
