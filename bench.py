@@ -85,6 +85,14 @@ BENCH_QUERIES: tuple[str, ...] = (
     "doc_source_caps",
     "doc_mixture_epochs",
     "doc_training_order",
+    # round-7 additions: Bloom-filter decontamination (map-only corpus
+    # pass probing a broadcast 8 KiB bit array — no join build, no corpus
+    # shuffle) and KMV bottom-k corpus-overlap estimation (jaccard +
+    # distinct counts from two 256-row sketches; the exact-verification
+    # columns dominate the timing at bench sf, the sketch path is the
+    # 100 TB story)
+    "doc_bloom_decontaminate",
+    "corpus_overlap_kmv",
     # driver-window composites, benched AS the driver runs them — the
     # wall-clock the driver pays includes their union/unpivot overhead,
     # which per-arm numbers don't capture
@@ -125,6 +133,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_file_skipping": 1,
         "doc_importance_resample": 25, "doc_source_caps": 800,
         "doc_mixture_epochs": 4931, "doc_training_order": 5000,
+        "doc_bloom_decontaminate": 20, "corpus_overlap_kmv": 1,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -152,6 +161,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_file_skipping": 1,
         "doc_importance_resample": 25, "doc_source_caps": 439,
         "doc_mixture_epochs": 491, "doc_training_order": 500,
+        "doc_bloom_decontaminate": 20, "corpus_overlap_kmv": 1,
     },
 }
 

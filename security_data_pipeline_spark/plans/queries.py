@@ -5928,6 +5928,197 @@ def doc_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixing.training_order(docs, n_shards=8)
 
 
+@query(
+    "doc_bloom_decontaminate",
+    sql="""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 3, 0)),
+           i -> array_to_string(t[i:i+3], ' ')))) AS g
+  FROM toks
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id < 20
+), seeds(s) AS (VALUES (0),(1),(2)),
+setbits AS (
+  SELECT DISTINCT CAST(CONCAT('0x', substr(md5(
+           CAST(s AS VARCHAR) || ':' || g), 1, 15)) AS BIGINT) % 65536 AS p
+  FROM bench CROSS JOIN seeds
+), cg AS (
+  SELECT DISTINCT doc_id, g FROM grams WHERE doc_id >= 20
+), bdoc AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, g
+    FROM cg CROSS JOIN seeds
+    GROUP BY doc_id, g
+    HAVING BOOL_AND(CAST(CONCAT('0x', substr(md5(
+             CAST(s AS VARCHAR) || ':' || g), 1, 15)) AS BIGINT) % 65536
+             IN (SELECT p FROM setbits))
+  )
+), edoc AS (
+  SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (g)
+  WHERE grams.doc_id >= 20
+)
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(b.doc_id) AS BIGINT) AS n_bloom,
+       CAST(COUNT(e.doc_id) AS BIGINT) AS n_exact
+FROM documents d LEFT JOIN bdoc b ON b.doc_id = d.doc_id
+                 LEFT JOIN edoc e ON e.doc_id = d.doc_id
+WHERE d.doc_id >= 20
+GROUP BY d.source
+""",
+    description=(
+        "Bloom-filter decontamination (operators/bloom.py) next to the "
+        "exact broadcast-semi-join form: the eval set's word 4-grams "
+        "compress into a fixed 65536-bit array (8 KiB however large the "
+        "suite), shipped once per executor as a one-row broadcast, and "
+        "the corpus pass is MAP-ONLY — k=3 md5 probes per gram via "
+        "higher-order functions, no join build, no corpus shuffle. "
+        "Per-source counts carry both the Bloom flag and the exact flag: "
+        "bloom >= exact always (false positives only over-drop, nothing "
+        "contaminated slips through), and the oracle reproduces the FPs "
+        "bit-for-bit because the k positions are engine-portable md5 math"
+    ),
+)
+def doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import bloom
+
+    m_bits, k = 1 << 16, 3
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    rest = docs.filter(F.col("doc_id") >= 20)
+    items = bench.select(
+        F.explode(dedup.shingles("text", 4)).alias("g")
+    ).distinct()
+    bf = bloom.bloom_filter_frame(items, "g", m_bits, k)
+    flagged = bloom.flag_bloom_hits(rest, bf, "text", 4, m_bits, k)
+    exact = dedup.contaminated_doc_ids(rest, bench, n=4).withColumn(
+        "_c", F.lit(1)
+    )
+    return (
+        flagged.join(exact, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_bloom_hits") > 0).cast("long")).alias("n_bloom"),
+            F.count("_c").alias("n_exact"),
+        )
+    )
+
+
+@query(
+    "corpus_overlap_kmv",
+    sql="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 3, 0)),
+           i -> array_to_string(t[i:i+3], ' ')))) AS g
+  FROM toks
+), ha AS (
+  SELECT DISTINCT CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+  FROM grams WHERE doc_id % 2 = 0
+), hb AS (
+  SELECT DISTINCT CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+  FROM grams WHERE doc_id % 2 = 1
+), sa AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+sb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+u AS (
+  SELECT h FROM (
+    SELECT DISTINCT h FROM (
+      SELECT h FROM sa UNION ALL SELECT h FROM sb)
+  ) ORDER BY h LIMIT 256
+), j AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_union_sketch,
+         CAST(SUM(CASE WHEN h IN (SELECT h FROM sa)
+                        AND h IN (SELECT h FROM sb)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+  FROM u
+), ea AS (SELECT COUNT(*) AS c, MAX(h) AS mx FROM sa),
+eb AS (SELECT COUNT(*) AS c, MAX(h) AS mx FROM sb),
+ex AS (
+  SELECT (SELECT COUNT(*) FROM ha JOIN hb USING (h)) AS n_int,
+         (SELECT COUNT(*) FROM (SELECT h FROM ha UNION SELECT h FROM hb))
+           AS n_un,
+         (SELECT COUNT(*) FROM ha) AS n_a,
+         (SELECT COUNT(*) FROM hb) AS n_b
+)
+SELECT CAST(256 AS INT) AS k,
+       j.n_union_sketch, j.n_both,
+       ROUND(CAST(j.n_both AS DOUBLE) / GREATEST(j.n_union_sketch, 1), 6)
+         AS jaccard_est,
+       ROUND(CASE WHEN ea.c < 256 THEN CAST(ea.c AS DOUBLE)
+                  ELSE 255.0 * 1152921504606846976.0 / CAST(ea.mx AS DOUBLE)
+             END, 2) AS est_distinct_a,
+       ROUND(CASE WHEN eb.c < 256 THEN CAST(eb.c AS DOUBLE)
+                  ELSE 255.0 * 1152921504606846976.0 / CAST(eb.mx AS DOUBLE)
+             END, 2) AS est_distinct_b,
+       CAST(ex.n_a AS BIGINT) AS n_a_exact,
+       CAST(ex.n_b AS BIGINT) AS n_b_exact,
+       ROUND(CAST(ex.n_int AS DOUBLE) / ex.n_un, 6) AS jaccard_exact
+FROM j, ea, eb, ex
+""",
+    description=(
+        "Corpus-overlap estimation via KMV bottom-k sketches "
+        "(operators/bloom.py:kmv_sketch/kmv_overlap, Beyer et al. "
+        "SIGMOD'07): the two corpus halves (doc_id parity) reduce to one "
+        "256-row bottom-hash sketch each, and Jaccard + per-side "
+        "distinct-gram counts are estimated from the sketches alone — "
+        "comparing a new crawl against every stored corpus snapshot "
+        "becomes k-row frame merges, never a corpus-pair join. Exact "
+        "jaccard/distinct columns ride along as the test-harness witness "
+        "that the estimates land within the ~1/sqrt(k) band (the "
+        "hypothesis property test asserts the bound; at 100 TB only the "
+        "sketch columns survive)"
+    ),
+)
+def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import bloom
+
+    k = 256
+    docs = load_table(spark, sf_dir, "documents")
+    ga = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.explode(dedup.shingles("text", 4)).alias("g")
+    )
+    gb = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.explode(dedup.shingles("text", 4)).alias("g")
+    )
+    est = bloom.kmv_overlap(
+        bloom.kmv_sketch(ga, "g", k), bloom.kmv_sketch(gb, "g", k), k
+    )
+    ha = ga.select(bloom.h60(F.col("g")).alias("h")).distinct()
+    hb = gb.select(bloom.h60(F.col("g")).alias("h")).distinct()
+    exact = (
+        ha.join(hb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_int"))
+        .crossJoin(
+            ha.union(hb).distinct().agg(F.count(F.lit(1)).alias("n_un"))
+        )
+        .crossJoin(ha.agg(F.count(F.lit(1)).alias("n_a_exact")))
+        .crossJoin(hb.agg(F.count(F.lit(1)).alias("n_b_exact")))
+        .select(
+            "n_a_exact",
+            "n_b_exact",
+            F.round(
+                F.col("n_int").cast("double") / F.col("n_un"), 6
+            ).alias("jaccard_exact"),
+        )
+    )
+    return est.crossJoin(exact).select(
+        F.lit(k).alias("k"),
+        "n_union_sketch",
+        "n_both",
+        "jaccard_est",
+        "est_distinct_a",
+        "est_distinct_b",
+        "n_a_exact",
+        "n_b_exact",
+        "jaccard_exact",
+    )
+
+
 # incremental labeling must equal the full recompute — hold it to the
 # exact oracle of neardup_clusters
 REGISTRY["neardup_clusters_incremental"] = QuerySpec(

@@ -1460,6 +1460,80 @@ def maintain_importance_stream(
     return writer.start()
 
 
+def maintain_bloom_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    item_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    trigger_available_now: bool = True,
+):
+    """Streaming Bloom-filter maintenance: every micro-batch's items fold
+    into a persisted membership filter via ``bit_or`` over 64-bit words —
+    the denylist / decontamination-set / seen-before filter kept current
+    at stream cadence, with state bounded at ``m_bits/64`` rows (16 Ki
+    rows = 128 KiB at the default) FOREVER, however many items the stream
+    has carried.
+
+    Per-batch work: one batch scan (k md5 positions per item →
+    ``operators/bloom.py:bloom_word_rows``) and a merge over two
+    ≤ ``m_bits/64``-row frames. The fold is ``bit_or`` — IDEMPOTENT, so a
+    replayed merge cannot corrupt the filter; the lineage-tagged batch-id
+    guard still skips replays outright (shared protocol with
+    :func:`maintain_rollup_stream`), and a crash mid-swap recovers the
+    scratch generation. Readers reconstruct the probe-side one-row frame
+    with :func:`read_bloom_filter` and flag any corpus with the same
+    map-only pass as the batch form; stream-built ≡ batch-built is
+    asserted in tests/test_streaming.py.
+    """
+    from security_data_pipeline_spark.operators import bloom
+
+    scratch = f"{state_path}__next"
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        raw, from_scratch = _read_state(spark, state_path, scratch)
+        replayed, prev = _check_replay(raw, batch_id, checkpoint_path)
+        if replayed:
+            if from_scratch:
+                raw.write.mode("overwrite").parquet(state_path)
+            return
+        new = bloom.bloom_word_rows(batch_df, item_col, m_bits, k)
+        merged = (
+            new
+            if prev is None
+            else prev.unionByName(new)
+            .groupBy("i")
+            .agg(F.bit_or("w").alias("w"))
+        )
+        merged = _stamp_batch(merged, batch_id, checkpoint_path)
+        merged.write.mode("overwrite").parquet(scratch)
+        spark.read.parquet(scratch).write.mode("overwrite").parquet(state_path)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_bloom_filter(spark, state_path: str, m_bits: int, k: int):
+    """Probe-side view of :func:`maintain_bloom_stream` state: the
+    persisted ``(i, w)`` word rows densified into the one-row
+    ``(bloom, m_bits, k)`` frame that
+    ``operators/bloom.py:flag_bloom_hits`` consumes."""
+    from security_data_pipeline_spark.operators import bloom
+
+    words = spark.read.parquet(state_path).select("i", "w")
+    return bloom.bloom_filter_frame(words, None, m_bits, k)
+
+
 def maintain_sample_stream(
     stream_df: DataFrame,
     state_path: str,

@@ -2134,3 +2134,94 @@ def test_streaming_sample_equals_batch_gumbel_topk(spark, tmp_path):
     shutil.rmtree(ckpt)
     run()
     assert streamed() == want
+
+
+def test_streaming_bloom_equals_batch_build(spark, tmp_path):
+    """The streamed Bloom word state must be BIT-EQUAL to the batch build
+    over the cumulative items; membership flags through the reconstructed
+    probe frame match the batch filter; state stays <= m_bits/64 rows and
+    a full same-checkpoint replay leaves the words unchanged."""
+    import os
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.operators import bloom
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_bloom_stream,
+        read_bloom_filter,
+    )
+
+    M, K = 1 << 12, 3
+    batches = [
+        [f"alpha {i} beta" for i in range(20)],
+        [f"gamma {i} delta" for i in range(20, 40)],
+        [f"alpha {i} beta" for i in range(10)],  # replayed content: no-op bits
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    base = time.time() - 100
+    for bi, items in enumerate(batches):
+        f = src / f"b{bi}.parquet"
+        pq.write_table(pa.table({"item": items}), str(f))
+        os.utime(f, (base + bi, base + bi))
+
+    state = str(tmp_path / "bloom")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = maintain_bloom_stream(
+            spark.readStream.schema("item string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src)),
+            state,
+            ckpt,
+            item_col="item",
+            m_bits=M,
+            k=K,
+        )
+        q.awaitTermination(120)
+
+    def streamed_words():
+        return sorted(
+            (r["i"], r["w"])
+            for r in spark.read.parquet(state)
+            .drop("_last_batch_id", "_fold_tag")
+            .collect()
+        )
+
+    run()
+    all_items = spark.createDataFrame(
+        [(x,) for b in batches for x in b], "item string"
+    )
+    want = sorted(
+        (r["i"], r["w"])
+        for r in bloom.bloom_word_rows(all_items, "item", M, K).collect()
+    )
+    got = streamed_words()
+    assert got == want
+    assert len(got) <= M // 64
+
+    # probe through the reconstructed frame == probe through a batch build
+    probes = spark.createDataFrame(
+        [("alpha 5 beta",), ("gamma 25 delta",), ("unseen x y",)],
+        "text string",
+    )
+    bf_stream = read_bloom_filter(spark, state, M, K).localCheckpoint()
+    bf_batch = bloom.bloom_filter_frame(
+        all_items, "item", M, K
+    ).localCheckpoint()
+    flag = lambda bf: [
+        (r["text"], r["n_bloom_hits"])
+        for r in bloom.flag_bloom_hits(probes, bf, "text", 3, M, K)
+        .select("text", "n_bloom_hits")
+        .collect()
+    ]
+    assert sorted(flag(bf_stream)) == sorted(flag(bf_batch))
+
+    # full replay under the same checkpoint lineage: guard skips batches
+    shutil.rmtree(ckpt)
+    run()
+    assert streamed_words() == want
