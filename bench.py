@@ -93,6 +93,12 @@ BENCH_QUERIES: tuple[str, ...] = (
     # 100 TB story)
     "doc_bloom_decontaminate",
     "corpus_overlap_kmv",
+    # round-7 additions: leakage-controlled split (near-dup clusters ->
+    # one split per cluster, straddle count provably 0) and
+    # temperature-scaled source mixture (counts-only agg + one-row
+    # broadcast back)
+    "doc_leakage_safe_split",
+    "doc_source_temperature",
     # driver-window composites, benched AS the driver runs them — the
     # wall-clock the driver pays includes their union/unpivot overhead,
     # which per-arm numbers don't capture
@@ -134,6 +140,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_importance_resample": 25, "doc_source_caps": 800,
         "doc_mixture_epochs": 4931, "doc_training_order": 5000,
         "doc_bloom_decontaminate": 20, "corpus_overlap_kmv": 1,
+        "doc_leakage_safe_split": 3, "doc_source_temperature": 20,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -162,6 +169,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_importance_resample": 25, "doc_source_caps": 439,
         "doc_mixture_epochs": 491, "doc_training_order": 500,
         "doc_bloom_decontaminate": 20, "corpus_overlap_kmv": 1,
+        "doc_leakage_safe_split": 3, "doc_source_temperature": 20,
     },
 }
 

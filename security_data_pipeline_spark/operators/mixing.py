@@ -487,3 +487,62 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    key_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture weights over a corpus key (source,
+    language, domain): ``p_temp(s) ∝ n_s^alpha`` — the standard
+    multilingual/multi-source rebalancing (alpha=1 keeps the empirical
+    mix, alpha→0 approaches uniform; published pipelines typically use
+    alpha in [0.2, 0.7] to lift low-resource keys without letting tiny
+    sources dominate). Output per key: ``n_docs``, ``p_raw`` (empirical
+    share), ``p_temp`` (temperature share), and ``factor`` — the
+    up/downsampling multiple (``p_temp/p_raw``) to feed straight into
+    :func:`mixture_upsample` as that key's epoch weight.
+
+    One counts-only aggregation (map-side combine, |keys| rows) plus a
+    single-row total broadcast back — nothing scans the corpus twice.
+    Engine-portable determinism: only ``alpha=0.5`` is offered the exact
+    path (``sqrt`` is IEEE-correctly-rounded in every engine, unlike
+    ``pow`` whose libm differs in the last ulp), and the temperature
+    denominator sums DECIMAL-quantized sqrt values so the total is exact
+    and order-free — the same trick as the repo's decimal revenue sums.
+    For other alphas the math still runs (``pow``), with the documented
+    cross-engine last-ulp caveat.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    if alpha == 0.5:
+        s = F.sqrt(F.col("n_docs").cast("double"))
+    else:
+        s = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    scored = counts.withColumn(
+        "_s", s.cast("decimal(18,9)")
+    )
+    totals = scored.agg(
+        F.sum("n_docs").alias("_n_total"),
+        F.sum("_s").alias("_s_total"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(totals))
+        .select(
+            key_col,
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("_n_total"), 6
+            ).alias("p_raw"),
+            F.round(
+                F.col("_s").cast("double") / F.col("_s_total").cast("double"),
+                6,
+            ).alias("p_temp"),
+            F.round(
+                F.col("_s").cast("double")
+                * F.col("_n_total")
+                / (F.col("_s_total").cast("double") * F.col("n_docs")),
+                6,
+            ).alias("factor"),
+        )
+    )

@@ -101,3 +101,44 @@ def stratified_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment by near-dup CLUSTER, not by document —
+    the leakage-controlled split: a plain :func:`hash_split` on doc ids
+    scatters the members of a near-dup cluster across splits, so a
+    validation document's near-verbatim twin trains the model and the
+    eval is contaminated BY CONSTRUCTION. Keying the hash on the cluster
+    label instead sends every member of a cluster to the same split
+    (straddle count provably zero — the registered query witnesses it),
+    while singleton docs (absent from ``clusters``) fall back to their
+    own id, preserving hash_split's marginal fractions.
+
+    ``clusters`` is any (id, cluster) labeling —
+    ``dedup.connected_components`` output, the incremental fold's state,
+    or SemDeDup cluster ids. Physical shape: ONE equi-join on the doc id
+    (broadcast when the labeling is small, AQE-planned otherwise) and a
+    map-side md5 range test; assignment is stable under re-partitioning,
+    appends, and engine changes, and adding a NEW crawl's labels never
+    moves an existing cluster's split (the hash keys on the cluster
+    label, which star-contraction folds keep stable unless components
+    genuinely merge).
+    """
+    lab = clusters.select(
+        F.col(id_col),
+        F.col(cluster_col).cast("string").alias("_ckey"),
+    )
+    keyed = df.join(lab, id_col, "left").withColumn(
+        "_ckey", F.coalesce(F.col("_ckey"), F.col(id_col).cast("string"))
+    )
+    return hash_split(keyed, "_ckey", fractions, salt, split_col).drop(
+        "_ckey"
+    )

@@ -6119,6 +6119,138 @@ def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_leakage_safe_split",
+    sql="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 4, 0)),
+           i -> array_to_string(t[i:i+4], ' ')))) AS sh
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jac AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE)/CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.3
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM jac
+  UNION ALL
+  SELECT id_b, id_a FROM jac
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+), labels AS (
+  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+), assigned AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN substr(md5('split' || CAST(cluster_id AS VARCHAR)), 1, 4)
+                   < 'cccc' THEN 'train'
+              WHEN substr(md5('split' || CAST(cluster_id AS VARCHAR)), 1, 4)
+                   < 'e666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM labels
+), straddle AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_straddling_clusters FROM (
+    SELECT cluster_id FROM assigned
+    GROUP BY cluster_id HAVING COUNT(DISTINCT split) > 1
+  )
+)
+SELECT a.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT a.cluster_id) AS BIGINT) AS n_clusters,
+       s.n_straddling_clusters
+FROM assigned a, straddle s
+GROUP BY a.split, s.n_straddling_clusters
+""",
+    description=(
+        "Leakage-controlled train/val/test split "
+        "(sampling.leakage_safe_split): the md5 range test keys on the "
+        "near-dup CLUSTER label (connected components over Jaccard>=0.3 "
+        "pairs), so every member of a cluster lands in one split and a "
+        "validation doc's near-verbatim twin can never sit in train — "
+        "the n_straddling_clusters witness column is provably 0. One "
+        "label join + map-side hash ranges; stable under re-partitioning "
+        "and appends, and a new crawl's labels never move an existing "
+        "cluster's split"
+    ),
+)
+def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=5, threshold=0.3
+    )
+    cc = dedup.connected_components(edges, nodes=docs, id_col="doc_id")
+    out = sampling.leakage_safe_split(
+        docs,
+        cc,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="split",
+    ).join(cc, "doc_id")
+    per = out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+    strad = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("_ns"))
+        .filter(F.col("_ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_straddling_clusters"))
+    )
+    return per.crossJoin(F.broadcast(strad))
+
+
+@query(
+    "doc_source_temperature",
+    sql="""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), scored AS (
+  SELECT source, n_docs,
+         CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(18,9)) AS s
+  FROM counts
+), tot AS (
+  SELECT SUM(n_docs) AS n_total, SUM(s) AS s_total FROM scored
+)
+SELECT source, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS p_raw,
+       ROUND(CAST(s AS DOUBLE) / CAST(s_total AS DOUBLE), 6) AS p_temp,
+       ROUND(CAST(s AS DOUBLE) * CAST(n_total AS DOUBLE)
+             / (CAST(s_total AS DOUBLE) * CAST(n_docs AS DOUBLE)), 6)
+         AS factor
+FROM scored, tot
+""",
+    description=(
+        "Temperature-scaled source mixture (mixing.temperature_weights, "
+        "alpha=0.5): p_temp ∝ sqrt(n_s) — the standard multilingual/"
+        "multi-source rebalancing that lifts low-resource sources without "
+        "letting tiny ones dominate; the factor column feeds "
+        "mixture_upsample as per-source epoch weights. Counts-only "
+        "aggregation + one-row broadcast back; engine-exact because "
+        "sqrt is IEEE-correctly-rounded everywhere (pow is not) and the "
+        "denominator sums DECIMAL-quantized terms (order-free), the "
+        "repo's decimal-sum determinism trick"
+    ),
+)
+def doc_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.temperature_weights(docs, "source", alpha=0.5)
+
+
 # incremental labeling must equal the full recompute — hold it to the
 # exact oracle of neardup_clusters
 REGISTRY["neardup_clusters_incremental"] = QuerySpec(

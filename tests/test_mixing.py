@@ -319,3 +319,32 @@ def test_write_training_shards_sorted_dirs(spark, tmp_path):
         tbl = spark.read.parquet(d)
         seen |= {r["doc_id"] for r in tbl.select("doc_id").collect()}
     assert seen == set(range(500))  # a permutation: nothing lost or duplicated
+
+
+def test_temperature_weights_properties(spark):
+    """alpha=1 is the identity mix (factor 1 everywhere); alpha=0.5
+    shares sum to 1, lift small sources above large ones, and match the
+    hand-computed sqrt shares."""
+    import math
+
+    rows = [("a",)] * 100 + [("b",)] * 25 + [("c",)] * 4
+    df = spark.createDataFrame(rows, "source string")
+
+    ident = {
+        r["source"]: r["factor"]
+        for r in mixing.temperature_weights(df, "source", alpha=1.0).collect()
+    }
+    assert all(abs(f - 1.0) < 1e-6 for f in ident.values()), ident
+
+    out = {
+        r["source"]: r
+        for r in mixing.temperature_weights(df, "source", alpha=0.5).collect()
+    }
+    assert abs(sum(r["p_temp"] for r in out.values()) - 1.0) < 1e-5
+    assert abs(sum(r["p_raw"] for r in out.values()) - 1.0) < 1e-5
+    # smaller source -> larger factor under alpha < 1
+    assert out["c"]["factor"] > out["b"]["factor"] > out["a"]["factor"]
+    assert out["a"]["factor"] < 1.0 < out["c"]["factor"]
+    denom = math.sqrt(100) + math.sqrt(25) + math.sqrt(4)
+    for src, n in (("a", 100), ("b", 25), ("c", 4)):
+        assert abs(out[src]["p_temp"] - math.sqrt(n) / denom) < 1e-5

@@ -58,3 +58,67 @@ def test_bad_fractions_raise(spark):
     df = spark.range(5).withColumnRenamed("id", "k")
     with pytest.raises(ValueError):
         sampling.hash_split(df, "k", {"a": 0.5, "b": 0.2})
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    """Hypothesis over random cluster labelings: every cluster's members
+    share one split, and unlabeled docs fall back to the plain id-keyed
+    hash_split assignment."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from security_data_pipeline_spark.operators import sampling
+
+    fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        n=st.integers(20, 80),
+        n_clusters=st.integers(1, 10),
+        labeled_frac=st.floats(0.2, 1.0),
+        seed=st.integers(0, 10**6),
+    )
+    def check(n, n_clusters, labeled_frac, seed):
+        import random
+
+        rng = random.Random(seed)
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(n)], "doc_id long, text string"
+        )
+        labeled = [i for i in range(n) if rng.random() < labeled_frac]
+        clusters = spark.createDataFrame(
+            [(i, rng.randrange(n_clusters)) for i in labeled]
+            or [(0, 0)][:0],
+            "doc_id long, cluster_id long",
+        )
+        out = sampling.leakage_safe_split(
+            docs, clusters, fracs, salt="s"
+        ).join(
+            clusters.withColumnRenamed("cluster_id", "cl"), "doc_id", "left"
+        )
+        rows = {r["doc_id"]: (r["split"], r["cl"]) for r in out.collect()}
+        assert len(rows) == n
+        by_cluster = {}
+        for _, (split, cl) in rows.items():
+            if cl is not None:
+                by_cluster.setdefault(cl, set()).add(split)
+        assert all(len(s) == 1 for s in by_cluster.values()), by_cluster
+        # unlabeled fallback == plain hash_split keyed on the doc id
+        plain = {
+            r["doc_id"]: r["split"]
+            for r in sampling.hash_split(
+                docs.withColumn("_k", F.col("doc_id").cast("string")),
+                "_k",
+                fracs,
+                salt="s",
+            ).collect()
+        }
+        for d, (split, cl) in rows.items():
+            if cl is None:
+                assert split == plain[d]
+
+    check()
