@@ -47,6 +47,13 @@ __all__ = [
     "update_file_manifest",
     "prune_files",
     "read_pruned",
+    "compaction_plan",
+    "compact_dataset",
+    "publish_generation",
+    "current_generation",
+    "generation_log",
+    "read_current",
+    "read_generation",
 ]
 
 
@@ -496,3 +503,144 @@ def compact_dataset(
     plan["files_after"] = len(list_data_files(spark, out_path))
     plan["rows"] = spark.read.parquet(out_path).count()
     return plan
+
+
+# ---------------------------------------------------------------------------
+# Generation publishing: atomic dataset swap via a pointer-commit log
+# ---------------------------------------------------------------------------
+
+_COMMITS = "_commits"
+
+
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path-class) for ``path`` via the session's Hadoop
+    conf — the same JVM surface the streaming replay guards use, so the
+    protocol follows whatever filesystem the cluster mounts."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm.org.apache.hadoop.fs.Path
+
+
+def publish_generation(
+    spark,
+    root: str,
+    gen_path: str,
+    expect_version: int | None = None,
+    max_retries: int = 16,
+) -> int:
+    """ATOMICALLY publish ``gen_path`` as the next generation of the
+    dataset rooted at ``root`` — the missing last step of every
+    rewrite-then-swap operator here (`compact_dataset`, `zorder_layout`,
+    `rebuild_ivf_index` write NEW directories; this is how readers cut
+    over without ever observing partial state).
+
+    Protocol (the Iceberg/Delta pointer-commit idea, on bare files): a
+    commit is one file ``{root}/_commits/<version>`` whose CONTENT is the
+    generation directory path. Committing writes a dot-prefixed temp file
+    and RENAMES it to the final name — rename-if-absent is the atomic
+    primitive (POSIX and HDFS; object stores need their conditional-put
+    flavor, the documented caveat) — so concurrent publishers race on the
+    rename and exactly one wins each version number; the loser retries at
+    the next version. Readers (:func:`current_generation`) list the log,
+    take the highest fully-committed version, and read its pointer —
+    a crashed half-written temp file is invisible to them by name.
+
+    ``expect_version`` turns the publish into a CAS for read-modify-write
+    pipelines (compact generation N, publish only if N is still current):
+    raises ``RuntimeError`` if someone published meanwhile. Rollback is
+    just re-publishing an old generation's path as a NEW version — the
+    log is append-only history, so time travel (:func:`read_generation`)
+    keeps working.
+
+    At 100 TB the commit log is |generations| tiny files and the publish
+    is one rename regardless of data size; old generations stay until a
+    retention sweep deletes those below the oldest version readers pin.
+    """
+    import uuid
+
+    fs, Path = _hadoop_fs(spark, root)
+    log_dir = f"{root.rstrip('/')}/{_COMMITS}"
+    fs.mkdirs(Path(log_dir))
+    cur = current_generation(spark, root)
+    version = (cur[0] if cur else 0) + 1
+    if expect_version is not None and (cur[0] if cur else 0) != expect_version:
+        raise RuntimeError(
+            f"publish_generation: expected current version "
+            f"{expect_version} but found {(cur[0] if cur else 0)} — "
+            "concurrent publish; re-derive the generation and retry"
+        )
+    payload = gen_path.encode("utf-8")
+    for _ in range(max_retries):
+        tmp = Path(f"{log_dir}/.tmp-{uuid.uuid4().hex}")
+        out = fs.create(tmp, True)
+        try:
+            out.write(payload)
+        finally:
+            out.close()
+        if fs.rename(tmp, Path(f"{log_dir}/{version:020d}")):
+            return version
+        fs.delete(tmp, False)
+        if expect_version is not None:
+            raise RuntimeError(
+                f"publish_generation: version {version} was taken during "
+                "a CAS publish — concurrent publish; re-derive and retry"
+            )
+        version += 1
+    raise RuntimeError(
+        f"publish_generation: lost the rename race {max_retries} times"
+    )
+
+
+def _list_commits(spark, root: str) -> list[tuple[int, str]]:
+    fs, Path = _hadoop_fs(spark, root)
+    log_dir = Path(f"{root.rstrip('/')}/{_COMMITS}")
+    if not fs.exists(log_dir):
+        return []
+    out = []
+    for st in fs.listStatus(log_dir):
+        name = st.getPath().getName()
+        if name.startswith("."):
+            continue  # crashed temp: never renamed, never visible
+        try:
+            version = int(name)
+        except ValueError:
+            continue
+        stream = fs.open(st.getPath())
+        try:
+            data = bytes(stream.readAllBytes()).decode("utf-8")
+        finally:
+            stream.close()
+        out.append((version, data))
+    return sorted(out)
+
+
+def current_generation(spark, root: str) -> tuple[int, str] | None:
+    """Highest committed ``(version, gen_path)`` of ``root``, or None if
+    nothing was ever published."""
+    commits = _list_commits(spark, root)
+    return commits[-1] if commits else None
+
+
+def generation_log(spark, root: str) -> list[tuple[int, str]]:
+    """Full append-only history ``[(version, gen_path), ...]`` ascending
+    — the time-travel index."""
+    return _list_commits(spark, root)
+
+
+def read_current(spark, root: str) -> DataFrame:
+    """Read the currently published generation. Raises if nothing was
+    published — an unpublished root has no readable state by contract
+    (readers must never guess at directories)."""
+    cur = current_generation(spark, root)
+    if cur is None:
+        raise FileNotFoundError(f"no generation published under {root}")
+    return spark.read.parquet(cur[1])
+
+
+def read_generation(spark, root: str, version: int) -> DataFrame:
+    """Time travel: read the generation published as ``version``."""
+    for v, p in _list_commits(spark, root):
+        if v == version:
+            return spark.read.parquet(p)
+    raise FileNotFoundError(f"version {version} not in {root}/{_COMMITS}")

@@ -1523,6 +1523,65 @@ def maintain_bloom_stream(
     return writer.start()
 
 
+def maintain_kmv_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    item_col: str,
+    k: int = 256,
+    trigger_available_now: bool = True,
+):
+    """Streaming KMV (bottom-k distinct-hash) sketch maintenance: each
+    micro-batch's items hash map-side and fold into a persisted ≤ k-row
+    bottom-k frame — the live corpus signature that answers "how many
+    distinct items so far" and, against any OTHER corpus's sketch,
+    "how much do we overlap" (``operators/bloom.py:kmv_overlap``) without
+    ever rescanning history.
+
+    The fold is the textbook mergeable-summary merge: bottom-k of
+    (state ∪ batch-bottom-k) — associative, commutative, IDEMPOTENT
+    (an item's hash is a pure function, so refolding a replayed batch
+    changes nothing), on top of the shared lineage-tagged replay guard
+    and scratch-swap crash protocol. Per-batch work: one batch scan +
+    a distinct/TakeOrdered over batch hashes + a 2k-row merge. State is
+    ≤ k rows forever.
+    """
+    from security_data_pipeline_spark.operators import bloom
+
+    scratch = f"{state_path}__next"
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        raw, from_scratch = _read_state(spark, state_path, scratch)
+        replayed, prev = _check_replay(raw, batch_id, checkpoint_path)
+        if replayed:
+            if from_scratch:
+                raw.write.mode("overwrite").parquet(state_path)
+            return
+        new = bloom.kmv_sketch(batch_df, item_col, k)
+        merged = (
+            new
+            if prev is None
+            else prev.select("h")
+            .union(new)
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+        )
+        merged = _stamp_batch(merged, batch_id, checkpoint_path)
+        merged.write.mode("overwrite").parquet(scratch)
+        spark.read.parquet(scratch).write.mode("overwrite").parquet(state_path)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def read_bloom_filter(spark, state_path: str, m_bits: int, k: int):
     """Probe-side view of :func:`maintain_bloom_stream` state: the
     persisted ``(i, w)`` word rows densified into the one-row

@@ -547,3 +547,106 @@ def test_checksum_manifest_diff_classifies_with_null_keys(spark):
     rows = {r["pk"]: (r["n_rows_old"], r["n_rows_new"]) for r in diff.collect()}
     assert rows["p3"] == (1, None) and rows["p4"] == (None, 1)
     assert rows[None] == (1, 1)
+
+
+def test_publish_generation_roundtrip_and_time_travel(spark, tmp_path):
+    """Publish two generations: versions increment, read_current cuts
+    over atomically, the log keeps full history, and time travel reads
+    the old generation verbatim."""
+    import pytest
+
+    from security_data_pipeline_spark.operators import layout
+
+    root = str(tmp_path / "ds")
+    g1 = str(tmp_path / "gen1")
+    g2 = str(tmp_path / "gen2")
+    spark.range(0, 10).write.parquet(g1)
+    spark.range(10, 30).write.parquet(g2)
+
+    assert layout.current_generation(spark, root) is None
+    with pytest.raises(FileNotFoundError):
+        layout.read_current(spark, root)
+
+    v1 = layout.publish_generation(spark, root, g1)
+    assert v1 == 1
+    assert layout.read_current(spark, root).count() == 10
+
+    v2 = layout.publish_generation(spark, root, g2)
+    assert v2 == 2
+    assert layout.read_current(spark, root).count() == 20
+    assert layout.generation_log(spark, root) == [(1, g1), (2, g2)]
+    assert layout.read_generation(spark, root, 1).count() == 10
+
+    # rollback = republishing the old path as a NEW version
+    v3 = layout.publish_generation(spark, root, g1)
+    assert v3 == 3
+    assert layout.read_current(spark, root).count() == 10
+
+
+def test_publish_generation_cas_conflict_raises(spark, tmp_path):
+    """expect_version turns publish into a CAS: a concurrent publish in
+    the read-modify-write window is detected, never silently clobbered."""
+    import pytest
+
+    from security_data_pipeline_spark.operators import layout
+
+    root = str(tmp_path / "ds")
+    g1 = str(tmp_path / "g1")
+    g2 = str(tmp_path / "g2")
+    spark.range(5).write.parquet(g1)
+    spark.range(5).write.parquet(g2)
+
+    layout.publish_generation(spark, root, g1)  # v1
+    # CAS against the version we read (1) succeeds
+    assert layout.publish_generation(spark, root, g2, expect_version=1) == 2
+    # stale CAS (still thinks current is 1) fails
+    with pytest.raises(RuntimeError, match="concurrent publish"):
+        layout.publish_generation(spark, root, g1, expect_version=1)
+
+
+def test_publish_generation_ignores_crashed_tmp_files(spark, tmp_path):
+    """A crashed half-written commit (dot-prefixed temp that never got
+    renamed) is invisible to readers and to the next publisher."""
+    import pathlib
+
+    from security_data_pipeline_spark.operators import layout
+
+    root = str(tmp_path / "ds")
+    g1 = str(tmp_path / "g1")
+    spark.range(5).write.parquet(g1)
+    layout.publish_generation(spark, root, g1)
+
+    junk = pathlib.Path(root) / "_commits" / ".tmp-deadbeef"
+    junk.write_text("/nowhere")
+    assert layout.current_generation(spark, root) == (1, g1)
+    assert layout.publish_generation(spark, root, g1) == 2
+
+
+def test_compact_then_publish_preserves_checksum(spark, tmp_path):
+    """The full swap story: compact a fragmented dataset into a new
+    generation, assert the order-free content checksum is unchanged,
+    publish, and read through the pointer."""
+    from security_data_pipeline_spark.operators import layout, merge
+
+    root = str(tmp_path / "ds")
+    g1 = str(tmp_path / "gen1")
+    spark.range(0, 1000).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS grp"
+    ).repartition(16).write.parquet(g1)
+    layout.publish_generation(spark, root, g1)
+
+    g2 = str(tmp_path / "gen2")
+    plan = layout.compact_dataset(spark, g1, g2, n_files=2)
+    assert plan["rows"] == 1000
+
+    cols = ["id", "grp"]
+    ck = lambda p: merge.dataset_checksum(
+        spark.read.parquet(p), cols
+    ).first()
+    a, b = ck(g1), ck(g2)
+    assert (a["n_rows"], a["checksum"]) == (b["n_rows"], b["checksum"])
+
+    layout.publish_generation(spark, root, g2, expect_version=1)
+    assert layout.read_current(spark, root).count() == 1000
+    files = layout.list_data_files(spark, g2)
+    assert len(files) == 2

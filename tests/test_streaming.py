@@ -2225,3 +2225,87 @@ def test_streaming_bloom_equals_batch_build(spark, tmp_path):
     shutil.rmtree(ckpt)
     run()
     assert streamed_words() == want
+
+
+def test_streaming_kmv_equals_batch_sketch(spark, tmp_path):
+    """The streamed bottom-k sketch must be BIT-EQUAL to the batch
+    kmv_sketch over the cumulative items (including batches whose small
+    hashes displace earlier members), stay <= k rows, survive a full
+    same-checkpoint replay unchanged, and feed kmv_overlap identically
+    to the batch sketch."""
+    import os
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.operators import bloom
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_kmv_stream,
+    )
+
+    K = 32
+    batches = [
+        [f"w{i}" for i in range(100)],
+        [f"x{i}" for i in range(100, 200)],
+        [f"w{i}" for i in range(50)],  # pure replayed content: no-op
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    base = time.time() - 100
+    for bi, items in enumerate(batches):
+        f = src / f"b{bi}.parquet"
+        pq.write_table(pa.table({"item": items}), str(f))
+        os.utime(f, (base + bi, base + bi))
+
+    state = str(tmp_path / "kmv")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = maintain_kmv_stream(
+            spark.readStream.schema("item string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src)),
+            state,
+            ckpt,
+            item_col="item",
+            k=K,
+        )
+        q.awaitTermination(120)
+
+    def streamed():
+        return [
+            r["h"]
+            for r in spark.read.parquet(state)
+            .drop("_last_batch_id", "_fold_tag")
+            .orderBy("h")
+            .collect()
+        ]
+
+    run()
+    all_items = spark.createDataFrame(
+        [(x,) for b in batches for x in b], "item string"
+    )
+    want = [
+        r["h"] for r in bloom.kmv_sketch(all_items, "item", K).collect()
+    ]
+    got = streamed()
+    assert got == want and len(got) == K
+
+    # overlap through the streamed sketch == through the batch sketch
+    other = spark.createDataFrame(
+        [(f"w{i}",) for i in range(150)], "item string"
+    )
+    so = bloom.kmv_sketch(other, "item", K)
+    via_stream = bloom.kmv_overlap(
+        spark.read.parquet(state).select("h"), so, K
+    ).first()
+    via_batch = bloom.kmv_overlap(
+        bloom.kmv_sketch(all_items, "item", K), so, K
+    ).first()
+    assert via_stream == via_batch
+
+    shutil.rmtree(ckpt)
+    run()
+    assert streamed() == want
