@@ -1320,6 +1320,50 @@ def _scale_suite_sql() -> str:
             "CAST(new_id AS VARCHAR) || '|' || CAST(ref_id AS VARCHAR)",
             [("jaccard", "jaccard")],
         ),
+        _unpivot_arm_sql(
+            "bl",
+            "bloom_decon",
+            "source",
+            [
+                ("n_docs", "n_docs"),
+                ("n_bloom", "n_bloom"),
+                ("n_exact", "n_exact"),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "km",
+            "kmv",
+            "'halves'",
+            [
+                ("n_union_sketch", "n_union_sketch"),
+                ("n_both", "n_both"),
+                ("jaccard_est", "jaccard_est"),
+                ("jaccard_exact", "jaccard_exact"),
+                ("est_distinct_a", "est_distinct_a"),
+                ("est_distinct_b", "est_distinct_b"),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "tw",
+            "temperature",
+            "source",
+            [
+                ("n_docs", "n_docs"),
+                ("p_raw", "p_raw"),
+                ("p_temp", "p_temp"),
+                ("factor", "factor"),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "ls",
+            "leak_split",
+            "split",
+            [
+                ("n_docs", "n_docs"),
+                ("n_clusters", "n_clusters"),
+                ("n_straddling", "n_straddling_clusters"),
+            ],
+        ),
     ]
     body = "\nUNION ALL\n".join(arms)
     return f"""
@@ -1360,7 +1404,11 @@ ffa AS (
 dt AS ({cte("events_drift_trend")}),
 ck AS ({cte("events_dataset_checksum")}),
 ckt AS ({cte("events_checksum_by_type")}),
-xc AS ({cte("doc_cross_corpus_dups")})
+xc AS ({cte("doc_cross_corpus_dups")}),
+bl AS ({cte("doc_bloom_decontaminate")}),
+km AS ({cte("corpus_overlap_kmv")}),
+tw AS ({cte("doc_source_temperature")}),
+ls AS ({cte("doc_leakage_safe_split")})
 {body}
 """
 
@@ -1395,8 +1443,14 @@ xc AS ({cte("doc_cross_corpus_dups")})
         "exact DECIMAL content digests fold into the hashed item string "
         "so the driver witnesses every bit; (14) cross-corpus MinHash "
         "near-dup — the fresh-crawl-vs-training-set two-sided band join "
-        "with verified Jaccard per pair. All fourteen unpivoted to "
-        "one (suite, item, "
+        "with verified Jaccard per pair; (15) Bloom-filter "
+        "decontamination per source — map-only bit-array probes whose "
+        "false positives the oracle reproduces bit-for-bit, next to the "
+        "exact flags; (16) KMV bottom-k corpus-overlap estimates beside "
+        "their exact witnesses; (17) temperature-scaled source mixture "
+        "(sqrt shares, decimal-exact denominator) with upsample factors; "
+        "(18) the leakage-safe cluster-keyed split with its zero-"
+        "straddle witness. All eighteen unpivoted to one (suite, item, "
         "metric, value) stream; constituents stay registered for "
         "granular oracle checks"
     ),
@@ -1640,5 +1694,70 @@ def scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("jaccard").alias("metric"),
             F.col("jaccard").cast("double").alias("value"),
         )
+    )
+
+    # Bloom decontamination per source: exact flags and the (bit-for-bit
+    # oracle-reproduced) false-positive-bearing Bloom flags side by side
+    bl = run("doc_bloom_decontaminate")
+    bl_metrics = ["n_docs", "n_bloom", "n_exact"]
+    parts.append(
+        bl.select(
+            F.col("source").alias("item"),
+            *[F.col(m).cast("double").alias(m) for m in bl_metrics],
+        )
+        .unpivot(["item"], bl_metrics, "metric", "value")
+        .select(F.lit("bloom_decon").alias("suite"), "item", "metric", "value")
+    )
+
+    # KMV corpus-overlap sketch estimates next to their exact witnesses
+    km = run("corpus_overlap_kmv")
+    km_metrics = [
+        "n_union_sketch",
+        "n_both",
+        "jaccard_est",
+        "jaccard_exact",
+        "est_distinct_a",
+        "est_distinct_b",
+    ]
+    parts.append(
+        km.select(
+            F.lit("halves").alias("item"),
+            *[F.col(m).cast("double").alias(m) for m in km_metrics],
+        )
+        .unpivot(["item"], km_metrics, "metric", "value")
+        .select(F.lit("kmv").alias("suite"), "item", "metric", "value")
+    )
+
+    # temperature-scaled source mixture shares + upsample factors
+    tw = run("doc_source_temperature")
+    tw_metrics = ["n_docs", "p_raw", "p_temp", "factor"]
+    parts.append(
+        tw.select(
+            F.col("source").alias("item"),
+            *[F.col(m).cast("double").alias(m) for m in tw_metrics],
+        )
+        .unpivot(["item"], tw_metrics, "metric", "value")
+        .select(F.lit("temperature").alias("suite"), "item", "metric", "value")
+    )
+
+    # leakage-safe split: per-split sizes + the zero-straddle witness
+    ls = run("doc_leakage_safe_split")
+    ls_metrics_map = [
+        ("n_docs", "n_docs"),
+        ("n_clusters", "n_clusters"),
+        ("n_straddling", "n_straddling_clusters"),
+    ]
+    parts.append(
+        ls.select(
+            F.col("split").alias("item"),
+            *[
+                F.col(src).cast("double").alias(name)
+                for name, src in ls_metrics_map
+            ],
+        )
+        .unpivot(
+            ["item"], [n for n, _ in ls_metrics_map], "metric", "value"
+        )
+        .select(F.lit("leak_split").alias("suite"), "item", "metric", "value")
     )
     return _union(parts)
