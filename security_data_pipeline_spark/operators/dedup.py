@@ -1361,3 +1361,218 @@ def jaccard_prefix_join(
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-SUBSTRING dedup (span level) — the "dedup inside the
+# document" family from Lee et al., "Deduplicating Training Data Makes
+# Language Models Better" (ACL 2022). MinHash/SimHash above find *document
+# pairs*; these find the shared *token runs* themselves and cut them out,
+# which is what a pre-training corpus needs for boilerplate (license
+# headers, navigation chrome, quoted reply chains) that rides inside
+# otherwise-unique documents.
+# ---------------------------------------------------------------------------
+
+
+def positional_grams(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """``(id, pos, gram)`` — POSITIONAL token n-grams (0-based start).
+
+    Unlike :func:`shingles` this keeps every occurrence and its position:
+    span reconstruction needs to know *where* a duplicated gram sits, not
+    just that the document contains it. Documents shorter than ``n``
+    tokens contribute no rows (the branch-guarded ``sequence`` below —
+    see :func:`shingles` for why the guard is per-branch). NULL text is
+    treated as empty.
+    """
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    (i - 1).cast("bigint").alias("pos"),
+                    F.concat_ws(" ", F.slice(toks, i, n)).alias("gram"),
+                ),
+            )
+        ).alias("_pg"),
+    ).select(id_col, F.col("_pg.pos").alias("pos"), F.col("_pg.gram").alias("gram"))
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    scope: str = "cross_doc",
+    gram_key: str = "text",
+) -> DataFrame:
+    """Maximal duplicated token spans per document.
+
+    A token position is *duplicated* when the n-gram starting there also
+    occurs elsewhere (``scope="cross_doc"``: in ≥ ``min_docs`` distinct
+    documents; ``scope="any"``: ≥ ``min_docs`` total occurrences, which
+    also catches within-document self-repetition). Overlapping/adjacent
+    duplicated grams are merged gaps-and-islands style into maximal
+    spans. Output: ``(id, span_start, span_end, span_tokens)`` with
+    inclusive 0-based token bounds; every span is ≥ ``n`` tokens.
+
+    Physical shape (the 100 TB pass):
+
+    1. positional grams — narrow, no shuffle;
+    2. the duplicated-gram set — ONE hash aggregation on the gram. For
+       the default ``min_docs=2`` cross-doc form the test is
+       ``min(id) <> max(id)``: plain min/max partials (full map-side
+       combine, one shuffle) instead of ``countDistinct``'s two-round
+       expand. General ``min_docs`` falls back to ``countDistinct``;
+3. grams ⋈ dup-set — co-partitioned equi-join on the gram (both
+       sides hash-shuffle on the same key; the dup side is typically
+       ≪ corpus, and AQE broadcasts it when it fits);
+    4. island merge — per-document window, partition-local after one
+       shuffle on the id.
+
+    ``gram_key="hash"`` shuffles ``xxhash64(gram)`` (8-byte longs)
+    instead of gram strings for steps 2-3 — the production knob (~5×
+    less shuffle IO; 64-bit collision odds are negligible but nonzero,
+    so the oracle-checked registered form uses exact ``"text"`` keys).
+    """
+    if scope not in ("cross_doc", "any"):
+        raise ValueError(f"scope must be cross_doc|any, got {scope!r}")
+    if gram_key not in ("text", "hash"):
+        raise ValueError(f"gram_key must be text|hash, got {gram_key!r}")
+    grams = positional_grams(df, id_col, text_col, n)
+    if gram_key == "hash":
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
+    if scope == "any":
+        occ = F.lit(1)
+        witness = F.count(occ) >= min_docs
+        dup = grams.groupBy("gram").agg(witness.alias("_dup"))
+    elif min_docs == 2:
+        dup = grams.groupBy("gram").agg(
+            (F.min(id_col) != F.max(id_col)).alias("_dup")
+        )
+    else:
+        dup = grams.groupBy("gram").agg(
+            (F.countDistinct(id_col) >= min_docs).alias("_dup")
+        )
+    hits = (
+        grams.join(dup.filter("_dup").select("gram"), "gram")
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    flagged = hits.withColumn(
+        "_gap",
+        F.when(prev.isNull() | (F.col("pos") > prev + (n - 1)), 1).otherwise(0),
+    )
+    island = F.sum("_gap").over(
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("_island", island)
+        .groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
+            (F.max("pos") - F.min("pos") + n).alias("span_tokens"),
+        )
+        .drop("_island")
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    scope: str = "cross_doc",
+    gram_key: str = "text",
+) -> DataFrame:
+    """Cut every duplicated span out of each document.
+
+    Output: ``(id, clean_text, n_tokens_removed)`` — one row per input
+    document (untouched documents pass through with 0 removed; a fully
+    duplicated document survives with ``clean_text = ''``).
+
+    The rebuild is per-document array math, NOT an explode/re-aggregate:
+    spans are collected to one small array per affected document
+    (``collect_list`` after the islands agg — bounded by spans-per-doc),
+    LEFT-joined onto the corpus by id, and each document filters its own
+    token array with an indexed HOF lambda (``F.filter(toks, (t, i) ->
+    ...)``) against its span array. One shuffle (the join); the token
+    stream itself never explodes. Removing a span can CREATE a new
+    adjacent n-gram where the cut edges meet — single-pass semantics,
+    same as the reference algorithm; iterate to fixpoint externally if
+    that matters.
+    """
+    spans = duplicated_spans(df, id_col, text_col, n, min_docs, scope, gram_key)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    in_span = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+    )
+    kept = F.when(
+        F.col("_spans").isNull(), toks
+    ).otherwise(F.filter(toks, lambda t, i: ~in_span(i.cast("bigint"))))
+    return (
+        df.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", kept).alias("clean_text"),
+            (F.size(toks) - F.size(kept)).cast("bigint").alias(
+                "n_tokens_removed"
+            ),
+        )
+    )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    by: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    scope: str = "cross_doc",
+    gram_key: str = "text",
+) -> DataFrame:
+    """Per-group boilerplate report: what fraction of each group's tokens
+    sits inside cross-document duplicated spans. The curation signal that
+    decides which sources need substring dedup at all. Output:
+    ``(by, n_docs, n_docs_affected, total_tokens, dup_tokens,
+    dup_token_frac)``."""
+    spans = duplicated_spans(df, id_col, text_col, n, min_docs, scope, gram_key)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_tokens").alias("_dup_toks"),
+    )
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    joined = df.select(
+        F.col(by), F.col(id_col), F.size(toks).cast("bigint").alias("_n_toks")
+    ).join(per_doc, id_col, "left")
+    return (
+        joined.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_dup_toks").alias("n_docs_affected"),
+            F.sum("_n_toks").alias("total_tokens"),
+            F.coalesce(F.sum("_dup_toks"), F.lit(0)).cast("bigint").alias(
+                "dup_tokens"
+            ),
+            (
+                F.coalesce(F.sum("_dup_toks"), F.lit(0)).cast("double")
+                / F.sum("_n_toks").cast("double")
+            ).alias("dup_token_frac"),
+        )
+    )

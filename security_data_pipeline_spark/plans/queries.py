@@ -6260,6 +6260,130 @@ REGISTRY["neardup_clusters_incremental"] = QuerySpec(
 )
 
 
+# --- exact duplicated-substring (span) dedup -------------------------------
+
+_SPAN_N = 8
+
+
+def _dup_span_cte(n: int) -> str:
+    """Shared oracle CTE chain ending in ``spans(doc_id, span_start,
+    span_end, span_tokens)`` — the SQL mirror of
+    :func:`operators.dedup.duplicated_spans` (cross-doc, min_docs=2:
+    the min<>max witness)."""
+    return f"""
+toks AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents
+), pos_ AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - {n} + 1)) AS i
+  FROM toks WHERE len(t) >= {n}
+), grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+{n - 1}], ' ') AS gram
+  FROM pos_
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)
+), hits AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + {n - 1}
+              THEN 1 ELSE 0 END AS gap
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), islands AS (
+  SELECT doc_id, pos,
+         SUM(gap) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+), spans AS (
+  SELECT doc_id,
+         CAST(MIN(pos) AS BIGINT) AS span_start,
+         CAST(MAX(pos) + {n - 1} AS BIGINT) AS span_end,
+         CAST(MAX(pos) - MIN(pos) + {n} AS BIGINT) AS span_tokens
+  FROM islands GROUP BY doc_id, island
+)"""
+
+
+@query(
+    "doc_dup_spans",
+    sql=f"""
+WITH {_dup_span_cte(_SPAN_N)}
+SELECT doc_id, span_start, span_end, span_tokens FROM spans
+""",
+    description=(
+        "Exact substring dedup (Lee et al.): maximal cross-document "
+        "duplicated token runs per doc via positional 8-grams, a "
+        "min<>max duplicated-gram witness, and a gaps-and-islands merge"
+    ),
+)
+def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(docs, n=_SPAN_N)
+
+
+@query(
+    "doc_dup_span_removal",
+    sql=f"""
+WITH {_dup_span_cte(_SPAN_N)},
+covered AS (
+  SELECT doc_id, unnest(generate_series(span_start, span_end)) AS pos
+  FROM spans
+), toks2 AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(generate_series(1, len(t))) - 1 AS pos
+  FROM toks
+), kept AS (
+  SELECT k.doc_id, k.pos, k.tok
+  FROM toks2 k LEFT JOIN covered c ON k.doc_id = c.doc_id AND k.pos = c.pos
+  WHERE c.pos IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS nk
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(len(string_split(coalesce(d.text, ''), ' ')) - coalesce(r.nk, 0)
+            AS BIGINT) AS n_tokens_removed
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+""",
+    description=(
+        "Substring-dedup removal: every duplicated span cut out of its "
+        "document by per-doc indexed array filtering (no token explode)"
+    ),
+)
+def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_duplicated_spans(docs, n=_SPAN_N)
+
+
+@query(
+    "doc_dup_span_stats",
+    sql=f"""
+WITH {_dup_span_cte(_SPAN_N)},
+per_doc AS (
+  SELECT doc_id, SUM(span_tokens) AS dt FROM spans GROUP BY doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(p.dt) AS BIGINT) AS n_docs_affected,
+       CAST(SUM(len(string_split(coalesce(d.text, ''), ' '))) AS BIGINT)
+         AS total_tokens,
+       CAST(coalesce(SUM(p.dt), 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(SUM(p.dt), 0) AS DOUBLE)
+         / CAST(SUM(len(string_split(coalesce(d.text, ''), ' '))) AS DOUBLE)
+         AS dup_token_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY d.source
+""",
+    description=(
+        "Per-source boilerplate report: fraction of tokens inside "
+        "cross-document duplicated spans — the signal that decides which "
+        "sources need substring dedup"
+    ),
+)
+def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_span_stats(docs, by="source", n=_SPAN_N)
+
+
 # Composite driver-window queries register on import (they reuse the
 # operators and oracle-SQL builders defined above, so the import must come
 # after those definitions).
