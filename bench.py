@@ -127,7 +127,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_time_bucket_rollup": 14385, "doc_winnow_pairs": 251,
         "doc_lm_scores": 5000,
         "temporal_net_suite": 44669, "event_windows_suite": 200000,
-        "scale_suite": 533, "security_detections": 11195,
+        "scale_suite": 633, "security_detections": 11195,
         "doc_jaccard_prefix_pairs": 255, "knn_cosine_sq8": 50,
         "doc_hybrid_search": 20, "events_value_drift": 5,
         "events_heavy_hitters": 0, "events_hourly_resampled": 3600,
@@ -156,7 +156,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_time_bucket_rollup": 7206, "doc_winnow_pairs": 25,
         "doc_lm_scores": 500,
         "temporal_net_suite": 16129, "event_windows_suite": 20000,
-        "scale_suite": 408, "security_detections": 1135,
+        "scale_suite": 508, "security_detections": 1135,
         "doc_jaccard_prefix_pairs": 25, "knn_cosine_sq8": 50,
         "doc_hybrid_search": 20, "events_value_drift": 5,
         "events_heavy_hitters": 0, "events_hourly_resampled": 3600,

@@ -1364,6 +1364,18 @@ def _scale_suite_sql() -> str:
                 ("n_straddling", "n_straddling_clusters"),
             ],
         ),
+        _unpivot_arm_sql(
+            "sp",
+            "span_dedup",
+            "source",
+            [
+                ("n_docs", "n_docs"),
+                ("n_docs_affected", "n_docs_affected"),
+                ("total_tokens", "total_tokens"),
+                ("dup_tokens", "dup_tokens"),
+                ("dup_token_frac", "ROUND(dup_token_frac, 9)"),
+            ],
+        ),
     ]
     body = "\nUNION ALL\n".join(arms)
     return f"""
@@ -1408,7 +1420,8 @@ xc AS ({cte("doc_cross_corpus_dups")}),
 bl AS ({cte("doc_bloom_decontaminate")}),
 km AS ({cte("corpus_overlap_kmv")}),
 tw AS ({cte("doc_source_temperature")}),
-ls AS ({cte("doc_leakage_safe_split")})
+ls AS ({cte("doc_leakage_safe_split")}),
+sp AS ({cte("doc_dup_span_stats")})
 {body}
 """
 
@@ -1450,9 +1463,12 @@ ls AS ({cte("doc_leakage_safe_split")})
         "their exact witnesses; (17) temperature-scaled source mixture "
         "(sqrt shares, decimal-exact denominator) with upsample factors; "
         "(18) the leakage-safe cluster-keyed split with its zero-"
-        "straddle witness. All eighteen unpivoted to one (suite, item, "
-        "metric, value) stream; constituents stay registered for "
-        "granular oracle checks"
+        "straddle witness; (19) the exact-substring (span) dedup "
+        "per-source boilerplate report — positional 8-grams, the "
+        "min<>max duplicated-gram witness, and the gaps-and-islands "
+        "merge all fold into the duplicated-token fractions. All "
+        "nineteen unpivoted to one (suite, item, metric, value) stream; "
+        "constituents stay registered for granular oracle checks"
     ),
 )
 def scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1759,5 +1775,27 @@ def scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["item"], [n for n, _ in ls_metrics_map], "metric", "value"
         )
         .select(F.lit("leak_split").alias("suite"), "item", "metric", "value")
+    )
+
+    # span dedup: the per-source boilerplate-fraction report — witnesses
+    # positional grams, the min<>max dup witness, and the island merge
+    # through the driver window (frac rounded so double division folds
+    # into the hash deterministically)
+    sp = run("doc_dup_span_stats")
+    sp_metrics = [
+        "n_docs",
+        "n_docs_affected",
+        "total_tokens",
+        "dup_tokens",
+        "dup_token_frac",
+    ]
+    parts.append(
+        sp.select(
+            F.col("source").alias("item"),
+            *[F.col(m).cast("double").alias(m) for m in sp_metrics[:-1]],
+            F.round(F.col("dup_token_frac"), 9).alias("dup_token_frac"),
+        )
+        .unpivot(["item"], sp_metrics, "metric", "value")
+        .select(F.lit("span_dedup").alias("suite"), "item", "metric", "value")
     )
     return _union(parts)
