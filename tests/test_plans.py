@@ -307,3 +307,34 @@ def test_ks_grid_keeps_drift_window_input_aggregated(spark):
     # aggregate's grouping expression
     flat = plan.replace("\n", " ")
     assert "4096" in flat  # the grid constant reached the plan
+
+
+def test_span_dedup_witness_is_minmax_not_expand(spark):
+    """The default min_docs=2 duplicated-gram set is a plain min/max
+    aggregation (full map-side combine, one gram shuffle) — NOT
+    countDistinct's Expand rewrite, which doubles the gram stream before
+    the shuffle. The island merge then rides the window's doc_id
+    partitioning: no extra exchange between the window and the final
+    span aggregate."""
+    plan = _plan(REGISTRY["doc_dup_spans"].fn(spark, SF))
+    assert "Expand" not in plan
+    assert "partial_min(doc_id" in plan and "partial_max(doc_id" in plan
+    assert "CartesianProduct" not in plan
+    # gram-agg exchange + doc_id window exchange (+ a broadcast/gram
+    # exchange for the join side) — anything beyond 3 means the island
+    # aggregate stopped reusing the window's partitioning
+    assert plan.count("Exchange hashpartitioning") <= 3, plan.count(
+        "Exchange hashpartitioning"
+    )
+
+
+def test_span_removal_never_explodes_the_rebuild_side(spark):
+    """remove_duplicated_spans rebuilds documents with an indexed
+    array-filter HOF against each doc's own span array: the only
+    Generates in the plan are the two positional-gram explodes inside
+    the span discovery — the corpus-side token stream is never
+    exploded/re-aggregated."""
+    plan = _plan(REGISTRY["doc_dup_span_removal"].fn(spark, SF))
+    assert plan.count("Generate") == 2, plan.count("Generate")
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan
