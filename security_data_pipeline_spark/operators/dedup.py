@@ -1465,6 +1465,17 @@ def duplicated_spans(
         grams.join(dup.filter("_dup").select("gram"), "gram")
         .select(id_col, "pos")
     )
+    return merge_gram_islands(hits, id_col, n)
+
+
+def merge_gram_islands(hits: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated gram START positions into
+    maximal spans: ``(id, pos)`` hit rows in, ``(id, span_start,
+    span_end, span_tokens)`` out. Two grams chain into one island when
+    their starts are ≤ n-1 apart (overlapping or adjacent coverage).
+    One doc_id shuffle; the final aggregate reuses the window's
+    partitioning. Shared by the batch operator and the streaming
+    maintainer so their span semantics cannot diverge."""
     w = Window.partitionBy(id_col).orderBy("pos")
     prev = F.lag("pos").over(w)
     flagged = hits.withColumn(

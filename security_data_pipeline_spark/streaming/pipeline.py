@@ -965,6 +965,202 @@ def dedup_stream_against_corpus(
     return writer.start()
 
 
+def _gram_pfx(pfx_mod: int):
+    """Bounded partition prefix of a gram-index row: 'p' +
+    pmod(xxhash64(gram), pfx_mod) (the letter defeats numeric partition
+    type inference)."""
+    return F.concat(
+        F.lit("p"),
+        F.pmod(F.xxhash64(F.col("gram")), F.lit(pfx_mod)).cast("string"),
+    )
+
+
+def span_corpus_matches(
+    cand: DataFrame, index: DataFrame, pfx_mod: int
+) -> DataFrame:
+    """Grams of the Bloom-positive candidate set that are PRESENT in the
+    persisted gram index — a directory-pruned map-side index scan
+    LEFT-SEMI-joined against the broadcast candidates, so no Exchange
+    ever holds the index and the read touches only the directories the
+    candidates hash to (plan-asserted in tests/test_span_stream.py).
+    The per-batch probe half of :func:`maintain_span_dedup_stream`,
+    factored for direct plan assertions."""
+    pfxs = [
+        r["_pfx"]
+        for r in cand.select(_gram_pfx(pfx_mod).alias("_pfx"))
+        .distinct()
+        .collect()
+    ]
+    if not pfxs:
+        return cand  # no Bloom positives: nothing to probe
+    return (
+        index.filter(F.col("_pfx").isin(pfxs))
+        .select("gram")
+        .join(F.broadcast(cand), "gram", "left_semi")
+    )
+
+
+def maintain_span_dedup_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    sink: Callable[[DataFrame, int], None],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    pfx_mod: int = 256,
+    m_bits: int = 1 << 24,
+    k: int = 3,
+    trigger_available_now: bool = True,
+):
+    """Streaming exact-substring (span) dedup against the corpus so far:
+    each micro-batch of documents emits its maximal duplicated token
+    spans — duplicated either WITHIN the batch (cross-doc, the batch
+    operator's ``min_docs=2`` witness) or against ANY document already
+    ingested — to ``sink`` as ``(id, span_start, span_end, span_tokens)``.
+    The streaming counterpart of
+    :func:`...dedup.duplicated_spans`: a batch-k document's spans equal
+    the batch operator's output over the CUMULATIVE corpus through batch
+    k, restricted to batch-k docs (asserted in tests/test_streaming.py).
+    Like :func:`dedup_stream_against_corpus` the semantics are
+    first-seen-asymmetric: when a later document repeats a span first
+    seen in an earlier batch, the LATER document reports it; the earlier
+    one is not retro-annotated.
+
+    Why a Bloom filter gates the gram index — the scale shape. A gram
+    index is TOKEN-scale (one row per distinct corpus n-gram), so the
+    fingerprint-index trick alone fails here: any non-trivial batch's
+    gram hashes cover every one of the ``pfx_mod`` directories, and
+    "directory-pruned" would quietly mean "full index scan per batch".
+    Instead the batch's distinct grams probe a persisted corpus-gram
+    Bloom filter FIRST (``{state_path}__bloom`` word rows, the
+    :func:`maintain_bloom_stream` fold; a broadcast-once in-memory bit
+    array, map-only, no join). Only Bloom-POSITIVE grams — true
+    cross-batch repeats plus the quantified false-positive rate — need
+    the exact probe, so the pruning list AND the index-side semi-join
+    build follow the batch's TRUE duplication rate, not its gram count.
+    A boilerplate-free batch touches almost no index directories; a
+    boilerplate-heavy batch pays proportionally to the duplication it
+    actually carries. False positives cost an extra directory read each,
+    never correctness (the exact semi-join rejects them); size
+    ``m_bits`` to corpus gram cardinality (the 2^24 default holds ~2M
+    grams at <1% fp; the word-row state is m_bits/64 rows forever).
+    The index side is still never shuffled: ``pruned LEFT SEMI
+    broadcast(candidates)`` streams map-side, and every other join
+    build in the fold is batch-sized (size micro-batches via the
+    trigger, as with the other corpus maintainers).
+
+    State: ``{state_path}/_tag=<lineage>/batch=<id>/_pfx=<p>/`` —
+    idempotent per-batch gram directories (overwrite-on-replay, never
+    append); ``{state_path}__bloom`` + ``__bloom__next`` — the stamped
+    scratch-swap word-row fold (``bit_or`` is idempotent, so a replayed
+    fold cannot corrupt it). Invariant the crash windows preserve: the
+    Bloom is always a SUPERSET of the index (the index dir commits
+    before the Bloom fold, and a replay of a committed batch still
+    re-folds the Bloom before the stream advances) — a gram in the
+    index can never be Bloom-invisible, so candidates never miss a true
+    duplicate. Delivery: the committed batch dir guards the sink
+    (replays of committed batches skip it; at-least-once only in the
+    sink→commit window, exactly-once otherwise).
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from security_data_pipeline_spark.operators import bloom, dedup
+
+    tag = _lineage_tag(checkpoint_path)
+    bloom_state = f"{state_path}__bloom"
+    bloom_scratch = f"{bloom_state}__next"
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_dir = f"{state_path}/_tag={tag}/batch={batch_id}"
+        bg = dedup.positional_grams(
+            batch_df.select(id_col, text_col), id_col, text_col, n
+        ).localCheckpoint()
+        batch_grams = bg.select("gram").distinct().localCheckpoint()
+        if not _dir_committed(spark, batch_dir):
+            try:
+                words = spark.read.parquet(bloom_state).select("i", "w")
+            except AnalysisException as e:
+                if not _missing_path(e):
+                    raise
+                words = None
+            matched = None
+            if words is not None:
+                bf = bloom.bloom_filter_frame(words, None, m_bits, k)
+                cand = (
+                    batch_grams.crossJoin(F.broadcast(bf))
+                    .filter(
+                        bloom.bloom_contains(
+                            F.col("gram"), F.col("bloom"), m_bits, k
+                        )
+                    )
+                    .select("gram")
+                    .localCheckpoint()
+                )
+                index = spark.read.parquet(state_path)
+                matched = span_corpus_matches(
+                    cand, index, pfx_mod
+                ).localCheckpoint()
+            bdup = (
+                bg.groupBy("gram")
+                .agg((F.min(id_col) != F.max(id_col)).alias("_dup"))
+                .filter("_dup")
+                .select("gram")
+            )
+            dupset = (
+                bdup
+                if matched is None
+                else bdup.unionByName(matched).distinct()
+            )
+            hits = bg.join(F.broadcast(dupset), "gram").select(id_col, "pos")
+            spans = dedup.merge_gram_islands(
+                hits, id_col, n
+            ).localCheckpoint()
+            sink(spans, batch_id)
+            new_grams = batch_grams
+            if matched is not None:
+                new_grams = new_grams.join(
+                    F.broadcast(matched), "gram", "left_anti"
+                )
+            new_grams.withColumn("_pfx", _gram_pfx(pfx_mod)).write.partitionBy(
+                "_pfx"
+            ).mode("overwrite").parquet(batch_dir)
+        # the Bloom fold runs even on a committed-batch replay (a crash
+        # between the index commit and the fold must not leave index
+        # grams Bloom-invisible); its own stamped guard skips batches
+        # whose fold already landed
+        raw, from_scratch = _read_state(spark, bloom_state, bloom_scratch)
+        replayed, prev = _check_replay(raw, batch_id, checkpoint_path)
+        if replayed:
+            if from_scratch:
+                raw.write.mode("overwrite").parquet(bloom_state)
+            return
+        new_words = bloom.bloom_word_rows(batch_grams, "gram", m_bits, k)
+        merged = (
+            new_words
+            if prev is None
+            else prev.select("i", "w")
+            .unionByName(new_words)
+            .groupBy("i")
+            .agg(F.bit_or("w").alias("w"))
+        )
+        merged = _stamp_batch(merged, batch_id, checkpoint_path)
+        merged.write.mode("overwrite").parquet(bloom_scratch)
+        spark.read.parquet(bloom_scratch).write.mode("overwrite").parquet(
+            bloom_state
+        )
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def locf_key_prefix(keys: list[str], pfx_mod: int):
     """Bounded state-partition key for the LOCF maintainer: 'p' +
     pmod(xxhash64(keys), pfx_mod) (the letter defeats numeric partition
