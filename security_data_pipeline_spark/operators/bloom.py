@@ -59,14 +59,50 @@ def h60(c: Column) -> Column:
     )
 
 
-def bloom_position(item: Column, seed: Column | int, m_bits: int) -> Column:
-    """Bit position of ``item`` under hash function ``seed`` — the k
-    hash functions are one md5 over a seed-prefixed item (``"<seed>:" ||
-    item``), the standard double-hash-free construction that any SQL
-    engine can replay."""
-    s = F.lit(seed) if isinstance(seed, int) else seed
-    return F.pmod(
-        h60(F.concat(s.cast("string"), F.lit(":"), item)), F.lit(m_bits)
+def _bloom_hex_len(m_bits: int, k: int) -> int:
+    """Hex digits per position slice: ``ceil(log2(m_bits) / 4)``, with a
+    guard that ``k`` non-overlapping slices fit one 32-hex md5 digest."""
+    hex_len = max(1, ((m_bits - 1).bit_length() + 3) // 4)
+    if k * hex_len > 32:
+        raise ValueError(
+            f"bloom: k={k} slices of {hex_len} hex chars exceed one md5 "
+            f"digest (32); shrink k or m_bits"
+        )
+    return hex_len
+
+
+def bloom_positions_from_digest(
+    digest: Column, m_bits: int, k: int
+) -> Column:
+    """The ``k`` bit positions of an item given its md5 hex ``digest`` —
+    ``k`` non-overlapping hex slices of the ONE digest, each reduced mod
+    ``m_bits`` (the Kirsch–Mitzenmacher observation that independent
+    re-hashing buys nothing a single wide digest can't provide). One md5
+    per item instead of k is what keeps the corpus probe pass cheap;
+    DuckDB replays slice ``i`` as ``CAST(CONCAT('0x', substr(md5(x),
+    1 + i*len, len)) AS BIGINT) % m_bits``."""
+    hex_len = _bloom_hex_len(m_bits, k)
+    return F.array(
+        [
+            F.pmod(
+                F.conv(
+                    F.substring(digest, 1 + i * hex_len, hex_len), 16, 10
+                ).cast("long"),
+                F.lit(m_bits),
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_positions(item: Column, m_bits: int, k: int) -> Column:
+    """``k`` bit positions of a raw string ``item`` — md5 once, then
+    :func:`bloom_positions_from_digest`. Row-level use only (the digest
+    is a plain projected subexpression Catalyst evaluates once); inside
+    higher-order lambdas, map the array to digests FIRST so the md5 is
+    not re-evaluated per slice (see :func:`flag_bloom_hits`)."""
+    return bloom_positions_from_digest(
+        F.md5(item.cast("binary")), m_bits, k
     )
 
 
@@ -86,9 +122,7 @@ def bloom_word_rows(
     """
     c = F.col(item_col)
     pos = items.select(
-        F.explode(
-            F.array([bloom_position(c, i, m_bits) for i in range(k)])
-        ).alias("_p")
+        F.explode(bloom_positions(c, m_bits, k)).alias("_p")
     )
     return (
         pos.select(
@@ -145,21 +179,34 @@ def bloom_filter_frame(
     )
 
 
-def bloom_contains(
-    item: Column, bloom: Column, m_bits: int, k: int
+def bloom_digest_contains(
+    digest: Column, bloom: Column, m_bits: int, k: int
 ) -> Column:
-    """Membership predicate: all ``k`` positions of ``item`` are set in
-    the ``bloom`` word array. Pure Column math (md5 + getbit), lambda-safe
-    — usable inside higher-order functions over a gram array, which is
-    what keeps the corpus pass map-only."""
-    seeds = F.array([F.lit(i) for i in range(k)])
+    """Membership predicate over a precomputed md5 hex ``digest``: all
+    ``k`` sliced positions are set in the ``bloom`` word array. Pure
+    Column math (substr/conv/getbit), lambda-safe — usable inside
+    higher-order functions, which is what keeps the corpus pass
+    map-only."""
     return F.forall(
-        F.transform(seeds, lambda s: bloom_position(item, s, m_bits)),
+        bloom_positions_from_digest(digest, m_bits, k),
         lambda p: F.getbit(
             F.element_at(bloom, (p / 64).cast("int") + 1),
             F.pmod(p, F.lit(64)),
         )
         == 1,
+    )
+
+
+def bloom_contains(
+    item: Column, bloom: Column, m_bits: int, k: int
+) -> Column:
+    """Membership predicate for a raw string ``item`` — md5 once, then
+    :func:`bloom_digest_contains`. Inside a higher-order lambda prefer
+    transforming the array to digests first (HOF lambda bodies are
+    re-evaluated per element, defeating common-subexpression reuse of
+    the md5)."""
+    return bloom_digest_contains(
+        F.md5(item.cast("binary")), bloom, m_bits, k
     )
 
 
@@ -185,6 +232,10 @@ def flag_bloom_hits(
     SUPERSET of the exact-join flag (false positives only).
     """
     gs = shingles(text_col, n)
+    # md5 each gram ONCE in a transform, then probe the k digest slices
+    # in the filter — HOF lambda bodies re-evaluate per element, so
+    # probing raw grams directly would compute the md5 k times per gram
+    digests = F.transform(gs, lambda g: F.md5(g.cast("binary")))
     b = F.col("_bf.bloom")
     return (
         corpus.crossJoin(F.broadcast(bloom_frame.alias("_bf")))
@@ -192,7 +243,10 @@ def flag_bloom_hits(
         .withColumn(
             "n_bloom_hits",
             F.size(
-                F.filter(gs, lambda g: bloom_contains(g, b, m_bits, k))
+                F.filter(
+                    digests,
+                    lambda d: bloom_digest_contains(d, b, m_bits, k),
+                )
             ),
         )
         .drop("bloom", "m_bits", "k")
@@ -263,9 +317,15 @@ def kmv_overlap(
     form, falling back to the exact sketch size when a side has < k
     distinct items (the sketch then IS the distinct set). All joins are
     over ≤ k-row frames — broadcast by AQE regardless of hints.
+
+    Each input sketch is referenced three times below (union, membership
+    join, side estimate); sketches arrive LAZY, so without pinning every
+    reference would recompute the full upstream corpus pass. The ≤ k-row
+    frames are ``localCheckpoint``-ed once here — the corpora are scanned
+    exactly once per side however the estimates are consumed.
     """
-    sa = a_sketch.select(F.col("h").alias("h"))
-    sb = b_sketch.select(F.col("h").alias("h"))
+    sa = a_sketch.select(F.col("h").alias("h")).localCheckpoint()
+    sb = b_sketch.select(F.col("h").alias("h")).localCheckpoint()
     u = sa.union(sb).distinct().orderBy("h").limit(k)
     both = (
         u.join(sa.withColumn("_ina", F.lit(1)), "h", "left")

@@ -5942,8 +5942,8 @@ WITH toks AS (
   SELECT DISTINCT g FROM grams WHERE doc_id < 20
 ), seeds(s) AS (VALUES (0),(1),(2)),
 setbits AS (
-  SELECT DISTINCT CAST(CONCAT('0x', substr(md5(
-           CAST(s AS VARCHAR) || ':' || g), 1, 15)) AS BIGINT) % 65536 AS p
+  SELECT DISTINCT CAST(CONCAT('0x',
+           substr(md5(g), 1 + s * 4, 4)) AS BIGINT) % 65536 AS p
   FROM bench CROSS JOIN seeds
 ), cg AS (
   SELECT DISTINCT doc_id, g FROM grams WHERE doc_id >= 20
@@ -5952,8 +5952,8 @@ setbits AS (
     SELECT doc_id, g
     FROM cg CROSS JOIN seeds
     GROUP BY doc_id, g
-    HAVING BOOL_AND(CAST(CONCAT('0x', substr(md5(
-             CAST(s AS VARCHAR) || ':' || g), 1, 15)) AS BIGINT) % 65536
+    HAVING BOOL_AND(CAST(CONCAT('0x',
+             substr(md5(g), 1 + s * 4, 4)) AS BIGINT) % 65536
              IN (SELECT p FROM setbits))
   )
 ), edoc AS (
@@ -5973,7 +5973,8 @@ GROUP BY d.source
         "exact broadcast-semi-join form: the eval set's word 4-grams "
         "compress into a fixed 65536-bit array (8 KiB however large the "
         "suite), shipped once per executor as a one-row broadcast, and "
-        "the corpus pass is MAP-ONLY — k=3 md5 probes per gram via "
+        "the corpus pass is MAP-ONLY — ONE md5 per gram whose digest "
+        "slices into the k=3 probe positions (Kirsch-Mitzenmacher), via "
         "higher-order functions, no join build, no corpus shuffle. "
         "Per-source counts carry both the Bloom flag and the exact flag: "
         "bloom >= exact always (false positives only over-drop, nothing "
@@ -6088,23 +6089,35 @@ def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = bloom.kmv_overlap(
         bloom.kmv_sketch(ga, "g", k), bloom.kmv_sketch(gb, "g", k), k
     )
-    ha = ga.select(bloom.h60(F.col("g")).alias("h")).distinct()
-    hb = gb.select(bloom.h60(F.col("g")).alias("h")).distinct()
-    exact = (
-        ha.join(hb, "h", "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_int"))
-        .crossJoin(
-            ha.union(hb).distinct().agg(F.count(F.lit(1)).alias("n_un"))
+    # exact witness in ONE pass: tag each gram hash with its side, fold
+    # to per-hash membership flags (map-side combine on the union), then
+    # a single global agg yields both sizes, the intersection and the
+    # union — the earlier semi-join + union-distinct + two-counts form
+    # re-ran the corpus shingle explode four times
+    flags = (
+        ga.select(
+            bloom.h60(F.col("g")).alias("h"),
+            F.lit(1).alias("_ina"),
+            F.lit(0).alias("_inb"),
         )
-        .crossJoin(ha.agg(F.count(F.lit(1)).alias("n_a_exact")))
-        .crossJoin(hb.agg(F.count(F.lit(1)).alias("n_b_exact")))
-        .select(
-            "n_a_exact",
-            "n_b_exact",
-            F.round(
-                F.col("n_int").cast("double") / F.col("n_un"), 6
-            ).alias("jaccard_exact"),
+        .unionByName(
+            gb.select(
+                bloom.h60(F.col("g")).alias("h"),
+                F.lit(0).alias("_ina"),
+                F.lit(1).alias("_inb"),
+            )
         )
+        .groupBy("h")
+        .agg(F.max("_ina").alias("_ina"), F.max("_inb").alias("_inb"))
+    )
+    exact = flags.agg(
+        F.sum("_ina").alias("n_a_exact"),
+        F.sum("_inb").alias("n_b_exact"),
+        F.round(
+            F.sum(F.col("_ina") * F.col("_inb")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("jaccard_exact"),
     )
     return est.crossJoin(exact).select(
         F.lit(k).alias("k"),
