@@ -142,6 +142,10 @@ def ratio_from_bucket_counts(
     discipline used by ``hour_of_day_entropy``).
     """
     spark = counts.sparkSession
+    # counts is referenced twice below (totals agg + domain join) and may
+    # arrive lazy on top of a full corpus bigram pass — pin the ≤
+    # num_buckets-row frame so the model fit runs once, not per reference
+    counts = counts.localCheckpoint()
     # a side with zero bigrams sums to NULL — coalesce to 0 so the smoothed
     # model degrades to uniform instead of poisoning every term with NULL
     tot = counts.agg(
