@@ -99,6 +99,10 @@ BENCH_QUERIES: tuple[str, ...] = (
     # broadcast back)
     "doc_leakage_safe_split",
     "doc_source_temperature",
+    # round-7 addition: Gopher repetition gate — top-n-gram fractions and
+    # within-doc duplicated-8-gram coverage, all map-side folds (zero
+    # shuffle; the bench witnesses the pure-scan claim)
+    "doc_repetition_stats",
     # driver-window composites, benched AS the driver runs them — the
     # wall-clock the driver pays includes their union/unpivot overhead,
     # which per-arm numbers don't capture
@@ -127,7 +131,8 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_time_bucket_rollup": 14385, "doc_winnow_pairs": 251,
         "doc_lm_scores": 5000,
         "temporal_net_suite": 44669, "event_windows_suite": 200000,
-        "scale_suite": 633, "security_detections": 11195,
+        "scale_suite": 713, "security_detections": 11195,
+        "doc_repetition_stats": 5000,
         "doc_jaccard_prefix_pairs": 255, "knn_cosine_sq8": 50,
         "doc_hybrid_search": 20, "events_value_drift": 5,
         "events_heavy_hitters": 0, "events_hourly_resampled": 3600,
@@ -156,7 +161,8 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_time_bucket_rollup": 7206, "doc_winnow_pairs": 25,
         "doc_lm_scores": 500,
         "temporal_net_suite": 16129, "event_windows_suite": 20000,
-        "scale_suite": 508, "security_detections": 1135,
+        "scale_suite": 588, "security_detections": 1135,
+        "doc_repetition_stats": 500,
         "doc_jaccard_prefix_pairs": 25, "knn_cosine_sq8": 50,
         "doc_hybrid_search": 20, "events_value_drift": 5,
         "events_heavy_hitters": 0, "events_hourly_resampled": 3600,

@@ -179,31 +179,27 @@ def unigram_lm_scores(
     )
 
 
-def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Repetition quality signals (the Gopher-rules family): documents
-    dominated by a repeated phrase are low-value training data.
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-gram array of a token array, KEEPING duplicate occurrences
+    (unlike ``dedup.shingles``, which distincts for set semantics). A
+    document with fewer than ``n`` tokens yields an EMPTY array — the
+    start-index ``sequence`` must be branch-guarded because Spark's
+    ``sequence(1, 0)`` is the DESCENDING ``[1, 0]``, not empty (the
+    1-token crash fixed here; DuckDB's generate_series(1, 0) IS empty,
+    which is why the oracle side never showed it)."""
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
-    - ``distinct_token_ratio`` — |distinct tokens| / |tokens|.
-    - ``top_bigram_frac`` — tokens covered by the most frequent word
-      2-gram: 2·max_count / n_tokens.
 
-    The bigram mode is computed MAP-SIDE as a longest-run fold over the
-    sorted bigram array (struct accumulator in ``F.aggregate``) — no
-    per-document shuffle, so the operator scans 100 TB without a groupBy;
-    the DuckDB oracle uses the equivalent relational unnest+count form.
-    """
-    t = F.col(text_col)
-    toks = tokens(t)
-    n_tok = F.size(toks)
-    bigrams = F.sort_array(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_tok - 1, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        )
-    )
-    # longest equal-run in a sorted array == max multiplicity
+def max_multiplicity(arr: Column) -> Column:
+    """Count of the most frequent element of a string array, MAP-SIDE:
+    sort the array, then a longest-equal-run fold (struct accumulator in
+    ``F.aggregate``) — max multiplicity without any per-document shuffle.
+    Empty array → 0."""
     run_state = F.aggregate(
-        bigrams,
+        F.sort_array(arr),
         F.struct(
             F.lit("").alias("prev"),
             F.lit(0).alias("run"),
@@ -219,6 +215,28 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         lambda acc: acc["best"],
     )
+    return run_state
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition quality signals (the Gopher-rules family): documents
+    dominated by a repeated phrase are low-value training data.
+
+    - ``distinct_token_ratio`` — |distinct tokens| / |tokens|.
+    - ``top_bigram_frac`` — tokens covered by the most frequent word
+      2-gram: 2·max_count / n_tokens.
+
+    The bigram mode is computed MAP-SIDE as a longest-run fold over the
+    sorted bigram array (:func:`max_multiplicity`) — no per-document
+    shuffle, so the operator scans 100 TB without a groupBy; the DuckDB
+    oracle uses the equivalent relational unnest+count form. For the
+    full top-n / duplicated-coverage profile see
+    :func:`gopher_repetition_stats`.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    run_state = max_multiplicity(word_ngrams(toks, 2))
     return (
         df.withColumn("n_tokens", n_tok)
         .withColumn(
@@ -238,6 +256,128 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+
+
+def gopher_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_n: int = 8,
+    thresholds: dict[int, float] | None = None,
+    dup_threshold: float = 0.10,
+) -> DataFrame:
+    """Per-document intra-document repetition profile — the Gopher
+    repetition gate (Rae et al. 2021, §A1.1) adapted to token fractions:
+
+    - ``top{n}gram_frac`` for each n in ``top_ns`` — tokens covered by
+      the most frequent word n-gram: ``n · max_count / n_tokens``;
+    - ``dup_gram_frac`` — fraction of tokens inside WITHIN-document
+      duplicated ``dup_n``-gram spans (overlapping occurrences merged,
+      each token counted once — interval union, not a sum of counts);
+    - ``rep_keep`` — True iff every fraction is within its threshold
+      (defaults: Gopher's 0.20 / 0.18 / 0.16 for n = 2 / 3 / 4, and
+      ``dup_threshold`` for the coverage).
+
+    ENTIRELY map-side — no shuffle, no join, no explode: each document's
+    stats come from folds over its own token array, so the operator is a
+    pure scan at 100 TB (contrast :func:`operators.dedup.duplicated_spans`,
+    whose cross-document semantics force a gram shuffle). The three HOF
+    tricks that keep it linear per document:
+
+    1. top-n multiplicity = longest equal-run over the SORTED gram array
+       (:func:`max_multiplicity`) — no per-doc groupBy;
+    2. duplicated-gram detection = neighbor equality in the gram-sorted
+       positional array, with the array bound to a REAL column first
+       (``_pg``) so ``element_at`` inside the lambda reads the row value
+       instead of re-evaluating the sort per element (the HOF
+       re-evaluation pitfall measured on ``contaminated_doc_ids``);
+    3. coverage = a single interval-merge fold over the ascending dup
+       positions with a scalar (end, total) accumulator — no array
+       growth inside the fold.
+
+    The DuckDB oracle mirrors it relationally (unnest + count + the
+    gaps-and-islands span merge of ``_dup_span_cte``); equality of the
+    fold and the relational island sum is the registered parity check.
+    """
+    if thresholds is None:
+        thresholds = {2: 0.20, 3: 0.18, 4: 0.16}
+    t = F.col(text_col)
+    toks = tokens(F.coalesce(t, F.lit("")))
+    n_tok = F.size(toks)
+    out = df.withColumn("n_tokens", n_tok)
+    frac_cols: list[tuple[str, float]] = []
+    for n in top_ns:
+        name = f"top{n}gram_frac"
+        out = out.withColumn(
+            name,
+            F.round(
+                (F.lit(n) * max_multiplicity(word_ngrams(toks, n))).cast(
+                    "double"
+                )
+                / F.nullif(n_tok, F.lit(0)).cast("double"),
+                6,
+            ),
+        )
+        frac_cols.append((name, float(thresholds.get(n, 1.0))))
+
+    # positional dup_n-grams sorted by (gram, pos), bound to a real column
+    idx = F.when(
+        n_tok >= dup_n, F.sequence(F.lit(1), n_tok - (dup_n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    pg = F.sort_array(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.concat_ws(" ", F.slice(toks, i, dup_n)).alias("gram"),
+                (i - 1).cast("int").alias("pos"),
+            ),
+        )
+    )
+    out = out.withColumn("_pg", pg)
+    arr = F.col("_pg")
+    last = F.size(arr)
+
+    def _is_dup(x, i):  # i is the 0-based lambda index; element_at is 1-based
+        prev_eq = F.when(
+            i > 0, F.element_at(arr, i.cast("int"))["gram"] == x["gram"]
+        ).otherwise(F.lit(False))
+        next_eq = F.when(
+            i < last - 1,
+            F.element_at(arr, (i + 2).cast("int"))["gram"] == x["gram"],
+        ).otherwise(F.lit(False))
+        return prev_eq | next_eq
+
+    dup_pos = F.sort_array(
+        F.transform(F.filter(arr, _is_dup), lambda x: x["pos"])
+    )
+    covered = F.aggregate(
+        dup_pos,
+        F.struct(
+            F.lit(-1).cast("int").alias("end"),
+            F.lit(0).cast("int").alias("tot"),
+        ),
+        lambda acc, p: F.struct(
+            F.greatest(acc["end"], p + (dup_n - 1)).alias("end"),
+            (
+                acc["tot"]
+                + F.when(p > acc["end"], F.lit(dup_n)).otherwise(
+                    F.greatest(p + (dup_n - 1) - acc["end"], F.lit(0))
+                )
+            ).alias("tot"),
+        ),
+        lambda acc: acc["tot"],
+    )
+    out = out.withColumn(
+        "dup_gram_frac",
+        F.round(
+            covered.cast("double") / F.nullif(n_tok, F.lit(0)).cast("double"),
+            6,
+        ),
+    ).drop("_pg")
+    keep = F.col("dup_gram_frac") <= F.lit(dup_threshold)
+    for name, bound in frac_cols:
+        keep = keep & (F.col(name) <= F.lit(bound))
+    return out.withColumn("rep_keep", keep)
 
 
 def chunk_documents(

@@ -1376,6 +1376,17 @@ def _scale_suite_sql() -> str:
                 ("dup_token_frac", "ROUND(dup_token_frac, 9)"),
             ],
         ),
+        _unpivot_arm_sql(
+            "repa",
+            "repetition",
+            "source",
+            [
+                ("n_docs", "n_docs"),
+                ("n_kept", "n_kept"),
+                ("top2_mass", "top2_mass"),
+                ("dup_mass", "dup_mass"),
+            ],
+        ),
     ]
     body = "\nUNION ALL\n".join(arms)
     return f"""
@@ -1421,7 +1432,19 @@ bl AS ({cte("doc_bloom_decontaminate")}),
 km AS ({cte("corpus_overlap_kmv")}),
 tw AS ({cte("doc_source_temperature")}),
 ls AS ({cte("doc_leakage_safe_split")}),
-sp AS ({cte("doc_dup_span_stats")})
+sp AS ({cte("doc_dup_span_stats")}),
+rep AS ({cte("doc_repetition_stats")}),
+repa AS (
+  SELECT d.source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN rep_keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+         CAST(SUM(CAST(top2gram_frac AS DECIMAL(18,6))) AS DOUBLE)
+           AS top2_mass,
+         CAST(SUM(CAST(dup_gram_frac AS DECIMAL(18,6))) AS DOUBLE)
+           AS dup_mass
+  FROM rep JOIN documents d USING (doc_id) GROUP BY d.source
+)
 {body}
 """
 
@@ -1466,8 +1489,11 @@ sp AS ({cte("doc_dup_span_stats")})
         "straddle witness; (19) the exact-substring (span) dedup "
         "per-source boilerplate report — positional 8-grams, the "
         "min<>max duplicated-gram witness, and the gaps-and-islands "
-        "merge all fold into the duplicated-token fractions. All "
-        "nineteen unpivoted to one (suite, item, metric, value) stream; "
+        "merge all fold into the duplicated-token fractions; (20) the "
+        "Gopher repetition gate per source — keep counts and the "
+        "decimal-exact masses of the top-2-gram and duplicated-8-gram "
+        "coverage fractions, all computed map-side per document. All "
+        "twenty unpivoted to one (suite, item, metric, value) stream; "
         "constituents stay registered for granular oracle checks"
     ),
 )
@@ -1797,5 +1823,40 @@ def scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unpivot(["item"], sp_metrics, "metric", "value")
         .select(F.lit("span_dedup").alias("suite"), "item", "metric", "value")
+    )
+
+    # Gopher repetition gate summarized per source: doc/keep counts plus
+    # decimal-exact masses of the rounded fractions (order-free sums, so
+    # the map-side folds' VALUES reach the window hash)
+    rp = run("doc_repetition_stats")
+    rpa = (
+        rp.join(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "source"
+            ),
+            "doc_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("rep_keep"), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+            F.sum(F.col("top2gram_frac").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("top2_mass"),
+            F.sum(F.col("dup_gram_frac").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("dup_mass"),
+        )
+    )
+    rp_metrics = ["n_docs", "n_kept", "top2_mass", "dup_mass"]
+    parts.append(
+        rpa.select(
+            F.col("source").alias("item"),
+            *[F.col(m).cast("double").alias(m) for m in rp_metrics],
+        )
+        .unpivot(["item"], rp_metrics, "metric", "value")
+        .select(F.lit("repetition").alias("suite"), "item", "metric", "value")
     )
     return _union(parts)

@@ -6397,6 +6397,102 @@ def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicated_span_stats(docs, by="source", n=_SPAN_N)
 
 
+@query(
+    "doc_repetition_stats",
+    sql="""
+WITH toks AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents
+), g_top AS (
+  SELECT doc_id, 2 AS n, array_to_string(t[i:i+1], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)
+  UNION ALL
+  SELECT doc_id, 3 AS n, array_to_string(t[i:i+2], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3)
+  UNION ALL
+  SELECT doc_id, 4 AS n, array_to_string(t[i:i+3], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i
+        FROM toks WHERE len(t) >= 4)
+), topn AS (
+  SELECT doc_id, n, MAX(c) AS mc FROM (
+    SELECT doc_id, n, gram, COUNT(*) AS c
+    FROM g_top GROUP BY doc_id, n, gram
+  ) GROUP BY doc_id, n
+), tops AS (
+  SELECT doc_id,
+         MAX(CASE WHEN n = 2 THEN mc END) AS m2,
+         MAX(CASE WHEN n = 3 THEN mc END) AS m3,
+         MAX(CASE WHEN n = 4 THEN mc END) AS m4
+  FROM topn GROUP BY doc_id
+), g8 AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+        FROM toks WHERE len(t) >= 8)
+), dup8 AS (
+  SELECT doc_id, gram FROM g8 GROUP BY doc_id, gram HAVING COUNT(*) >= 2
+), hits AS (
+  SELECT g.doc_id, g.pos FROM g8 g JOIN dup8 d USING (doc_id, gram)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 7
+              THEN 1 ELSE 0 END AS gap
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), islands AS (
+  SELECT doc_id, pos,
+         SUM(gap) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+), cov AS (
+  SELECT doc_id, SUM(span_tokens) AS ct FROM (
+    SELECT doc_id, MAX(pos) - MIN(pos) + 8 AS span_tokens
+    FROM islands GROUP BY doc_id, island
+  ) GROUP BY doc_id
+), fr AS (
+  SELECT k.doc_id,
+         CAST(len(k.t) AS INT) AS n_tokens,
+         ROUND(CAST(coalesce(s.m2, 0) * 2 AS DOUBLE) / len(k.t), 6)
+           AS top2gram_frac,
+         ROUND(CAST(coalesce(s.m3, 0) * 3 AS DOUBLE) / len(k.t), 6)
+           AS top3gram_frac,
+         ROUND(CAST(coalesce(s.m4, 0) * 4 AS DOUBLE) / len(k.t), 6)
+           AS top4gram_frac,
+         ROUND(CAST(coalesce(c.ct, 0) AS DOUBLE) / len(k.t), 6)
+           AS dup_gram_frac
+  FROM toks k LEFT JOIN tops s USING (doc_id) LEFT JOIN cov c USING (doc_id)
+)
+SELECT doc_id, n_tokens, top2gram_frac, top3gram_frac, top4gram_frac,
+       dup_gram_frac,
+       (dup_gram_frac <= 0.10 AND top2gram_frac <= 0.20
+        AND top3gram_frac <= 0.18 AND top4gram_frac <= 0.16) AS rep_keep
+FROM fr
+""",
+    description=(
+        "Gopher repetition gate (Rae et al. 2021 A1.1), token-fraction "
+        "form: per doc the most-frequent 2/3/4-gram coverage (n*count/"
+        "n_tokens; overlapping occurrences overcount, matching the "
+        "published definition, so periodic text can exceed 1.0) and the "
+        "WITHIN-document duplicated-8-gram coverage (interval UNION of "
+        "duplicated-gram spans, each token once), plus the keep flag at "
+        "the paper thresholds. ENTIRELY map-side on Spark: sorted-array "
+        "longest-run folds for the top-n modes and a neighbor-equality + "
+        "interval-merge fold for coverage — a pure 100 TB scan with zero "
+        "shuffles (the oracle mirrors it relationally with the "
+        "gaps-and-islands form)"
+    ),
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.gopher_repetition_stats(docs).select(
+        "doc_id",
+        "n_tokens",
+        "top2gram_frac",
+        "top3gram_frac",
+        "top4gram_frac",
+        "dup_gram_frac",
+        "rep_keep",
+    )
+
+
 # Composite driver-window queries register on import (they reuse the
 # operators and oracle-SQL builders defined above, so the import must come
 # after those definitions).

@@ -154,3 +154,86 @@ def test_hybrid_rrf_fuses_and_is_deterministic(spark):
     assert out[10][0] == round(1 / 61, 6)
     assert out[13][0] == round(1 / 62, 6)
     assert set(out) == {10, 11, 12, 13}
+
+
+# --- Gopher repetition gate (gopher_repetition_stats) -----------------------
+
+
+def _py_gopher(text: str, top_ns=(2, 3, 4), dup_n=8):
+    """Reference model: brute-force counts + interval-union coverage."""
+    toks = (text or "").split(" ")
+    n_tok = len(toks)
+    out = {"n_tokens": n_tok}
+    for n in top_ns:
+        grams = [" ".join(toks[i : i + n]) for i in range(n_tok - n + 1)]
+        mult = max((grams.count(g) for g in set(grams)), default=0)
+        out[f"top{n}gram_frac"] = round(n * mult / n_tok, 6)
+    grams = [" ".join(toks[i : i + dup_n]) for i in range(n_tok - dup_n + 1)]
+    from collections import Counter
+
+    cnt = Counter(grams)
+    pos = sorted(i for i, g in enumerate(grams) if cnt[g] >= 2)
+    covered, end = 0, -1
+    for p in pos:
+        covered += dup_n if p > end else max(0, p + dup_n - 1 - end)
+        end = p + dup_n - 1
+    out["dup_gram_frac"] = round(covered / n_tok, 6)
+    return out
+
+
+def test_gopher_single_token_doc_no_crash(spark):
+    # regression: sequence(1, 0) is DESCENDING [1, 0] in Spark, so the
+    # unguarded bigram index crashed stage-fatal on 1-token documents
+    df = _docs(spark, [(1, "x"), (2, ""), (3, None)])
+    rows = textops.gopher_repetition_stats(df).collect()
+    assert all(r["rep_keep"] for r in rows)
+    assert all(r["dup_gram_frac"] == 0.0 for r in rows)
+    # the older repetition_features shared the bug via its bigram build
+    feats = textops.repetition_features(df.fillna({"text": ""})).collect()
+    assert all(f["top_bigram_frac"] == 0.0 for f in feats)
+
+
+def test_gopher_periodic_doc_flagged(spark):
+    df = _docs(spark, [(1, "a b c d e f g h a b c d e f g h")])
+    r = textops.gopher_repetition_stats(df).first()
+    # the 8-gram at 0 repeats at 8: coverage [0,7] ∪ [8,15] = all 16
+    assert r["dup_gram_frac"] == 1.0
+    assert not r["rep_keep"]
+
+
+def test_gopher_overlapping_occurrences_merge_once(spark):
+    # "a b" starts at 0,2,4: dup 2-gram intervals [0,1],[2,3],[4,5] chain
+    # with [1,2],[3,4] from "b a" → one island covering all 6 tokens
+    df = _docs(spark, [(1, "a b a b a b")])
+    r = textops.gopher_repetition_stats(df, dup_n=2, top_ns=(2,)).first()
+    assert r["dup_gram_frac"] == 1.0
+    # Gopher's top-n definition overcounts overlaps by design (can exceed 1)
+    assert r["top2gram_frac"] == 1.0
+
+
+def test_gopher_matches_python_model_random_docs(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 24))))
+        for i in range(60)
+    ]
+    df = _docs(spark, rows)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in textops.gopher_repetition_stats(df, dup_n=3).collect()
+    }
+    for i, text in rows:
+        exp = _py_gopher(text, dup_n=3)
+        g = got[i]
+        for k, v in exp.items():
+            assert g[k] == v, f"doc {i} ({text!r}) {k}: {g[k]} != {v}"
+
+
+def test_gopher_plan_is_map_only(spark):
+    # the 100 TB claim: stats are per-row folds — no Exchange anywhere
+    df = _docs(spark, [(1, "a b c")])
+    plan = textops.gopher_repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
