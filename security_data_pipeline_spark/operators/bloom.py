@@ -319,13 +319,15 @@ def kmv_overlap(
     over ≤ k-row frames — broadcast by AQE regardless of hints.
 
     Each input sketch is referenced three times below (union, membership
-    join, side estimate); sketches arrive LAZY, so without pinning every
-    reference would recompute the full upstream corpus pass. The ≤ k-row
-    frames are ``localCheckpoint``-ed once here — the corpora are scanned
-    exactly once per side however the estimates are consumed.
+    join, side estimate). The references are left LAZY on purpose: the
+    expensive upstream subtree (gram distinct) ends in an Exchange that
+    Catalyst's ReuseExchange dedupes across all three references inside
+    the one plan, so the corpora are scanned once per side anyway — an
+    eager ``localCheckpoint`` here was MEASURED ~1.5× SLOWER at sf0.1:
+    it splits the DAG into serial jobs and defeats the reuse.
     """
-    sa = a_sketch.select(F.col("h").alias("h")).localCheckpoint()
-    sb = b_sketch.select(F.col("h").alias("h")).localCheckpoint()
+    sa = a_sketch.select(F.col("h").alias("h"))
+    sb = b_sketch.select(F.col("h").alias("h"))
     u = sa.union(sb).distinct().orderBy("h").limit(k)
     both = (
         u.join(sa.withColumn("_ina", F.lit(1)), "h", "left")

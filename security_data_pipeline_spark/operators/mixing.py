@@ -142,10 +142,11 @@ def ratio_from_bucket_counts(
     discipline used by ``hour_of_day_entropy``).
     """
     spark = counts.sparkSession
-    # counts is referenced twice below (totals agg + domain join) and may
-    # arrive lazy on top of a full corpus bigram pass — pin the ≤
-    # num_buckets-row frame so the model fit runs once, not per reference
-    counts = counts.localCheckpoint()
+    # counts is referenced twice below (totals agg + domain join); both
+    # references share the identical aggregation subtree, whose Exchange
+    # Catalyst's ReuseExchange dedupes inside the one plan — the bigram
+    # pass runs once. (An eager localCheckpoint pin here was MEASURED
+    # SLOWER at sf0.1 — it serializes the DAG and defeats that reuse.)
     # a side with zero bigrams sums to NULL — coalesce to 0 so the smoothed
     # model degrades to uniform instead of poisoning every term with NULL
     tot = counts.agg(
