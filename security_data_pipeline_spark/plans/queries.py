@@ -1774,6 +1774,82 @@ def quantity_quartiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_rep_cte() -> str:
+    """Shared oracle CTE chain ending in ``fr(doc_id, n_tokens,
+    top2gram_frac, top3gram_frac, top4gram_frac, dup_gram_frac)`` — the
+    SQL mirror of :func:`operators.textops.gopher_repetition_stats`
+    (used by ``doc_repetition_stats`` and the ``corpus_curation``
+    funnel's repetition stage, so the two cannot diverge)."""
+    return """
+rtoks AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents
+), g_top AS (
+  SELECT doc_id, 2 AS n, array_to_string(t[i:i+1], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM rtoks WHERE len(t) >= 2)
+  UNION ALL
+  SELECT doc_id, 3 AS n, array_to_string(t[i:i+2], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM rtoks WHERE len(t) >= 3)
+  UNION ALL
+  SELECT doc_id, 4 AS n, array_to_string(t[i:i+3], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i
+        FROM rtoks WHERE len(t) >= 4)
+), topn AS (
+  SELECT doc_id, n, MAX(c) AS mc FROM (
+    SELECT doc_id, n, gram, COUNT(*) AS c
+    FROM g_top GROUP BY doc_id, n, gram
+  ) GROUP BY doc_id, n
+), tops AS (
+  SELECT doc_id,
+         MAX(CASE WHEN n = 2 THEN mc END) AS m2,
+         MAX(CASE WHEN n = 3 THEN mc END) AS m3,
+         MAX(CASE WHEN n = 4 THEN mc END) AS m4
+  FROM topn GROUP BY doc_id
+), rg8 AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+        FROM rtoks WHERE len(t) >= 8)
+), rdup8 AS (
+  SELECT doc_id, gram FROM rg8 GROUP BY doc_id, gram HAVING COUNT(*) >= 2
+), rhits AS (
+  SELECT g.doc_id, g.pos FROM rg8 g JOIN rdup8 d USING (doc_id, gram)
+), rflagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 7
+              THEN 1 ELSE 0 END AS gap
+  FROM rhits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), rislands AS (
+  SELECT doc_id, pos,
+         SUM(gap) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM rflagged
+), rcov AS (
+  SELECT doc_id, SUM(span_tokens) AS ct FROM (
+    SELECT doc_id, MAX(pos) - MIN(pos) + 8 AS span_tokens
+    FROM rislands GROUP BY doc_id, island
+  ) GROUP BY doc_id
+), fr AS (
+  SELECT k.doc_id,
+         CAST(len(k.t) AS INT) AS n_tokens,
+         ROUND(CAST(coalesce(s.m2, 0) * 2 AS DOUBLE) / len(k.t), 6)
+           AS top2gram_frac,
+         ROUND(CAST(coalesce(s.m3, 0) * 3 AS DOUBLE) / len(k.t), 6)
+           AS top3gram_frac,
+         ROUND(CAST(coalesce(s.m4, 0) * 4 AS DOUBLE) / len(k.t), 6)
+           AS top4gram_frac,
+         ROUND(CAST(coalesce(c.ct, 0) AS DOUBLE) / len(k.t), 6)
+           AS dup_gram_frac
+  FROM rtoks k LEFT JOIN tops s USING (doc_id) LEFT JOIN rcov c USING (doc_id)
+)"""
+
+
+#: The Gopher keep predicate over the ``fr`` fractions (paper thresholds).
+_GOPHER_KEEP_SQL = (
+    "(dup_gram_frac <= 0.10 AND top2gram_frac <= 0.20 "
+    "AND top3gram_frac <= 0.18 AND top4gram_frac <= 0.16)"
+)
+
+
 @query(
     "corpus_curation",
     sql=f"""
@@ -1810,11 +1886,15 @@ WITH base AS (
 ), raw AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_in
   FROM documents GROUP BY source
+), {_gopher_rep_cte().lstrip()},
+repok AS (
+  SELECT doc_id FROM fr WHERE {_GOPHER_KEEP_SQL}
 )
 SELECT raw.source, docs_in,
        CAST(COALESCE(kc.n, 0) AS BIGINT) AS docs_kept,
        CAST(COALESCE(uc.n, 0) AS BIGINT) AS docs_unique,
        CAST(COALESCE(uc.toks, 0) AS BIGINT) AS tokens_unique,
+       CAST(COALESCE(rk.n, 0) AS BIGINT) AS docs_rep_ok,
        CAST(COALESCE(cc.n, 0) AS BIGINT) AS docs_clean
 FROM raw
 LEFT JOIN (SELECT source, COUNT(*) AS n FROM kept GROUP BY source) kc
@@ -1822,7 +1902,12 @@ LEFT JOIN (SELECT source, COUNT(*) AS n FROM kept GROUP BY source) kc
 LEFT JOIN (SELECT source, COUNT(*) AS n, SUM(n_tokens) AS toks
            FROM uniq GROUP BY source) uc
   USING (source)
-LEFT JOIN (SELECT u.source, COUNT(*) AS n FROM uniq u
+LEFT JOIN (SELECT source, COUNT(*) AS n
+           FROM uniq JOIN repok USING (doc_id)
+           GROUP BY source) rk
+  USING (source)
+LEFT JOIN (SELECT u.source, COUNT(*) AS n
+           FROM uniq u JOIN repok USING (doc_id)
            WHERE u.doc_id >= 20
              AND u.doc_id NOT IN (SELECT doc_id FROM cont)
            GROUP BY u.source) cc
@@ -1831,11 +1916,17 @@ LEFT JOIN (SELECT u.source, COUNT(*) AS n FROM uniq u
     description=(
         "End-to-end corpus curation: quality filter (length + punct) → "
         "language filter → global exact dedup by fingerprint (keep lowest "
-        "id) → benchmark decontamination (dedup.contaminated_doc_ids: "
-        "eval 4-grams of ids < 20 broadcast, survivors anti-joined) → "
-        "per-source retention funnel — the composite a pretraining "
-        "pipeline runs, every stage an engine operator, value-checked as "
-        "one statement"
+        "id) → Gopher repetition gate (textops.gopher_repetition_stats, "
+        "map-side per-doc top-n-gram + dup-coverage fractions at the "
+        "paper thresholds) → benchmark decontamination "
+        "(dedup.contaminated_doc_ids: eval 4-grams of ids < 20 "
+        "broadcast, survivors anti-joined) → per-source retention funnel "
+        "— the composite a pretraining pipeline runs, every stage an "
+        "engine operator, value-checked as one statement. Both per-doc "
+        "flag sets (repetition, contamination) are computed from the "
+        "RAW scan, not the funnel output: they are per-doc properties, "
+        "so the result is identical while the heavy per-row math reads "
+        "a plain scan instead of re-deriving the funnel lineage"
     ),
 )
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1872,8 +1963,18 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = dedup.contaminated_doc_ids(
         docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20), n=4
     )
+    # repetition gate flags, also from the raw scan (map-side per-doc)
+    rep_ok = (
+        textops.gopher_repetition_stats(docs)
+        .filter(F.col("rep_keep"))
+        .select("doc_id")
+    )
+    uniq_rep = uniq.join(rep_ok, "doc_id", "left_semi")
+    rk = uniq_rep.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_rep_ok")
+    )
     cc = (
-        uniq.filter(F.col("doc_id") >= 20)
+        uniq_rep.filter(F.col("doc_id") >= 20)
         .join(bad, "doc_id", "left_anti")
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("docs_clean"))
@@ -1881,6 +1982,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         raw.join(F.broadcast(kc), "source", "left")
         .join(F.broadcast(uc), "source", "left")
+        .join(F.broadcast(rk), "source", "left")
         .join(F.broadcast(cc), "source", "left")
         .select(
             "source",
@@ -1888,6 +1990,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("docs_kept", F.lit(0)).alias("docs_kept"),
             F.coalesce("docs_unique", F.lit(0)).alias("docs_unique"),
             F.coalesce("tokens_unique", F.lit(0)).alias("tokens_unique"),
+            F.coalesce("docs_rep_ok", F.lit(0)).alias("docs_rep_ok"),
             F.coalesce("docs_clean", F.lit(0)).alias("docs_clean"),
         )
     )
@@ -6399,71 +6502,11 @@ def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_repetition_stats",
-    sql="""
-WITH toks AS (
-  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents
-), g_top AS (
-  SELECT doc_id, 2 AS n, array_to_string(t[i:i+1], ' ') AS gram
-  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
-        FROM toks WHERE len(t) >= 2)
-  UNION ALL
-  SELECT doc_id, 3 AS n, array_to_string(t[i:i+2], ' ') AS gram
-  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
-        FROM toks WHERE len(t) >= 3)
-  UNION ALL
-  SELECT doc_id, 4 AS n, array_to_string(t[i:i+3], ' ') AS gram
-  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i
-        FROM toks WHERE len(t) >= 4)
-), topn AS (
-  SELECT doc_id, n, MAX(c) AS mc FROM (
-    SELECT doc_id, n, gram, COUNT(*) AS c
-    FROM g_top GROUP BY doc_id, n, gram
-  ) GROUP BY doc_id, n
-), tops AS (
-  SELECT doc_id,
-         MAX(CASE WHEN n = 2 THEN mc END) AS m2,
-         MAX(CASE WHEN n = 3 THEN mc END) AS m3,
-         MAX(CASE WHEN n = 4 THEN mc END) AS m4
-  FROM topn GROUP BY doc_id
-), g8 AS (
-  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
-  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
-        FROM toks WHERE len(t) >= 8)
-), dup8 AS (
-  SELECT doc_id, gram FROM g8 GROUP BY doc_id, gram HAVING COUNT(*) >= 2
-), hits AS (
-  SELECT g.doc_id, g.pos FROM g8 g JOIN dup8 d USING (doc_id, gram)
-), flagged AS (
-  SELECT doc_id, pos,
-         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 7
-              THEN 1 ELSE 0 END AS gap
-  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-), islands AS (
-  SELECT doc_id, pos,
-         SUM(gap) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-  FROM flagged
-), cov AS (
-  SELECT doc_id, SUM(span_tokens) AS ct FROM (
-    SELECT doc_id, MAX(pos) - MIN(pos) + 8 AS span_tokens
-    FROM islands GROUP BY doc_id, island
-  ) GROUP BY doc_id
-), fr AS (
-  SELECT k.doc_id,
-         CAST(len(k.t) AS INT) AS n_tokens,
-         ROUND(CAST(coalesce(s.m2, 0) * 2 AS DOUBLE) / len(k.t), 6)
-           AS top2gram_frac,
-         ROUND(CAST(coalesce(s.m3, 0) * 3 AS DOUBLE) / len(k.t), 6)
-           AS top3gram_frac,
-         ROUND(CAST(coalesce(s.m4, 0) * 4 AS DOUBLE) / len(k.t), 6)
-           AS top4gram_frac,
-         ROUND(CAST(coalesce(c.ct, 0) AS DOUBLE) / len(k.t), 6)
-           AS dup_gram_frac
-  FROM toks k LEFT JOIN tops s USING (doc_id) LEFT JOIN cov c USING (doc_id)
-)
+    sql=f"""
+WITH {_gopher_rep_cte().lstrip()}
 SELECT doc_id, n_tokens, top2gram_frac, top3gram_frac, top4gram_frac,
        dup_gram_frac,
-       (dup_gram_frac <= 0.10 AND top2gram_frac <= 0.20
-        AND top3gram_frac <= 0.18 AND top4gram_frac <= 0.16) AS rep_keep
+       {_GOPHER_KEEP_SQL} AS rep_keep
 FROM fr
 """,
     description=(
