@@ -1427,6 +1427,7 @@ def curate_stream(
     benchmark: DataFrame | None = None,
     min_quality: float | None = None,
     ngram_n: int = 4,
+    repetition_gate: bool = False,
     text_col: str = "text",
     id_col: str = "doc_id",
     trigger_available_now: bool = True,
@@ -1443,12 +1444,16 @@ def curate_stream(
     2. quality gate: ``min_quality`` over
        :func:`...textops.quality_features`'s ``quality_score`` (pure
        Column math — fuses into the batch scan);
-    3. benchmark decontamination: drop survivors sharing any word
+    3. (``repetition_gate=True``) the Gopher repetition gate:
+       :func:`...textops.gopher_repetition_stats`'s ``rep_keep`` at the
+       paper thresholds — per-doc map-side folds, stateless, so the
+       batch form applies unchanged inside the micro-batch;
+    4. benchmark decontamination: drop survivors sharing any word
        ``ngram_n``-gram with ``benchmark``
        (:func:`...dedup.contaminated_doc_ids` — eval grams broadcast,
        batch streams through a LEFT SEMI, here inverted to ANTI).
 
-    Only stage-1 survivors pay stages 2-3, and both later stages are
+    Only stage-1 survivors pay stages 2-4, and all later stages are
     batch-local (zero streaming state beyond the fingerprint index), so
     per-batch cost follows the batch. Composition is BY THE SINK: the
     dedup maintainer's delivery guard, crash-replay bound, and index
@@ -1471,6 +1476,16 @@ def curate_stream(
             out = (
                 quality_features(out, text_col=text_col)
                 .filter(F.col("quality_score") >= F.lit(min_quality))
+                .select(*batch_df.columns)
+            )
+        if repetition_gate:
+            from security_data_pipeline_spark.operators.textops import (
+                gopher_repetition_stats,
+            )
+
+            out = (
+                gopher_repetition_stats(out, text_col=text_col)
+                .filter(F.col("rep_keep"))
                 .select(*batch_df.columns)
             )
         if benchmark is not None:

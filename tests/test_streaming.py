@@ -2309,3 +2309,43 @@ def test_streaming_kmv_equals_batch_sketch(spark, tmp_path):
     shutil.rmtree(ckpt)
     run()
     assert streamed() == want
+
+
+def test_curate_stream_repetition_gate_drops_spam(spark, tmp_path):
+    """The optional stage-3 repetition gate inside the ingest-curation
+    fold: a repeated-phrase page that passes the quality/dedup stages is
+    dropped by its Gopher fractions; a normal page flows through. The
+    gate is stateless map-side math, so the BATCH operator applies
+    unchanged inside the micro-batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.streaming.pipeline import curate_stream
+
+    spam = " ".join(["buy", "now"] * 12)  # top-2-gram frac 1.0, dup-8 1.0
+    good = " ".join(f"w{i}" for i in range(30))  # all fracs under threshold
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": [spam, good]}),
+        str(src / "b0.parquet"),
+    )
+    out = str(tmp_path / "out")
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    q = curate_stream(
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(src)),
+        str(tmp_path / "fps"),
+        str(tmp_path / "ckpt"),
+        sink,
+        repetition_gate=True,
+    )
+    q.awaitTermination(120)
+
+    delivered = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert delivered == [2]
+    # rejected docs still enter the fingerprint index (re-crawls stay dups)
+    assert spark.read.parquet(str(tmp_path / "fps")).count() == 2
