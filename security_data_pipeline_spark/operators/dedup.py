@@ -47,18 +47,34 @@ def keep_last_dedup(
 def shingles(col: Column | str, n: int = 5, delim: str = " ") -> Column:
     """Word n-gram shingles as an array<string> (distinct, order-free).
 
-    Documents shorter than ``n`` tokens yield an EMPTY array: the start
-    index must be guarded per-branch because ``sequence(1, 0)`` counts
-    DOWN through 0 and ``slice`` rejects a 0 start — a bare
-    ``sequence(1, greatest(len-(n-1), 0))`` crashes the whole stage on
-    the first short document."""
+    Documents shorter than ``n`` tokens yield an EMPTY array: the length
+    must be guarded because ``sequence(1, 0)`` counts DOWN through 0 and
+    ``slice`` rejects a 0 start — a bare ``sequence(1,
+    greatest(len-(n-1), 0))`` crashes the whole stage on the first short
+    document.
+
+    Construction is an incremental ``zip_with`` chain — length-k grams
+    extend the length-(k−1) grams with the k-shifted token array, one
+    two-string concat per gram — instead of an indexed
+    ``slice`` + ``concat_ws`` transform (measured ~3× cheaper per pass
+    at sf0.1; SCALE.md "per-element indexed transforms"). The chain puts
+    ``n − 1`` zip nodes in the plan, hence the cap."""
+    if n < 1 or n > 64:
+        raise ValueError(f"shingles: n must be in [1, 64], got {n}")
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(c, delim)
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
+    length = F.size(toks)
+    g = toks
+    for k in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(toks, k + 1, F.greatest(length - k, F.lit(1))),
+            lambda a, b: F.concat(a, F.lit(delim), b),
+        )
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(delim, F.slice(toks, i, n)))
+        F.when(length >= n, F.slice(g, 1, length - (n - 1))).otherwise(
+            F.array().cast("array<string>")
+        )
     )
 
 
