@@ -59,35 +59,35 @@ def h60(c: Column) -> Column:
     )
 
 
-def _bloom_hex_len(m_bits: int, k: int) -> int:
-    """Hex digits per position slice: ``ceil(log2(m_bits) / 4)``, with a
-    guard that ``k`` non-overlapping slices fit one 32-hex md5 digest."""
-    hex_len = max(1, ((m_bits - 1).bit_length() + 3) // 4)
-    if k * hex_len > 32:
+def _bloom_slice_bits(m_bits: int, k: int) -> int:
+    """Bits per position slice: ``ceil(log2(m_bits))``, with a guard that
+    ``k`` non-overlapping slices fit the 60-bit :func:`h60` hash."""
+    bits = max(1, (m_bits - 1).bit_length())
+    if k * bits > HASH_BITS:
         raise ValueError(
-            f"bloom: k={k} slices of {hex_len} hex chars exceed one md5 "
-            f"digest (32); shrink k or m_bits"
+            f"bloom: k={k} slices of {bits} bits exceed the {HASH_BITS}-bit "
+            f"portable hash; shrink k or m_bits"
         )
-    return hex_len
+    return bits
 
 
-def bloom_positions_from_digest(
-    digest: Column, m_bits: int, k: int
-) -> Column:
-    """The ``k`` bit positions of an item given its md5 hex ``digest`` —
-    ``k`` non-overlapping hex slices of the ONE digest, each reduced mod
-    ``m_bits`` (the Kirsch–Mitzenmacher observation that independent
-    re-hashing buys nothing a single wide digest can't provide). One md5
-    per item instead of k is what keeps the corpus probe pass cheap;
-    DuckDB replays slice ``i`` as ``CAST(CONCAT('0x', substr(md5(x),
-    1 + i*len, len)) AS BIGINT) % m_bits``."""
-    hex_len = _bloom_hex_len(m_bits, k)
+def bloom_positions_from_hash(h: Column, m_bits: int, k: int) -> Column:
+    """The ``k`` bit positions of an item given its 60-bit portable hash
+    (:func:`h60`) — ``k`` non-overlapping BIT slices of the one hash
+    (the Kirsch–Mitzenmacher observation that independent re-hashing
+    buys nothing a single wide digest can't provide). Each probe is a
+    shift + mask + mod — pure long arithmetic on an already-computed
+    ``h``, safe inside HOF lambdas where every subexpression occurrence
+    re-evaluates (earlier forms re-ran a hex parse, or the md5 itself,
+    once per probe). DuckDB replays slice ``i`` as
+    ``((CAST(CONCAT('0x', substr(md5(x), 1, 15)) AS BIGINT)
+    >> (i*bits)) & (2^bits - 1)) % m_bits``."""
+    bits = _bloom_slice_bits(m_bits, k)
+    mask = (1 << bits) - 1
     return F.array(
         [
             F.pmod(
-                F.conv(
-                    F.substring(digest, 1 + i * hex_len, hex_len), 16, 10
-                ).cast("long"),
+                F.shiftright(h, i * bits).bitwiseAND(F.lit(mask)),
                 F.lit(m_bits),
             )
             for i in range(k)
@@ -96,14 +96,12 @@ def bloom_positions_from_digest(
 
 
 def bloom_positions(item: Column, m_bits: int, k: int) -> Column:
-    """``k`` bit positions of a raw string ``item`` — md5 once, then
-    :func:`bloom_positions_from_digest`. Row-level use only (the digest
-    is a plain projected subexpression Catalyst evaluates once); inside
-    higher-order lambdas, map the array to digests FIRST so the md5 is
-    not re-evaluated per slice (see :func:`flag_bloom_hits`)."""
-    return bloom_positions_from_digest(
-        F.md5(item.cast("binary")), m_bits, k
-    )
+    """``k`` bit positions of a raw string ``item`` — :func:`h60` once,
+    then :func:`bloom_positions_from_hash`. Row-level use only (the
+    hash subtree is repeated per slice, which codegen de-dupes in plain
+    projections but interpreted HOF lambdas do NOT); inside a lambda,
+    map to hashes FIRST (see :func:`flag_bloom_hits`)."""
+    return bloom_positions_from_hash(h60(item), m_bits, k)
 
 
 def bloom_word_rows(
@@ -179,16 +177,15 @@ def bloom_filter_frame(
     )
 
 
-def bloom_digest_contains(
-    digest: Column, bloom: Column, m_bits: int, k: int
+def bloom_hash_contains(
+    h: Column, bloom: Column, m_bits: int, k: int
 ) -> Column:
-    """Membership predicate over a precomputed md5 hex ``digest``: all
+    """Membership predicate over a precomputed :func:`h60` hash: all
     ``k`` sliced positions are set in the ``bloom`` word array. Pure
-    Column math (substr/conv/getbit), lambda-safe — usable inside
-    higher-order functions, which is what keeps the corpus pass
-    map-only."""
+    long/getbit math, lambda-safe — usable inside higher-order
+    functions, which is what keeps the corpus pass map-only."""
     return F.forall(
-        bloom_positions_from_digest(digest, m_bits, k),
+        bloom_positions_from_hash(h, m_bits, k),
         lambda p: F.getbit(
             F.element_at(bloom, (p / 64).cast("int") + 1),
             F.pmod(p, F.lit(64)),
@@ -200,14 +197,12 @@ def bloom_digest_contains(
 def bloom_contains(
     item: Column, bloom: Column, m_bits: int, k: int
 ) -> Column:
-    """Membership predicate for a raw string ``item`` — md5 once, then
-    :func:`bloom_digest_contains`. Inside a higher-order lambda prefer
-    transforming the array to digests first (HOF lambda bodies are
-    re-evaluated per element, defeating common-subexpression reuse of
-    the md5)."""
-    return bloom_digest_contains(
-        F.md5(item.cast("binary")), bloom, m_bits, k
-    )
+    """Membership predicate for a raw string ``item`` — :func:`h60`
+    once, then :func:`bloom_hash_contains`. Inside a higher-order
+    lambda prefer transforming the array to hashes first (HOF lambda
+    bodies are re-evaluated per element, defeating common-subexpression
+    reuse of the hash)."""
+    return bloom_hash_contains(h60(item), bloom, m_bits, k)
 
 
 def flag_bloom_hits(
@@ -232,10 +227,11 @@ def flag_bloom_hits(
     SUPERSET of the exact-join flag (false positives only).
     """
     gs = shingles(text_col, n)
-    # md5 each gram ONCE in a transform, then probe the k digest slices
-    # in the filter — HOF lambda bodies re-evaluate per element, so
-    # probing raw grams directly would compute the md5 k times per gram
-    digests = F.transform(gs, lambda g: F.md5(g.cast("binary")))
+    # hash each gram ONCE (md5 + one hex->long parse) in a transform,
+    # then probe the k bit slices in the filter — HOF lambda bodies
+    # re-evaluate per element, so probing raw grams directly would
+    # re-run the hash k times per gram
+    hashes = F.transform(gs, lambda g: h60(g))
     b = F.col("_bf.bloom")
     return (
         corpus.crossJoin(F.broadcast(bloom_frame.alias("_bf")))
@@ -244,8 +240,8 @@ def flag_bloom_hits(
             "n_bloom_hits",
             F.size(
                 F.filter(
-                    digests,
-                    lambda d: bloom_digest_contains(d, b, m_bits, k),
+                    hashes,
+                    lambda h: bloom_hash_contains(h, b, m_bits, k),
                 )
             ),
         )

@@ -6045,8 +6045,8 @@ WITH toks AS (
   SELECT DISTINCT g FROM grams WHERE doc_id < 20
 ), seeds(s) AS (VALUES (0),(1),(2)),
 setbits AS (
-  SELECT DISTINCT CAST(CONCAT('0x',
-           substr(md5(g), 1 + s * 4, 4)) AS BIGINT) % 65536 AS p
+  SELECT DISTINCT ((CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT)
+           >> (s * 16)) & 65535) % 65536 AS p
   FROM bench CROSS JOIN seeds
 ), cg AS (
   SELECT DISTINCT doc_id, g FROM grams WHERE doc_id >= 20
@@ -6055,8 +6055,8 @@ setbits AS (
     SELECT doc_id, g
     FROM cg CROSS JOIN seeds
     GROUP BY doc_id, g
-    HAVING BOOL_AND(CAST(CONCAT('0x',
-             substr(md5(g), 1 + s * 4, 4)) AS BIGINT) % 65536
+    HAVING BOOL_AND(((CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT)
+             >> (s * 16)) & 65535) % 65536
              IN (SELECT p FROM setbits))
   )
 ), edoc AS (
