@@ -59,16 +59,17 @@ def h60(c: Column) -> Column:
     )
 
 
-def _bloom_slice_bits(m_bits: int, k: int) -> int:
-    """Bits per position slice: ``ceil(log2(m_bits))``, with a guard that
-    ``k`` non-overlapping slices fit the 60-bit :func:`h60` hash."""
-    bits = max(1, (m_bits - 1).bit_length())
-    if k * bits > HASH_BITS:
-        raise ValueError(
-            f"bloom: k={k} slices of {bits} bits exceed the {HASH_BITS}-bit "
-            f"portable hash; shrink k or m_bits"
-        )
-    return bits
+def _bloom_slice_bits(m_bits: int) -> int:
+    """Bits per position slice: ``ceil(log2(m_bits))``."""
+    return max(1, (m_bits - 1).bit_length())
+
+
+def bloom_fits_h60(m_bits: int, k: int) -> bool:
+    """Whether ``k`` non-overlapping position slices fit the 60-bit
+    :func:`h60` hash (true through the 2^20/k=3 default). Wider filters
+    (the streaming corpus gate's 2^24) fall back to hex slices of the
+    full 128-bit digest — one md5 but k hex parses per item."""
+    return k * _bloom_slice_bits(m_bits) <= HASH_BITS
 
 
 def bloom_positions_from_hash(h: Column, m_bits: int, k: int) -> Column:
@@ -82,7 +83,12 @@ def bloom_positions_from_hash(h: Column, m_bits: int, k: int) -> Column:
     once per probe). DuckDB replays slice ``i`` as
     ``((CAST(CONCAT('0x', substr(md5(x), 1, 15)) AS BIGINT)
     >> (i*bits)) & (2^bits - 1)) % m_bits``."""
-    bits = _bloom_slice_bits(m_bits, k)
+    bits = _bloom_slice_bits(m_bits)
+    if k * bits > HASH_BITS:
+        raise ValueError(
+            f"bloom: k={k} slices of {bits} bits exceed the {HASH_BITS}-bit "
+            f"hash; use the digest form (bloom_fits_h60 is false)"
+        )
     mask = (1 << bits) - 1
     return F.array(
         [
@@ -95,13 +101,47 @@ def bloom_positions_from_hash(h: Column, m_bits: int, k: int) -> Column:
     )
 
 
+def bloom_positions_from_digest(
+    digest: Column, m_bits: int, k: int
+) -> Column:
+    """Wide-filter fallback: ``k`` non-overlapping HEX slices of the full
+    128-bit md5 ``digest``, for ``m_bits`` too wide for
+    :func:`bloom_positions_from_hash` (k·bits > 60; e.g. the streaming
+    corpus gate's 2^24). Costs k hex→long parses per item instead of
+    one — use the hash form whenever :func:`bloom_fits_h60` says it
+    fits. DuckDB replays slice ``i`` as ``CAST(CONCAT('0x',
+    substr(md5(x), 1 + i*len, len)) AS BIGINT) % m_bits``."""
+    hex_len = max(1, (_bloom_slice_bits(m_bits) + 3) // 4)
+    if k * hex_len > 32:
+        raise ValueError(
+            f"bloom: k={k} slices of {hex_len} hex chars exceed one md5 "
+            f"digest (32); shrink k or m_bits"
+        )
+    return F.array(
+        [
+            F.pmod(
+                F.conv(
+                    F.substring(digest, 1 + i * hex_len, hex_len), 16, 10
+                ).cast("long"),
+                F.lit(m_bits),
+            )
+            for i in range(k)
+        ]
+    )
+
+
 def bloom_positions(item: Column, m_bits: int, k: int) -> Column:
-    """``k`` bit positions of a raw string ``item`` — :func:`h60` once,
-    then :func:`bloom_positions_from_hash`. Row-level use only (the
-    hash subtree is repeated per slice, which codegen de-dupes in plain
-    projections but interpreted HOF lambdas do NOT); inside a lambda,
-    map to hashes FIRST (see :func:`flag_bloom_hits`)."""
-    return bloom_positions_from_hash(h60(item), m_bits, k)
+    """``k`` bit positions of a raw string ``item`` — one md5, then the
+    cheapest slicing that fits (:func:`bloom_fits_h60` dispatch).
+    Row-level use only (the hash subtree is repeated per slice, which
+    codegen de-dupes in plain projections but interpreted HOF lambdas
+    do NOT); inside a lambda, map to hashes/digests FIRST (see
+    :func:`flag_bloom_hits`)."""
+    if bloom_fits_h60(m_bits, k):
+        return bloom_positions_from_hash(h60(item), m_bits, k)
+    return bloom_positions_from_digest(
+        F.md5(item.cast("binary")), m_bits, k
+    )
 
 
 def bloom_word_rows(
@@ -194,15 +234,34 @@ def bloom_hash_contains(
     )
 
 
+def bloom_digest_contains(
+    digest: Column, bloom: Column, m_bits: int, k: int
+) -> Column:
+    """Membership predicate over a precomputed md5 hex ``digest`` for
+    WIDE filters (:func:`bloom_fits_h60` false). Lambda-safe."""
+    return F.forall(
+        bloom_positions_from_digest(digest, m_bits, k),
+        lambda p: F.getbit(
+            F.element_at(bloom, (p / 64).cast("int") + 1),
+            F.pmod(p, F.lit(64)),
+        )
+        == 1,
+    )
+
+
 def bloom_contains(
     item: Column, bloom: Column, m_bits: int, k: int
 ) -> Column:
-    """Membership predicate for a raw string ``item`` — :func:`h60`
-    once, then :func:`bloom_hash_contains`. Inside a higher-order
-    lambda prefer transforming the array to hashes first (HOF lambda
-    bodies are re-evaluated per element, defeating common-subexpression
-    reuse of the hash)."""
-    return bloom_hash_contains(h60(item), bloom, m_bits, k)
+    """Membership predicate for a raw string ``item`` — one md5, then
+    the cheapest slicing that fits (:func:`bloom_fits_h60` dispatch).
+    Inside a higher-order lambda prefer transforming the array to
+    hashes/digests first (HOF lambda bodies are re-evaluated per
+    element, defeating common-subexpression reuse of the hash)."""
+    if bloom_fits_h60(m_bits, k):
+        return bloom_hash_contains(h60(item), bloom, m_bits, k)
+    return bloom_digest_contains(
+        F.md5(item.cast("binary")), bloom, m_bits, k
+    )
 
 
 def flag_bloom_hits(
@@ -227,24 +286,24 @@ def flag_bloom_hits(
     SUPERSET of the exact-join flag (false positives only).
     """
     gs = shingles(text_col, n)
-    # hash each gram ONCE (md5 + one hex->long parse) in a transform,
-    # then probe the k bit slices in the filter — HOF lambda bodies
-    # re-evaluate per element, so probing raw grams directly would
-    # re-run the hash k times per gram
-    hashes = F.transform(gs, lambda g: h60(g))
+    # hash each gram ONCE in a transform, then probe in the filter —
+    # HOF lambda bodies re-evaluate per element, so probing raw grams
+    # directly would re-run the hash k times per gram. Narrow filters
+    # carry one parsed 60-bit long per gram; wide filters carry the hex
+    # digest and pay their k parses inside the probe (bloom_fits_h60)
     b = F.col("_bf.bloom")
+    if bloom_fits_h60(m_bits, k):
+        keys = F.transform(gs, lambda g: h60(g))
+        probe = lambda h: bloom_hash_contains(h, b, m_bits, k)  # noqa: E731
+    else:
+        keys = F.transform(gs, lambda g: F.md5(g.cast("binary")))
+        probe = lambda d: bloom_digest_contains(  # noqa: E731
+            d, b, m_bits, k
+        )
     return (
         corpus.crossJoin(F.broadcast(bloom_frame.alias("_bf")))
         .withColumn("n_grams", F.size(gs))
-        .withColumn(
-            "n_bloom_hits",
-            F.size(
-                F.filter(
-                    hashes,
-                    lambda h: bloom_hash_contains(h, b, m_bits, k),
-                )
-            ),
-        )
+        .withColumn("n_bloom_hits", F.size(F.filter(keys, probe)))
         .drop("bloom", "m_bits", "k")
     )
 
