@@ -369,20 +369,45 @@ def gopher_repetition_stats(
     ).otherwise(F.array().cast("array<struct<gram:string,pos:int>>"))
     out = out.withColumn("_pg", pg).drop("_gd")
     arr = F.col("_pg")
-    last = F.size(arr)
 
-    def _is_dup(x, i):  # i is the 0-based lambda index; element_at is 1-based
-        prev_eq = F.when(
-            i > 0, F.element_at(arr, i.cast("int"))["gram"] == x["gram"]
-        ).otherwise(F.lit(False))
-        next_eq = F.when(
-            i < last - 1,
-            F.element_at(arr, (i + 2).cast("int"))["gram"] == x["gram"],
-        ).otherwise(F.lit(False))
-        return prev_eq | next_eq
-
+    # duplicated-position detection by NEIGHBOR EQUALITY in the sorted
+    # array, expressed as zips against shifted copies — deliberately NO
+    # element_at(<array expr>, i) inside a lambda: predicate pushdown
+    # substitutes column bindings back into a pushed filter condition,
+    # and an indexed lookup whose array argument is then a full
+    # expression re-evaluates that expression PER ELEMENT (the
+    # corpus_curation funnel hung at sf0.1 on exactly that O(L²) until
+    # this form). Array-level zip/slice/concat reference each input a
+    # constant number of times, so even fully inlined the work stays
+    # O(L log L) per document.
+    gs = F.transform(arr, lambda x: x["gram"])
+    out = out.withColumn("_gs", gs)
+    gsc = F.col("_gs")
+    n_pg = F.size(gsc)
+    null_s = F.array(F.lit(None).cast("string"))
+    prev_g = F.concat(null_s, F.slice(gsc, 1, F.greatest(n_pg - 1, F.lit(0))))
+    next_g = F.concat(
+        F.when(n_pg >= 2, F.slice(gsc, 2, n_pg - 1)).otherwise(
+            F.array().cast("array<string>")
+        ),
+        null_s,
+    )
+    eq_prev = F.zip_with(
+        gsc, prev_g, lambda a, b: F.coalesce(a == b, F.lit(False))
+    )
+    eq_next = F.zip_with(
+        gsc, next_g, lambda a, b: F.coalesce(a == b, F.lit(False))
+    )
+    flags = F.zip_with(eq_prev, eq_next, lambda a, b: a | b)
+    pos_flag = F.zip_with(
+        F.transform(arr, lambda x: x["pos"]),
+        flags,
+        lambda p, fl: F.struct(p.alias("p"), fl.alias("fl")),
+    )
     dup_pos = F.sort_array(
-        F.transform(F.filter(arr, _is_dup), lambda x: x["pos"])
+        F.transform(
+            F.filter(pos_flag, lambda x: x["fl"]), lambda x: x["p"]
+        )
     )
     covered = F.aggregate(
         dup_pos,
@@ -407,7 +432,7 @@ def gopher_repetition_stats(
             covered.cast("double") / F.nullif(n_tok, F.lit(0)).cast("double"),
             6,
         ),
-    ).drop("_pg")
+    ).drop("_pg", "_gs")
     keep = F.col("dup_gram_frac") <= F.lit(dup_threshold)
     for name, bound in frac_cols:
         keep = keep & (F.col(name) <= F.lit(bound))

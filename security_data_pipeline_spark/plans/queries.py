@@ -1963,9 +1963,19 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = dedup.contaminated_doc_ids(
         docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20), n=4
     )
-    # repetition gate flags, also from the raw scan (map-side per-doc)
+    # repetition gate flags, also from the raw scan (map-side per-doc).
+    # The (doc_id, rep_keep) frame is PINNED BEFORE the filter:
+    # PushDownPredicate substitutes Project aliases into a pushed
+    # condition unconditionally, so filtering the operator output
+    # directly re-inlines the gram-chain bindings once per reference
+    # (~9× the standalone cost — the unpinned form ran 23 s vs 2.6 s at
+    # sf0.1). Pinning first evaluates the chain once and leaves the
+    # filter nothing to push through; the frame is also shared by two
+    # consumers — the "no exchange to reuse" pin case (SCALE.md).
     rep_ok = (
         textops.gopher_repetition_stats(docs)
+        .select("doc_id", "rep_keep")
+        .localCheckpoint()
         .filter(F.col("rep_keep"))
         .select("doc_id")
     )

@@ -1483,11 +1483,18 @@ def curate_stream(
                 gopher_repetition_stats,
             )
 
-            out = (
+            # pin the batch-sized flag frame BEFORE filtering: a pushed
+            # filter substitutes the operator's internal bindings into
+            # its condition, re-inlining the gram chain per reference
+            # (see corpus_curation)
+            rep_ok = (
                 gopher_repetition_stats(out, text_col=text_col)
+                .select(id_col, "rep_keep")
+                .localCheckpoint()
                 .filter(F.col("rep_keep"))
-                .select(*batch_df.columns)
+                .select(id_col)
             )
+            out = out.join(F.broadcast(rep_ok), id_col, "left_semi")
         if benchmark is not None:
             bad = contaminated_doc_ids(
                 out, benchmark, id_col=id_col, text_col=text_col, n=ngram_n
