@@ -338,3 +338,17 @@ def test_span_removal_never_explodes_the_rebuild_side(spark):
     assert plan.count("Generate") == 2, plan.count("Generate")
     assert "Expand" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_repetition_gate_is_map_only_and_funnel_pins_flags(spark):
+    """Two plan guarantees around the Gopher gate: (a) the standalone
+    stats pass has NO Exchange (pure per-row folds — the 100 TB scan
+    claim); (b) the curation funnel consumes the keep flag through a
+    MATERIALIZED frame (a checkpointed RDD scan in the plan), never by
+    filtering the lazy operator output — PushDownPredicate would inline
+    the gram-chain bindings into the pushed condition (the measured
+    23 s / O(L^2) regression recorded in SCALE.md)."""
+    plan = _plan(REGISTRY["doc_repetition_stats"].fn(spark, SF))
+    assert "Exchange" not in plan, plan[:1500]
+    funnel = _plan(REGISTRY["corpus_curation"].fn(spark, SF))
+    assert "ExistingRDD" in funnel, funnel[:1500]
