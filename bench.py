@@ -103,6 +103,10 @@ BENCH_QUERIES: tuple[str, ...] = (
     # within-doc duplicated-8-gram coverage, all map-side folds (zero
     # shuffle; the bench witnesses the pure-scan claim)
     "doc_repetition_stats",
+    # round-7 addition: per-doc curation audit trail (which stage
+    # rejected each doc; the pinned gate-flag frame materializes at
+    # plan build, outside the timed region — like the index builds)
+    "doc_curation_audit",
     # driver-window composites, benched AS the driver runs them — the
     # wall-clock the driver pays includes their union/unpivot overhead,
     # which per-arm numbers don't capture
@@ -132,7 +136,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_lm_scores": 5000,
         "temporal_net_suite": 44669, "event_windows_suite": 200000,
         "scale_suite": 713, "security_detections": 11195,
-        "doc_repetition_stats": 5000,
+        "doc_repetition_stats": 5000, "doc_curation_audit": 5000,
         "doc_jaccard_prefix_pairs": 255, "knn_cosine_sq8": 50,
         "doc_hybrid_search": 20, "events_value_drift": 5,
         "events_heavy_hitters": 0, "events_hourly_resampled": 3600,
@@ -162,7 +166,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_lm_scores": 500,
         "temporal_net_suite": 16129, "event_windows_suite": 20000,
         "scale_suite": 588, "security_detections": 1135,
-        "doc_repetition_stats": 500,
+        "doc_repetition_stats": 500, "doc_curation_audit": 500,
         "doc_jaccard_prefix_pairs": 25, "knn_cosine_sq8": 50,
         "doc_hybrid_search": 20, "events_value_drift": 5,
         "events_heavy_hitters": 0, "events_hourly_resampled": 3600,

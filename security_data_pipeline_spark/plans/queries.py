@@ -2007,6 +2007,129 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_curation_audit",
+    sql=f"""
+WITH base AS (
+  SELECT source, doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_filter(string_split(lower(text), ' '),
+                         t -> t IN ({_STOP_SQL}))) AS n_stop,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+           AS n_punct
+  FROM documents
+), q AS (
+  SELECT source, doc_id,
+         CASE WHEN n_tokens >= 10
+               AND ROUND(CAST(n_punct AS DOUBLE)
+                         / CAST(NULLIF(n_chars, 0) AS DOUBLE), 6) <= 0.2
+               AND CAST(n_stop AS DOUBLE)
+                   / CAST(NULLIF(n_tokens, 0) AS DOUBLE) >= 0.03
+              THEN 1 ELSE 0 END AS q_ok,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM base
+), dup AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM q WHERE q_ok = 1
+  ) WHERE rn > 1
+), {_gopher_rep_cte().lstrip()},
+repok AS (
+  SELECT doc_id FROM fr WHERE {_GOPHER_KEEP_SQL}
+), cgrams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 3, 0)),
+           i -> array_to_string(string_split(text, ' ')[i:i+3], ' ')))) AS g
+  FROM documents
+), cont AS (
+  SELECT DISTINCT cgrams.doc_id FROM cgrams
+  JOIN (SELECT DISTINCT g FROM cgrams WHERE doc_id < 20) bg USING (g)
+  WHERE cgrams.doc_id >= 20
+)
+SELECT q.source, q.doc_id,
+       CASE
+         WHEN q.q_ok = 0 THEN 'low_quality'
+         WHEN q.doc_id IN (SELECT doc_id FROM dup) THEN 'duplicate'
+         WHEN q.doc_id NOT IN (SELECT doc_id FROM repok) THEN 'repetitive'
+         WHEN q.doc_id < 20 THEN 'benchmark'
+         WHEN q.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+         ELSE 'kept'
+       END AS verdict
+FROM q
+""",
+    description=(
+        "Per-document curation AUDIT TRAIL: which funnel stage rejected "
+        "each doc — low_quality (length/punct/lang), duplicate (later "
+        "fingerprint copy among quality survivors), repetitive (Gopher "
+        "gate), contaminated (shares an eval 4-gram), benchmark (the "
+        "eval set itself, exempt from decontamination), or kept. The "
+        "debugging surface every data-recipe iteration needs: the "
+        "verdict column GROUPs to exactly corpus_curation's funnel "
+        "counts (asserted in tests), so the audit and the report cannot "
+        "drift apart. Same per-stage physical shapes as the funnel "
+        "(flags from the raw scan, pinned gate frame, broadcast dup/"
+        "contamination sets join back to one row per document)"
+    ),
+)
+def doc_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = textops.language_id(textops.quality_features(docs))
+    q_ok = (
+        (F.col("n_tokens") >= 10)
+        & (F.col("punct_ratio") <= 0.2)
+        & (F.col("lang_guess") == "en")
+    )
+    flagged = scored.select(
+        "source",
+        "doc_id",
+        q_ok.alias("_q_ok"),
+        textops.fingerprint("text").alias("_fp"),
+    )
+    dup = (
+        flagged.filter(F.col("_q_ok"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_fp").orderBy("doc_id")),
+        )
+        .filter(F.col("_rn") > 1)
+        .select("doc_id")
+        .withColumn("_dup", F.lit(True))
+    )
+    rep_ok = (
+        textops.gopher_repetition_stats(docs)
+        .select("doc_id", "rep_keep")
+        .localCheckpoint()
+        .filter(F.col("rep_keep"))
+        .select("doc_id")
+        .withColumn("_rep", F.lit(True))
+    )
+    cont = (
+        dedup.contaminated_doc_ids(
+            docs.filter(F.col("doc_id") >= 20),
+            docs.filter(F.col("doc_id") < 20),
+            n=4,
+        )
+        .withColumn("_cont", F.lit(True))
+    )
+    return (
+        flagged.join(F.broadcast(dup), "doc_id", "left")
+        .join(F.broadcast(rep_ok), "doc_id", "left")
+        .join(F.broadcast(cont), "doc_id", "left")
+        .select(
+            "source",
+            "doc_id",
+            F.when(~F.col("_q_ok"), "low_quality")
+            .when(F.col("_dup").isNotNull(), "duplicate")
+            .when(F.col("_rep").isNull(), "repetitive")
+            .when(F.col("doc_id") < 20, "benchmark")
+            .when(F.col("_cont").isNotNull(), "contaminated")
+            .otherwise("kept")
+            .alias("verdict"),
+        )
+    )
+
+
+@query(
     "doc_token_packing",
     sql="""
 WITH toks AS (

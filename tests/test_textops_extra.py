@@ -237,3 +237,33 @@ def test_gopher_plan_is_map_only(spark):
     df = _docs(spark, [(1, "a b c")])
     plan = textops.gopher_repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_curation_audit_reconciles_with_funnel(spark):
+    """The per-doc audit verdicts GROUP to exactly the funnel's counts —
+    the two views of the same pipeline cannot drift apart."""
+    from collections import Counter
+
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    audit = REGISTRY["doc_curation_audit"].fn(spark, sf).collect()
+    funnel = {
+        r["source"]: r
+        for r in REGISTRY["corpus_curation"].fn(spark, sf).collect()
+    }
+    per: dict[str, Counter] = {}
+    for r in audit:
+        per.setdefault(r["source"], Counter())[r["verdict"]] += 1
+    assert set(per) == set(funnel)
+    for src, c in per.items():
+        f = funnel[src]
+        total = sum(c.values())
+        assert total == f["docs_in"]
+        assert total - c["low_quality"] == f["docs_kept"]
+        assert total - c["low_quality"] - c["duplicate"] == f["docs_unique"]
+        assert (
+            total - c["low_quality"] - c["duplicate"] - c["repetitive"]
+            == f["docs_rep_ok"]
+        )
+        assert c["kept"] == f["docs_clean"]
