@@ -635,3 +635,43 @@ def test_contamination_report_matches_model(spark, bench_texts, corpus_texts):
         frac = round(len(hits) / len(gs), 6) if gs else 0.0
         mx = max((df_of[g] for g in hits), default=0)
         assert got[i] == (len(gs), len(hits), frac, mx), (i, t)
+
+
+# --- shingles construction vs a Python model --------------------------------
+
+_tok = st.sampled_from(["a", "bb", "ccc", "", "aa"])  # "" = consecutive spaces
+_texts = st.lists(
+    st.lists(_tok, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _py_shingles(text: str, n: int, delim: str = " ") -> list[str]:
+    toks = text.split(delim)
+    grams = [
+        delim.join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    ]
+    return list(dict.fromkeys(grams))  # distinct, first-occurrence order
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_texts, n=st.integers(min_value=1, max_value=5))
+def test_shingles_zip_chain_matches_python_model(spark, texts, n):
+    """The zip_with gram chain yields exactly the indexed-transform
+    semantics: same gram strings, duplicates removed preserving first
+    occurrence, empty array for short docs — including empty-string
+    tokens from consecutive delimiters."""
+    from security_data_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["s"])
+        for r in df.select(
+            "doc_id", dedup.shingles("text", n).alias("s")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_shingles(t, n), (t, n)
