@@ -113,3 +113,42 @@ def test_self_checking_sketches_hold_at_other_scales(spark, name, sf_dir):
     got = REGISTRY[name].fn(spark, sf_dir)
     rows = got.collect()
     assert rows == [], f"{name}@{sf_dir}: {rows[:5]}"
+
+
+# The gram-construction operators have length-dependent edge cases (docs
+# shorter than n, empty token arrays) that a single scale factor can miss:
+# sf0.001 documents are the shortest the generator produces. A second-SF
+# parity leg for the gram-heavy document family codifies the one-off
+# all-145-query sf0.001 sweep that came back clean.
+GRAM_EDGE = (
+    "doc_repetition_stats",
+    "doc_curation_audit",
+    "corpus_curation",
+    "doc_dup_spans",
+    "doc_dup_span_stats",
+    "doc_bloom_decontaminate",
+    "corpus_overlap_kmv",
+    "ngram_jaccard_pairs",
+)
+
+
+@pytest.fixture(scope="module")
+def duck_sf0001():
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", GRAM_EDGE)
+def test_gram_family_matches_oracle_at_sf0001(spark, duck_sf0001, name):
+    spec = REGISTRY[name]
+    got = _normalize(spec.fn(spark, "/root/testdata/sf0.001").toPandas())
+    exp = _normalize(duck_sf0001.sql(spec.sql).df())
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp), f"row count {len(got)} vs {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_exact=False, rtol=0, atol=1e-9)
