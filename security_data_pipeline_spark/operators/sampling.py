@@ -103,6 +103,58 @@ def stratified_sample(
     )
 
 
+def rate_stratified_sample(
+    df: DataFrame,
+    key: Column | str,
+    score_col: Column | str,
+    buckets: list[tuple[float, float]],
+    salt: str = "",
+) -> DataFrame:
+    """Quality-weighted deterministic subsampling: keep a DIFFERENT
+    fraction per score bucket — the "all of the best, a sliver of the
+    worst" curation step of quality-weighted corpus recipes.
+
+    ``buckets`` is ``[(min_score, keep_rate), ...]`` sorted strictly
+    DESCENDING by ``min_score``; a row draws the rate of the first
+    bucket whose threshold its score reaches, and rows below every
+    threshold are dropped (add a floor bucket to keep a tail slice).
+    Membership is ``md5(salt || key) < rate`` — the same hash family as
+    :func:`hash_sample` / :func:`hash_split`, so the draw is
+    reproducible on any engine and partitioning, and MONOTONE in the
+    rate: raising a bucket's rate only ADDS documents, so recipe tuning
+    never churns previously kept docs in and out of the training set.
+
+    Map-side only — one CASE over bucket literals per row, zero
+    shuffles; at 100 TB the sample is a pure scan filter.
+    """
+    if not buckets:
+        raise ValueError("buckets must be non-empty")
+    thresholds = [t for t, _ in buckets]
+    if thresholds != sorted(thresholds, reverse=True) or len(
+        set(thresholds)
+    ) != len(thresholds):
+        raise ValueError(
+            f"bucket thresholds must be strictly descending: {thresholds}"
+        )
+    for t, r in buckets:
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for threshold {t} outside [0, 1]: {r}")
+    kc = F.col(key) if isinstance(key, str) else key
+    sc = F.col(score_col) if isinstance(score_col, str) else score_col
+    h = hash_hex16(kc, salt)
+    keep: Column = F.lit(False)
+    cond = None
+    for t, r in buckets:
+        branch = h < F.lit(_hex4(r))
+        cond = (
+            F.when(sc >= F.lit(float(t)), branch)
+            if cond is None
+            else cond.when(sc >= F.lit(float(t)), branch)
+        )
+    keep = cond.otherwise(F.lit(False))
+    return df.filter(keep)
+
+
 def leakage_safe_split(
     df: DataFrame,
     clusters: DataFrame,

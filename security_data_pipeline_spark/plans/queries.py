@@ -2634,6 +2634,59 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_quality_sampled",
+    sql=f"""
+WITH base AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(lower(text), ' '),
+                         t -> t IN ({_STOP_SQL}))) AS n_stop
+  FROM documents
+), q AS (
+  SELECT doc_id, source,
+         ROUND(0.5 * CAST(LEAST(n_tokens, 200) AS DOUBLE) / 200.0
+               + 0.5 * LEAST(CAST(n_stop AS DOUBLE)
+                             / CAST(NULLIF(n_tokens, 0) AS DOUBLE) * 5.0,
+                             1.0),
+               6) AS quality_score,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+  FROM base
+)
+SELECT doc_id, source, quality_score FROM q
+WHERE CASE WHEN quality_score >= 0.7 THEN h < 'ffff'
+           WHEN quality_score >= 0.5 THEN h < '8000'
+           WHEN quality_score >= 0.0 THEN h < '1999'
+           ELSE FALSE END
+""",
+    description=(
+        "Quality-weighted deterministic subsampling "
+        "(sampling.rate_stratified_sample): keep ~100% of docs scoring "
+        ">= 0.7, ~50% of [0.5, 0.7), ~10% of the rest — the "
+        "quality-weighted corpus recipe step. Membership is md5(doc_id) "
+        "< rate, so the draw is engine/partitioning-reproducible and "
+        "MONOTONE in each bucket's rate (tuning a rate up only ADDS "
+        "docs, never churns kept ones out). Map-side only: one CASE "
+        "over bucket literals per row, zero shuffles — at 100 TB the "
+        "sample is a pure scan filter, and the oracle replays the hash "
+        "comparison bit-for-bit"
+    ),
+)
+def doc_quality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators.sampling import (
+        rate_stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = textops.quality_features(docs)
+    return rate_stratified_sample(
+        scored,
+        "doc_id",
+        "quality_score",
+        [(0.7, 1.0), (0.5, 0.5), (0.0, 0.1)],
+    ).select("doc_id", "source", "quality_score")
+
+
+@query(
     "doc_fingerprints",
     sql="""
 SELECT doc_id,

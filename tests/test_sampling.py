@@ -122,3 +122,64 @@ def test_leakage_safe_split_never_straddles_clusters(spark):
                 assert split == plain[d]
 
     check()
+
+
+# --- rate_stratified_sample --------------------------------------------------
+
+
+def _py_keep(doc_id, score, buckets, salt=""):
+    import hashlib
+
+    h = hashlib.md5((salt + str(doc_id)).encode()).hexdigest()[:4]
+    for t, r in buckets:
+        if score >= t:
+            return h < format(min(int(r * 65536), 65535), "04x")
+    return False
+
+
+def test_rate_stratified_sample_matches_python_model(spark):
+    from security_data_pipeline_spark.operators.sampling import (
+        rate_stratified_sample,
+    )
+
+    rows = [(i, (i % 100) / 100.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    buckets = [(0.7, 1.0), (0.5, 0.5), (0.0, 0.1)]
+    got = sorted(
+        r["doc_id"]
+        for r in rate_stratified_sample(df, "doc_id", "score", buckets).collect()
+    )
+    exp = sorted(i for i, s in rows if _py_keep(i, s, buckets))
+    assert got == exp
+
+
+def test_rate_stratified_sample_is_monotone_in_rate(spark):
+    """Raising any bucket's rate only ADDS documents — kept docs never
+    churn out as a recipe is tuned."""
+    from security_data_pipeline_spark.operators.sampling import (
+        rate_stratified_sample,
+    )
+
+    rows = [(i, (i % 100) / 100.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    low = {(r["doc_id"]) for r in rate_stratified_sample(
+        df, "doc_id", "score", [(0.5, 0.3), (0.0, 0.05)]).collect()}
+    high = {(r["doc_id"]) for r in rate_stratified_sample(
+        df, "doc_id", "score", [(0.5, 0.6), (0.0, 0.05)]).collect()}
+    assert low <= high
+
+
+def test_rate_stratified_sample_validates_buckets(spark):
+    import pytest as _pytest
+
+    from security_data_pipeline_spark.operators.sampling import (
+        rate_stratified_sample,
+    )
+
+    df = spark.createDataFrame([(1, 0.5)], "doc_id long, score double")
+    with _pytest.raises(ValueError):
+        rate_stratified_sample(df, "doc_id", "score", [])
+    with _pytest.raises(ValueError):
+        rate_stratified_sample(df, "doc_id", "score", [(0.1, 0.5), (0.7, 0.5)])
+    with _pytest.raises(ValueError):
+        rate_stratified_sample(df, "doc_id", "score", [(0.5, 1.5)])
