@@ -551,3 +551,83 @@ def temperature_weights(
             ).alias("factor"),
         )
     )
+
+
+def source_divergence(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    num_buckets: int = 256,
+    lam: float = 1.0,
+) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between per-``by`` hashed
+    UNIGRAM distributions — the "which sources are near-duplicates of
+    each other distributionally" input to mixture design (complementing
+    :func:`...bloom.kmv_overlap`'s SET overlap with a probability-mass
+    view). Output: ``(src_a, src_b, js_divergence)`` for every unordered
+    pair, ``src_a < src_b``; JS ∈ [0, ln 2], 0 = identical.
+
+    Model discipline matches DSIR: tokens hash into ``num_buckets``
+    md5 buckets (engine-portable), each side's distribution is
+    add-λ-smoothed over the full bucket domain, and every pair term
+    rounds to 9 decimals BEFORE an exact decimal sum — order-free,
+    bit-equal across engines up to libm's ``ln`` ulps, absorbed by the
+    rounding (the entropy convention of ``hour_of_day_entropy`` /
+    ``value_drift``).
+
+    Scale shape: ONE token-level aggregation whose exchange is bounded
+    by ``|sources| × num_buckets`` partial rows per task (map-side
+    combine over a bounded domain); everything after operates on the
+    ``S × B`` dense frame — the pair join is ``S² × B`` rows, driver-
+    irrelevant for realistic source counts (document the S² term when
+    S reaches thousands; bucket the join key if it ever matters).
+    """
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(by).alias("_src"),
+        F.explode(_toks(text_col)).alias("_t"),
+    )
+    counts = (
+        toks.select("_src", gram_bucket(F.col("_t"), num_buckets).alias("bucket"))
+        .groupBy("_src", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("_src").agg(F.sum("c").alias("t"))
+    dom = spark.range(num_buckets).select(F.col("id").alias("bucket"))
+    denom_add = float(lam * num_buckets)
+    dense = (
+        totals.crossJoin(dom)
+        .join(counts, ["_src", "bucket"], "left")
+        .select(
+            "_src",
+            "bucket",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(lam))
+                / (F.col("t") + F.lit(denom_add))
+            ).alias("p"),
+        )
+    )
+    a = dense.select(
+        F.col("_src").alias("src_a"), "bucket", F.col("p").alias("pa")
+    )
+    b = dense.select(
+        F.col("_src").alias("src_b"), "bucket", F.col("p").alias("pb")
+    )
+    m = (F.col("pa") + F.col("pb")) / F.lit(2.0)
+    term = F.round(
+        F.lit(0.5)
+        * (
+            F.col("pa") * F.log(F.col("pa") / m)
+            + F.col("pb") * F.log(F.col("pb") / m)
+        ),
+        9,
+    ).cast(_TERM_DEC)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .select("src_a", "src_b", term.alias("_term"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.round(F.sum("_term").cast("double"), 6).alias("js_divergence")
+        )
+    )

@@ -2130,6 +2130,58 @@ def doc_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_divergence_matrix",
+    sql="""
+WITH stoks AS (
+  SELECT source AS src,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+           AS t
+  FROM documents
+), scounts AS (
+  SELECT src,
+         CAST(CONCAT('0x', substr(md5(t), 1, 8)) AS BIGINT) % 256 AS bucket,
+         COUNT(*) AS c
+  FROM stoks GROUP BY src, bucket
+), stotals AS (
+  SELECT src, SUM(c) AS t FROM scounts GROUP BY src
+), sdom AS (
+  SELECT unnest(generate_series(0, 255)) AS bucket
+), sdense AS (
+  SELECT stotals.src, sdom.bucket,
+         (COALESCE(c.c, 0) + 1.0) / (stotals.t + 256.0) AS p
+  FROM stotals CROSS JOIN sdom
+  LEFT JOIN scounts c ON c.src = stotals.src AND c.bucket = sdom.bucket
+), spairs AS (
+  SELECT a.src AS src_a, b.src AS src_b,
+         CAST(ROUND(0.5 * (a.p * ln(a.p / ((a.p + b.p) / 2))
+                         + b.p * ln(b.p / ((a.p + b.p) / 2))), 9)
+              AS DECIMAL(20,9)) AS term
+  FROM sdense a JOIN sdense b ON a.bucket = b.bucket AND a.src < b.src
+)
+SELECT src_a, src_b,
+       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS js_divergence
+FROM spairs GROUP BY src_a, src_b
+""",
+    description=(
+        "Pairwise Jensen-Shannon divergence between per-source hashed "
+        "unigram distributions (mixing.source_divergence) — the "
+        "distributional 'which sources are redundant' input to mixture "
+        "design, complementing KMV's set-overlap view with probability "
+        "mass. One token-level aggregation whose exchange is bounded by "
+        "|sources| x 256 buckets (map-side combine over a bounded "
+        "domain); the pair join runs on the tiny dense frame. Terms "
+        "round to 9 decimals before an exact decimal sum (the entropy "
+        "convention), so the matrix is bit-equal across engines"
+    ),
+)
+def source_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.source_divergence(docs, num_buckets=256)
+
+
+@query(
     "doc_token_packing",
     sql="""
 WITH toks AS (

@@ -348,3 +348,39 @@ def test_temperature_weights_properties(spark):
     denom = math.sqrt(100) + math.sqrt(25) + math.sqrt(4)
     for src, n in (("a", 100), ("b", 25), ("c", 4)):
         assert abs(out[src]["p_temp"] - math.sqrt(n) / denom) < 1e-5
+
+
+# --- source_divergence -------------------------------------------------------
+
+
+def test_source_divergence_zero_for_identical_sources(spark):
+    df = spark.createDataFrame(
+        [("a", "x y z x y w"), ("b", "x y z x y w")],
+        "source string, text string",
+    )
+    r = mixing.source_divergence(df, num_buckets=64).collect()
+    assert len(r) == 1
+    assert r[0]["src_a"] == "a" and r[0]["src_b"] == "b"
+    assert r[0]["js_divergence"] == 0.0
+
+
+def test_source_divergence_orders_similarity(spark):
+    """Disjoint vocabularies diverge more than a half-overlapping mix,
+    and everything sits inside [0, ln 2]."""
+    import math
+
+    a = "x " * 200
+    b = "q " * 200
+    mix = ("x " * 100) + ("q " * 100)
+    df = spark.createDataFrame(
+        [("a", a.strip()), ("b", b.strip()), ("m", mix.strip())],
+        "source string, text string",
+    )
+    got = {
+        (r["src_a"], r["src_b"]): r["js_divergence"]
+        for r in mixing.source_divergence(df, num_buckets=64).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "m"), ("b", "m")}
+    assert all(0.0 <= v <= math.log(2) + 1e-9 for v in got.values())
+    assert got[("a", "m")] < got[("a", "b")]
+    assert got[("b", "m")] < got[("a", "b")]
