@@ -582,16 +582,44 @@ def source_divergence(
     irrelevant for realistic source counts (document the S² term when
     S reaches thousands; bucket the join key if it ever matters).
     """
-    spark = df.sparkSession
+    return divergence_from_source_counts(
+        source_bucket_counts(df, by, text_col, num_buckets),
+        num_buckets,
+        lam,
+    )
+
+
+def source_bucket_counts(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Per-group hashed-unigram bucket counts ``(_src, bucket, c)`` — the
+    model state behind :func:`source_divergence`. A commutative monoid
+    under per-(src, bucket) addition, so the streaming maintainer folds
+    micro-batch summaries into a state bounded by |sources|·num_buckets
+    rows forever (the DSIR-model argument). One map-side-combined
+    explode→count; the exchange carries ≤ |sources|·num_buckets partial
+    rows per task."""
     toks = df.select(
         F.col(by).alias("_src"),
         F.explode(_toks(text_col)).alias("_t"),
     )
-    counts = (
+    return (
         toks.select("_src", gram_bucket(F.col("_t"), num_buckets).alias("bucket"))
         .groupBy("_src", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def divergence_from_source_counts(
+    counts: DataFrame, num_buckets: int, lam: float = 1.0
+) -> DataFrame:
+    """Finalize :func:`source_bucket_counts` state into the pairwise JS
+    matrix — shared by the batch form and the streaming state reader, so
+    the two CANNOT diverge (the ``ratio_from_bucket_counts`` pattern)."""
+    spark = counts.sparkSession
     totals = counts.groupBy("_src").agg(F.sum("c").alias("t"))
     dom = spark.range(num_buckets).select(F.col("id").alias("bucket"))
     denom_add = float(lam * num_buckets)

@@ -2102,3 +2102,68 @@ def consolidate_stream_index(
         "files_after": len(list_data_files(spark, root)),
         "rows": rows,
     }
+
+
+def maintain_source_counts_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    by: str = "source",
+    text_col: str = "text",
+    num_buckets: int = 256,
+    trigger_available_now: bool = True,
+):
+    """Streaming per-source hashed-unigram model maintenance — the live
+    state behind ``mixing.source_divergence``: which sources are
+    distributionally redundant, kept current at ingest cadence without
+    rescanning the corpus.
+
+    The fold is the DSIR-model protocol verbatim
+    (:func:`maintain_importance_stream`): per-(source, bucket) counts
+    are a commutative monoid, each micro-batch reduces to
+    ≤ |batch sources|·``num_buckets`` summary rows (map-side-combined
+    explode→count — the only data-sized work), the persisted state
+    merges by addition and stays bounded by |sources|·``num_buckets``
+    rows FOREVER. Scratch-swap writes + the lineage-tagged batch-id
+    replay guard give exactly-once folding.
+
+    Read the live matrix with
+    ``mixing.divergence_from_source_counts(spark.read.parquet(state_path)
+    .drop("_last_batch_id", "_fold_tag"), num_buckets)`` — the SAME
+    finalizer the batch form uses, so the streamed matrix is bit-equal
+    to ``source_divergence`` over the cumulative input (asserted in
+    tests/test_streaming.py).
+    """
+    from security_data_pipeline_spark.operators import mixing
+
+    scratch = f"{state_path}__next"
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        raw, from_scratch = _read_state(spark, state_path, scratch)
+        replayed, prev = _check_replay(raw, batch_id, checkpoint_path)
+        if replayed:
+            if from_scratch:
+                raw.write.mode("overwrite").parquet(state_path)
+            return
+        new = mixing.source_bucket_counts(
+            batch_df, by, text_col, num_buckets
+        )
+        if prev is not None:
+            new = (
+                prev.unionByName(new)
+                .groupBy("_src", "bucket")
+                .agg(F.sum("c").alias("c"))
+            )
+        merged = _stamp_batch(new, batch_id, checkpoint_path)
+        merged.write.mode("overwrite").parquet(scratch)
+        spark.read.parquet(scratch).write.mode("overwrite").parquet(state_path)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

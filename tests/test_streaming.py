@@ -2349,3 +2349,72 @@ def test_curate_stream_repetition_gate_drops_spam(spark, tmp_path):
     assert delivered == [2]
     # rejected docs still enter the fingerprint index (re-crawls stay dups)
     assert spark.read.parquet(str(tmp_path / "fps")).count() == 2
+
+
+def test_streaming_source_counts_equal_batch_divergence(spark, tmp_path):
+    """The streamed per-source unigram state, finalized through the SAME
+    divergence_from_source_counts the batch form uses, must be bit-equal
+    to source_divergence over the cumulative input — including a source
+    that only appears in a later batch."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.operators import mixing
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_source_counts_stream,
+    )
+
+    B = 64
+    batches = [
+        [(1, "alpha beta alpha", "web"), (2, "alpha beta", "web")],
+        [(3, "gamma delta gamma", "books"), (4, "alpha gamma", "web")],
+        [(5, "epsilon zeta", "code"), (6, "gamma delta", "books")],
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    base = time.time() - 100
+    for bi, rows in enumerate(batches):
+        f = src / f"b{bi}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "text": [r[1] for r in rows],
+                    "source": [r[2] for r in rows],
+                }
+            ),
+            str(f),
+        )
+        os.utime(f, (base + bi, base + bi))
+
+    state = str(tmp_path / "counts")
+    q = maintain_source_counts_stream(
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src)),
+        state,
+        str(tmp_path / "ckpt"),
+        num_buckets=B,
+    )
+    q.awaitTermination(120)
+
+    counts = spark.read.parquet(state).drop("_last_batch_id", "_fold_tag")
+    got = {
+        (r["src_a"], r["src_b"]): r["js_divergence"]
+        for r in mixing.divergence_from_source_counts(counts, B).collect()
+    }
+    all_rows = spark.createDataFrame(
+        [r for rows in batches for r in rows],
+        "doc_id long, text string, source string",
+    )
+    want = {
+        (r["src_a"], r["src_b"]): r["js_divergence"]
+        for r in mixing.source_divergence(all_rows, num_buckets=B).collect()
+    }
+    assert got == want
+    assert set(got) == {("books", "code"), ("books", "web"), ("code", "web")}
+    # state is bounded by |sources| x num_buckets regardless of volume
+    assert spark.read.parquet(state).count() <= 3 * B
