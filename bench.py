@@ -107,6 +107,12 @@ BENCH_QUERIES: tuple[str, ...] = (
     # rejected each doc; the pinned gate-flag frame materializes at
     # plan build, outside the timed region — like the index builds)
     "doc_curation_audit",
+    # round-7 additions: quality-weighted deterministic subsampling
+    # (map-side CASE over bucket literals — a pure scan filter) and the
+    # pairwise source JS-divergence matrix (one bounded-domain token
+    # aggregation; the pair join runs on the tiny dense frame)
+    "doc_quality_sampled",
+    "source_divergence_matrix",
     # driver-window composites, benched AS the driver runs them — the
     # wall-clock the driver pays includes their union/unpivot overhead,
     # which per-arm numbers don't capture
@@ -137,6 +143,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "temporal_net_suite": 44669, "event_windows_suite": 200000,
         "scale_suite": 713, "security_detections": 11195,
         "doc_repetition_stats": 5000, "doc_curation_audit": 5000,
+        "doc_quality_sampled": 603, "source_divergence_matrix": 190,
         "doc_jaccard_prefix_pairs": 255, "knn_cosine_sq8": 50,
         "doc_hybrid_search": 20, "events_value_drift": 5,
         "events_heavy_hitters": 0, "events_hourly_resampled": 3600,
@@ -167,6 +174,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "temporal_net_suite": 16129, "event_windows_suite": 20000,
         "scale_suite": 588, "security_detections": 1135,
         "doc_repetition_stats": 500, "doc_curation_audit": 500,
+        "doc_quality_sampled": 75, "source_divergence_matrix": 190,
         "doc_jaccard_prefix_pairs": 25, "knn_cosine_sq8": 50,
         "doc_hybrid_search": 20, "events_value_drift": 5,
         "events_heavy_hitters": 0, "events_hourly_resampled": 3600,
