@@ -399,17 +399,41 @@ def main() -> None:
         assert skew_counts[a] == skew_counts[b], (a, b, skew_counts)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    # The driver keeps only the last ~2000 chars of stdout and parses the
+    # final JSON line.  The full per-query map outgrew that tail in round 7
+    # (BENCH_r07.json "parsed": null), so: write the full map to a sidecar
+    # AND print it first; the LAST stdout line is a compact (<1 KB) headline
+    # carrying only the total and the top-5 slowest queries.
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    print(json.dumps(full))
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
+    headline = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,
+            "n_queries": len(timings),
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    assert len(headline) < 1000, len(headline)
+    print(headline)
     spark.stop()
 
 

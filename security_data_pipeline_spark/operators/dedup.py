@@ -1488,7 +1488,10 @@ def merge_gram_islands(hits: DataFrame, id_col: str, n: int) -> DataFrame:
     """Gaps-and-islands merge of duplicated gram START positions into
     maximal spans: ``(id, pos)`` hit rows in, ``(id, span_start,
     span_end, span_tokens)`` out. Two grams chain into one island when
-    their starts are ≤ n-1 apart (overlapping or adjacent coverage).
+    their starts are ≤ n apart — overlapping coverage (gap ≤ n-1) AND
+    exactly-abutting coverage (gap == n, the gram at ``pos`` starts on
+    the token right after the previous gram's last covered token), so
+    the emitted intervals are truly maximal: no two output spans touch.
     One doc_id shuffle; the final aggregate reuses the window's
     partitioning. Shared by the batch operator and the streaming
     maintainer so their span semantics cannot diverge."""
@@ -1496,7 +1499,7 @@ def merge_gram_islands(hits: DataFrame, id_col: str, n: int) -> DataFrame:
     prev = F.lag("pos").over(w)
     flagged = hits.withColumn(
         "_gap",
-        F.when(prev.isNull() | (F.col("pos") > prev + (n - 1)), 1).otherwise(0),
+        F.when(prev.isNull() | (F.col("pos") > prev + n), 1).otherwise(0),
     )
     island = F.sum("_gap").over(
         Window.partitionBy(id_col)

@@ -35,13 +35,29 @@ def _hex4(frac: float) -> str:
     return format(min(int(frac * _BUCKET_SPACE), _BUCKET_SPACE - 1), "04x")
 
 
+def _keep_expr(h: Column, frac: float) -> Column:
+    """Membership test for one keep rate. Rates at or beyond the ends of
+    [0, 1] short-circuit to literals: the quantized ``h < _hex4(r)`` form
+    clamps 1.0 to ``"ffff"`` and the strict comparison would drop the
+    ~1/65536 of keys whose 16-bit md5 prefix is exactly ``ffff`` — a
+    rate-1.0 bucket must keep EVERYTHING ("all of the best"), and a
+    rate-0.0 bucket must keep nothing."""
+    if frac >= 1.0:
+        return F.lit(True)
+    if frac <= 0.0:
+        return F.lit(False)
+    return h < F.lit(_hex4(frac))
+
+
 def hash_sample(
     df: DataFrame, key: Column | str, fraction: float, salt: str = ""
 ) -> DataFrame:
     """Keep a deterministic ~``fraction`` of rows by key hash. Rows with the
     same key always land together (doc-level, not row-level, sampling when
-    keyed by doc id) — exactly the property corpus subsampling needs."""
-    return df.filter(hash_hex16(key, salt) < F.lit(_hex4(fraction)))
+    keyed by doc id) — exactly the property corpus subsampling needs.
+    ``fraction >= 1.0`` keeps every row exactly (no hex-quantization edge);
+    ``<= 0.0`` keeps none."""
+    return df.filter(_keep_expr(hash_hex16(key, salt), fraction))
 
 
 def hash_split(
@@ -118,7 +134,9 @@ def rate_stratified_sample(
     DESCENDING by ``min_score``; a row draws the rate of the first
     bucket whose threshold its score reaches, and rows below every
     threshold are dropped (add a floor bucket to keep a tail slice).
-    Membership is ``md5(salt || key) < rate`` — the same hash family as
+    Membership is ``md5(salt || key) < rate`` (rates at/beyond 1.0 and
+    0.0 short-circuit to keep-all / keep-none, so a 1.0 bucket really
+    keeps every key) — the same hash family as
     :func:`hash_sample` / :func:`hash_split`, so the draw is
     reproducible on any engine and partitioning, and MONOTONE in the
     rate: raising a bucket's rate only ADDS documents, so recipe tuning
@@ -145,7 +163,7 @@ def rate_stratified_sample(
     keep: Column = F.lit(False)
     cond = None
     for t, r in buckets:
-        branch = h < F.lit(_hex4(r))
+        branch = _keep_expr(h, r)
         cond = (
             F.when(sc >= F.lit(float(t)), branch)
             if cond is None

@@ -264,9 +264,11 @@ WITH split AS (
     ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) <= 40
 ), mix AS (
   SELECT source AS bucket,
-         CASE WHEN substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4)
+         CASE WHEN CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 4 = 0
+                THEN 1
+              WHEN substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4)
                  < CASE CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 4
-                     WHEN 0 THEN 'ffff' WHEN 1 THEN 'c000'
+                     WHEN 1 THEN 'c000'
                      WHEN 2 THEN '8000' ELSE '4000' END
               THEN 1 ELSE 0 END AS kept,
          n_chars
@@ -355,12 +357,14 @@ def doc_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("int"), F.lit(4)
     )
     thresh = (
-        F.when(wclass == 0, F.lit("ffff"))
-        .when(wclass == 1, F.lit("c000"))
+        F.when(wclass == 1, F.lit("c000"))
         .when(wclass == 2, F.lit("8000"))
         .otherwise(F.lit("4000"))
     )
-    kept = (hash_hex16(F.col("doc_id"), salt="mix") < thresh).cast("long")
+    # weight class 0 is rate 1.0: keep everything (no h < 'ffff' edge)
+    kept = (
+        (wclass == 0) | (hash_hex16(F.col("doc_id"), salt="mix") < thresh)
+    ).cast("long")
     mix = (
         docs.select(
             F.col("source").alias("bucket"),

@@ -2705,14 +2705,14 @@ WITH base AS (
   FROM base
 )
 SELECT doc_id, source, quality_score FROM q
-WHERE CASE WHEN quality_score >= 0.7 THEN h < 'ffff'
+WHERE CASE WHEN quality_score >= 0.7 THEN TRUE
            WHEN quality_score >= 0.5 THEN h < '8000'
            WHEN quality_score >= 0.0 THEN h < '1999'
            ELSE FALSE END
 """,
     description=(
         "Quality-weighted deterministic subsampling "
-        "(sampling.rate_stratified_sample): keep ~100% of docs scoring "
+        "(sampling.rate_stratified_sample): keep ALL docs scoring "
         ">= 0.7, ~50% of [0.5, 0.7), ~10% of the rest — the "
         "quality-weighted corpus recipe step. Membership is md5(doc_id) "
         "< rate, so the draw is engine/partitioning-reproducible and "
@@ -4565,8 +4565,8 @@ WITH weighted AS (
 )
 SELECT source, CAST(wclass AS INT) AS weight_class,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(CASE WHEN h < CASE wclass WHEN 0 THEN 'ffff'
-                                          WHEN 1 THEN 'c000'
+       CAST(SUM(CASE WHEN wclass = 0 THEN 1
+                     WHEN h < CASE wclass WHEN 1 THEN 'c000'
                                           WHEN 2 THEN '8000'
                                           ELSE '4000' END
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
@@ -4588,12 +4588,13 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("int"), F.lit(4)
     )
     thresh = (
-        F.when(wclass == 0, F.lit("ffff"))
-        .when(wclass == 1, F.lit("c000"))
+        F.when(wclass == 1, F.lit("c000"))
         .when(wclass == 2, F.lit("8000"))
         .otherwise(F.lit("4000"))
     )
-    keep = hash_hex16(F.col("doc_id"), salt="mix") < thresh
+    # weight class 0 is rate 1.0: keep EVERYTHING, not h < 'ffff' (which
+    # silently drops the ~1/65536 of keys whose md5 prefix is exactly ffff)
+    keep = (wclass == 0) | (hash_hex16(F.col("doc_id"), salt="mix") < thresh)
     return (
         docs.select(
             "source",
@@ -6639,7 +6640,7 @@ toks AS (
   SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
 ), flagged AS (
   SELECT doc_id, pos,
-         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + {n - 1}
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + {n}
               THEN 1 ELSE 0 END AS gap
   FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 ), islands AS (

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 # the ONE copy of the PATH_NOT_FOUND probe every state-reading maintainer
 # (and the layout manifest reader) shares lives in fsutil
 from security_data_pipeline_spark.fsutil import missing_path as _missing_path
+from security_data_pipeline_spark.fsutil import schemaless_path as _schemaless_path
 from security_data_pipeline_spark.operators import cleaning, normalization
 from security_data_pipeline_spark.sources.raw_events import RAW_EVENTS_SCHEMA
 from security_data_pipeline_spark.streaming.sessionize import session_window_stats
@@ -1098,10 +1099,24 @@ def maintain_span_dedup_stream(
                     .select("gram")
                     .localCheckpoint()
                 )
-                index = spark.read.parquet(state_path)
-                matched = span_corpus_matches(
-                    cand, index, pfx_mod
-                ).localCheckpoint()
+                # The index read must tolerate committed-but-empty state:
+                # if every batch so far held only sub-n-token docs, the
+                # batch dirs carry _SUCCESS but zero parquet footers while
+                # the (non-partitioned) Bloom state still exists, and an
+                # unguarded read wedges the stream on
+                # UNABLE_TO_INFER_SCHEMA at every replay. Empty or absent
+                # index ⇒ no corpus matches (matched = None) — the Bloom ⊇
+                # index invariant makes that exact, not lossy.
+                try:
+                    index = spark.read.parquet(state_path)
+                except AnalysisException as e:
+                    if not (_missing_path(e) or _schemaless_path(e)):
+                        raise
+                    index = None
+                if index is not None:
+                    matched = span_corpus_matches(
+                        cand, index, pfx_mod
+                    ).localCheckpoint()
             bdup = (
                 bg.groupBy("gram")
                 .agg((F.min(id_col) != F.max(id_col)).alias("_dup"))

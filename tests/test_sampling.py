@@ -133,6 +133,10 @@ def _py_keep(doc_id, score, buckets, salt=""):
     h = hashlib.md5((salt + str(doc_id)).encode()).hexdigest()[:4]
     for t, r in buckets:
         if score >= t:
+            if r >= 1.0:
+                return True
+            if r <= 0.0:
+                return False
             return h < format(min(int(r * 65536), 65535), "04x")
     return False
 
@@ -167,6 +171,38 @@ def test_rate_stratified_sample_is_monotone_in_rate(spark):
     high = {(r["doc_id"]) for r in rate_stratified_sample(
         df, "doc_id", "score", [(0.5, 0.6), (0.0, 0.05)]).collect()}
     assert low <= high
+
+
+def test_rate_one_keeps_planted_ffff_key(spark):
+    """md5('40691')[:4] == 'ffff' — the one-in-65536 key the quantized
+    strict comparison (h < 'ffff') silently drops. Rate 1.0 must keep it:
+    the 'all of the best' contract, and hash_sample(fraction=1.0) must be
+    the identity. Rate 0.0 must keep nothing."""
+    import hashlib
+
+    from security_data_pipeline_spark.operators.sampling import (
+        hash_sample,
+        rate_stratified_sample,
+    )
+
+    assert hashlib.md5(b"40691").hexdigest()[:4] == "ffff"
+    df = spark.createDataFrame(
+        [(40691, 0.9), (1, 0.9), (2, 0.1)], "doc_id long, score double"
+    )
+    kept = {
+        r["doc_id"]
+        for r in rate_stratified_sample(
+            df, "doc_id", "score", [(0.7, 1.0), (0.0, 0.0)]
+        ).collect()
+    }
+    assert 40691 in kept, "rate-1.0 bucket dropped the ffff-prefix key"
+    assert kept == {40691, 1}  # score 0.1 falls in the 0.0-rate bucket
+    assert {r["doc_id"] for r in hash_sample(df, "doc_id", 1.0).collect()} == {
+        40691,
+        1,
+        2,
+    }
+    assert hash_sample(df, "doc_id", 0.0).count() == 0
 
 
 def test_rate_stratified_sample_validates_buckets(spark):

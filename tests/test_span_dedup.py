@@ -74,6 +74,25 @@ def test_islands_merge_overlapping_and_adjacent(spark):
     assert rows == [(8, 0, 3), (8, 5, 8), (9, 0, 3), (9, 5, 8)]
 
 
+def test_islands_merge_exactly_abutting_coverage(spark):
+    # doc 1's duplicated grams start at 0 and 4 with n=4: their coverage
+    # intervals [0,3] and [4,7] touch with no overlap (start gap == n).
+    # Maximal-span semantics: ONE span [0,7], not two touching spans.
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d x"),
+            (3, "y e f g h"),
+        ],
+    )
+    rows = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dedup.duplicated_spans(df, n=4).collect()
+    )
+    assert rows == [(1, 0, 7, 8), (2, 0, 3, 4), (3, 1, 4, 4)]
+
+
 def test_removal_rebuild_and_passthrough(spark):
     df = _docs(
         spark,
@@ -141,7 +160,8 @@ def _model_spans(rows: list[tuple[int, str]], n: int) -> set[tuple]:
     for doc_id, ps in per_doc.items():
         start = prev = ps[0]
         for p in ps[1:]:
-            if p > prev + n - 1:
+            # gap == n means exactly-abutting coverage: still one span
+            if p > prev + n:
                 spans.add((doc_id, start, prev + n - 1, prev + n - 1 - start + 1))
                 start = p
             prev = p

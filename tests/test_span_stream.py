@@ -152,6 +152,32 @@ def test_streaming_span_replay_skips_sink_index_stays_distinct(
     assert missed == 0
 
 
+def test_all_short_doc_batches_leave_index_readable(spark, tmp_path):
+    """Committed-but-empty index state must not wedge the stream: a batch
+    of only sub-n-token docs writes a gram dir holding just _SUCCESS (a
+    partitioned write of zero rows emits no parquet footers) while the
+    non-partitioned Bloom state keeps a schema file — so the NEXT batch's
+    unguarded index read would die on UNABLE_TO_INFER_SCHEMA and every
+    replay would re-crash on the same line. The guarded read treats the
+    schemaless index as empty (exact, by the Bloom ⊇ index invariant) and
+    the stream keeps running; once real grams land, cross-batch matching
+    works as usual."""
+    src = tmp_path / "in"
+    batches = [
+        [(1, "ab"), (2, "x y z")],  # all shorter than N=4 tokens: 0 grams
+        [(3, "p q r s t"), (4, "p q r s u")],  # within-batch 4-gram dup
+        [(5, "m p q r s t m")],  # cross-batch: repeats doc 3's run
+    ]
+    _write_batches(src, batches)
+    out = str(tmp_path / "out")
+    _run(spark, src, str(tmp_path / "grams"), str(tmp_path / "ckpt"), out)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(3, 0, 3), (4, 0, 3), (5, 1, 5)}, got
+
+
 def test_span_gram_probe_prunes_and_never_shuffles_index(spark, tmp_path):
     """The 100 TB contract of the gram-index probe: directory pruning via
     the candidates' bounded prefix list (PartitionFilters on _pfx), the
