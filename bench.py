@@ -113,12 +113,18 @@ BENCH_QUERIES: tuple[str, ...] = (
     # aggregation; the pair join runs on the tiny dense frame)
     "doc_quality_sampled",
     "source_divergence_matrix",
+    # round-8 addition: IVF recall-vs-n_probe sweep (5 bounded
+    # counts-only aggregates over the shared 200-query ground truth)
+    "ann_recall_sweep",
     # driver-window composites, benched AS the driver runs them — the
     # wall-clock the driver pays includes their union/unpivot overhead,
     # which per-arm numbers don't capture
     "temporal_net_suite",
     "event_windows_suite",
     "scale_suite",
+    "curation_suite",
+    "sketch_checks",
+    "grouping_sets_suite",
     "security_detections",
 )
 
@@ -141,7 +147,9 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_time_bucket_rollup": 14385, "doc_winnow_pairs": 251,
         "doc_lm_scores": 5000,
         "temporal_net_suite": 44669, "event_windows_suite": 200000,
-        "scale_suite": 713, "security_detections": 11195,
+        "scale_suite": 252, "curation_suite": 461, "sketch_checks": 0,
+        "grouping_sets_suite": 209, "ann_recall_sweep": 5,
+        "security_detections": 11195,
         "doc_repetition_stats": 5000, "doc_curation_audit": 5000,
         "doc_quality_sampled": 603, "source_divergence_matrix": 190,
         "doc_jaccard_prefix_pairs": 255, "knn_cosine_sq8": 50,
@@ -172,7 +180,9 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_time_bucket_rollup": 7206, "doc_winnow_pairs": 25,
         "doc_lm_scores": 500,
         "temporal_net_suite": 16129, "event_windows_suite": 20000,
-        "scale_suite": 588, "security_detections": 1135,
+        "scale_suite": 235, "curation_suite": 353, "sketch_checks": 0,
+        "grouping_sets_suite": 209, "ann_recall_sweep": 5,
+        "security_detections": 1135,
         "doc_repetition_stats": 500, "doc_curation_audit": 500,
         "doc_quality_sampled": 75, "source_divergence_matrix": 190,
         "doc_jaccard_prefix_pairs": 25, "knn_cosine_sq8": 50,

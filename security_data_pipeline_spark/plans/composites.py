@@ -1309,6 +1309,55 @@ def _scale_suite_sql() -> str:
             "event_type || '|' || CAST(bucket AS VARCHAR)",
             [("psi", "psi"), ("n_ref", "n_ref"), ("n_cur", "n_cur")],
         ),
+    ]
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH zc AS ({cte("events_zorder_cells")}),
+inc AS ({cte("events_incremental_rollup")}),
+ka AS ({cte("events_k_anonymous")}),
+clf AS ({cte("doc_classifier_gate")}),
+clfagg AS (
+  SELECT SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+         CAST(SUM(CAST(clf_score AS DECIMAL(18,6))) AS DOUBLE) AS score_sum
+  FROM clf
+),
+dr AS ({cte("events_value_drift")}),
+hh AS ({cte("events_heavy_hitters")}),
+rs AS ({cte("events_hourly_resampled")}),
+rsa AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(CASE WHEN n_events = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zero_buckets,
+         CAST(SUM(n_events) AS BIGINT) AS events_total,
+         CAST(SUM(CAST(value_sum_ffill AS DECIMAL(18,6))) AS DOUBLE)
+           AS ffill_mass
+  FROM rs GROUP BY event_type
+),
+cm AS ({cte("events_countmin_check")}),
+ev AS ({cte("schema_evolution_report")}),
+qc AS ({cte("events_quantile_check")}),
+ff AS ({cte("events_ffill_bucketed")}),
+ffa AS (
+  SELECT CAST(SUM(CAST(value_ffill AS DECIMAL(18,6))) AS DOUBLE)
+           AS ffill_mass,
+         CAST(SUM(CASE WHEN value IS NULL AND value_ffill IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+         CAST(SUM(CASE WHEN value_ffill IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_lead_null
+  FROM ff
+),
+dt AS ({cte("events_drift_trend")})
+{body}
+"""
+
+
+def _curation_suite_sql() -> str:
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+
+    def cte(name: str) -> str:
+        return REGISTRY[name].sql.strip().rstrip(";")
+
+    arms = [
         (
             "SELECT 'checksum' AS suite, 'global|' || checksum AS item, "
             "'n_rows' AS metric, CAST(n_rows AS DOUBLE) AS value FROM ck"
@@ -1394,42 +1443,7 @@ def _scale_suite_sql() -> str:
     ]
     body = "\nUNION ALL\n".join(arms)
     return f"""
-WITH zc AS ({cte("events_zorder_cells")}),
-inc AS ({cte("events_incremental_rollup")}),
-ka AS ({cte("events_k_anonymous")}),
-clf AS ({cte("doc_classifier_gate")}),
-clfagg AS (
-  SELECT SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
-         CAST(SUM(CAST(clf_score AS DECIMAL(18,6))) AS DOUBLE) AS score_sum
-  FROM clf
-),
-dr AS ({cte("events_value_drift")}),
-hh AS ({cte("events_heavy_hitters")}),
-rs AS ({cte("events_hourly_resampled")}),
-rsa AS (
-  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
-         CAST(SUM(CASE WHEN n_events = 0 THEN 1 ELSE 0 END) AS BIGINT)
-           AS zero_buckets,
-         CAST(SUM(n_events) AS BIGINT) AS events_total,
-         CAST(SUM(CAST(value_sum_ffill AS DECIMAL(18,6))) AS DOUBLE)
-           AS ffill_mass
-  FROM rs GROUP BY event_type
-),
-cm AS ({cte("events_countmin_check")}),
-ev AS ({cte("schema_evolution_report")}),
-qc AS ({cte("events_quantile_check")}),
-ff AS ({cte("events_ffill_bucketed")}),
-ffa AS (
-  SELECT CAST(SUM(CAST(value_ffill AS DECIMAL(18,6))) AS DOUBLE)
-           AS ffill_mass,
-         CAST(SUM(CASE WHEN value IS NULL AND value_ffill IS NOT NULL
-                       THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
-         CAST(SUM(CASE WHEN value_ffill IS NULL THEN 1 ELSE 0 END)
-              AS BIGINT) AS n_lead_null
-  FROM ff
-),
-dt AS ({cte("events_drift_trend")}),
-ck AS ({cte("events_dataset_checksum")}),
+WITH ck AS ({cte("events_dataset_checksum")}),
 ckt AS ({cte("events_checksum_by_type")}),
 xc AS ({cte("doc_cross_corpus_dups")}),
 bl AS ({cte("doc_bloom_decontaminate")}),
@@ -1478,27 +1492,12 @@ repa AS (
         "bucketed forward fill summarized as carried-mass / filled-row / "
         "leading-NULL checksums against the plain-LOCF oracle; (12) the "
         "PSI drift TREND — every weekly bucket scored against its "
-        "predecessor per event type in one counts-only pass; (13) the "
-        "order-free dataset checksums, global and per-event-type — the "
-        "exact DECIMAL content digests fold into the hashed item string "
-        "so the driver witnesses every bit; (14) cross-corpus MinHash "
-        "near-dup — the fresh-crawl-vs-training-set two-sided band join "
-        "with verified Jaccard per pair; (15) Bloom-filter "
-        "decontamination per source — map-only bit-array probes whose "
-        "false positives the oracle reproduces bit-for-bit, next to the "
-        "exact flags; (16) KMV bottom-k corpus-overlap estimates beside "
-        "their exact witnesses; (17) temperature-scaled source mixture "
-        "(sqrt shares, decimal-exact denominator) with upsample factors; "
-        "(18) the leakage-safe cluster-keyed split with its zero-"
-        "straddle witness; (19) the exact-substring (span) dedup "
-        "per-source boilerplate report — positional 8-grams, the "
-        "min<>max duplicated-gram witness, and the gaps-and-islands "
-        "merge all fold into the duplicated-token fractions; (20) the "
-        "Gopher repetition gate per source — keep counts and the "
-        "decimal-exact masses of the top-2-gram and duplicated-8-gram "
-        "coverage fractions, all computed map-side per document. All "
-        "twenty unpivoted to one (suite, item, metric, value) stream; "
-        "constituents stay registered for granular oracle checks"
+        "predecessor per event type in one counts-only pass. All twelve "
+        "unpivoted to one (suite, item, metric, value) stream; "
+        "constituents stay registered for granular oracle checks. The "
+        "round-7 curation/mixing arms live in curation_suite so one "
+        "regressing arm can no longer hide inside a single 20-arm hash "
+        "and timing"
     ),
 )
 def scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1703,6 +1702,44 @@ def scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot(["item"], dt_metrics, "metric", "value")
         .select(F.lit("drift_trend").alias("suite"), "item", "metric", "value")
     )
+    return _union(parts)
+
+
+@query(
+    "curation_suite",
+    sql=_curation_suite_sql(),
+    description=(
+        "Training-data curation/mixing family in one slot (split out of "
+        "scale_suite so each suite stays under ~5 s and a regressing arm "
+        "is attributable): (1) the order-free dataset checksums, global "
+        "and per-event-type — the exact DECIMAL content digests fold "
+        "into the hashed item string so the driver witnesses every bit; "
+        "(2) cross-corpus MinHash near-dup — the fresh-crawl-vs-training-"
+        "set two-sided band join with verified Jaccard per pair; (3) "
+        "Bloom-filter decontamination per source — map-only bit-array "
+        "probes whose false positives the oracle reproduces bit-for-bit, "
+        "next to the exact flags; (4) KMV bottom-k corpus-overlap "
+        "estimates beside their exact witnesses; (5) temperature-scaled "
+        "source mixture (sqrt shares, decimal-exact denominator) with "
+        "upsample factors; (6) the leakage-safe cluster-keyed split with "
+        "its zero-straddle witness; (7) the exact-substring (span) dedup "
+        "per-source boilerplate report — positional 8-grams, the "
+        "min<>max duplicated-gram witness, and the gaps-and-islands "
+        "merge all fold into the duplicated-token fractions; (8) the "
+        "Gopher repetition gate per source — keep counts and the "
+        "decimal-exact masses of the top-2-gram and duplicated-8-gram "
+        "coverage fractions, all computed map-side per document. All "
+        "unpivoted to one (suite, item, metric, value) stream; "
+        "constituents stay registered for granular oracle checks"
+    ),
+)
+def curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+
+    def run(name: str) -> DataFrame:
+        return REGISTRY[name].fn(spark, sf_dir)
+
+    parts: list[DataFrame] = []
 
     # dataset checksums: the exact DECIMAL digest strings ride in the item
     # key (a double-cast would drop the low bits that make them checksums)
@@ -1864,3 +1901,121 @@ def scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("repetition").alias("suite"), "item", "metric", "value")
     )
     return _union(parts)
+
+
+# ---------------------------------------------------------------------------
+# Window consolidations (round 8): two sketch self-checks share one slot;
+# the three grouping-set-family queries share one slot. Constituents stay
+# registered with their granular oracles.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sketch_checks",
+    sql="""
+SELECT CAST(NULL AS VARCHAR) AS check_name, CAST(NULL AS VARCHAR) AS item,
+       CAST(NULL AS VARCHAR) AS metric, CAST(NULL AS DOUBLE) AS value
+FROM events WHERE FALSE
+""",
+    description=(
+        "Both mergeable-sketch self-checks in one slot: (1) the three-"
+        "strategy distinct-count check (HLL++ / daily DataSketches-HLL "
+        "rollup / exact roaring-bitmap rollup, each vs the exact distinct "
+        "count at its own error bound — events_distinct_sketch) and (2) "
+        "the Greenwald-Khanna approximate-quartile check (approx values "
+        "vs exact percentiles at p±4eps — price_quantiles_sketch). Both "
+        "constituents emit ONLY violating rows, so the correct composite "
+        "result — and the oracle — is the EMPTY set: any sketch-bound "
+        "violation surfaces as a row-count/hash mismatch in the window"
+    ),
+)
+def sketch_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = REGISTRY["events_distinct_sketch"].fn(spark, sf_dir)
+    pq_ = REGISTRY["price_quantiles_sketch"].fn(spark, sf_dir)
+    a = ds.select(
+        F.col("check_name"),
+        F.col("event_type").alias("item"),
+        F.lit("rel_err").alias("metric"),
+        F.col("rel_err").cast("double").alias("value"),
+    )
+    b = pq_.select(
+        F.lit("gk_quartile").alias("check_name"),
+        F.concat(
+            F.col("l_returnflag"),
+            F.lit("|"),
+            F.col("quartile").cast("string"),
+        ).alias("item"),
+        F.lit("approx_value").alias("metric"),
+        F.col("approx_value").cast("double").alias("value"),
+    )
+    return a.unionByName(b)
+
+
+def _grouping_sets_suite_sql() -> str:
+    def cte(name: str) -> str:
+        return REGISTRY[name].sql.strip().rstrip(";")
+
+    return f"""
+WITH ru AS ({cte("part_brand_rollup")}),
+cu AS ({cte("orders_cube")}),
+gs AS ({cte("orders_grouping_sets")})
+SELECT 'rollup' AS family, p_brand AS k1, p_type AS k2,
+       CAST(NULL AS INT) AS g1, CAST(NULL AS INT) AS g2,
+       CAST(cnt AS BIGINT) AS n_rows, total_price
+FROM ru
+UNION ALL
+SELECT 'cube', o_orderstatus, o_orderpriority,
+       CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(n_orders AS BIGINT), total_price
+FROM cu
+UNION ALL
+SELECT 'gsets', o_orderstatus, o_orderpriority,
+       CAST(g_status AS INT), CAST(g_priority AS INT),
+       CAST(n_orders AS BIGINT), CAST(NULL AS DOUBLE)
+FROM gs
+"""
+
+
+@query(
+    "grouping_sets_suite",
+    sql=_grouping_sets_suite_sql(),
+    description=(
+        "The grouping-set family in one slot, built from the very same "
+        "registered operator calls: ROLLUP over (p_brand, p_type) with "
+        "subtotals, CUBE over (o_orderstatus, o_orderpriority) — all "
+        "grouping sets in one pass — and explicit GROUPING SETS with "
+        "GROUPING() indicators (disambiguating set-marker NULLs from "
+        "data NULLs). Tagged union on a common (family, k1, k2, g1, g2, "
+        "n_rows, total_price) schema; at scale each arm is a single "
+        "expand+hash-aggregate, no joins"
+    ),
+)
+def grouping_sets_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ru = REGISTRY["part_brand_rollup"].fn(spark, sf_dir).select(
+        F.lit("rollup").alias("family"),
+        F.col("p_brand").alias("k1"),
+        F.col("p_type").alias("k2"),
+        F.lit(None).cast("int").alias("g1"),
+        F.lit(None).cast("int").alias("g2"),
+        F.col("cnt").cast("long").alias("n_rows"),
+        F.col("total_price"),
+    )
+    cu = REGISTRY["orders_cube"].fn(spark, sf_dir).select(
+        F.lit("cube").alias("family"),
+        F.col("o_orderstatus").alias("k1"),
+        F.col("o_orderpriority").alias("k2"),
+        F.lit(None).cast("int").alias("g1"),
+        F.lit(None).cast("int").alias("g2"),
+        F.col("n_orders").cast("long").alias("n_rows"),
+        F.col("total_price"),
+    )
+    gs = REGISTRY["orders_grouping_sets"].fn(spark, sf_dir).select(
+        F.lit("gsets").alias("family"),
+        F.col("o_orderstatus").alias("k1"),
+        F.col("o_orderpriority").alias("k2"),
+        F.col("g_status").cast("int").alias("g1"),
+        F.col("g_priority").cast("int").alias("g2"),
+        F.col("n_orders").cast("long").alias("n_rows"),
+        F.lit(None).cast("double").alias("total_price"),
+    )
+    return ru.unionByName(cu).unionByName(gs)

@@ -3968,6 +3968,146 @@ def ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECALL_PROBES = (1, 2, 4, 8, 16)
+
+
+def _ivf_recall_sweep_sql(
+    n_centroids: int = 16,
+    probes: tuple[int, ...] = _RECALL_PROBES,
+    k: int = 3,
+    max_query: int = 200,
+) -> str:
+    """Recall@k of the IVF index vs brute-force ground truth, one row per
+    n_probe — the parameter-picking surface. Shares the exact CTE chain of
+    :func:`_ivf_oracle_sql` (codebook, assignment, probing, re-rank) so
+    sweep recall is measured against the very semantics the driver already
+    verifies per-query."""
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, len(a.v)),"
+        " i -> a.v[i]*c.cv[i]), 'sum')"
+    )
+    qdot = (
+        "list_aggregate(list_transform(generate_series(1, len(a.v)),"
+        " i -> a.v[i]*b.v[i]), 'sum')"
+    )
+    per_probe_ctes = "".join(
+        f""", probes_{p} AS (
+  SELECT vec_id AS query_id, cid FROM assign
+  WHERE vec_id < {max_query}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid) <= {p}
+), ivf_{p} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT cand.query_id, cand.neighbor_id,
+           ROUND({qdot} / (a.nrm * b.nrm), 6) AS cosine_sim
+    FROM (SELECT p.query_id, c.vec_id AS neighbor_id
+          FROM probes_{p} p JOIN clustered c
+            ON c.cid = p.cid AND c.vec_id <> p.query_id) cand
+    JOIN n a ON a.vec_id = cand.query_id
+    JOIN n b ON b.vec_id = cand.neighbor_id
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) <= {k}
+)"""
+        for p in probes
+    )
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({p} AS INT) AS n_probe, CAST({k} AS INT) AS k,
+       CAST((SELECT COUNT(DISTINCT query_id) FROM exact) AS BIGINT)
+         AS n_queries,
+       ROUND(CAST((SELECT COUNT(*) FROM ivf_{p} i
+                   JOIN exact x ON i.query_id = x.query_id
+                              AND i.neighbor_id = x.neighbor_id) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE), 6)
+         AS mean_recall"""
+        for p in probes
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
+  FROM e
+), cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, v AS cv, nrm AS cnrm
+  FROM (SELECT vec_id, v, nrm FROM n ORDER BY vec_id LIMIT {n_centroids})
+), assign AS (
+  SELECT a.vec_id, c.cid, ROUND({dot} / (a.nrm * c.cnrm), 6) AS sim
+  FROM n a CROSS JOIN cent c
+), clustered AS (
+  SELECT vec_id, cid FROM assign
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid) = 1
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROUND({qdot} / (a.nrm * b.nrm), 6) AS cosine_sim
+    FROM n a JOIN n b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id < {max_query}
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) <= {k}
+){per_probe_ctes}
+{arms}
+"""
+
+
+@query(
+    "ann_recall_sweep",
+    sql=_ivf_recall_sweep_sql(),
+    description=(
+        "IVF recall-vs-n_probe sweep: recall@3 of the cluster-pruned "
+        "index against brute-force ground truth for n_probe in "
+        "(1, 2, 4, 8, 16) over the same 200-query slab knn_cosine_ivf "
+        "serves — the data an operator picks n_probe from, instead of "
+        "docstring defaults. n_probe = n_centroids (16) probes every "
+        "cluster, so its row witnesses recall exactly 1.0 by "
+        "construction — a built-in self-check on the sweep itself. "
+        "Shape: the ground truth is ONE query-slab-bounded brute-force "
+        "top-k (the query side is the pruned 200-row slab, never a "
+        "corpus x corpus explosion); each sweep point is the registered "
+        "IVF plan joined to it on (query, neighbor) and folded to a "
+        "single (n_probe, k, n_queries, mean_recall) row — counts-only "
+        "scalars, so the sweep costs |probes| bounded aggregates, not "
+        "|probes| result materializations"
+    ),
+)
+def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    k = 3
+    pred = F.col("vec_id") < 200
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.knn_bruteforce(
+        corpus=emb, queries=emb.filter(pred), k=k
+    ).select("query_id", "neighbor_id")
+    ex_stats = exact.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    parts = []
+    for p in _RECALL_PROBES:
+        ivf = similarity.ann_ivf_topk(
+            emb, k=k, n_centroids=16, n_probe=p, query_pred=pred
+        ).select("query_id", "neighbor_id")
+        matched = ivf.join(exact, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("n_matched")
+        )
+        parts.append(
+            # one-row x one-row scalar attachment (the audited pattern)
+            matched.crossJoin(ex_stats).select(
+                F.lit(p).cast("int").alias("n_probe"),
+                F.lit(k).cast("int").alias("k"),
+                F.col("n_queries").cast("long").alias("n_queries"),
+                F.round(
+                    F.col("n_matched").cast("double")
+                    / F.col("n_exact").cast("double"),
+                    6,
+                ).alias("mean_recall"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def _ivf_sq8_oracle_sql(
     n_centroids: int = 16, n_probe: int = 4, k: int = 3, max_query: int = 200
 ) -> str:
@@ -6805,7 +6945,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "user_activity_baseline",
     "event_type_profile",
     "events_summary",
-    "events_distinct_sketch",
+    # sketch self-checks composite: 3-strategy distinct sketches + GK
+    # quartiles (constituents events_distinct_sketch /
+    # price_quantiles_sketch stay registered as extras)
+    "sketch_checks",
     "keep_last_dedup",
     "event_type_pivot",
     "user_counts_salted",
@@ -6828,17 +6971,29 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "regional_revenue",
     "customers_open_orders",
     "customers_without_orders",
-    "part_brand_rollup",
-    "orders_cube",
-    "orders_grouping_sets",
+    # grouping-set family composite: ROLLUP + CUBE + explicit GROUPING
+    # SETS w/ GROUPING() flags (constituents part_brand_rollup /
+    # orders_cube / orders_grouping_sets stay registered as extras)
+    "grouping_sets_suite",
     "nation_parties_full_outer",
     "quantity_quartiles_by_flag",
-    "price_quantiles_sketch",
     "custkeys_setops",
     # scale-maintenance composite: zorder layout + incremental rollup +
-    # k-anonymity + classifier gate (union witness moved into
-    # custkeys_setops; party_directory_union stays registered as extra)
+    # k-anonymity + classifier gate + drift/sketch/resample/ffill checks
+    # (union witness moved into custkeys_setops; party_directory_union
+    # stays registered as extra)
     "scale_suite",
+    # training-data curation/mixing composite: checksums, cross-corpus
+    # dedup, Bloom decontamination, KMV overlap, temperature mixture,
+    # leakage-safe split, span dedup, Gopher repetition gate
+    "curation_suite",
+    # the streaming layer witnessed THROUGH real micro-batches: file
+    # stream -> foreachBatch LPM enrich -> parquet sink -> rollup, held
+    # to the one-shot batch oracle
+    "events_stream_lpm_enrich",
+    # IVF recall-vs-n_probe sweep (parameter-picking surface; the
+    # n_probe=16 row self-checks at recall 1.0)
+    "ann_recall_sweep",
     "orders_above_customer_avg",
     "customer_spend_quartiles",
     "top_orders_per_customer",

@@ -14,11 +14,12 @@ from security_data_pipeline_spark.plans.queries import get_oracle_sql, get_queri
 # Queries round 1 left unwitnessed (UNRUN past position 50, or a no_oracle /
 # crashed row) — every one must now be witnessed inside the driver's window,
 # either directly or through the family composite that subsumes it
-# (plans/composites.py).
+# (plans/composites.py). Round 8 consolidations: orders_cube /
+# orders_grouping_sets ride in grouping_sets_suite; events_distinct_sketch /
+# price_quantiles_sketch ride in sketch_checks.
 MUST_BE_IN_WINDOW = {
     "secevents_etl",
-    "orders_cube",
-    "orders_grouping_sets",
+    "grouping_sets_suite",  # subsumes orders_cube / orders_grouping_sets / part_brand_rollup
     "event_type_pivot",
     "nation_parties_full_outer",
     "user_counts_salted",
@@ -27,10 +28,9 @@ MUST_BE_IN_WINDOW = {
     "ann_topk_methods",  # subsumes knn_cosine_lsh / knn_cosine_ivf / knn_pq_adc
     "cosine_dup_pairs",
     "doc_blob_metadata",
-    "events_distinct_sketch",
+    "sketch_checks",  # subsumes events_distinct_sketch / price_quantiles_sketch
     "minhash_lsh_pairs",
     "simhash_dup_pairs",
-    "price_quantiles_sketch",
     "file_roundtrip",  # subsumes csv_events_roundtrip / jsonl_docs_roundtrip
     "doc_decontaminate",
 }
