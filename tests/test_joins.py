@@ -1439,3 +1439,23 @@ def test_ip_parsers_null_on_malformed(spark):
     assert bad.select(
         joins.parse_cidr("cidr", strict=False).alias("p")
     ).first()["p"]["prefix"] is None
+
+
+def test_ann_recall_sweep_monotone_and_exhaustive_probe_is_exact(
+    spark, sf_smoke
+):
+    """The recall-vs-n_probe sweep must be non-decreasing in n_probe (more
+    probed clusters can only add candidates) and exactly 1.0 when every
+    cluster is probed (n_probe = n_centroids makes IVF exhaustive, so its
+    top-k IS the brute-force top-k under the shared rounding/tiebreak)."""
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = {
+        r["n_probe"]: r
+        for r in REGISTRY["ann_recall_sweep"].fn(spark, sf_smoke).collect()
+    }
+    assert sorted(rows) == [1, 2, 4, 8, 16]
+    recalls = [rows[p]["mean_recall"] for p in sorted(rows)]
+    assert recalls == sorted(recalls), recalls
+    assert rows[16]["mean_recall"] == 1.0, recalls
+    assert all(r["k"] == 3 and r["n_queries"] > 0 for r in rows.values())
