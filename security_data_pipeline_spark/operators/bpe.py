@@ -50,6 +50,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from security_data_pipeline_spark.pin import pin
+
 END_TOKEN = "</w>"
 
 
@@ -240,7 +242,7 @@ def bpe_train(
     syms = (
         hist
         .select("freq", initial_symbols("word").alias("symbols"))
-        .localCheckpoint()
+        .transform(pin)
     )
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -258,7 +260,7 @@ def bpe_train(
         merges.append((a, b))
         syms = syms.withColumn(
             "symbols", merge_pair(F.col("symbols"), a, b)
-        ).localCheckpoint()
+        ).transform(pin)
     return merges
 
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from security_data_pipeline_spark.pin import pin, pin_lazy
+
 
 def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     """Exact duplicate removal (arbitrary survivor) — ``dropDuplicates``:
@@ -918,7 +920,7 @@ def connected_components(
         nodes.select(F.col(id_col).alias("_id"))
         .distinct()
         .withColumn("_lbl", F.col("_id"))
-        .localCheckpoint()
+        .transform(pin)
     )
     prev_sum = labels.agg(F.sum("_lbl")).first()[0]
     for _ in range(max_iter):
@@ -942,7 +944,7 @@ def connected_components(
                     F.col("_lbl"), F.coalesce("_nmin", F.col("_lbl"))
                 ).alias("_lbl"),
             )
-            .localCheckpoint()
+            .transform(pin)
         )
         new_sum = labels.agg(F.sum("_lbl")).first()[0]
         if new_sum == prev_sum:
@@ -1328,7 +1330,7 @@ def jaccard_prefix_join(
             "_id",
             F.transform("_sorted", lambda s: s["_t"]).alias("_ord"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin_lazy)
     )
     n = F.size("_ord")
     prefix_len = n - F.ceil(n.cast("double") * F.lit(float(threshold))).cast(

@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from security_data_pipeline_spark.pin import pin_lazy
+
 
 def _ks_value_frame(
     both: DataFrame, g: list[str], ks_grid: int | None
@@ -114,9 +116,7 @@ def value_drift(
     # one narrow (group, value, side) frame feeds THREE consumers (ref
     # stats, the PSI bin counts, the KS cell histogram) — checkpoint it
     # so the two input slices are scanned once, not once per consumer
-    sides = side(ref, "r").unionByName(side(cur, "c")).localCheckpoint(
-        eager=False
-    )
+    sides = side(ref, "r").unionByName(side(cur, "c")).transform(pin_lazy)
     stats = (
         sides.filter(F.col("_side") == "r")
         .groupBy(*g)
@@ -285,7 +285,7 @@ def drift_trend(
             *g, w.alias("_w"), F.col(value_col).cast("double").alias("_v")
         )
         .filter(F.col("_v").isNotNull())
-        .localCheckpoint(eager=False)
+        .transform(pin_lazy)
     )
     stats = vals.groupBy(*g, "_w").agg(
         F.min("_v").alias("_mn"), F.max("_v").alias("_mx")

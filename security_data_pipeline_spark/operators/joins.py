@@ -23,6 +23,8 @@ from typing import Callable, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from security_data_pipeline_spark.pin import pin_lazy
+
 
 def asof_join(
     left: DataFrame,
@@ -289,7 +291,7 @@ def _tag_rows(facts: DataFrame, id_col: str | None, rid: str) -> DataFrame:
         return facts
     return facts.withColumn(
         rid, F.monotonically_increasing_id()
-    ).localCheckpoint(eager=False)
+    ).transform(pin_lazy)
 
 
 # \A/\z anchors, NOT ^/$: Java's $ matches before a trailing newline, and

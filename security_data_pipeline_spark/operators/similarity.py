@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from security_data_pipeline_spark.pin import pin
+
 from security_data_pipeline_spark.functions.vectors import cosine_similarity
 
 
@@ -1330,7 +1332,7 @@ def sq8_encode_against_grid(clustered: DataFrame, grid: DataFrame) -> DataFrame:
             out_of_grid.alias("_oog"),
             F.col("mins").isNull().alias("_no_grid"),
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     n_no_grid = enc.filter("_no_grid").count()
     if n_no_grid:

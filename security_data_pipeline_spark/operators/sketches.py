@@ -41,6 +41,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from security_data_pipeline_spark.pin import pin_lazy  # noqa: E402
+
 _PARTIAL_SCHEMA = StructType(
     [
         StructField("pid", LongType()),
@@ -137,9 +139,7 @@ def heavy_hitters(
     # replan) and pair run-A's threshold with run-B's candidates — breaking
     # the [count_lo, count_hi] bracket. Pin one run, same convention as
     # joins._tag_rows / dedup.jaccard_prefix_join.
-    partials = misra_gries_partials(df, item_col, k).localCheckpoint(
-        eager=False
-    )
+    partials = misra_gries_partials(df, item_col, k).transform(pin_lazy)
     d_total = partials.groupBy("pid").agg(F.first("d").alias("_d")).agg(
         F.coalesce(F.sum("_d"), F.lit(0)).alias("threshold")
     )

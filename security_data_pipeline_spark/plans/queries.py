@@ -26,6 +26,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from security_data_pipeline_spark.pin import pin, pin_lazy
+
 from security_data_pipeline_spark.operators import (
     anomaly,
     dedup,
@@ -1975,7 +1977,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_ok = (
         textops.gopher_repetition_stats(docs)
         .select("doc_id", "rep_keep")
-        .localCheckpoint()
+        .transform(pin)
         .filter(F.col("rep_keep"))
         .select("doc_id")
     )
@@ -2098,7 +2100,7 @@ def doc_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_ok = (
         textops.gopher_repetition_stats(docs)
         .select("doc_id", "rep_keep")
-        .localCheckpoint()
+        .transform(pin)
         .filter(F.col("rep_keep"))
         .select("doc_id")
         .withColumn("_rep", F.lit(True))
@@ -2904,7 +2906,7 @@ def neardup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     edges = dedup.ngram_jaccard_pairs(
         docs, id_col="doc_id", text_col="text", n=5, threshold=0.3
-    ).localCheckpoint(eager=False)
+    ).transform(pin_lazy)
     old_docs = docs.filter(F.col("doc_id") < 250)
     old_edges = edges.filter(
         (F.col("id_a") < 250) & (F.col("id_b") < 250)

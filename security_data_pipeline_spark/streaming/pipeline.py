@@ -17,6 +17,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from security_data_pipeline_spark.pin import pin, pin_lazy
+
 # the ONE copy of the PATH_NOT_FOUND probe every state-reading maintainer
 # (and the layout manifest reader) shares lives in fsutil
 from security_data_pipeline_spark.fsutil import missing_path as _missing_path
@@ -538,7 +540,7 @@ def maintain_drift_stream(
         ref.select(*g, F.col(value_col).cast("double").alias("_v"))
         .filter(F.col("_v").isNotNull())
         .withColumn("_side", F.lit("r"))
-    ).localCheckpoint(eager=False)
+    ).transform(pin_lazy)
     stats = ref_side.groupBy(*g).agg(
         F.min("_v").alias("_mn"), F.max("_v").alias("_mx")
     )
@@ -611,7 +613,7 @@ def maintain_drift_stream(
             .filter(F.col("_v").isNotNull())
             .withColumn("_side", F.lit("c"))
             .join(spark.read.parquet(refstats_path), g)
-        ).localCheckpoint(eager=False)
+        ).transform(pin_lazy)
         b_bins = (
             b.withColumn("_b", bin_index_expr(n_bins))
             .groupBy(*g, "_b")
@@ -802,14 +804,14 @@ def maintain_neardup_stream(
             if from_scratch:
                 raw.write.mode("overwrite").parquet(state_path)
             return
-        batch = batch_df.select(id_col, text_col).localCheckpoint()
+        batch = batch_df.select(id_col, text_col).transform(pin)
         # prior index read BEFORE this batch's directory is (re)written;
         # on crash replay the dir already exists and merely adds the
         # batch's internal pairs a second time (set-semantics, harmless)
         index = _read(spark, bands_root)
         bb = dedup._minhash_band_frame(
             batch, id_col, text_col, n, num_perm, n_bands, True, False
-        ).localCheckpoint()
+        ).transform(pin)
         self_pairs = dedup.minhash_lsh_pairs(
             batch,
             id_col=id_col,
@@ -839,7 +841,7 @@ def maintain_neardup_stream(
         # lazy cross-join plan executed later (inside the connected-
         # components iterations) would hit the stale listing with
         # FileNotFoundException — a stuck replay loop.
-        edges = edges.localCheckpoint()
+        edges = edges.transform(pin)
         bb.withColumn("_pk", _band_pk(pfx_mod)).write.partitionBy(
             "_pk"
         ).mode("overwrite").parquet(f"{bands_root}/_tag={tag}/batch={batch_id}")
@@ -940,7 +942,7 @@ def dedup_stream_against_corpus(
             with_fp.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
-        ).localCheckpoint()
+        ).transform(pin)
         try:
             index = spark.read.parquet(state_path)
         except AnalysisException as e:
@@ -948,9 +950,9 @@ def dedup_stream_against_corpus(
                 raise
             index = None
         if index is None:
-            fresh = local.localCheckpoint()
+            fresh = local.transform(pin)
         else:
-            fresh = corpus_fresh_rows(local, index).localCheckpoint()
+            fresh = corpus_fresh_rows(local, index).transform(pin)
         sink(fresh.drop("_fp"), batch_id)
         fresh.select(
             "_fp", _fp_pfx().alias("_pfx")
@@ -1077,8 +1079,8 @@ def maintain_span_dedup_stream(
         batch_dir = f"{state_path}/_tag={tag}/batch={batch_id}"
         bg = dedup.positional_grams(
             batch_df.select(id_col, text_col), id_col, text_col, n
-        ).localCheckpoint()
-        batch_grams = bg.select("gram").distinct().localCheckpoint()
+        ).transform(pin)
+        batch_grams = bg.select("gram").distinct().transform(pin)
         if not _dir_committed(spark, batch_dir):
             try:
                 words = spark.read.parquet(bloom_state).select("i", "w")
@@ -1097,7 +1099,7 @@ def maintain_span_dedup_stream(
                         )
                     )
                     .select("gram")
-                    .localCheckpoint()
+                    .transform(pin)
                 )
                 # The index read must tolerate committed-but-empty state:
                 # if every batch so far held only sub-n-token docs, the
@@ -1116,7 +1118,7 @@ def maintain_span_dedup_stream(
                 if index is not None:
                     matched = span_corpus_matches(
                         cand, index, pfx_mod
-                    ).localCheckpoint()
+                    ).transform(pin)
             bdup = (
                 bg.groupBy("gram")
                 .agg((F.min(id_col) != F.max(id_col)).alias("_dup"))
@@ -1131,7 +1133,7 @@ def maintain_span_dedup_stream(
             hits = bg.join(F.broadcast(dupset), "gram").select(id_col, "pos")
             spans = dedup.merge_gram_islands(
                 hits, id_col, n
-            ).localCheckpoint()
+            ).transform(pin)
             sink(spans, batch_id)
             new_grams = batch_grams
             if matched is not None:
@@ -1302,7 +1304,7 @@ def maintain_locf_stream(
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.localCheckpoint()
+        batch = batch_df.transform(pin)
         prefixes = [
             r["_kp"]
             for r in batch.select(_kp().alias("_kp")).distinct().collect()
@@ -1505,7 +1507,7 @@ def curate_stream(
             rep_ok = (
                 gopher_repetition_stats(out, text_col=text_col)
                 .select(id_col, "rep_keep")
-                .localCheckpoint()
+                .transform(pin)
                 .filter(F.col("rep_keep"))
                 .select(id_col)
             )
