@@ -4955,6 +4955,100 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup_drops(emb, threshold=0.4, n_centroids=16)
 
 
+_SEMDEDUP_THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.7)
+
+
+def _semdedup_sweep_sql(thresholds: tuple[float, ...] = _SEMDEDUP_THRESHOLDS) -> str:
+    """Drop-rate vs cosine threshold for SemDeDup — the aggressiveness
+    calibration surface. ONE cluster-local pair pass: a vector's drop
+    status at every threshold is determined by its MAX cosine to any
+    lower-id same-cluster vector (the strongest-dup row the registered
+    semantic_dedup already computes), so the whole sweep is counts over
+    that per-vector frame — zero extra pair work per threshold."""
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({t} AS DOUBLE) AS threshold,
+       CAST(COUNT(*) FILTER (WHERE max_sim >= {t}) AS BIGINT) AS n_dropped,
+       ROUND(CAST(COUNT(*) FILTER (WHERE max_sim >= {t}) AS DOUBLE)
+             / (SELECT n FROM tot), 6) AS drop_frac
+FROM maxsim"""
+        for t in thresholds
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
+  FROM e
+), cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, v AS cv, nrm AS cnrm
+  FROM (SELECT vec_id, v, nrm FROM n ORDER BY vec_id LIMIT 16)
+), assign AS (
+  SELECT a.vec_id, c.cid,
+         ROUND(list_aggregate(list_transform(generate_series(1, len(a.v)),
+                 i -> a.v[i]*c.cv[i]), 'sum') / (a.nrm * c.cnrm), 6) AS sim
+  FROM n a CROSS JOIN cent c
+), clustered AS (
+  SELECT vec_id, cid FROM assign
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid) = 1
+), maxsim AS (
+  SELECT b.vec_id,
+         MAX(ROUND(list_aggregate(list_transform(generate_series(1, len(x.v)),
+                 i -> x.v[i]*y.v[i]), 'sum') / (x.nrm * y.nrm), 6)) AS max_sim
+  FROM clustered a JOIN clustered b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN n x ON x.vec_id = a.vec_id
+  JOIN n y ON y.vec_id = b.vec_id
+  GROUP BY b.vec_id
+), tot AS (SELECT COUNT(*) AS n FROM e)
+{arms}
+"""
+
+
+@query(
+    "semdedup_threshold_sweep",
+    sql=_semdedup_sweep_sql(),
+    description=(
+        "SemDeDup aggressiveness calibration: corpus drop count and "
+        "fraction at cosine thresholds (0.3, 0.4, 0.5, 0.6, 0.7) — the "
+        "data an operator picks the dedup threshold from. Shape: ONE "
+        "cluster-local pair pass (threshold -1 keeps every pair, the "
+        "strongest-dup window row IS each vector's max same-cluster "
+        "cosine), then the whole sweep is five counts-only filters over "
+        "that per-vector frame — per-threshold cost is an aggregate, "
+        "never a pair-search rerun; drop counts are monotone "
+        "non-increasing in the threshold by construction"
+    ),
+)
+def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    maxsim = similarity.semantic_dedup_drops(
+        emb, threshold=-1.0, n_centroids=16
+    ).select("vec_id", F.col("cosine_sim").alias("max_sim"))
+    tot = emb.agg(F.count(F.lit(1)).alias("_n"))
+    parts = []
+    for t in _SEMDEDUP_THRESHOLDS:
+        agg = maxsim.agg(
+            F.count(F.when(F.col("max_sim") >= F.lit(t), 1)).alias(
+                "n_dropped"
+            )
+        )
+        parts.append(
+            agg.crossJoin(tot).select(
+                F.lit(t).cast("double").alias("threshold"),
+                F.col("n_dropped").cast("long").alias("n_dropped"),
+                F.round(
+                    F.col("n_dropped").cast("double")
+                    / F.col("_n").cast("double"),
+                    6,
+                ).alias("drop_frac"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 @query(
     "emergent_behavior",
     sql="""

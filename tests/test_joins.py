@@ -1459,3 +1459,27 @@ def test_ann_recall_sweep_monotone_and_exhaustive_probe_is_exact(
     assert recalls == sorted(recalls), recalls
     assert rows[16]["mean_recall"] == 1.0, recalls
     assert all(r["k"] == 3 and r["n_queries"] > 0 for r in rows.values())
+
+
+def test_semdedup_sweep_monotone_and_matches_direct_drops(spark, sf_smoke):
+    """Drop counts must be non-increasing in the threshold, and each
+    sweep point must equal the registered semantic_dedup run directly at
+    that threshold (the one-pass max-sim reformulation is exact)."""
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = {
+        r["threshold"]: r["n_dropped"]
+        for r in REGISTRY["semdedup_threshold_sweep"].fn(
+            spark, sf_smoke
+        ).collect()
+    }
+    counts = [rows[t] for t in sorted(rows)]
+    assert counts == sorted(counts, reverse=True), rows
+    from security_data_pipeline_spark.operators import similarity
+    from security_data_pipeline_spark.plans.queries import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    direct = similarity.semantic_dedup_drops(
+        emb, threshold=0.5, n_centroids=16
+    ).count()
+    assert rows[0.5] == direct
