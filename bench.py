@@ -116,6 +116,14 @@ BENCH_QUERIES: tuple[str, ...] = (
     # round-8 addition: IVF recall-vs-n_probe sweep (5 bounded
     # counts-only aggregates over the shared 200-query ground truth)
     "ann_recall_sweep",
+    # round-8 additions: CCNet line-level dedup (explode → one line-key
+    # agg → co-partitioned join-back → HOF rebuild), linear gap
+    # interpolation (two mirrored O(1)-state windows sharing one sort),
+    # and length-bucketed dynamic batching (per-(bucket, shard) windows,
+    # nothing global)
+    "doc_line_dedup",
+    "events_hourly_interpolated",
+    "doc_length_batches",
     # driver-window composites, benched AS the driver runs them — the
     # wall-clock the driver pays includes their union/unpivot overhead,
     # which per-arm numbers don't capture
@@ -147,7 +155,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_time_bucket_rollup": 14385, "doc_winnow_pairs": 251,
         "doc_lm_scores": 5000,
         "temporal_net_suite": 44669, "event_windows_suite": 200000,
-        "scale_suite": 252, "curation_suite": 461, "sketch_checks": 0,
+        "scale_suite": 267, "curation_suite": 589, "sketch_checks": 0,
         "grouping_sets_suite": 209, "ann_recall_sweep": 5,
         "security_detections": 11195,
         "doc_repetition_stats": 5000, "doc_curation_audit": 5000,
@@ -165,6 +173,8 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_mixture_epochs": 4931, "doc_training_order": 5000,
         "doc_bloom_decontaminate": 20, "corpus_overlap_kmv": 1,
         "doc_leakage_safe_split": 3, "doc_source_temperature": 20,
+        "doc_line_dedup": 5000, "events_hourly_interpolated": 3600,
+        "doc_length_batches": 636,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -180,7 +190,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_time_bucket_rollup": 7206, "doc_winnow_pairs": 25,
         "doc_lm_scores": 500,
         "temporal_net_suite": 16129, "event_windows_suite": 20000,
-        "scale_suite": 235, "curation_suite": 353, "sketch_checks": 0,
+        "scale_suite": 250, "curation_suite": 481, "sketch_checks": 0,
         "grouping_sets_suite": 209, "ann_recall_sweep": 5,
         "security_detections": 1135,
         "doc_repetition_stats": 500, "doc_curation_audit": 500,
@@ -198,6 +208,8 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_mixture_epochs": 491, "doc_training_order": 500,
         "doc_bloom_decontaminate": 20, "corpus_overlap_kmv": 1,
         "doc_leakage_safe_split": 3, "doc_source_temperature": 20,
+        "doc_line_dedup": 500, "events_hourly_interpolated": 3600,
+        "doc_length_batches": 75,
     },
 }
 

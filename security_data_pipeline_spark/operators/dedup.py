@@ -1608,3 +1608,183 @@ def duplicated_span_stats(
             ).alias("dup_token_frac"),
         )
     )
+
+
+# --- line-level dedup (CCNet) ----------------------------------------------
+
+# ASCII punctuation as explicit code ranges — identical semantics in Java
+# regex (Spark) and RE2 (DuckDB), unlike [[:punct:]] whose class membership
+# differs between engines.
+_PUNCT_RE = r"[!-/:-@\[-`{-~]"
+
+
+def normalized_line_key(line: Column, normalize: str = "none") -> Column:
+    """The comparison key CCNet-style line dedup hashes: the raw line
+    (``normalize="none"``) or its CCNet normalization (``"ccnet"``:
+    lowercase, strip digits and ASCII punctuation, collapse runs of
+    spaces, trim — Wenzek et al. 2020 §4.1's hash normalization, minus
+    the unicode NFD fold this container can't verify cross-engine).
+    Pure Column math, mirrored token-for-token in oracle SQL."""
+    if normalize == "none":
+        return line
+    if normalize != "ccnet":
+        raise ValueError(f"normalize must be none|ccnet, got {normalize!r}")
+    k = F.lower(line)
+    k = F.regexp_replace(k, "[0-9]", "")
+    k = F.regexp_replace(k, _PUNCT_RE, "")
+    k = F.regexp_replace(k, " +", " ")
+    return F.trim(k)
+
+
+def positional_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """``(id, pos, line)`` — every line of every document with its
+    0-based position. NULL text is treated as empty (one empty line, so
+    reassembly round-trips). Narrow (one explode, no shuffle)."""
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), delim, -1)
+    return df.select(
+        F.col(id_col),
+        F.posexplode(lines).alias("pos", "line"),
+    ).select(id_col, F.col("pos").cast("bigint").alias("pos"), "line")
+
+
+def duplicated_line_positions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    min_ids: int = 2,
+    scope: str = "any",
+    normalize: str = "none",
+    line_key: str = "text",
+) -> DataFrame:
+    """``(id, pos)`` of every line whose key occurs ≥ ``min_ids`` times —
+    across distinct documents (``scope="cross_doc"``) or counting repeats
+    within one document too (``scope="any"``, the CCNet default: a
+    boilerplate header repeated inside one page is still boilerplate).
+
+    Physical shape (the 100 TB pass, same stages as
+    :func:`duplicated_spans`): narrow line explode → ONE hash aggregation
+    on the line key (min<>max witness for the cross-doc min_ids=2 form;
+    plain count otherwise — both full map-side combine, one shuffle) →
+    co-partitioned equi-join back. ``line_key="hash"`` shuffles
+    ``xxhash64`` longs instead of line strings — the production knob;
+    the oracle-checked registered form uses exact text keys.
+    """
+    if scope not in ("cross_doc", "any"):
+        raise ValueError(f"scope must be cross_doc|any, got {scope!r}")
+    if line_key not in ("text", "hash"):
+        raise ValueError(f"line_key must be text|hash, got {line_key!r}")
+    lines = positional_lines(df, id_col, text_col, delim).withColumn(
+        "_k", normalized_line_key(F.col("line"), normalize)
+    )
+    if line_key == "hash":
+        lines = lines.withColumn("_k", F.xxhash64("_k"))
+    if scope == "any":
+        dup = lines.groupBy("_k").agg(
+            (F.count(F.lit(1)) >= min_ids).alias("_dup")
+        )
+    elif min_ids == 2:
+        dup = lines.groupBy("_k").agg(
+            (F.min(id_col) != F.max(id_col)).alias("_dup")
+        )
+    else:
+        dup = lines.groupBy("_k").agg(
+            (F.countDistinct(id_col) >= min_ids).alias("_dup")
+        )
+    return (
+        lines.join(dup.filter("_dup").select("_k"), "_k")
+        .select(id_col, "pos")
+    )
+
+
+def remove_duplicated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    min_ids: int = 2,
+    scope: str = "any",
+    normalize: str = "none",
+    line_key: str = "text",
+) -> DataFrame:
+    """CCNet-style line-level dedup (Wenzek et al. 2020 §4.1): drop every
+    line whose (optionally normalized) content occurs ≥ ``min_ids`` times
+    in the corpus, keeping each document's surviving lines in order.
+
+    Output: ``(id, clean_text, n_lines, n_lines_removed)`` — one row per
+    input document; untouched documents pass through with 0 removed, a
+    fully boilerplate document survives with ``clean_text = ''``.
+
+    The rebuild mirrors :func:`remove_duplicated_spans`: removed
+    POSITIONS are collected to one small array per affected document
+    (bounded by removed-lines-per-doc), LEFT-joined onto the corpus by
+    id, and each document filters its own line array with an indexed HOF
+    — the line stream never re-explodes and never re-shuffles.
+    """
+    hits = duplicated_line_positions(
+        df, id_col, text_col, delim, min_ids, scope, normalize, line_key
+    )
+    per_doc = hits.groupBy(id_col).agg(
+        F.collect_list("pos").alias("_rm")
+    )
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), delim, -1)
+    kept = F.when(F.col("_rm").isNull(), lines).otherwise(
+        F.filter(
+            lines,
+            lambda t, i: ~F.array_contains(F.col("_rm"), i.cast("bigint")),
+        )
+    )
+    return df.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.concat_ws(delim, kept).alias("clean_text"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        (F.size(lines) - F.size(kept)).cast("bigint").alias(
+            "n_lines_removed"
+        ),
+    )
+
+
+def duplicated_line_stats(
+    df: DataFrame,
+    by: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    min_ids: int = 2,
+    scope: str = "any",
+    normalize: str = "none",
+    line_key: str = "text",
+) -> DataFrame:
+    """Per-group boilerplate-line report: what fraction of each group's
+    lines is duplicated — the signal that decides which sources need
+    line-level dedup. Output: ``(by, n_docs, n_docs_affected,
+    total_lines, dup_lines, dup_line_frac)``."""
+    hits = duplicated_line_positions(
+        df, id_col, text_col, delim, min_ids, scope, normalize, line_key
+    )
+    per_doc = hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_dup_lines")
+    )
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), delim, -1)
+    joined = df.select(
+        F.col(by),
+        F.col(id_col),
+        F.size(lines).cast("bigint").alias("_n_lines"),
+    ).join(per_doc, id_col, "left")
+    return joined.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("_dup_lines").alias("n_docs_affected"),
+        F.sum("_n_lines").alias("total_lines"),
+        F.coalesce(F.sum("_dup_lines"), F.lit(0)).cast("bigint").alias(
+            "dup_lines"
+        ),
+        (
+            F.coalesce(F.sum("_dup_lines"), F.lit(0)).cast("double")
+            / F.sum("_n_lines").cast("double")
+        ).alias("dup_line_frac"),
+    )

@@ -659,3 +659,67 @@ def divergence_from_source_counts(
             F.round(F.sum("_term").cast("double"), 6).alias("js_divergence")
         )
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_tokens",
+    batch_size: int = 8,
+    bucket_width: int = 16,
+    n_shards: int = 4,
+    salt: str = "batch",
+) -> DataFrame:
+    """Dynamic batching by length: assign rows to fixed-size batches of
+    similar sequence length so pad-to-max waste inside each batch is
+    small — the batching step in front of any padded inference or
+    finetune pass.
+
+    Every row's length rounds UP to a ``bucket_width`` multiple
+    (``bucket_len``); within each (bucket, shard) rows order by
+    (length desc, id) and cut into ``batch_size``-row batches. Output is
+    one row per BATCH: ``(bucket_len, shard, batch_id, n_docs,
+    batch_max_tokens, token_sum, pad_frac)`` where ``pad_frac`` is the
+    fraction of the padded token grid (`batch_max × n_docs`) that is
+    padding.
+
+    Scale shape: the only ordered work is a row_number per
+    (bucket_len, shard) — buckets are bounded by max-length/width and the
+    md5-derived shard (the :func:`training_order` idiom, engine-exact)
+    splits each bucket's stream ``n_shards`` ways, so the largest sort is
+    |bucket|/n_shards and NOTHING is globally ordered. Sharding costs at
+    most one under-filled tail batch per (bucket, shard); choose
+    ``n_shards`` so that cost stays ≪ batch count.
+    """
+    w_ = int(bucket_width)
+    blen = (F.floor((F.col(len_col) + (w_ - 1)) / w_) * w_).cast("long")
+    h = F.md5(
+        F.concat(F.lit(salt), F.col(id_col).cast("string")).cast("binary")
+    )
+    shard = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_shards
+    base = df.select(
+        F.col(id_col),
+        F.col(len_col).cast("long").alias("_n"),
+        blen.alias("bucket_len"),
+        shard.alias("shard"),
+    )
+    win = Window.partitionBy("bucket_len", "shard").orderBy(
+        F.desc("_n"), F.asc(id_col)
+    )
+    batched = base.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(win) - 1) / batch_size).cast("long"),
+    )
+    out = batched.groupBy("bucket_len", "shard", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("_n").alias("batch_max_tokens"),
+        F.sum("_n").cast("long").alias("token_sum"),
+    )
+    return out.withColumn(
+        "pad_frac",
+        F.lit(1.0)
+        - (
+            F.col("token_sum").cast("double")
+            / (F.col("batch_max_tokens") * F.col("n_docs")).cast("double")
+        ),
+    )

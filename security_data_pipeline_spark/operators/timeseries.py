@@ -95,6 +95,70 @@ def forward_fill(
     return out
 
 
+def interpolate_linear(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    suffix: str = "_interp",
+) -> DataFrame:
+    """Linear interpolation of NULL gaps between observations per key —
+    the companion to :func:`forward_fill` when the series is a sampled
+    continuous quantity (sensor readings, rates) rather than a state
+    that holds until changed.
+
+    For each NULL row the nearest non-NULL neighbors on both sides
+    (within the key, ordered by ``order_col``, which must be NUMERIC —
+    the interpolation ratio is arithmetic on it) define the line::
+
+        v = prev_v + (next_v - prev_v) * (o - prev_o) / (next_o - prev_o)
+
+    Non-NULL rows keep their value exactly (both neighbors collapse to
+    the row itself). Rows before a key's first observation or after its
+    last have only one neighbor and stay NULL — extrapolation is a
+    policy decision, so it is left to the caller (chain
+    :func:`forward_fill` after for flat extrapolation).
+
+    Appends ``{value_col}{suffix}``. Physical shape: two O(1)-state
+    ordered windows per key (a backward ``last(ignorenulls)`` and a
+    forward ``first(ignorenulls)`` over (order, value) structs sharing
+    ONE sort/exchange — same partitioning, mirrored frames), then pure
+    row-local IEEE math; the float expression is written operand-for-
+    operand identically in the DuckDB oracle so values hash-match.
+    """
+    obs = F.when(
+        F.col(value_col).isNotNull(),
+        F.struct(
+            F.col(order_col).cast("double").alias("o"),
+            F.col(value_col).cast("double").alias("v"),
+        ),
+    )
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev = F.last(obs, ignorenulls=True).over(w_back)
+    nxt = F.first(obs, ignorenulls=True).over(w_fwd)
+    o = F.col(order_col).cast("double")
+    interp = prev["v"] + (nxt["v"] - prev["v"]) * (
+        (o - prev["o"]) / (nxt["o"] - prev["o"])
+    )
+    filled = (
+        F.when(F.col(value_col).isNotNull(), F.col(value_col).cast("double"))
+        .when(
+            prev.isNotNull() & nxt.isNotNull() & (prev["o"] != nxt["o"]),
+            interp,
+        )
+    )
+    return df.withColumn(f"{value_col}{suffix}", filled)
+
+
 def forward_fill_bucketed(
     df: DataFrame,
     keys: list[str],

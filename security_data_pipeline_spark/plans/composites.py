@@ -1309,6 +1309,16 @@ def _scale_suite_sql() -> str:
             "event_type || '|' || CAST(bucket AS VARCHAR)",
             [("psi", "psi"), ("n_ref", "n_ref"), ("n_cur", "n_cur")],
         ),
+        _unpivot_arm_sql(
+            "itpa",
+            "interp",
+            "event_type",
+            [
+                ("n_buckets", "n_buckets"),
+                ("n_filled", "n_filled"),
+                ("interp_mass", "interp_mass"),
+            ],
+        ),
     ]
     body = "\nUNION ALL\n".join(arms)
     return f"""
@@ -1346,7 +1356,17 @@ ffa AS (
               AS BIGINT) AS n_lead_null
   FROM ff
 ),
-dt AS ({cte("events_drift_trend")})
+dt AS ({cte("events_drift_trend")}),
+itp AS ({cte("events_hourly_interpolated")}),
+itpa AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(CASE WHEN value_sum IS NULL
+                       AND value_sum_interp IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+         CAST(SUM(CAST(value_sum_interp AS DECIMAL(18,6))) AS DOUBLE)
+           AS interp_mass
+  FROM itp GROUP BY event_type
+)
 {body}
 """
 
@@ -1440,6 +1460,29 @@ def _curation_suite_sql() -> str:
                 ("dup_mass", "dup_mass"),
             ],
         ),
+        _unpivot_arm_sql(
+            "ld",
+            "line_dedup",
+            "source",
+            [
+                ("n_docs", "n_docs"),
+                ("n_docs_affected", "n_docs_affected"),
+                ("total_lines", "total_lines"),
+                ("dup_lines", "dup_lines"),
+                ("dup_line_frac", "ROUND(dup_line_frac, 9)"),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "lba",
+            "len_batches",
+            "CAST(bucket_len AS VARCHAR)",
+            [
+                ("n_batches", "n_batches"),
+                ("n_docs", "n_docs"),
+                ("token_sum", "token_sum"),
+                ("padded_tokens", "padded_tokens"),
+            ],
+        ),
     ]
     body = "\nUNION ALL\n".join(arms)
     return f"""
@@ -1452,6 +1495,16 @@ tw AS ({cte("doc_source_temperature")}),
 ls AS ({cte("doc_leakage_safe_split")}),
 sp AS ({cte("doc_dup_span_stats")}),
 rep AS ({cte("doc_repetition_stats")}),
+ld AS ({cte("doc_line_dedup_stats")}),
+lb AS ({cte("doc_length_batches")}),
+lba AS (
+  SELECT bucket_len,
+         CAST(COUNT(*) AS BIGINT) AS n_batches,
+         CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         CAST(SUM(token_sum) AS BIGINT) AS token_sum,
+         CAST(SUM(batch_max_tokens * n_docs) AS BIGINT) AS padded_tokens
+  FROM lb GROUP BY bucket_len
+),
 repa AS (
   SELECT d.source,
          CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1492,8 +1545,10 @@ repa AS (
         "bucketed forward fill summarized as carried-mass / filled-row / "
         "leading-NULL checksums against the plain-LOCF oracle; (12) the "
         "PSI drift TREND — every weekly bucket scored against its "
-        "predecessor per event type in one counts-only pass. All twelve "
-        "unpivoted to one (suite, item, metric, value) stream; "
+        "predecessor per event type in one counts-only pass; (13) linear "
+        "gap interpolation over the hourly grid, summarized per type as "
+        "gap-fill counts and decimal-exact interpolated mass. All "
+        "thirteen unpivoted to one (suite, item, metric, value) stream; "
         "constituents stay registered for granular oracle checks. The "
         "round-7 curation/mixing arms live in curation_suite so one "
         "regressing arm can no longer hide inside a single 20-arm hash "
@@ -1702,6 +1757,32 @@ def scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot(["item"], dt_metrics, "metric", "value")
         .select(F.lit("drift_trend").alias("suite"), "item", "metric", "value")
     )
+
+    # linear interpolation: per-type gap-fill counts + decimal-exact
+    # interpolated mass (witnesses the mirrored-window + IEEE-math path)
+    itp = run("events_hourly_interpolated")
+    itpa = itp.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(
+            F.when(
+                F.col("value_sum").isNull()
+                & F.col("value_sum_interp").isNotNull(),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_filled"),
+        F.sum(F.col("value_sum_interp").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("interp_mass"),
+    )
+    itp_metrics = ["n_buckets", "n_filled", "interp_mass"]
+    parts.append(
+        itpa.select(
+            F.col("event_type").alias("item"),
+            *[F.col(m).cast("double").alias(m) for m in itp_metrics],
+        )
+        .unpivot(["item"], itp_metrics, "metric", "value")
+        .select(F.lit("interp").alias("suite"), "item", "metric", "value")
+    )
     return _union(parts)
 
 
@@ -1728,7 +1809,11 @@ def scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge all fold into the duplicated-token fractions; (8) the "
         "Gopher repetition gate per source — keep counts and the "
         "decimal-exact masses of the top-2-gram and duplicated-8-gram "
-        "coverage fractions, all computed map-side per document. All "
+        "coverage fractions, all computed map-side per document; (9) "
+        "CCNet line-level dedup per source — duplicated-line counts and "
+        "fractions over chunk-rendered pages; (10) length-bucketed "
+        "dynamic batching per bucket — batch counts with actual vs "
+        "padded token masses (the padding-waste witness). All "
         "unpivoted to one (suite, item, metric, value) stream; "
         "constituents stay registered for granular oracle checks"
     ),
@@ -1899,6 +1984,47 @@ def curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unpivot(["item"], rp_metrics, "metric", "value")
         .select(F.lit("repetition").alias("suite"), "item", "metric", "value")
+    )
+
+    # line-level (CCNet) dedup: per-source boilerplate-line fractions
+    # (frac rounded so the double division folds deterministically)
+    ld = run("doc_line_dedup_stats")
+    ld_metrics = [
+        "n_docs",
+        "n_docs_affected",
+        "total_lines",
+        "dup_lines",
+        "dup_line_frac",
+    ]
+    parts.append(
+        ld.select(
+            F.col("source").alias("item"),
+            *[F.col(m).cast("double").alias(m) for m in ld_metrics[:-1]],
+            F.round(F.col("dup_line_frac"), 9).alias("dup_line_frac"),
+        )
+        .unpivot(["item"], ld_metrics, "metric", "value")
+        .select(F.lit("line_dedup").alias("suite"), "item", "metric", "value")
+    )
+
+    # length-bucketed batching: per-bucket batch counts, actual and
+    # padded token masses (the padding-waste witness)
+    lb = run("doc_length_batches")
+    lba = lb.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("token_sum").cast("long").alias("token_sum"),
+        F.sum(F.col("batch_max_tokens") * F.col("n_docs"))
+        .cast("long")
+        .alias("padded_tokens"),
+    )
+    lb_metrics = ["n_batches", "n_docs", "token_sum", "padded_tokens"]
+    parts.append(
+        lba.select(
+            F.col("bucket_len").cast("string").alias("item"),
+            *[F.col(m).cast("double").alias(m) for m in lb_metrics],
+        )
+        .unpivot(["item"], lb_metrics, "metric", "value")
+        .select(F.lit("len_batches").alias("suite"), "item", "metric", "value")
     )
     return _union(parts)
 

@@ -882,6 +882,84 @@ def events_hourly_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_hourly_interpolated",
+    sql="""
+WITH pb AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0)
+              AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS value_sum
+  FROM events GROUP BY event_type, 2
+), spans AS (
+  SELECT event_type, MIN(b) AS b0, MAX(b) AS b1 FROM pb GROUP BY event_type
+), grid AS (
+  SELECT event_type, unnest(generate_series(b0, b1)) AS b FROM spans
+), dense AS (
+  SELECT g.event_type, g.b,
+         COALESCE(pb.n_events, 0) AS n_events, pb.value_sum
+  FROM grid g LEFT JOIN pb ON pb.event_type = g.event_type AND pb.b = g.b
+), nb AS (
+  SELECT event_type, b, n_events, value_sum,
+         last_value(CASE WHEN value_sum IS NOT NULL
+                         THEN CAST(b * 3600000000 AS DOUBLE) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY b
+                 ROWS UNBOUNDED PRECEDING) AS prev_o,
+         last_value(CASE WHEN value_sum IS NOT NULL THEN value_sum END
+                    IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY b
+                 ROWS UNBOUNDED PRECEDING) AS prev_v,
+         first_value(CASE WHEN value_sum IS NOT NULL
+                          THEN CAST(b * 3600000000 AS DOUBLE) END
+                     IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY b
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt_o,
+         first_value(CASE WHEN value_sum IS NOT NULL THEN value_sum END
+                     IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY b
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt_v
+  FROM dense
+)
+SELECT event_type, make_timestamp(b * 3600000000) AS bucket_ts, n_events,
+       value_sum,
+       CASE WHEN value_sum IS NOT NULL THEN value_sum
+            WHEN prev_o IS NOT NULL AND nxt_o IS NOT NULL
+                 AND prev_o <> nxt_o
+            THEN prev_v + (nxt_v - prev_v)
+                 * ((CAST(b * 3600000000 AS DOUBLE) - prev_o)
+                    / (nxt_o - prev_o))
+       END AS value_sum_interp
+FROM nb
+""",
+    description=(
+        "Linear gap interpolation over the hourly per-type grid "
+        "(operators/timeseries.py:interpolate_linear): empty buckets get "
+        "the value on the line between their nearest observed neighbors "
+        "(edges stay NULL — extrapolation is a policy decision), observed "
+        "buckets pass through exactly. Two O(1)-state mirrored windows "
+        "per key sharing one sort, then row-local IEEE math written "
+        "operand-for-operand identically in the oracle — the sampled-"
+        "continuous-quantity companion to the LOCF densifier"
+    ),
+)
+def events_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events")
+    dense = timeseries.resample_counts(
+        ev, "ts", ["event_type"], step_seconds=3600, value_col="value"
+    ).withColumn("_ord", F.unix_micros("bucket_ts"))
+    out = timeseries.interpolate_linear(
+        dense, ["event_type"], "_ord", "value_sum", suffix="_interp"
+    )
+    return out.select(
+        "event_type", "bucket_ts", "n_events", "value_sum",
+        "value_sum_interp",
+    )
+
+
+@query(
     "events_heavy_hitters",
     sql="""
 SELECT CAST(NULL AS VARCHAR) AS check_name, CAST(NULL AS VARCHAR) AS item,
@@ -2231,6 +2309,60 @@ def doc_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@query(
+    "doc_length_batches",
+    sql="""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n
+  FROM documents
+), asn AS (
+  SELECT doc_id, n,
+         CAST(floor((n + 15) / 16.0) * 16 AS BIGINT) AS bucket_len,
+         CAST(CONCAT('0x', substr(md5('batch' || CAST(doc_id AS VARCHAR)),
+              1, 8)) AS BIGINT) % 4 AS shard
+  FROM toks
+), rn_ AS (
+  SELECT bucket_len, shard, n, doc_id,
+         row_number() OVER (PARTITION BY bucket_len, shard
+                            ORDER BY n DESC, doc_id) AS rn
+  FROM asn
+)
+SELECT bucket_len, shard,
+       CAST(floor((rn - 1) / 8.0) AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(n) AS BIGINT) AS batch_max_tokens,
+       CAST(SUM(n) AS BIGINT) AS token_sum,
+       1.0 - (CAST(SUM(n) AS DOUBLE)
+              / CAST(MAX(n) * COUNT(*) AS DOUBLE)) AS pad_frac
+FROM rn_ GROUP BY 1, 2, 3
+""",
+    description=(
+        "Length-bucketed dynamic batching "
+        "(operators/mixing.py:length_bucketed_batches): docs round up to "
+        "16-token length buckets, md5-sharded 4 ways, ordered (len desc, "
+        "id) within (bucket, shard) and cut into 8-doc batches — one row "
+        "per batch with its pad-to-max waste fraction. The batching step "
+        "in front of padded inference/finetune; the only ordered work is "
+        "per-(bucket, shard), nothing global"
+    ),
+)
+def doc_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("n_tokens"),
+    )
+    return mixing.length_bucketed_batches(
+        toks, id_col="doc_id", len_col="n_tokens",
+        batch_size=8, bucket_width=16, n_shards=4,
     )
 
 
@@ -6973,6 +7105,126 @@ GROUP BY d.source
 def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.duplicated_span_stats(docs, by="source", n=_SPAN_N)
+
+
+# --- line-level (CCNet) dedup ----------------------------------------------
+#
+# The synthetic documents are single-line, so the registered queries first
+# re-render each document as a multi-line page whose lines are its aligned
+# 5-token chunks (pure fixture scaffolding, mirrored in the oracle —
+# corpus text shares phrases, so chunks genuinely duplicate across
+# documents) and line-dedup those pages end to end.
+
+_LINE_CHUNK = 5
+
+
+def _chunked_docs(docs: DataFrame) -> DataFrame:
+    c = _LINE_CHUNK
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    nch = F.ceil(F.size(toks) / F.lit(float(c))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(1), nch),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * c + 1, c)),
+    )
+    return docs.select(
+        "doc_id", "source", F.array_join(lines, "\n").alias("text")
+    )
+
+
+def _line_dedup_cte() -> str:
+    """Shared oracle CTE chain ending in ``dup(line)`` (scope="any",
+    min_ids=2) over the chunk-rendered pages — the SQL mirror of
+    :func:`operators.dedup.duplicated_line_positions`."""
+    c = _LINE_CHUNK
+    return f"""
+tk AS (
+  SELECT doc_id, source, string_split(coalesce(text, ''), ' ') AS t
+  FROM documents
+), pages AS (
+  SELECT doc_id, source,
+         array_to_string(list_transform(
+           generate_series(1, CAST(ceil(len(t) / {c}.0) AS BIGINT)),
+           i -> array_to_string(t[(i-1)*{c}+1:(i-1)*{c}+{c}], ' ')),
+           chr(10)) AS text
+  FROM tk
+), lx AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM pages
+), lines AS (
+  SELECT doc_id, unnest(ls) AS line,
+         CAST(unnest(generate_series(1, len(ls))) - 1 AS BIGINT) AS pos
+  FROM lx
+), dup AS (
+  SELECT line FROM lines GROUP BY line HAVING COUNT(*) >= 2
+)"""
+
+
+@query(
+    "doc_line_dedup",
+    sql=f"""
+WITH {_line_dedup_cte()},
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l LEFT JOIN dup d USING (line) WHERE d.line IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         COUNT(*) AS nk
+  FROM kept GROUP BY doc_id
+)
+SELECT p.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       CAST(len(string_split(p.text, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len(string_split(p.text, chr(10))) - coalesce(r.nk, 0)
+            AS BIGINT) AS n_lines_removed
+FROM pages p LEFT JOIN rebuilt r USING (doc_id)
+""",
+    description=(
+        "CCNet-style line-level dedup (Wenzek et al. 2020 §4.1) over "
+        "chunk-rendered multi-line pages: every line occurring ≥2 times "
+        "in the corpus is boilerplate and dropped, surviving lines keep "
+        "their order. Narrow line explode → one hash agg on the line key "
+        "→ co-partitioned join-back; the rebuild collects removed "
+        "POSITIONS per doc and filters each doc's own line array with an "
+        "indexed HOF — the line stream never re-explodes "
+        "(operators/dedup.py:remove_duplicated_lines)"
+    ),
+)
+def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_duplicated_lines(
+        _chunked_docs(docs), id_col="doc_id", scope="any", min_ids=2
+    )
+
+
+@query(
+    "doc_line_dedup_stats",
+    sql=f"""
+WITH {_line_dedup_cte()},
+pd AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+  FROM lines l JOIN dup d USING (line) GROUP BY doc_id
+)
+SELECT p.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(pd.dl) AS BIGINT) AS n_docs_affected,
+       CAST(SUM(len(string_split(p.text, chr(10)))) AS BIGINT)
+         AS total_lines,
+       CAST(coalesce(SUM(pd.dl), 0) AS BIGINT) AS dup_lines,
+       CAST(coalesce(SUM(pd.dl), 0) AS DOUBLE)
+         / CAST(SUM(len(string_split(p.text, chr(10)))) AS DOUBLE)
+         AS dup_line_frac
+FROM pages p LEFT JOIN pd USING (doc_id) GROUP BY p.source
+""",
+    description=(
+        "Per-source boilerplate-line report: fraction of lines that are "
+        "corpus-duplicated — the signal that decides which sources need "
+        "line-level dedup (operators/dedup.py:duplicated_line_stats)"
+    ),
+)
+def doc_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_line_stats(
+        _chunked_docs(docs), by="source", id_col="doc_id",
+        scope="any", min_ids=2,
+    )
 
 
 @query(

@@ -384,3 +384,43 @@ def test_source_divergence_orders_similarity(spark):
     assert all(0.0 <= v <= math.log(2) + 1e-9 for v in got.values())
     assert got[("a", "m")] < got[("a", "b")]
     assert got[("b", "m")] < got[("a", "b")]
+
+
+def test_length_bucketed_batches_invariants(spark):
+    from security_data_pipeline_spark.operators import mixing
+
+    rows = [(i, 3 + (i * 7) % 90) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = mixing.length_bucketed_batches(
+        df, batch_size=8, bucket_width=16, n_shards=4
+    ).collect()
+    # conservation: every doc lands in exactly one batch
+    assert sum(r["n_docs"] for r in out) == 300
+    assert sum(r["token_sum"] for r in out) == sum(n for _, n in rows)
+    for r in out:
+        assert 1 <= r["n_docs"] <= 8
+        # bucket invariant: members' lengths are in (bucket_len-16, bucket_len]
+        assert r["batch_max_tokens"] <= r["bucket_len"]
+        assert r["token_sum"] > r["n_docs"] * (r["bucket_len"] - 16)
+        assert 0.0 <= r["pad_frac"] < 1.0
+        expect = 1.0 - r["token_sum"] / (r["batch_max_tokens"] * r["n_docs"])
+        assert abs(r["pad_frac"] - expect) < 1e-12
+        assert 0 <= r["shard"] < 4
+
+
+def test_length_bucketed_batches_reduces_padding_vs_arrival_order(spark):
+    from security_data_pipeline_spark.operators import mixing
+
+    # adversarial arrival order: lengths alternate short/long, so naive
+    # consecutive batches pad every short doc to the long length
+    rows = [(i, 8 if i % 2 == 0 else 120) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = mixing.length_bucketed_batches(
+        df, batch_size=8, bucket_width=16, n_shards=2
+    ).collect()
+    padded = sum(r["batch_max_tokens"] * r["n_docs"] for r in out)
+    actual = sum(r["token_sum"] for r in out)
+    # arrival-order control: batch i = docs [8i, 8i+8) -> max is always 120
+    naive_padded = 120 * 400
+    assert padded < 0.60 * naive_padded  # bucketing kills the padding
+    assert actual == sum(n for _, n in rows)

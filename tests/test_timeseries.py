@@ -117,3 +117,46 @@ def test_forward_fill_bucketed_carry_frame_is_compact(spark):
     # the summaries frame the carry window sorts is bounded by bucket count
     b = df.groupBy("k", (F.floor(F.col("o") / 100.0)).alias("_fb")).count()
     assert b.count() == 100  # 10k rows -> 100 carry rows for the hot key
+
+
+def test_interpolate_linear_fills_interior_gaps_only(spark):
+    from security_data_pipeline_spark.operators import timeseries
+
+    rows = [
+        # key a: edges NULL, interior gap linearly filled
+        ("a", 0, None),
+        ("a", 1, 10.0),
+        ("a", 2, None),
+        ("a", 3, None),
+        ("a", 4, 40.0),
+        ("a", 5, None),
+        # key b: isolated from a; uneven spacing
+        ("b", 0, 2.0),
+        ("b", 4, 10.0),
+        ("b", 2, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, o long, v double")
+    out = {
+        (r["k"], r["o"]): r["v_interp"]
+        for r in timeseries.interpolate_linear(df, ["k"], "o", "v").collect()
+    }
+    assert out[("a", 0)] is None  # before first observation
+    assert out[("a", 1)] == 10.0  # observed rows pass through exactly
+    assert out[("a", 2)] == 20.0
+    assert out[("a", 3)] == 30.0
+    assert out[("a", 4)] == 40.0
+    assert out[("a", 5)] is None  # after last observation
+    assert out[("b", 2)] == 6.0  # midpoint of (0, 2.0) .. (4, 10.0)
+
+
+def test_interpolate_linear_all_null_key_stays_null(spark):
+    from security_data_pipeline_spark.operators import timeseries
+
+    df = spark.createDataFrame(
+        [("k", 0, None), ("k", 1, None)], "k string, o long, v double"
+    )
+    vals = [
+        r["v_interp"]
+        for r in timeseries.interpolate_linear(df, ["k"], "o", "v").collect()
+    ]
+    assert vals == [None, None]
