@@ -1729,6 +1729,23 @@ def remove_duplicated_lines(
     hits = duplicated_line_positions(
         df, id_col, text_col, delim, min_ids, scope, normalize, line_key
     )
+    return rebuild_docs_without_lines(df, hits, id_col, text_col, delim)
+
+
+def rebuild_docs_without_lines(
+    df: DataFrame,
+    hits: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """``(id, clean_text, n_lines, n_lines_removed)`` given ``(id, pos)``
+    rows naming the lines to drop — the rebuild half of
+    :func:`remove_duplicated_lines`, shared with the streaming
+    maintainer so removal semantics cannot diverge (the
+    :func:`merge_gram_islands` precedent). Positions collect to one
+    small per-doc array; each doc filters its own line array with an
+    indexed HOF — no re-explode, one doc-id join."""
     per_doc = hits.groupBy(id_col).agg(
         F.collect_list("pos").alias("_rm")
     )

@@ -1178,6 +1178,156 @@ def maintain_span_dedup_stream(
     return writer.start()
 
 
+def maintain_line_dedup_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    sink: Callable[[DataFrame, int], None],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    normalize: str = "none",
+    pfx_mod: int = 256,
+    m_bits: int = 1 << 24,
+    k: int = 3,
+    trigger_available_now: bool = True,
+):
+    """Streaming CCNet line-level dedup against the corpus so far: each
+    micro-batch of documents emits its CLEANED rows ``(id, clean_text,
+    n_lines, n_lines_removed)`` to ``sink``, with every line dropped
+    whose (optionally normalized) content occurs ≥2 times in the batch
+    OR anywhere in the already-ingested corpus. Contract (asserted in
+    tests/test_line_stream.py): batch-k output equals
+    :func:`...dedup.remove_duplicated_lines` (scope="any", min_ids=2)
+    over the CUMULATIVE corpus through batch k, restricted to batch-k
+    docs. Like every corpus maintainer the semantics are
+    first-seen-asymmetric: when a later document repeats a line first
+    seen in an earlier batch, the LATER document drops it; the earlier
+    one is not retro-edited.
+
+    Scale shape: line keys are token-scale like n-grams, so this reuses
+    :func:`maintain_span_dedup_stream`'s exact machinery — a persisted
+    corpus line-key Bloom filter gates the exact probe (map-only
+    broadcast bit array; only Bloom-POSITIVE keys touch the
+    prefix-partitioned index, so per-batch index I/O follows the TRUE
+    duplication rate), the index side probes directory-pruned and never
+    shuffles (``span_corpus_matches`` — the key column is named ``gram``
+    internally to share it), and the rebuild is the batch operator's own
+    :func:`...dedup.rebuild_docs_without_lines`. State layout, replay
+    guards, the Bloom ⊇ index crash-ordering invariant, and delivery
+    semantics are identical to the span maintainer.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from security_data_pipeline_spark.operators import bloom, dedup
+
+    tag = _lineage_tag(checkpoint_path)
+    bloom_state = f"{state_path}__bloom"
+    bloom_scratch = f"{bloom_state}__next"
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_dir = f"{state_path}/_tag={tag}/batch={batch_id}"
+        docs = batch_df.select(id_col, text_col)
+        bl = (
+            dedup.positional_lines(docs, id_col, text_col, delim)
+            .withColumn(
+                "gram", dedup.normalized_line_key(F.col("line"), normalize)
+            )
+            .drop("line")
+            .transform(pin)
+        )
+        batch_keys = bl.select("gram").distinct().transform(pin)
+        if not _dir_committed(spark, batch_dir):
+            try:
+                words = spark.read.parquet(bloom_state).select("i", "w")
+            except AnalysisException as e:
+                if not _missing_path(e):
+                    raise
+                words = None
+            matched = None
+            if words is not None:
+                bf = bloom.bloom_filter_frame(words, None, m_bits, k)
+                cand = (
+                    batch_keys.crossJoin(F.broadcast(bf))
+                    .filter(
+                        bloom.bloom_contains(
+                            F.col("gram"), F.col("bloom"), m_bits, k
+                        )
+                    )
+                    .select("gram")
+                    .transform(pin)
+                )
+                # same committed-but-empty tolerance as the span stream:
+                # absent/schemaless index ⇒ no corpus matches, exact by
+                # the Bloom ⊇ index invariant
+                try:
+                    index = spark.read.parquet(state_path)
+                except AnalysisException as e:
+                    if not (_missing_path(e) or _schemaless_path(e)):
+                        raise
+                    index = None
+                if index is not None:
+                    matched = span_corpus_matches(
+                        cand, index, pfx_mod
+                    ).transform(pin)
+            bdup = (
+                bl.groupBy("gram")
+                .agg((F.count(F.lit(1)) >= 2).alias("_dup"))
+                .filter("_dup")
+                .select("gram")
+            )
+            dupset = (
+                bdup
+                if matched is None
+                else bdup.unionByName(matched).distinct()
+            )
+            hits = bl.join(F.broadcast(dupset), "gram").select(id_col, "pos")
+            cleaned = dedup.rebuild_docs_without_lines(
+                docs, hits, id_col, text_col, delim
+            )
+            sink(cleaned, batch_id)
+            new_keys = batch_keys
+            if matched is not None:
+                new_keys = new_keys.join(
+                    F.broadcast(matched), "gram", "left_anti"
+                )
+            new_keys.withColumn("_pfx", _gram_pfx(pfx_mod)).write.partitionBy(
+                "_pfx"
+            ).mode("overwrite").parquet(batch_dir)
+        # Bloom fold runs even on committed-batch replays (index grams
+        # must never be Bloom-invisible); its stamp skips folded batches
+        raw, from_scratch = _read_state(spark, bloom_state, bloom_scratch)
+        replayed, prev = _check_replay(raw, batch_id, checkpoint_path)
+        if replayed:
+            if from_scratch:
+                raw.write.mode("overwrite").parquet(bloom_state)
+            return
+        new_words = bloom.bloom_word_rows(batch_keys, "gram", m_bits, k)
+        merged = (
+            new_words
+            if prev is None
+            else prev.select("i", "w")
+            .unionByName(new_words)
+            .groupBy("i")
+            .agg(F.bit_or("w").alias("w"))
+        )
+        merged = _stamp_batch(merged, batch_id, checkpoint_path)
+        merged.write.mode("overwrite").parquet(bloom_scratch)
+        spark.read.parquet(bloom_scratch).write.mode("overwrite").parquet(
+            bloom_state
+        )
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def locf_key_prefix(keys: list[str], pfx_mod: int):
     """Bounded state-partition key for the LOCF maintainer: 'p' +
     pmod(xxhash64(keys), pfx_mod) (the letter defeats numeric partition

@@ -352,3 +352,40 @@ def test_repetition_gate_is_map_only_and_funnel_pins_flags(spark):
     assert "Exchange" not in plan, plan[:1500]
     funnel = _plan(REGISTRY["corpus_curation"].fn(spark, SF))
     assert "ExistingRDD" in funnel, funnel[:1500]
+
+
+def test_line_dedup_discovery_explodes_rebuild_does_not(spark):
+    """remove_duplicated_lines: the line stream explodes only inside the
+    duplicated-line discovery (positional_lines feeds both the key agg
+    and the join-back); the rebuild side filters each doc's own line
+    array with an indexed HOF — no third Generate, no Expand, and the
+    whole pass fits in two hash exchanges (line-key agg + removal-
+    positions agg; the joins broadcast)."""
+    plan = _plan(REGISTRY["doc_line_dedup"].fn(spark, SF))
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate") == 2, plan.count("Generate")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan.count(
+        "Exchange hashpartitioning"
+    )
+
+
+def test_interpolation_mirrored_frames_share_one_sort(spark):
+    """interpolate_linear's backward last() and forward first() frames
+    ride ONE Window node over ONE sort — the mirrored-frame claim. A
+    second Sort/Window would mean the two frames stopped sharing the
+    (key, order) exchange."""
+    plan = _plan(REGISTRY["events_hourly_interpolated"].fn(spark, SF))
+    assert plan.count("Window") == 1, plan.count("Window")
+    assert plan.count("Sort") == 1, plan.count("Sort")
+
+
+def test_length_batches_agg_reuses_window_partitioning(spark):
+    """length_bucketed_batches: the per-batch aggregate groups on a
+    superset of the row_number window's (bucket_len, shard) keys, so the
+    ENTIRE op is one exchange — assignment is map-side Column math and
+    the final agg rides the window's partitioning."""
+    plan = _plan(REGISTRY["doc_length_batches"].fn(spark, SF))
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan
