@@ -124,6 +124,10 @@ BENCH_QUERIES: tuple[str, ...] = (
     "doc_line_dedup",
     "events_hourly_interpolated",
     "doc_length_batches",
+    # round-8 addition: vocabulary-coverage / OOV report (bounded vocab
+    # agg collected once at plan build; scoring is a map-only HOF fold —
+    # zero joins over the corpus)
+    "doc_vocab_coverage",
     # driver-window composites, benched AS the driver runs them — the
     # wall-clock the driver pays includes their union/unpivot overhead,
     # which per-arm numbers don't capture
@@ -174,7 +178,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_bloom_decontaminate": 20, "corpus_overlap_kmv": 1,
         "doc_leakage_safe_split": 3, "doc_source_temperature": 20,
         "doc_line_dedup": 5000, "events_hourly_interpolated": 3600,
-        "doc_length_batches": 636,
+        "doc_length_batches": 636, "doc_vocab_coverage": 20,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -209,7 +213,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_bloom_decontaminate": 20, "corpus_overlap_kmv": 1,
         "doc_leakage_safe_split": 3, "doc_source_temperature": 20,
         "doc_line_dedup": 500, "events_hourly_interpolated": 3600,
-        "doc_length_batches": 75,
+        "doc_length_batches": 75, "doc_vocab_coverage": 20,
     },
 }
 

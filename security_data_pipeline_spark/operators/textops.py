@@ -632,3 +632,79 @@ def hybrid_rrf(
         .filter(F.col("fused_rank") <= k)
         .select(id_col, "rrf_score", "fused_rank", f"rank_{sa}", f"rank_{sb}")
     )
+
+
+def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 50) -> list[str]:
+    """Driver-local top-``k`` vocabulary by corpus token frequency
+    (count desc, token asc — a total order, so the list is deterministic
+    on any engine/partitioning). One token aggregation + TakeOrdered;
+    the collect is bounded by ``k`` (the BPE-histogram collect
+    discipline). Tokens are lowercased, empties dropped."""
+    rows = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ")
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(k)
+        .collect()
+    )
+    return [r["token"] for r in rows]
+
+
+def oov_stats(
+    df: DataFrame,
+    vocab: list[str],
+    by: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary token rate against a FIXED vocabulary — the
+    coverage signal that tells a curation pipeline how well a tokenizer
+    or frozen vocab fits each source (high OOV ⇒ domain mismatch,
+    boilerplate noise, or the wrong language).
+
+    Scoring is a map-only HOF fold of each document's token array
+    against the vocabulary literal (the DSIR fused-scorer shape): zero
+    joins, zero shuffles over the corpus — at 100 TB this is a pure
+    scan. With ``by`` set, one bounded groupBy follows; otherwise one
+    row per document. Tokens lowercase, empties excluded from both
+    numerator and denominator (the doc_token_stats convention).
+
+    Output: per doc ``(id, n_tokens, n_oov, oov_frac)`` or per group
+    ``(by, n_docs, total_tokens, oov_tokens, oov_frac)``.
+    """
+    va = F.array(*[F.lit(t) for t in vocab])
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda t: t != "",
+    )
+    n_tokens = F.size(toks).cast("bigint")
+    n_oov = F.size(
+        F.filter(toks, lambda t: ~F.array_contains(va, t))
+    ).cast("bigint")
+    if by is None:
+        return df.select(
+            F.col(id_col),
+            n_tokens.alias("n_tokens"),
+            n_oov.alias("n_oov"),
+            F.when(
+                n_tokens > 0,
+                n_oov.cast("double") / n_tokens.cast("double"),
+            ).alias("oov_frac"),
+        )
+    scored = df.select(
+        F.col(by), n_tokens.alias("_n"), n_oov.alias("_oov")
+    )
+    return scored.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n").cast("bigint").alias("total_tokens"),
+        F.sum("_oov").cast("bigint").alias("oov_tokens"),
+        (
+            F.sum("_oov").cast("double") / F.sum("_n").cast("double")
+        ).alias("oov_frac"),
+    )

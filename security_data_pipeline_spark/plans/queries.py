@@ -2637,6 +2637,59 @@ def doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VOCAB_K = 30
+
+
+@query(
+    "doc_vocab_coverage",
+    sql=f"""
+WITH vocab AS (
+  SELECT token FROM (
+    SELECT unnest(string_split(lower(coalesce(text, '')), ' ')) AS token
+    FROM documents
+  ) WHERE token <> ''
+  GROUP BY token ORDER BY COUNT(*) DESC, token LIMIT {_VOCAB_K}
+), tk AS (
+  SELECT doc_id, source,
+         unnest(list_filter(
+           string_split(lower(coalesce(text, '')), ' '), t -> t <> ''))
+           AS token
+  FROM documents
+), scored AS (
+  SELECT t.doc_id, t.source,
+         CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tk t LEFT JOIN vocab v USING (token)
+), per_doc AS (
+  SELECT doc_id, source, COUNT(*) AS n, SUM(oov) AS o
+  FROM scored GROUP BY doc_id, source
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(SUM(p.n), 0) AS BIGINT) AS total_tokens,
+       CAST(coalesce(SUM(p.o), 0) AS BIGINT) AS oov_tokens,
+       CAST(coalesce(SUM(p.o), 0) AS DOUBLE)
+         / CAST(coalesce(SUM(p.n), 0) AS DOUBLE) AS oov_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY d.source
+""",
+    description=(
+        "Vocabulary-coverage / OOV-rate report "
+        "(operators/textops.py:vocab_topk + oov_stats): per-source "
+        "out-of-vocabulary token fraction against the corpus top-30 "
+        "vocabulary (count desc, token tie-break — deterministic on any "
+        "engine). The vocab is ONE bounded token aggregation collected "
+        "driver-side; scoring is a map-only HOF fold of each doc's token "
+        "array against the vocabulary literal — zero joins or shuffles "
+        "over the corpus, the DSIR fused-scorer shape (the oracle "
+        "mirrors it relationally with an explode + anti-join)"
+    ),
+)
+def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = textops.vocab_topk(docs, k=_VOCAB_K)
+    return textops.oov_stats(docs, vocab, by="source")
+
+
 @query(
     "doc_train_split",
     sql="""

@@ -389,3 +389,14 @@ def test_length_batches_agg_reuses_window_partitioning(spark):
     assert plan.count("Exchange") == 1, plan.count("Exchange")
     assert "Expand" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_scoring_is_scan_plus_one_agg(spark):
+    """oov_stats scores each doc's token array against the collected
+    vocabulary literal map-side (no explode, no join over the corpus) —
+    the registered query's plan is one source-groupBy exchange and
+    nothing else."""
+    plan = _plan(REGISTRY["doc_vocab_coverage"].fn(spark, SF))
+    assert plan.count("Generate") == 0, plan.count("Generate")
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert "Join" not in plan, plan[:1200]

@@ -267,3 +267,39 @@ def test_curation_audit_reconciles_with_funnel(spark):
             == f["docs_rep_ok"]
         )
         assert c["kept"] == f["docs_clean"]
+
+
+def test_vocab_topk_order_and_bound(spark):
+    from security_data_pipeline_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b c d"), (3, "A")],
+        "doc_id long, text string",
+    )
+    # counts: a=4 (lowercased), b=3, c=2, d=1; ties broken by token asc
+    assert textops.vocab_topk(docs, k=3) == ["a", "b", "c"]
+    assert textops.vocab_topk(docs, k=10) == ["a", "b", "c", "d"]
+
+
+def test_oov_stats_per_doc_and_grouped(spark):
+    from security_data_pipeline_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "s1", "a b x"), (2, "s1", "a a"), (3, "s2", "y z"), (4, "s2", "")],
+        "doc_id long, source string, text string",
+    )
+    vocab = ["a", "b"]
+    per_doc = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_frac"])
+        for r in textops.oov_stats(docs, vocab).collect()
+    }
+    assert per_doc[1] == (3, 1, 1.0 / 3.0)
+    assert per_doc[2] == (2, 0, 0.0)
+    assert per_doc[3] == (2, 2, 1.0)
+    assert per_doc[4] == (0, 0, None)  # empty doc: no division by zero
+    by_src = {
+        r["source"]: (r["n_docs"], r["total_tokens"], r["oov_tokens"])
+        for r in textops.oov_stats(docs, vocab, by="source").collect()
+    }
+    assert by_src["s1"] == (2, 5, 1)
+    assert by_src["s2"] == (2, 2, 2)
