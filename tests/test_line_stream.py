@@ -201,3 +201,44 @@ def test_ccnet_normalization_in_stream(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {(1, "Hello, World 123!\nmine"), (2, "yours")}, got
+
+
+def test_consolidated_line_index_keeps_matching(spark, tmp_path):
+    """The generic streamed-index compaction works on the line-key index:
+    after folding the per-batch dirs into one generation, a resumed
+    stream still matches against everything ingested before compaction."""
+    from security_data_pipeline_spark.streaming.pipeline import (
+        consolidate_stream_index,
+    )
+
+    src = tmp_path / "in"
+    _write_batches(src, BATCHES[:2])
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "lines")
+    ckpt = str(tmp_path / "ckpt")
+    _run(spark, src, state, ckpt, out)
+
+    report = consolidate_stream_index(spark, state, "_pfx", distinct=True)
+    assert report["files_after"] <= report["files_before"]
+    assert report["rows"] > 0
+
+    # batch 2 arrives after compaction; doc 5 repeats doc 4's lines from
+    # the PRE-compaction corpus and must still be fully cleaned
+    f = src / "b2.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in BATCHES[2]],
+                "text": [r[1] for r in BATCHES[2]],
+            }
+        ),
+        f,
+    )
+    os.utime(f, None)
+    _run(spark, src, state, ckpt, out)
+    got = {
+        (r["doc_id"], r["clean_text"])
+        for r in spark.read.parquet(out).collect()
+        if r["doc_id"] in (5, 6)
+    }
+    assert got == {(5, ""), (6, "solo")}, got
