@@ -128,6 +128,9 @@ BENCH_QUERIES: tuple[str, ...] = (
     # agg collected once at plan build; scoring is a map-only HOF fold —
     # zero joins over the corpus)
     "doc_vocab_coverage",
+    # round-8 addition: token-budget waterfill (mixture planning on the
+    # per-source frame; the corpus pays one token-count aggregation)
+    "doc_token_budget",
     # driver-window composites, benched AS the driver runs them — the
     # wall-clock the driver pays includes their union/unpivot overhead,
     # which per-arm numbers don't capture
@@ -179,6 +182,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_leakage_safe_split": 3, "doc_source_temperature": 20,
         "doc_line_dedup": 5000, "events_hourly_interpolated": 3600,
         "doc_length_batches": 636, "doc_vocab_coverage": 20,
+        "doc_token_budget": 20,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -214,6 +218,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_leakage_safe_split": 3, "doc_source_temperature": 20,
         "doc_line_dedup": 500, "events_hourly_interpolated": 3600,
         "doc_length_batches": 75, "doc_vocab_coverage": 20,
+        "doc_token_budget": 20,
     },
 }
 

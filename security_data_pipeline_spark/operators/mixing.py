@@ -723,3 +723,116 @@ def length_bucketed_batches(
             / (F.col("batch_max_tokens") * F.col("n_docs")).cast("double")
         ),
     )
+
+
+def token_budget_waterfill(
+    counts: DataFrame,
+    budget: float,
+    weights: dict[str, float] | None = None,
+    key_col: str = "source",
+    avail_col: str = "avail_tokens",
+) -> DataFrame:
+    """Water-filling token-budget allocation — the mixture-planning step
+    between "we want source weights w" and "sample each source at rate
+    r": given each source's AVAILABLE token count and a total training
+    budget ``B``, allocate ``alloc_i = min(avail_i, θ·w_i)`` with the
+    water level θ chosen so Σ alloc = min(B, Σ avail). Sources too small
+    for their weight saturate (you take everything they have) and their
+    unused share redistributes over the rest — exactly what a
+    published-mixture replication does when a source runs out of tokens.
+
+    Closed form, no iteration: sort sources by ``avail/w`` ascending
+    (saturation order — the waterfill lemma makes the saturated set a
+    prefix), take running prefix sums of avail and weight, and mark row
+    j saturated iff ``avail_j · remw_{j-1} ≤ (B − cumavail_{j-1}) · w_j``
+    (the cross-multiplied form of ``avail_j/w_j ≤ θ_j``, written
+    identically in the oracle so IEEE comparison agrees); a running
+    ``bool_and`` guards float-tie monotonicity. θ then comes from the
+    saturated count in one conditional aggregate attached back as a
+    one-row broadcast scalar.
+
+    Input: one row per source (``key_col``, ``avail_col``). The frame is
+    mixture-domain-sized (≤ thousands of rows at any corpus scale — the
+    heavy part, counting tokens per source, is the caller's one
+    aggregation over the corpus). Output: ``(key, weight, avail_tokens,
+    saturated, alloc_tokens, sampling_rate)``.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget!r}")
+    if weights is not None:
+        w = F.lit(None).cast("double")
+        for k_, v in sorted(weights.items()):
+            w = F.when(F.col(key_col) == k_, F.lit(float(v))).otherwise(w)
+        w = F.coalesce(w, F.lit(1.0))
+    else:
+        w = F.lit(1.0)
+    base = counts.select(
+        F.col(key_col),
+        F.col(avail_col).cast("double").alias("avail_tokens"),
+        w.alias("weight"),
+    ).filter(F.col("weight") > 0)
+    ws = Window.orderBy(
+        (F.col("avail_tokens") / F.col("weight")).asc(), F.col(key_col)
+    )
+    pre = base.select(
+        key_col,
+        "avail_tokens",
+        "weight",
+        (
+            F.sum("avail_tokens").over(
+                ws.rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("_cum_avail"),
+        (
+            F.sum("weight").over(
+                ws.rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("_cum_w"),
+    ).withColumn("_cum_avail", F.coalesce(F.col("_cum_avail"), F.lit(0.0))
+    ).withColumn("_cum_w", F.coalesce(F.col("_cum_w"), F.lit(0.0)))
+    tot = pre.agg(
+        F.sum("avail_tokens").alias("_tot_avail"),
+        F.sum("weight").alias("_tot_w"),
+    )
+    pre = pre.crossJoin(F.broadcast(tot))
+    cond = (
+        F.col("avail_tokens") * (F.col("_tot_w") - F.col("_cum_w"))
+        <= (F.lit(float(budget)) - F.col("_cum_avail")) * F.col("weight")
+    )
+    sat = pre.withColumn(
+        "saturated",
+        F.min(F.when(cond, True).otherwise(False)).over(
+            ws.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    theta_row = sat.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("saturated"), F.col("avail_tokens"))),
+            F.lit(0.0),
+        ).alias("_sat_avail"),
+        F.coalesce(
+            F.sum(F.when(~F.col("saturated"), F.col("weight"))), F.lit(0.0)
+        ).alias("_free_w"),
+    ).select(
+        F.when(
+            F.col("_free_w") > 0,
+            (F.lit(float(budget)) - F.col("_sat_avail")) / F.col("_free_w"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_theta")
+    )
+    out = sat.crossJoin(F.broadcast(theta_row))
+    alloc = F.when(F.col("saturated"), F.col("avail_tokens")).otherwise(
+        F.col("_theta") * F.col("weight")
+    )
+    return out.select(
+        key_col,
+        "weight",
+        "avail_tokens",
+        "saturated",
+        alloc.alias("alloc_tokens"),
+        F.when(
+            F.col("avail_tokens") > 0,
+            alloc / F.col("avail_tokens"),
+        ).otherwise(F.lit(0.0)).alias("sampling_rate"),
+    )

@@ -2637,6 +2637,82 @@ def doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUDGET = 25000.0
+
+
+@query(
+    "doc_token_budget",
+    sql=f"""
+WITH cnt AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split(coalesce(text, ''), ' '),
+              t -> t <> ''))) AS DOUBLE) AS avail_tokens
+  FROM documents GROUP BY source
+), wtd AS (
+  SELECT source, avail_tokens,
+         CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 0.5
+              ELSE 1.0 END AS weight
+  FROM cnt
+), pre AS (
+  SELECT source, avail_tokens, weight,
+         coalesce(SUM(avail_tokens) OVER w, 0.0) AS cum_avail,
+         coalesce(SUM(weight) OVER w, 0.0) AS cum_w,
+         SUM(weight) OVER () AS tot_w
+  FROM wtd
+  WINDOW w AS (ORDER BY avail_tokens / weight, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), sat AS (
+  SELECT source, avail_tokens, weight,
+         BOOL_AND(avail_tokens * (tot_w - cum_w)
+                  <= ({_BUDGET} - cum_avail) * weight)
+           OVER (ORDER BY avail_tokens / weight, source
+                 ROWS UNBOUNDED PRECEDING) AS saturated
+  FROM pre
+), th AS (
+  SELECT CASE WHEN coalesce(SUM(CASE WHEN NOT saturated THEN weight END),
+                            0.0) > 0
+              THEN ({_BUDGET} - coalesce(SUM(CASE WHEN saturated
+                                              THEN avail_tokens END), 0.0))
+                   / SUM(CASE WHEN NOT saturated THEN weight END)
+              ELSE 0.0 END AS theta
+  FROM sat
+)
+SELECT source, weight, avail_tokens, saturated,
+       CASE WHEN saturated THEN avail_tokens
+            ELSE theta * weight END AS alloc_tokens,
+       CASE WHEN avail_tokens > 0
+            THEN (CASE WHEN saturated THEN avail_tokens
+                       ELSE theta * weight END) / avail_tokens
+            ELSE 0.0 END AS sampling_rate
+FROM sat CROSS JOIN th
+""",
+    description=(
+        "Token-budget water-filling "
+        "(operators/mixing.py:token_budget_waterfill): allocate a "
+        "25k-token training budget across sources ∝ mixture weights "
+        "(src0 at 3, src1 at 0.5), with too-small sources saturating and "
+        "their unused share redistributing — closed-form sorted-prefix "
+        "waterfill (no iteration), cross-multiplied saturation test so "
+        "IEEE comparison matches the oracle exactly, all on the "
+        "mixture-domain frame (one row per source; the corpus pays one "
+        "token-count aggregation)"
+    ),
+)
+def doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.sum(
+            F.size(F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                            lambda t: t != ""))
+        ).alias("avail_tokens")
+    )
+    return mixing.token_budget_waterfill(
+        counts, _BUDGET, {"src0": 3.0, "src1": 0.5}
+    )
+
+
 _VOCAB_K = 30
 
 

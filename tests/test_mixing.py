@@ -424,3 +424,66 @@ def test_length_bucketed_batches_reduces_padding_vs_arrival_order(spark):
     naive_padded = 120 * 400
     assert padded < 0.60 * naive_padded  # bucketing kills the padding
     assert actual == sum(n for _, n in rows)
+
+
+def test_token_budget_waterfill_cases(spark):
+    from security_data_pipeline_spark.operators import mixing
+
+    counts = spark.createDataFrame(
+        [("a", 100), ("b", 1000)], "source string, avail_tokens long"
+    )
+
+    def got(budget, weights=None):
+        return {
+            r["source"]: (
+                r["saturated"],
+                r["alloc_tokens"],
+                r["sampling_rate"],
+            )
+            for r in mixing.token_budget_waterfill(
+                counts, budget, weights
+            ).collect()
+        }
+
+    # small source saturates; its unused share redistributes
+    g = got(600)
+    assert g["a"] == (True, 100.0, 1.0)
+    assert g["b"] == (False, 500.0, 0.5)
+    # nothing saturates: allocation proportional to weights
+    g = got(120, {"a": 2.0, "b": 1.0})
+    assert g["a"] == (False, 80.0, 0.8)
+    assert g["b"] == (False, 40.0, 0.04)
+    # proportional share exceeds a small source's supply: it saturates
+    # and the unused share redistributes to the rest
+    g = got(300, {"a": 2.0, "b": 1.0})
+    assert g["a"] == (True, 100.0, 1.0)
+    assert g["b"] == (False, 200.0, 0.2)
+    # budget exceeds corpus: everything saturated, take it all
+    g = got(10_000)
+    assert g["a"] == (True, 100.0, 1.0)
+    assert g["b"] == (True, 1000.0, 1.0)
+    # zero budget: nothing allocated
+    g = got(0)
+    assert g["a"][1] == 0.0 and g["b"][1] == 0.0
+    # weight-0 sources are dropped from the plan
+    g = got(600, {"a": 0.0, "b": 1.0})
+    assert set(g) == {"b"}
+    assert g["b"] == (False, 600.0, 0.6)
+
+
+def test_token_budget_waterfill_conserves_budget(spark):
+    from security_data_pipeline_spark.operators import mixing
+
+    rows = [(f"s{i}", 50 + 137 * i) for i in range(20)]
+    counts = spark.createDataFrame(rows, "source string, avail_tokens long")
+    total = sum(a for _, a in rows)
+    for budget in (0, 1000, total // 2, total, total * 2):
+        out = mixing.token_budget_waterfill(
+            counts, budget, {f"s{i}": 1.0 + (i % 3) for i in range(20)}
+        ).collect()
+        alloc = sum(r["alloc_tokens"] for r in out)
+        assert abs(alloc - min(budget, total)) < 1e-6, (budget, alloc)
+        for r in out:
+            assert r["alloc_tokens"] <= r["avail_tokens"] + 1e-9 or not r[
+                "saturated"
+            ]
