@@ -162,7 +162,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_time_bucket_rollup": 14385, "doc_winnow_pairs": 251,
         "doc_lm_scores": 5000,
         "temporal_net_suite": 44669, "event_windows_suite": 200000,
-        "scale_suite": 267, "curation_suite": 589, "sketch_checks": 0,
+        "scale_suite": 267, "curation_suite": 769, "sketch_checks": 0,
         "grouping_sets_suite": 209, "ann_recall_sweep": 5,
         "security_detections": 11195,
         "doc_repetition_stats": 5000, "doc_curation_audit": 5000,
@@ -198,7 +198,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_time_bucket_rollup": 7206, "doc_winnow_pairs": 25,
         "doc_lm_scores": 500,
         "temporal_net_suite": 16129, "event_windows_suite": 20000,
-        "scale_suite": 250, "curation_suite": 481, "sketch_checks": 0,
+        "scale_suite": 250, "curation_suite": 661, "sketch_checks": 0,
         "grouping_sets_suite": 209, "ann_recall_sweep": 5,
         "security_detections": 1135,
         "doc_repetition_stats": 500, "doc_curation_audit": 500,

@@ -1483,6 +1483,29 @@ def _curation_suite_sql() -> str:
                 ("padded_tokens", "padded_tokens"),
             ],
         ),
+        _unpivot_arm_sql(
+            "vc",
+            "vocab",
+            "source",
+            [
+                ("n_docs", "n_docs"),
+                ("total_tokens", "total_tokens"),
+                ("oov_tokens", "oov_tokens"),
+                ("oov_frac", "ROUND(oov_frac, 9)"),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "tb",
+            "budget",
+            "source",
+            [
+                ("weight", "weight"),
+                ("avail_tokens", "avail_tokens"),
+                ("is_sat", "CASE WHEN saturated THEN 1.0 ELSE 0.0 END"),
+                ("alloc", "ROUND(alloc_tokens, 6)"),
+                ("rate", "ROUND(sampling_rate, 9)"),
+            ],
+        ),
     ]
     body = "\nUNION ALL\n".join(arms)
     return f"""
@@ -1505,6 +1528,8 @@ lba AS (
          CAST(SUM(batch_max_tokens * n_docs) AS BIGINT) AS padded_tokens
   FROM lb GROUP BY bucket_len
 ),
+vc AS ({cte("doc_vocab_coverage")}),
+tb AS ({cte("doc_token_budget")}),
 repa AS (
   SELECT d.source,
          CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1813,7 +1838,11 @@ def scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CCNet line-level dedup per source — duplicated-line counts and "
         "fractions over chunk-rendered pages; (10) length-bucketed "
         "dynamic batching per bucket — batch counts with actual vs "
-        "padded token masses (the padding-waste witness). All "
+        "padded token masses (the padding-waste witness); (11) "
+        "vocabulary coverage — per-source OOV token fractions against "
+        "the corpus top-30 vocab, scored map-side; (12) token-budget "
+        "waterfill — per-source allocations, saturation flags, and "
+        "sampling rates under a 25k-token budget. All "
         "unpivoted to one (suite, item, metric, value) stream; "
         "constituents stay registered for granular oracle checks"
     ),
@@ -2025,6 +2054,37 @@ def curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unpivot(["item"], lb_metrics, "metric", "value")
         .select(F.lit("len_batches").alias("suite"), "item", "metric", "value")
+    )
+
+    # vocabulary coverage: per-source OOV fractions (frac rounded so the
+    # double division folds deterministically)
+    vc = run("doc_vocab_coverage")
+    vc_metrics = ["n_docs", "total_tokens", "oov_tokens", "oov_frac"]
+    parts.append(
+        vc.select(
+            F.col("source").alias("item"),
+            *[F.col(m).cast("double").alias(m) for m in vc_metrics[:-1]],
+            F.round(F.col("oov_frac"), 9).alias("oov_frac"),
+        )
+        .unpivot(["item"], vc_metrics, "metric", "value")
+        .select(F.lit("vocab").alias("suite"), "item", "metric", "value")
+    )
+
+    # token-budget waterfill: per-source allocations (alloc/rate rounded
+    # — θ carries a division)
+    tb = run("doc_token_budget")
+    tb_metrics = ["weight", "avail_tokens", "is_sat", "alloc", "rate"]
+    parts.append(
+        tb.select(
+            F.col("source").alias("item"),
+            F.col("weight").cast("double").alias("weight"),
+            F.col("avail_tokens").cast("double").alias("avail_tokens"),
+            F.when(F.col("saturated"), 1.0).otherwise(0.0).alias("is_sat"),
+            F.round(F.col("alloc_tokens"), 6).alias("alloc"),
+            F.round(F.col("sampling_rate"), 9).alias("rate"),
+        )
+        .unpivot(["item"], tb_metrics, "metric", "value")
+        .select(F.lit("budget").alias("suite"), "item", "metric", "value")
     )
     return _union(parts)
 
