@@ -247,3 +247,49 @@ def forward_fill_bucketed(
             F.coalesce(F.col(f"{c}{suffix}"), F.col(f"_carry_{c}")),
         )
     return out.drop("_fb", *[f"_carry_{c}" for c in cols])
+
+
+def forward_fill_bounded(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    max_gap: float,
+    suffix: str = "_ffill",
+) -> DataFrame:
+    """LOCF with a staleness bound: carry the most recent non-NULL value
+    forward ONLY while the gap back to its observation is ≤ ``max_gap``
+    (in ``order_col`` units, which must therefore be numeric) — the
+    telemetry rule that a sensor's last reading may stand in for a
+    missed poll but must not paper over an outage.
+
+    Same single O(1)-state ordered window as :func:`forward_fill`, run
+    over (order, value) structs so the carried value and ITS observation
+    time travel together; the bound is then row-local math. Rows beyond
+    the bound (and before a key's first observation) stay NULL. Appends
+    ``{value_col}{suffix}``.
+    """
+    obs = F.when(
+        F.col(value_col).isNotNull(),
+        F.struct(
+            F.col(order_col).cast("double").alias("o"),
+            F.col(value_col).cast("double").alias("v"),
+        ),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.last(obs, ignorenulls=True).over(w)
+    filled = F.when(
+        F.col(value_col).isNotNull(), F.col(value_col).cast("double")
+    ).when(
+        prev.isNotNull()
+        & (
+            (F.col(order_col).cast("double") - prev["o"])
+            <= F.lit(float(max_gap))
+        ),
+        prev["v"],
+    )
+    return df.withColumn(f"{value_col}{suffix}", filled)

@@ -960,6 +960,75 @@ def events_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_bounded_ffill",
+    sql="""
+WITH pb AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0)
+              AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS value_sum
+  FROM events GROUP BY event_type, 2
+), spans AS (
+  SELECT event_type, MIN(b) AS b0, MAX(b) AS b1 FROM pb GROUP BY event_type
+), grid AS (
+  SELECT event_type, unnest(generate_series(b0, b1)) AS b FROM spans
+), dense AS (
+  SELECT g.event_type, g.b,
+         COALESCE(pb.n_events, 0) AS n_events, pb.value_sum
+  FROM grid g LEFT JOIN pb ON pb.event_type = g.event_type AND pb.b = g.b
+), nb AS (
+  SELECT event_type, b, n_events, value_sum,
+         last_value(CASE WHEN value_sum IS NOT NULL
+                         THEN CAST(b * 3600000000 AS DOUBLE) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY b
+                 ROWS UNBOUNDED PRECEDING) AS prev_o,
+         last_value(CASE WHEN value_sum IS NOT NULL THEN value_sum END
+                    IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY b
+                 ROWS UNBOUNDED PRECEDING) AS prev_v
+  FROM dense
+)
+SELECT event_type, make_timestamp(b * 3600000000) AS bucket_ts, n_events,
+       value_sum,
+       CASE WHEN value_sum IS NOT NULL THEN value_sum
+            WHEN prev_o IS NOT NULL
+                 AND (CAST(b * 3600000000 AS DOUBLE) - prev_o)
+                     <= 3600000000.0
+            THEN prev_v
+       END AS value_sum_ffill
+FROM nb
+""",
+    description=(
+        "Staleness-bounded LOCF (operators/timeseries.py:"
+        "forward_fill_bounded): the hourly per-type grid carries the last "
+        "observed value forward AT MOST 1 bucket — a missed poll gets the "
+        "last reading, a longer outage stays NULL (discriminating at the "
+        "test sfs: two-bucket gaps exist). Same single O(1)-state "
+        "ordered window as plain LOCF, run over (order, value) structs so "
+        "the carried value and its observation time travel together; the "
+        "bound is row-local math"
+    ),
+)
+def events_bounded_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events")
+    dense = timeseries.resample_counts(
+        ev, "ts", ["event_type"], step_seconds=3600, value_col="value"
+    ).withColumn("_ord", F.unix_micros("bucket_ts"))
+    out = timeseries.forward_fill_bounded(
+        dense, ["event_type"], "_ord", "value_sum",
+        max_gap=3600.0 * 1e6,
+    )
+    return out.select(
+        "event_type", "bucket_ts", "n_events", "value_sum",
+        "value_sum_ffill",
+    )
+
+
+@query(
     "events_heavy_hitters",
     sql="""
 SELECT CAST(NULL AS VARCHAR) AS check_name, CAST(NULL AS VARCHAR) AS item,

@@ -160,3 +160,31 @@ def test_interpolate_linear_all_null_key_stays_null(spark):
         for r in timeseries.interpolate_linear(df, ["k"], "o", "v").collect()
     ]
     assert vals == [None, None]
+
+
+def test_forward_fill_bounded_respects_max_gap(spark):
+    from security_data_pipeline_spark.operators import timeseries
+
+    rows = [
+        ("k", 0, 5.0),
+        ("k", 1, None),   # gap 1 <= 2: carried
+        ("k", 2, None),   # gap 2 <= 2: carried
+        ("k", 3, None),   # gap 3 > 2: outage, stays NULL
+        ("k", 4, 9.0),
+        ("k", 5, None),   # fresh observation resets the clock
+        ("x", 0, None),   # before first observation: NULL
+    ]
+    df = spark.createDataFrame(rows, "k string, o long, v double")
+    out = {
+        (r["k"], r["o"]): r["v_ffill"]
+        for r in timeseries.forward_fill_bounded(
+            df, ["k"], "o", "v", max_gap=2.0
+        ).collect()
+    }
+    assert out[("k", 0)] == 5.0
+    assert out[("k", 1)] == 5.0
+    assert out[("k", 2)] == 5.0
+    assert out[("k", 3)] is None
+    assert out[("k", 4)] == 9.0
+    assert out[("k", 5)] == 9.0
+    assert out[("x", 0)] is None
