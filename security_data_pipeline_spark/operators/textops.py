@@ -708,3 +708,61 @@ def oov_stats(
             F.sum("_oov").cast("double") / F.sum("_n").cast("double")
         ).alias("oov_frac"),
     )
+
+
+def normalize_scores_by_group(
+    df: DataFrame,
+    by: str,
+    score_col: str,
+    clip: float = 2.0,
+    suffix: str = "_z",
+) -> DataFrame:
+    """Per-group z-score normalization with a winsorizing clip — the
+    featurization step that makes a quality score comparable ACROSS
+    sources before a single global threshold or sampler consumes it (a
+    0.6 in a clean source and a 0.6 in a noisy one are not the same
+    signal; normalizing per group removes the per-source offset/scale).
+
+    Appends ``{score_col}{suffix}`` = ``clamp((x - μ_g)/σ_g, ±clip)``;
+    a degenerate group (σ = 0, e.g. one doc) maps to 0. Group moments
+    come from ONE map-side-combined aggregation: x rounds to 6 decimals,
+    casts to DECIMAL, and BOTH the sum and the sum of squares accumulate
+    in exact decimal arithmetic. Two cross-engine traps dodged here:
+    (a) the square is a decimal·decimal product, never a
+    double→high-scale-decimal cast (Spark renders that cast through the
+    17-digit string repr while engines that expand the binary exactly
+    disagree in the 18th decimal); (b) the squares accumulate at scale
+    12, not 18 — DuckDB converts DECIMAL→DOUBLE naively (int128→double,
+    then divide by 10^scale), which double-rounds once the sum exceeds
+    ~15 significant digits, while Spark's BigDecimal conversion is
+    correctly rounded. μ/σ are therefore bit-identical on any
+    partitioning and in the DuckDB oracle; the bounded per-group frame
+    broadcasts back. Domain: |x| < 10^5 (the DECIMAL(11,6) term type).
+    """
+    x = F.col(score_col).cast("double")
+    xr = F.round(x, 6).cast("decimal(11,6)")
+    stats = df.groupBy(by).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(xr).cast("double").alias("_s1"),
+        F.sum(xr * xr).cast("double").alias("_s2"),
+    )
+    mean = F.col("_s1") / F.col("_n")
+    var = F.greatest(
+        F.col("_s2") / F.col("_n") - (F.col("_s1") / F.col("_n"))
+        * (F.col("_s1") / F.col("_n")),
+        F.lit(0.0),
+    )
+    stats = stats.select(
+        by, mean.alias("_mu"), F.sqrt(var).alias("_sd")
+    )
+    z = F.when(
+        F.col("_sd") > 0, (x - F.col("_mu")) / F.col("_sd")
+    ).otherwise(F.lit(0.0))
+    clipped = F.greatest(
+        F.lit(-float(clip)), F.least(F.lit(float(clip)), z)
+    )
+    return (
+        df.join(F.broadcast(stats), by)
+        .withColumn(f"{score_col}{suffix}", clipped)
+        .drop("_mu", "_sd")
+    )

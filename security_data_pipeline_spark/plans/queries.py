@@ -3018,6 +3018,60 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_quality_normalized",
+    sql=f"""
+WITH base AS (
+  SELECT doc_id, source,
+         ROUND(0.5 * CAST(LEAST(len(string_split(text, ' ')), 200)
+                     AS DOUBLE) / 200.0
+               + 0.5 * LEAST(
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                            t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+                   / CAST(NULLIF(len(string_split(text, ' ')), 0) AS DOUBLE)
+                   * 5.0, 1.0),
+               6) AS quality_score
+  FROM documents
+), st AS (
+  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(ROUND(quality_score, 6) AS DECIMAL(11,6)))
+              AS DOUBLE) AS s1,
+         CAST(SUM(CAST(ROUND(quality_score, 6) AS DECIMAL(11,6))
+                  * CAST(ROUND(quality_score, 6) AS DECIMAL(11,6)))
+              AS DOUBLE) AS s2
+  FROM base GROUP BY source
+), mo AS (
+  SELECT source, s1 / n AS mu,
+         sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sd
+  FROM st
+)
+SELECT b.doc_id, b.source, b.quality_score,
+       GREATEST(-2.0, LEAST(2.0,
+         CASE WHEN sd > 0 THEN (b.quality_score - mu) / sd
+              ELSE 0.0 END)) AS quality_score_z
+FROM base b JOIN mo USING (source)
+""",
+    description=(
+        "Per-source quality-score normalization "
+        "(operators/textops.py:normalize_scores_by_group): winsorized "
+        "z-score (clip ±2) against each source's own mean/std, so one "
+        "global threshold or sampler can consume scores across sources "
+        "with different offsets/scales. Moments from one map-side-"
+        "combined aggregation with exact DECIMAL sums of x and x·x "
+        "(order-free — bit-identical on any partitioning and in the "
+        "oracle); the per-source frame broadcasts back"
+    ),
+)
+def doc_quality_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = textops.quality_features(docs).select(
+        "doc_id", "source", "quality_score"
+    )
+    return textops.normalize_scores_by_group(
+        scored, by="source", score_col="quality_score", clip=2.0
+    )
+
+
+@query(
     "doc_quality_sampled",
     sql=f"""
 WITH base AS (

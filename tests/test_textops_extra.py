@@ -303,3 +303,42 @@ def test_oov_stats_per_doc_and_grouped(spark):
     }
     assert by_src["s1"] == (2, 5, 1)
     assert by_src["s2"] == (2, 2, 2)
+
+
+def test_normalize_scores_by_group(spark):
+    from security_data_pipeline_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 0.0), ("a", 2, 1.0), ("a", 3, 2.0),   # mu=1, sd=sqrt(2/3)
+            ("b", 4, 5.0), ("b", 5, 5.0),                   # sd=0: degenerate
+            ("c", 6, 0.0), ("c", 7, 100.0),                 # extreme: clipped
+        ],
+        "source string, doc_id long, s double",
+    )
+    out = {
+        r["doc_id"]: r["s_z"]
+        for r in textops.normalize_scores_by_group(
+            df, by="source", score_col="s", clip=2.0
+        ).collect()
+    }
+    import math
+
+    sd = math.sqrt(2.0 / 3.0)
+    assert abs(out[1] - (-1.0 / sd)) < 1e-9
+    assert abs(out[2]) < 1e-9
+    assert abs(out[3] - (1.0 / sd)) < 1e-9
+    assert out[4] == 0.0 and out[5] == 0.0   # sigma=0 group maps to 0
+    assert out[6] == -1.0 and out[7] == 1.0  # two-point group: z=±1, unclipped
+    # clipping engages on a genuinely heavy tail
+    df2 = spark.createDataFrame(
+        [("d", i, 0.0) for i in range(9)] + [("d", 9, 100.0)],
+        "source string, doc_id long, s double",
+    )
+    out2 = {
+        r["doc_id"]: r["s_z"]
+        for r in textops.normalize_scores_by_group(
+            df2, by="source", score_col="s", clip=2.0
+        ).collect()
+    }
+    assert out2[9] == 2.0  # raw z=3: winsorized to the clip
