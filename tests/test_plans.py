@@ -400,3 +400,24 @@ def test_vocab_coverage_scoring_is_scan_plus_one_agg(spark):
     assert plan.count("Generate") == 0, plan.count("Generate")
     assert plan.count("Exchange") == 1, plan.count("Exchange")
     assert "Join" not in plan, plan[:1200]
+
+
+def test_bounded_ffill_single_window_single_sort(spark):
+    """forward_fill_bounded is ONE O(1)-state window over one sort (the
+    carried value and its observation time travel in one struct — no
+    second pass to age values out)."""
+    plan = _plan(REGISTRY["events_bounded_ffill"].fn(spark, SF))
+    assert plan.count("Window") == 1, plan.count("Window")
+    assert plan.count("Sort") == 1, plan.count("Sort")
+
+
+def test_score_normalization_broadcasts_group_moments(spark):
+    """normalize_scores_by_group joins the bounded per-group moment frame
+    back by BROADCAST (never a corpus shuffle on the group key for the
+    join) and computes moments in one aggregation — no window, no sort,
+    no explode anywhere."""
+    plan = _plan(REGISTRY["doc_quality_normalized"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("Window") == 0 and plan.count("Sort") == 0
+    assert plan.count("Generate") == 0
