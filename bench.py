@@ -131,6 +131,11 @@ BENCH_QUERIES: tuple[str, ...] = (
     # round-8 addition: token-budget waterfill (mixture planning on the
     # per-source frame; the corpus pays one token-count aggregation)
     "doc_token_budget",
+    # round-8 additions: staleness-bounded LOCF (one O(1)-state window)
+    # and per-source winsorized score normalization (decimal-exact
+    # moments, broadcast join-back)
+    "events_bounded_ffill",
+    "doc_quality_normalized",
     # driver-window composites, benched AS the driver runs them — the
     # wall-clock the driver pays includes their union/unpivot overhead,
     # which per-arm numbers don't capture
@@ -138,6 +143,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     "event_windows_suite",
     "scale_suite",
     "curation_suite",
+    "span_dedup_suite",
+    "neardup_pairs_suite",
     "sketch_checks",
     "grouping_sets_suite",
     "security_detections",
@@ -162,7 +169,8 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_time_bucket_rollup": 14385, "doc_winnow_pairs": 251,
         "doc_lm_scores": 5000,
         "temporal_net_suite": 44669, "event_windows_suite": 200000,
-        "scale_suite": 267, "curation_suite": 769, "sketch_checks": 0,
+        "scale_suite": 267, "curation_suite": 369,
+        "span_dedup_suite": 400, "neardup_pairs_suite": 568, "sketch_checks": 0,
         "grouping_sets_suite": 209, "ann_recall_sweep": 5,
         "security_detections": 11195,
         "doc_repetition_stats": 5000, "doc_curation_audit": 5000,
@@ -182,7 +190,8 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_leakage_safe_split": 3, "doc_source_temperature": 20,
         "doc_line_dedup": 5000, "events_hourly_interpolated": 3600,
         "doc_length_batches": 636, "doc_vocab_coverage": 20,
-        "doc_token_budget": 20,
+        "doc_token_budget": 20, "events_bounded_ffill": 3600,
+        "doc_quality_normalized": 5000,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -198,7 +207,8 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_time_bucket_rollup": 7206, "doc_winnow_pairs": 25,
         "doc_lm_scores": 500,
         "temporal_net_suite": 16129, "event_windows_suite": 20000,
-        "scale_suite": 250, "curation_suite": 661, "sketch_checks": 0,
+        "scale_suite": 250, "curation_suite": 369,
+        "span_dedup_suite": 292, "neardup_pairs_suite": 37, "sketch_checks": 0,
         "grouping_sets_suite": 209, "ann_recall_sweep": 5,
         "security_detections": 1135,
         "doc_repetition_stats": 500, "doc_curation_audit": 500,
@@ -218,7 +228,8 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_leakage_safe_split": 3, "doc_source_temperature": 20,
         "doc_line_dedup": 500, "events_hourly_interpolated": 3600,
         "doc_length_batches": 75, "doc_vocab_coverage": 20,
-        "doc_token_budget": 20,
+        "doc_token_budget": 20, "events_bounded_ffill": 3600,
+        "doc_quality_normalized": 500,
     },
 }
 

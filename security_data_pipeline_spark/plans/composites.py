@@ -1388,12 +1388,6 @@ def _curation_suite_sql() -> str:
             "FROM ckt"
         ),
         _unpivot_arm_sql(
-            "xc",
-            "cross_corpus",
-            "CAST(new_id AS VARCHAR) || '|' || CAST(ref_id AS VARCHAR)",
-            [("jaccard", "jaccard")],
-        ),
-        _unpivot_arm_sql(
             "bl",
             "bloom_decon",
             "source",
@@ -1438,41 +1432,6 @@ def _curation_suite_sql() -> str:
             ],
         ),
         _unpivot_arm_sql(
-            "sp",
-            "span_dedup",
-            "source",
-            [
-                ("n_docs", "n_docs"),
-                ("n_docs_affected", "n_docs_affected"),
-                ("total_tokens", "total_tokens"),
-                ("dup_tokens", "dup_tokens"),
-                ("dup_token_frac", "ROUND(dup_token_frac, 9)"),
-            ],
-        ),
-        _unpivot_arm_sql(
-            "repa",
-            "repetition",
-            "source",
-            [
-                ("n_docs", "n_docs"),
-                ("n_kept", "n_kept"),
-                ("top2_mass", "top2_mass"),
-                ("dup_mass", "dup_mass"),
-            ],
-        ),
-        _unpivot_arm_sql(
-            "ld",
-            "line_dedup",
-            "source",
-            [
-                ("n_docs", "n_docs"),
-                ("n_docs_affected", "n_docs_affected"),
-                ("total_lines", "total_lines"),
-                ("dup_lines", "dup_lines"),
-                ("dup_line_frac", "ROUND(dup_line_frac, 9)"),
-            ],
-        ),
-        _unpivot_arm_sql(
             "lba",
             "len_batches",
             "CAST(bucket_len AS VARCHAR)",
@@ -1511,14 +1470,10 @@ def _curation_suite_sql() -> str:
     return f"""
 WITH ck AS ({cte("events_dataset_checksum")}),
 ckt AS ({cte("events_checksum_by_type")}),
-xc AS ({cte("doc_cross_corpus_dups")}),
 bl AS ({cte("doc_bloom_decontaminate")}),
 km AS ({cte("corpus_overlap_kmv")}),
 tw AS ({cte("doc_source_temperature")}),
 ls AS ({cte("doc_leakage_safe_split")}),
-sp AS ({cte("doc_dup_span_stats")}),
-rep AS ({cte("doc_repetition_stats")}),
-ld AS ({cte("doc_line_dedup_stats")}),
 lb AS ({cte("doc_length_batches")}),
 lba AS (
   SELECT bucket_len,
@@ -1529,18 +1484,7 @@ lba AS (
   FROM lb GROUP BY bucket_len
 ),
 vc AS ({cte("doc_vocab_coverage")}),
-tb AS ({cte("doc_token_budget")}),
-repa AS (
-  SELECT d.source,
-         CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(CASE WHEN rep_keep THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_kept,
-         CAST(SUM(CAST(top2gram_frac AS DECIMAL(18,6))) AS DOUBLE)
-           AS top2_mass,
-         CAST(SUM(CAST(dup_gram_frac AS DECIMAL(18,6))) AS DOUBLE)
-           AS dup_mass
-  FROM rep JOIN documents d USING (doc_id) GROUP BY d.source
-)
+tb AS ({cte("doc_token_budget")})
 {body}
 """
 
@@ -1816,31 +1760,23 @@ def scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=_curation_suite_sql(),
     description=(
         "Training-data curation/mixing family in one slot (split out of "
-        "scale_suite so each suite stays under ~5 s and a regressing arm "
-        "is attributable): (1) the order-free dataset checksums, global "
+        "scale_suite in round 8, then split again — the content-"
+        "duplication arms moved to span_dedup_suite so each suite stays "
+        "under ~5 s at sf0.1 and a regressing arm is attributable): "
+        "(1) the order-free dataset checksums, global "
         "and per-event-type — the exact DECIMAL content digests fold "
         "into the hashed item string so the driver witnesses every bit; "
-        "(2) cross-corpus MinHash near-dup — the fresh-crawl-vs-training-"
-        "set two-sided band join with verified Jaccard per pair; (3) "
-        "Bloom-filter decontamination per source — map-only bit-array "
+        "(2) Bloom-filter decontamination per source — map-only bit-array "
         "probes whose false positives the oracle reproduces bit-for-bit, "
-        "next to the exact flags; (4) KMV bottom-k corpus-overlap "
-        "estimates beside their exact witnesses; (5) temperature-scaled "
+        "next to the exact flags; (3) KMV bottom-k corpus-overlap "
+        "estimates beside their exact witnesses; (4) temperature-scaled "
         "source mixture (sqrt shares, decimal-exact denominator) with "
-        "upsample factors; (6) the leakage-safe cluster-keyed split with "
-        "its zero-straddle witness; (7) the exact-substring (span) dedup "
-        "per-source boilerplate report — positional 8-grams, the "
-        "min<>max duplicated-gram witness, and the gaps-and-islands "
-        "merge all fold into the duplicated-token fractions; (8) the "
-        "Gopher repetition gate per source — keep counts and the "
-        "decimal-exact masses of the top-2-gram and duplicated-8-gram "
-        "coverage fractions, all computed map-side per document; (9) "
-        "CCNet line-level dedup per source — duplicated-line counts and "
-        "fractions over chunk-rendered pages; (10) length-bucketed "
+        "upsample factors; (5) the leakage-safe cluster-keyed split with "
+        "its zero-straddle witness; (6) length-bucketed "
         "dynamic batching per bucket — batch counts with actual vs "
-        "padded token masses (the padding-waste witness); (11) "
+        "padded token masses (the padding-waste witness); (7) "
         "vocabulary coverage — per-source OOV token fractions against "
-        "the corpus top-30 vocab, scored map-side; (12) token-budget "
+        "the corpus top-30 vocab, scored map-side; (8) token-budget "
         "waterfill — per-source allocations, saturation flags, and "
         "sampling rates under a 25k-token budget. All "
         "unpivoted to one (suite, item, metric, value) stream; "
@@ -1875,21 +1811,6 @@ def curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("item"),
             F.lit("n_rows").alias("metric"),
             F.col("n_rows").cast("double").alias("value"),
-        )
-    )
-
-    # cross-corpus near-dup pairs (fresh crawl vs training set)
-    xc = run("doc_cross_corpus_dups")
-    parts.append(
-        xc.select(
-            F.lit("cross_corpus").alias("suite"),
-            F.concat(
-                F.col("new_id").cast("string"),
-                F.lit("|"),
-                F.col("ref_id").cast("string"),
-            ).alias("item"),
-            F.lit("jaccard").alias("metric"),
-            F.col("jaccard").cast("double").alias("value"),
         )
     )
 
@@ -1956,6 +1877,174 @@ def curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["item"], [n for n, _ in ls_metrics_map], "metric", "value"
         )
         .select(F.lit("leak_split").alias("suite"), "item", "metric", "value")
+    )
+
+    # length-bucketed batching: per-bucket batch counts, actual and
+    # padded token masses (the padding-waste witness)
+    lb = run("doc_length_batches")
+    lba = lb.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("token_sum").cast("long").alias("token_sum"),
+        F.sum(F.col("batch_max_tokens") * F.col("n_docs"))
+        .cast("long")
+        .alias("padded_tokens"),
+    )
+    lb_metrics = ["n_batches", "n_docs", "token_sum", "padded_tokens"]
+    parts.append(
+        lba.select(
+            F.col("bucket_len").cast("string").alias("item"),
+            *[F.col(m).cast("double").alias(m) for m in lb_metrics],
+        )
+        .unpivot(["item"], lb_metrics, "metric", "value")
+        .select(F.lit("len_batches").alias("suite"), "item", "metric", "value")
+    )
+
+    # vocabulary coverage: per-source OOV fractions (frac rounded so the
+    # double division folds deterministically)
+    vc = run("doc_vocab_coverage")
+    vc_metrics = ["n_docs", "total_tokens", "oov_tokens", "oov_frac"]
+    parts.append(
+        vc.select(
+            F.col("source").alias("item"),
+            *[F.col(m).cast("double").alias(m) for m in vc_metrics[:-1]],
+            F.round(F.col("oov_frac"), 9).alias("oov_frac"),
+        )
+        .unpivot(["item"], vc_metrics, "metric", "value")
+        .select(F.lit("vocab").alias("suite"), "item", "metric", "value")
+    )
+
+    # token-budget waterfill: per-source allocations (alloc/rate rounded
+    # — θ carries a division)
+    tb = run("doc_token_budget")
+    tb_metrics = ["weight", "avail_tokens", "is_sat", "alloc", "rate"]
+    parts.append(
+        tb.select(
+            F.col("source").alias("item"),
+            F.col("weight").cast("double").alias("weight"),
+            F.col("avail_tokens").cast("double").alias("avail_tokens"),
+            F.when(F.col("saturated"), 1.0).otherwise(0.0).alias("is_sat"),
+            F.round(F.col("alloc_tokens"), 6).alias("alloc"),
+            F.round(F.col("sampling_rate"), 9).alias("rate"),
+        )
+        .unpivot(["item"], tb_metrics, "metric", "value")
+        .select(F.lit("budget").alias("suite"), "item", "metric", "value")
+    )
+    return _union(parts)
+
+
+def _span_dedup_suite_sql() -> str:
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+
+    def cte(name: str) -> str:
+        return REGISTRY[name].sql.strip().rstrip(";")
+
+    arms = [
+        _unpivot_arm_sql(
+            "xc",
+            "cross_corpus",
+            "CAST(new_id AS VARCHAR) || '|' || CAST(ref_id AS VARCHAR)",
+            [("jaccard", "jaccard")],
+        ),
+        _unpivot_arm_sql(
+            "sp",
+            "span_dedup",
+            "source",
+            [
+                ("n_docs", "n_docs"),
+                ("n_docs_affected", "n_docs_affected"),
+                ("total_tokens", "total_tokens"),
+                ("dup_tokens", "dup_tokens"),
+                ("dup_token_frac", "ROUND(dup_token_frac, 9)"),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "repa",
+            "repetition",
+            "source",
+            [
+                ("n_docs", "n_docs"),
+                ("n_kept", "n_kept"),
+                ("top2_mass", "top2_mass"),
+                ("dup_mass", "dup_mass"),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "ld",
+            "line_dedup",
+            "source",
+            [
+                ("n_docs", "n_docs"),
+                ("n_docs_affected", "n_docs_affected"),
+                ("total_lines", "total_lines"),
+                ("dup_lines", "dup_lines"),
+                ("dup_line_frac", "ROUND(dup_line_frac, 9)"),
+            ],
+        ),
+    ]
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH xc AS ({cte("doc_cross_corpus_dups")}),
+sp AS ({cte("doc_dup_span_stats")}),
+rep AS ({cte("doc_repetition_stats")}),
+ld AS ({cte("doc_line_dedup_stats")}),
+repa AS (
+  SELECT d.source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN rep_keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+         CAST(SUM(CAST(top2gram_frac AS DECIMAL(18,6))) AS DOUBLE)
+           AS top2_mass,
+         CAST(SUM(CAST(dup_gram_frac AS DECIMAL(18,6))) AS DOUBLE)
+           AS dup_mass
+  FROM rep JOIN documents d USING (doc_id) GROUP BY d.source
+)
+{body}
+"""
+
+
+@query(
+    "span_dedup_suite",
+    sql=_span_dedup_suite_sql(),
+    description=(
+        "Content-duplication family in one slot (split out of "
+        "curation_suite so each suite stays under ~5 s at sf0.1 and a "
+        "regressing arm is attributable): (1) cross-corpus MinHash "
+        "near-dup — the fresh-crawl-vs-training-set two-sided band join "
+        "with verified Jaccard per pair; (2) the exact-substring (span) "
+        "dedup per-source boilerplate report — positional 8-grams, the "
+        "min<>max duplicated-gram witness, and the gaps-and-islands "
+        "merge folding into duplicated-token fractions; (3) the Gopher "
+        "repetition gate per source — keep counts and decimal-exact "
+        "masses of the top-2-gram and duplicated-8-gram coverage "
+        "fractions, all map-side per document; (4) CCNet line-level "
+        "dedup per source — duplicated-line counts and fractions over "
+        "chunk-rendered pages. All unpivoted to one (suite, item, "
+        "metric, value) stream; constituents stay registered for "
+        "granular oracle checks"
+    ),
+)
+def span_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+
+    def run(name: str) -> DataFrame:
+        return REGISTRY[name].fn(spark, sf_dir)
+
+    parts: list[DataFrame] = []
+
+    # cross-corpus near-dup pairs (fresh crawl vs training set)
+    xc = run("doc_cross_corpus_dups")
+    parts.append(
+        xc.select(
+            F.lit("cross_corpus").alias("suite"),
+            F.concat(
+                F.col("new_id").cast("string"),
+                F.lit("|"),
+                F.col("ref_id").cast("string"),
+            ).alias("item"),
+            F.lit("jaccard").alias("metric"),
+            F.col("jaccard").cast("double").alias("value"),
+        )
     )
 
     # span dedup: the per-source boilerplate-fraction report — witnesses
@@ -2034,59 +2123,77 @@ def curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot(["item"], ld_metrics, "metric", "value")
         .select(F.lit("line_dedup").alias("suite"), "item", "metric", "value")
     )
-
-    # length-bucketed batching: per-bucket batch counts, actual and
-    # padded token masses (the padding-waste witness)
-    lb = run("doc_length_batches")
-    lba = lb.groupBy("bucket_len").agg(
-        F.count(F.lit(1)).alias("n_batches"),
-        F.sum("n_docs").cast("long").alias("n_docs"),
-        F.sum("token_sum").cast("long").alias("token_sum"),
-        F.sum(F.col("batch_max_tokens") * F.col("n_docs"))
-        .cast("long")
-        .alias("padded_tokens"),
-    )
-    lb_metrics = ["n_batches", "n_docs", "token_sum", "padded_tokens"]
-    parts.append(
-        lba.select(
-            F.col("bucket_len").cast("string").alias("item"),
-            *[F.col(m).cast("double").alias(m) for m in lb_metrics],
-        )
-        .unpivot(["item"], lb_metrics, "metric", "value")
-        .select(F.lit("len_batches").alias("suite"), "item", "metric", "value")
-    )
-
-    # vocabulary coverage: per-source OOV fractions (frac rounded so the
-    # double division folds deterministically)
-    vc = run("doc_vocab_coverage")
-    vc_metrics = ["n_docs", "total_tokens", "oov_tokens", "oov_frac"]
-    parts.append(
-        vc.select(
-            F.col("source").alias("item"),
-            *[F.col(m).cast("double").alias(m) for m in vc_metrics[:-1]],
-            F.round(F.col("oov_frac"), 9).alias("oov_frac"),
-        )
-        .unpivot(["item"], vc_metrics, "metric", "value")
-        .select(F.lit("vocab").alias("suite"), "item", "metric", "value")
-    )
-
-    # token-budget waterfill: per-source allocations (alloc/rate rounded
-    # — θ carries a division)
-    tb = run("doc_token_budget")
-    tb_metrics = ["weight", "avail_tokens", "is_sat", "alloc", "rate"]
-    parts.append(
-        tb.select(
-            F.col("source").alias("item"),
-            F.col("weight").cast("double").alias("weight"),
-            F.col("avail_tokens").cast("double").alias("avail_tokens"),
-            F.when(F.col("saturated"), 1.0).otherwise(0.0).alias("is_sat"),
-            F.round(F.col("alloc_tokens"), 6).alias("alloc"),
-            F.round(F.col("sampling_rate"), 9).alias("rate"),
-        )
-        .unpivot(["item"], tb_metrics, "metric", "value")
-        .select(F.lit("budget").alias("suite"), "item", "metric", "value")
-    )
     return _union(parts)
+
+
+def _neardup_pairs_suite_sql() -> str:
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+
+    def cte(name: str) -> str:
+        return REGISTRY[name].sql.strip().rstrip(";")
+
+    arms = [
+        _unpivot_arm_sql(
+            "ng",
+            "jaccard",
+            "CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR)",
+            [("jaccard", "jaccard")],
+        ),
+        _unpivot_arm_sql(
+            "sh",
+            "simhash",
+            "CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR)",
+            [("hamming", "hamming")],
+        ),
+    ]
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH ng AS ({cte("ngram_jaccard_pairs")}),
+sh AS ({cte("simhash_dup_pairs")})
+{body}
+"""
+
+
+@query(
+    "neardup_pairs_suite",
+    sql=_neardup_pairs_suite_sql(),
+    description=(
+        "Two shingle-level near-dup pair families in one slot "
+        "(consolidated to free the window slot span_dedup_suite uses): "
+        "exact 5-gram Jaccard pairs over the LSH-blocked candidate set, "
+        "and 64-bit SimHash pairs within Hamming distance 3 — every pair "
+        "with its verified similarity folded into the hash. Constituents "
+        "ngram_jaccard_pairs / simhash_dup_pairs stay registered as "
+        "extras with granular oracles"
+    ),
+)
+def neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+
+    def run(name: str) -> DataFrame:
+        return REGISTRY[name].fn(spark, sf_dir)
+
+    ng = run("ngram_jaccard_pairs").select(
+        F.lit("jaccard").alias("suite"),
+        F.concat(
+            F.col("id_a").cast("string"),
+            F.lit("|"),
+            F.col("id_b").cast("string"),
+        ).alias("item"),
+        F.lit("jaccard").alias("metric"),
+        F.col("jaccard").cast("double").alias("value"),
+    )
+    sh = run("simhash_dup_pairs").select(
+        F.lit("simhash").alias("suite"),
+        F.concat(
+            F.col("id_a").cast("string"),
+            F.lit("|"),
+            F.col("id_b").cast("string"),
+        ).alias("item"),
+        F.lit("hamming").alias("metric"),
+        F.col("hamming").cast("double").alias("value"),
+    )
+    return _union([ng, sh])
 
 
 # ---------------------------------------------------------------------------

@@ -7606,13 +7606,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_curation",
     "doc_blob_metadata",
     "doc_pii_scrub",
-    # dedup family
+    # dedup family: exact groups, decontamination, the consolidated
+    # shingle-pair families (constituents ngram_jaccard_pairs /
+    # simhash_dup_pairs stay registered as extras), LSH pairs, connected-
+    # component clusters, and the content-duplication stats composite
+    # (cross-corpus bands, span dedup, Gopher repetition, line dedup)
     "doc_exact_dup_groups",
     "doc_decontaminate",
-    "ngram_jaccard_pairs",
+    "neardup_pairs_suite",
     "neardup_clusters",
     "minhash_lsh_pairs",
-    "simhash_dup_pairs",
+    "span_dedup_suite",
     # embedding similarity: near-dup pairs, semantic dedup, ANN suite
     "cosine_dup_pairs",
     "semantic_dedup",
