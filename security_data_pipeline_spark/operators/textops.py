@@ -766,3 +766,17 @@ def normalize_scores_by_group(
         .withColumn(f"{score_col}{suffix}", clipped)
         .drop("_mu", "_sd")
     )
+
+
+def vocab_topk_from_counts(
+    counts: DataFrame, k: int = 50
+) -> list[str]:
+    """:func:`vocab_topk` from a pre-aggregated ``(token, c)`` frame —
+    the reader for the streamed token-count state
+    (streaming/pipeline.py:maintain_token_counts_stream), using the same
+    (count desc, token asc) total order so batch and streamed
+    vocabularies cannot diverge."""
+    rows = (
+        counts.orderBy(F.desc("c"), "token").limit(k).collect()
+    )
+    return [r["token"] for r in rows]

@@ -2271,6 +2271,75 @@ def consolidate_stream_index(
     }
 
 
+def maintain_token_counts_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Streaming corpus token-frequency maintenance — the live state
+    behind ``textops.vocab_topk``/``oov_stats``: the top-k vocabulary
+    and OOV rates stay current at ingest cadence without rescanning the
+    corpus.
+
+    Same monoid-fold protocol as :func:`maintain_source_counts_stream`:
+    each micro-batch reduces map-side-combined to one row per distinct
+    batch token, the persisted state merges by addition, scratch-swap
+    writes + the lineage-tagged batch-id replay guard give exactly-once
+    folding. State is one row per distinct corpus token — bounded by the
+    vocabulary (~10^6-10^8 rows for web-scale text), not the corpus.
+
+    Read the live vocabulary with
+    ``textops.vocab_topk_from_counts(spark.read.parquet(state_path)
+    .drop("_last_batch_id", "_fold_tag"), k)`` — the same (count desc,
+    token asc) order the batch form uses, so the streamed vocab is
+    EQUAL to ``vocab_topk`` over the cumulative input (asserted in
+    tests/test_streaming.py).
+    """
+
+    scratch = f"{state_path}__next"
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        raw, from_scratch = _read_state(spark, state_path, scratch)
+        replayed, prev = _check_replay(raw, batch_id, checkpoint_path)
+        if replayed:
+            if from_scratch:
+                raw.write.mode("overwrite").parquet(state_path)
+            return
+        new = (
+            batch_df.select(
+                F.explode(
+                    F.split(
+                        F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "
+                    )
+                ).alias("token")
+            )
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        if prev is not None:
+            new = (
+                prev.unionByName(new)
+                .groupBy("token")
+                .agg(F.sum("c").alias("c"))
+            )
+        merged = _stamp_batch(new, batch_id, checkpoint_path)
+        merged.write.mode("overwrite").parquet(scratch)
+        spark.read.parquet(scratch).write.mode("overwrite").parquet(state_path)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def maintain_source_counts_stream(
     stream_df: DataFrame,
     state_path: str,
