@@ -169,7 +169,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_time_bucket_rollup": 14385, "doc_winnow_pairs": 251,
         "doc_lm_scores": 5000,
         "temporal_net_suite": 44669, "event_windows_suite": 200000,
-        "scale_suite": 267, "curation_suite": 369,
+        "scale_suite": 287, "curation_suite": 429,
         "span_dedup_suite": 400, "neardup_pairs_suite": 568, "sketch_checks": 0,
         "grouping_sets_suite": 209, "ann_recall_sweep": 5,
         "security_detections": 11195,
@@ -207,7 +207,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "events_time_bucket_rollup": 7206, "doc_winnow_pairs": 25,
         "doc_lm_scores": 500,
         "temporal_net_suite": 16129, "event_windows_suite": 20000,
-        "scale_suite": 250, "curation_suite": 369,
+        "scale_suite": 270, "curation_suite": 429,
         "span_dedup_suite": 292, "neardup_pairs_suite": 37, "sketch_checks": 0,
         "grouping_sets_suite": 209, "ann_recall_sweep": 5,
         "security_detections": 1135,

@@ -1319,6 +1319,17 @@ def _scale_suite_sql() -> str:
                 ("interp_mass", "interp_mass"),
             ],
         ),
+        _unpivot_arm_sql(
+            "bfa",
+            "bffill",
+            "event_type",
+            [
+                ("n_buckets", "n_buckets"),
+                ("n_carried", "n_carried"),
+                ("n_unfilled", "n_unfilled"),
+                ("bffill_mass", "bffill_mass"),
+            ],
+        ),
     ]
     body = "\nUNION ALL\n".join(arms)
     return f"""
@@ -1366,6 +1377,18 @@ itpa AS (
          CAST(SUM(CAST(value_sum_interp AS DECIMAL(18,6))) AS DOUBLE)
            AS interp_mass
   FROM itp GROUP BY event_type
+),
+bf AS ({cte("events_bounded_ffill")}),
+bfa AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(CASE WHEN value_sum IS NULL
+                       AND value_sum_ffill IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_carried,
+         CAST(SUM(CASE WHEN value_sum_ffill IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_unfilled,
+         CAST(SUM(CAST(value_sum_ffill AS DECIMAL(18,6))) AS DOUBLE)
+           AS bffill_mass
+  FROM bf GROUP BY event_type
 )
 {body}
 """
@@ -1465,6 +1488,16 @@ def _curation_suite_sql() -> str:
                 ("rate", "ROUND(sampling_rate, 9)"),
             ],
         ),
+        _unpivot_arm_sql(
+            "nza",
+            "norm",
+            "source",
+            [
+                ("n_docs", "n_docs"),
+                ("n_clipped", "n_clipped"),
+                ("z_mass", "z_mass"),
+            ],
+        ),
     ]
     body = "\nUNION ALL\n".join(arms)
     return f"""
@@ -1484,7 +1517,17 @@ lba AS (
   FROM lb GROUP BY bucket_len
 ),
 vc AS ({cte("doc_vocab_coverage")}),
-tb AS ({cte("doc_token_budget")})
+tb AS ({cte("doc_token_budget")}),
+nz AS ({cte("doc_quality_normalized")}),
+nza AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN ABS(quality_score_z) = 2.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_clipped,
+         CAST(SUM(CAST(ROUND(quality_score_z, 6) AS DECIMAL(18,6)))
+              AS DOUBLE) AS z_mass
+  FROM nz GROUP BY source
+)
 {body}
 """
 
@@ -1516,8 +1559,10 @@ tb AS ({cte("doc_token_budget")})
         "PSI drift TREND — every weekly bucket scored against its "
         "predecessor per event type in one counts-only pass; (13) linear "
         "gap interpolation over the hourly grid, summarized per type as "
-        "gap-fill counts and decimal-exact interpolated mass. All "
-        "thirteen unpivoted to one (suite, item, metric, value) stream; "
+        "gap-fill counts and decimal-exact interpolated mass; (14) "
+        "staleness-bounded LOCF — per-type carried/outage counts and "
+        "carried mass under the 1-bucket staleness bound. All "
+        "fourteen unpivoted to one (suite, item, metric, value) stream; "
         "constituents stay registered for granular oracle checks. The "
         "round-7 curation/mixing arms live in curation_suite so one "
         "regressing arm can no longer hide inside a single 20-arm hash "
@@ -1752,6 +1797,35 @@ def scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot(["item"], itp_metrics, "metric", "value")
         .select(F.lit("interp").alias("suite"), "item", "metric", "value")
     )
+
+    # staleness-bounded LOCF: per-type carried / still-NULL counts and
+    # the decimal-exact carried mass
+    bf = run("events_bounded_ffill")
+    bfa = bf.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(
+            F.when(
+                F.col("value_sum").isNull()
+                & F.col("value_sum_ffill").isNotNull(),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_carried"),
+        F.sum(
+            F.when(F.col("value_sum_ffill").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_unfilled"),
+        F.sum(F.col("value_sum_ffill").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("bffill_mass"),
+    )
+    bf_metrics = ["n_buckets", "n_carried", "n_unfilled", "bffill_mass"]
+    parts.append(
+        bfa.select(
+            F.col("event_type").alias("item"),
+            *[F.col(m).cast("double").alias(m) for m in bf_metrics],
+        )
+        .unpivot(["item"], bf_metrics, "metric", "value")
+        .select(F.lit("bffill").alias("suite"), "item", "metric", "value")
+    )
     return _union(parts)
 
 
@@ -1778,8 +1852,9 @@ def scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocabulary coverage — per-source OOV token fractions against "
         "the corpus top-30 vocab, scored map-side; (8) token-budget "
         "waterfill — per-source allocations, saturation flags, and "
-        "sampling rates under a 25k-token budget. All "
-        "unpivoted to one (suite, item, metric, value) stream; "
+        "sampling rates under a 25k-token budget; (9) per-source winsorized "
+        "score normalization — clipped counts and decimal-exact z mass. "
+        "All unpivoted to one (suite, item, metric, value) stream; "
         "constituents stay registered for granular oracle checks"
     ),
 )
@@ -1929,6 +2004,28 @@ def curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unpivot(["item"], tb_metrics, "metric", "value")
         .select(F.lit("budget").alias("suite"), "item", "metric", "value")
+    )
+
+    # per-source score normalization: clipped counts + decimal-exact
+    # z mass per source (z rounded — it carries a division)
+    nz = run("doc_quality_normalized")
+    nza = nz.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.abs(F.col("quality_score_z")) == 2.0, 1).otherwise(0)
+        ).cast("long").alias("n_clipped"),
+        F.sum(F.round(F.col("quality_score_z"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("z_mass"),
+    )
+    nz_metrics = ["n_docs", "n_clipped", "z_mass"]
+    parts.append(
+        nza.select(
+            F.col("source").alias("item"),
+            *[F.col(m).cast("double").alias(m) for m in nz_metrics],
+        )
+        .unpivot(["item"], nz_metrics, "metric", "value")
+        .select(F.lit("norm").alias("suite"), "item", "metric", "value")
     )
     return _union(parts)
 
