@@ -2271,43 +2271,98 @@ def consolidate_stream_index(
     }
 
 
+def token_key_prefix(pfx_mod: int):
+    """Bounded state-partition key for the token-count maintainer:
+    'p' + pmod(xxhash64(token), pfx_mod) — the LOCF prefix scheme
+    (:func:`locf_key_prefix`) applied to the token key."""
+    return F.concat(
+        F.lit("p"),
+        F.pmod(F.xxhash64(F.col("token")), F.lit(pfx_mod)).cast("string"),
+    )
+
+
+def _folded_prefixes(pruned, batch_id: int, tag: str) -> set[str]:
+    """Per-PREFIX replay guard for non-idempotent (additive) folds.
+
+    Returns the prefixes in ``pruned`` whose CURRENT-lineage stamp
+    already records ``batch_id`` (or later) — those directories folded
+    this batch before a crash landed between the state write and the
+    checkpoint commit, so a replay must NOT re-add their counts. The
+    global :func:`_check_replay` can't serve here: counts-merge is
+    associative but not idempotent, and a crash mid
+    dynamic-partition-overwrite leaves SOME touched directories stamped
+    and others not — the replay has to re-merge exactly the unstamped
+    remainder. Same lineage discipline as :func:`_check_replay`: stamps
+    from another checkpoint lineage never flag a fold as done.
+    """
+    if pruned is None or "_last_batch_id" not in pruned.columns:
+        return set()
+    if "_fold_tag" not in pruned.columns:
+        return set()
+    rows = (
+        pruned.filter(F.col("_fold_tag") == F.lit(tag))
+        .groupBy("_kp")
+        .agg(F.max("_last_batch_id").alias("_b"))
+        .filter(F.col("_b") >= F.lit(batch_id))
+        .select("_kp")
+        .collect()
+    )
+    return {r["_kp"] for r in rows}
+
+
 def maintain_token_counts_stream(
     stream_df: DataFrame,
     state_path: str,
     checkpoint_path: str,
     text_col: str = "text",
+    pfx_mod: int = 256,
     trigger_available_now: bool = True,
 ):
     """Streaming corpus token-frequency maintenance — the live state
     behind ``textops.vocab_topk``/``oov_stats``: the top-k vocabulary
     and OOV rates stay current at ingest cadence without rescanning the
-    corpus.
+    corpus. State is one row per distinct corpus token — bounded by the
+    vocabulary (~10^6-10^8 rows for web-scale text), not the corpus —
+    which is exactly why the whole-state scratch-swap fold the small
+    maintainers use is the WRONG shape here: it would re-shuffle and
+    rewrite the full vocabulary twice per micro-batch, O(|vocab|) work
+    regardless of batch size.
 
-    Same monoid-fold protocol as :func:`maintain_source_counts_stream`:
-    each micro-batch reduces map-side-combined to one row per distinct
-    batch token, the persisted state merges by addition, scratch-swap
-    writes + the lineage-tagged batch-id replay guard give exactly-once
-    folding. State is one row per distinct corpus token — bounded by the
-    vocabulary (~10^6-10^8 rows for web-scale text), not the corpus.
+    Scale shape (the :func:`maintain_locf_stream` pattern): per-batch
+    work follows the BATCH, never the state —
+
+    - state is PARTITIONED by a bounded token-hash prefix
+      (``_kp = 'p' + pmod(xxhash64(token), pfx_mod)``); the batch's
+      distinct prefixes (a ≤``pfx_mod``-row driver list) prune every
+      state read to the touched directories (PartitionFilters);
+    - each micro-batch reduces map-side-combined to one row per
+      distinct batch token, merges by addition with the PRUNED slice
+      only, and rewrites ONLY the touched prefix directories (dynamic
+      partition overwrite).
+
+    Counts-merge is associative/commutative but NOT idempotent, so
+    crash safety needs a finer guard than the idempotent-max folds: the
+    per-prefix lineage-stamped batch id (:func:`_folded_prefixes`). A
+    replay re-merges exactly the touched prefixes the crash left
+    unstamped and skips the rest — exactly-once folding per DIRECTORY,
+    healing a crash mid partition-overwrite.
 
     Read the live vocabulary with
     ``textops.vocab_topk_from_counts(spark.read.parquet(state_path)
-    .drop("_last_batch_id", "_fold_tag"), k)`` — the same (count desc,
-    token asc) order the batch form uses, so the streamed vocab is
-    EQUAL to ``vocab_topk`` over the cumulative input (asserted in
-    tests/test_streaming.py).
+    .drop("_last_batch_id", "_fold_tag"), k)`` — the union of all
+    prefix directories; its TakeOrdered is k-bounded. The streamed
+    vocab is EQUAL to ``vocab_topk`` over the cumulative input
+    (asserted in tests/test_vocab_stream.py; the touched-dirs-only IO
+    contract in tests/test_streaming.py).
     """
 
-    scratch = f"{state_path}__next"
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    def _kp():
+        return token_key_prefix(pfx_mod)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        raw, from_scratch = _read_state(spark, state_path, scratch)
-        replayed, prev = _check_replay(raw, batch_id, checkpoint_path)
-        if replayed:
-            if from_scratch:
-                raw.write.mode("overwrite").parquet(state_path)
-            return
         new = (
             batch_df.select(
                 F.explode(
@@ -2319,16 +2374,44 @@ def maintain_token_counts_stream(
             .filter(F.col("token") != "")
             .groupBy("token")
             .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("_kp", _kp())
+            .transform(pin)
         )
-        if prev is not None:
-            new = (
-                prev.unionByName(new)
-                .groupBy("token")
+        prefixes = [
+            r["_kp"] for r in new.select("_kp").distinct().collect()
+        ]
+        if not prefixes:
+            return
+        try:
+            state = spark.read.parquet(state_path)
+        except AnalysisException as e:
+            if not _missing_path(e):
+                raise
+            state = None
+        pruned = (
+            state.filter(F.col("_kp").isin(prefixes))
+            if state is not None
+            else None
+        )
+        done = _folded_prefixes(pruned, batch_id, checkpoint_path)
+        pending = [p for p in prefixes if p not in done]
+        if not pending:
+            return
+        new_pending = new.filter(F.col("_kp").isin(pending))
+        merged = new_pending
+        if pruned is not None:
+            prev_pending = pruned.filter(
+                F.col("_kp").isin(pending)
+            ).drop("_last_batch_id", "_fold_tag")
+            merged = (
+                prev_pending.unionByName(new_pending)
+                .groupBy("_kp", "token")
                 .agg(F.sum("c").alias("c"))
             )
-        merged = _stamp_batch(new, batch_id, checkpoint_path)
-        merged.write.mode("overwrite").parquet(scratch)
-        spark.read.parquet(scratch).write.mode("overwrite").parquet(state_path)
+        out = _stamp_batch(merged, batch_id, checkpoint_path)
+        out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_kp").parquet(state_path)
 
     writer = (
         stream_df.writeStream.outputMode("append")

@@ -6,6 +6,7 @@ replay, and oov_stats against the live vocab matches the batch pass."""
 from __future__ import annotations
 
 import os
+import pathlib
 import shutil
 import time
 
@@ -82,6 +83,95 @@ def test_streamed_vocab_equals_batch(spark, tmp_path):
     assert live[2] == (2, 2)  # 'beta gamma': both OOV
     assert live[3] == (4, 0)  # alpha + delta x3: all in vocab
     assert live[4] == (0, 0)  # NULL text: zero tokens
+
+
+def test_token_counts_state_rewrites_touched_prefixes_only(spark, tmp_path):
+    """The 100 TB contract of maintain_token_counts_stream: per-batch IO
+    follows the BATCH, not the state. A batch touching k prefixes
+    rewrites exactly those k prefix directories — every untouched
+    directory's file listing (names + contents) is byte-identical after
+    the fold, and the state read is pruned to the touched prefixes."""
+    from security_data_pipeline_spark.streaming.pipeline import (
+        token_key_prefix,
+    )
+
+    # find two tokens living in DIFFERENT state prefixes
+    probe = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(32)], "token string"
+    ).select("token", token_key_prefix(256).alias("_kp"))
+    by_pfx = {}
+    for r in probe.collect():
+        by_pfx.setdefault(r["_kp"], []).append(r["token"])
+    (p1, (t1, *_)), (p2, (t2, *_)) = list(by_pfx.items())[:2]
+
+    src = tmp_path / "in"
+    state = str(tmp_path / "counts")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 0 touches BOTH prefixes
+    _write(src, [[(1, f"{t1} {t2}")]])
+    _run(spark, src, state, ckpt)
+
+    def listing(pfx):
+        d = pathlib.Path(state) / f"_kp={pfx}"
+        return {
+            f.name: (f.stat().st_size, f.stat().st_mtime_ns)
+            for f in d.iterdir()
+            if f.name.startswith("part-")
+        }
+
+    before_p1, before_p2 = listing(p1), listing(p2)
+    assert before_p1 and before_p2
+
+    # batch 1 touches ONLY t1's prefix
+    f = src / "b1.parquet"
+    pq.write_table(pa.table({"doc_id": [2], "text": [f"{t1} {t1}"]}), f)
+    os.utime(f, (time.time() - 50, time.time() - 50))
+    _run(spark, src, state, ckpt)
+
+    # untouched prefix directory: byte-identical file listing
+    assert listing(p2) == before_p2, "untouched prefix dir was rewritten"
+    # touched prefix directory: rewritten (new part files)
+    assert listing(p1) != before_p1
+    # no prefix directories beyond the two touched ones
+    dirs = {
+        d.name
+        for d in pathlib.Path(state).iterdir()
+        if d.name.startswith("_kp=")
+    }
+    assert dirs == {f"_kp={p1}", f"_kp={p2}"}
+    # and the counts are right
+    counts = {
+        r["token"]: r["c"]
+        for r in spark.read.parquet(state).collect()
+    }
+    assert counts == {t1: 3, t2: 1}, counts
+
+
+def test_folded_prefixes_per_prefix_lineage_guard(spark):
+    """_folded_prefixes: only CURRENT-lineage stamps at/above the batch
+    id mark a prefix folded — other-lineage stamps, lower stamps, and
+    pre-guard state (no stamp columns) all fold normally."""
+    from security_data_pipeline_spark.streaming.pipeline import (
+        _folded_prefixes,
+    )
+
+    state = spark.createDataFrame(
+        [
+            ("p1", "alpha", 3, 1, "tNEW"),   # folded through batch 1
+            ("p2", "beta", 2, 0, "tNEW"),    # folded through batch 0 only
+            ("p3", "gamma", 1, 7, "tOLD"),   # old lineage: never "done"
+        ],
+        "_kp string, token string, c long, _last_batch_id long,"
+        " _fold_tag string",
+    )
+    assert _folded_prefixes(state, 1, "tNEW") == {"p1"}
+    assert _folded_prefixes(state, 0, "tNEW") == {"p1", "p2"}
+    assert _folded_prefixes(state, 2, "tNEW") == set()
+    assert _folded_prefixes(state, 0, "tELSEWHERE") == set()
+    assert _folded_prefixes(None, 0, "tNEW") == set()
+    unstamped = state.drop("_last_batch_id", "_fold_tag")
+    assert _folded_prefixes(unstamped, 0, "tNEW") == set()
 
 
 def test_streamed_token_counts_replay_exactly_once(spark, tmp_path):
