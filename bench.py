@@ -128,6 +128,10 @@ BENCH_QUERIES: tuple[str, ...] = (
     # agg collected once at plan build; scoring is a map-only HOF fold —
     # zero joins over the corpus)
     "doc_vocab_coverage",
+    # round-9 addition: the 50k-entry-vocab OOV leg (explode +
+    # broadcast-join membership — measures the large-vocab strategy the
+    # HOF literal path can't reach)
+    "doc_oov_large_vocab",
     # round-8 addition: token-budget waterfill (mixture planning on the
     # per-source frame; the corpus pays one token-count aggregation)
     "doc_token_budget",
@@ -190,6 +194,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_leakage_safe_split": 3, "doc_source_temperature": 20,
         "doc_line_dedup": 5000, "events_hourly_interpolated": 3600,
         "doc_length_batches": 636, "doc_vocab_coverage": 20,
+        "doc_oov_large_vocab": 20,
         "doc_token_budget": 20, "events_bounded_ffill": 3600,
         "doc_quality_normalized": 5000,
     },
@@ -228,6 +233,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_leakage_safe_split": 3, "doc_source_temperature": 20,
         "doc_line_dedup": 500, "events_hourly_interpolated": 3600,
         "doc_length_batches": 75, "doc_vocab_coverage": 20,
+        "doc_oov_large_vocab": 20,
         "doc_token_budget": 20, "events_bounded_ffill": 3600,
         "doc_quality_normalized": 500,
     },

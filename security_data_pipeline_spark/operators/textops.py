@@ -662,50 +662,109 @@ def oov_stats(
     by: str | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hof_max_vocab: int = 128,
 ) -> DataFrame:
     """Out-of-vocabulary token rate against a FIXED vocabulary — the
     coverage signal that tells a curation pipeline how well a tokenizer
     or frozen vocab fits each source (high OOV ⇒ domain mismatch,
     boilerplate noise, or the wrong language).
 
-    Scoring is a map-only HOF fold of each document's token array
-    against the vocabulary literal (the DSIR fused-scorer shape): zero
-    joins, zero shuffles over the corpus — at 100 TB this is a pure
-    scan. With ``by`` set, one bounded groupBy follows; otherwise one
-    row per document. Tokens lowercase, empties excluded from both
-    numerator and denominator (the doc_token_stats convention).
+    Two membership strategies, picked by vocabulary size:
+
+    - ``len(vocab) <= hof_max_vocab``: a map-only HOF fold of each
+      document's token array against the vocabulary literal (the DSIR
+      fused-scorer shape) — zero joins, zero shuffles over the corpus;
+      at 100 TB this is a pure scan. ``array_contains`` is a linear
+      scan per token, so this path is capped: at a realistic tokenizer
+      vocab (32k-100k) it would be |tokens|·|vocab| work and a plan
+      tree with one literal per entry.
+    - larger vocabularies: explode tokens and LEFT JOIN a BROADCAST
+      vocab frame (hash probe per token — O(1) in |vocab|, and the
+      vocab rides the broadcast, never the plan tree), then re-aggregate
+      per doc. ``explode_outer`` keeps zero-token docs. Costs one
+      map-side-combined shuffle of per-doc count rows — the membership
+      itself stays map-side. The 50k-vocab leg is benched
+      (``doc_oov_large_vocab``) so this cost is measured, not assumed.
+
+    Both paths produce identical results (asserted in
+    tests/test_textops.py). With ``by`` set, one bounded groupBy
+    follows; otherwise one row per document. Tokens lowercase, empties
+    excluded from both numerator and denominator (the doc_token_stats
+    convention).
 
     Output: per doc ``(id, n_tokens, n_oov, oov_frac)`` or per group
     ``(by, n_docs, total_tokens, oov_tokens, oov_frac)``.
     """
-    va = F.array(*[F.lit(t) for t in vocab])
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
         lambda t: t != "",
     )
-    n_tokens = F.size(toks).cast("bigint")
-    n_oov = F.size(
-        F.filter(toks, lambda t: ~F.array_contains(va, t))
-    ).cast("bigint")
-    if by is None:
-        return df.select(
-            F.col(id_col),
-            n_tokens.alias("n_tokens"),
-            n_oov.alias("n_oov"),
-            F.when(
-                n_tokens > 0,
-                n_oov.cast("double") / n_tokens.cast("double"),
+    if len(vocab) <= hof_max_vocab:
+        va = F.array(*[F.lit(t) for t in vocab])
+        n_tokens = F.size(toks).cast("bigint")
+        n_oov = F.size(
+            F.filter(toks, lambda t: ~F.array_contains(va, t))
+        ).cast("bigint")
+        if by is None:
+            return df.select(
+                F.col(id_col),
+                n_tokens.alias("n_tokens"),
+                n_oov.alias("n_oov"),
+                F.when(
+                    n_tokens > 0,
+                    n_oov.cast("double") / n_tokens.cast("double"),
+                ).alias("oov_frac"),
+            )
+        scored = df.select(
+            F.col(by), n_tokens.alias("_n"), n_oov.alias("_oov")
+        )
+        return scored.groupBy(by).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").cast("bigint").alias("total_tokens"),
+            F.sum("_oov").cast("bigint").alias("oov_tokens"),
+            (
+                F.sum("_oov").cast("double") / F.sum("_n").cast("double")
             ).alias("oov_frac"),
         )
-    scored = df.select(
-        F.col(by), n_tokens.alias("_n"), n_oov.alias("_oov")
+    spark = df.sparkSession
+    vdf = (
+        spark.createDataFrame([(t,) for t in vocab], "token string")
+        .dropDuplicates(["token"])
+        .withColumn("_inv", F.lit(True))
     )
-    return scored.groupBy(by).agg(
+    carry = [id_col] if by is None else [id_col, by]
+    tokd = df.select(*carry, F.explode_outer(toks).alias("_t"))
+    joined = tokd.join(
+        F.broadcast(vdf), tokd["_t"] == vdf["token"], "left"
+    )
+    per_doc = joined.groupBy(*carry).agg(
+        F.count("_t").alias("n_tokens"),
+        F.sum(
+            F.when(
+                F.col("_t").isNotNull() & F.col("_inv").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_oov"),
+    )
+    if by is None:
+        return per_doc.select(
+            F.col(id_col),
+            "n_tokens",
+            "n_oov",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_oov").cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).alias("oov_frac"),
+        )
+    return per_doc.groupBy(by).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("_n").cast("bigint").alias("total_tokens"),
-        F.sum("_oov").cast("bigint").alias("oov_tokens"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_oov").cast("bigint").alias("oov_tokens"),
         (
-            F.sum("_oov").cast("double") / F.sum("_n").cast("double")
+            F.sum("n_oov").cast("double")
+            / F.sum("n_tokens").cast("double")
         ).alias("oov_frac"),
     )
 

@@ -2836,6 +2836,64 @@ def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_oov_large_vocab",
+    sql="""
+WITH vocab AS (
+  SELECT token FROM (
+    SELECT unnest(string_split(lower(coalesce(text, '')), ' ')) AS token
+    FROM documents
+  ) WHERE token <> ''
+  GROUP BY token ORDER BY COUNT(*) DESC, token LIMIT 1000
+), padded AS (
+  SELECT token FROM vocab
+  UNION
+  SELECT 'pad' || CAST(generate_series AS VARCHAR) AS token
+  FROM generate_series(1, 49000)
+), tk AS (
+  SELECT doc_id, source,
+         unnest(list_filter(
+           string_split(lower(coalesce(text, '')), ' '), t -> t <> ''))
+           AS token
+  FROM documents
+), scored AS (
+  SELECT t.doc_id, t.source,
+         CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tk t LEFT JOIN padded v USING (token)
+), per_doc AS (
+  SELECT doc_id, source, COUNT(*) AS n, SUM(oov) AS o
+  FROM scored GROUP BY doc_id, source
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(SUM(p.n), 0) AS BIGINT) AS total_tokens,
+       CAST(coalesce(SUM(p.o), 0) AS BIGINT) AS oov_tokens,
+       CAST(coalesce(SUM(p.o), 0) AS DOUBLE)
+         / CAST(coalesce(SUM(p.n), 0) AS DOUBLE) AS oov_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY d.source
+""",
+    description=(
+        "OOV report at tokenizer-scale vocabulary (50k entries): the "
+        "corpus top-1000 tokens padded with 49k deterministic synthetic "
+        "entries (pad1..pad49000, identical in both engines, so any "
+        "collision with a real token is scored consistently). Exercises "
+        "oov_stats's LARGE-vocab strategy — explode + broadcast-join "
+        "membership (hash probe, O(1) in |vocab|; the vocab rides the "
+        "broadcast, never the plan tree) + per-doc re-aggregation — "
+        "which the top-50 HOF form cannot reach: array_contains over a "
+        "50k literal would be |tokens|x|vocab| work and a 50k-node plan. "
+        "Benched so the large-vocab cost is measured, not assumed"
+    ),
+)
+def doc_oov_large_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = textops.vocab_topk(docs, k=1000) + [
+        f"pad{i}" for i in range(1, 49001)
+    ]
+    return textops.oov_stats(docs, vocab, by="source")
+
+
+@query(
     "doc_train_split",
     sql="""
 WITH s AS (
@@ -3141,17 +3199,37 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_exact_dup_groups",
     sql="""
+WITH seeded AS (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT text FROM documents
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10'
+)
 SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
        COUNT(*) AS n_copies
-FROM documents
+FROM seeded
 GROUP BY 1 HAVING COUNT(*) > 1
 """,
-    description="Exact dedup: duplicate groups by canonical fingerprint",
+    description=(
+        "Exact dedup: duplicate groups by canonical fingerprint. The "
+        "synthetic documents table has no natural exact duplicates, so "
+        "a 0-row result only witnesses schema agreement; the query "
+        "PLANTS deterministic duplicates (re-append the ~1/16 md5(doc_id)"
+        "-keyed slice — the engine-reproducible draw the samplers use) "
+        "so the window row count is nonzero and the grouping logic is "
+        "value-checked. Same scale shape as the bare form: a union of "
+        "two scans of the same table and ONE hash aggregation on the "
+        "fingerprint"
+    ),
 )
 def doc_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(
+        F.md5(F.col("doc_id").cast("string")).substr(1, 2) < "10"
+    )
+    seeded = docs.select("text").unionAll(planted.select("text"))
     return (
-        docs.select(textops.fingerprint("text").alias("fingerprint"))
+        seeded.select(textops.fingerprint("text").alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_copies"))
         .filter(F.col("n_copies") > 1)

@@ -305,6 +305,42 @@ def test_oov_stats_per_doc_and_grouped(spark):
     assert by_src["s2"] == (2, 2, 2)
 
 
+def test_oov_stats_join_path_equals_hof_path(spark):
+    """The two membership strategies (HOF fold for tiny vocabs,
+    explode + broadcast-join for tokenizer-scale vocabs) must produce
+    identical results — including the zero-token doc that explode_outer
+    has to preserve — and the join path must broadcast the vocab, never
+    sort-merge it."""
+    from security_data_pipeline_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "s1", "a b x"), (2, "s1", "a a"), (3, "s2", "y z"), (4, "s2", "")],
+        "doc_id long, source string, text string",
+    )
+    vocab = ["a", "b"]
+    hof = textops.oov_stats(docs, vocab)
+    joined = textops.oov_stats(docs, vocab, hof_max_vocab=0)
+    key = lambda df: {  # noqa: E731
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_frac"])
+        for r in df.collect()
+    }
+    assert key(hof) == key(joined)
+    hof_by = textops.oov_stats(docs, vocab, by="source")
+    joined_by = textops.oov_stats(docs, vocab, by="source", hof_max_vocab=0)
+    gkey = lambda df: {  # noqa: E731
+        r["source"]: (
+            r["n_docs"], r["total_tokens"], r["oov_tokens"], r["oov_frac"]
+        )
+        for r in df.collect()
+    }
+    assert gkey(hof_by) == gkey(joined_by)
+    # duplicate vocab entries must not double-count join rows
+    assert key(textops.oov_stats(docs, ["a", "b", "a"], hof_max_vocab=0)) == key(hof)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_normalize_scores_by_group(spark):
     from security_data_pipeline_spark.operators import textops
 
