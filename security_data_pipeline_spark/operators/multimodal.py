@@ -156,24 +156,115 @@ def _pillow_decode_batch(
     return pd.DataFrame(out)
 
 
+def _is_pnm(blob: bytes) -> bool:
+    return blob[:2] in (b"P5", b"P6") and blob[2:3].isspace()
+
+
+def _decode_pnm_bytes(data: bytes) -> tuple[int, int, int, "object"]:
+    """Pure-Python binary PGM (P5, grayscale) / PPM (P6, RGB) decode —
+    zero codec dependencies, so the Arrow decode path gets a REAL
+    uncompressed-format decode even in containers without Pillow.
+    Returns ``(width, height, channels, float32 pixels in [0, 1])``.
+
+    Full netpbm binary grammar for the header: tokens separated by
+    whitespace, ``#`` comments to end-of-line allowed between tokens,
+    exactly ONE whitespace byte between maxval and the raster. Maxval
+    up to 255 (one byte per sample) or 65535 (two big-endian bytes per
+    sample, per the spec); intensities scale by maxval, matching the
+    Pillow path's [0, 1] contract.
+    """
+    import numpy as np
+
+    magic = data[:2]
+    toks: list[int] = []
+    i = 2
+    while len(toks) < 3:
+        while data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while data[i : i + 1] not in (b"\n", b""):
+                i += 1
+            continue
+        j = i
+        while data[j : j + 1] and not data[j : j + 1].isspace():
+            j += 1
+        toks.append(int(data[i:j]))
+        i = j
+    i += 1  # the single whitespace byte before the raster
+    width, height, maxval = toks
+    channels = 3 if magic == b"P6" else 1
+    n = width * height * channels
+    if maxval > 255:
+        raster = np.frombuffer(data, dtype=">u2", count=n, offset=i)
+    else:
+        raster = np.frombuffer(data, dtype=np.uint8, count=n, offset=i)
+    return (
+        width,
+        height,
+        channels,
+        (raster / float(maxval)).astype(np.float32),
+    )
+
+
+def _pnm_decode_batch(
+    pdf: pd.DataFrame, id_col: str, blob_col: str, strict: bool
+) -> pd.DataFrame:
+    """PNM decode over an Arrow batch. ``strict`` (decoder='pnm') raises
+    on a non-PNM blob; non-strict (the no-Pillow 'auto' fallback)
+    real-decodes PNM blobs and routes everything else through the
+    deterministic stub — same output contract either way."""
+    out = {"media_id": [], "width": [], "height": [], "channels": [], "pixels": []}
+    fallback_rows = {"idx": []}
+    for idx, (media_id, blob) in enumerate(zip(pdf[id_col], pdf[blob_col])):
+        data = bytes(blob)
+        if not _is_pnm(data):
+            if strict:
+                raise ValueError(
+                    f"decoder='pnm': media_id={media_id} is not a binary "
+                    "PGM/PPM (P5/P6) payload"
+                )
+            fallback_rows["idx"].append(idx)
+            continue
+        w, h, c, px = _decode_pnm_bytes(data)
+        out["media_id"].append(media_id)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["channels"].append(c)
+        out["pixels"].append(px)
+    result = pd.DataFrame(out)
+    if fallback_rows["idx"]:
+        stubbed = _fake_decode_batch(
+            pdf.iloc[fallback_rows["idx"]], id_col, blob_col
+        )
+        result = pd.concat([result, stubbed], ignore_index=True)
+    return result
+
+
 def _resolve_decoder(decoder: str, kind: str) -> str:
-    """``auto`` → the real codec when importable, else the stub; explicit
-    real-codec names raise when their dependency is absent."""
+    """``auto`` → the real codec when importable; without it, images
+    fall back to ``hybrid`` (pure-Python PNM decode for P5/P6 payloads,
+    the deterministic stub for everything else — a real decode path
+    with zero dependencies), video to the stub. Explicit real-codec
+    names raise when their dependency is absent."""
     real, probe = (
         ("pillow", _pillow_module) if kind == "image" else ("av", _av_module)
     )
     if decoder == "auto":
-        return real if probe() is not None else "fake"
+        if probe() is not None:
+            return real
+        return "hybrid" if kind == "image" else "fake"
     if decoder == real and probe() is None:
         raise NotImplementedError(
             f"decoder={decoder!r}: the codec library is not available in "
             "this runtime; use decoder='fake' (deterministic stub) or "
-            "decoder='auto' (stub fallback) — the Spark plumbing "
+            "decoder='auto' (PNM/stub fallback) — the Spark plumbing "
             "(schema/batching/partitioning) is identical."
         )
-    if decoder not in (real, "fake"):
+    extra = ("pnm",) if kind == "image" else ()
+    if decoder not in (real, "fake", *extra):
+        allowed = ", ".join(repr(d) for d in (real, *extra, "fake", "auto"))
         raise NotImplementedError(
-            f"decoder={decoder!r}: unknown; use {real!r}, 'fake', or 'auto'"
+            f"decoder={decoder!r}: unknown; use one of {allowed}"
         )
     return decoder
 
@@ -188,9 +279,12 @@ def decode_images(
 
     ``decoder="fake"`` is the deterministic stub (the oracle-checked
     default); ``"pillow"`` decodes real images when Pillow is importable
-    and raises otherwise; ``"auto"`` picks Pillow when present, the stub
-    when not — same output schema either way, so pipelines are portable
-    between stub and real runtimes.
+    and raises otherwise; ``"pnm"`` is the dependency-free real decode
+    for binary PGM/PPM payloads (raises on anything else); ``"auto"``
+    picks Pillow when present and otherwise the hybrid fallback (real
+    PNM decode for P5/P6 blobs, the stub for the rest) — same output
+    schema every way, so pipelines are portable between stub and real
+    runtimes.
 
     NULL blobs (a failed fetch upstream) are dropped ENGINE-SIDE before
     the Arrow hop: there is nothing to decode, and a None reaching the
@@ -198,9 +292,14 @@ def decode_images(
     """
     df = df.filter(F.col(blob_col).isNotNull())
     resolved = _resolve_decoder(decoder, "image")
-    decode = (
-        _pillow_decode_batch if resolved == "pillow" else _fake_decode_batch
-    )
+    if resolved == "pillow":
+        decode = _pillow_decode_batch
+    elif resolved == "pnm":
+        decode = lambda pdf, i, b: _pnm_decode_batch(pdf, i, b, strict=True)  # noqa: E731
+    elif resolved == "hybrid":
+        decode = lambda pdf, i, b: _pnm_decode_batch(pdf, i, b, strict=False)  # noqa: E731
+    else:
+        decode = _fake_decode_batch
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

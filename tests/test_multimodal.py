@@ -59,10 +59,12 @@ def test_real_decoder_raises_clearly(media):
 
 
 def test_auto_decoder_dispatch(media, monkeypatch):
-    # in this container (no Pillow/PyAV) auto must resolve to the stub and
-    # produce the stub's deterministic output
+    # in this container (no Pillow/PyAV) image auto resolves to the
+    # hybrid (real PNM decode for P5/P6 payloads, stub otherwise) and
+    # video auto to the stub; on non-PNM blobs the hybrid's output is
+    # the stub's deterministic output
     assert multimodal._pillow_module() is None, "container grew Pillow; update test"
-    assert multimodal._resolve_decoder("auto", "image") == "fake"
+    assert multimodal._resolve_decoder("auto", "image") == "hybrid"
     assert multimodal._resolve_decoder("auto", "video") == "fake"
     auto = {r.media_id: r.pixels for r in
             multimodal.decode_images(media, decoder="auto").collect()}
@@ -118,10 +120,19 @@ def test_pillow_decode_real_png_through_auto(spark):
     """Tests-extra leg: wherever Pillow IS installable, decoder='auto' must
     decode a real PNG with the same output schema as the stub path, with
     palette and 16-bit modes canonicalized to the [0,1] intensity contract.
-    Skip-marked in codec-free containers (this repo's default runtime)."""
+    In codec-free containers (this repo's default runtime) the leg instead
+    asserts the explicit-pillow contract — a loud NotImplementedError, no
+    silent fallback — so the test never skips; the REAL-decode coverage in
+    that runtime lives in the PNM tests below."""
     import io
 
-    pytest.importorskip("PIL")
+    if multimodal._pillow_module() is None:
+        one = spark.createDataFrame(
+            [(1, bytearray(b"\x89PNGxxxx"))], "media_id long, blob binary"
+        )
+        with pytest.raises(NotImplementedError, match="pillow"):
+            multimodal.decode_images(one, decoder="pillow")
+        return
     import numpy as np
     from PIL import Image
 
@@ -182,3 +193,122 @@ def test_decode_drops_null_blobs_engine_side(spark):
     assert multimodal.image_mean_brightness(decoded).count() == 2
     frames = multimodal.sample_frames(blobs, every_n=2)
     assert sorted(set(r["media_id"] for r in frames.collect())) == [1, 3]
+
+
+def _pgm_bytes(arr, maxval=255, comment=False):
+    """Binary PGM (P5) bytes from a 2-D uint array."""
+    h, w = arr.shape
+    header = b"P5\n"
+    if comment:
+        header += b"# a netpbm comment\n"
+    header += f"{w} {h}\n{maxval}\n".encode()
+    if maxval > 255:
+        body = b"".join(int(v).to_bytes(2, "big") for v in arr.reshape(-1))
+    else:
+        body = bytes(int(v) for v in arr.reshape(-1))
+    return header + body
+
+
+def _ppm_bytes(arr):
+    """Binary PPM (P6) bytes from an (h, w, 3) uint8 array."""
+    h, w, _ = arr.shape
+    return f"P6 {w} {h} 255\n".encode() + bytes(
+        int(v) for v in arr.reshape(-1)
+    )
+
+
+def test_pnm_real_decode_through_auto_without_pillow(spark):
+    """The dependency-free REAL-decode leg: in this container (no
+    Pillow) decoder='auto' must actually decode binary PGM/PPM payloads
+    — header-declared dimensions, [0,1] intensities from the raster
+    bytes — while non-PNM blobs in the SAME frame take the stub."""
+    import numpy as np
+
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3
+    rgb = (np.arange(2 * 3 * 3) % 256).reshape(2, 3, 3).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_pgm_bytes(g))),
+            (2, bytearray(_ppm_bytes(rgb))),
+            (3, bytearray(b"not-an-image-at-all-just-bytes")),
+        ],
+        "media_id long, blob binary",
+    )
+    decoded = multimodal.decode_images(df, decoder="auto")
+    assert decoded.schema == multimodal.DECODED_IMAGE_SCHEMA
+    out = {r.media_id: r for r in decoded.collect()}
+    r1 = out[1]
+    assert (r1.width, r1.height, r1.channels) == (8, 8, 1)
+    assert r1.pixels == pytest.approx(
+        [v / 255.0 for v in g.reshape(-1)], abs=1e-7
+    )
+    # P6: channel-interleaved floats, header dims, 3 channels
+    r2 = out[2]
+    assert (r2.width, r2.height, r2.channels) == (3, 2, 3)
+    assert r2.pixels == pytest.approx(
+        [v / 255.0 for v in rgb.reshape(-1)], abs=1e-7
+    )
+    # the non-PNM row stubbed to the deterministic 8x8 fake
+    r3 = out[3]
+    assert (r3.width, r3.height, r3.channels) == (8, 8, 1)
+    fake = {
+        r.media_id: r.pixels
+        for r in multimodal.decode_images(df, decoder="fake").collect()
+    }
+    assert r3.pixels == fake[3]
+
+
+def test_pnm_header_grammar_and_16bit(spark):
+    """Netpbm grammar corners: comments between header tokens, maxval
+    scaling (100 → intensities of v/100), and the 2-byte big-endian
+    raster when maxval > 255."""
+    import numpy as np
+
+    g100 = np.arange(4, dtype=np.uint8).reshape(2, 2) * 25  # maxval 100
+    g16 = (np.arange(4).reshape(2, 2) * 10000).astype(np.uint32)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_pgm_bytes(g100, maxval=100, comment=True))),
+            (2, bytearray(_pgm_bytes(g16, maxval=65535))),
+        ],
+        "media_id long, blob binary",
+    )
+    out = {
+        r.media_id: r
+        for r in multimodal.decode_images(df, decoder="pnm").collect()
+    }
+    assert out[1].pixels == pytest.approx(
+        [v / 100.0 for v in g100.reshape(-1)], abs=1e-7
+    )
+    assert out[2].pixels == pytest.approx(
+        [v / 65535.0 for v in g16.reshape(-1)], abs=1e-7
+    )
+
+
+def test_pnm_strict_raises_on_non_pnm(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNGxxxx"))], "media_id long, blob binary"
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError), match="not a binary"):
+        multimodal.decode_images(df, decoder="pnm").collect()
+
+
+def test_resize_box_average_on_real_pnm_decode(spark):
+    """The full real-decode chain, asserted against precomputed bytes:
+    binary PGM -> Arrow PNM decode -> JVM-side box-average resize. The
+    4x4 output must equal the numpy box means of the known 8x8 raster."""
+    import numpy as np
+
+    g = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 4) % 251
+    df = spark.createDataFrame(
+        [(1, bytearray(_pgm_bytes(g)))], "media_id long, blob binary"
+    )
+    decoded = multimodal.decode_images(df, decoder="auto")
+    resized = multimodal.resize_images(decoded, 4, 4).collect()[0]
+    src = (g / 255.0).astype(np.float32).astype(np.float64)
+    expect = src.reshape(4, 2, 4, 2).mean(axis=(1, 3)).astype(np.float32)
+    got = np.array(resized.pixels, dtype=np.float32).reshape(4, 4)
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
