@@ -297,6 +297,26 @@ def _check_replay(prev, batch_id: int, tag: str):
     return replayed, clean
 
 
+def _same_lineage_max(prev, tag: str):
+    """Max ``_last_batch_id`` recorded in ``prev`` under the CURRENT
+    lineage tag, or None. Used by maintainers whose replay heal
+    re-merges (and therefore re-stamps) state: the rewritten stamp must
+    be ``max(batch_id, this)`` — a replayed early batch stamping its own
+    LOWER id would un-mark every later batch's replay and re-deliver
+    them (the wiped-checkpoint full-replay scenario)."""
+    if (
+        prev is None
+        or "_last_batch_id" not in prev.columns
+        or "_fold_tag" not in prev.columns
+    ):
+        return None
+    return prev.agg(
+        F.max(
+            F.when(F.col("_fold_tag") == F.lit(tag), F.col("_last_batch_id"))
+        ).alias("b")
+    ).first()["b"]
+
+
 def _read_state(spark, state_path: str, scratch: str):
     """Shared whole-state-fold read: ``(state_df, recovered_from_scratch)``.
 
@@ -1470,6 +1490,10 @@ def maintain_locf_stream(
             if state is not None
             else None
         )
+        prev_stamp = _same_lineage_max(pruned, checkpoint_path)
+        stamp_id = (
+            batch_id if prev_stamp is None else max(batch_id, prev_stamp)
+        )
         replayed, pruned = _check_replay(pruned, batch_id, checkpoint_path)
         summ = _summaries(batch)
         if not replayed:
@@ -1478,7 +1502,11 @@ def maintain_locf_stream(
             )
             sink(filled, batch_id)
         # idempotent max-merge of the touched prefixes (runs on replay
-        # too: it heals a crash that swapped only some directories)
+        # too: it heals a crash that swapped only some directories).
+        # The rewritten stamp is monotone (max of batch id and the
+        # lineage's recorded id): a replayed EARLY batch stamping its own
+        # lower id would un-mark every later batch's replay and
+        # re-deliver them all (the wiped-checkpoint full-replay case).
         merged = (
             summ
             if pruned is None
@@ -1486,12 +1514,253 @@ def maintain_locf_stream(
             .groupBy(*keys)
             .agg(*[F.max(f"_last_{c}").alias(f"_last_{c}") for c in cols])
         )
-        out = _stamp_batch(merged, batch_id, checkpoint_path).withColumn(
+        out = _stamp_batch(merged, stamp_id, checkpoint_path).withColumn(
             "_kp", _kp()
         )
         out.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("_kp").parquet(state_path)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def maintain_interpolate_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    sink: Callable[[DataFrame, int], None],
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    suffix: str = "_interp",
+    pfx_mod: int = 256,
+    trigger_available_now: bool = True,
+):
+    """Streaming linear interpolation — the re-host of
+    :func:`...timeseries.interpolate_linear`, and the first maintainer
+    whose operator needs bounded LOOKAHEAD: a NULL row's fill requires
+    its key's NEXT observation, which may live in a future micro-batch.
+    The policy is EMIT-ON-NEXT-OBSERVATION:
+
+    - rows finalizable inside the batch emit immediately: non-NULL
+      observations (kept exactly), NULL rows whose forward neighbor is
+      in the same batch, and NULL rows with NO prior observation ever
+      (their fill is NULL regardless of the future — the batch form's
+      leading-edge rule, so waiting buys nothing);
+    - a NULL row after its key's last observation BUFFERS in state with
+      its backward neighbor attached (``prev_o, prev_v`` travel WITH
+      the row — the fill is then row-local math at emission time), and
+      emits the moment a later batch delivers the key's next
+      observation. A gap never emits twice and never needs re-reading
+      old batches.
+
+    Lateness contract: emission latency for a gap equals the key's
+    inter-observation spacing, not a wall-clock watermark — a key that
+    stops reporting holds its trailing NULLs forever (exactly the rows
+    the batch form leaves NULL; a caller wanting flat extrapolation
+    chains the LOCF maintainer instead). Stream output ≡
+    ``interpolate_linear`` over the cumulative input RESTRICTED to
+    finalized rows, asserted in tests/test_interpolate_stream.py; the
+    withheld set is exactly the trailing NULLs that still have no
+    forward neighbor.
+
+    State discipline is :func:`maintain_locf_stream`'s, split across
+    two prefix-partitioned directories under ``state_path`` (both keyed
+    ``_kp = 'p' + pmod(xxhash64(keys), pfx_mod)``, reads pruned to the
+    batch's touched prefixes, dynamic partition overwrite of touched
+    dirs only):
+
+    - ``carry/`` — per key, the latest observation as a max-mergeable
+      ``struct(o, v)`` (idempotent fold; carries the lineage-stamped
+      replay guard for the whole maintainer);
+    - ``pending/`` — the buffered gap rows ``(keys, o, prev_o,
+      prev_v)``; bounded by open gaps, not history.
+
+    Write order per batch: sink → pending overwrite → stamped carry
+    overwrite. A replay whose carry stamp records the batch skips the
+    sink and the pending rewrite and only heals the carry merge
+    (idempotent), so state-buffered rows deliver EXACTLY once — their
+    removal from pending commits before the stamp; only the batch's own
+    finalized rows sit in the usual sink→stamp at-least-once window.
+    Same in-order-per-key arrival contract as the LOCF maintainer.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+    from pyspark.sql import Window
+
+    carry_path = f"{state_path}/carry"
+    pending_path = f"{state_path}/pending"
+
+    def _kp():
+        return locf_key_prefix(keys, pfx_mod)
+
+    def _read(spark, path):
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException as e:
+            if not _missing_path(e):
+                raise
+            return None
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.transform(pin)
+        prefixes = [
+            r["_kp"]
+            for r in batch.select(_kp().alias("_kp")).distinct().collect()
+        ]
+        if not prefixes:
+            return
+        carry_raw = _read(spark, carry_path)
+        pruned_carry = (
+            carry_raw.filter(F.col("_kp").isin(prefixes)).drop("_kp")
+            if carry_raw is not None
+            else None
+        )
+        replayed, carry_clean = _check_replay(
+            pruned_carry, batch_id, checkpoint_path
+        )
+        prev_stamp = _same_lineage_max(pruned_carry, checkpoint_path)
+        stamp_id = (
+            batch_id if prev_stamp is None else max(batch_id, prev_stamp)
+        )
+        pending_raw = _read(spark, pending_path)
+        pruned_pending = (
+            pending_raw.filter(F.col("_kp").isin(prefixes)).drop("_kp")
+            if pending_raw is not None
+            else None
+        )
+
+        o_d = F.col(order_col).cast("double")
+        v_d = F.col(value_col).cast("double")
+        obs = F.when(
+            v_d.isNotNull(), F.struct(o_d.alias("o"), v_d.alias("v"))
+        )
+        # per-key batch summaries (batch-sized): latest obs for the
+        # carry merge, earliest obs for pending emission
+        summ = batch.groupBy(*keys).agg(
+            F.max(obs).alias("_last"), F.min(obs).alias("_first")
+        )
+        filled = None
+        if not replayed:
+            # batch-local mirrored windows + the carried-in prev
+            w_back = (
+                Window.partitionBy(*keys)
+                .orderBy(order_col)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            w_fwd = (
+                Window.partitionBy(*keys)
+                .orderBy(order_col)
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+            local = batch.withColumn(
+                "_prev_l", F.last(obs, ignorenulls=True).over(w_back)
+            ).withColumn(
+                "_next_l", F.first(obs, ignorenulls=True).over(w_fwd)
+            )
+            if carry_clean is not None:
+                relevant = carry_clean.join(
+                    F.broadcast(batch.select(*keys).distinct()),
+                    keys,
+                    "left_semi",
+                )
+                local = local.join(F.broadcast(relevant), keys, "left")
+                prev = F.coalesce(F.col("_prev_l"), F.col("_last"))
+            else:
+                prev = F.col("_prev_l")
+            nxt = F.col("_next_l")
+            interp = prev["v"] + (nxt["v"] - prev["v"]) * (
+                (o_d - prev["o"]) / (nxt["o"] - prev["o"])
+            )
+            fill = F.when(v_d.isNotNull(), v_d).when(
+                prev.isNotNull() & nxt.isNotNull() & (prev["o"] != nxt["o"]),
+                interp,
+            )
+            finalizable = (
+                v_d.isNotNull() | nxt.isNotNull() | prev.isNull()
+            )
+            emit_batch = (
+                local.filter(finalizable)
+                .withColumn(f"{value_col}{suffix}", fill)
+                .select(
+                    *keys,
+                    o_d.alias(order_col),
+                    v_d.alias(value_col),
+                    f"{value_col}{suffix}",
+                )
+            )
+            new_pending = (
+                local.filter(~finalizable)
+                .select(
+                    *keys,
+                    o_d.alias("o"),
+                    prev["o"].alias("prev_o"),
+                    prev["v"].alias("prev_v"),
+                )
+            )
+            # state-buffered gap rows whose forward neighbor arrived
+            firsts = summ.filter(F.col("_first").isNotNull()).select(
+                *keys, "_first"
+            )
+            if pruned_pending is not None:
+                emitable = pruned_pending.join(
+                    F.broadcast(firsts), keys, "inner"
+                )
+                p_interp = F.col("prev_v") + (
+                    F.col("_first")["v"] - F.col("prev_v")
+                ) * (
+                    (F.col("o") - F.col("prev_o"))
+                    / (F.col("_first")["o"] - F.col("prev_o"))
+                )
+                emit_pending = emitable.select(
+                    *keys,
+                    F.col("o").alias(order_col),
+                    F.lit(None).cast("double").alias(value_col),
+                    F.when(
+                        F.col("_first")["o"] != F.col("prev_o"), p_interp
+                    ).alias(f"{value_col}{suffix}"),
+                )
+                kept_pending = pruned_pending.join(
+                    F.broadcast(firsts.select(*keys)), keys, "left_anti"
+                )
+                emit = emit_batch.unionByName(emit_pending)
+                pending_next = kept_pending.unionByName(new_pending)
+            else:
+                emit = emit_batch
+                pending_next = new_pending
+            emit = emit.transform(pin)
+            pending_next = pending_next.dropDuplicates(
+                [*keys, "o"]
+            ).transform(pin)
+            sink(emit, batch_id)
+            pending_next.withColumn("_kp", _kp()).write.mode(
+                "overwrite"
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                "_kp"
+            ).parquet(pending_path)
+        # idempotent max-merge of the carry (runs on replay too: heals a
+        # crash that stamped only some prefix directories)
+        batch_carry = summ.select(*keys, "_last")
+        merged = (
+            batch_carry
+            if carry_clean is None
+            else carry_clean.unionByName(batch_carry)
+            .groupBy(*keys)
+            .agg(F.max("_last").alias("_last"))
+        )
+        out = _stamp_batch(merged, stamp_id, checkpoint_path).withColumn(
+            "_kp", _kp()
+        )
+        out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_kp").parquet(carry_path)
 
     writer = (
         stream_df.writeStream.outputMode("append")

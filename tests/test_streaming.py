@@ -1431,6 +1431,83 @@ def test_streaming_locf_new_lineage_over_mixed_stamps_delivers(
     assert got == want
 
 
+def test_streaming_locf_wiped_checkpoint_full_replay_delivers_nothing(
+    spark, tmp_path
+):
+    """Wiping the checkpoint and re-running the SAME drained stream (same
+    lineage tag, batch ids restart at 0) must re-deliver nothing. The
+    regression: the replayed batch 0's healing merge used to re-stamp the
+    touched prefixes with its own LOWER id, un-marking every later batch's
+    replay — batch 1 onward then re-delivered through the sink. The stamp
+    is now monotone per lineage."""
+    import os
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_locf_stream,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    base = time.time() - 100
+    batches = [
+        [("k1", 1, 10.0), ("k2", 1, 20.0)],
+        [("k1", 2, None), ("k2", 2, None)],
+        [("k1", 3, 30.0)],
+    ]
+    for bi, rows in enumerate(batches):
+        f = src / f"b{bi}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "k": [r[0] for r in rows],
+                    "o": pa.array([r[1] for r in rows], type=pa.int64()),
+                    "v": pa.array([r[2] for r in rows], type=pa.float64()),
+                }
+            ),
+            str(f),
+        )
+        os.utime(f, (base + bi, base + bi))
+
+    out = str(tmp_path / "out")
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    def run():
+        q = maintain_locf_stream(
+            spark.readStream.schema("k string, o long, v double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src)),
+            state,
+            ckpt,
+            sink,
+            keys=["k"],
+            order_col="o",
+            cols=["v"],
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = sorted(
+        (r["k"], r["o"], r["v_ffill"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert len(first) == 5
+    shutil.rmtree(ckpt)
+    run()  # full replay under the same lineage: nothing re-delivers
+    replay = sorted(
+        (r["k"], r["o"], r["v_ffill"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert replay == first, "wiped-checkpoint replay re-delivered rows"
+
+
 def test_streaming_neardup_replay_after_band_write_crash(spark, tmp_path):
     """Crash between the band-index write and the labels commit: the
     replayed batch re-reads an index that ALREADY holds its own band
