@@ -2836,6 +2836,65 @@ def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vocab_state_report",
+    sql="""
+WITH tok AS (
+  SELECT unnest(string_split(lower(coalesce(text, '')), ' ')) AS token
+  FROM documents
+), t AS (
+  SELECT token FROM tok WHERE token <> ''
+)
+SELECT substring(token, 1, 1) AS tok_initial,
+       CAST(COUNT(DISTINCT token) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS total_count
+FROM t GROUP BY 1
+""",
+    description=(
+        "Token-count STATE LIFECYCLE witness (streaming/pipeline.py:"
+        "maintain_token_counts_stream + compact_token_counts): documents "
+        "are staged to parquet, re-read as a file stream in two "
+        "micro-batches, folded into the prefix-partitioned token-count "
+        "state (touched-dirs-only dynamic overwrite, per-prefix replay "
+        "stamps), the state is COMPACTED to one file per prefix "
+        "directory, and the compacted state's contents are rolled up by "
+        "token initial — held to the one-shot relational oracle over the "
+        "same corpus. A fold bug, a lost prefix, or a compaction that "
+        "drops/duplicates rows all surface as an oracle mismatch. The "
+        "rollup key is the token initial (engine-reproducible), not the "
+        "xxhash64 prefix (Spark-only)"
+    ),
+)
+def vocab_state_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from security_data_pipeline_spark.streaming.pipeline import (
+        compact_token_counts,
+        maintain_token_counts_stream,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="vocab_state_")
+    src = f"{tmp}/src"
+    state = f"{tmp}/counts"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = maintain_token_counts_stream(stream, state, f"{tmp}/ckpt")
+    q.awaitTermination()
+    compact_token_counts(spark, state)
+    counts = spark.read.parquet(state)
+    return counts.groupBy(
+        F.substring("token", 1, 1).alias("tok_initial")
+    ).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("c").cast("bigint").alias("total_count"),
+    )
+
+
+@query(
     "doc_oov_large_vocab",
     sql="""
 WITH vocab AS (

@@ -2692,6 +2692,70 @@ def maintain_token_counts_stream(
     return writer.start()
 
 
+def compact_token_counts(spark: SparkSession, state_path: str) -> None:
+    """Fold the token-count state's accumulated per-prefix small files
+    into ONE file per prefix directory — the ``compact_ann_index``-style
+    lifecycle fold for this state. Every dynamic-partition-overwrite
+    fold writes one file per task per touched directory, so a prefix
+    touched by many batches (or a wide batch) accumulates small files;
+    compaction rewrites rows VERBATIM — token counts AND the per-prefix
+    replay stamps, which must survive so the guard keeps working
+    (bit-equality asserted in tests/test_vocab_stream.py). The state is
+    materialized (pinned) before the overwrite so the rewrite never
+    lazily lists files it is deleting; a crash mid-overwrite leaves some
+    directories compacted and some not — content-identical either way.
+    """
+    state = spark.read.parquet(state_path).transform(pin)
+    n = state.select("_kp").distinct().count()  # bounded by pfx_mod
+    (
+        state.repartition(max(int(n), 1), "_kp")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_kp")
+        .parquet(state_path)
+    )
+
+
+def token_counts_state_report(
+    spark: SparkSession, state_path: str, size_skew_factor: float = 4.0
+) -> DataFrame:
+    """Per-prefix health report over the token-count state — the
+    staleness/size-skew surface the ANN index lifecycle already has:
+    ``(prefix, n_tokens, total_count, n_files, last_batch_id,
+    size_skew, compact_hint)``. ``compact_hint`` fires when a prefix
+    directory holds more than one file (run
+    :func:`compact_token_counts`); ``size_skew`` when a prefix holds
+    more than ``size_skew_factor``× the median prefix's tokens (a
+    pathological token distribution or a broken hash). All aggregation
+    is over the state (vocab-bounded); the median/flag pass runs on the
+    ≤``pfx_mod``-row per-prefix frame with a one-row broadcast attach.
+    """
+    state = spark.read.parquet(state_path).withColumn(
+        "_file", F.input_file_name()
+    )
+    per = state.groupBy("_kp").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("c").cast("bigint").alias("total_count"),
+        F.countDistinct("_file").alias("n_files"),
+        F.max("_last_batch_id").alias("last_batch_id"),
+    )
+    med = per.agg(
+        F.expr("percentile_approx(n_tokens, 0.5)").alias("_med")
+    )
+    return per.crossJoin(F.broadcast(med)).select(
+        F.col("_kp").alias("prefix"),
+        "n_tokens",
+        "total_count",
+        "n_files",
+        "last_batch_id",
+        (
+            F.col("n_tokens").cast("double")
+            > F.lit(float(size_skew_factor)) * F.col("_med").cast("double")
+        ).alias("size_skew"),
+        (F.col("n_files") > 1).alias("compact_hint"),
+    )
+
+
 def maintain_source_counts_stream(
     stream_df: DataFrame,
     state_path: str,

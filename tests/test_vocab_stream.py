@@ -174,6 +174,79 @@ def test_folded_prefixes_per_prefix_lineage_guard(spark):
     assert _folded_prefixes(unstamped, 0, "tNEW") == set()
 
 
+def test_compact_token_counts_bit_equal_one_file_per_prefix(spark, tmp_path):
+    """Compaction folds each prefix directory to ONE file with rows —
+    token counts AND replay stamps — verbatim, so the guard and every
+    reader behave identically on compacted state; vocab_topk_from_counts
+    is unchanged. A second compaction is a no-op by the same test."""
+    from security_data_pipeline_spark.streaming.pipeline import (
+        compact_token_counts,
+    )
+
+    src = tmp_path / "in"
+    _write(src, BATCHES)
+    state = str(tmp_path / "counts")
+    _run(spark, src, state, str(tmp_path / "ckpt"))
+
+    def snapshot():
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(state)
+            .select("token", "c", "_last_batch_id", "_fold_tag", "_kp")
+            .collect()
+        )
+
+    def files_per_prefix():
+        return {
+            d.name: sum(1 for f in d.iterdir() if f.name.startswith("part-"))
+            for d in pathlib.Path(state).iterdir()
+            if d.name.startswith("_kp=")
+        }
+
+    before = snapshot()
+    vocab_before = textops.vocab_topk_from_counts(
+        spark.read.parquet(state).drop("_last_batch_id", "_fold_tag"), k=3
+    )
+    compact_token_counts(spark, state)
+    assert snapshot() == before
+    assert all(n == 1 for n in files_per_prefix().values()), files_per_prefix()
+    assert (
+        textops.vocab_topk_from_counts(
+            spark.read.parquet(state).drop("_last_batch_id", "_fold_tag"),
+            k=3,
+        )
+        == vocab_before
+    )
+    compact_token_counts(spark, state)  # idempotent
+    assert snapshot() == before
+
+
+def test_token_counts_state_report(spark, tmp_path):
+    from security_data_pipeline_spark.streaming.pipeline import (
+        compact_token_counts,
+        token_counts_state_report,
+    )
+
+    src = tmp_path / "in"
+    _write(src, BATCHES)
+    state = str(tmp_path / "counts")
+    _run(spark, src, state, str(tmp_path / "ckpt"))
+
+    rep = {
+        r["prefix"]: r
+        for r in token_counts_state_report(spark, state).collect()
+    }
+    # totals reconcile with the state itself
+    n_tokens = sum(r["n_tokens"] for r in rep.values())
+    total = sum(r["total_count"] for r in rep.values())
+    assert n_tokens == 4 and total == 9  # alpha 3, beta 2, gamma 1, delta 3
+    assert all(r["last_batch_id"] is not None for r in rep.values())
+    # after compaction every prefix is single-file: no compact hints
+    compact_token_counts(spark, state)
+    rep2 = token_counts_state_report(spark, state).collect()
+    assert all(r["n_files"] == 1 and not r["compact_hint"] for r in rep2)
+
+
 def test_streamed_token_counts_replay_exactly_once(spark, tmp_path):
     src = tmp_path / "in"
     _write(src, BATCHES)
