@@ -364,6 +364,30 @@ def _skew_entries(spark):
     return entries, join_confs
 
 
+def _suite_arm_names() -> dict[str, list[str]]:
+    """Suite -> constituent registered-query names, extracted from the
+    composite function bodies (their ``run("<name>")`` calls). Suites
+    whose arms are inline expressions (no registry constituents) map to
+    an empty list and are skipped by the sidecar."""
+    import inspect
+    import re
+
+    from security_data_pipeline_spark.plans import composites
+
+    out: dict[str, list[str]] = {}
+    for name, fn in vars(composites).items():
+        if not callable(fn) or getattr(fn, "__module__", "") != composites.__name__:
+            continue
+        if not (name.endswith("_suite") or name == "sketch_checks"):
+            continue
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            continue
+        out[name] = re.findall(r'run\("([a-z0-9_]+)"\)', src)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -446,6 +470,30 @@ def main() -> None:
     ]:
         assert skew_counts[a] == skew_counts[b], (a, b, skew_counts)
 
+    # per-arm timing sidecar for the window suites: when a suite's number
+    # creeps, the bisect reads per-arm baselines from THIS record instead
+    # of re-running by hand. Arm lists are extracted from the composite
+    # sources (the run("<name>") calls), so the map cannot drift from the
+    # code. Lighter discipline than the headline numbers (1 warm-up,
+    # best-of-3): these are attribution baselines, not headline figures.
+    suite_arms: dict[str, dict[str, float]] = {}
+    for suite, arms in _suite_arm_names().items():
+        if suite not in BENCH_QUERIES or not arms:
+            continue
+        per_arm: dict[str, float] = {}
+        for arm in arms:
+            df = REGISTRY[arm].fn(spark, sf_dir)
+            spark.sparkContext._jvm.System.gc()
+            df.write.mode("overwrite").format("noop").save()
+            samples = []
+            for _ in range(3):
+                start = time.perf_counter()
+                df.write.mode("overwrite").format("noop").save()
+                samples.append(time.perf_counter() - start)
+            per_arm[arm] = round(min(samples), 3)
+        suite_arms[suite] = per_arm
+        print(f"[bench] suite arms {suite}: {per_arm}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     # The driver keeps only the last ~2000 chars of stdout and parses the
     # final JSON line.  The full per-query map outgrew that tail in round 7
@@ -457,6 +505,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "suite_arms": suite_arms,
         "sf": sf,
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
