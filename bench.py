@@ -116,6 +116,10 @@ BENCH_QUERIES: tuple[str, ...] = (
     # round-8 addition: IVF recall-vs-n_probe sweep (5 bounded
     # counts-only aggregates over the shared 200-query ground truth)
     "ann_recall_sweep",
+    # round-9 additions: the same scaffold parameterizing LSH n_planes
+    # and scalar-quantization code width
+    "lsh_recall_sweep",
+    "sq_recall_sweep",
     # round-8 additions: CCNet line-level dedup (explode → one line-key
     # agg → co-partitioned join-back → HOF rebuild), linear gap
     # interpolation (two mirrored O(1)-state windows sharing one sort),
@@ -175,7 +179,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "temporal_net_suite": 44669, "event_windows_suite": 200000,
         "scale_suite": 287, "curation_suite": 429,
         "span_dedup_suite": 400, "neardup_pairs_suite": 568, "sketch_checks": 0,
-        "grouping_sets_suite": 209, "ann_recall_sweep": 5,
+        "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4,
         "security_detections": 11195,
         "doc_repetition_stats": 5000, "doc_curation_audit": 5000,
         "doc_quality_sampled": 603, "source_divergence_matrix": 190,
@@ -214,7 +218,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "temporal_net_suite": 16129, "event_windows_suite": 20000,
         "scale_suite": 270, "curation_suite": 429,
         "span_dedup_suite": 292, "neardup_pairs_suite": 37, "sketch_checks": 0,
-        "grouping_sets_suite": 209, "ann_recall_sweep": 5,
+        "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4,
         "security_detections": 1135,
         "doc_repetition_stats": 500, "doc_curation_audit": 500,
         "doc_quality_sampled": 75, "source_divergence_matrix": 190,

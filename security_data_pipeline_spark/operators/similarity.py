@@ -1937,15 +1937,23 @@ def sq8_minmax(
     return mins, maxs
 
 
-def _sq8_dequant(vec_col: str, mins: list[float], maxs: list[float]) -> F.Column:
-    """Quantize-then-dequantize each component on the SQ8 grid:
-    ``code = floor((x - mn) / (mx - mn) * 255 + 0.5)`` (0..255),
-    ``dq = mn + code * (mx - mn) / 255``. Fusing encode+decode into one
+def _sq8_dequant(
+    vec_col: str,
+    mins: list[float],
+    maxs: list[float],
+    levels: float = 255.0,
+) -> F.Column:
+    """Quantize-then-dequantize each component on the SQ grid:
+    ``code = floor((x - mn) / (mx - mn) * levels + 0.5)`` (0..levels),
+    ``dq = mn + code * (mx - mn) / levels``. Fusing encode+decode into one
     expression keeps the float-operation ORDER token-identical to the SQL
-    oracle; constant-range dimensions pass ``mn`` through."""
+    oracle; constant-range dimensions pass ``mn`` through. ``levels`` is
+    ``2^bits - 1`` (255 = the SQ8 default; the recall sweep measures the
+    coarser grids)."""
     v = F.col(vec_col).cast("array<double>")
     mn = F.lit([float(x) for x in mins])
     mx = F.lit([float(x) for x in maxs])
+    lv = F.lit(float(levels))
     return F.transform(
         v,
         lambda x, i: F.when(
@@ -1956,11 +1964,11 @@ def _sq8_dequant(vec_col: str, mins: list[float], maxs: list[float]) -> F.Column
             + F.floor(
                 (x - F.element_at(mn, i + 1))
                 / (F.element_at(mx, i + 1) - F.element_at(mn, i + 1))
-                * F.lit(255.0)
+                * lv
                 + F.lit(0.5)
             )
             * (F.element_at(mx, i + 1) - F.element_at(mn, i + 1))
-            / F.lit(255.0)
+            / lv
         ),
     )
 
@@ -2007,6 +2015,7 @@ def ann_sq8_topk(
     vec_col: str = "embedding",
     minmax: tuple[list[float], list[float]] | None = None,
     allow_quadratic: bool = False,
+    levels: float = 255.0,
 ) -> DataFrame:
     """Approximate cosine top-k over an SQ8 scalar-quantized corpus — the
     production tier between full-precision brute force (4-8x the scan
@@ -2044,7 +2053,7 @@ def ann_sq8_topk(
 
     c = fan_out(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
-        _sq8_dequant(vec_col, mins, maxs).alias("_cvec"),
+        _sq8_dequant(vec_col, mins, maxs, levels).alias("_cvec"),
     ).withColumn(
         "_cnrm",
         F.sqrt(

@@ -4631,6 +4631,298 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+def _recall_sweep_union(emb, exact, arm_dfs, param_name: str, k: int):
+    """Shared recall-sweep scaffold (the ann_recall_sweep shape): each
+    arm's (query, neighbor) set joins the ONE brute-force ground truth
+    and folds to a single counts-only row — |arms| bounded aggregates,
+    never |arms| result materializations."""
+    from functools import reduce
+
+    ex_stats = exact.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    parts = []
+    for val, df in arm_dfs:
+        matched = df.select("query_id", "neighbor_id").join(
+            exact, ["query_id", "neighbor_id"]
+        ).agg(F.count(F.lit(1)).alias("n_matched"))
+        parts.append(
+            # one-row x one-row scalar attachment (the audited pattern)
+            matched.crossJoin(ex_stats).select(
+                F.lit(val).cast("int").alias(param_name),
+                F.lit(k).cast("int").alias("k"),
+                F.col("n_queries").cast("long").alias("n_queries"),
+                F.round(
+                    F.col("n_matched").cast("double")
+                    / F.col("n_exact").cast("double"),
+                    6,
+                ).alias("mean_recall"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+_LSH_SWEEP_PLANES = (4, 8, 16, 32)
+
+
+def _lsh_recall_sweep_sql(
+    planes_sweep: tuple[int, ...] = _LSH_SWEEP_PLANES,
+    n_bands: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    k: int = 3,
+    max_query: int = 200,
+) -> str:
+    """Recall@k of the random-hyperplane LSH index vs brute-force ground
+    truth, one row per n_planes — more planes per band = finer buckets =
+    fewer candidate collisions = lower recall, and this measures where
+    the knee is. Per sweep point the plane matrix is the operator's own
+    ``default_rng(seed)`` draw inlined as DOUBLE literals (the
+    _lsh_oracle_sql discipline), so the index is oracle-verified at
+    every point."""
+    import numpy as np
+
+    qdot = (
+        "list_aggregate(list_transform(generate_series(1, len(a.v)),"
+        " i -> a.v[i]*b.v[i]), 'sum')"
+    )
+    per_p = []
+    for p in planes_sweep:
+        planes = np.random.default_rng(seed).standard_normal((p, dim))
+        bits = []
+        for i in range(p):
+            lit = "[" + ", ".join(repr(float(x)) for x in planes[i]) + "]"
+            bits.append(
+                "CASE WHEN list_aggregate(list_transform("
+                f"generate_series(1, len(v)), i -> v[i] * ({lit})[i]), 'sum')"
+                f" >= 0 THEN 1 ELSE 0 END AS b{i}"
+            )
+        bpb = p // n_bands
+        band_selects = []
+        for band in range(n_bands):
+            expr = f"b{band * bpb}"
+            for j in range(1, bpb):
+                expr = f"({expr})*2 + b{band * bpb + j}"
+            band_selects.append(
+                f"SELECT vec_id, {band} AS band, {expr} AS bucket"
+                f" FROM sig_{p}"
+            )
+        buckets_union = "\n  UNION ALL ".join(band_selects)
+        per_p.append(
+            f""", sig_{p} AS (
+  SELECT vec_id, {", ".join(bits)} FROM (SELECT vec_id, v FROM e)
+), buckets_{p} AS (
+  {buckets_union}
+), cand_{p} AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets_{p} q JOIN buckets_{p} c
+    ON q.band = c.band AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {max_query}
+), lsh_{p} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT cand.query_id, cand.neighbor_id,
+           ROUND({qdot} / (a.nrm * b.nrm), 6) AS cosine_sim
+    FROM cand_{p} cand
+    JOIN n a ON a.vec_id = cand.query_id
+    JOIN n b ON b.vec_id = cand.neighbor_id
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) <= {k}
+)"""
+        )
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({p} AS INT) AS n_planes, CAST({k} AS INT) AS k,
+       CAST((SELECT COUNT(DISTINCT query_id) FROM exact) AS BIGINT)
+         AS n_queries,
+       ROUND(CAST((SELECT COUNT(*) FROM lsh_{p} i
+                   JOIN exact x ON i.query_id = x.query_id
+                              AND i.neighbor_id = x.neighbor_id) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE), 6)
+         AS mean_recall"""
+        for p in planes_sweep
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
+  FROM e
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROUND({qdot} / (a.nrm * b.nrm), 6) AS cosine_sim
+    FROM n a JOIN n b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id < {max_query}
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) <= {k}
+){"".join(per_p)}
+{arms}
+"""
+
+
+@query(
+    "lsh_recall_sweep",
+    sql=_lsh_recall_sweep_sql(),
+    description=(
+        "LSH recall-vs-n_planes sweep: recall@3 of the random-hyperplane "
+        "index (n_bands=4, seed=42) against brute-force ground truth for "
+        "n_planes in (4, 8, 16, 32) over the same 200-query slab "
+        "knn_cosine_lsh serves — the data an operator sizes the "
+        "signature from: more planes per band = finer buckets = fewer "
+        "candidate collisions = lower recall but fewer re-rank "
+        "candidates. Same scaffold as ann_recall_sweep (ONE slab-bounded "
+        "brute-force ground truth, each sweep point a counts-only "
+        "aggregate); every point's plane matrix is inlined into the "
+        "oracle so the index itself is verified at every sweep point"
+    ),
+)
+def lsh_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 3
+    pred = F.col("vec_id") < 200
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.knn_bruteforce(
+        corpus=emb, queries=emb.filter(pred), k=k
+    ).select("query_id", "neighbor_id")
+    arms = [
+        (
+            p,
+            similarity.ann_lsh_topk(
+                emb,
+                k=k,
+                n_planes=p,
+                n_bands=4,
+                seed=42,
+                query_pred=pred,
+                dim=64,
+            ),
+        )
+        for p in _LSH_SWEEP_PLANES
+    ]
+    return _recall_sweep_union(emb, exact, arms, "n_planes", k)
+
+
+_SQ_SWEEP_BITS = (1, 2, 4, 8)
+
+
+def _sq_recall_sweep_sql(
+    bits_sweep: tuple[int, ...] = _SQ_SWEEP_BITS,
+    dim: int = 64,
+    k: int = 3,
+    max_query: int = 200,
+) -> str:
+    """Recall@k of the scalar-quantized index vs brute-force ground
+    truth, one row per code width — the reconstruction at ``2^bits - 1``
+    levels per dimension, re-ranked asymmetrically (exact queries), the
+    exact semantics of knn_cosine_sq8 generalized over the grid
+    resolution."""
+    qdot = (
+        "list_aggregate(list_transform(generate_series(1, len(a.v)),"
+        " i -> a.v[i]*b.v[i]), 'sum')"
+    )
+    per_b = "".join(
+        f""", cn_{b} AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, {dim}),
+           i -> CASE WHEN maxs[i] = mins[i] THEN mins[i]
+                ELSE mins[i]
+                     + floor((v[i] - mins[i]) / (maxs[i] - mins[i])
+                             * {float(2 ** b - 1)!r} + 0.5)
+                       * (maxs[i] - mins[i]) / {float(2 ** b - 1)!r} END)
+           AS dq
+  FROM e, mv
+), cnn_{b} AS (
+  SELECT vec_id, dq,
+         sqrt(list_aggregate(list_transform(dq, x -> x*x), 'sum')) AS nrm
+  FROM cn_{b}
+), sq_{b} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(list_aggregate(list_transform(generate_series(1, {dim}),
+                                               i -> q.v[i]*c.dq[i]), 'sum')
+                 / (q.nrm*c.nrm), 6) AS cosine_sim
+    FROM qn q JOIN cnn_{b} c ON c.vec_id <> q.vec_id
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) <= {k}
+)"""
+        for b in bits_sweep
+    )
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({b} AS INT) AS bits, CAST({k} AS INT) AS k,
+       CAST((SELECT COUNT(DISTINCT query_id) FROM exact) AS BIGINT)
+         AS n_queries,
+       ROUND(CAST((SELECT COUNT(*) FROM sq_{b} i
+                   JOIN exact x ON i.query_id = x.query_id
+                              AND i.neighbor_id = x.neighbor_id) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE), 6)
+         AS mean_recall"""
+        for b in bits_sweep
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
+  FROM e
+), mm AS (
+  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+  FROM e, generate_series(1, {dim}) t(i) GROUP BY i
+), mv AS (
+  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM mm
+), qn AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
+  FROM e WHERE vec_id < {max_query}
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROUND({qdot} / (a.nrm * b.nrm), 6) AS cosine_sim
+    FROM n a JOIN n b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id < {max_query}
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) <= {k}
+){per_b}
+{arms}
+"""
+
+
+@query(
+    "sq_recall_sweep",
+    sql=_sq_recall_sweep_sql(),
+    description=(
+        "Scalar-quantization recall-vs-bits sweep: recall@3 of the "
+        "SQ-reconstructed corpus (per-dimension min/max grid at "
+        "2^bits - 1 levels, asymmetric exact-query re-rank — "
+        "knn_cosine_sq8's semantics generalized over the grid "
+        "resolution) against brute-force ground truth for bits in "
+        "(1, 2, 4, 8) over the same 200-query slab. The data an "
+        "operator picks the code width from: index bytes scale with "
+        "bits, recall saturates — this measures where. Same "
+        "counts-only scaffold as ann_recall_sweep; the reconstruction "
+        "formula is written operand-for-operand in the oracle at every "
+        "sweep point"
+    ),
+)
+def sq_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 3
+    pred = F.col("vec_id") < 200
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.knn_bruteforce(
+        corpus=emb, queries=emb.filter(pred), k=k
+    ).select("query_id", "neighbor_id")
+    arms = [
+        (
+            b,
+            similarity.ann_sq8_topk(
+                emb, k=k, query_pred=pred, levels=float(2**b - 1)
+            ),
+        )
+        for b in _SQ_SWEEP_BITS
+    ]
+    return _recall_sweep_union(emb, exact, arms, "bits", k)
+
+
 def _ivf_sq8_oracle_sql(
     n_centroids: int = 16, n_probe: int = 4, k: int = 3, max_query: int = 200
 ) -> str:
