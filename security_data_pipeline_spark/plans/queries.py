@@ -960,6 +960,132 @@ def events_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_stream_interpolated",
+    sql="""
+WITH pb AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0)
+              AS BIGINT) AS b,
+         CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS value_sum
+  FROM events GROUP BY event_type, 2
+), spans AS (
+  SELECT event_type, MIN(b) AS b0, MAX(b) AS b1 FROM pb GROUP BY event_type
+), grid AS (
+  SELECT event_type, unnest(generate_series(b0, b1)) AS b FROM spans
+), dense AS (
+  SELECT g.event_type, g.b, pb.value_sum
+  FROM grid g LEFT JOIN pb ON pb.event_type = g.event_type AND pb.b = g.b
+), nb AS (
+  SELECT event_type, b, value_sum,
+         last_value(CASE WHEN value_sum IS NOT NULL
+                         THEN CAST(b * 3600000000 AS DOUBLE) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY b
+                 ROWS UNBOUNDED PRECEDING) AS prev_o,
+         last_value(CASE WHEN value_sum IS NOT NULL THEN value_sum END
+                    IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY b
+                 ROWS UNBOUNDED PRECEDING) AS prev_v,
+         first_value(CASE WHEN value_sum IS NOT NULL
+                          THEN CAST(b * 3600000000 AS DOUBLE) END
+                     IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY b
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt_o,
+         first_value(CASE WHEN value_sum IS NOT NULL THEN value_sum END
+                     IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY b
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt_v
+  FROM dense
+)
+SELECT event_type, make_timestamp(b * 3600000000) AS bucket_ts, value_sum,
+       CASE WHEN value_sum IS NOT NULL THEN value_sum
+            WHEN prev_o IS NOT NULL AND nxt_o IS NOT NULL
+                 AND prev_o <> nxt_o
+            THEN prev_v + (nxt_v - prev_v)
+                 * ((CAST(b * 3600000000 AS DOUBLE) - prev_o)
+                    / (nxt_o - prev_o))
+       END AS value_sum_interp
+FROM nb
+WHERE NOT (value_sum IS NULL AND prev_o IS NOT NULL AND nxt_o IS NULL)
+""",
+    description=(
+        "The STREAMING interpolation path itself under oracle check "
+        "(streaming/pipeline.py:maintain_interpolate_stream): the hourly "
+        "per-type grid is staged to parquet split at the span midpoint "
+        "(order-respecting, so per-key arrival stays in-order), re-read "
+        "as a file stream in two micro-batches, each batch interpolated "
+        "with the emit-on-next-observation maintainer (gaps straddling "
+        "the batch boundary buffer in pending/ state and emit when the "
+        "second batch delivers the forward neighbor), and the sink's "
+        "union held to the one-shot batch oracle RESTRICTED to finalized "
+        "rows (WHERE NOT trailing-open-gap — empty here by construction "
+        "since every key's grid ends on an observation, so the stream "
+        "must emit every row). Micro-batching is an execution detail, "
+        "not a semantics change — the witness the new maintainer's unit "
+        "tests can't give at table scale"
+    ),
+)
+def events_stream_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import time as _time
+
+    from security_data_pipeline_spark.operators import timeseries
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_interpolate_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    dense = timeseries.resample_counts(
+        ev, "ts", ["event_type"], step_seconds=3600, value_col="value"
+    ).withColumn("_ord", F.unix_micros("bucket_ts"))
+    bounds = dense.agg(
+        F.min("_ord").alias("lo"), F.max("_ord").alias("hi")
+    ).first()
+    mid = (bounds["lo"] + bounds["hi"]) // 2
+
+    tmp = tempfile.mkdtemp(prefix="stream_interp_")
+    src = f"{tmp}/src"
+    os.makedirs(src)
+    sel = dense.select(
+        "event_type", "_ord", F.col("value_sum").cast("double").alias("value_sum")
+    )
+    base = _time.time() - 100
+    for i, pred in enumerate(
+        [F.col("_ord") <= mid, F.col("_ord") > mid]
+    ):
+        before = set(os.listdir(src))
+        sel.filter(pred).coalesce(1).write.mode("append").parquet(src)
+        for fnew in set(os.listdir(src)) - before:
+            if fnew.startswith("part-"):
+                os.utime(f"{src}/{fnew}", (base + i, base + i))
+
+    sink_dir = f"{tmp}/out"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink_dir)
+
+    q = maintain_interpolate_stream(
+        spark.readStream.schema("event_type string, _ord long, value_sum double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        f"{tmp}/state",
+        f"{tmp}/ckpt",
+        sink,
+        keys=["event_type"],
+        order_col="_ord",
+        value_col="value_sum",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink_dir).select(
+        "event_type",
+        F.timestamp_micros(F.col("_ord").cast("long")).alias("bucket_ts"),
+        "value_sum",
+        "value_sum_interp",
+    )
+
+
+@query(
     "events_bounded_ffill",
     sql="""
 WITH pb AS (
