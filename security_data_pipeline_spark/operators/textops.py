@@ -798,22 +798,56 @@ def normalize_scores_by_group(
     partitioning and in the DuckDB oracle; the bounded per-group frame
     broadcasts back. Domain: |x| < 10^5 (the DECIMAL(11,6) term type).
     """
+    stats = moments_to_stats(group_score_moments(df, by, score_col), by)
+    return normalize_with_stats(df, stats, by, score_col, clip, suffix)
+
+
+def group_score_moments(
+    df: DataFrame, by: str, score_col: str
+) -> DataFrame:
+    """Per-group exact-decimal moment sums ``(_n, _s1, _s2)`` — the
+    MERGEABLE state behind :func:`normalize_scores_by_group`: counts and
+    decimal sums add, so moments from disjoint slices (micro-batches,
+    partitions, shards) fold into the whole-corpus moments exactly —
+    the streaming maintainer's summary
+    (streaming/pipeline.py:maintain_score_moments_stream). Sums widen to
+    DECIMAL(38,6)/(38,12) so repeated merges never change precision."""
     x = F.col(score_col).cast("double")
     xr = F.round(x, 6).cast("decimal(11,6)")
-    stats = df.groupBy(by).agg(
-        F.count(F.lit(1)).cast("double").alias("_n"),
-        F.sum(xr).cast("double").alias("_s1"),
-        F.sum(xr * xr).cast("double").alias("_s2"),
+    return df.groupBy(by).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(xr).cast("decimal(38,6)").alias("_s1"),
+        F.sum(xr * xr).cast("decimal(38,12)").alias("_s2"),
     )
-    mean = F.col("_s1") / F.col("_n")
-    var = F.greatest(
-        F.col("_s2") / F.col("_n") - (F.col("_s1") / F.col("_n"))
-        * (F.col("_s1") / F.col("_n")),
-        F.lit(0.0),
-    )
-    stats = stats.select(
-        by, mean.alias("_mu"), F.sqrt(var).alias("_sd")
-    )
+
+
+def moments_to_stats(moments: DataFrame, by: str) -> DataFrame:
+    """Finalize moment sums into ``(by, _mu, _sd)``. The decimal→double
+    casts happen HERE, on the fully merged sums — so batch and streamed
+    moments finalize to bit-identical stats (the decimal sums are exact;
+    only the final division is IEEE)."""
+    n = F.col("_n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    mean = s1 / n
+    var = F.greatest(s2 / n - (s1 / n) * (s1 / n), F.lit(0.0))
+    return moments.select(by, mean.alias("_mu"), F.sqrt(var).alias("_sd"))
+
+
+def normalize_with_stats(
+    df: DataFrame,
+    stats: DataFrame,
+    by: str,
+    score_col: str,
+    clip: float = 2.0,
+    suffix: str = "_z",
+) -> DataFrame:
+    """Apply precomputed per-group ``(_mu, _sd)`` stats to ``df`` —
+    the join-back half of :func:`normalize_scores_by_group`, factored so
+    a batch can normalize against STREAMED corpus-so-far moments
+    (``normalize_with_stats(batch, moments_to_stats(state, by), ...)``)
+    without rescanning the corpus."""
+    x = F.col(score_col).cast("double")
     z = F.when(
         F.col("_sd") > 0, (x - F.col("_mu")) / F.col("_sd")
     ).otherwise(F.lit(0.0))

@@ -1367,16 +1367,34 @@ def locf_fill_with_carry(
     order_col: str,
     cols: list[str],
     suffix: str = "_ffill",
+    max_gap: float | None = None,
 ) -> DataFrame:
     """Forward-fill ``batch`` locally, then coalesce leading NULL runs
     from the persisted carry state — with only batch-sized join builds:
     ``relevant = pruned_state LEFT SEMI broadcast(batch_keys)`` (state
     streams map-side, no Exchange) and ``filled LEFT JOIN
     broadcast(relevant)``. The per-batch compute half of
-    :func:`maintain_locf_stream`, factored for direct plan assertions."""
-    from security_data_pipeline_spark.operators.timeseries import forward_fill
+    :func:`maintain_locf_stream`, factored for direct plan assertions.
 
-    filled = forward_fill(batch, keys, order_col, cols, suffix)
+    ``max_gap`` switches to STALENESS-BOUNDED semantics
+    (:func:`...timeseries.forward_fill_bounded`): a carry — in-batch or
+    from state — only fills while the gap back to its observation is
+    ≤ ``max_gap`` in ``order_col`` units. The state already stores each
+    carry WITH its observation order (the ``struct(o, v)`` summary), so
+    the bound is row-local math on the same state."""
+    from security_data_pipeline_spark.operators.timeseries import (
+        forward_fill,
+        forward_fill_bounded,
+    )
+
+    if max_gap is None:
+        filled = forward_fill(batch, keys, order_col, cols, suffix)
+    else:
+        filled = batch
+        for c in cols:
+            filled = forward_fill_bounded(
+                filled, keys, order_col, c, max_gap, suffix
+            )
     if pruned_state is None:
         return filled
     relevant = pruned_state.join(
@@ -1384,13 +1402,20 @@ def locf_fill_with_carry(
     )
     carry = relevant.select(
         *keys,
-        *[F.col(f"_last_{c}")["v"].alias(f"_carry_{c}") for c in cols],
+        *[F.col(f"_last_{c}").alias(f"_carry_{c}") for c in cols],
     )
     filled = filled.join(F.broadcast(carry), keys, "left")
     for c in cols:
+        use_carry = F.col(f"_carry_{c}")["v"]
+        if max_gap is not None:
+            use_carry = F.when(
+                (F.col(order_col).cast("double") - F.col(f"_carry_{c}")["o"])
+                <= F.lit(float(max_gap)),
+                F.col(f"_carry_{c}")["v"],
+            )
         filled = filled.withColumn(
             f"{c}{suffix}",
-            F.coalesce(F.col(f"{c}{suffix}"), F.col(f"_carry_{c}")),
+            F.coalesce(F.col(f"{c}{suffix}"), use_carry),
         )
     return filled.drop(*[f"_carry_{c}" for c in cols])
 
@@ -1405,11 +1430,16 @@ def maintain_locf_stream(
     cols: list[str],
     suffix: str = "_ffill",
     pfx_mod: int = 256,
+    max_gap: float | None = None,
     trigger_available_now: bool = True,
 ):
     """Streaming LOCF (forward fill): each micro-batch's rows are filled
     from the batch itself PLUS a persisted per-key carry state — the
-    streaming re-host of :func:`...timeseries.forward_fill`, completing
+    streaming re-host of :func:`...timeseries.forward_fill` (or, with
+    ``max_gap`` set, of :func:`...timeseries.forward_fill_bounded`: the
+    carry state already pairs every value with its observation order, so
+    the staleness bound is row-local math at fill time — same state,
+    same fold, bounded semantics), completing
     the timeseries family. The carry state is exactly the mergeable
     summary :func:`...timeseries.forward_fill_bucketed` derives per
     bucket: for every (key, column), the lexicographically latest
@@ -1498,7 +1528,7 @@ def maintain_locf_stream(
         summ = _summaries(batch)
         if not replayed:
             filled = locf_fill_with_carry(
-                batch, pruned, keys, order_col, cols, suffix
+                batch, pruned, keys, order_col, cols, suffix, max_gap
             )
             sink(filled, batch_id)
         # idempotent max-merge of the touched prefixes (runs on replay
@@ -2098,6 +2128,76 @@ def maintain_importance_stream(
                 .agg(
                     F.sum("tcnt").alias("tcnt"),
                     F.sum("rcnt").alias("rcnt"),
+                )
+            )
+        merged = _stamp_batch(new, batch_id, checkpoint_path)
+        merged.write.mode("overwrite").parquet(scratch)
+        spark.read.parquet(scratch).write.mode("overwrite").parquet(state_path)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def maintain_score_moments_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    by: str = "source",
+    score_col: str = "quality_score",
+    trigger_available_now: bool = True,
+):
+    """Streaming per-group score-moment maintenance — the live state
+    behind ``textops.normalize_scores_by_group``: the per-source μ/σ a
+    curation pipeline normalizes quality scores with stay fit to the
+    WHOLE corpus seen so far, so each new crawl batch normalizes against
+    corpus-so-far statistics without a rescan (normalizing a batch
+    against only its own moments would re-introduce exactly the
+    per-source offset the operator exists to remove).
+
+    Moments are a commutative monoid — ``(_n, _s1, _s2)`` counts and
+    EXACT decimal sums add (``textops.group_score_moments``; the decimal
+    discipline dodges the two documented cross-engine rounding traps) —
+    so the fold is the DSIR-model protocol verbatim: each micro-batch
+    reduces to ≤|groups| summary rows, the persisted state merges by
+    addition and stays bounded by |groups| FOREVER, scratch-swap writes
+    + the lineage-tagged batch-id replay guard give exactly-once folding
+    (a replayed batch would double-count its scores).
+
+    Read the live stats with
+    ``textops.moments_to_stats(spark.read.parquet(state_path)
+    .drop("_last_batch_id", "_fold_tag"), by)`` and normalize any frame
+    with ``textops.normalize_with_stats`` — the decimal→double casts
+    happen at finalize time on the merged sums, so the streamed stats
+    are BIT-EQUAL to the batch operator over the cumulative input
+    (asserted in tests/test_streaming.py).
+    """
+    from security_data_pipeline_spark.operators import textops
+
+    scratch = f"{state_path}__next"
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        raw, from_scratch = _read_state(spark, state_path, scratch)
+        replayed, prev = _check_replay(raw, batch_id, checkpoint_path)
+        if replayed:
+            if from_scratch:
+                raw.write.mode("overwrite").parquet(state_path)
+            return
+        new = textops.group_score_moments(batch_df, by, score_col)
+        if prev is not None:
+            new = (
+                prev.unionByName(new)
+                .groupBy(by)
+                .agg(
+                    F.sum("_n").cast("long").alias("_n"),
+                    F.sum("_s1").cast("decimal(38,6)").alias("_s1"),
+                    F.sum("_s2").cast("decimal(38,12)").alias("_s2"),
                 )
             )
         merged = _stamp_batch(new, batch_id, checkpoint_path)

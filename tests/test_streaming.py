@@ -2495,3 +2495,174 @@ def test_streaming_source_counts_equal_batch_divergence(spark, tmp_path):
     assert set(got) == {("books", "code"), ("books", "web"), ("code", "web")}
     # state is bounded by |sources| x num_buckets regardless of volume
     assert spark.read.parquet(state).count() <= 3 * B
+
+
+def test_streamed_score_moments_equal_batch(spark, tmp_path):
+    """maintain_score_moments_stream: the streamed per-source moments
+    finalize to stats BIT-EQUAL to the batch operator over the
+    cumulative input — normalizing the corpus against the streamed state
+    equals normalize_scores_by_group exactly — and a wiped-checkpoint
+    replay folds nothing twice."""
+    import os
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.operators import textops
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_score_moments_stream,
+    )
+
+    batches = [
+        [(1, "web", 0.25), (2, "web", 0.5), (3, "books", 0.9)],
+        [(4, "web", 0.75), (5, "books", 0.7), (6, "code", 0.4)],
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    base = time.time() - 100
+    for bi, rows in enumerate(batches):
+        f = src / f"b{bi}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "source": [r[1] for r in rows],
+                    "quality_score": pa.array(
+                        [r[2] for r in rows], type=pa.float64()
+                    ),
+                }
+            ),
+            str(f),
+        )
+        os.utime(f, (base + bi, base + bi))
+
+    state = str(tmp_path / "moments")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = maintain_score_moments_stream(
+            spark.readStream.schema(
+                "doc_id long, source string, quality_score double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src)),
+            state,
+            ckpt,
+        )
+        q.awaitTermination(120)
+
+    run()
+    cumulative = spark.createDataFrame(
+        [r for b in batches for r in b],
+        "doc_id long, source string, quality_score double",
+    )
+    streamed = textops.moments_to_stats(
+        spark.read.parquet(state).drop("_last_batch_id", "_fold_tag"),
+        "source",
+    )
+    got = {
+        r["doc_id"]: r["quality_score_z"]
+        for r in textops.normalize_with_stats(
+            cumulative, streamed, "source", "quality_score"
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["quality_score_z"]
+        for r in textops.normalize_scores_by_group(
+            cumulative, "source", "quality_score"
+        ).collect()
+    }
+    assert got == want  # bit-equal, both the sd>0 and degenerate paths
+    assert want[6] == 0.0  # single-doc source: degenerate sd -> 0
+
+    # wiped-checkpoint full replay: the stamp guard folds nothing twice
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(state).collect()
+    )
+    shutil.rmtree(ckpt)
+    run()
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(state).collect()
+    ) == before
+
+
+def test_streaming_locf_bounded_staleness_equals_batch(spark, tmp_path):
+    """maintain_locf_stream(max_gap=...): the carry state pairs every
+    value with its observation order, so staleness-bounded fill
+    (forward_fill_bounded semantics) rides the SAME state — a carry from
+    a previous batch fills only while the gap back to its observation is
+    within the bound, including across the batch boundary."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.operators.timeseries import (
+        forward_fill_bounded,
+    )
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_locf_stream,
+    )
+
+    # k1: obs @1, gap rows @3 (within bound 5, filled cross-batch) and
+    # @10 (gap 9 > 5, stays NULL); k2: obs @2, in-batch gap @4 filled
+    batches = [
+        [("k1", 1, 10.0), ("k2", 2, 20.0), ("k2", 4, None)],
+        [("k1", 3, None), ("k1", 10, None)],
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    base = time.time() - 100
+    for bi, rows in enumerate(batches):
+        f = src / f"b{bi}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "k": [r[0] for r in rows],
+                    "o": pa.array([r[1] for r in rows], type=pa.int64()),
+                    "v": pa.array([r[2] for r in rows], type=pa.float64()),
+                }
+            ),
+            str(f),
+        )
+        os.utime(f, (base + bi, base + bi))
+
+    out = str(tmp_path / "out")
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    q = maintain_locf_stream(
+        spark.readStream.schema("k string, o long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src)),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        sink,
+        keys=["k"],
+        order_col="o",
+        cols=["v"],
+        max_gap=5.0,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["k"], r["o"]): r["v_ffill"]
+        for r in spark.read.parquet(out).collect()
+    }
+    cumulative = spark.createDataFrame(
+        [r for b in batches for r in b], "k string, o long, v double"
+    )
+    want = {
+        (r["k"], r["o"]): r["v_ffill"]
+        for r in forward_fill_bounded(
+            cumulative, ["k"], "o", "v", max_gap=5.0
+        ).collect()
+    }
+    assert got == want
+    assert got[("k1", 3)] == 10.0  # cross-batch carry within bound
+    assert got[("k1", 10)] is None  # stale carry refused
+    assert got[("k2", 4)] == 20.0  # in-batch bounded fill
