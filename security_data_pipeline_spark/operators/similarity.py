@@ -81,6 +81,128 @@ def knn_bruteforce(
     )
 
 
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-nearest-neighbor majority-vote classification — the task-level
+    consumer of the ANN family (label a new embedding by its neighbors;
+    with ``queries ⊆ corpus`` and the self-match excluded this is
+    leave-one-out evaluation of how separable the label space is, the
+    standard embedding-quality probe before spending a training run).
+
+    Output: ``(query_id, pred_label, n_votes)`` — one row per query.
+    The vote is deterministic on any engine/partitioning: neighbor set
+    from :func:`knn_bruteforce` (round-6 sim DESC, neighbor-id ASC),
+    majority by (votes DESC, label ASC).
+
+    Scale shape: the neighbor frame is |queries|·k rows; labels attach
+    by broadcasting IT into the corpus label scan (the corpus never
+    shuffles), and the vote is one map-side-combined aggregation plus a
+    WindowGroupLimit-prunable rank window over ≤|labels| rows per query.
+    """
+    nn = knn_bruteforce(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_nlabel"),
+    )
+    voted = (
+        labels.join(F.broadcast(nn), "neighbor_id")
+        .groupBy("query_id", "_nlabel")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("_nlabel")
+    )
+    return (
+        voted.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "query_id",
+            F.col("_nlabel").alias("pred_label"),
+            "n_votes",
+        )
+    )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    k: int = 3,
+    query_pred: F.Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    allow_quadratic: bool = False,
+) -> DataFrame:
+    """Hard-negative mining: for each query vector, the ``k`` MOST
+    similar corpus vectors carrying a DIFFERENT label — the pairs a
+    contrastive/metric-learning run needs most (easy negatives teach
+    nothing; the near-miss wrong-label examples define the margin).
+
+    The label-mismatch filter runs BEFORE the top-k window — mining
+    wants the nearest wrong-label examples, not the wrong-label subset
+    of the overall top-k (which can be empty for well-clustered
+    queries). Output: ``(query_id, query_label, neighbor_id,
+    neighbor_label, cosine_sim, hard_rank)``, ranked round-6 sim DESC /
+    neighbor-id ASC. Same scale shape as :func:`knn_bruteforce`:
+    queries broadcast with their labels, the corpus never shuffles, one
+    per-query top-k window.
+    """
+    from security_data_pipeline_spark.functions.vectors import (
+        directional,
+        dot_product,
+        l2_norm,
+    )
+    from security_data_pipeline_spark.operators.skew import fan_out
+
+    if query_pred is None and not allow_quadratic:
+        raise ValueError(
+            "hard_negative_topk without query_pred scores every corpus "
+            "vector against every other (O(n²)); pass a bounded "
+            "query_pred, or allow_quadratic=True for a small oracle corpus"
+        )
+    base = directional(corpus, vec_col)
+    queries = base if query_pred is None else base.filter(query_pred)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
+        l2_norm(vec_col).alias("_qnrm"),
+    )
+    c = fan_out(base, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).cast("array<double>").alias("_cvec"),
+        l2_norm(vec_col).alias("_cnrm"),
+    )
+    pairs = c.join(
+        F.broadcast(q),
+        F.col("query_label") != F.col("neighbor_label"),
+    )
+    sim = F.round(
+        dot_product(F.col("_qvec"), F.col("_cvec"))
+        / (F.col("_qnrm") * F.col("_cnrm")),
+        6,
+    )
+    scored = pairs.select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        sim.alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("hard_rank", F.row_number().over(w)).filter(
+        F.col("hard_rank") <= k
+    )
+
+
 def cosine_dup_pairs(
     df: DataFrame,
     threshold: float = 0.99,

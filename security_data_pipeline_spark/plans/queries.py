@@ -3862,6 +3862,118 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_label_eval",
+    sql=_COSINE_CTE
+    + """
+, nn AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(list_aggregate(list_transform(generate_series(1, len(a.v)),
+                                             i -> a.v[i]*b.v[i]), 'sum')
+               / (a.nrm*b.nrm), 6) AS cosine_sim
+  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 200
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cosine_sim DESC, neighbor_id) <= 5
+), votes AS (
+  SELECT nn.query_id, el.label AS lab, COUNT(*) AS n_votes
+  FROM nn JOIN embeddings el ON el.vec_id = nn.neighbor_id
+  GROUP BY 1, 2
+), pred AS (
+  SELECT query_id, lab AS pred_label, n_votes FROM votes
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY n_votes DESC, lab) = 1
+)
+SELECT CAST(t.label AS INT) AS true_label,
+       CAST(p.pred_label AS INT) AS pred_label,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pred p JOIN embeddings t ON t.vec_id = p.query_id
+GROUP BY 1, 2
+""",
+    description=(
+        "Leave-one-out kNN classification eval "
+        "(similarity.knn_classify): each of the 200 slab queries is "
+        "labeled by the deterministic majority vote of its 5 exact "
+        "nearest neighbors (votes DESC, label ASC tie-break; self-match "
+        "excluded), and the confusion counts (true_label, pred_label, "
+        "n) report how separable the label space is — the standard "
+        "embedding-quality probe before spending a training run. Scale "
+        "shape: the |queries|*k neighbor frame broadcasts into the "
+        "corpus label scan (the corpus never shuffles); the vote is one "
+        "map-side-combined aggregation + a rank-1 window over "
+        "<=|labels| rows per query"
+    ),
+)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = similarity.knn_classify(
+        emb, emb.filter(F.col("vec_id") < 200), k=5
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        truth.join(F.broadcast(pred), "query_id")
+        .groupBy(
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("pred_label").cast("int").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "emb_hard_negatives",
+    sql=_COSINE_CTE
+    + """
+, lab AS (SELECT vec_id, label FROM embeddings)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cosine_sim,
+       CAST(hard_rank AS INT) AS hard_rank
+FROM (
+  SELECT a.vec_id AS query_id, CAST(la.label AS INT) AS query_label,
+         b.vec_id AS neighbor_id, CAST(lb.label AS INT) AS neighbor_label,
+         ROUND(list_aggregate(list_transform(generate_series(1, len(a.v)),
+                                             i -> a.v[i]*b.v[i]), 'sum')
+               / (a.nrm*b.nrm), 6) AS cosine_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND(list_aggregate(list_transform(
+                      generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]),
+                      'sum') / (a.nrm*b.nrm), 6) DESC, b.vec_id
+         ) AS hard_rank
+  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+  JOIN lab la ON la.vec_id = a.vec_id
+  JOIN lab lb ON lb.vec_id = b.vec_id AND la.label <> lb.label
+  WHERE a.vec_id < 200
+) WHERE hard_rank <= 3
+""",
+    description=(
+        "Hard-negative mining (similarity.hard_negative_topk): for each "
+        "slab query, the 3 MOST similar corpus vectors carrying a "
+        "DIFFERENT label — the near-miss wrong-label pairs a "
+        "contrastive/metric-learning run needs most (easy negatives "
+        "teach nothing; these define the margin). The mismatch filter "
+        "runs BEFORE the top-k window, so well-clustered queries still "
+        "yield k negatives. Queries broadcast with their labels, the "
+        "corpus never shuffles, one per-query top-k window — "
+        "knn_bruteforce's shape with a label-carrying join condition"
+    ),
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.hard_negative_topk(
+        emb, k=3, query_pred=F.col("vec_id") < 200
+    )
+    return out.select(
+        "query_id",
+        F.col("query_label").cast("int").alias("query_label"),
+        "neighbor_id",
+        F.col("neighbor_label").cast("int").alias("neighbor_label"),
+        "cosine_sim",
+        F.col("hard_rank").cast("int").alias("hard_rank"),
+    )
+
+
+@query(
     "knn_cosine_sq8",
     sql="""
 WITH e AS (

@@ -1483,3 +1483,62 @@ def test_semdedup_sweep_monotone_and_matches_direct_drops(spark, sf_smoke):
         emb, threshold=0.5, n_centroids=16
     ).count()
     assert rows[0.5] == direct
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    """knn_classify: majority vote over the exact neighbor set, ties
+    broken (votes DESC, label ASC) so the prediction is deterministic on
+    any engine; self-match excluded (leave-one-out)."""
+    from security_data_pipeline_spark.operators import similarity
+
+    # 1-d embeddings on a line: q=0.0 sits between label-1 pair (1,2)
+    # and label-2 pair (-1,-2); with k=4 votes tie 2-2 -> label 1 wins
+    rows = [
+        (0, [1.0, 0.0], 9),     # the query; its own label must not vote
+        (1, [1.0, 0.1], 1),
+        (2, [1.0, 0.2], 1),
+        (3, [1.0, -0.1], 2),
+        (4, [1.0, -0.2], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = similarity.knn_classify(
+        emb, emb.filter("vec_id = 0"), k=4
+    ).collect()
+    assert len(got) == 1
+    assert (got[0]["query_id"], got[0]["pred_label"], got[0]["n_votes"]) == (
+        0, 1, 2,
+    )
+
+
+def test_hard_negative_topk_filters_before_ranking(spark):
+    """hard_negative_topk: the label-mismatch filter runs BEFORE the
+    top-k window — a query whose overall nearest neighbors all share its
+    label still yields k wrong-label negatives, ranked by similarity."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from security_data_pipeline_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0], 1),     # query
+        (1, [1.0, 0.01], 1),    # nearest overall: same label -> excluded
+        (2, [1.0, 0.02], 1),
+        (3, [1.0, 0.3], 2),     # nearest wrong-label
+        (4, [1.0, 0.6], 2),
+        (5, [-1.0, 0.0], 3),    # farthest wrong-label
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = similarity.hard_negative_topk(
+        emb, k=2, query_pred=F.col("vec_id") == 0
+    ).collect()
+    pairs = sorted((r["hard_rank"], r["neighbor_id"]) for r in got)
+    assert pairs == [(1, 3), (2, 4)]
+    assert all(r["neighbor_label"] != r["query_label"] for r in got)
+
+    with pytest.raises(ValueError, match="query_pred"):
+        similarity.hard_negative_topk(emb, k=2)
