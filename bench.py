@@ -125,6 +125,9 @@ BENCH_QUERIES: tuple[str, ...] = (
     # contrastive hard-negative mining (mismatch filter BEFORE top-k)
     "knn_label_eval",
     "emb_hard_negatives",
+    # round-9 addition: IVF cluster-purity diagnostic (map-side argmax
+    # assignment + one bounded (cluster, label) aggregation)
+    "ivf_cluster_purity",
     # round-8 additions: CCNet line-level dedup (explode → one line-key
     # agg → co-partitioned join-back → HOF rebuild), linear gap
     # interpolation (two mirrored O(1)-state windows sharing one sort),
@@ -185,7 +188,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "scale_suite": 287, "curation_suite": 429,
         "span_dedup_suite": 400, "neardup_pairs_suite": 568, "sketch_checks": 0,
         "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4,
-        "knn_label_eval": 80, "emb_hard_negatives": 600,
+        "knn_label_eval": 80, "emb_hard_negatives": 600, "ivf_cluster_purity": 16,
         "security_detections": 11195,
         "doc_repetition_stats": 5000, "doc_curation_audit": 5000,
         "doc_quality_sampled": 603, "source_divergence_matrix": 190,
@@ -225,7 +228,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "scale_suite": 270, "curation_suite": 429,
         "span_dedup_suite": 292, "neardup_pairs_suite": 37, "sketch_checks": 0,
         "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4,
-        "knn_label_eval": 78, "emb_hard_negatives": 600,
+        "knn_label_eval": 78, "emb_hard_negatives": 600, "ivf_cluster_purity": 16,
         "security_detections": 1135,
         "doc_repetition_stats": 500, "doc_curation_audit": 500,
         "doc_quality_sampled": 75, "source_divergence_matrix": 190,

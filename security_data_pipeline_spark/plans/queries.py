@@ -4869,6 +4869,84 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+@query(
+    "ivf_cluster_purity",
+    sql="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
+  FROM e
+), cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, v AS cv, nrm AS cnrm
+  FROM (SELECT vec_id, v, nrm FROM n ORDER BY vec_id LIMIT 16)
+), assign AS (
+  SELECT a.vec_id, c.cid,
+         ROUND(list_aggregate(list_transform(generate_series(1, len(a.v)),
+                                             i -> a.v[i]*c.cv[i]), 'sum')
+               / (a.nrm * c.cnrm), 6) AS sim
+  FROM n a CROSS JOIN cent c
+), clustered AS (
+  SELECT vec_id, cid FROM assign
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid) = 1
+), lab AS (
+  SELECT c.cid, t.label FROM clustered c
+  JOIN embeddings t ON t.vec_id = c.vec_id
+), per AS (
+  SELECT cid, label, COUNT(*) AS n FROM lab GROUP BY 1, 2
+), tot AS (
+  SELECT cid, SUM(n) AS total FROM per GROUP BY cid
+), top AS (
+  SELECT cid, label AS majority_label, n FROM per
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY cid ORDER BY n DESC, label) = 1
+)
+SELECT CAST(t.cid AS INT) AS ivf_cluster,
+       CAST(tot.total AS BIGINT) AS n_rows,
+       CAST(t.majority_label AS INT) AS majority_label,
+       ROUND(CAST(t.n AS DOUBLE) / CAST(tot.total AS DOUBLE), 6) AS purity
+FROM top t JOIN tot ON tot.cid = t.cid
+""",
+    description=(
+        "IVF cluster-purity diagnostic (similarity.ivf_assign + label "
+        "rollup): per cluster of the deterministic 16-centroid codebook, "
+        "the row count, majority label (count DESC, label ASC "
+        "tie-break), and purity fraction — how well the index's "
+        "partitioning agrees with the label space. Low purity clusters "
+        "are where probed searches cross label boundaries (recall loss "
+        "for label-homogeneous queries) and where a codebook refit pays. "
+        "Assignment is the registered map-side argmax fold (the corpus "
+        "never shuffles to get clustered); the purity pass is one "
+        "bounded (cluster, label) aggregation"
+    ),
+)
+def ivf_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroid_vectors(emb, n_centroids=16)
+    assigned = similarity.ivf_assign(emb, cents)
+    per = assigned.groupBy("ivf_cluster", "label").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    tot = per.groupBy("ivf_cluster").agg(F.sum("_n").alias("_total"))
+    w = Window.partitionBy("ivf_cluster").orderBy(
+        F.col("_n").desc(), F.col("label")
+    )
+    top = (
+        per.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("ivf_cluster", F.col("label").alias("majority_label"), "_n")
+    )
+    return top.join(F.broadcast(tot), "ivf_cluster").select(
+        F.col("ivf_cluster").cast("int").alias("ivf_cluster"),
+        F.col("_total").cast("bigint").alias("n_rows"),
+        F.col("majority_label").cast("int").alias("majority_label"),
+        F.round(
+            F.col("_n").cast("double") / F.col("_total").cast("double"), 6
+        ).alias("purity"),
+    )
+
+
 def _recall_sweep_union(emb, exact, arm_dfs, param_name: str, k: int):
     """Shared recall-sweep scaffold (the ann_recall_sweep shape): each
     arm's (query, neighbor) set joins the ONE brute-force ground truth

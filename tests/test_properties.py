@@ -675,3 +675,41 @@ def test_shingles_zip_chain_matches_python_model(spark, texts, n):
     }
     for i, t in enumerate(texts):
         assert got[i] == _py_shingles(t, n), (t, n)
+
+
+_WORDS = st.lists(
+    st.sampled_from(["a", "bb", "ccc", "dd", "e", "ffff", "Zz", ""]),
+    max_size=8,
+)
+_OOV_DOCS = st.lists(_WORDS, min_size=1, max_size=8)
+_OOV_VOCAB = st.lists(
+    st.sampled_from(["a", "bb", "ccc", "zz", "qq"]),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_OOV_DOCS, vocab=_OOV_VOCAB)
+def test_oov_stats_paths_agree(spark, docs, vocab):
+    """oov_stats's two membership strategies — the HOF literal fold and
+    the explode + broadcast-join — must agree on arbitrary doc/vocab
+    combinations, including empty docs, repeated and duplicate vocab
+    entries, and case folding."""
+    from security_data_pipeline_spark.operators import textops
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hof = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_frac"])
+        for r in textops.oov_stats(df, vocab).collect()
+    }
+    joined = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_frac"])
+        for r in textops.oov_stats(df, vocab, hof_max_vocab=0).collect()
+    }
+    assert hof == joined
