@@ -128,6 +128,13 @@ BENCH_QUERIES: tuple[str, ...] = (
     # round-9 addition: IVF cluster-purity diagnostic (map-side argmax
     # assignment + one bounded (cluster, label) aggregation)
     "ivf_cluster_purity",
+    # round-9 additions: behavioral/corpus analytics — per-user Markov
+    # transition matrix (one user-sort window + one bounded agg), bigram
+    # PMI-lift collocations (min-count filter BEFORE the unigram joins),
+    # and embedding ingest-batch centroid drift (ONE conditional-sum agg)
+    "event_type_transitions",
+    "doc_bigram_pmi",
+    "emb_batch_drift",
     # round-8 additions: CCNet line-level dedup (explode → one line-key
     # agg → co-partitioned join-back → HOF rebuild), linear gap
     # interpolation (two mirrored O(1)-state windows sharing one sort),
@@ -189,6 +196,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "span_dedup_suite": 400, "neardup_pairs_suite": 568, "sketch_checks": 0,
         "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4,
         "knn_label_eval": 80, "emb_hard_negatives": 600, "ivf_cluster_purity": 16,
+        "event_type_transitions": 25, "doc_bigram_pmi": 20, "emb_batch_drift": 10,
         "security_detections": 11195,
         "doc_repetition_stats": 5000, "doc_curation_audit": 5000,
         "doc_quality_sampled": 603, "source_divergence_matrix": 190,
@@ -229,6 +237,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "span_dedup_suite": 292, "neardup_pairs_suite": 37, "sketch_checks": 0,
         "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4,
         "knn_label_eval": 78, "emb_hard_negatives": 600, "ivf_cluster_purity": 16,
+        "event_type_transitions": 25, "doc_bigram_pmi": 20, "emb_batch_drift": 10,
         "security_detections": 1135,
         "doc_repetition_stats": 500, "doc_curation_audit": 500,
         "doc_quality_sampled": 75, "source_divergence_matrix": 190,

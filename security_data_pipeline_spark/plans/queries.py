@@ -8260,6 +8260,357 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_type_transitions",
+    sql="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+), tr AS (
+  SELECT prev_type, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n, n_users,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE),
+             6) AS prob
+FROM tr
+""",
+    description=(
+        "Per-user event-type Markov transition profile: counts and "
+        "row-normalized probabilities of (prev_type -> event_type) "
+        "steps, plus how many distinct users make each transition — the "
+        "behavioral-baseline matrix rare-transition detectors score "
+        "against (a low-prob transition made by few users is the "
+        "anomaly signal). One per-user sort window (the sessionizer's "
+        "shuffle shape, ts + event_id total order), one map-side-"
+        "combined (prev, next) aggregation, and a row-normalizing "
+        "window over the |types|^2-bounded matrix — the corpus never "
+        "shuffles twice"
+    ),
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    tr = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    wt = Window.partitionBy("prev_type")
+    return tr.select(
+        "prev_type",
+        "event_type",
+        "n",
+        "n_users",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(wt).cast("double"),
+            6,
+        ).alias("prob"),
+    )
+
+
+@query(
+    "doc_bigram_pmi",
+    sql="""
+WITH toks AS (
+  SELECT list_filter(string_split(lower(coalesce(text, '')), ' '),
+                     t -> t <> '') AS ts
+  FROM documents
+), uni AS (
+  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni
+), bi AS (
+  SELECT p.a AS a, p.b AS b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                  i -> {a: ts[i], b: ts[i+1]})) AS p
+    FROM toks WHERE len(ts) >= 2
+  ) GROUP BY p.a, p.b
+), npair AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_pairs FROM bi
+)
+SELECT bi.a AS a, bi.b AS b, bi.n AS n,
+       ROUND((CAST(bi.n AS DOUBLE) / CAST(np.n_pairs AS DOUBLE))
+             / ((CAST(ua.c AS DOUBLE) / CAST(t.n_tok AS DOUBLE))
+                * (CAST(ub.c AS DOUBLE) / CAST(t.n_tok AS DOUBLE))),
+             6) AS lift
+FROM bi
+JOIN uni ua ON ua.token = bi.a
+JOIN uni ub ON ub.token = bi.b
+CROSS JOIN tot t CROSS JOIN npair np
+WHERE bi.n >= 5
+ORDER BY lift DESC, a, b
+LIMIT 20
+""",
+    description=(
+        "Bigram collocation mining by PMI lift: top-20 adjacent word "
+        "pairs (min support 5) ranked by observed-over-expected "
+        "co-occurrence lift = P(a,b) / (P(a)P(b)) — lift is e^PMI, the "
+        "same monotone ranking with every operand an exact integer "
+        "ratio, so the score is IEEE-deterministic cross-engine where "
+        "ln() is libm-dependent. The collocation surface behind "
+        "tokenizer-merge candidates and boilerplate-phrase detection. "
+        "Shape: one narrow bigram explode, two token-keyed hash aggs "
+        "(both map-side combined), the min-count filter applied BEFORE "
+        "the unigram joins so only surviving pairs shuffle, and the two "
+        "corpus totals attached as one-row broadcast scalars"
+    ),
+)
+def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+        lambda t: t != "",
+    )
+    toks = docs.select(ts.alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n_tok"))
+    bi = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(F.col("ts")) - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ts"), i).alias("a"),
+                        F.element_at(F.col("ts"), i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    npair = bi.agg(F.sum("n").alias("n_pairs"))
+    surviving = bi.filter(F.col("n") >= 5)
+    ua = uni.select(F.col("token").alias("a"), F.col("c").alias("_ca"))
+    ub = uni.select(F.col("token").alias("b"), F.col("c").alias("_cb"))
+    return (
+        surviving.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(npair))
+        .select(
+            "a",
+            "b",
+            "n",
+            F.round(
+                (F.col("n").cast("double") / F.col("n_pairs").cast("double"))
+                / (
+                    (F.col("_ca").cast("double") / F.col("n_tok").cast("double"))
+                    * (F.col("_cb").cast("double") / F.col("n_tok").cast("double"))
+                ),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "a", "b")
+        .limit(20)
+    )
+
+
+@query(
+    "emb_batch_drift",
+    sql="""
+WITH e AS (
+  SELECT label, (vec_id % 2 = 0) AS in_a,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+), flat AS (
+  SELECT label, in_a, u.i AS dim, v[u.i] AS x
+  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) u
+), sums AS (
+  SELECT label, dim,
+         SUM(CASE WHEN in_a THEN CAST(x AS DECIMAL(28,12)) END) AS sa,
+         SUM(CASE WHEN NOT in_a THEN CAST(x AS DECIMAL(28,12)) END) AS sb
+  FROM flat GROUP BY label, dim
+), cnts AS (
+  SELECT label,
+         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM e GROUP BY label
+), cent AS (
+  SELECT s.label, c.n_a, c.n_b,
+         list(CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) ORDER BY dim) AS ca,
+         list(CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) ORDER BY dim) AS cb
+  FROM sums s JOIN cnts c ON c.label = s.label
+  GROUP BY s.label, c.n_a, c.n_b
+)
+SELECT label, n_a, n_b,
+       ROUND(list_aggregate(list_transform(generate_series(1, 64),
+               i -> ca[i] * cb[i]), 'sum')
+             / (sqrt(list_aggregate(list_transform(generate_series(1, 64),
+                  i -> ca[i] * ca[i]), 'sum'))
+                * sqrt(list_aggregate(list_transform(generate_series(1, 64),
+                    i -> cb[i] * cb[i]), 'sum'))),
+             6) AS centroid_cos,
+       ROUND(sqrt(list_aggregate(list_transform(generate_series(1, 64),
+               i -> (ca[i] - cb[i]) * (ca[i] - cb[i])), 'sum')),
+             6) AS centroid_l2
+FROM cent
+""",
+    description=(
+        "Embedding ingest-batch drift report: per label, the cosine and "
+        "L2 distance between the centroid of ingest half A (even "
+        "vec_id) and half B (odd) — the embedding-space health check "
+        "run when a new corpus batch or a re-embedded model version "
+        "lands (centroid_cos < 1 - eps on a stable label = the encoder "
+        "or the data moved; pairs with the ANN index staleness report). "
+        "ONE map-side-combined aggregation computes both halves' 64 "
+        "exact decimal sums per label (conditional sums — the corpus "
+        "is read and shuffled once, no self-join of halves); the "
+        "cosine/L2 folds then run over the |labels|-sized frame in "
+        "fixed dim order, so the doubles match the oracle bit-for-bit"
+    ),
+)
+def emb_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    in_a = F.col("vec_id") % 2 == 0
+    agged = emb.groupBy("label").agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(in_a, 0).otherwise(1)).alias("n_b"),
+        *[
+            F.sum(
+                F.when(in_a, F.element_at(v, i).cast("decimal(28,12)"))
+            ).alias(f"_a{i}")
+            for i in range(1, 65)
+        ],
+        *[
+            F.sum(
+                F.when(~in_a, F.element_at(v, i).cast("decimal(28,12)"))
+            ).alias(f"_b{i}")
+            for i in range(1, 65)
+        ],
+    )
+    ca = F.array(
+        *[
+            F.col(f"_a{i}").cast("double") / F.col("n_a").cast("double")
+            for i in range(1, 65)
+        ]
+    )
+    cb = F.array(
+        *[
+            F.col(f"_b{i}").cast("double") / F.col("n_b").cast("double")
+            for i in range(1, 65)
+        ]
+    )
+
+    def _fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    dot = _fold(F.zip_with(ca, cb, lambda x, y: x * y))
+    na = F.sqrt(_fold(F.zip_with(ca, ca, lambda x, y: x * y)))
+    nb = F.sqrt(_fold(F.zip_with(cb, cb, lambda x, y: x * y)))
+    l2 = F.sqrt(_fold(F.zip_with(ca, cb, lambda x, y: (x - y) * (x - y))))
+    return agged.select(
+        "label",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(dot / (na * nb), 6).alias("centroid_cos"),
+        F.round(l2, 6).alias("centroid_l2"),
+    )
+
+
+@query(
+    "events_stream_transitions",
+    sql="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+), tr AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE),
+             6) AS prob
+FROM tr
+""",
+    description=(
+        "The STREAMING transition-matrix path itself under oracle check "
+        "(streaming/pipeline.py:maintain_transitions_stream): the events "
+        "table is staged to parquet split at the timestamp midpoint "
+        "(per-user arrival stays in-order — equal-ts rows never "
+        "straddle), re-read as a file stream in two micro-batches, each "
+        "batch folded through the composed state (prefix-partitioned "
+        "per-user last events + scratch-swap count matrix), and the "
+        "finalized matrix held to the one-shot batch oracle. Transitions "
+        "straddling the batch boundary — every user's first batch-1 "
+        "event — come from carried state, which is exactly what the "
+        "oracle catches if the carry join drops or duplicates them. The "
+        "streamed form drops n_users (not finitely mergeable state); "
+        "prob is re-derived from the folded counts"
+    ),
+)
+def events_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import time as _time
+
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_transitions_stream,
+        transition_matrix_from_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).first()
+    mid = (bounds["lo"] + bounds["hi"]) // 2
+
+    tmp = tempfile.mkdtemp(prefix="stream_trans_")
+    src = f"{tmp}/src"
+    os.makedirs(src)
+    base = _time.time() - 100
+    for i, pred in enumerate(
+        [F.unix_micros("ts") <= mid, F.unix_micros("ts") > mid]
+    ):
+        before = set(os.listdir(src))
+        ev.filter(pred).coalesce(1).write.mode("append").parquet(src)
+        for fnew in set(os.listdir(src)) - before:
+            if fnew.startswith("part-"):
+                os.utime(f"{src}/{fnew}", (base + i, base + i))
+
+    q = maintain_transitions_stream(
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        f"{tmp}/state",
+        f"{tmp}/ckpt",
+        pfx_mod=64,
+    )
+    q.awaitTermination()
+    return transition_matrix_from_counts(spark, f"{tmp}/state")
+
+
 # Composite driver-window queries register on import (they reuse the
 # operators and oracle-SQL builders defined above, so the import must come
 # after those definitions).

@@ -2919,3 +2919,198 @@ def maintain_source_counts_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def maintain_transitions_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    pfx_mod: int = 256,
+    trigger_available_now: bool = True,
+):
+    """Streaming event-type transition-matrix maintenance — the live
+    state behind ``plans/queries.py:event_type_transitions``: the
+    per-user Markov (prev_type → event_type) counts stay current at
+    ingest cadence without rescanning history. The maintainer composes
+    the repo's TWO state disciplines, each matched to its state's size:
+
+    - ``{state_path}/last`` — each user's latest event as a
+      max-mergeable ``struct(o, i, t)`` (order = unix_micros(ts), the
+      id tiebreak, then the type it carries). |users|-sized, so it uses
+      :func:`maintain_locf_stream`'s shape verbatim: PARTITIONED by
+      ``_kp = 'p' + pmod(xxhash64(key), pfx_mod)``, reads pruned to the
+      batch's touched prefixes, dynamic partition overwrite of touched
+      directories only, idempotent max-merge (replay heals for free).
+    - ``{state_path}/counts`` — the (prev_type, event_type, n) matrix.
+      |types|²-bounded (thousands of rows at most), so the whole-state
+      scratch-swap fold is the RIGHT shape here — the opposite call
+      from :func:`maintain_token_counts_stream`, whose state is
+      vocab-sized; state discipline follows the STATE's growth law, not
+      a one-size pattern. Counts-merge is not idempotent, so the
+      lineage-stamped batch-id replay guard lives on this state.
+
+    Per batch: within-batch transitions come from one lag window over
+    (o, i) per user (the batch operator's shuffle shape at batch size);
+    each user's FIRST batch event pairs with the carried last event
+    (state streamed map-side against broadcast batch keys — the LOCF
+    carry join). Write order: counts scratch-swap (stamped) → last
+    overwrite; a crash between them replays as guard-skip + idempotent
+    last heal, so no transition is ever counted twice.
+
+    Contract: per-key arrival order must be non-decreasing ACROSS
+    batches (the append-only telemetry shape — the LOCF contract); a
+    key's out-of-order row would pair with the carried LATER event.
+    The streamed matrix drops the batch form's ``n_users`` column:
+    distinct-user support is not finitely mergeable state (it would
+    need per-(transition, user) rows — corpus-shaped, not
+    matrix-shaped); a reader wanting it runs the batch query. Stream ≡
+    batch on (prev_type, event_type, n, prob) over cumulative in-order
+    input is asserted in tests/test_transitions_stream.py.
+
+    Read the live matrix with :func:`transition_matrix_from_counts`.
+    """
+    from pyspark.sql import Window
+
+    counts_path = f"{state_path}/counts"
+    last_path = f"{state_path}/last"
+    scratch = f"{counts_path}__next"
+
+    def _kp():
+        return locf_key_prefix([key], pfx_mod)
+
+    def _merge_last(spark, summ: DataFrame, pruned: DataFrame | None):
+        merged = (
+            summ
+            if pruned is None
+            else pruned.unionByName(summ)
+            .groupBy(key)
+            .agg(F.max("_last").alias("_last"))
+        )
+        merged.withColumn("_kp", _kp()).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_kp").parquet(last_path)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        spark = batch_df.sparkSession
+        batch = batch_df.select(
+            F.col(key),
+            F.unix_micros(F.col(ts_col)).alias("_o"),
+            F.col(id_col).alias("_i"),
+            F.col(type_col).alias("_t"),
+        ).transform(pin)
+        prefixes = [
+            r["_kp"]
+            for r in batch.select(_kp().alias("_kp")).distinct().collect()
+        ]
+        if not prefixes:
+            return
+        try:
+            last_state = spark.read.parquet(last_path)
+        except AnalysisException as e:
+            if not _missing_path(e):
+                raise
+            last_state = None
+        pruned = (
+            last_state.filter(F.col("_kp").isin(prefixes)).drop("_kp")
+            if last_state is not None
+            else None
+        )
+        summ = batch.groupBy(key).agg(
+            F.max(
+                F.struct(
+                    F.col("_o").alias("o"),
+                    F.col("_i").alias("i"),
+                    F.col("_t").alias("t"),
+                )
+            ).alias("_last")
+        )
+        raw, from_scratch = _read_state(spark, counts_path, scratch)
+        replayed, prev_counts = _check_replay(raw, batch_id, checkpoint_path)
+        if replayed:
+            # counts already folded; complete an interrupted swap and
+            # heal the idempotent last merge (it may not have run).
+            if from_scratch:
+                raw.write.mode("overwrite").parquet(counts_path)
+            _merge_last(spark, summ, pruned)
+            return
+        w = Window.partitionBy(key).orderBy("_o", "_i")
+        seq = batch.withColumn("_prev", F.lag("_t").over(w)).transform(pin)
+        within = seq.filter(F.col("_prev").isNotNull()).select(
+            F.col("_prev").alias("prev_type"),
+            F.col("_t").alias("event_type"),
+        )
+        trans = within
+        if pruned is not None:
+            # the LOCF carry-join shape: state streams map-side against
+            # the broadcast batch keys, then only batch-sized frames join
+            firsts = seq.filter(F.col("_prev").isNull()).select(
+                key, F.col("_t").alias("event_type")
+            )
+            relevant = pruned.join(
+                F.broadcast(firsts.select(key).distinct()), key, "left_semi"
+            )
+            boundary = firsts.join(
+                F.broadcast(
+                    relevant.select(
+                        key, F.col("_last")["t"].alias("prev_type")
+                    )
+                ),
+                key,
+                "inner",
+            ).select("prev_type", "event_type")
+            trans = within.unionByName(boundary)
+        delta = trans.groupBy("prev_type", "event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        merged = (
+            delta
+            if prev_counts is None
+            else prev_counts.unionByName(delta)
+            .groupBy("prev_type", "event_type")
+            .agg(F.sum("n").alias("n"))
+        )
+        out = _stamp_batch(merged, batch_id, checkpoint_path)
+        out.write.mode("overwrite").parquet(scratch)
+        spark.read.parquet(scratch).write.mode("overwrite").parquet(
+            counts_path
+        )
+        _merge_last(spark, summ, pruned)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def transition_matrix_from_counts(
+    spark: SparkSession, state_path: str
+) -> DataFrame:
+    """Finalize the streamed transition state into the batch query's
+    matrix shape — (prev_type, event_type, n, prob), prob row-normalized
+    over each prev_type with the batch form's exact float math. All work
+    runs on the |types|²-bounded counts frame."""
+    from pyspark.sql import Window
+
+    counts = spark.read.parquet(f"{state_path}/counts").drop(
+        "_last_batch_id", "_fold_tag"
+    )
+    wt = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wt).cast("double"),
+            6,
+        ).alias("prob"),
+    )

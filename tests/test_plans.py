@@ -421,3 +421,37 @@ def test_score_normalization_broadcasts_group_moments(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert plan.count("Window") == 0 and plan.count("Sort") == 0
     assert plan.count("Generate") == 0
+
+
+def test_transitions_matrix_work_is_bounded_after_one_corpus_window(spark):
+    """event_type_transitions shuffles the corpus ONCE (the per-user lag
+    window — the sessionizer's shape); everything after runs on the
+    |types|^2-bounded matrix (one count agg exchange + one normalizing
+    window exchange). No explode, no join anywhere."""
+    plan = _plan(REGISTRY["event_type_transitions"].fn(spark, SF))
+    assert plan.count("Exchange") == 3, plan.count("Exchange")
+    assert plan.count("Window") == 2, plan.count("Window")
+    assert plan.count("Generate") == 0
+    assert "Join" not in plan
+
+
+def test_bigram_pmi_totals_attach_as_one_row_broadcasts(spark):
+    """doc_bigram_pmi: the two corpus totals (n_tok, n_pairs) attach as
+    one-row BroadcastNestedLoopJoins (the audited scalar-attachment
+    pattern), never a CartesianProduct; the unigram membership joins are
+    hash joins on the token key."""
+    plan = _plan(REGISTRY["doc_bigram_pmi"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan[:1500]
+    assert "HashJoin" in plan
+
+
+def test_batch_drift_is_one_conditional_sum_aggregation(spark):
+    """emb_batch_drift computes BOTH ingest halves' 64 decimal sums in a
+    single map-side-combined aggregation — one exchange on the label
+    key, no self-join of halves, no explode; the cosine/L2 folds run on
+    the |labels|-sized aggregated frame."""
+    plan = _plan(REGISTRY["emb_batch_drift"].fn(spark, SF))
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert plan.count("Generate") == 0
+    assert "Join" not in plan
