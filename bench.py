@@ -171,6 +171,13 @@ BENCH_QUERIES: tuple[str, ...] = (
     "sketch_checks",
     "grouping_sets_suite",
     "security_detections",
+    # round-9 additions: curation-gate evaluation (one-pass calibration
+    # bins / ECE, one-pass suffix-sum threshold sweep) and token-graph
+    # triangle counting via degree-ordered orientation
+    "doc_quality_calibration",
+    "doc_quality_ece",
+    "doc_quality_threshold_sweep",
+    "token_graph_triangles",
 )
 
 # Pinned result sizes per scale factor: a bench run also smoke-checks that
@@ -218,6 +225,8 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_oov_large_vocab": 20,
         "doc_token_budget": 20, "events_bounded_ffill": 3600,
         "doc_quality_normalized": 5000,
+        "doc_quality_calibration": 7, "doc_quality_ece": 1,
+        "doc_quality_threshold_sweep": 9, "token_graph_triangles": 31,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -259,6 +268,8 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_oov_large_vocab": 20,
         "doc_token_budget": 20, "events_bounded_ffill": 3600,
         "doc_quality_normalized": 500,
+        "doc_quality_calibration": 7, "doc_quality_ece": 1,
+        "doc_quality_threshold_sweep": 9, "token_graph_triangles": 30,
     },
 }
 

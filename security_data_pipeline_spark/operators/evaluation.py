@@ -1,0 +1,258 @@
+"""Curation-model evaluation: calibration (reliability bins, ECE) and a
+one-pass decision-threshold sweep (precision/recall/F1 per cut).
+
+The quality classifier (:mod:`textops` ``classifier_score`` /
+``quality_features``) gates what enters the training set; these operators
+answer the two questions every such gate must face before running at
+100 TB: *are the scores calibrated probabilities?* (reliability binning +
+expected calibration error, Guo et al. 2017 — public technique) and
+*which cut gives the precision/recall trade-off we want?* (threshold
+sweep). No counterpart exists in the reference (a 463-LoC pandas ETL,
+``/root/reference/src/pipeline.py``) — this is extension surface for the
+LLM-data-pipeline family.
+
+Scale shape — both families reduce to SUFFICIENT STATISTICS over a
+bounded domain, so the corpus is touched exactly once:
+
+- calibration: ONE hash aggregation into ``n_bins`` rows of
+  ``(n, n_pos, sum_score)``; every downstream number (per-bin gaps, ECE)
+  is arithmetic over those ≤ ``n_bins`` rows. Counts merge by ADDITION,
+  which is what makes the statistic streamable
+  (:func:`...streaming.pipeline.maintain_calibration_stream` folds the
+  same frame per micro-batch and proves report equality).
+- threshold sweep: rows land in ``len(thresholds)+1`` score bands via a
+  chain of indicator casts (no join, no sort); ONE hash aggregation to
+  per-band ``(n, n_pos)``; each threshold's confusion matrix is then a
+  suffix-sum over the ≤ ``m+1``-row band frame (a broadcast theta join of
+  two grid-sized literals) — m thresholds never cost m corpus scans.
+
+Cross-engine determinism (the DuckDB oracle hash-compares values): scores
+are rounded to 6 dp BEFORE binning (the classifier-gate precedent —
+``exp``/libm may differ in last bits, 6 dp absorbs it); score sums go
+through ``DECIMAL(11,6)``; every ratio is one IEEE division of identical
+operands; ECE terms sum as ``DECIMAL(28,12)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+_SCORE_DEC = "decimal(11,6)"
+_TERM_DEC = "decimal(28,12)"
+
+
+def _rounded_score(score_col: str) -> Column:
+    return F.round(F.col(score_col).cast("double"), 6)
+
+
+def calibration_bin_counts(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Sufficient statistics for calibration: one row per occupied bin,
+    ``(bin, n, n_pos, sum_score)``.
+
+    ``bin = min(floor(round(score,6)·n_bins), n_bins-1)`` — scores are
+    probabilities in [0,1]; the top edge folds into the last bin so 1.0
+    is representable. ``sum_score`` is an exact DECIMAL(11,6) sum of the
+    6-dp-rounded scores (order-free, hence shuffle- and stream-safe).
+    NULL scores/labels are excluded (scored rows only). This frame is the
+    unit of streaming state: counts and decimal sums merge by addition.
+    """
+    rs = _rounded_score(score_col)
+    b = F.least(
+        F.floor(rs * F.lit(float(n_bins))).cast("long"),
+        F.lit(n_bins - 1).cast("long"),
+    )
+    return (
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .select(
+            b.alias("bin"),
+            F.col(label_col).cast("long").alias("_y"),
+            rs.cast(_SCORE_DEC).alias("_s"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").alias("n_pos"),
+            F.sum("_s").alias("sum_score"),
+        )
+    )
+
+
+def reliability_from_bin_counts(bins: DataFrame) -> DataFrame:
+    """Per-bin reliability report from :func:`calibration_bin_counts`
+    output: ``bin, n, n_pos, mean_score, pos_rate, gap`` (gap =
+    |pos_rate − mean_score|, the per-bin calibration error). Pure
+    arithmetic over the ≤ ``n_bins`` statistic rows — shared verbatim by
+    the batch query and the streaming maintainer so their reports are
+    bit-identical on equal statistics."""
+    mean_score = F.col("sum_score").cast("double") / F.col("n").cast(
+        "double"
+    )
+    pos_rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return bins.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(mean_score, 6).alias("mean_score"),
+        F.round(pos_rate, 6).alias("pos_rate"),
+        F.round(F.abs(pos_rate - mean_score), 6).alias("gap"),
+    )
+
+
+def ece_from_bin_counts(bins: DataFrame) -> DataFrame:
+    """Expected calibration error from the bin statistics: ONE row of
+    ``n_docs, n_bins_occupied, ece, max_gap``. ECE = Σ (n_b/N)·gap_b —
+    each term is computed as an IEEE double then summed as
+    DECIMAL(28,12), so the scalar is accumulation-order-free (the PSI
+    discipline)."""
+    mean_score = F.col("sum_score").cast("double") / F.col("n").cast(
+        "double"
+    )
+    pos_rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    gap = F.abs(pos_rate - mean_score)
+    term = (gap * F.col("n").cast("double")).cast(_TERM_DEC)
+    return bins.agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_bins_occupied"),
+        F.sum(term).alias("_gap_mass"),
+        F.max(F.round(gap, 6)).alias("max_gap"),
+    ).select(
+        "n_docs",
+        "n_bins_occupied",
+        F.round(
+            F.col("_gap_mass").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("ece"),
+        "max_gap",
+    )
+
+
+def reliability_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Batch reliability diagram: :func:`calibration_bin_counts` →
+    :func:`reliability_from_bin_counts`."""
+    return reliability_from_bin_counts(
+        calibration_bin_counts(df, score_col, label_col, n_bins)
+    )
+
+
+def ece_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Batch ECE scalar: :func:`calibration_bin_counts` →
+    :func:`ece_from_bin_counts`."""
+    return ece_from_bin_counts(
+        calibration_bin_counts(df, score_col, label_col, n_bins)
+    )
+
+
+DEFAULT_THRESHOLDS: tuple[float, ...] = (
+    0.1,
+    0.2,
+    0.3,
+    0.4,
+    0.5,
+    0.6,
+    0.7,
+    0.8,
+    0.9,
+)
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: tuple[float, ...] = DEFAULT_THRESHOLDS,
+) -> DataFrame:
+    """Precision/recall/F1 at every threshold from ONE corpus pass.
+
+    Band assignment: ``band = Σ_j [round(score,6) ≥ t_j]`` — a chain of
+    indicator casts, no join, no sort; predicting positive at threshold
+    ``t_j`` selects exactly the rows with ``band ≥ j``. One hash
+    aggregation yields per-band ``(n, n_pos)`` (≤ m+1 rows); each
+    threshold's TP/FP/FN/TN are suffix sums over that frame, realized as
+    a broadcast ``band ≥ j`` theta join of two grid-sized literals —
+    O(m²) pairs of TINY rows, never a second corpus scan. The m-scans
+    alternative is what this operator exists to avoid at 100 TB.
+
+    Output: one row per threshold — ``threshold, predicted_pos, tp, fp,
+    fn, precision, recall, f1`` (6 dp; precision NULL when nothing is
+    predicted positive). Thresholds must be strictly increasing.
+    """
+    ts = [round(float(t), 6) for t in thresholds]
+    if sorted(set(ts)) != ts:
+        raise ValueError("thresholds must be strictly increasing")
+    rs = _rounded_score(score_col)
+    band: Column = F.lit(0)
+    for t in ts:
+        band = band + (rs >= F.lit(t)).cast("int")
+    per_band = (
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .select(
+            band.cast("long").alias("band"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").alias("n_pos"),
+        )
+    )
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(j + 1, t) for j, t in enumerate(ts)], "j long, threshold double"
+    )
+    totals = per_band.agg(
+        F.sum("n").alias("_n_total"), F.sum("n_pos").alias("_pos_total")
+    )
+    joined = grid.join(
+        F.broadcast(per_band), F.col("band") >= F.col("j"), "left"
+    )
+    swept = joined.groupBy("j", "threshold").agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("predicted_pos"),
+        F.coalesce(F.sum("n_pos"), F.lit(0)).alias("tp"),
+    )
+    pp = F.col("predicted_pos")
+    tp = F.col("tp")
+    fp = (pp - tp).alias("fp")
+    fn = (F.col("_pos_total") - tp).alias("fn")
+    precision = tp.cast("double") / F.nullif(pp, F.lit(0)).cast("double")
+    recall = tp.cast("double") / F.nullif(
+        F.col("_pos_total"), F.lit(0)
+    ).cast("double")
+    f1 = (2 * tp).cast("double") / F.nullif(
+        2 * tp + (pp - tp) + (F.col("_pos_total") - tp), F.lit(0)
+    ).cast("double")
+    return (
+        swept.crossJoin(F.broadcast(totals))
+        .select(
+            "threshold",
+            pp.alias("predicted_pos"),
+            tp.alias("tp"),
+            fp,
+            fn,
+            F.round(precision, 6).alias("precision"),
+            F.round(recall, 6).alias("recall"),
+            F.round(f1, 6).alias("f1"),
+        )
+        .orderBy("threshold")
+    )

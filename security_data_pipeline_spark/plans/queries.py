@@ -8611,6 +8611,352 @@ def events_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix_from_counts(spark, f"{tmp}/state")
 
 
+# --- curation-gate evaluation (operators/evaluation.py) -------------------
+
+# the 6dp-rounded quality score + binary relevance label (lang = 'en'),
+# shared by the calibration and threshold-sweep oracles; identical to the
+# proven doc_quality_scores arithmetic.
+_QUALITY_LABEL_SQL = f"""
+scored AS (
+  SELECT ROUND(0.5 * CAST(LEAST(len(string_split(text, ' ')), 200) AS DOUBLE)
+               / 200.0
+             + 0.5 * LEAST(
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                                      t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+                 / CAST(NULLIF(len(string_split(text, ' ')), 0) AS DOUBLE)
+                 * 5.0, 1.0),
+               6) AS rs,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL
+)
+"""
+
+
+def _quality_label_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(quality_score, label) scoring frame: the proven quality_features
+    score against the is-English relevance label — the gate-evaluation
+    input on a corpus with no gold labels (any binary label column slots
+    in; the operators don't care where y comes from)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    return textops.quality_features(docs).select(
+        F.col("quality_score").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+
+
+@query(
+    "doc_quality_calibration",
+    sql=f"""
+WITH {_QUALITY_LABEL_SQL},
+bins AS (
+  SELECT LEAST(CAST(FLOOR(rs * 10.0) AS BIGINT), 9) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         SUM(CAST(rs AS DECIMAL(11,6))) AS sum_score
+  FROM scored GROUP BY 1
+), raw AS (
+  SELECT bin, n, n_pos,
+         CAST(sum_score AS DOUBLE) / CAST(n AS DOUBLE) AS ms,
+         CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pr
+  FROM bins
+)
+SELECT bin, n, n_pos,
+       ROUND(ms, 6) AS mean_score,
+       ROUND(pr, 6) AS pos_rate,
+       ROUND(ABS(pr - ms), 6) AS gap
+FROM raw
+""",
+    description=(
+        "Reliability diagram of the quality-classifier score against the "
+        "is-English relevance label: 10 score bins, each with count, "
+        "positive rate, mean score, and |pos_rate - mean_score| gap — "
+        "the per-bin calibration error of the gate that decides what "
+        "enters the training set (Guo et al. 2017). Scale shape: ONE "
+        "hash aggregation into <=10 sufficient-statistic rows (n, n_pos, "
+        "exact DECIMAL score sum); everything after is arithmetic over "
+        "those rows. The statistics merge by addition — the same frame "
+        "is the streaming maintainer's state"
+    ),
+)
+def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import evaluation
+
+    return evaluation.reliability_report(
+        _quality_label_frame(spark, sf_dir), "score", "label", n_bins=10
+    )
+
+
+@query(
+    "doc_quality_ece",
+    sql=f"""
+WITH {_QUALITY_LABEL_SQL},
+bins AS (
+  SELECT LEAST(CAST(FLOOR(rs * 10.0) AS BIGINT), 9) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         SUM(CAST(rs AS DECIMAL(11,6))) AS sum_score
+  FROM scored GROUP BY 1
+), raw AS (
+  SELECT n,
+         ABS(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+             - CAST(sum_score AS DOUBLE) / CAST(n AS DOUBLE)) AS gap
+  FROM bins
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_bins_occupied,
+       ROUND(CAST(SUM(CAST(gap * CAST(n AS DOUBLE) AS DECIMAL(28,12)))
+                  AS DOUBLE)
+             / CAST(SUM(n) AS DOUBLE), 6) AS ece,
+       MAX(ROUND(gap, 6)) AS max_gap
+FROM raw
+""",
+    description=(
+        "Expected calibration error of the quality gate: the bin-count "
+        "weighted mean of per-bin |pos_rate - mean_score| gaps, one "
+        "scalar row (n_docs, occupied bins, ECE, max gap). ECE terms "
+        "sum as DECIMAL(28,12) so the scalar is accumulation-order-free "
+        "(the PSI discipline) — Spark's shuffled partials and DuckDB's "
+        "serial fold agree bit-for-bit"
+    ),
+)
+def doc_quality_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import evaluation
+
+    return evaluation.ece_report(
+        _quality_label_frame(spark, sf_dir), "score", "label", n_bins=10
+    )
+
+
+_SWEEP_GRID = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+_SWEEP_BAND_SQL = " + ".join(
+    f"CAST(rs >= {t} AS INT)" for t in _SWEEP_GRID
+)
+_SWEEP_GRID_SQL = ", ".join(
+    f"({j + 1}, CAST({t} AS DOUBLE))" for j, t in enumerate(_SWEEP_GRID)
+)
+
+
+@query(
+    "doc_quality_threshold_sweep",
+    sql=f"""
+WITH {_QUALITY_LABEL_SQL},
+banded AS (
+  SELECT CAST({_SWEEP_BAND_SQL} AS BIGINT) AS band, y FROM scored
+), pb AS (
+  SELECT band, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM banded GROUP BY band
+), tot AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS pos_total FROM pb
+), grid AS (
+  SELECT * FROM (VALUES {_SWEEP_GRID_SQL}) AS g(j, threshold)
+), sw AS (
+  SELECT g.j, g.threshold,
+         CAST(COALESCE(SUM(pb.n), 0) AS BIGINT) AS predicted_pos,
+         CAST(COALESCE(SUM(pb.n_pos), 0) AS BIGINT) AS tp
+  FROM grid g LEFT JOIN pb ON pb.band >= g.j
+  GROUP BY g.j, g.threshold
+)
+SELECT threshold, predicted_pos, tp,
+       predicted_pos - tp AS fp,
+       pos_total - tp AS fn,
+       ROUND(CAST(tp AS DOUBLE)
+             / CAST(NULLIF(predicted_pos, 0) AS DOUBLE), 6) AS precision,
+       ROUND(CAST(tp AS DOUBLE)
+             / CAST(NULLIF(pos_total, 0) AS DOUBLE), 6) AS recall,
+       ROUND(CAST(2 * tp AS DOUBLE)
+             / CAST(NULLIF(2 * tp + (predicted_pos - tp)
+                           + (pos_total - tp), 0) AS DOUBLE), 6) AS f1
+FROM sw CROSS JOIN tot
+ORDER BY threshold
+""",
+    description=(
+        "Decision-threshold sweep for the quality gate: precision / "
+        "recall / F1 at 9 cuts from ONE corpus pass — rows land in 10 "
+        "score bands via a chain of indicator casts (no join, no sort), "
+        "one hash aggregation to per-band (n, n_pos), and each "
+        "threshold's confusion matrix is a suffix sum over that <=10-row "
+        "frame (a broadcast band>=j theta join of two grid-sized "
+        "literals). The m-thresholds = m-corpus-scans alternative is "
+        "what this shape exists to avoid at 100 TB"
+    ),
+)
+def doc_quality_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from security_data_pipeline_spark.operators import evaluation
+
+    return evaluation.threshold_sweep(
+        _quality_label_frame(spark, sf_dir),
+        "score",
+        "label",
+        thresholds=_SWEEP_GRID,
+    )
+
+
+# --- graph diagnostics (operators/graph.py) --------------------------------
+
+_TOKEN_EDGE_SQL = """
+toks AS (
+  SELECT list_filter(string_split(lower(coalesce(text, '')), ' '),
+                     t -> t <> '') AS ts
+  FROM documents
+), uni AS (
+  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni
+), bi AS (
+  SELECT p.a AS a, p.b AS b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                  i -> {a: ts[i], b: ts[i+1]})) AS p
+    FROM toks WHERE len(ts) >= 2
+  ) GROUP BY p.a, p.b
+), npair AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_pairs FROM bi
+), lifted AS (
+  SELECT bi.a, bi.b,
+         ROUND((CAST(bi.n AS DOUBLE) / CAST(np.n_pairs AS DOUBLE))
+               / ((CAST(ua.c AS DOUBLE) / CAST(t.n_tok AS DOUBLE))
+                  * (CAST(ub.c AS DOUBLE) / CAST(t.n_tok AS DOUBLE))),
+               6) AS lift
+  FROM bi
+  JOIN uni ua ON ua.token = bi.a
+  JOIN uni ub ON ub.token = bi.b
+  CROSS JOIN tot t CROSS JOIN npair np
+  WHERE bi.n >= 5
+), e AS (
+  SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM lifted WHERE lift >= 1.0 AND a <> b
+  GROUP BY 1, 2
+)
+"""
+
+
+def _token_lift_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence edges: adjacent word pairs with min support 5
+    and PMI lift >= 1.0 (observed >= expected — a scale-free rule, unlike
+    a raw count cut whose meaning shifts with corpus size). Identical
+    arithmetic to doc_bigram_pmi, so the 6dp-rounded lift threshold is
+    cross-engine deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+        lambda t: t != "",
+    )
+    toks = docs.select(ts.alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n_tok"))
+    bi = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(F.col("ts")) - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ts"), i).alias("a"),
+                        F.element_at(F.col("ts"), i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    npair = bi.agg(F.sum("n").alias("n_pairs"))
+    ua = uni.select(F.col("token").alias("a"), F.col("c").alias("_ca"))
+    ub = uni.select(F.col("token").alias("b"), F.col("c").alias("_cb"))
+    lift = F.round(
+        (F.col("n").cast("double") / F.col("n_pairs").cast("double"))
+        / (
+            (F.col("_ca").cast("double") / F.col("n_tok").cast("double"))
+            * (F.col("_cb").cast("double") / F.col("n_tok").cast("double"))
+        ),
+        6,
+    )
+    return (
+        bi.filter(F.col("n") >= 5)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(npair))
+        .withColumn("lift", lift)
+        .filter((F.col("lift") >= 1.0) & (F.col("a") != F.col("b")))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+
+
+@query(
+    "token_graph_triangles",
+    sql=f"""
+WITH {_TOKEN_EDGE_SQL},
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node
+), o AS (
+  SELECT CASE WHEN du.degree < dv.degree
+                OR (du.degree = dv.degree AND e.u < e.v)
+              THEN e.u ELSE e.v END AS lo,
+         CASE WHEN du.degree < dv.degree
+                OR (du.degree = dv.degree AND e.u < e.v)
+              THEN e.v ELSE e.u END AS hi,
+         CASE WHEN du.degree < dv.degree
+                OR (du.degree = dv.degree AND e.u < e.v)
+              THEN dv.degree ELSE du.degree END AS dhi
+  FROM e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+), w AS (
+  SELECT l.lo, l.hi AS a, r.hi AS b
+  FROM o l JOIN o r ON l.lo = r.lo
+  WHERE l.dhi < r.dhi OR (l.dhi = r.dhi AND l.hi < r.hi)
+), t AS (
+  SELECT w.lo, w.a, w.b FROM w
+  WHERE EXISTS (SELECT 1 FROM o WHERE o.lo = w.a AND o.hi = w.b)
+), pn AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+  FROM (SELECT lo AS node FROM t
+        UNION ALL SELECT a AS node FROM t
+        UNION ALL SELECT b AS node FROM t)
+  GROUP BY node
+)
+SELECT deg.node, deg.degree,
+       COALESCE(pn.triangles, CAST(0 AS BIGINT)) AS triangles,
+       ROUND(CAST(2 * COALESCE(pn.triangles, 0) AS DOUBLE)
+             / CAST(NULLIF(deg.degree * (deg.degree - 1), 0) AS DOUBLE),
+             6) AS coeff
+FROM deg LEFT JOIN pn ON pn.node = deg.node
+""",
+    description=(
+        "Per-node triangle counts and local clustering coefficients of "
+        "the token co-occurrence graph (edges: adjacent-pair PMI lift "
+        ">= 1.0, min support 5 — scale-free edge rule). Exact triangle "
+        "enumeration via degree-ordered orientation (Suri & "
+        "Vassilvitskii WWW'11): every edge directed low->(degree, node) "
+        "order->high, so a degree-d hub emits ZERO wedges instead of d^2 "
+        "— per-node oriented fan-out is O(sqrt(m)) whatever the degree "
+        "distribution, and the closure check is one equi-join on the "
+        "(lo, hi) pair. The local-density diagnostic for dedup-cluster "
+        "quality (triangle-free bridges = false merges in "
+        "star-contraction components)"
+    ),
+)
+def token_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import graph
+
+    return graph.clustering_coefficients(
+        _token_lift_edges(spark, sf_dir), "src", "dst"
+    )
+
+
 # Composite driver-window queries register on import (they reuse the
 # operators and oracle-SQL builders defined above, so the import must come
 # after those definitions).

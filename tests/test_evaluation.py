@@ -1,0 +1,143 @@
+"""Calibration / threshold-sweep operators (operators/evaluation.py)
+against brute-force computation on constructed score/label frames."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from security_data_pipeline_spark.operators import evaluation as ev
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "score double, label int")
+
+
+def _brute_bins(rows, n_bins):
+    out = {}
+    for s, y in rows:
+        if s is None or y is None:
+            continue
+        rs = round(s, 6)
+        b = min(int(math.floor(rs * n_bins)), n_bins - 1)
+        n, pos, ss = out.get(b, (0, 0, 0.0))
+        out[b] = (n + 1, pos + y, ss + rs)
+    return out
+
+
+def test_reliability_bins_match_bruteforce(spark):
+    rng = random.Random(7)
+    rows = [(rng.random(), rng.randint(0, 1)) for _ in range(300)]
+    rows += [(None, 1), (0.5, None), (1.0, 1), (0.0, 0)]
+    got = {
+        r["bin"]: r
+        for r in ev.reliability_report(_df(spark, rows), "score", "label").collect()
+    }
+    want = _brute_bins(rows, 10)
+    assert set(got) == set(want)
+    for b, (n, pos, ss) in want.items():
+        r = got[b]
+        assert r["n"] == n
+        assert r["n_pos"] == pos
+        assert r["mean_score"] == pytest.approx(ss / n, abs=1e-6)
+        assert r["pos_rate"] == pytest.approx(pos / n, abs=1e-6)
+        assert r["gap"] == pytest.approx(abs(pos / n - ss / n), abs=1e-6)
+
+
+def test_score_one_lands_in_last_bin(spark):
+    rows = [(1.0, 1), (0.999999, 0)]
+    got = ev.reliability_report(_df(spark, rows), "score", "label").collect()
+    assert len(got) == 1 and got[0]["bin"] == 9 and got[0]["n"] == 2
+
+
+def test_ece_zero_when_perfectly_calibrated(spark):
+    # bin 2 (scores ~0.25): 1 of 4 positive with mean score 0.25;
+    # bin 7 (scores 0.75): 3 of 4 positive
+    rows = (
+        [(0.25, 1), (0.25, 0), (0.25, 0), (0.25, 0)]
+        + [(0.75, 1), (0.75, 1), (0.75, 1), (0.75, 0)]
+    )
+    r = ev.ece_report(_df(spark, rows), "score", "label").collect()[0]
+    assert r["n_docs"] == 8
+    assert r["n_bins_occupied"] == 2
+    assert r["ece"] == pytest.approx(0.0, abs=1e-6)
+    assert r["max_gap"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_ece_matches_bruteforce(spark):
+    rng = random.Random(11)
+    rows = [(rng.random(), rng.randint(0, 1)) for _ in range(500)]
+    r = ev.ece_report(_df(spark, rows), "score", "label").collect()[0]
+    bins = _brute_bins(rows, 10)
+    n_total = sum(n for n, _, _ in bins.values())
+    ece = sum(
+        n * abs(pos / n - ss / n) for n, pos, ss in bins.values()
+    ) / n_total
+    max_gap = max(abs(pos / n - ss / n) for n, pos, ss in bins.values())
+    assert r["n_docs"] == n_total
+    assert r["ece"] == pytest.approx(ece, abs=1e-5)
+    assert r["max_gap"] == pytest.approx(max_gap, abs=1e-5)
+    assert 0.0 <= r["ece"] <= r["max_gap"] + 1e-9
+
+
+def _brute_sweep(rows, thresholds):
+    scored = [(round(s, 6), y) for s, y in rows if s is not None and y is not None]
+    pos_total = sum(y for _, y in scored)
+    out = []
+    for t in thresholds:
+        tp = sum(y for s, y in scored if s >= t)
+        pp = sum(1 for s, _ in scored if s >= t)
+        out.append((t, pp, tp, pp - tp, pos_total - tp))
+    return out, pos_total
+
+
+def test_threshold_sweep_matches_bruteforce(spark):
+    rng = random.Random(13)
+    rows = [(rng.random(), rng.randint(0, 1)) for _ in range(400)]
+    rows += [(0.5, 1), (0.5, 0), (None, 1), (0.2, None)]
+    got = ev.threshold_sweep(_df(spark, rows), "score", "label").collect()
+    want, pos_total = _brute_sweep(rows, ev.DEFAULT_THRESHOLDS)
+    assert len(got) == len(want)
+    for r, (t, pp, tp, fp, fn) in zip(got, want):
+        assert r["threshold"] == pytest.approx(t)
+        assert (r["predicted_pos"], r["tp"], r["fp"], r["fn"]) == (pp, tp, fp, fn)
+        if pp == 0:
+            assert r["precision"] is None
+        else:
+            assert r["precision"] == pytest.approx(tp / pp, abs=1e-6)
+        assert r["recall"] == pytest.approx(tp / pos_total, abs=1e-6)
+        denom = 2 * tp + fp + fn
+        if denom == 0:
+            assert r["f1"] is None
+        else:
+            assert r["f1"] == pytest.approx(2 * tp / denom, abs=1e-6)
+
+
+def test_threshold_boundary_is_inclusive(spark):
+    # score exactly at a threshold predicts positive (>= semantics)
+    rows = [(0.5, 1), (0.499999, 1), (0.500001, 0)]
+    got = {
+        r["threshold"]: r
+        for r in ev.threshold_sweep(_df(spark, rows), "score", "label").collect()
+    }
+    assert got[0.5]["predicted_pos"] == 2
+    assert got[0.5]["tp"] == 1
+
+
+def test_sweep_degenerate_labels(spark):
+    # all-negative: recall NULL (0 positives), precision 0 where predicted
+    rows = [(0.9, 0), (0.1, 0)]
+    got = ev.threshold_sweep(_df(spark, rows), "score", "label").collect()
+    for r in got:
+        assert r["recall"] is None
+        if r["predicted_pos"] > 0:
+            assert r["precision"] == 0.0
+
+
+def test_sweep_rejects_unsorted_thresholds(spark):
+    with pytest.raises(ValueError):
+        ev.threshold_sweep(
+            _df(spark, [(0.5, 1)]), "score", "label", thresholds=(0.5, 0.3)
+        )
