@@ -8957,6 +8957,148 @@ def token_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_two_batches(df: DataFrame, prefix: str) -> str:
+    """Write ``df`` as two parquet files with strictly increasing mtimes
+    (split by a deterministic row hash) so a maxFilesPerTrigger=1 stream
+    replays it as two real micro-batches."""
+    import os
+    import tempfile
+    import time as _time
+
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    src = f"{tmp}/src"
+    os.makedirs(src)
+    base = _time.time() - 100
+    halves = [
+        df.filter(F.pmod(F.xxhash64(*df.columns), F.lit(2)) == i)
+        for i in (0, 1)
+    ]
+    for i, half in enumerate(halves):
+        before = set(os.listdir(src))
+        half.coalesce(1).write.mode("append").parquet(src)
+        for fnew in set(os.listdir(src)) - before:
+            if fnew.startswith("part-"):
+                os.utime(f"{src}/{fnew}", (base + i, base + i))
+    return tmp
+
+
+@query(
+    "doc_stream_calibration",
+    # the streamed report must equal the batch statistic — registered
+    # against the SAME oracle after both definitions exist (below)
+    sql=None,
+    description=(
+        "Streaming calibration monitor witnessed at table scale: the "
+        "quality-gate (score, label) frame staged as TWO real "
+        "micro-batches through maintain_calibration_stream's "
+        "scratch-swap fold (<=n_bins sufficient-statistic rows forever, "
+        "exact-addition merge, lineage-stamped replay guard), then the "
+        "reliability report read from the folded state — held to the "
+        "one-shot batch oracle (doc_quality_calibration's SQL). Rows "
+        "that straddle the batch split only match if the decimal score "
+        "sums fold exactly"
+    ),
+)
+def doc_stream_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import evaluation
+    from security_data_pipeline_spark.streaming.pipeline import (
+        calibration_state_counts,
+        maintain_calibration_stream,
+    )
+
+    frame = _quality_label_frame(spark, sf_dir)
+    tmp = _stage_two_batches(frame, "stream_cal_")
+    q = maintain_calibration_stream(
+        spark.readStream.schema("score double, label int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/src"),
+        f"{tmp}/state",
+        f"{tmp}/ckpt",
+        score_col="score",
+        label_col="label",
+        n_bins=10,
+    )
+    q.awaitTermination()
+    return evaluation.reliability_from_bin_counts(
+        calibration_state_counts(spark, f"{tmp}/state")
+    )
+
+
+REGISTRY["doc_stream_calibration"] = QuerySpec(
+    fn=REGISTRY["doc_stream_calibration"].fn,
+    sql=REGISTRY["doc_quality_calibration"].sql,
+    description=REGISTRY["doc_stream_calibration"].description,
+)
+
+
+_SOURCE_TOPK_SQL = """
+WITH scored AS (
+  SELECT source, doc_id,
+         ROUND(0.5 * CAST(LEAST(len(string_split(text, ' ')), 200) AS DOUBLE)
+               / 200.0
+             + 0.5 * LEAST(
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                                      t -> t IN ({stops}))) AS DOUBLE)
+                 / CAST(NULLIF(len(string_split(text, ' ')), 0) AS DOUBLE)
+                 * 5.0, 1.0),
+               6) AS quality_score
+  FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL
+), ranked AS (
+  SELECT source, doc_id, quality_score,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality_score DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT source, doc_id, quality_score FROM ranked WHERE rn <= 3
+""".format(stops=_STOP_SQL)
+
+
+@query(
+    "doc_stream_source_topk",
+    sql=_SOURCE_TOPK_SQL,
+    description=(
+        "Streaming per-source top-3 documents by quality score, "
+        "witnessed at table scale: two real micro-batches through "
+        "maintain_group_topk_stream's prefix-partitioned state "
+        "(<=|groups|*k rows, pruned reads, dynamic overwrite of touched "
+        "directories only, idempotent set-union merge), held to the "
+        "one-shot batch ROW_NUMBER oracle. The live 'best of what "
+        "arrived' curation surface; ids that straddle the batch split "
+        "only match if the carry merge neither drops nor duplicates"
+    ),
+)
+def doc_stream_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.streaming.pipeline import (
+        group_topk_from_state,
+        maintain_group_topk_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    frame = textops.quality_features(docs).select(
+        "source", "doc_id", "quality_score"
+    )
+    tmp = _stage_two_batches(frame, "stream_topk_")
+    q = maintain_group_topk_stream(
+        spark.readStream.schema(
+            "source string, doc_id long, quality_score double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/src"),
+        f"{tmp}/state",
+        f"{tmp}/ckpt",
+        group_cols=["source"],
+        order_col="quality_score",
+        id_col="doc_id",
+        k=3,
+        pfx_mod=64,
+    )
+    q.awaitTermination()
+    return group_topk_from_state(spark, f"{tmp}/state")
+
+
 # Composite driver-window queries register on import (they reuse the
 # operators and oracle-SQL builders defined above, so the import must come
 # after those definitions).

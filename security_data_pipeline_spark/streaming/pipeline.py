@@ -3114,3 +3114,249 @@ def transition_matrix_from_counts(
             6,
         ).alias("prob"),
     )
+
+
+def _calibration_fold(
+    state_path: str,
+    score_col: str,
+    label_col: str,
+    n_bins: int,
+    tag: str,
+):
+    """foreachBatch fold for :func:`maintain_calibration_stream` —
+    module-level so the replay guard is directly unit-testable (fold the
+    same batch id twice → state unchanged)."""
+    from security_data_pipeline_spark.operators import evaluation
+
+    scratch = f"{state_path}__next"
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        raw, from_scratch = _read_state(spark, state_path, scratch)
+        replayed, prev = _check_replay(raw, batch_id, tag)
+        if replayed:
+            # counts merge by ADDITION (not idempotent): a replayed batch
+            # is already in the persisted state — finish an interrupted
+            # scratch swap if needed and do nothing else.
+            if from_scratch:
+                raw.write.mode("overwrite").parquet(state_path)
+            return
+        new = evaluation.calibration_bin_counts(
+            batch_df, score_col, label_col, n_bins
+        )
+        merged = (
+            new
+            if prev is None
+            else prev.unionByName(new)
+            .groupBy("bin")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("n_pos").alias("n_pos"),
+                F.sum("sum_score").alias("sum_score"),
+            )
+        )
+        # pin the decimal width: Spark widens sum(DECIMAL(p,6)) by 10
+        # digits per fold, so without the cast the state schema would
+        # creep (21,6) → (31,6) → (38,6) across generations
+        merged = merged.select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("sum_score").cast("decimal(21,6)").alias("sum_score"),
+        )
+        out = _stamp_batch(merged, batch_id, tag)
+        out.write.mode("overwrite").parquet(scratch)
+        spark.read.parquet(scratch).write.mode("overwrite").parquet(
+            state_path
+        )
+
+    return _fold
+
+
+def maintain_calibration_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    trigger_available_now: bool = True,
+):
+    """Streaming calibration monitor for the quality gate: per-bin
+    sufficient statistics ``(bin, n, n_pos, sum_score)`` folded per
+    micro-batch — "are the gate's scores still calibrated on what's
+    arriving NOW?" answered continuously, pairing with the drift gate
+    (distribution shift) the way ECE pairs with PSI.
+
+    State discipline by growth law (the drift maintainer's argument, not
+    the LOCF one): the statistic domain is ≤ ``n_bins`` rows FOREVER, so
+    whole-state scratch-swap costs O(n_bins) per batch — prefix
+    partitioning would spend more on directory listings than it saves.
+    Counts and DECIMAL score sums merge by exact ADDITION (shuffle- and
+    batch-boundary-free), which is not idempotent, so delivery is guarded
+    by the lineage-stamped batch id (:func:`_check_replay`); a crash
+    between the scratch write and the state swap is healed by the
+    scratch-recovery read (:func:`_read_state`).
+
+    Read the live report via
+    :func:`...operators.evaluation.reliability_from_bin_counts` /
+    :func:`ece_from_bin_counts` over :func:`calibration_state_counts` —
+    both are BIT-IDENTICAL to the batch operators on the cumulative
+    input (same sufficient statistics, same arithmetic; proven in
+    tests/test_calibration_stream.py). Returns the StreamingQuery.
+    """
+    tag = _lineage_tag(checkpoint_path)
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(
+            _calibration_fold(state_path, score_col, label_col, n_bins, tag)
+        )
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def calibration_state_counts(spark: SparkSession, state_path: str) -> DataFrame:
+    """The streamed calibration statistics with guard columns dropped —
+    feed to ``reliability_from_bin_counts`` / ``ece_from_bin_counts``."""
+    return spark.read.parquet(state_path).drop("_last_batch_id", "_fold_tag")
+
+
+def _group_topk_merge(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    id_col: str,
+    k: int,
+    descending: bool,
+) -> DataFrame:
+    """Top-k per group over the (group, id)-keyed SET of observations —
+    the semilattice join of the top-k state: merge(x, y) = topk(x ∪ y),
+    associative/commutative/IDEMPOTENT. Set semantics are what make it
+    idempotent: a bag union would double identical rows on replay and a
+    duplicated best row would evict a genuine k-th row. Each id keeps its
+    best observation first (re-delivered rows collapse; a re-scored id
+    keeps the better score), then ranks break ties on id ASC — a total
+    order. Both windows run over touched state + batch rows only, never
+    the corpus. Contract: rows sharing (group, id, order) must carry
+    identical payloads (re-deliveries do)."""
+    from pyspark.sql import Window
+
+    ob = (
+        F.col(order_col).desc() if descending else F.col(order_col).asc()
+    )
+    w_id = Window.partitionBy(*group_cols, id_col).orderBy(ob)
+    w = Window.partitionBy(*group_cols).orderBy(ob, F.col(id_col).asc())
+    return (
+        df.withColumn("_rid", F.row_number().over(w_id))
+        .filter(F.col("_rid") == 1)
+        .drop("_rid")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def maintain_group_topk_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    group_cols: list[str],
+    order_col: str,
+    id_col: str,
+    k: int = 10,
+    pfx_mod: int = 256,
+    descending: bool = True,
+    trigger_available_now: bool = True,
+):
+    """Streaming per-group top-k: the k best rows per group (e.g. the
+    highest-quality documents per source — the live "show me the best of
+    what arrived" curation surface), maintained incrementally.
+
+    State discipline by growth law (the LOCF pattern, not scratch-swap):
+    state is ≤ ``|groups|·k`` FULL ROWS — unbounded in |groups| — so it is
+    PARTITIONED by the bounded group-hash prefix
+    (``_kp = 'p' + pmod(xxhash64(group_cols), pfx_mod)``); each batch's
+    distinct prefixes (a ≤``pfx_mod``-row driver list) prune the state
+    read to touched directories, and the fold rewrites ONLY those
+    directories (dynamic partition overwrite). Per-batch IO follows the
+    BATCH, not the state.
+
+    Crash safety comes from ALGEBRA: top-k over the (group, id)-keyed
+    observation SET is a semilattice join — IDEMPOTENT — so a replayed
+    merge is a no-op and a crash that swapped only some prefix
+    directories is healed by re-merging (the LOCF max-merge argument
+    verbatim; the per-id collapse is what makes the union a set union —
+    see :func:`_group_topk_merge`). The lineage-stamped batch id is
+    kept monotone per prefix so readers can see fold progress; there is
+    no sink to delivery-guard — the state IS the product, read it via
+    :func:`group_topk_from_state`.
+
+    Ties break on ``id_col`` ASC (a total order), so the streamed state
+    equals the batch top-k over the cumulative input row-for-row
+    (tests/test_calibration_stream.py). Rows carry every column of
+    ``stream_df`` — project upstream to bound state width.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    tag = _lineage_tag(checkpoint_path)
+    g = list(group_cols)
+
+    def _kp():
+        return locf_key_prefix(g, pfx_mod)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.transform(pin)
+        prefixes = [
+            r["_kp"]
+            for r in batch.select(_kp().alias("_kp")).distinct().collect()
+        ]
+        try:
+            state = spark.read.parquet(state_path)
+        except AnalysisException as e:
+            if not _missing_path(e):
+                raise
+            state = None
+        pruned = (
+            state.filter(F.col("_kp").isin(prefixes)).drop("_kp")
+            if state is not None
+            else None
+        )
+        prev_stamp = _same_lineage_max(pruned, tag)
+        stamp_id = (
+            batch_id if prev_stamp is None else max(batch_id, prev_stamp)
+        )
+        _, pruned = _check_replay(pruned, batch_id, tag)
+        merged = _group_topk_merge(
+            batch if pruned is None else pruned.unionByName(batch),
+            g,
+            order_col,
+            id_col,
+            k,
+            descending,
+        )
+        out = _stamp_batch(merged, stamp_id, tag).withColumn("_kp", _kp())
+        out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_kp").parquet(state_path)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def group_topk_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The streamed per-group top-k rows with guard/partition columns
+    dropped — row-for-row equal to the batch top-k over the cumulative
+    input."""
+    return spark.read.parquet(state_path).drop(
+        "_last_batch_id", "_fold_tag", "_kp"
+    )
