@@ -178,6 +178,9 @@ BENCH_QUERIES: tuple[str, ...] = (
     "doc_quality_ece",
     "doc_quality_threshold_sweep",
     "token_graph_triangles",
+    # round-9 addition: fixed-iteration PageRank, decimal-summed
+    # contributions, bit-deterministic vs the unrolled-CTE oracle
+    "token_graph_pagerank",
 )
 
 # Pinned result sizes per scale factor: a bench run also smoke-checks that
@@ -227,6 +230,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_quality_normalized": 5000,
         "doc_quality_calibration": 7, "doc_quality_ece": 1,
         "doc_quality_threshold_sweep": 9, "token_graph_triangles": 31,
+        "token_graph_pagerank": 31,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -270,6 +274,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_quality_normalized": 500,
         "doc_quality_calibration": 7, "doc_quality_ece": 1,
         "doc_quality_threshold_sweep": 9, "token_graph_triangles": 30,
+        "token_graph_pagerank": 30,
     },
 }
 

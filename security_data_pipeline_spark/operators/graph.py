@@ -192,3 +192,83 @@ def triangle_count(
             ).alias("global_coeff"),
         )
     )
+
+
+def pagerank(
+    df: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 5,
+) -> DataFrame:
+    """PageRank on the undirected graph (Page et al. 1999 — public
+    algorithm), fixed ``n_iter`` power iterations: the importance prior
+    over dedup clusters / token graphs where degree alone over-credits
+    hubs with unimportant neighbors.
+
+    ``pr_{i+1}(v) = (1-d)/N + d · Σ_{u∈adj(v)} pr_i(u)/deg(u)`` — on an
+    undirected graph every node has degree ≥ 1, so there are no dangling
+    nodes and Σ pr stays 1 exactly.
+
+    Scale shape: each iteration is ONE equi-join of the adjacency list
+    against the |V|-sized rank frame plus ONE hash aggregation — both
+    map-side combinable, both shuffling on real keys; the rank frame is
+    pinned per iteration so lineage stays O(1) deep instead of O(n_iter)
+    (the iterative-loop discipline). Adjacency and degrees are computed
+    once and pinned for the loop's 2·n_iter consumers.
+
+    Cross-engine determinism: contributions ``pr(u)/deg(u)`` are cast to
+    DECIMAL(28,12) per term and summed exactly (accumulation-order-free,
+    the PSI/ECE discipline), then one IEEE multiply-add per node — so a
+    fixed iteration count yields bit-identical ranks in any engine that
+    mirrors the expression (the DuckDB oracle unrolls the loop). Output:
+    ``node, degree, pr`` (pr rounded 6 dp at the END only).
+    """
+    edges, deg, _o = _prepare(df, src, dst)
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    adj = adj.transform(pin_lazy)
+    n = deg.count()
+    if n == 0:
+        return deg.select(
+            "node", "degree", F.lit(None).cast("double").alias("pr")
+        )
+    base = (1.0 - float(damping)) / float(n)
+    ranks = deg.select(
+        "node", (F.lit(1.0) / F.lit(float(n))).alias("pr")
+    ).transform(pin_lazy)
+    contrib_deg = deg.select(
+        F.col("node").alias("nbr"), F.col("degree").alias("_nd")
+    )
+    for _ in range(int(n_iter)):
+        contribs = (
+            adj.join(
+                ranks.select(F.col("node").alias("nbr"), "pr"), "nbr"
+            )
+            .join(contrib_deg, "nbr")
+            .select(
+                "node",
+                (F.col("pr") / F.col("_nd").cast("double")).cast(
+                    "decimal(28,12)"
+                ).alias("_c"),
+            )
+        )
+        ranks = (
+            contribs.groupBy("node")
+            .agg(F.sum("_c").alias("_s"))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(float(damping))
+                    * F.col("_s").cast("double")
+                ).alias("pr"),
+            )
+            .transform(pin_lazy)
+        )
+    return deg.join(ranks, "node").select(
+        "node", "degree", F.round(F.col("pr"), 6).alias("pr")
+    )

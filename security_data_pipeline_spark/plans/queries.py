@@ -8957,6 +8957,63 @@ def token_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_iter_sql(i: int) -> str:
+    """One unrolled power-iteration CTE — expression-for-expression the
+    Spark update in graph.pagerank (same IEEE op order, same per-term
+    DECIMAL(28,12) contribution casts), so a fixed iteration count is
+    bit-deterministic cross-engine."""
+    return f"""it{i + 1} AS (
+  SELECT a.node,
+         (1.0 - 0.85) / (SELECT CAST(c AS DOUBLE) FROM n)
+         + 0.85 * CAST(SUM(CAST(p.pr / CAST(d.degree AS DOUBLE)
+                                AS DECIMAL(28,12))) AS DOUBLE) AS pr
+  FROM adj a
+  JOIN it{i} p ON p.node = a.nbr
+  JOIN deg d ON d.node = a.nbr
+  GROUP BY a.node
+)"""
+
+
+@query(
+    "token_graph_pagerank",
+    sql=f"""
+WITH {_TOKEN_EDGE_SQL},
+adj AS (
+  SELECT u AS node, v AS nbr FROM e
+  UNION ALL
+  SELECT v AS node, u AS nbr FROM e
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM adj GROUP BY node
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c FROM deg
+), it0 AS (
+  SELECT node, 1.0 / (SELECT CAST(c AS DOUBLE) FROM n) AS pr FROM deg
+),
+{",".join(_pagerank_iter_sql(i) for i in range(5))}
+SELECT deg.node, deg.degree, ROUND(it5.pr, 6) AS pr
+FROM deg JOIN it5 ON it5.node = deg.node
+""",
+    description=(
+        "PageRank (5 fixed power iterations, damping 0.85) over the "
+        "token co-occurrence graph — the importance prior where degree "
+        "alone over-credits hubs with unimportant neighbors. Each "
+        "iteration is ONE adjacency-against-ranks equi-join plus ONE "
+        "map-side-combined hash aggregation; rank frames are pinned per "
+        "iteration so lineage stays O(1) deep. Contributions sum as "
+        "DECIMAL(28,12) per term (accumulation-order-free), so the "
+        "fixed-iteration ranks are bit-identical to the oracle's "
+        "unrolled-CTE loop"
+    ),
+)
+def token_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import graph
+
+    return graph.pagerank(
+        _token_lift_edges(spark, sf_dir), "src", "dst", 0.85, 5
+    )
+
+
 def _stage_two_batches(df: DataFrame, prefix: str) -> str:
     """Write ``df`` as two parquet files with strictly increasing mtimes
     (split by a deterministic row hash) so a maxFilesPerTrigger=1 stream

@@ -149,3 +149,73 @@ def test_skewed_hub_wedge_bound(spark):
     deg = graph.degrees(edges)
     o = graph._oriented(edges, deg)
     assert o.filter(o.lo == "hub").count() == 0
+
+
+def _numpy_pagerank(pairs, damping=0.85, n_iter=5):
+    _, deg, _ = ({}, {}, {})
+    es = set()
+    for a, b in pairs:
+        if a is None or b is None or a == b:
+            continue
+        es.add((min(a, b), max(a, b)))
+    nodes = sorted({n for e in es for n in e})
+    adj = {n: [] for n in nodes}
+    for u, v in es:
+        adj[u].append(v)
+        adj[v].append(u)
+    n = len(nodes)
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        pr = {
+            v: (1.0 - damping) / n
+            + damping * sum(pr[u] / len(adj[u]) for u in adj[v])
+            for v in nodes
+        }
+    return pr, {v: len(adj[v]) for v in nodes}
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],  # ring: uniform
+        [("hub", f"l{i}") for i in range(6)],  # star
+        list(itertools.combinations(["a", "b", "c", "d", "e"], 2)),  # K5
+    ],
+)
+def test_pagerank_matches_reference(spark, pairs):
+    got = {
+        r["node"]: (r["degree"], r["pr"])
+        for r in graph.pagerank(_edges_df(spark, pairs)).collect()
+    }
+    want, deg = _numpy_pagerank(pairs)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v][0] == deg[v]
+        assert got[v][1] == pytest.approx(want[v], abs=2e-6)
+    # undirected graph has no dangling nodes: ranks sum to 1
+    assert sum(p for _, p in got.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_pagerank_random_graph(spark):
+    rng = random.Random(5)
+    nodes = [f"n{i:02d}" for i in range(12)]
+    pairs = [
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if rng.random() < 0.35
+    ]
+    got = {
+        r["node"]: r["pr"]
+        for r in graph.pagerank(_edges_df(spark, pairs)).collect()
+    }
+    want, _ = _numpy_pagerank(pairs)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-6)
+    # hubs outrank leaves: max-degree node carries the largest pr in a
+    # star-augmented check
+    star = [("hub", n) for n in nodes]
+    got_star = {
+        r["node"]: r["pr"]
+        for r in graph.pagerank(_edges_df(spark, star)).collect()
+    }
+    assert max(got_star, key=got_star.get) == "hub"
