@@ -170,6 +170,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "neardup_pairs_suite",
     "sketch_checks",
     "grouping_sets_suite",
+    "curation_eval_suite",
     "security_detections",
     # round-9 additions: curation-gate evaluation (one-pass calibration
     # bins / ECE, one-pass suffix-sum threshold sweep) and token-graph
@@ -230,7 +231,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_quality_normalized": 5000,
         "doc_quality_calibration": 7, "doc_quality_ece": 1,
         "doc_quality_threshold_sweep": 9, "token_graph_triangles": 31,
-        "token_graph_pagerank": 31,
+        "token_graph_pagerank": 31, "curation_eval_suite": 10207,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -274,7 +275,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_quality_normalized": 500,
         "doc_quality_calibration": 7, "doc_quality_ece": 1,
         "doc_quality_threshold_sweep": 9, "token_graph_triangles": 30,
-        "token_graph_pagerank": 30,
+        "token_graph_pagerank": 30, "curation_eval_suite": 1203,
     },
 }
 

@@ -2409,3 +2409,161 @@ def grouping_sets_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("total_price"),
     )
     return ru.unionByName(cu).unionByName(gs)
+
+
+# ---------------------------------------------------------------------------
+# Curation-gate evaluation + graph-diagnostics family (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _curation_eval_suite_sql() -> str:
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+
+    def cte(name: str) -> str:
+        return REGISTRY[name].sql.strip().rstrip(";")
+
+    arms = [
+        _unpivot_arm_sql(
+            "qs",
+            "quality",
+            "CAST(doc_id AS VARCHAR)",
+            [
+                ("quality_score", "quality_score"),
+                ("stopword_ratio", "stopword_ratio"),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "cal",
+            "calibration",
+            "CAST(bin AS VARCHAR)",
+            [
+                ("n", "n"),
+                ("n_pos", "n_pos"),
+                ("mean_score", "mean_score"),
+                ("pos_rate", "pos_rate"),
+                ("gap", "gap"),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "ec",
+            "ece",
+            "'all'",
+            [
+                ("n_docs", "n_docs"),
+                ("ece", "ece"),
+                ("max_gap", "max_gap"),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "sw",
+            "sweep",
+            "CAST(threshold AS VARCHAR)",
+            [
+                ("predicted_pos", "predicted_pos"),
+                ("tp", "tp"),
+                ("precision", "precision"),
+                ("recall", "recall"),
+                ("f1", "f1"),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "tg",
+            "triangles",
+            "node",
+            [
+                ("degree", "degree"),
+                ("triangles", "triangles"),
+                ("coeff", "coeff"),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "pr",
+            "pagerank",
+            "node",
+            [("pr", "pr")],
+        ),
+    ]
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH qs AS ({cte("doc_quality_scores")}),
+cal AS ({cte("doc_quality_calibration")}),
+ec AS ({cte("doc_quality_ece")}),
+sw AS ({cte("doc_quality_threshold_sweep")}),
+tg AS ({cte("token_graph_triangles")}),
+pr AS ({cte("token_graph_pagerank")})
+{body}
+"""
+
+
+@query(
+    "curation_eval_suite",
+    sql=_curation_eval_suite_sql(),
+    description=(
+        "The evaluate-the-curation-gate family in one slot, built from "
+        "the very same registered operator calls: (1) per-doc quality "
+        "features (the gate's scores — subsumes the doc_quality_scores "
+        "slot); (2) reliability-diagram calibration bins; (3) the ECE "
+        "scalar (DECIMAL-summed, accumulation-order-free); (4) the "
+        "one-pass precision/recall/F1 threshold sweep (suffix sums over "
+        "a grid-sized band frame, never m corpus scans); (5) per-node "
+        "triangle counts + clustering coefficients of the PMI-lift token "
+        "graph (degree-ordered orientation — hubs emit zero wedges); "
+        "(6) fixed-iteration PageRank (per-term decimal contribution "
+        "sums, bit-deterministic vs the unrolled oracle). All six "
+        "unpivoted to one (suite, item, metric, value) stream; "
+        "constituents stay registered for granular oracle checks"
+    ),
+)
+def curation_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def run(name: str) -> DataFrame:
+        return REGISTRY[name].fn(spark, sf_dir)
+
+    def arm(df: DataFrame, suite: str, item, metrics: list[str]) -> DataFrame:
+        return (
+            df.select(
+                item.alias("item"),
+                *[F.col(m).cast("double").alias(m) for m in metrics],
+            )
+            .unpivot(["item"], metrics, "metric", "value")
+            .select(F.lit(suite).alias("suite"), "item", "metric", "value")
+        )
+
+    parts = [
+        arm(
+            run("doc_quality_scores"),
+            "quality",
+            F.col("doc_id").cast("string"),
+            ["quality_score", "stopword_ratio"],
+        ),
+        arm(
+            run("doc_quality_calibration"),
+            "calibration",
+            F.col("bin").cast("string"),
+            ["n", "n_pos", "mean_score", "pos_rate", "gap"],
+        ),
+        arm(
+            run("doc_quality_ece"),
+            "ece",
+            F.lit("all"),
+            ["n_docs", "ece", "max_gap"],
+        ),
+        arm(
+            run("doc_quality_threshold_sweep"),
+            "sweep",
+            F.col("threshold").cast("string"),
+            ["predicted_pos", "tp", "precision", "recall", "f1"],
+        ),
+        arm(
+            run("token_graph_triangles"),
+            "triangles",
+            F.col("node"),
+            ["degree", "triangles", "coeff"],
+        ),
+        arm(
+            run("token_graph_pagerank"),
+            "pagerank",
+            F.col("node"),
+            ["pr"],
+        ),
+    ]
+    return _union(parts)

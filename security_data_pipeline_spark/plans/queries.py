@@ -9240,7 +9240,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "top_orders_per_customer",
     # text analysis / corpus ops
     "doc_text_stats",
-    "doc_quality_scores",
+    # curation-gate evaluation + graph diagnostics composite: quality
+    # scores (subsumes the former doc_quality_scores slot), calibration
+    # bins, ECE, threshold sweep, token-graph triangles, PageRank
+    # (constituents stay registered as extras)
+    "curation_eval_suite",
     "doc_tfidf_topk",
     "doc_sampling_suite",
     "doc_token_packing",
