@@ -182,6 +182,9 @@ BENCH_QUERIES: tuple[str, ...] = (
     # round-9 addition: fixed-iteration PageRank, decimal-summed
     # contributions, bit-deterministic vs the unrolled-CTE oracle
     "token_graph_pagerank",
+    # round-9 addition: per-source exact AUC + Brier from one pass over
+    # the bounded (source, rounded-score) statistic frame
+    "doc_quality_eval_by_source",
 )
 
 # Pinned result sizes per scale factor: a bench run also smoke-checks that
@@ -231,7 +234,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_quality_normalized": 5000,
         "doc_quality_calibration": 7, "doc_quality_ece": 1,
         "doc_quality_threshold_sweep": 9, "token_graph_triangles": 31,
-        "token_graph_pagerank": 31, "curation_eval_suite": 10207,
+        "token_graph_pagerank": 31, "curation_eval_suite": 10207, "doc_quality_eval_by_source": 20,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -275,7 +278,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_quality_normalized": 500,
         "doc_quality_calibration": 7, "doc_quality_ece": 1,
         "doc_quality_threshold_sweep": 9, "token_graph_triangles": 30,
-        "token_graph_pagerank": 30, "curation_eval_suite": 1203,
+        "token_graph_pagerank": 30, "curation_eval_suite": 1203, "doc_quality_eval_by_source": 20,
     },
 }
 

@@ -8957,6 +8957,80 @@ def token_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_quality_eval_by_source",
+    sql=f"""
+WITH scored AS (
+  SELECT source,
+         ROUND(0.5 * CAST(LEAST(len(string_split(text, ' ')), 200) AS DOUBLE)
+               / 200.0
+             + 0.5 * LEAST(
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                                      t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+                 / CAST(NULLIF(len(string_split(text, ' ')), 0) AS DOUBLE)
+                 * 5.0, 1.0),
+               6) AS rs,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
+), per_score AS (
+  SELECT source, rs, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS np
+  FROM scored GROUP BY source, rs
+), ranked AS (
+  SELECT source, n, np,
+         np * (2 * COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY rs
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + n + 1) AS r2,
+         CAST(np * (rs - 1) * (rs - 1) + (n - np) * rs * rs
+              AS DECIMAL(28,12)) AS sq
+  FROM per_score
+), agg AS (
+  SELECT source,
+         CAST(SUM(np) AS BIGINT) AS n_pos,
+         CAST(SUM(n) - SUM(np) AS BIGINT) AS n_neg,
+         CAST(SUM(r2) AS BIGINT) AS r2sum,
+         SUM(sq) AS sqsum,
+         CAST(SUM(n) AS BIGINT) AS nt
+  FROM ranked GROUP BY source
+)
+SELECT source, n_pos, n_neg,
+       ROUND(CAST(r2sum - n_pos * (n_pos + 1) AS DOUBLE)
+             / CAST(NULLIF(2 * n_pos * n_neg, 0) AS DOUBLE), 6) AS auc,
+       ROUND(CAST(sqsum AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS brier
+FROM agg
+""",
+    description=(
+        "Per-source ranking quality of the gate: exact ROC-AUC "
+        "(Mann-Whitney U with midrank tie handling) and Brier score "
+        "against the is-English label, from ONE corpus pass. The corpus "
+        "collapses to per-(source, 6dp-score) counts — a bounded domain "
+        "(<=10^6+1 distinct rounded scores), so the ordered ranking "
+        "window runs over the statistic frame, never the rows (the KS-"
+        "grid argument). AUC stays all-integer until one IEEE division; "
+        "Brier terms sum as DECIMAL(28,12). The which-domains-does-the-"
+        "gate-actually-separate diagnostic behind per-source caps and "
+        "mixture reweighting"
+    ),
+)
+def doc_quality_eval_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import evaluation
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+    )
+    frame = textops.quality_features(docs).select(
+        "source",
+        F.col("quality_score").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return evaluation.ranking_report(
+        frame, "score", "label", group_cols=["source"]
+    )
+
+
 def _pagerank_iter_sql(i: int) -> str:
     """One unrolled power-iteration CTE — expression-for-expression the
     Spark update in graph.pagerank (same IEEE op order, same per-term

@@ -141,3 +141,71 @@ def test_sweep_rejects_unsorted_thresholds(spark):
         ev.threshold_sweep(
             _df(spark, [(0.5, 1)]), "score", "label", thresholds=(0.5, 0.3)
         )
+
+
+def _brute_auc_brier(rows):
+    scored = [
+        (round(s, 6), y) for s, y in rows if s is not None and y is not None
+    ]
+    pos = [s for s, y in scored if y == 1]
+    neg = [s for s, y in scored if y == 0]
+    brier = (
+        sum((s - y) ** 2 for s, y in scored) / len(scored) if scored else None
+    )
+    if not pos or not neg:
+        return None, brier, len(pos), len(neg)
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p in pos
+        for n in neg
+    )
+    return wins / (len(pos) * len(neg)), brier, len(pos), len(neg)
+
+
+def test_ranking_report_matches_pairwise_auc(spark):
+    rng = random.Random(17)
+    rows = [(rng.random(), rng.randint(0, 1)) for _ in range(300)]
+    # inject heavy ties so midranks matter
+    rows += [(0.5, 1)] * 10 + [(0.5, 0)] * 7 + [(None, 1), (0.3, None)]
+    r = ev.ranking_report(_df(spark, rows), "score", "label").collect()[0]
+    auc, brier, p, n = _brute_auc_brier(rows)
+    assert (r["n_pos"], r["n_neg"]) == (p, n)
+    assert r["auc"] == pytest.approx(auc, abs=1e-6)
+    assert r["brier"] == pytest.approx(brier, abs=1e-6)
+
+
+def test_ranking_report_perfect_and_reversed(spark):
+    perfect = [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)]
+    r = ev.ranking_report(_df(spark, perfect), "score", "label").collect()[0]
+    assert r["auc"] == pytest.approx(1.0)
+    reversed_ = [(s, 1 - y) for s, y in perfect]
+    r = ev.ranking_report(_df(spark, reversed_), "score", "label").collect()[0]
+    assert r["auc"] == pytest.approx(0.0)
+
+
+def test_ranking_report_single_class_is_null(spark):
+    r = ev.ranking_report(
+        _df(spark, [(0.4, 1), (0.6, 1)]), "score", "label"
+    ).collect()[0]
+    assert r["auc"] is None
+    assert r["brier"] is not None
+
+
+def test_ranking_report_grouped(spark):
+    rng = random.Random(23)
+    rows = [
+        (f"g{i % 3}", rng.random(), rng.randint(0, 1)) for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "src string, score double, label int")
+    got = {
+        r["src"]: r
+        for r in ev.ranking_report(
+            df, "score", "label", group_cols=["src"]
+        ).collect()
+    }
+    for gname in ["g0", "g1", "g2"]:
+        sub = [(s, y) for g, s, y in rows if g == gname]
+        auc, brier, p, n = _brute_auc_brier(sub)
+        assert (got[gname]["n_pos"], got[gname]["n_neg"]) == (p, n)
+        assert got[gname]["auc"] == pytest.approx(auc, abs=1e-6)
+        assert got[gname]["brier"] == pytest.approx(brier, abs=1e-6)
