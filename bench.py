@@ -185,6 +185,10 @@ BENCH_QUERIES: tuple[str, ...] = (
     # round-9 addition: per-source exact AUC + Brier from one pass over
     # the bounded (source, rounded-score) statistic frame
     "doc_quality_eval_by_source",
+    # round-9 additions: degree-capped resource-allocation link
+    # prediction and the daily cohort-retention triangle
+    "token_graph_link_prediction",
+    "user_retention_cohorts",
 )
 
 # Pinned result sizes per scale factor: a bench run also smoke-checks that
@@ -235,6 +239,8 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_quality_calibration": 7, "doc_quality_ece": 1,
         "doc_quality_threshold_sweep": 9, "token_graph_triangles": 31,
         "token_graph_pagerank": 31, "curation_eval_suite": 10207, "doc_quality_eval_by_source": 20,
+        "token_graph_link_prediction": 20, "user_retention_cohorts": 111,
+        "token_graph_link_prediction": 20, "user_retention_cohorts": 111,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -279,6 +285,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_quality_calibration": 7, "doc_quality_ece": 1,
         "doc_quality_threshold_sweep": 9, "token_graph_triangles": 30,
         "token_graph_pagerank": 30, "curation_eval_suite": 1203, "doc_quality_eval_by_source": 20,
+        "token_graph_link_prediction": 20, "user_retention_cohorts": 59,
     },
 }
 

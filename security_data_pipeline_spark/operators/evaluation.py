@@ -285,11 +285,25 @@ def ranking_report(
 
     Output per group: ``n_pos, n_neg, auc, brier`` (6 dp).
     """
-    from pyspark.sql import Window
+    return ranking_from_score_counts(
+        score_label_counts(df, score_col, label_col, group_cols),
+        group_cols,
+    )
 
+
+def score_label_counts(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """The ranking sufficient statistics: one row per (group,
+    6-dp-rounded score) — ``(*group_cols, _s, _n, _np)``. Counts merge
+    by addition, so this frame is also the streaming ranking state
+    (:func:`...streaming.pipeline.maintain_ranking_counts_stream`)."""
     g = list(group_cols or [])
     rs = _rounded_score(score_col)
-    per_score = (
+    return (
         df.filter(
             F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
         )
@@ -304,6 +318,18 @@ def ranking_report(
             F.sum("_y").alias("_np"),
         )
     )
+
+
+def ranking_from_score_counts(
+    per_score: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """AUC + Brier from the :func:`score_label_counts` statistics —
+    shared verbatim by the batch operator and the streaming maintainer's
+    reader, so their reports are bit-identical on equal statistics."""
+    from pyspark.sql import Window
+
+    g = list(group_cols or [])
     w = (
         Window.partitionBy(*g).orderBy("_s")
         if g

@@ -293,3 +293,59 @@ def forward_fill_bounded(
         prev["v"],
     )
     return df.withColumn(f"{value_col}{suffix}", filled)
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen period,
+    tracked by how many are still active N periods later — the
+    engagement surface behind "is the week-3 crawl source still
+    contributing documents?" / "do users onboarded in week 1 keep
+    producing events?".
+
+    Scale shape: (1) per-user first-seen period = one hash aggregation
+    (min of the period index — exact integer floor-division of epoch
+    days, no timezone arithmetic); (2) distinct (user, period) activity
+    = one hash aggregation; (3) the two are joined co-partitioned on the
+    user key (both sides are per-user reductions — never the fact
+    table); (4) the final (cohort, offset) rollup counts rows of an
+    already-distinct frame, so no COUNT DISTINCT shuffle survives to the
+    wide stage. Retention rate = n_active / cohort size via one window
+    over the triangle (≤ periods² rows).
+
+    Output: ``cohort_period, period_offset, n_active, cohort_size,
+    retention`` (6 dp) — offset 0 rows carry retention 1.0 by
+    construction (a self-check the oracle inherits).
+    """
+    from pyspark.sql import Window
+
+    period = F.floor(
+        F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000 * period_days)
+    ).cast("long")
+    base = df.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(F.col(user_col).alias("_u"), period.alias("_p"))
+    active = base.distinct()
+    first_seen = base.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+    joined = active.join(first_seen, "_u")
+    tri = joined.groupBy(
+        F.col("_cohort").alias("cohort_period"),
+        (F.col("_p") - F.col("_cohort")).alias("period_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    w = Window.partitionBy("cohort_period")
+    size = F.max(
+        F.when(F.col("period_offset") == 0, F.col("n_active"))
+    ).over(w)
+    return tri.select(
+        "cohort_period",
+        "period_offset",
+        "n_active",
+        size.alias("cohort_size"),
+        F.round(
+            F.col("n_active").cast("double") / size.cast("double"), 6
+        ).alias("retention"),
+    )

@@ -9088,6 +9088,110 @@ def token_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "token_graph_link_prediction",
+    sql=f"""
+WITH {_TOKEN_EDGE_SQL},
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node
+), adj AS (
+  SELECT u AS ctr, v AS nbr FROM e
+  UNION ALL
+  SELECT v AS ctr, u AS nbr FROM e
+), capped AS (
+  SELECT a.ctr, a.nbr, d.degree AS cd
+  FROM adj a JOIN deg d ON d.node = a.ctr
+  WHERE d.degree <= 20
+), pairs AS (
+  SELECT l.nbr AS id_a, r.nbr AS id_b,
+         CAST(1.0 / CAST(l.cd AS DOUBLE) AS DECIMAL(28,12)) AS w
+  FROM capped l JOIN capped r ON l.ctr = r.ctr
+  WHERE l.nbr < r.nbr
+), scored AS (
+  SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_common, SUM(w) AS ra
+  FROM pairs GROUP BY id_a, id_b
+), ne AS (
+  SELECT s.id_a, s.id_b, s.n_common, s.ra
+  FROM scored s LEFT JOIN e ON e.u = s.id_a AND e.v = s.id_b
+  WHERE e.u IS NULL
+)
+SELECT id_a, id_b, n_common, ROUND(CAST(ra AS DOUBLE), 6) AS ra_score
+FROM ne ORDER BY ra_score DESC, id_a, id_b LIMIT 20
+""",
+    description=(
+        "Link prediction on the token co-occurrence graph: top-20 "
+        "NON-edges ranked by the resource-allocation index "
+        "RA(a,b) = sum over common neighbors w of 1/deg(w) — the "
+        "missing-edge ranking behind 'these near-dup clusters should "
+        "merge'. Common-neighbor enumeration is the one graph pattern "
+        "degree orientation cannot bound, so centers above degree 20 "
+        "are dropped — principled for RA: a dropped hub contributes "
+        "< 1/cap per pair and RA's own weighting says it carries "
+        "negligible signal. Per-term 1/deg weights sum as "
+        "DECIMAL(28,12); existing edges removed by one anti-join"
+    ),
+)
+def token_graph_link_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from security_data_pipeline_spark.operators import graph
+
+    return graph.link_prediction_ra(
+        _token_lift_edges(spark, sf_dir),
+        "src",
+        "dst",
+        max_center_degree=20,
+        top_k=20,
+    )
+
+
+@query(
+    "user_retention_cohorts",
+    sql="""
+WITH base AS (
+  SELECT user_id AS u,
+         CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS p
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), active AS (
+  SELECT DISTINCT u, p FROM base
+), fs AS (
+  SELECT u, MIN(p) AS cohort FROM base GROUP BY u
+), tri AS (
+  SELECT cohort AS cohort_period, p - cohort AS period_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM active JOIN fs USING (u) GROUP BY 1, 2
+)
+SELECT cohort_period, period_offset, n_active,
+       MAX(CASE WHEN period_offset = 0 THEN n_active END)
+         OVER (PARTITION BY cohort_period) AS cohort_size,
+       ROUND(CAST(n_active AS DOUBLE)
+             / CAST(MAX(CASE WHEN period_offset = 0 THEN n_active END)
+                    OVER (PARTITION BY cohort_period) AS DOUBLE),
+             6) AS retention
+FROM tri
+""",
+    description=(
+        "Daily cohort retention triangle: users grouped by first-seen "
+        "day, counted per activity-day offset with retention vs cohort "
+        "size — the engagement surface behind source-health and "
+        "user-stickiness decisions. Shape: two per-user hash "
+        "aggregations (first-seen, distinct active days) joined "
+        "CO-PARTITIONED on the user key (never the fact table), final "
+        "rollup counts an already-distinct frame so no COUNT DISTINCT "
+        "shuffle survives to the wide stage; the rate window runs over "
+        "the <=periods^2 triangle. Offset-0 retention = 1.0 by "
+        "construction — a self-check the oracle inherits"
+    ),
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.retention_cohorts(ev, "user_id", "ts", period_days=1)
+
+
 def _stage_two_batches(df: DataFrame, prefix: str) -> str:
     """Write ``df`` as two parquet files with strictly increasing mtimes
     (split by a deterministic row hash) so a maxFilesPerTrigger=1 stream
@@ -9183,6 +9287,66 @@ WITH scored AS (
 )
 SELECT source, doc_id, quality_score FROM ranked WHERE rn <= 3
 """.format(stops=_STOP_SQL)
+
+
+@query(
+    "doc_stream_quality_eval",
+    # the streamed report must equal the batch statistic — re-registered
+    # against doc_quality_eval_by_source's oracle SQL below
+    sql=None,
+    description=(
+        "Streaming ranking-evaluation state witnessed at table scale: "
+        "the per-source (score, label) frame staged as TWO real "
+        "micro-batches through maintain_ranking_counts_stream's "
+        "prefix-partitioned fold (one row per (source, rounded score), "
+        "the vocab-sized growth law -> token-count discipline: pruned "
+        "reads, dynamic overwrite of touched prefixes only, per-prefix "
+        "replay stamps), then AUC + Brier computed from the folded "
+        "statistics — held to the one-shot batch oracle. Scores that "
+        "straddle the batch split only match if the addition merge "
+        "neither drops nor double-counts"
+    ),
+)
+def doc_stream_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import evaluation
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_ranking_counts_stream,
+        ranking_state_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+    )
+    frame = textops.quality_features(docs).select(
+        "source",
+        F.col("quality_score").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    tmp = _stage_two_batches(frame, "stream_rank_")
+    q = maintain_ranking_counts_stream(
+        spark.readStream.schema("source string, score double, label int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/src"),
+        f"{tmp}/state",
+        f"{tmp}/ckpt",
+        score_col="score",
+        label_col="label",
+        group_cols=["source"],
+        pfx_mod=64,
+    )
+    q.awaitTermination()
+    return evaluation.ranking_from_score_counts(
+        ranking_state_counts(spark, f"{tmp}/state"), ["source"]
+    )
+
+
+REGISTRY["doc_stream_quality_eval"] = QuerySpec(
+    fn=REGISTRY["doc_stream_quality_eval"].fn,
+    sql=REGISTRY["doc_quality_eval_by_source"].sql,
+    description=REGISTRY["doc_stream_quality_eval"].description,
+)
 
 
 @query(

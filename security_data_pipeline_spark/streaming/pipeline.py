@@ -3360,3 +3360,108 @@ def group_topk_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     return spark.read.parquet(state_path).drop(
         "_last_batch_id", "_fold_tag", "_kp"
     )
+
+
+def maintain_ranking_counts_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+    pfx_mod: int = 256,
+    trigger_available_now: bool = True,
+):
+    """Streaming ranking-evaluation state — the live statistics behind
+    :func:`...operators.evaluation.ranking_from_score_counts` (exact
+    per-group AUC + Brier): "is the gate still separating the classes on
+    what's arriving NOW?" current at ingest cadence without rescanning
+    the corpus.
+
+    State is one row per (group, 6-dp-rounded score) — bounded by the
+    score domain (≤ 10⁶+1 distinct rounded scores per group), not the
+    corpus, but UNBOUNDED in |groups|·|scores| — the vocab-sized growth
+    law, so this follows :func:`maintain_token_counts_stream`'s
+    discipline, not the calibration maintainer's scratch-swap: state
+    partitioned by ``_kp = 'p' + pmod(xxhash64(group…, _s), pfx_mod)``;
+    each micro-batch reduces map-side to its distinct (group, score)
+    statistic rows, reads ONLY the touched prefix directories, merges by
+    addition with that pruned slice, and dynamic-partition-overwrites
+    exactly the touched directories. Counts-merge is not idempotent, so
+    replays are guarded per prefix (:func:`_folded_prefixes`) — a crash
+    mid partition-overwrite re-merges exactly the unstamped remainder.
+
+    Read the live report with ``ranking_from_score_counts(
+    ranking_state_counts(spark, state_path), group_cols)`` — bit-equal
+    to the batch :func:`ranking_report` over the cumulative input
+    (tests/test_ranking_stream.py). Returns the StreamingQuery.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from security_data_pipeline_spark.operators import evaluation
+
+    g = list(group_cols or [])
+
+    def _kp():
+        return locf_key_prefix([*g, "_s"], pfx_mod)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = (
+            evaluation.score_label_counts(batch_df, score_col, label_col, g)
+            .withColumn("_kp", _kp())
+            .transform(pin)
+        )
+        prefixes = [r["_kp"] for r in new.select("_kp").distinct().collect()]
+        if not prefixes:
+            return
+        try:
+            state = spark.read.parquet(state_path)
+        except AnalysisException as e:
+            if not _missing_path(e):
+                raise
+            state = None
+        pruned = (
+            state.filter(F.col("_kp").isin(prefixes))
+            if state is not None
+            else None
+        )
+        done = _folded_prefixes(pruned, batch_id, checkpoint_path)
+        pending = [p for p in prefixes if p not in done]
+        if not pending:
+            return
+        new_pending = new.filter(F.col("_kp").isin(pending))
+        merged = new_pending
+        if pruned is not None:
+            prev_pending = pruned.filter(F.col("_kp").isin(pending)).drop(
+                "_last_batch_id", "_fold_tag"
+            )
+            merged = (
+                prev_pending.unionByName(new_pending)
+                .groupBy("_kp", *g, "_s")
+                .agg(
+                    F.sum("_n").alias("_n"),
+                    F.sum("_np").alias("_np"),
+                )
+            )
+        out = _stamp_batch(merged, batch_id, checkpoint_path)
+        out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_kp").parquet(state_path)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ranking_state_counts(spark: SparkSession, state_path: str) -> DataFrame:
+    """The streamed ranking statistics with guard/partition columns
+    dropped — feed to ``evaluation.ranking_from_score_counts``."""
+    return spark.read.parquet(state_path).drop(
+        "_last_batch_id", "_fold_tag", "_kp"
+    )

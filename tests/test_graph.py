@@ -219,3 +219,62 @@ def test_pagerank_random_graph(spark):
         for r in graph.pagerank(_edges_df(spark, star)).collect()
     }
     assert max(got_star, key=got_star.get) == "hub"
+
+
+def _brute_ra(pairs, cap):
+    es = set()
+    for a, b in pairs:
+        if a is None or b is None or a == b:
+            continue
+        es.add((min(a, b), max(a, b)))
+    nodes = sorted({n for e in es for n in e})
+    adj = {n: set() for n in nodes}
+    for u, v in es:
+        adj[u].add(v)
+        adj[v].add(u)
+    deg = {n: len(adj[n]) for n in nodes}
+    scores = {}
+    for w in nodes:
+        if deg[w] > cap:
+            continue
+        nbrs = sorted(adj[w])
+        for i in range(len(nbrs)):
+            for j in range(i + 1, len(nbrs)):
+                key = (nbrs[i], nbrs[j])
+                n, s = scores.get(key, (0, 0.0))
+                scores[key] = (n + 1, s + 1.0 / deg[w])
+    return {k: v for k, v in scores.items() if k not in es}
+
+
+@pytest.mark.parametrize("seed,cap", [(31, 100), (37, 3)])
+def test_link_prediction_ra_matches_bruteforce(spark, seed, cap):
+    rng = random.Random(seed)
+    nodes = [f"n{i:02d}" for i in range(12)]
+    pairs = [
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if rng.random() < 0.3
+    ] + [("hub", n) for n in nodes]  # a hub the cap=3 leg must drop
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["ra_score"])
+        for r in graph.link_prediction_ra(
+            _edges_df(spark, pairs), max_center_degree=cap
+        ).collect()
+    }
+    want = _brute_ra(pairs, cap)
+    assert set(got) == set(want)
+    for k, (n, s) in want.items():
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(s, abs=1e-6)
+
+
+def test_link_prediction_topk_total_order(spark):
+    # path a-b-c-d: non-edges (a,c),(b,d) share one common neighbor of
+    # degree 2 each; (a,d) has none. Tie between (a,c) and (b,d) breaks
+    # on (id_a, id_b).
+    pairs = [("a", "b"), ("b", "c"), ("c", "d")]
+    got = graph.link_prediction_ra(
+        _edges_df(spark, pairs), top_k=2
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [("a", "c"), ("b", "d")]
+    assert all(r["ra_score"] == pytest.approx(0.5) for r in got)

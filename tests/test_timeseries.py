@@ -188,3 +188,45 @@ def test_forward_fill_bounded_respects_max_gap(spark):
     assert out[("k", 4)] == 9.0
     assert out[("k", 5)] == 9.0
     assert out[("x", 0)] is None
+
+
+def test_retention_cohorts_bruteforce(spark):
+    """retention_cohorts vs hand-computed triangle: staggered first-seen
+    days, gaps, duplicate same-day events, and NULL users/timestamps."""
+    import datetime as dt
+
+    from security_data_pipeline_spark.operators.timeseries import (
+        retention_cohorts,
+    )
+
+    def ts(day, hour=3):
+        return dt.datetime(2024, 1, 1 + day, hour)
+
+    rows = [
+        # u1: first day 0, active 0,1,3 (twice on day 1)
+        ("u1", ts(0)), ("u1", ts(1)), ("u1", ts(1, 9)), ("u1", ts(3)),
+        # u2: first day 0, active 0 only
+        ("u2", ts(0)),
+        # u3: first day 1, active 1,3
+        ("u3", ts(1)), ("u3", ts(3)),
+        # noise rows excluded
+        (None, ts(0)), ("u4", None),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {
+        (r["cohort_period"], r["period_offset"]): (
+            r["n_active"],
+            r["cohort_size"],
+            r["retention"],
+        )
+        for r in retention_cohorts(df, "user_id", "ts", 1).collect()
+    }
+    day0 = 19723  # 2024-01-01 epoch-day index
+    want = {
+        (day0, 0): (2, 2, 1.0),      # u1, u2
+        (day0, 1): (1, 2, 0.5),      # u1
+        (day0, 3): (1, 2, 0.5),      # u1
+        (day0 + 1, 0): (1, 1, 1.0),  # u3
+        (day0 + 1, 2): (1, 1, 1.0),  # u3 on day 3 = offset 2
+    }
+    assert got == want
