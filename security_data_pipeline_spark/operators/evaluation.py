@@ -218,11 +218,14 @@ def threshold_sweep(
         )
     )
     spark = df.sparkSession
+    # sentinel row j=0 (threshold -1: band >= 0 matches every row) makes
+    # the class totals fall out of the SAME suffix-sum join — the
+    # alternative (a separate per_band.agg() consumer) re-inlines the
+    # corpus aggregation into both branches and scans the corpus twice
+    # (caught by the one-scan plan pin in tests/test_plans.py)
     grid = spark.createDataFrame(
-        [(j + 1, t) for j, t in enumerate(ts)], "j long, threshold double"
-    )
-    totals = per_band.agg(
-        F.sum("n").alias("_n_total"), F.sum("n_pos").alias("_pos_total")
+        [(0, -1.0)] + [(j + 1, t) for j, t in enumerate(ts)],
+        "j long, threshold double",
     )
     joined = grid.join(
         F.broadcast(per_band), F.col("band") >= F.col("j"), "left"
@@ -231,6 +234,21 @@ def threshold_sweep(
         F.coalesce(F.sum("n"), F.lit(0)).alias("predicted_pos"),
         F.coalesce(F.sum("n_pos"), F.lit(0)).alias("tp"),
     )
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy(F.lit(1))
+    with_totals = swept.select(
+        "j",
+        "threshold",
+        "predicted_pos",
+        "tp",
+        F.max(F.when(F.col("j") == 0, F.col("predicted_pos"))).over(
+            w_all
+        ).alias("_n_total"),
+        F.max(F.when(F.col("j") == 0, F.col("tp"))).over(w_all).alias(
+            "_pos_total"
+        ),
+    ).filter(F.col("j") >= 1)
     pp = F.col("predicted_pos")
     tp = F.col("tp")
     fp = (pp - tp).alias("fp")
@@ -243,8 +261,7 @@ def threshold_sweep(
         2 * tp + (pp - tp) + (F.col("_pos_total") - tp), F.lit(0)
     ).cast("double")
     return (
-        swept.crossJoin(F.broadcast(totals))
-        .select(
+        with_totals.select(
             "threshold",
             pp.alias("predicted_pos"),
             tp.alias("tp"),

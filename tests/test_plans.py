@@ -455,3 +455,55 @@ def test_batch_drift_is_one_conditional_sum_aggregation(spark):
     assert plan.count("Exchange") == 1, plan.count("Exchange")
     assert plan.count("Generate") == 0
     assert "Join" not in plan
+
+
+def test_gate_evaluation_is_one_corpus_scan_each(spark):
+    """The evaluation family's claim is sufficient statistics from ONE
+    corpus pass: calibration, ECE, the 9-threshold sweep, and per-source
+    AUC+Brier each read the documents parquet exactly once — m
+    thresholds never cost m scans, the ranking window runs over the
+    statistic frame."""
+    for name in (
+        "doc_quality_calibration",
+        "doc_quality_ece",
+        "doc_quality_threshold_sweep",
+        "doc_quality_eval_by_source",
+    ):
+        plan = _plan(REGISTRY[name].fn(spark, SF))
+        scans = [
+            l for l in plan.splitlines() if "FileScan parquet" in l
+        ]
+        assert len(scans) == 1, (name, scans)
+
+
+def test_threshold_sweep_suffix_join_is_broadcast_grid(spark):
+    """The sweep's suffix sums ride a band>=j theta join of two
+    grid-sized frames — physical form must be a BROADCAST nested-loop
+    (bounded operands), never a CartesianProduct, and the corpus side
+    passes through exactly one hash aggregation exchange."""
+    plan = _plan(REGISTRY["doc_quality_threshold_sweep"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_triangle_and_linkpred_have_no_theta_joins(spark):
+    """Degree-ordered triangle counting and capped RA link prediction
+    shuffle on real keys everywhere: wedge pairing and closure are
+    equi-joins, the non-edge removal is an anti equi-join — no
+    CartesianProduct, no broadcast nested loop anywhere."""
+    for name in ("token_graph_triangles", "token_graph_link_prediction"):
+        plan = _plan(REGISTRY[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_retention_has_no_expand_and_coparitioned_user_join(spark):
+    """retention_cohorts: no COUNT DISTINCT survives to the wide stage
+    (no Expand node — distinctness comes from the narrow (user, period)
+    aggregation) and the first-seen/activity join happens on already-
+    reduced per-user frames."""
+    plan = _plan(REGISTRY["user_retention_cohorts"].fn(spark, SF))
+    assert "Expand" not in plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) <= 2, scans  # one per side of the per-user join
