@@ -713,3 +713,94 @@ def test_oov_stats_paths_agree(spark, docs, vocab):
         for r in textops.oov_stats(df, vocab, hof_max_vocab=0).collect()
     }
     assert hof == joined
+
+
+# --- gate-evaluation invariants (operators/evaluation.py) -----------------
+
+_score_label_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=100).map(lambda i: i / 100.0)
+        | st.sampled_from([0.0, 0.1, 0.5, 0.9, 1.0]),
+        st.integers(min_value=0, max_value=1),
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_score_label_rows)
+def test_auc_label_flip_symmetry(spark, rows):
+    """AUC(scores, labels) + AUC(scores, 1-labels) = 1 exactly (both
+    classes present) — the Mann-Whitney complement identity, sensitive
+    to any off-by-one in the midrank bookkeeping."""
+    from security_data_pipeline_spark.operators import evaluation as ev
+
+    df = spark.createDataFrame(rows, "score double, label int")
+    flipped = spark.createDataFrame(
+        [(s, 1 - y) for s, y in rows], "score double, label int"
+    )
+    a = ev.ranking_report(df, "score", "label").collect()[0]
+    b = ev.ranking_report(flipped, "score", "label").collect()[0]
+    assert (a["n_pos"], a["n_neg"]) == (b["n_neg"], b["n_pos"])
+    if a["auc"] is not None:
+        assert abs(a["auc"] + b["auc"] - 1.0) < 2e-6
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_score_label_rows)
+def test_threshold_sweep_monotone_and_consistent(spark, rows):
+    """Raising the threshold can only shrink the predicted-positive set:
+    predicted_pos and tp are non-increasing in the threshold, tp+fn is
+    the constant class total, and recall is non-increasing."""
+    from security_data_pipeline_spark.operators import evaluation as ev
+
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = ev.threshold_sweep(df, "score", "label").collect()
+    pps = [r["predicted_pos"] for r in got]
+    tps = [r["tp"] for r in got]
+    assert pps == sorted(pps, reverse=True)
+    assert tps == sorted(tps, reverse=True)
+    totals = {r["tp"] + r["fn"] for r in got}
+    assert len(totals) == 1
+    recalls = [r["recall"] for r in got if r["recall"] is not None]
+    assert recalls == sorted(recalls, reverse=True)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_score_label_rows, split=st.integers(min_value=1, max_value=11))
+def test_calibration_counts_merge_by_addition(spark, rows, split):
+    """The streaming-soundness property at the operator level: bin
+    statistics of a union equal the per-part statistics summed — for ANY
+    split point, including empty parts."""
+    from security_data_pipeline_spark.operators import evaluation as ev
+
+    schema = "score double, label int"
+    whole = ev.calibration_bin_counts(
+        spark.createDataFrame(rows, schema), "score", "label"
+    ).collect()
+    parts = []
+    for part in (rows[:split], rows[split:]):
+        if part:
+            parts.extend(
+                ev.calibration_bin_counts(
+                    spark.createDataFrame(part, schema), "score", "label"
+                ).collect()
+            )
+    merged = {}
+    for r in parts:
+        n, np_, ss = merged.get(r["bin"], (0, 0, 0))
+        merged[r["bin"]] = (n + r["n"], np_ + r["n_pos"], ss + r["sum_score"])
+    assert {r["bin"]: (r["n"], r["n_pos"], r["sum_score"]) for r in whole} == merged
