@@ -189,6 +189,9 @@ BENCH_QUERIES: tuple[str, ...] = (
     # prediction and the daily cohort-retention triangle
     "token_graph_link_prediction",
     "user_retention_cohorts",
+    # round-9 addition: exact 64x64 embedding covariance (one map-side
+    # generate + one bounded aggregation; the pca_project input)
+    "emb_dim_covariance",
 )
 
 # Pinned result sizes per scale factor: a bench run also smoke-checks that
@@ -240,7 +243,9 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_quality_threshold_sweep": 9, "token_graph_triangles": 31,
         "token_graph_pagerank": 31, "curation_eval_suite": 10207, "doc_quality_eval_by_source": 20,
         "token_graph_link_prediction": 20, "user_retention_cohorts": 111,
+        "emb_dim_covariance": 2080,
         "token_graph_link_prediction": 20, "user_retention_cohorts": 111,
+        "emb_dim_covariance": 2080,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -286,6 +291,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_quality_threshold_sweep": 9, "token_graph_triangles": 30,
         "token_graph_pagerank": 30, "curation_eval_suite": 1203, "doc_quality_eval_by_source": 20,
         "token_graph_link_prediction": 20, "user_retention_cohorts": 59,
+        "emb_dim_covariance": 2080,
     },
 }
 

@@ -2207,3 +2207,154 @@ def ann_sq8_topk(
         .filter(F.col("_rank") <= k)
         .drop("_rank")
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Exact covariance matrix of an embedding column — the redundancy /
+    whitening diagnostic over the vector space (near-zero-variance or
+    highly-correlated dimensions mean the ANN distance is paying for
+    dimensions that carry nothing).
+
+    Shape: each row GENERATES its dim·(dim+1)/2 upper-triangle products
+    plus dim mean carriers as narrow (i, j, v) structs; ONE hash
+    aggregation with map-side combine reduces them — the shuffle carries
+    ≤ (dim²/2 + dim) rows PER PARTITION regardless of corpus size, and
+    nothing self-joins (a pair-join formulation would amplify the corpus
+    ×dim²/2 through a shuffle). At dim ≫ ~1k the per-row Generate cost
+    dominates and a blocked matrix-multiply (mapInPandas over Arrow
+    batches) becomes the right tool; for classic embedding widths this
+    stays pure Column algebra.
+
+    Determinism: products are cast to DECIMAL(28,12) per term and summed
+    exactly; ``cov = Sxy/N − (Sx/N)(Sy/N)`` is evaluated in that token
+    order, so the matrix is bit-identical cross-engine. Output: one row
+    per (dim_i ≤ dim_j): ``dim_i, dim_j, cov`` (6 dp).
+    """
+    v = F.col(vec_col)
+    idx = F.sequence(F.lit(1), F.lit(dim))
+    pair_terms = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, F.lit(dim)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        F.element_at(v, i).cast("double")
+                        * F.element_at(v, j).cast("double")
+                    )
+                    .cast("decimal(28,12)")
+                    .alias("v"),
+                ),
+            ),
+        )
+    )
+    mean_terms = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("i"),
+            F.lit(0).alias("j"),  # j=0 marks a mean carrier
+            F.element_at(v, i)
+            .cast("double")
+            .cast("decimal(28,12)")
+            .alias("v"),
+        ),
+    )
+    terms = (
+        df.filter(F.size(v) == dim)
+        .select(
+            F.explode(F.concat(pair_terms, mean_terms)).alias("t"),
+        )
+        .select("t.i", "t.j", "t.v")
+    )
+    sums = terms.groupBy("i", "j").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("_n")
+    )
+    means = sums.filter(F.col("j") == 0).select(
+        F.col("i").alias("_mi"),
+        (F.col("s").cast("double") / F.col("_n").cast("double")).alias(
+            "_mean"
+        ),
+    )
+    mi = means.select(
+        F.col("_mi").alias("i"), F.col("_mean").alias("_mean_i")
+    )
+    mj = means.select(
+        F.col("_mi").alias("j"), F.col("_mean").alias("_mean_j")
+    )
+    return (
+        sums.filter(F.col("j") >= 1)
+        .join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            F.col("i").alias("dim_i"),
+            F.col("j").alias("dim_j"),
+            F.round(
+                F.col("s").cast("double") / F.col("_n").cast("double")
+                - F.col("_mean_i") * F.col("_mean_j"),
+                6,
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_components: int = 8,
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project embeddings onto their top principal components.
+
+    The covariance matrix is a BOUNDED artifact (dim² doubles — 32 KiB
+    at dim=64), so the eigendecomposition runs driver-side on the
+    collected matrix (numpy ``eigh`` — the same bounded-collect pattern
+    as the ANN codebooks), and the projection matrix returns to the
+    executors as plain literals fused into the scan: the corpus pays ONE
+    covariance aggregation plus ONE map-only projection pass, no UDF.
+    Component signs are canonicalized (largest-|loading| entry positive)
+    so output is deterministic under numpy's sign ambiguity; components
+    are eigenvalue-descending. Adds ``out_col`` (array<double>, length
+    ``n_components``) plus ``{out_col}_explained`` (the fraction of
+    total variance the kept components carry, one literal).
+    """
+    import numpy as np
+
+    cov_rows = embedding_covariance(df, vec_col, dim).collect()
+    mat = np.zeros((dim, dim))
+    for r in cov_rows:
+        mat[r["dim_i"] - 1, r["dim_j"] - 1] = r["cov"]
+        mat[r["dim_j"] - 1, r["dim_i"] - 1] = r["cov"]
+    vals, vecs = np.linalg.eigh(mat)  # ascending
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = []
+    for k in order:
+        c = vecs[:, k]
+        if c[np.argmax(np.abs(c))] < 0:
+            c = -c
+        comps.append(c)
+    explained = float(np.sum(vals[order]) / np.sum(np.clip(vals, 0, None)))
+    v = F.col(vec_col)
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in comps
+        ]
+    )
+    return df.withColumn(out_col, proj).withColumn(
+        f"{out_col}_explained", F.lit(explained)
+    )

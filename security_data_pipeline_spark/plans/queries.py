@@ -9089,6 +9089,60 @@ def token_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_dim_covariance",
+    sql="""
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE len(embedding) = 64
+), terms AS (
+  SELECT t.i AS i, t.j AS j, t.v AS v FROM (
+    SELECT unnest(flatten(list_transform(generate_series(1, 64), i ->
+      list_transform(generate_series(i, 64), j ->
+        {i: i, j: j, v: CAST(v[i] * v[j] AS DECIMAL(28,12))})))) AS t
+    FROM e
+    UNION ALL
+    SELECT unnest(list_transform(generate_series(1, 64), i ->
+      {i: i, j: 0, v: CAST(v[i] AS DECIMAL(28,12))})) AS t
+    FROM e
+  )
+), sums AS (
+  SELECT i, j, SUM(v) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM terms GROUP BY i, j
+), means AS (
+  SELECT i AS mi, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m
+  FROM sums WHERE j = 0
+)
+SELECT CAST(s.i AS BIGINT) AS dim_i, CAST(s.j AS BIGINT) AS dim_j,
+       ROUND(CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE) - mi.m * mj.m,
+             6) AS cov
+FROM sums s
+JOIN means mi ON mi.mi = s.i
+JOIN means mj ON mj.mi = s.j
+WHERE s.j >= 1
+""",
+    description=(
+        "Exact 64x64 embedding covariance matrix (2080 upper-triangle "
+        "entries) — the redundancy / whitening diagnostic over the "
+        "vector space, and the bounded artifact pca_project "
+        "eigendecomposes driver-side (the ANN-codebook bounded-collect "
+        "pattern). Each row generates its dim(dim+1)/2 products as "
+        "narrow structs; ONE map-side-combined hash aggregation reduces "
+        "them, so the shuffle carries <= dim^2/2 rows per partition at "
+        "any corpus size and nothing self-joins (a pair-join would "
+        "amplify the corpus x2080 through the exchange). Products sum "
+        "as DECIMAL(28,12) — bit-identical cross-engine"
+    ),
+)
+def emb_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_covariance(emb, "embedding", 64).select(
+        F.col("dim_i").cast("long").alias("dim_i"),
+        F.col("dim_j").cast("long").alias("dim_j"),
+        "cov",
+    )
+
+
+@query(
     "token_graph_link_prediction",
     sql=f"""
 WITH {_TOKEN_EDGE_SQL},

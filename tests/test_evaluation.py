@@ -209,3 +209,68 @@ def test_ranking_report_grouped(spark):
         assert (got[gname]["n_pos"], got[gname]["n_neg"]) == (p, n)
         assert got[gname]["auc"] == pytest.approx(auc, abs=1e-6)
         assert got[gname]["brier"] == pytest.approx(brier, abs=1e-6)
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from security_data_pipeline_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    rng = np.random.default_rng(41)
+    dim, n = 6, 40
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["dim_i"], r["dim_j"]): r["cov"]
+        for r in embedding_covariance(df, "embedding", dim).collect()
+    }
+    want = np.cov(mat.astype(np.float64), rowvar=False, bias=True)
+    assert len(got) == dim * (dim + 1) // 2
+    for (i, j), c in got.items():
+        assert c == pytest.approx(want[i - 1, j - 1], abs=1e-5)
+
+
+def test_pca_project_matches_numpy(spark):
+    import numpy as np
+
+    from security_data_pipeline_spark.operators.similarity import (
+        pca_project,
+    )
+
+    rng = np.random.default_rng(43)
+    dim, n, k = 5, 60, 2
+    # anisotropic data: one dominant direction
+    base = rng.normal(size=(n, dim))
+    base[:, 0] *= 5.0
+    mat = base.astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    out = pca_project(df, "embedding", dim, n_components=k).collect()
+    got = {r["vec_id"]: r["pca"] for r in out}
+    explained = out[0]["pca_explained"]
+
+    m64 = mat.astype(np.float64)
+    cov = np.round(np.cov(m64, rowvar=False, bias=True), 6)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for kk in order:
+        c = vecs[:, kk]
+        if c[np.argmax(np.abs(c))] < 0:
+            c = -c
+        comps.append(c)
+    want_explained = float(
+        np.sum(vals[order]) / np.sum(np.clip(vals, 0, None))
+    )
+    assert explained == pytest.approx(want_explained, abs=1e-9)
+    assert 0.0 < explained <= 1.0
+    for i in range(n):
+        want_proj = [float(m64[i] @ c) for c in comps]
+        assert got[i] == pytest.approx(want_proj, abs=1e-4)
