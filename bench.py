@@ -192,6 +192,10 @@ BENCH_QUERIES: tuple[str, ...] = (
     # round-9 addition: exact 64x64 embedding covariance (one map-side
     # generate + one bounded aggregation; the pca_project input)
     "emb_dim_covariance",
+    # round-9 additions: histogram-calibration remap (broadcast mapping
+    # join-back) and the graph-level transitivity summary
+    "doc_quality_calibrated",
+    "token_graph_summary",
 )
 
 # Pinned result sizes per scale factor: a bench run also smoke-checks that
@@ -244,8 +248,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "token_graph_pagerank": 31, "curation_eval_suite": 10207, "doc_quality_eval_by_source": 20,
         "token_graph_link_prediction": 20, "user_retention_cohorts": 111,
         "emb_dim_covariance": 2080,
-        "token_graph_link_prediction": 20, "user_retention_cohorts": 111,
-        "emb_dim_covariance": 2080,
+        "doc_quality_calibrated": 5000, "token_graph_summary": 1,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -292,6 +295,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "token_graph_pagerank": 30, "curation_eval_suite": 1203, "doc_quality_eval_by_source": 20,
         "token_graph_link_prediction": 20, "user_retention_cohorts": 59,
         "emb_dim_covariance": 2080,
+        "doc_quality_calibrated": 500, "token_graph_summary": 1,
     },
 }
 

@@ -384,3 +384,45 @@ def ranking_from_score_counts(
         F.round(auc, 6).alias("auc"),
         F.round(brier, 6).alias("brier"),
     )
+
+
+def calibrate_scores(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    out_col: str = "calibrated_score",
+    fit_df: DataFrame | None = None,
+) -> DataFrame:
+    """Histogram calibration (binning calibration — Zadrozny & Elkan
+    2001, public technique): remap each score to the EMPIRICAL positive
+    rate of its reliability bin, closing the measure → remap loop the
+    ECE report opens. The remapped scores are calibrated by
+    construction on the fit data (each bin's mean prediction equals its
+    positive rate), at the cost of coarsening to ``n_bins`` levels.
+
+    ``fit_df`` lets the mapping be learned on held-out labeled data and
+    applied to an unlabeled corpus; default fits on ``df`` itself.
+
+    Scale shape: the mapping is the ≤``n_bins``-row calibration
+    statistic broadcast back onto the corpus — one fit aggregation, one
+    map-side broadcast-hash join; rows whose bin was unseen at fit time
+    keep a NULL calibrated score (no silent extrapolation). Output: the
+    input plus ``out_col`` (6 dp).
+    """
+    rs = _rounded_score(score_col)
+    b = F.least(
+        F.floor(rs * F.lit(float(n_bins))).cast("long"),
+        F.lit(n_bins - 1).cast("long"),
+    )
+    mapping = calibration_bin_counts(
+        fit_df if fit_df is not None else df, score_col, label_col, n_bins
+    ).select(
+        "bin",
+        F.round(
+            F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
+        ).alias(out_col),
+    )
+    return df.withColumn("_bin", b).join(
+        F.broadcast(mapping).withColumnRenamed("bin", "_bin"), "_bin", "left"
+    ).drop("_bin")

@@ -9089,6 +9089,116 @@ def token_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_quality_calibrated",
+    sql=f"""
+WITH scored AS (
+  SELECT doc_id,
+         ROUND(0.5 * CAST(LEAST(len(string_split(text, ' ')), 200) AS DOUBLE)
+               / 200.0
+             + 0.5 * LEAST(
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                                      t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+                 / CAST(NULLIF(len(string_split(text, ' ')), 0) AS DOUBLE)
+                 * 5.0, 1.0),
+               6) AS rs,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL
+), mapping AS (
+  SELECT LEAST(CAST(FLOOR(rs * 10.0) AS BIGINT), 9) AS bin,
+         ROUND(CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE), 6)
+           AS calibrated_score
+  FROM scored GROUP BY 1
+)
+SELECT s.doc_id, s.rs AS quality_score, m.calibrated_score
+FROM scored s
+LEFT JOIN mapping m
+  ON m.bin = LEAST(CAST(FLOOR(s.rs * 10.0) AS BIGINT), 9)
+""",
+    description=(
+        "Histogram calibration applied (Zadrozny & Elkan 2001): each "
+        "document's quality score remapped to the empirical positive "
+        "rate of its reliability bin — the measure -> remap loop the "
+        "ECE report opens, closed. The mapping is the <=10-row "
+        "calibration statistic broadcast back onto the corpus: one fit "
+        "aggregation, one map-side broadcast-hash join, unseen bins "
+        "stay NULL rather than extrapolating"
+    ),
+)
+def doc_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import evaluation
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    frame = textops.quality_features(docs).select(
+        "doc_id",
+        F.col("quality_score").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return evaluation.calibrate_scores(frame, "score", "label").select(
+        "doc_id",
+        F.col("score").alias("quality_score"),
+        "calibrated_score",
+    )
+
+
+@query(
+    "token_graph_summary",
+    sql=f"""
+WITH {_TOKEN_EDGE_SQL},
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node
+), o AS (
+  SELECT CASE WHEN du.degree < dv.degree
+                OR (du.degree = dv.degree AND e.u < e.v)
+              THEN e.u ELSE e.v END AS lo,
+         CASE WHEN du.degree < dv.degree
+                OR (du.degree = dv.degree AND e.u < e.v)
+              THEN e.v ELSE e.u END AS hi,
+         CASE WHEN du.degree < dv.degree
+                OR (du.degree = dv.degree AND e.u < e.v)
+              THEN dv.degree ELSE du.degree END AS dhi
+  FROM e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+), w AS (
+  SELECT l.lo, l.hi AS a, r.hi AS b
+  FROM o l JOIN o r ON l.lo = r.lo
+  WHERE l.dhi < r.dhi OR (l.dhi = r.dhi AND l.hi < r.hi)
+), t AS (
+  SELECT w.lo FROM w
+  WHERE EXISTS (SELECT 1 FROM o WHERE o.lo = w.a AND o.hi = w.b)
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS wedges
+  FROM deg
+)
+SELECT g.n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_triangles,
+       ROUND(CAST(3 * (SELECT COUNT(*) FROM t) AS DOUBLE)
+             / CAST(NULLIF(g.wedges, 0) AS DOUBLE), 6) AS global_coeff
+FROM g
+""",
+    description=(
+        "Graph-level transitivity summary of the token co-occurrence "
+        "graph: node/edge/triangle counts and the global clustering "
+        "coefficient 3*triangles/wedges — one scalar row from the same "
+        "degree-oriented enumeration as the per-node query; every "
+        "operand folds to a broadcast scalar"
+    ),
+)
+def token_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import graph
+
+    return graph.triangle_count(_token_lift_edges(spark, sf_dir), "src", "dst")
+
+
+@query(
     "emb_dim_covariance",
     sql="""
 WITH e AS (

@@ -274,3 +274,41 @@ def test_pca_project_matches_numpy(spark):
     for i in range(n):
         want_proj = [float(m64[i] @ c) for c in comps]
         assert got[i] == pytest.approx(want_proj, abs=1e-4)
+
+
+def test_calibrate_scores_histogram_remap(spark):
+    from security_data_pipeline_spark.operators.evaluation import (
+        calibrate_scores,
+    )
+
+    rows = (
+        [(0.25, 1), (0.28, 0), (0.22, 0), (0.21, 0)]   # bin 2: rate 0.25
+        + [(0.75, 1), (0.78, 1), (0.72, 1), (0.71, 0)]  # bin 7: rate 0.75
+    )
+    out = calibrate_scores(_df(spark, rows), "score", "label").collect()
+    for r in out:
+        want = 0.25 if r["score"] < 0.5 else 0.75
+        assert r["calibrated_score"] == pytest.approx(want)
+    # remapped scores are perfectly calibrated on the fit data
+    remapped = calibrate_scores(_df(spark, rows), "score", "label").select(
+        "calibrated_score", "label"
+    )
+    r = ev.ece_report(remapped, "calibrated_score", "label").collect()[0]
+    assert r["ece"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_calibrate_scores_heldout_fit_and_unseen_bin(spark):
+    from security_data_pipeline_spark.operators.evaluation import (
+        calibrate_scores,
+    )
+
+    fit = _df(spark, [(0.15, 1), (0.12, 0)])          # only bin 1 seen
+    apply = _df(spark, [(0.13, 0), (0.95, 1)])        # bin 9 unseen at fit
+    out = {
+        r["score"]: r["calibrated_score"]
+        for r in calibrate_scores(
+            apply, "score", "label", fit_df=fit
+        ).collect()
+    }
+    assert out[0.13] == pytest.approx(0.5)
+    assert out[0.95] is None
