@@ -321,16 +321,40 @@ def retention_cohorts(
     retention`` (6 dp) — offset 0 rows carry retention 1.0 by
     construction (a self-check the oracle inherits).
     """
-    from pyspark.sql import Window
+    return retention_from_activity(user_activity_periods(
+        df, user_col, ts_col, period_days
+    ))
 
+
+def user_activity_periods(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """The retention sufficient statistic: distinct ``(_u, _p)`` activity
+    pairs (period = exact integer floor-division of epoch days). This
+    frame determines the whole triangle — first-seen is min(_p) per user
+    WITHIN it — and merges by DISTINCT UNION (idempotent), which is what
+    makes retention streamable
+    (:func:`...streaming.pipeline.maintain_retention_stream`)."""
     period = F.floor(
         F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000 * period_days)
     ).cast("long")
-    base = df.filter(
-        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
-    ).select(F.col(user_col).alias("_u"), period.alias("_p"))
-    active = base.distinct()
-    first_seen = base.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+    return (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("_u"), period.alias("_p"))
+        .distinct()
+    )
+
+
+def retention_from_activity(active: DataFrame) -> DataFrame:
+    """Cohort triangle from the distinct activity pairs — shared
+    verbatim by the batch operator and the streaming maintainer's
+    reader, so their reports are identical on equal activity sets."""
+    from pyspark.sql import Window
+
+    first_seen = active.groupBy("_u").agg(F.min("_p").alias("_cohort"))
     joined = active.join(first_seen, "_u")
     tri = joined.groupBy(
         F.col("_cohort").alias("cohort_period"),

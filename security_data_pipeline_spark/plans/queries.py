@@ -9514,6 +9514,56 @@ REGISTRY["doc_stream_quality_eval"] = QuerySpec(
 
 
 @query(
+    "events_stream_retention",
+    sql=None,  # re-registered against user_retention_cohorts' SQL below
+    description=(
+        "Streaming cohort retention witnessed at table scale: the "
+        "events (user, ts) stream staged as TWO real micro-batches "
+        "through maintain_retention_stream's prefix-partitioned "
+        "distinct-activity state (idempotent set-union merge, pruned "
+        "reads, touched-directories-only overwrite), then the triangle "
+        "read from the folded state — held to the one-shot batch "
+        "oracle. Cross-batch first-seen is what the oracle catches: a "
+        "user's cohort must stay their FIRST batch's period even when "
+        "later batches re-report them"
+    ),
+)
+def events_stream_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators.timeseries import (
+        retention_from_activity,
+    )
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_retention_stream,
+        retention_state_activity,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    tmp = _stage_two_batches(ev, "stream_ret_")
+    q = maintain_retention_stream(
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/src"),
+        f"{tmp}/state",
+        f"{tmp}/ckpt",
+        user_col="user_id",
+        ts_col="ts",
+        period_days=1,
+        pfx_mod=64,
+    )
+    q.awaitTermination()
+    return retention_from_activity(
+        retention_state_activity(spark, f"{tmp}/state")
+    )
+
+
+REGISTRY["events_stream_retention"] = QuerySpec(
+    fn=REGISTRY["events_stream_retention"].fn,
+    sql=REGISTRY["user_retention_cohorts"].sql,
+    description=REGISTRY["events_stream_retention"].description,
+)
+
+
+@query(
     "doc_stream_source_topk",
     sql=_SOURCE_TOPK_SQL,
     description=(

@@ -3465,3 +3465,105 @@ def ranking_state_counts(spark: SparkSession, state_path: str) -> DataFrame:
     return spark.read.parquet(state_path).drop(
         "_last_batch_id", "_fold_tag", "_kp"
     )
+
+
+def maintain_retention_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+    pfx_mod: int = 256,
+    trigger_available_now: bool = True,
+):
+    """Streaming cohort-retention state: the distinct (user, period)
+    activity set folded per micro-batch — the engagement triangle
+    current at ingest cadence without rescanning history.
+
+    The state IS the retention sufficient statistic
+    (:func:`...operators.timeseries.user_activity_periods`): first-seen
+    is min(period) WITHIN each user's activity rows, so no second state
+    is needed and the whole triangle is a function of this one frame.
+    Growth law: |users|·|periods| rows, unbounded in users — the LOCF
+    prefix pattern: state partitioned by the USER hash prefix (a user's
+    rows co-locate, so the reader's first-seen aggregation never crosses
+    directories for one user), batch-prefix pruned reads, dynamic
+    overwrite of touched directories only. Crash safety from algebra:
+    DISTINCT UNION is an idempotent semilattice join — replays re-merge
+    as no-ops, partial-swap crashes heal (the LOCF max-merge argument);
+    stamps stay monotone for fold-progress readers.
+
+    Read the live triangle with ``retention_from_activity(
+    retention_state_activity(spark, state_path))`` — identical to the
+    batch :func:`retention_cohorts` over the cumulative input
+    (tests/test_retention_stream.py). Returns the StreamingQuery.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from security_data_pipeline_spark.operators import timeseries
+
+    def _kp():
+        return locf_key_prefix(["_u"], pfx_mod)
+
+    tag = _lineage_tag(checkpoint_path)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = (
+            timeseries.user_activity_periods(
+                batch_df, user_col, ts_col, period_days
+            )
+            .withColumn("_kp", _kp())
+            .transform(pin)
+        )
+        prefixes = [r["_kp"] for r in new.select("_kp").distinct().collect()]
+        if not prefixes:
+            return
+        try:
+            state = spark.read.parquet(state_path)
+        except AnalysisException as e:
+            if not _missing_path(e):
+                raise
+            state = None
+        pruned = (
+            state.filter(F.col("_kp").isin(prefixes))
+            if state is not None
+            else None
+        )
+        prev_stamp = _same_lineage_max(pruned, tag)
+        stamp_id = (
+            batch_id if prev_stamp is None else max(batch_id, prev_stamp)
+        )
+        _, pruned = _check_replay(pruned, batch_id, tag)
+        merged = (
+            new
+            if pruned is None
+            else pruned.unionByName(new).dropDuplicates(["_u", "_p"])
+        )
+        out = _stamp_batch(
+            merged.select("_u", "_p", "_kp"), stamp_id, tag
+        )
+        out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_kp").parquet(state_path)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def retention_state_activity(
+    spark: SparkSession, state_path: str
+) -> DataFrame:
+    """The streamed distinct (user, period) activity set with guard and
+    partition columns dropped — feed to
+    ``timeseries.retention_from_activity``."""
+    return spark.read.parquet(state_path).drop(
+        "_last_batch_id", "_fold_tag", "_kp"
+    )
