@@ -32,6 +32,12 @@ PIN_QUERIES = (
     "events_drift_trend",
     "semantic_dedup",
     "doc_leakage_safe_split",
+    # graph family: canonical-edge/oriented/adjacency frames and the
+    # per-iteration PageRank rank frame all route through pin_lazy
+    "token_graph_triangles",
+    "token_graph_summary",
+    "token_graph_pagerank",
+    "token_graph_link_prediction",
 )
 
 
