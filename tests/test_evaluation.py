@@ -312,3 +312,58 @@ def test_calibrate_scores_heldout_fit_and_unseen_bin(spark):
     }
     assert out[0.13] == pytest.approx(0.5)
     assert out[0.95] is None
+
+
+def test_embedding_covariance_fast_matches_exact(spark):
+    import numpy as np
+
+    from security_data_pipeline_spark.operators.similarity import (
+        embedding_covariance,
+        embedding_covariance_fast,
+    )
+
+    rng = np.random.default_rng(47)
+    dim, n = 8, 120
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+    rows.append((n, None))  # NULL vector excluded by both forms
+    rows.append((n + 1, [0.0] * (dim - 1)))  # wrong-dim excluded
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(5)  # several Arrow batches/partitions
+    exact = {
+        (r["dim_i"], r["dim_j"]): r["cov"]
+        for r in embedding_covariance(df, "embedding", dim).collect()
+    }
+    fast = {
+        (r["dim_i"], r["dim_j"]): r["cov"]
+        for r in embedding_covariance_fast(df, "embedding", dim).collect()
+    }
+    assert set(fast) == set(exact)
+    for k in exact:
+        assert fast[k] == pytest.approx(exact[k], abs=1e-6)
+
+
+def test_embedding_covariance_fast_plan_shape(spark):
+    import numpy as np
+
+    from security_data_pipeline_spark.operators.similarity import (
+        embedding_covariance_fast,
+    )
+
+    rng = np.random.default_rng(49)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=4)]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = (
+        embedding_covariance_fast(df, "embedding", 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the tail runs on the PINNED bounded statistic frame: every branch
+    # reads the one materialized aggregation (no hash exchange re-runs
+    # the corpus-side work per consumer), mean attachment is broadcast
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
