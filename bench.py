@@ -196,6 +196,10 @@ BENCH_QUERIES: tuple[str, ...] = (
     # join-back) and the graph-level transitivity summary
     "doc_quality_calibrated",
     "token_graph_summary",
+    # round-9 additions: l-diversity audit over the k-anonymity
+    # quasi-groups and the Zipf rank-frequency corpus-naturalness fit
+    "events_l_diversity",
+    "doc_zipf_fit",
 )
 
 # Pinned result sizes per scale factor: a bench run also smoke-checks that
@@ -249,6 +253,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "token_graph_link_prediction": 20, "user_retention_cohorts": 111,
         "emb_dim_covariance": 2080,
         "doc_quality_calibrated": 5000, "token_graph_summary": 1,
+        "events_l_diversity": 51, "doc_zipf_fit": 1,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -296,6 +301,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "token_graph_link_prediction": 20, "user_retention_cohorts": 59,
         "emb_dim_covariance": 2080,
         "doc_quality_calibrated": 500, "token_graph_summary": 1,
+        "events_l_diversity": 39, "doc_zipf_fit": 1,
     },
 }
 

@@ -24,7 +24,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["k_anonymize", "generalize_numeric"]
+__all__ = ["k_anonymize", "generalize_numeric", "l_diversity_report"]
 
 
 def k_anonymize(
@@ -71,3 +71,33 @@ def generalize_numeric(
         lo_s = lo.cast("string")
         hi_s = (lo + F.lit(width)).cast("string")
     return F.concat(F.lit("["), lo_s, F.lit(","), hi_s, F.lit(")"))
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2006 — public
+    criterion): k-anonymity alone fails when a quasi-group's SENSITIVE
+    attribute is homogeneous (everyone in the group shares the secret, so
+    group size protects nothing). Each quasi-identifier group must carry
+    at least ``l`` distinct sensitive values.
+
+    One hash aggregation per quasi-group: size + distinct-sensitive count
+    (single-column distinct — Spark's two-phase partial distinct, no
+    Expand) + the pass flag. Feed the failing groups back into
+    :func:`generalize_numeric` coarsening or suppression the same way the
+    k-anonymity gate is used. Output: ``*quasi_cols, group_size,
+    n_sensitive, l_diverse``.
+    """
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    return df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct(F.col(sensitive_col)).alias("n_sensitive"),
+        (F.countDistinct(F.col(sensitive_col)) >= F.lit(l)).alias(
+            "l_diverse"
+        ),
+    )

@@ -873,3 +873,68 @@ def vocab_topk_from_counts(
         counts.orderBy(F.desc("c"), "token").limit(k).collect()
     )
     return [r["token"] for r in rows]
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Zipf rank-frequency fit: OLS slope/intercept of ln(freq) on
+    ln(rank) over the top-``top_k`` tokens — natural language sits near
+    slope −1; flat slopes mark templated/synthetic corpora and steep
+    ones mark degenerate repetition. A corpus-naturalness diagnostic for
+    ingest gating, next to the Gopher repetition rules.
+
+    Scale shape: one token hash count (map-side combined), TakeOrdered
+    top-k, then every regression moment is computed on the ≤``top_k``
+    frame — the ordered rank window and the four moment sums never see
+    the corpus. Determinism: ranks break ties on (count DESC, token ASC)
+    — total; ln() operands are identical integers cross-engine and the
+    moment terms sum as DECIMAL(28,12) (accumulation-order-free), so the
+    6-dp-rounded fit is stable up to libm's ln, which the rounding
+    absorbs (the doc_lm_scores precedent). Output: one row —
+    ``n_ranked, slope, intercept``.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(
+                        F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "
+                    ),
+                    lambda t: t != "",
+                )
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("c"), "token")
+    ranked = toks.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    dec = "decimal(28,12)"
+    moments = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    slope = (n * F.col("sxy").cast("double") - sx * sy) / (
+        n * F.col("sxx").cast("double") - sx * sx
+    )
+    return moments.select(
+        F.col("n").alias("n_ranked"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )

@@ -9089,6 +9089,105 @@ def token_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_l_diversity",
+    sql="""
+WITH g AS (
+  SELECT event_type,
+         '[' || CAST(CAST(FLOOR(value / 50) * 50 AS BIGINT) AS VARCHAR)
+             || ',' || CAST(CAST(FLOOR(value / 50) * 50 + 50 AS BIGINT)
+                            AS VARCHAR)
+             || ')' AS value_range,
+         user_id
+  FROM events
+)
+SELECT event_type, value_range,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_sensitive,
+       COUNT(DISTINCT user_id) >= 20 AS l_diverse
+FROM g GROUP BY event_type, value_range
+""",
+    description=(
+        "Distinct l-diversity audit (Machanavajjhala et al. 2006) on "
+        "the k-anonymity quasi-identifiers: a quasi-group whose "
+        "sensitive attribute (user_id) is homogeneous re-identifies its "
+        "members no matter how large the group is, so each "
+        "(event_type, value-range) group must carry >= 20 distinct "
+        "users. One hash aggregation per group (single-column distinct "
+        "— two-phase partial, no Expand); the failing groups are what "
+        "generalization or suppression must fix before release. Mixed "
+        "pass/fail at both test SFs so the flag column is a live "
+        "witness, not a constant"
+    ),
+)
+def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators.privacy import (
+        generalize_numeric,
+        l_diversity_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        generalize_numeric("value", width=50).alias("value_range"),
+        "user_id",
+    )
+    return l_diversity_report(
+        ev, ["event_type", "value_range"], "user_id", l=20
+    )
+
+
+_ZIPF_SLOPE_SQL = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+
+
+@query(
+    "doc_zipf_fit",
+    sql=f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                            x -> x <> '')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY token ORDER BY c DESC, token LIMIT 100
+), ranked AS (
+  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token) AS DOUBLE))
+           AS x,
+         ln(CAST(c AS DOUBLE)) AS y
+  FROM counts
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS DECIMAL(28,12))) AS sx,
+         SUM(CAST(y AS DECIMAL(28,12))) AS sy,
+         SUM(CAST(x * x AS DECIMAL(28,12))) AS sxx,
+         SUM(CAST(x * y AS DECIMAL(28,12))) AS sxy
+  FROM ranked
+)
+SELECT n AS n_ranked,
+       ROUND({_ZIPF_SLOPE_SQL}, 6) AS slope,
+       ROUND((CAST(sy AS DOUBLE) - ({_ZIPF_SLOPE_SQL})
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+FROM m
+""",
+    description=(
+        "Zipf rank-frequency fit: OLS slope/intercept of ln(freq) on "
+        "ln(rank) over the top-100 tokens — natural text sits near "
+        "slope -1, templated/synthetic corpora run flat, degenerate "
+        "repetition runs steep; the corpus-naturalness gate next to the "
+        "Gopher repetition rules. One map-side token count + TakeOrdered "
+        "top-k; the rank window and all four regression moments run on "
+        "the <=100-row frame (DECIMAL-summed, accumulation-order-free)"
+    ),
+)
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.zipf_fit(docs, "text", top_k=100)
+
+
+@query(
     "doc_quality_calibrated",
     sql=f"""
 WITH scored AS (

@@ -67,3 +67,40 @@ def test_classifier_gate_is_single_stage(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_l_diversity_report_flags(spark):
+    from security_data_pipeline_spark.operators.privacy import (
+        l_diversity_report,
+    )
+
+    rows = (
+        # group A: 4 rows, 3 distinct sensitive values -> l=3 passes
+        [("A", "s1"), ("A", "s2"), ("A", "s3"), ("A", "s1")]
+        # group B: large but homogeneous -> fails (the k-anonymity blind
+        # spot l-diversity exists to catch)
+        + [("B", "s1")] * 6
+        # group C: NULL sensitive values count as one value
+        + [("C", None), ("C", None), ("C", "s2")]
+    )
+    df = spark.createDataFrame(rows, "qid string, sensitive string")
+    got = {
+        r["qid"]: (r["group_size"], r["n_sensitive"], r["l_diverse"])
+        for r in l_diversity_report(df, ["qid"], "sensitive", l=3).collect()
+    }
+    assert got["A"] == (4, 3, True)
+    assert got["B"] == (6, 1, False)
+    # countDistinct ignores NULL: C has 1 distinct non-null value
+    assert got["C"] == (3, 1, False)
+
+
+def test_l_diversity_rejects_bad_l(spark):
+    import pytest as _pytest
+
+    from security_data_pipeline_spark.operators.privacy import (
+        l_diversity_report,
+    )
+
+    df = spark.createDataFrame([("a", "s")], "qid string, sensitive string")
+    with _pytest.raises(ValueError):
+        l_diversity_report(df, ["qid"], "sensitive", l=0)

@@ -378,3 +378,29 @@ def test_normalize_scores_by_group(spark):
         ).collect()
     }
     assert out2[9] == 2.0  # raw z=3: winsorized to the clip
+
+
+def test_zipf_fit_recovers_slope(spark):
+    """A corpus built with exact freq(rank) = round(1000 * rank^-1)
+    token counts must fit slope ~ -1; a uniform corpus fits slope 0."""
+    from security_data_pipeline_spark.operators.textops import zipf_fit
+
+    words = []
+    for rank in range(1, 21):
+        words += [f"w{rank:02d}"] * round(1000 / rank)
+    # one doc per chunk of 50 tokens
+    docs = [
+        (i, " ".join(words[i * 50 : (i + 1) * 50]))
+        for i in range(len(words) // 50 + 1)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = zipf_fit(df, "text", top_k=20).collect()[0]
+    assert r["n_ranked"] == 20
+    assert abs(r["slope"] - (-1.0)) < 0.01
+
+    uniform = spark.createDataFrame(
+        [(0, (" ".join(f"u{i}" for i in range(30)) + " ") * 3)],
+        "doc_id long, text string",
+    )
+    ru = zipf_fit(uniform, "text", top_k=30).collect()[0]
+    assert abs(ru["slope"]) < 1e-9
