@@ -898,7 +898,7 @@ def zipf_fit(
     """
     from pyspark.sql import Window
 
-    toks = (
+    counts = (
         df.select(
             F.explode(
                 F.filter(
@@ -911,9 +911,20 @@ def zipf_fit(
         )
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.desc("c"), "token")
-        .limit(top_k)
     )
+    return zipf_fit_from_counts(counts, top_k)
+
+
+def zipf_fit_from_counts(counts: DataFrame, top_k: int = 100) -> DataFrame:
+    """:func:`zipf_fit` from a pre-aggregated ``(token, c)`` frame — the
+    reader for the streamed token-count state
+    (streaming/pipeline.py:maintain_token_counts_stream), so the corpus-
+    naturalness gate stays live at ingest cadence; same (count DESC,
+    token ASC) total order as the batch form, so streamed and batch fits
+    cannot diverge on equal counts."""
+    from pyspark.sql import Window
+
+    toks = counts.orderBy(F.desc("c"), "token").limit(top_k)
     w = Window.orderBy(F.desc("c"), "token")
     ranked = toks.select(
         F.log(F.row_number().over(w).cast("double")).alias("x"),

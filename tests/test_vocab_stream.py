@@ -268,3 +268,22 @@ def test_streamed_token_counts_replay_exactly_once(spark, tmp_path):
         .collect()
     )
     assert replay == first, "replay double-counted tokens"
+
+
+def test_streamed_counts_feed_zipf_fit(spark, tmp_path):
+    """The live corpus-naturalness gate: zipf_fit_from_counts over the
+    streamed token-count state equals the batch zipf_fit over the
+    cumulative input (same counts, same total order, same moments)."""
+    src = tmp_path / "in"
+    _write(src, BATCHES)
+    state = str(tmp_path / "counts")
+    _run(spark, src, state, str(tmp_path / "ckpt"))
+
+    counts = spark.read.parquet(state).drop("_last_batch_id", "_fold_tag")
+    streamed = textops.zipf_fit_from_counts(counts, top_k=10).collect()[0]
+    cumulative = spark.createDataFrame(
+        [r for b in BATCHES for r in b], "doc_id long, text string"
+    )
+    batch = textops.zipf_fit(cumulative, "text", top_k=10).collect()[0]
+    assert tuple(streamed) == tuple(batch)
+    assert streamed["n_ranked"] == 4
