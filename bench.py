@@ -171,6 +171,12 @@ BENCH_QUERIES: tuple[str, ...] = (
     "sketch_checks",
     "grouping_sets_suite",
     "curation_eval_suite",
+    # round-10 addition: the corpus-statistics + gate-outcome family
+    # composite that took the event_type_pivot window slot (pivot arm +
+    # AUC/Brier, retention, transitions, PMI, Zipf, l-diversity,
+    # covariance, link prediction, graph summary), benched AS the driver
+    # runs it
+    "corpus_stats_suite",
     "security_detections",
     # round-9 additions: curation-gate evaluation (one-pass calibration
     # bins / ECE, one-pass suffix-sum threshold sweep) and token-graph
@@ -222,7 +228,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_lm_scores": 5000,
         "temporal_net_suite": 44669, "event_windows_suite": 200000,
         "scale_suite": 287, "curation_suite": 429,
-        "span_dedup_suite": 400, "neardup_pairs_suite": 568, "sketch_checks": 0,
+        "span_dedup_suite": 400, "neardup_pairs_suite": 568, "sketch_checks": 29,
         "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4,
         "knn_label_eval": 80, "emb_hard_negatives": 600, "ivf_cluster_purity": 16,
         "event_type_transitions": 25, "doc_bigram_pmi": 20, "emb_batch_drift": 10,
@@ -249,7 +255,8 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_quality_normalized": 5000,
         "doc_quality_calibration": 7, "doc_quality_ece": 1,
         "doc_quality_threshold_sweep": 9, "token_graph_triangles": 31,
-        "token_graph_pagerank": 31, "curation_eval_suite": 10207, "doc_quality_eval_by_source": 20,
+        "token_graph_pagerank": 31, "curation_eval_suite": 10207,
+        "corpus_stats_suite": 10308, "doc_quality_eval_by_source": 20,
         "token_graph_link_prediction": 20, "user_retention_cohorts": 111,
         "emb_dim_covariance": 2080,
         "doc_quality_calibrated": 5000, "token_graph_summary": 1,
@@ -270,7 +277,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_lm_scores": 500,
         "temporal_net_suite": 16129, "event_windows_suite": 20000,
         "scale_suite": 270, "curation_suite": 429,
-        "span_dedup_suite": 292, "neardup_pairs_suite": 37, "sketch_checks": 0,
+        "span_dedup_suite": 292, "neardup_pairs_suite": 37, "sketch_checks": 29,
         "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4,
         "knn_label_eval": 78, "emb_hard_negatives": 600, "ivf_cluster_purity": 16,
         "event_type_transitions": 25, "doc_bigram_pmi": 20, "emb_batch_drift": 10,
@@ -297,7 +304,8 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_quality_normalized": 500,
         "doc_quality_calibration": 7, "doc_quality_ece": 1,
         "doc_quality_threshold_sweep": 9, "token_graph_triangles": 30,
-        "token_graph_pagerank": 30, "curation_eval_suite": 1203, "doc_quality_eval_by_source": 20,
+        "token_graph_pagerank": 30, "curation_eval_suite": 1203,
+        "corpus_stats_suite": 3366, "doc_quality_eval_by_source": 20,
         "token_graph_link_prediction": 20, "user_retention_cohorts": 59,
         "emb_dim_covariance": 2080,
         "doc_quality_calibrated": 500, "token_graph_summary": 1,

@@ -2303,42 +2303,98 @@ def neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sketch_checks",
     sql="""
-SELECT CAST(NULL AS VARCHAR) AS check_name, CAST(NULL AS VARCHAR) AS item,
-       CAST(NULL AS VARCHAR) AS metric, CAST(NULL AS DOUBLE) AS value
-FROM events WHERE FALSE
+WITH ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY event_type
+),
+fl AS (SELECT DISTINCT l_returnflag FROM lineitem)
+SELECT c AS check_name, event_type AS item,
+       'bound_ok' AS metric, CAST(1.0 AS DOUBLE) AS value
+FROM ex CROSS JOIN
+  (SELECT UNNEST(['hllpp', 'sketch_rollup', 'bitmap_exact']) AS c)
+UNION ALL
+SELECT 'exact', event_type, 'exact_users', CAST(exact_users AS DOUBLE)
+FROM ex
+UNION ALL
+SELECT 'gk_quartile', l_returnflag || '|' || CAST(q AS VARCHAR),
+       'bound_ok', CAST(1.0 AS DOUBLE)
+FROM fl CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS q)
 """,
     description=(
-        "Both mergeable-sketch self-checks in one slot: (1) the three-"
-        "strategy distinct-count check (HLL++ / daily DataSketches-HLL "
-        "rollup / exact roaring-bitmap rollup, each vs the exact distinct "
-        "count at its own error bound — events_distinct_sketch) and (2) "
-        "the Greenwald-Khanna approximate-quartile check (approx values "
-        "vs exact percentiles at p±4eps — price_quantiles_sketch). Both "
-        "constituents emit ONLY violating rows, so the correct composite "
-        "result — and the oracle — is the EMPTY set: any sketch-bound "
-        "violation surfaces as a row-count/hash mismatch in the window"
+        "Both mergeable-sketch self-checks in one slot, in nonzero-"
+        "witness form: (1) the three-strategy distinct-count check "
+        "(HLL++ / daily DataSketches-HLL rollup / exact roaring-bitmap "
+        "rollup, each vs the exact distinct count at its own error "
+        "bound) emits one bound_ok indicator per (strategy, event_type) "
+        "plus the exact distinct counts as data rows; (2) the Greenwald-"
+        "Khanna quartile check emits one bound_ok per (group, quartile). "
+        "The oracle computes the exact counts and asserts every "
+        "indicator is 1.0, so a sketch-bound violation flips an "
+        "indicator to 0.0 (hash mismatch) AND surfaces the measured "
+        "error through the violation arms, which stay unioned in (empty "
+        "when healthy). The raw sketch estimates themselves can't be "
+        "value-hashed cross-engine — DuckDB's HLL is a different "
+        "implementation — which is why the witness is exact-counts + "
+        "indicators rather than estimates. Replaces the round-8 empty-"
+        "set design whose permanently-0-row witness could not "
+        "distinguish 'bounds hold' from 'check degenerated'"
     ),
 )
 def sketch_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ds = REGISTRY["events_distinct_sketch"].fn(spark, sf_dir)
-    pq_ = REGISTRY["price_quantiles_sketch"].fn(spark, sf_dir)
-    a = ds.select(
-        F.col("check_name"),
-        F.col("event_type").alias("item"),
-        F.lit("rel_err").alias("metric"),
-        F.col("rel_err").cast("double").alias("value"),
+    from security_data_pipeline_spark.plans.queries import (
+        distinct_sketch_frame,
+        gk_quartile_frame,
     )
-    b = pq_.select(
-        F.lit("gk_quartile").alias("check_name"),
-        F.concat(
-            F.col("l_returnflag"),
-            F.lit("|"),
-            F.col("quartile").cast("string"),
-        ).alias("item"),
-        F.lit("approx_value").alias("metric"),
-        F.col("approx_value").cast("double").alias("value"),
+
+    dsf = distinct_sketch_frame(spark, sf_dir)
+    gk = gk_quartile_frame(spark, sf_dir)
+    gk_item = F.concat(
+        F.col("l_returnflag"), F.lit("|"), F.col("quartile").cast("string")
     )
-    return a.unionByName(b)
+    gk_ok = (F.col("approx_value") >= F.col("bound_lo")) & (
+        F.col("approx_value") <= F.col("bound_hi")
+    )
+    parts = [
+        # bound_ok indicator per (strategy, event_type)
+        dsf.select(
+            F.col("check_name"),
+            F.col("event_type").alias("item"),
+            F.lit("bound_ok").alias("metric"),
+            F.when(F.col("rel_err") <= F.col("_bound"), F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("value"),
+        ),
+        # the exact distinct counts as data rows (once per type; the
+        # exact frame is identical across the three strategy arms)
+        dsf.filter(F.col("check_name") == "bitmap_exact").select(
+            F.lit("exact").alias("check_name"),
+            F.col("event_type").alias("item"),
+            F.lit("exact_users").alias("metric"),
+            F.col("exact_users").cast("double").alias("value"),
+        ),
+        # bound_ok indicator per (returnflag, quartile)
+        gk.select(
+            F.lit("gk_quartile").alias("check_name"),
+            gk_item.alias("item"),
+            F.lit("bound_ok").alias("metric"),
+            F.when(gk_ok, F.lit(1.0)).otherwise(F.lit(0.0)).alias("value"),
+        ),
+        # violation arms: empty when healthy, carry the measured error
+        # (rel_err / out-of-bounds approx value) when a bound breaks
+        dsf.filter(F.col("rel_err") > F.col("_bound")).select(
+            F.col("check_name"),
+            F.col("event_type").alias("item"),
+            F.lit("rel_err").alias("metric"),
+            F.col("rel_err").cast("double").alias("value"),
+        ),
+        gk.filter(~gk_ok).select(
+            F.lit("gk_quartile").alias("check_name"),
+            gk_item.alias("item"),
+            F.lit("approx_value").alias("metric"),
+            F.col("approx_value").cast("double").alias("value"),
+        ),
+    ]
+    return _union(parts)
 
 
 def _grouping_sets_suite_sql() -> str:
@@ -2564,6 +2620,236 @@ def curation_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pagerank",
             F.col("node"),
             ["pr"],
+        ),
+    ]
+    return _union(parts)
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics / gate-outcome evaluation family (round 10)
+# ---------------------------------------------------------------------------
+
+
+def _corpus_stats_suite_sql() -> str:
+    from security_data_pipeline_spark.plans.queries import _EVENT_TYPES, REGISTRY
+
+    def cte(name: str) -> str:
+        return REGISTRY[name].sql.strip().rstrip(";")
+
+    arms = [
+        _unpivot_arm_sql(
+            "pv",
+            "pivot",
+            "CAST(user_id AS VARCHAR)",
+            [(f"n_{t}", f"n_{t}") for t in _EVENT_TYPES],
+        ),
+        _unpivot_arm_sql(
+            "rk",
+            "ranking",
+            "source",
+            [
+                ("n_pos", "n_pos"),
+                ("n_neg", "n_neg"),
+                ("auc", "auc"),
+                ("brier", "brier"),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "rt",
+            "retention",
+            "CAST(cohort_period AS VARCHAR) || ':' "
+            "|| CAST(period_offset AS VARCHAR)",
+            [
+                ("n_active", "n_active"),
+                ("cohort_size", "cohort_size"),
+                ("retention", "retention"),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "tr",
+            "transitions",
+            "prev_type || '>' || event_type",
+            [("n", "n"), ("n_users", "n_users"), ("prob", "prob")],
+        ),
+        _unpivot_arm_sql(
+            "pm",
+            "pmi",
+            "a || ' ' || b",
+            [("n", "n"), ("lift", "lift")],
+        ),
+        _unpivot_arm_sql(
+            "zf",
+            "zipf",
+            "'all'",
+            [
+                ("n_ranked", "n_ranked"),
+                ("slope", "slope"),
+                ("intercept", "intercept"),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "ld",
+            "ldiv",
+            "event_type || '|' || value_range",
+            [
+                ("group_size", "group_size"),
+                ("n_sensitive", "n_sensitive"),
+                ("l_diverse", "CASE WHEN l_diverse THEN 1 ELSE 0 END"),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "cv",
+            "covariance",
+            "CAST(dim_i AS VARCHAR) || ',' || CAST(dim_j AS VARCHAR)",
+            [("cov", "cov")],
+        ),
+        _unpivot_arm_sql(
+            "lp",
+            "linkpred",
+            "id_a || '>' || id_b",
+            [("n_common", "n_common"), ("ra_score", "ra_score")],
+        ),
+        _unpivot_arm_sql(
+            "gs",
+            "graph",
+            "'all'",
+            [
+                ("n_nodes", "n_nodes"),
+                ("n_edges", "n_edges"),
+                ("n_triangles", "n_triangles"),
+                ("global_coeff", "global_coeff"),
+            ],
+        ),
+    ]
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH pv AS ({cte("event_type_pivot")}),
+rk AS ({cte("doc_quality_eval_by_source")}),
+rt AS ({cte("user_retention_cohorts")}),
+tr AS ({cte("event_type_transitions")}),
+pm AS ({cte("doc_bigram_pmi")}),
+zf AS ({cte("doc_zipf_fit")}),
+ld AS ({cte("events_l_diversity")}),
+cv AS ({cte("emb_dim_covariance")}),
+lp AS ({cte("token_graph_link_prediction")}),
+gs AS ({cte("token_graph_summary")})
+{body}
+"""
+
+
+@query(
+    "corpus_stats_suite",
+    sql=_corpus_stats_suite_sql(),
+    description=(
+        "Corpus-statistics + gate-outcome evaluation family in one slot, "
+        "built from the very same registered operator calls: (1) the "
+        "event-type pivot (subsumes the event_type_pivot slot this "
+        "composite replaced in the driver window); (2) per-source exact "
+        "ROC-AUC (midrank Mann-Whitney) + Brier ranking report; (3) "
+        "activity-retention cohort triangle; (4) per-user Markov "
+        "transition matrix; (5) bigram PMI lift; (6) Zipf rank-frequency "
+        "fit; (7) l-diversity audit; (8) exact embedding-dimension "
+        "covariance (DECIMAL-summed, one aggregation into a d^2-bounded "
+        "frame); (9) resource-allocation link prediction over the token "
+        "graph; (10) the triangle/transitivity graph summary. All ten "
+        "unpivoted to one (suite, item, metric, value) stream; "
+        "constituents stay registered for granular oracle checks"
+    ),
+)
+def corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.plans.queries import _EVENT_TYPES
+
+    def run(name: str) -> DataFrame:
+        return REGISTRY[name].fn(spark, sf_dir)
+
+    def arm(df: DataFrame, suite: str, item, metrics: list) -> DataFrame:
+        named = [
+            (m, F.col(m)) if isinstance(m, str) else m for m in metrics
+        ]
+        return (
+            df.select(
+                item.alias("item"),
+                *[e.cast("double").alias(n) for n, e in named],
+            )
+            .unpivot(["item"], [n for n, _ in named], "metric", "value")
+            .select(F.lit(suite).alias("suite"), "item", "metric", "value")
+        )
+
+    parts = [
+        arm(
+            run("event_type_pivot"),
+            "pivot",
+            F.col("user_id").cast("string"),
+            [f"n_{t}" for t in _EVENT_TYPES],
+        ),
+        arm(
+            run("doc_quality_eval_by_source"),
+            "ranking",
+            F.col("source"),
+            ["n_pos", "n_neg", "auc", "brier"],
+        ),
+        arm(
+            run("user_retention_cohorts"),
+            "retention",
+            F.concat(
+                F.col("cohort_period").cast("string"),
+                F.lit(":"),
+                F.col("period_offset").cast("string"),
+            ),
+            ["n_active", "cohort_size", "retention"],
+        ),
+        arm(
+            run("event_type_transitions"),
+            "transitions",
+            F.concat(F.col("prev_type"), F.lit(">"), F.col("event_type")),
+            ["n", "n_users", "prob"],
+        ),
+        arm(
+            run("doc_bigram_pmi"),
+            "pmi",
+            F.concat(F.col("a"), F.lit(" "), F.col("b")),
+            ["n", "lift"],
+        ),
+        arm(
+            run("doc_zipf_fit"),
+            "zipf",
+            F.lit("all"),
+            ["n_ranked", "slope", "intercept"],
+        ),
+        arm(
+            run("events_l_diversity"),
+            "ldiv",
+            F.concat(F.col("event_type"), F.lit("|"), F.col("value_range")),
+            [
+                "group_size",
+                "n_sensitive",
+                (
+                    "l_diverse",
+                    F.when(F.col("l_diverse"), F.lit(1)).otherwise(F.lit(0)),
+                ),
+            ],
+        ),
+        arm(
+            run("emb_dim_covariance"),
+            "covariance",
+            F.concat(
+                F.col("dim_i").cast("string"),
+                F.lit(","),
+                F.col("dim_j").cast("string"),
+            ),
+            ["cov"],
+        ),
+        arm(
+            run("token_graph_link_prediction"),
+            "linkpred",
+            F.concat(F.col("id_a"), F.lit(">"), F.col("id_b")),
+            ["n_common", "ra_score"],
+        ),
+        arm(
+            run("token_graph_summary"),
+            "graph",
+            F.lit("all"),
+            ["n_nodes", "n_edges", "n_triangles", "global_coeff"],
         ),
     ]
     return _union(parts)

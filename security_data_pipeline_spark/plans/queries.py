@@ -373,6 +373,16 @@ FROM events WHERE FALSE
     ),
 )
 def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frame = distinct_sketch_frame(spark, sf_dir)
+    return frame.filter(F.col("rel_err") > F.col("_bound")).drop("_bound")
+
+
+def distinct_sketch_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL (strategy, event_type) rows of the three-strategy distinct-count
+    check, with measured rel_err and the strategy's error bound attached —
+    the registered query keeps only violators (oracle: empty set); the
+    sketch_checks window composite turns the full frame into nonzero
+    self-checking witness rows (bound_ok indicators + the exact counts)."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         "user_id",
@@ -382,7 +392,7 @@ def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_users")
     )
 
-    def violations(approx_df: DataFrame, check: str, bound: float) -> DataFrame:
+    def checked(approx_df: DataFrame, check: str, bound: float) -> DataFrame:
         j = approx_df.join(F.broadcast(exact), "event_type")
         rel_err = F.abs(
             F.col("approx_users") - F.col("exact_users")
@@ -393,7 +403,8 @@ def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("approx_users").cast("long").alias("approx_users"),
             "exact_users",
             F.round(rel_err, 6).alias("rel_err"),
-        ).filter(F.col("rel_err") > F.lit(bound))
+            F.lit(bound).alias("_bound"),
+        )
 
     # (1) HyperLogLog++ in one pass
     rsd = 0.02
@@ -419,9 +430,9 @@ def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("_cnt").alias("approx_users"))
     )
     return (
-        violations(hllpp, "hllpp", 5 * rsd)
-        .unionByName(violations(rollup, "sketch_rollup", 0.08))
-        .unionByName(violations(bm, "bitmap_exact", 0.0))
+        checked(hllpp, "hllpp", 5 * rsd)
+        .unionByName(checked(rollup, "sketch_rollup", 0.08))
+        .unionByName(checked(bm, "bitmap_exact", 0.0))
     )
 
 
@@ -1912,13 +1923,24 @@ def customers_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customers_without_orders",
     sql="""
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '1999-01-01')
 """,
-    description="Left-anti join: customers with no orders at all",
+    description=(
+        "Left-anti join: lapsed customers — no orders on/after the cutoff "
+        "date. The date slice (pushed to the orders scan as a partition-"
+        "prunable predicate) keeps the witness provably nonzero at every "
+        "test sf: an anti-join over the unrestricted orders table matched "
+        "0 = 0 rows for nine straight rounds, which proves schema "
+        "agreement but never that the exclusion logic fires"
+    ),
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("date")
+    )
     return c.join(
         o, c.c_custkey == o.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -2625,6 +2647,18 @@ FROM lineitem WHERE FALSE
     ),
 )
 def price_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exploded = gk_quartile_frame(spark, sf_dir)
+    return exploded.filter(
+        (F.col("approx_value") < F.col("bound_lo"))
+        | (F.col("approx_value") > F.col("bound_hi"))
+    )
+
+
+def gk_quartile_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL (l_returnflag, quartile) rows of the GK-quartile check with the
+    approx value and its exact p±4eps bounds — the registered query keeps
+    only violators (oracle: empty set); the sketch_checks composite turns
+    the full frame into nonzero bound_ok witness rows."""
     acc = 10000
     eps = 4.0 / acc
     ps = [0.25, 0.5, 0.75]
@@ -2654,10 +2688,7 @@ def price_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_z._lo").alias("bound_lo"),
         F.col("_z._hi").alias("bound_hi"),
     )
-    return exploded.filter(
-        (F.col("approx_value") < F.col("bound_lo"))
-        | (F.col("approx_value") > F.col("bound_hi"))
-    )
+    return exploded
 
 
 @query(
@@ -9742,7 +9773,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # price_quantiles_sketch stay registered as extras)
     "sketch_checks",
     "keep_last_dedup",
-    "event_type_pivot",
+    # corpus-statistics + gate-outcome evaluation composite: event-type
+    # pivot (subsumes the event_type_pivot slot it replaced), per-source
+    # AUC/Brier ranking report, retention cohorts, Markov transitions,
+    # bigram PMI, Zipf fit, l-diversity, embedding covariance, RA link
+    # prediction, graph transitivity summary (constituents stay
+    # registered as extras)
+    "corpus_stats_suite",
     "user_counts_salted",
     # window-functions composite: RANGE-frame rolling count + ignoreNulls
     # as-of lag (constituents rolling_hour_counts / time_since_last_error

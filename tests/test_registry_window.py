@@ -20,7 +20,11 @@ from security_data_pipeline_spark.plans.queries import get_oracle_sql, get_queri
 MUST_BE_IN_WINDOW = {
     "secevents_etl",
     "grouping_sets_suite",  # subsumes orders_cube / orders_grouping_sets / part_brand_rollup
-    "event_type_pivot",
+    # subsumes event_type_pivot (round-10 window consolidation that put
+    # the round-9 evaluation/graph/corpus-stats family in front of the
+    # driver: pivot arm + AUC/Brier, retention, transitions, PMI, Zipf,
+    # l-diversity, covariance, link prediction, graph summary)
+    "corpus_stats_suite",
     "nation_parties_full_outer",
     "user_counts_salted",
     "asof_click_before_purchase",
