@@ -198,6 +198,10 @@ BENCH_QUERIES: tuple[str, ...] = (
     # round-9 addition: exact 64x64 embedding covariance (one map-side
     # generate + one bounded aggregation; the pca_project input)
     "emb_dim_covariance",
+    # round-10 addition: centered PCA scores — the timed region includes
+    # the fit (ONE statistics aggregation + driver-side eigh of the
+    # 32 KiB matrix) and the map-only literal projection
+    "emb_pca_projection",
     # round-9 additions: histogram-calibration remap (broadcast mapping
     # join-back) and the graph-level transitivity summary
     "doc_quality_calibrated",
@@ -258,7 +262,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "token_graph_pagerank": 31, "curation_eval_suite": 10207,
         "corpus_stats_suite": 10308, "doc_quality_eval_by_source": 20,
         "token_graph_link_prediction": 20, "user_retention_cohorts": 111,
-        "emb_dim_covariance": 2080,
+        "emb_dim_covariance": 2080, "emb_pca_projection": 2000,
         "doc_quality_calibrated": 5000, "token_graph_summary": 1,
         "events_l_diversity": 51, "doc_zipf_fit": 1,
     },
@@ -307,7 +311,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "token_graph_pagerank": 30, "curation_eval_suite": 1203,
         "corpus_stats_suite": 3366, "doc_quality_eval_by_source": 20,
         "token_graph_link_prediction": 20, "user_retention_cohorts": 59,
-        "emb_dim_covariance": 2080,
+        "emb_dim_covariance": 2080, "emb_pca_projection": 500,
         "doc_quality_calibrated": 500, "token_graph_summary": 1,
         "events_l_diversity": 39, "doc_zipf_fit": 1,
     },

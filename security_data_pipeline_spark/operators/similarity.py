@@ -2234,6 +2234,16 @@ def embedding_covariance(
     order, so the matrix is bit-identical cross-engine. Output: one row
     per (dim_i ≤ dim_j): ``dim_i, dim_j, cov`` (6 dp).
     """
+    return _cov_from_sums(_exact_cov_sums(df, vec_col, dim))
+
+
+def _exact_cov_sums(
+    df: DataFrame, vec_col: str, dim: int
+) -> DataFrame:
+    """The exact (i, j, s, _n) sufficient-statistic frame behind
+    :func:`embedding_covariance` (j = 0 rows carry the per-dimension
+    DECIMAL sums for the means) — exposed so :func:`pca_project` can
+    collect means AND covariance from ONE corpus aggregation."""
     v = F.col(vec_col)
     idx = F.sequence(F.lit(1), F.lit(dim))
     pair_terms = F.flatten(
@@ -2272,10 +2282,9 @@ def embedding_covariance(
         )
         .select("t.i", "t.j", "t.v")
     )
-    sums = terms.groupBy("i", "j").agg(
+    return terms.groupBy("i", "j").agg(
         F.sum("v").alias("s"), F.count(F.lit(1)).alias("_n")
     )
-    return _cov_from_sums(sums)
 
 
 def _cov_from_sums(sums: DataFrame) -> DataFrame:
@@ -2389,40 +2398,37 @@ def pca_project(
 
     The covariance matrix is a BOUNDED artifact (dim² doubles — 32 KiB
     at dim=64), so the eigendecomposition runs driver-side on the
-    collected matrix (numpy ``eigh`` — the same bounded-collect pattern
-    as the ANN codebooks), and the projection matrix returns to the
-    executors as plain literals fused into the scan: the corpus pays ONE
-    covariance aggregation plus ONE map-only projection pass, no UDF.
-    Component signs are canonicalized (largest-|loading| entry positive)
-    so output is deterministic under numpy's sign ambiguity; components
-    are eigenvalue-descending. Adds ``out_col`` (array<double>, length
-    ``n_components``) plus ``{out_col}_explained`` (the fraction of
-    total variance the kept components carry, one literal).
+    collected sufficient statistics (numpy ``eigh`` — the same
+    bounded-collect pattern as the ANN codebooks), and the mean +
+    projection matrices return to the executors as plain literals fused
+    into the scan: the corpus pays ONE statistics aggregation plus ONE
+    map-only projection pass, no UDF. Vectors are CENTERED (per-
+    dimension mean subtracted) before the dot product — textbook PCA
+    scores, so ``{out_col}_explained`` (centered-variance fraction)
+    describes exactly the coordinates emitted. The driver-side matrix
+    reproduces the oracle-checked ``embedding_covariance`` output
+    bit-for-bit (same DECIMAL sums, same token order, same HALF_UP 6 dp
+    rounding). Component signs are canonicalized (largest-|loading|
+    entry positive) so output is deterministic under numpy's sign
+    ambiguity; components are eigenvalue-descending. Adds ``out_col``
+    (array<double>, length ``n_components``) plus
+    ``{out_col}_explained``.
     """
     import numpy as np
 
-    cov_rows = embedding_covariance(df, vec_col, dim).collect()
-    mat = np.zeros((dim, dim))
-    for r in cov_rows:
-        mat[r["dim_i"] - 1, r["dim_j"] - 1] = r["cov"]
-        mat[r["dim_j"] - 1, r["dim_i"] - 1] = r["cov"]
-    vals, vecs = np.linalg.eigh(mat)  # ascending
-    order = np.argsort(vals)[::-1][:n_components]
-    comps = []
-    for k in order:
-        c = vecs[:, k]
-        if c[np.argmax(np.abs(c))] < 0:
-            c = -c
-        comps.append(c)
-    explained = float(np.sum(vals[order]) / np.sum(np.clip(vals, 0, None)))
+    means, comps, explained = pca_fit(df, vec_col, dim, n_components)
     v = F.col(vec_col)
+    mean_arr = F.array(*[F.lit(float(m)) for m in means])
+    centered = F.zip_with(
+        v, mean_arr, lambda a, b: a.cast("double") - b
+    )
     proj = F.array(
         *[
             F.aggregate(
                 F.zip_with(
-                    v,
+                    centered,
                     F.array(*[F.lit(float(x)) for x in c]),
-                    lambda a, b: a.cast("double") * b,
+                    lambda a, b: a * b,
                 ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
@@ -2433,3 +2439,58 @@ def pca_project(
     return df.withColumn(out_col, proj).withColumn(
         f"{out_col}_explained", F.lit(explained)
     )
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_components: int = 8,
+):
+    """Fit step of :func:`pca_project`: ONE exact-DECIMAL statistics
+    aggregation (the :func:`embedding_covariance` frame — means ride in
+    its j = 0 rows, so centering costs no second corpus pass), then the
+    driver-side eigendecomposition. Returns ``(means, components,
+    explained)`` — means as a length-``dim`` list, components as
+    ``n_components`` eigenvalue-descending sign-canonicalized numpy
+    vectors. The covariance entries are reconstructed with the same
+    token order and HALF_UP 6 dp rounding as the distributed operator,
+    so the matrix eigendecomposed here IS the oracle-checked one."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    stat_rows = _exact_cov_sums(df, vec_col, dim).collect()
+    s = {(r["i"], r["j"]): r for r in stat_rows}
+    means = [
+        float(s[(i, 0)]["s"]) / float(s[(i, 0)]["_n"])
+        for i in range(1, dim + 1)
+    ]
+    q6 = Decimal("0.000001")
+    mat = np.zeros((dim, dim))
+    for i in range(1, dim + 1):
+        for j in range(i, dim + 1):
+            r = s[(i, j)]
+            raw = (
+                float(r["s"]) / float(r["_n"])
+                - means[i - 1] * means[j - 1]
+            )
+            # Decimal(repr(x)) = shortest round-trip decimal, the same
+            # string Java's Double.toString feeds Spark's ROUND — the
+            # exact binary expansion (Decimal(x)) rounds halfway cases
+            # differently
+            cov = float(
+                Decimal(repr(raw)).quantize(q6, rounding=ROUND_HALF_UP)
+            )
+            mat[i - 1, j - 1] = cov
+            mat[j - 1, i - 1] = cov
+    vals, vecs = np.linalg.eigh(mat)  # ascending
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = []
+    for k in order:
+        c = vecs[:, k]
+        if c[np.argmax(np.abs(c))] < 0:
+            c = -c
+        comps.append(c)
+    explained = float(np.sum(vals[order]) / np.sum(np.clip(vals, 0, None)))
+    return means, comps, explained

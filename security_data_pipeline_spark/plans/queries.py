@@ -9382,6 +9382,169 @@ def emb_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- generated by scripts/gen_pca_literals.py ---
+_PCA_SF001_MEANS = (
+    0.002164709854038, -0.004547794351472, 0.0039301543830219995, -0.004793201057444,
+    0.009943076466454, 0.0077725329525399995, -0.018231355694848, 0.009217355088108,
+    -0.0024274034146979998, -0.0006178791260560001, 0.0064360780684619995, 0.0033540127822220002,
+    -0.002658891296398, 0.0020540317017200002, -0.00021456623025, 0.005910249243546,
+    0.0033342206681, 0.005826121678218, -0.000461276365548, 0.001231715519158,
+    -0.00383913904242, 0.002302184066622, 0.004168265111642, -0.008054586122042,
+    -0.001891165461356, 0.012808142676021999, -0.0015970649567740001, 0.010626326819823999,
+    -0.001153276573406, 0.0003903653705, 0.0056047214816639995, -0.005792685562478,
+    0.008335300238788, -0.006675379839846, 0.005155627750542, 0.001177179405798,
+    -0.005335331542408, -0.001593796574154, -0.000966701676796, -0.00114098193581,
+    -0.0017442115085020001, -0.011834114763304, 0.000313518199068, -0.0005631569666639999,
+    -0.011520562025558, 0.003832613509028, -0.000598060307384, 0.005890298187844,
+    -0.003749661162348, -0.0102644046155, 0.00937715246751, -0.00148199218771,
+    0.0077700426972879995, -0.003917563282558, 0.004709782614142, -0.003577291431942,
+    0.0047738668488620005, -0.00247036390502, -0.004844514904162, -0.008721180955264,
+    -0.00028116569211600003, 0.005004184705332, -0.001159062597512, -0.013266222528522,
+)
+_PCA_SF001_COMPS = (
+(
+    -0.20963292363358502, -0.1205413401269822, 0.036530275168882465, 0.011851804105982244,
+    0.0754833366514779, 0.013171779142899818, 0.09057089470941367, 0.2866883968079326,
+    0.049458965309689164, 0.4140010567521338, 0.06521340747493139, 0.1820212216150063,
+    0.06508791373374828, -0.03665145673560533, 0.1711082892341562, -0.1853988947189914,
+    0.08882812484782199, -0.15744979671064752, -0.03006242681309074, 0.03233462688792977,
+    0.06117660388352544, -0.11076764619308938, -0.08357494437118357, -0.05505715296243732,
+    0.019857459967093025, 0.1994053700965711, -0.037499004679253656, 0.14952534763323938,
+    -0.17279060773577293, -0.00587024373823733, -0.058701936007507546, 0.06228468449180633,
+    0.2965249130881117, 0.10606395225757438, -0.032110242495039826, 0.10399650273051167,
+    0.044489059191688135, 0.06140447681399851, 0.012722254040048404, 0.02179883543119325,
+    -0.11667934743140498, 0.0055325067603695655, -0.2407942207270389, 0.09594927408692648,
+    -0.02849990692867846, -0.22491486964466223, 0.008784887869190794, -0.0792412766856605,
+    -0.08380154867658518, -0.11826544753596044, 0.12064825984733869, 0.07260130887431739,
+    -0.017162823231314683, 0.08158652066735182, -0.015267481881915256, -0.06680056813493511,
+    -0.05527397497879869, -0.05136927906104505, 0.06004120843588662, -0.09096340747595025,
+    0.12209279473019008, 0.050556554680542404, -0.21821951596020273, -0.10195356472685377,
+),
+(
+    -0.004205753194886271, -0.05462282548695843, -0.012602633348313992, -0.08805350268485854,
+    0.17485837265421394, 0.025263822577394325, 0.07512679813951574, -0.06976114676604894,
+    0.07743757616158797, 0.03125787166984644, 0.10580636020116403, -0.017583452759631787,
+    0.012903908458468342, 0.1336854778630352, 0.014758403542826452, 0.04108865482026162,
+    0.14867619124778403, 0.3601119644455126, -0.05408475824400164, -0.05075308233338724,
+    0.032576078583815615, 0.03528303397413925, 0.06517828257401677, -0.3091045926871209,
+    -0.25768576980220753, -0.23883799976202283, -0.020678983420477914, -0.00015186784528655947,
+    -0.08642286336624633, -0.17463433323039823, -0.024144421203872335, -0.21738528991617115,
+    0.02977690290568783, 0.06153348485063079, 0.033646658393158994, 0.07927361261560234,
+    0.059572612907876715, 0.036456350836349745, 0.18204645075432863, 0.04666242930546079,
+    -3.345207464357583e-05, 0.04716259457224718, -0.06313920165189675, -0.17917958577670481,
+    0.17269819254738913, -0.18913707910891378, -0.04688314842704521, 0.1456895395745176,
+    0.11280619956011775, -0.11349882531240944, -0.15728072846181937, -0.08193561113834374,
+    0.013074623781151672, -0.016044170995061027, 0.23790321927594477, 0.02326941335823262,
+    -0.3029301203736007, 0.016436404347148895, 0.13556286798173378, -0.12168203022832241,
+    -0.08358409691247064, 0.08502674525761256, -0.0007460183937647406, -0.07867342098631244,
+),
+(
+    -0.14801083374245344, -0.08507382387441337, -0.06402438590900897, -0.00040869028829479404,
+    -0.20449534937116695, -0.04368089445821611, 0.11773794118501159, -0.28450318529532775,
+    0.04435872233166982, 0.023603739136775118, -0.05117035688668367, 0.03571894549614884,
+    -0.06015950046514578, -0.03456699873436975, 0.009439586544115947, -0.23459365918189912,
+    0.17124045752277947, -0.08509322168787627, 0.11605151447997925, 0.0773020843520242,
+    0.013145990591535296, 0.17527972901836752, -0.1006872370486872, 0.05349031137844941,
+    0.09276077383755173, 0.10019502480905484, 0.09067534506723395, -0.13412680605635846,
+    0.010318683888447644, -0.10525882834249409, -0.12287126911256763, 0.09098917083484251,
+    0.0482515050460232, -0.1807451550853582, -0.029837476202732822, -0.10217760097475358,
+    0.13907474554627663, -0.2125040527777581, -0.0634941294537813, -0.10393631723504214,
+    0.18944373987245156, 0.19005220639682313, -0.12585584762649438, -0.20891943195931847,
+    0.1657943379262477, 0.05294589659471777, 0.04282938308526425, 0.017902372960956876,
+    -0.06833069100427012, -0.05123855790687119, -0.1294149097231061, -0.10647217627491015,
+    0.227767913138075, -0.153289015347401, -0.17932440187301263, -0.0019451152367836802,
+    -0.00521115970137569, 0.10968181277437243, 0.1826920057811636, -0.0526424441123377,
+    -0.06945459447677838, 0.2884271620552128, -0.09005447230299078, -0.07550143347243689,
+),
+(
+    0.06797167751714543, 0.0626308036145165, 0.008379403254280535, 0.17249381628890084,
+    -0.2574883143352302, 0.10796810408272368, -0.024038877658974292, 0.1772388719437054,
+    -0.11515681209169643, 0.1361484362303271, 0.0072335178244979925, 0.20293245119264405,
+    -0.060383019208085094, -0.1401273812269762, -0.09273841327727235, 0.04943487005961279,
+    0.09645736900726483, 0.0711230860972815, -0.009358013873783193, -0.20380451619836817,
+    -0.2253246278193986, 0.1578005907788913, -0.01190783808997326, 0.07292227107994431,
+    0.027857803344124937, -0.11846656020959626, 0.11663337766691667, -0.004311518717615426,
+    0.12887333661884987, -0.10500175765951575, 0.15219297183411404, 0.20078470032320556,
+    -0.08150109463961418, -0.01768004203592667, -0.11657000316288288, 0.3160512409944814,
+    -0.11706725917258005, -0.14772716505937838, -0.010154862413708105, -0.04912905648465755,
+    -0.01461388806823205, -0.0006331885894938563, -0.08564027738671662, -0.017457315634142073,
+    -0.0753996205170414, -0.04137013192732086, -0.013690258792666873, 0.3693414540087841,
+    -0.10836005706987034, -0.15405987427133808, 0.06595029509759368, -0.019972573270624534,
+    0.008827914503077116, 0.005649359669089178, -0.022529870264496498, 0.10149302626748921,
+    -0.17090020550403023, 0.09304639268243377, -0.17040502157458987, -0.07400819466600408,
+    -0.19194281355970838, -0.09612168816310267, -0.08387605246185006, 0.026444629318872856,
+),
+)
+_PCA_SF001_EXPLAINED = 0.10714363638254285
+# --- end generated ---
+
+
+def _pca_projection_oracle_sql(n_components: int = 4) -> str:
+    """Mirror pca_project's centered dot products with the fitted means/
+    components inlined as exact double literals (the SQ8/PQ codebook-
+    inlining precedent — DuckDB can't eigendecompose, but given the
+    oracle-checked covariance the components are deterministic, so the
+    fit at the driver's comparison scale is a constant). Term order
+    matches Spark's F.aggregate fold (i = 1..64, left-assoc)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cols = []
+    for k in range(n_components):
+        comp = _PCA_SF001_COMPS[k]
+        terms = " + ".join(
+            f"(CAST(embedding[{i + 1}] AS DOUBLE) - {_PCA_SF001_MEANS[i]!r})"
+            f" * {comp[i]!r}"
+            for i in range(64)
+        )
+        cols.append(f"ROUND({terms}, 6) AS pca_{k + 1}")
+    expl = float(
+        Decimal(repr(_PCA_SF001_EXPLAINED)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+    col_sql = ",\n       ".join(cols)
+    return f"""
+SELECT vec_id,
+       {col_sql},
+       CAST({expl!r} AS DOUBLE) AS explained
+FROM embeddings WHERE len(embedding) = 64
+"""
+
+
+@query(
+    "emb_pca_projection",
+    sql=_pca_projection_oracle_sql(),
+    description=(
+        "Centered PCA scores: project every embedding onto the top-4 "
+        "principal components of the oracle-checked exact covariance "
+        "matrix. The fit is ONE DECIMAL-summed statistics aggregation "
+        "(means ride in the j=0 rows of the covariance frame — "
+        "centering costs no second corpus pass) + a driver-side eigh of "
+        "the 32 KiB matrix; the projection returns as literals fused "
+        "into a map-only pass (the ANN-codebook bounded-collect "
+        "discipline). The oracle inlines the sf0.01-fit means/components "
+        "as exact double literals; tests pin that a query-time fit "
+        "reproduces them bit-for-bit, so the hash comparison checks the "
+        "full fit->project path"
+    ),
+)
+def emb_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == 64
+    )
+    out = similarity.pca_project(
+        emb, "embedding", 64, n_components=4, out_col="_pca"
+    )
+    return out.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("_pca", k), 6).alias(f"pca_{k}")
+            for k in range(1, 5)
+        ],
+        F.round(F.col("_pca_explained"), 6).alias("explained"),
+    )
+
+
 @query(
     "token_graph_link_prediction",
     sql=f"""

@@ -271,9 +271,49 @@ def test_pca_project_matches_numpy(spark):
     )
     assert explained == pytest.approx(want_explained, abs=1e-9)
     assert 0.0 < explained <= 1.0
+    mu = m64.mean(axis=0)
     for i in range(n):
-        want_proj = [float(m64[i] @ c) for c in comps]
+        want_proj = [float((m64[i] - mu) @ c) for c in comps]
         assert got[i] == pytest.approx(want_proj, abs=1e-4)
+    # centered scores must average to ~0 per component (the uncentered
+    # form carried a constant mean-dot offset — ADVICE r9)
+    per_comp = np.array([got[i] for i in range(n)])
+    assert np.abs(per_comp.mean(axis=0)).max() < 1e-4
+
+
+def test_pca_fit_matrix_is_the_oracle_checked_covariance(spark):
+    """pca_fit reconstructs cov entries driver-side from the collected
+    statistic frame; they must equal the distributed operator's output
+    bit-for-bit (same DECIMAL sums, token order, HALF_UP rounding)."""
+    import numpy as np
+
+    from security_data_pipeline_spark.operators.similarity import (
+        embedding_covariance,
+        pca_fit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    means, comps, _ = pca_fit(emb, "embedding", 64, n_components=2)
+    got = {
+        (r["dim_i"], r["dim_j"]): r["cov"]
+        for r in embedding_covariance(emb, "embedding", 64).collect()
+    }
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from security_data_pipeline_spark.operators.similarity import (
+        _exact_cov_sums,
+    )
+
+    s = {
+        (r["i"], r["j"]): r
+        for r in _exact_cov_sums(emb, "embedding", 64).collect()
+    }
+    q6 = Decimal("0.000001")
+    for (i, j), want in got.items():
+        r = s[(i, j)]
+        raw = float(r["s"]) / float(r["_n"]) - means[i - 1] * means[j - 1]
+        rec = float(Decimal(repr(raw)).quantize(q6, rounding=ROUND_HALF_UP))
+        assert rec == want, (i, j, rec, want)
 
 
 def test_calibrate_scores_histogram_remap(spark):
@@ -367,3 +407,25 @@ def test_embedding_covariance_fast_plan_shape(spark):
     # the corpus-side work per consumer), mean attachment is broadcast
     assert "Exchange hashpartitioning" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pca_literals_match_query_time_fit(spark):
+    """The emb_pca_projection oracle inlines the sf0.01 fit as literals;
+    the Spark side refits at query time. This pin keeps them identical —
+    if the driver regenerates testdata, it fails loudly and
+    scripts/gen_pca_literals.py rewrites the block."""
+    import numpy as np
+
+    from security_data_pipeline_spark.operators.similarity import pca_fit
+    from security_data_pipeline_spark.plans.queries import (
+        _PCA_SF001_COMPS,
+        _PCA_SF001_EXPLAINED,
+        _PCA_SF001_MEANS,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    means, comps, explained = pca_fit(emb, "embedding", 64, n_components=4)
+    assert tuple(means) == _PCA_SF001_MEANS
+    for got, want in zip(comps, _PCA_SF001_COMPS):
+        assert tuple(float(x) for x in got) == want
+    assert explained == _PCA_SF001_EXPLAINED
