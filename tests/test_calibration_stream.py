@@ -254,3 +254,114 @@ def test_group_topk_rewrites_touched_prefixes_only(spark, tmp_path):
         for r in group_topk_from_state(spark, state).collect()
     )
     assert got == [(g1, 1), (g1, 3), (g2, 2)]
+
+
+def test_group_topk_state_width_is_enforced(spark, tmp_path):
+    """A wide stream column NOT named in carry_cols must not reach the
+    persisted state (the bound is enforced by projection, not advised in
+    the docstring); naming it via carry_cols keeps it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "source": ["a", "a", "b"],
+                "doc_id": [1, 2, 3],
+                "score": [0.9, 0.5, 0.7],
+                "wide_text": ["x" * 10, "y" * 10, "z" * 10],
+            }
+        ),
+        src / "b0.parquet",
+    )
+
+    def run(state, ckpt, carry):
+        q = maintain_group_topk_stream(
+            spark.readStream.schema(
+                "source string, doc_id long, score double, wide_text string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src)),
+            state,
+            ckpt,
+            group_cols=["source"],
+            order_col="score",
+            id_col="doc_id",
+            k=2,
+            pfx_mod=8,
+            carry_cols=carry,
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "s1"), str(tmp_path / "c1"), None)
+    cols1 = spark.read.parquet(str(tmp_path / "s1")).columns
+    assert "wide_text" not in cols1
+    assert {"source", "doc_id", "score"} <= set(cols1)
+
+    run(str(tmp_path / "s2"), str(tmp_path / "c2"), ["wide_text"])
+    st2 = spark.read.parquet(str(tmp_path / "s2"))
+    assert "wide_text" in st2.columns
+    assert st2.filter(st2.wide_text.isNull()).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="absent from stream"):
+        maintain_group_topk_stream(
+            spark.readStream.schema("source string, doc_id long, score double")
+            .parquet(str(src)),
+            str(tmp_path / "s3"),
+            str(tmp_path / "c3"),
+            group_cols=["source"],
+            order_col="score",
+            id_col="doc_id",
+            carry_cols=["nope"],
+        )
+
+
+def test_calibration_recovers_from_scratch_generation(spark, tmp_path):
+    """Fresh checkpoint over kept scratch-only state (crash during the
+    final overwrite) must FOLD into the recovered generation — the lazily-
+    read-scratch-then-overwrite-scratch pattern raised 'Cannot overwrite a
+    path that is also being read from' before _read_state completed the
+    swap at read time (ADVICE r9)."""
+    import json
+    import shutil
+
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_calibration_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "f1.json").write_text(
+        json.dumps({"score": 0.25, "label": 1})
+    )
+    state = str(tmp_path / "state")
+
+    def run(ckpt):
+        q = maintain_calibration_stream(
+            spark.readStream.schema("score double, label int").json(
+                str(in_dir)
+            ),
+            state,
+            str(tmp_path / ckpt),
+            score_col="score",
+            label_col="label",
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    shutil.rmtree(state)
+    assert (tmp_path / "state__next").exists()
+
+    (in_dir / "f2.json").write_text(
+        json.dumps({"score": 0.75, "label": 0})
+    )
+    # fresh checkpoint folds BOTH files as its first batch into the
+    # recovered scratch (1 row in bin 2) — a silent reset would leave
+    # n=2 total; recovery must give n=3
+    run("ckpt2")
+    got = spark.read.parquet(state)
+    assert got.agg({"n": "sum"}).first()[0] == 3
