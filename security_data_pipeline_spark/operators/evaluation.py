@@ -56,7 +56,7 @@ def calibration_bin_counts(
     """Sufficient statistics for calibration: one row per occupied bin,
     ``(bin, n, n_pos, sum_score)``.
 
-    ``bin = min(floor(round(score,6)·n_bins), n_bins-1)`` — scores are
+    ``bin = min(floor(round(round(score,6)·n_bins, 6)), n_bins-1)`` — scores are
     probabilities in [0,1]; the top edge folds into the last bin so 1.0
     is representable. ``sum_score`` is an exact DECIMAL(11,6) sum of the
     6-dp-rounded scores (order-free, hence shuffle- and stream-safe).
@@ -65,7 +65,10 @@ def calibration_bin_counts(
     """
     rs = _rounded_score(score_col)
     b = F.least(
-        F.floor(rs * F.lit(float(n_bins))).cast("long"),
+        # round the product before flooring: bins are exactly
+        # [k/n_bins, (k+1)/n_bins) — without it, exact-edge scores
+        # misassign in IEEE doubles (0.3*10 = 2.999... -> bin 2)
+        F.floor(F.round(rs * F.lit(float(n_bins)), 6)).cast("long"),
         F.lit(n_bins - 1).cast("long"),
     )
     return (
@@ -412,7 +415,10 @@ def calibrate_scores(
     """
     rs = _rounded_score(score_col)
     b = F.least(
-        F.floor(rs * F.lit(float(n_bins))).cast("long"),
+        # round the product before flooring: bins are exactly
+        # [k/n_bins, (k+1)/n_bins) — without it, exact-edge scores
+        # misassign in IEEE doubles (0.3*10 = 2.999... -> bin 2)
+        F.floor(F.round(rs * F.lit(float(n_bins)), 6)).cast("long"),
         F.lit(n_bins - 1).cast("long"),
     )
     mapping = calibration_bin_counts(

@@ -8683,7 +8683,7 @@ def _quality_label_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
 WITH {_QUALITY_LABEL_SQL},
 bins AS (
-  SELECT LEAST(CAST(FLOOR(rs * 10.0) AS BIGINT), 9) AS bin,
+  SELECT LEAST(CAST(FLOOR(ROUND(rs * 10.0, 6)) AS BIGINT), 9) AS bin,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(y) AS BIGINT) AS n_pos,
          SUM(CAST(rs AS DECIMAL(11,6))) AS sum_score
@@ -8725,7 +8725,7 @@ def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
 WITH {_QUALITY_LABEL_SQL},
 bins AS (
-  SELECT LEAST(CAST(FLOOR(rs * 10.0) AS BIGINT), 9) AS bin,
+  SELECT LEAST(CAST(FLOOR(ROUND(rs * 10.0, 6)) AS BIGINT), 9) AS bin,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(y) AS BIGINT) AS n_pos,
          SUM(CAST(rs AS DECIMAL(11,6))) AS sum_score
@@ -9235,7 +9235,7 @@ WITH scored AS (
   FROM documents
   WHERE text IS NOT NULL AND lang IS NOT NULL
 ), mapping AS (
-  SELECT LEAST(CAST(FLOOR(rs * 10.0) AS BIGINT), 9) AS bin,
+  SELECT LEAST(CAST(FLOOR(ROUND(rs * 10.0, 6)) AS BIGINT), 9) AS bin,
          ROUND(CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE)
                / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE), 6)
            AS calibrated_score

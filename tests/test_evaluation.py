@@ -21,7 +21,7 @@ def _brute_bins(rows, n_bins):
         if s is None or y is None:
             continue
         rs = round(s, 6)
-        b = min(int(math.floor(rs * n_bins)), n_bins - 1)
+        b = min(int(math.floor(round(rs * n_bins, 6))), n_bins - 1)
         n, pos, ss = out.get(b, (0, 0, 0.0))
         out[b] = (n + 1, pos + y, ss + rs)
     return out
@@ -429,3 +429,17 @@ def test_pca_literals_match_query_time_fit(spark):
     for got, want in zip(comps, _PCA_SF001_COMPS):
         assert tuple(float(x) for x in got) == want
     assert explained == _PCA_SF001_EXPLAINED
+
+
+def test_bin_edges_are_exact(spark):
+    """Exact bin-edge scores land in their own bin: bins are exactly
+    [k/n_bins, (k+1)/n_bins) after rounding the product (ADVICE r9 —
+    0.3*10 = 2.999... floored to bin 2 before the fix)."""
+    rows = [(k / 10.0, 1) for k in range(10)]
+    got = {
+        r["bin"]: r["n"]
+        for r in ev.calibration_bin_counts(
+            _df(spark, rows), "score", "label"
+        ).collect()
+    }
+    assert got == {k: 1 for k in range(10)}
