@@ -9901,6 +9901,61 @@ def doc_stream_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_topk_from_state(spark, f"{tmp}/state")
 
 
+@query(
+    "events_stream_edge_graph",
+    sql="""
+WITH pairs AS (
+  SELECT DISTINCT
+         LEAST('u' || CAST(user_id AS VARCHAR), event_type) AS u,
+         GREATEST('u' || CAST(user_id AS VARCHAR), event_type) AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM (SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs)
+GROUP BY node
+""",
+    description=(
+        "Streaming graph state witnessed at table scale: the user/"
+        "event-type bipartite edge set folded through "
+        "maintain_edge_set_stream's prefix-partitioned canonical edge "
+        "state (two real micro-batches; duplicate and reversed pairs "
+        "straddling the split must set-union to exactly one edge), then "
+        "read back and reduced to per-node degrees — held to the one-"
+        "shot batch DISTINCT + degree-count oracle. The per-crawl "
+        "append -> persisted adjacency pattern the graph diagnostics "
+        "(triangles / PageRank / link prediction) read instead of "
+        "rescanning the corpus (stream == batch for those consumers in "
+        "tests/test_graph_stream.py)"
+    ),
+)
+def events_stream_edge_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators import graph
+    from security_data_pipeline_spark.streaming.pipeline import (
+        edge_state_edges,
+        maintain_edge_set_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    frame = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    tmp = _stage_two_batches(frame, "stream_edges_")
+    q = maintain_edge_set_stream(
+        spark.readStream.schema("src string, dst string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/src"),
+        f"{tmp}/state",
+        f"{tmp}/ckpt",
+        pfx_mod=64,
+    )
+    q.awaitTermination()
+    return graph.degrees(edge_state_edges(spark, f"{tmp}/state"))
+
+
 # Composite driver-window queries register on import (they reuse the
 # operators and oracle-SQL builders defined above, so the import must come
 # after those definitions).

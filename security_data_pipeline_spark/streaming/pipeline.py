@@ -3580,3 +3580,108 @@ def retention_state_activity(
     return spark.read.parquet(state_path).drop(
         "_last_batch_id", "_fold_tag", "_kp"
     )
+
+
+def maintain_edge_set_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    src: str = "src",
+    dst: str = "dst",
+    pfx_mod: int = 256,
+    trigger_available_now: bool = True,
+):
+    """Streaming canonical edge-set state: per-crawl edge appends (near-
+    dup candidate pairs, co-occurrence pairs, session transitions) folded
+    into ONE persisted undirected edge list, so the graph diagnostics
+    (triangles / clustering coefficients / PageRank / RA link prediction)
+    read state instead of rescanning the corpus each run.
+
+    Each batch canonicalizes its edges (:func:`...operators.graph.
+    undirected_edges` — self-loops and NULLs dropped, both directions
+    folded onto ``(u, v) = (least, greatest)``, distinct) and set-unions
+    them into the state. Growth law: |edges| rows, unbounded in nodes —
+    the LOCF prefix pattern: state partitioned by the ``u``-endpoint hash
+    prefix (canonicalization makes the owning endpoint deterministic, so
+    an edge always folds into the same directory), batch-prefix pruned
+    reads, dynamic overwrite of touched directories only; per-batch IO
+    follows the batch, not the accumulated graph. Crash safety from
+    algebra: DISTINCT UNION is an idempotent semilattice join — replays
+    re-merge as no-ops and partial-swap crashes heal (the retention
+    maintainer's argument verbatim).
+
+    Scope, stated precisely: this folds edge sources that are themselves
+    per-batch derivable (candidate pairs, observed transitions). GLOBALLY
+    thresholded edge rules — the PMI-lift token graph, whose lift depends
+    on corpus-wide unigram/bigram totals — fold their COUNT states
+    instead (:func:`maintain_token_counts_stream` /
+    :func:`maintain_transitions_stream`) and re-derive edges from those
+    bounded statistics; folding lift-filtered edges directly would freeze
+    each batch's thresholds into the set.
+
+    Read via :func:`edge_state_edges`; recompute-vs-fold cost at corpus
+    scale is argued in SCALE.md (round-10). Returns the StreamingQuery.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from security_data_pipeline_spark.operators import graph
+
+    def _kp():
+        return locf_key_prefix(["u"], pfx_mod)
+
+    tag = _lineage_tag(checkpoint_path)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = (
+            graph.undirected_edges(batch_df, src, dst)
+            .withColumn("_kp", _kp())
+            .transform(pin)
+        )
+        prefixes = [r["_kp"] for r in new.select("_kp").distinct().collect()]
+        if not prefixes:
+            return
+        try:
+            state = spark.read.parquet(state_path)
+        except AnalysisException as e:
+            if not _missing_path(e):
+                raise
+            state = None
+        pruned = (
+            state.filter(F.col("_kp").isin(prefixes))
+            if state is not None
+            else None
+        )
+        prev_stamp = _same_lineage_max(pruned, tag)
+        stamp_id = (
+            batch_id if prev_stamp is None else max(batch_id, prev_stamp)
+        )
+        _, pruned = _check_replay(pruned, batch_id, tag)
+        merged = (
+            new
+            if pruned is None
+            else pruned.unionByName(new).dropDuplicates(["u", "v"])
+        )
+        out = _stamp_batch(merged.select("u", "v", "_kp"), stamp_id, tag)
+        out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_kp").parquet(state_path)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def edge_state_edges(spark: SparkSession, state_path: str) -> DataFrame:
+    """The streamed canonical edge set with guard and partition columns
+    dropped — feed directly to ``graph.clustering_coefficients`` /
+    ``graph.pagerank`` / ``graph.link_prediction_ra`` (already
+    canonical, so their internal canonicalization is a no-op pass)."""
+    return spark.read.parquet(state_path).drop(
+        "_last_batch_id", "_fold_tag", "_kp"
+    )
