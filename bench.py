@@ -210,6 +210,10 @@ BENCH_QUERIES: tuple[str, ...] = (
     # quasi-groups and the Zipf rank-frequency corpus-naturalness fit
     "events_l_diversity",
     "doc_zipf_fit",
+    # round-10 addition: calibrated-gate round trip — both sweep arms
+    # from the one shared calibration statistic (single corpus scan,
+    # self-check columns asserted by the oracle)
+    "doc_quality_calibrated_sweep",
 )
 
 # Pinned result sizes per scale factor: a bench run also smoke-checks that
@@ -265,6 +269,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "emb_dim_covariance": 2080, "emb_pca_projection": 2000,
         "doc_quality_calibrated": 5000, "token_graph_summary": 1,
         "events_l_diversity": 51, "doc_zipf_fit": 1,
+        "doc_quality_calibrated_sweep": 14,
     },
     "0.01": {
         "secevents_etl": 10000, "sessionize_sessions": 9549,
@@ -314,6 +319,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "emb_dim_covariance": 2080, "emb_pca_projection": 500,
         "doc_quality_calibrated": 500, "token_graph_summary": 1,
         "events_l_diversity": 39, "doc_zipf_fit": 1,
+        "doc_quality_calibrated_sweep": 14,
     },
 }
 

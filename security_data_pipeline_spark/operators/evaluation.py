@@ -39,6 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
+from security_data_pipeline_spark.pin import pin_lazy as _pin_lazy
+
 _SCORE_DEC = "decimal(11,6)"
 _TERM_DEC = "decimal(28,12)"
 
@@ -432,3 +434,131 @@ def calibrate_scores(
     return df.withColumn("_bin", b).join(
         F.broadcast(mapping).withColumnRenamed("bin", "_bin"), "_bin", "left"
     ).drop("_bin")
+
+
+def calibrated_sweep_roundtrip(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Calibrated-gate round trip: sweep BOTH the raw and the histogram-
+    calibrated scores from ONE corpus pass, with the two invariants that
+    make a calibrated operating point predictable emitted as self-check
+    columns.
+
+    Two arms per bin ``k`` over the shared ≤``n_bins``-row statistic
+    frame (:func:`calibration_bin_counts` — the corpus is scanned once):
+
+    - ``arm='raw'``, threshold ``k/n_bins`` (select bins ≥ k): actual
+      confusion counts, plus ``expected_tp`` = Σ selected ``n_b ·
+      pos_rate_b`` — what the CALIBRATED scores predict the positive
+      count to be at that cut. ``check_ok`` asserts
+      ``|expected_tp − tp| ≤ 5e-7·predicted_pos + 1e-6`` (each bin's
+      remapped score is its 6-dp-rounded positive rate, so the implied
+      count reproduces the actual count within rounding — the round
+      trip: calibrate → threshold → the promised yield IS the yield).
+    - ``arm='cal'``, threshold ``pos_rate_k`` (select bins whose
+      calibrated value ≥ it — NOT necessarily a contiguous raw range;
+      histogram calibration is not monotone in general): ``check_ok``
+      asserts ``precision ≥ threshold − 1e-6`` — every selected bin's
+      rate is ≥ the cut, so their weighted mean is too. THE operating
+      guarantee a calibrated gate buys.
+
+    All counts are suffix/subset sums over the grid-sized frame
+    (broadcast theta join of tiny operands — the threshold_sweep shape);
+    ratios round to 6 dp; deterministic cross-engine.
+    """
+    stats = calibration_bin_counts(df, score_col, label_col, n_bins)
+    rates = stats.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(
+            F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
+        ).alias("pos_rate"),
+    ).transform(_pin_lazy)
+    b = F.broadcast(
+        rates.select(
+            F.col("bin").alias("_jb"),
+            F.col("n").alias("_jn"),
+            F.col("n_pos").alias("_jp"),
+            F.col("pos_rate").alias("_jr"),
+        )
+    )
+    tot = F.broadcast(rates.agg(F.sum("n_pos").alias("_pos_total")))
+    joined = rates.select("bin", "pos_rate").crossJoin(b)
+    raw_sel = F.col("_jb") >= F.col("bin")
+    cal_sel = F.col("_jr") >= F.col("pos_rate")
+
+    def _arm_aggs(sel, prefix):
+        z = F.lit(0).cast("long")
+        return [
+            F.sum(F.when(sel, F.col("_jn")).otherwise(z)).alias(
+                f"{prefix}pp"
+            ),
+            F.sum(F.when(sel, F.col("_jp")).otherwise(z)).alias(
+                f"{prefix}tp"
+            ),
+            F.sum(
+                F.when(
+                    sel,
+                    (F.col("_jn").cast("double") * F.col("_jr")).cast(
+                        _TERM_DEC
+                    ),
+                ).otherwise(F.lit(0).cast(_TERM_DEC))
+            ).alias(f"{prefix}exp"),
+        ]
+
+    g = joined.groupBy("bin", "pos_rate").agg(
+        *_arm_aggs(raw_sel, "_r"),
+        *_arm_aggs(cal_sel, "_c"),
+    )
+    g = g.crossJoin(tot)
+
+    def _prec(tp, pp):
+        return F.round(
+            tp.cast("double") / F.nullif(pp, F.lit(0)).cast("double"), 6
+        )
+
+    def _rec(tp):
+        return F.round(
+            tp.cast("double")
+            / F.nullif(F.col("_pos_total"), F.lit(0)).cast("double"),
+            6,
+        )
+
+    raw = g.select(
+        F.col("bin"),
+        F.lit("raw").alias("arm"),
+        F.round(
+            F.col("bin").cast("double") / F.lit(float(n_bins)), 6
+        ).alias("threshold"),
+        F.col("_rpp").alias("predicted_pos"),
+        F.col("_rtp").alias("tp"),
+        _prec(F.col("_rtp"), F.col("_rpp")).alias("precision"),
+        _rec(F.col("_rtp")).alias("recall"),
+        F.round(F.col("_rexp").cast("double"), 6).alias("expected_tp"),
+        (
+            F.abs(
+                F.col("_rexp").cast("double")
+                - F.col("_rtp").cast("double")
+            )
+            <= F.lit(5e-7) * F.col("_rpp").cast("double") + F.lit(1e-6)
+        ).alias("check_ok"),
+    )
+    cal = g.select(
+        F.col("bin"),
+        F.lit("cal").alias("arm"),
+        F.col("pos_rate").alias("threshold"),
+        F.col("_cpp").alias("predicted_pos"),
+        F.col("_ctp").alias("tp"),
+        _prec(F.col("_ctp"), F.col("_cpp")).alias("precision"),
+        _rec(F.col("_ctp")).alias("recall"),
+        F.lit(None).cast("double").alias("expected_tp"),
+        (
+            _prec(F.col("_ctp"), F.col("_cpp"))
+            >= F.col("pos_rate") - F.lit(1e-6)
+        ).alias("check_ok"),
+    )
+    return raw.unionByName(cal)

