@@ -120,6 +120,10 @@ BENCH_QUERIES: tuple[str, ...] = (
     # and scalar-quantization code width
     "lsh_recall_sweep",
     "sq_recall_sweep",
+    # round-10 addition: the same scaffold over kept PCA components —
+    # ONE 32-component fit (prefix-stable eigenvectors), coordinates
+    # projected once and sliced per arm
+    "pca_recall_sweep",
     # round-9 additions: task-level ANN consumers — leave-one-out kNN
     # label eval (neighbor frame broadcast into the label scan) and
     # contrastive hard-negative mining (mismatch filter BEFORE top-k)
@@ -237,7 +241,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "temporal_net_suite": 44669, "event_windows_suite": 200000,
         "scale_suite": 287, "curation_suite": 429,
         "span_dedup_suite": 400, "neardup_pairs_suite": 568, "sketch_checks": 29,
-        "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4,
+        "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4, "pca_recall_sweep": 5,
         "knn_label_eval": 80, "emb_hard_negatives": 600, "ivf_cluster_purity": 16,
         "event_type_transitions": 25, "doc_bigram_pmi": 20, "emb_batch_drift": 10,
         "security_detections": 11195,
@@ -287,7 +291,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "temporal_net_suite": 16129, "event_windows_suite": 20000,
         "scale_suite": 270, "curation_suite": 429,
         "span_dedup_suite": 292, "neardup_pairs_suite": 37, "sketch_checks": 29,
-        "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4,
+        "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4, "pca_recall_sweep": 5,
         "knn_label_eval": 78, "emb_hard_negatives": 600, "ivf_cluster_purity": 16,
         "event_type_transitions": 25, "doc_bigram_pmi": 20, "emb_batch_drift": 10,
         "security_detections": 1135,

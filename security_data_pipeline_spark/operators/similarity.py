@@ -2456,6 +2456,49 @@ def pca_fit(
     vectors. The covariance entries are reconstructed with the same
     token order and HALF_UP 6 dp rounding as the distributed operator,
     so the matrix eigendecomposed here IS the oracle-checked one."""
+    means, comps, curve = pca_fit_curve(df, vec_col, dim, n_components)
+    return means, comps, curve[n_components - 1]
+
+
+def pca_fit_curve(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_components: int = 8,
+):
+    """:func:`pca_fit` plus the explained-variance CURVE: returns
+    ``(means, components, explained_by_k)`` where ``explained_by_k[k-1]``
+    is the centered-variance fraction the top-k components carry —
+    eigenvectors are prefix-stable (the top-4 of a 32-component fit ARE
+    the 4-component fit), so ONE fit serves every prefix consumer (the
+    projection query, the recall sweep's component grid). Same single
+    corpus aggregation as :func:`pca_fit`."""
+    import numpy as np
+
+    means, mat = _fitted_cov_matrix(df, vec_col, dim)
+    vals, vecs = np.linalg.eigh(mat)  # ascending
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = []
+    for k in order:
+        c = vecs[:, k]
+        if c[np.argmax(np.abs(c))] < 0:
+            c = -c
+        comps.append(c)
+    total = float(np.sum(np.clip(vals, 0, None)))
+    top = vals[order]
+    curve = [
+        float(np.sum(top[:k]) / total) for k in range(1, n_components + 1)
+    ]
+    return means, comps, curve
+
+
+def _fitted_cov_matrix(df: DataFrame, vec_col: str, dim: int):
+    """Collect the bounded covariance statistic frame ONCE and
+    reconstruct ``(means, matrix)`` driver-side with the exact DECIMAL
+    sums, token order, and shortest-repr HALF_UP 6 dp rounding of the
+    distributed operator — the matrix returned here is bit-identical to
+    the oracle-checked :func:`embedding_covariance` output
+    (tests/test_evaluation.py pins it)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     import numpy as np
@@ -2484,13 +2527,5 @@ def pca_fit(
             )
             mat[i - 1, j - 1] = cov
             mat[j - 1, i - 1] = cov
-    vals, vecs = np.linalg.eigh(mat)  # ascending
-    order = np.argsort(vals)[::-1][:n_components]
-    comps = []
-    for k in order:
-        c = vecs[:, k]
-        if c[np.argmax(np.abs(c))] < 0:
-            c = -c
-        comps.append(c)
-    explained = float(np.sum(vals[order]) / np.sum(np.clip(vals, 0, None)))
-    return means, comps, explained
+    return means, mat
+

@@ -9474,8 +9474,521 @@ _PCA_SF001_COMPS = (
     -0.17090020550403023, 0.09304639268243377, -0.17040502157458987, -0.07400819466600408,
     -0.19194281355970838, -0.09612168816310267, -0.08387605246185006, 0.026444629318872856,
 ),
+(
+    -0.015331135491106228, 0.013424711750147086, -0.17400110685510223, 0.022031374020563044,
+    0.16961452664034782, 0.3083735339949097, -0.25289898801029337, -0.1073003773258838,
+    -0.01773260485926791, -0.06658114067759519, -0.1428339291443309, 0.3614081114412239,
+    0.11848543689591214, 0.11792192338564111, 0.11522055466494104, 0.055409941150363004,
+    -0.11902549752723585, -0.11339104002261781, -0.019033553355851968, -0.24477226443806668,
+    0.03257526645241164, 0.033996054874950485, -0.011009918770507554, -0.10950626550821316,
+    0.12480064349237549, 0.16650475531286385, 0.034942261002355146, -0.1413249573333334,
+    -0.02658800343723746, -0.1821525987045582, 0.04189611201430175, 0.015530929289080356,
+    -0.0619789365988234, -0.02836036755120473, -0.039622684042572215, -0.05465006251131098,
+    -0.08768693457409639, 0.2356643297911854, 0.049218593446314046, -0.2628952979557701,
+    -0.05658459225641992, -0.1008410090603011, -0.007314913786868197, -0.05060186467078958,
+    0.11742976531409094, 0.009058410412521992, -0.034910102396689804, -0.02176604037250106,
+    0.10341507400518252, -0.21197504188496732, -0.13389296685868415, -0.08332578996164056,
+    -0.16686512389220656, 0.09694100586742868, -0.21786781579741457, -0.004556755945842657,
+    -0.005158873272679897, 0.0419175609338384, 0.10599397609881646, -0.004418700304734631,
+    0.05468867923804724, 0.03276441137820314, 0.0728943130263727, 0.0653431681219141,
+),
+(
+    -0.08533988251062041, 0.011060350777205519, -0.17451139172238672, 0.19982930671225638,
+    0.00834146292404495, -0.029421829666761497, 0.1601266365620186, -0.01369518914498049,
+    -0.11296319174901989, -0.042313919273137074, 0.02227877702538799, 0.036021875790627836,
+    -0.18243752120716922, 0.4783511550419177, -0.08560516630272065, -0.01742086557732001,
+    0.024910469286930127, -0.1965133009094497, -0.20965814217651035, -0.10292467802460882,
+    -0.06353327988032051, 0.03475773341243815, 0.16839853381039366, 0.03439998064327124,
+    0.006219613818536217, -0.02264966831464707, -0.184373446006392, -0.025168321101094633,
+    0.012052060691462786, -0.05241473853916019, 0.1606830339930559, -0.10205650472119449,
+    -0.15895047975950438, -0.1839761916499515, -0.09526667644842661, 0.015290667197985015,
+    0.17037827962948446, 0.05531275612213949, -0.07525833021570325, 0.20421021014041998,
+    -0.041917048578210964, 0.26934435855024796, -0.17916149789826047, -0.04476391468133528,
+    -0.03850781767948753, -0.11603446577477994, 0.12086682362080187, -0.00687466958346547,
+    0.03018480618245293, 0.04779100306278785, 0.1639416533763559, 0.013973622757000332,
+    0.0660946970071267, 0.11150348853806735, -0.09861944186785307, -0.09313902187066989,
+    -0.08968063661746514, -0.103143541574263, -0.017915279114758133, 0.13660232097373978,
+    0.0765610077204063, -0.07420304801218111, 0.0767696980914103, 0.014407329209087709,
+),
+(
+    -0.10477807374163962, 0.04331902750744121, 0.33068680599629774, 0.052902099713637345,
+    0.07164442437590116, -0.23945860029104413, -0.03603065964234645, -0.050329111374862304,
+    0.00544628460075583, 0.2156692778435456, -0.25728256444623554, 0.08012500732596417,
+    0.23344602894313649, 0.06358370407177362, 0.10700407653115396, 0.19549738018252893,
+    0.055073830277070406, -0.15909511812258786, -0.06771372010296337, 0.0471941261781023,
+    -0.04123413228655672, -0.0667060732638464, -0.047753759397685364, 0.027107408636041372,
+    -0.05886381786932607, 0.008933665360493854, -0.1389203992180088, -0.15869177775407603,
+    0.04028823243923685, -0.12592153674630452, 0.1536810963206889, -0.22589038009325485,
+    -0.11195294595327052, 0.1048267671707293, 0.014496326261654226, -0.18903289671783347,
+    0.007172836169934818, -0.20400827248075976, -0.13255519862991869, -0.20437511932653452,
+    0.19571443017911272, 0.0874410673690468, 0.02497192783822863, -0.017686878490404224,
+    -0.06604894177525075, -0.06475315221924131, -0.13661056988406056, 0.044339054144767576,
+    -0.1321750334934672, -0.08601741088504974, -0.05006004711383024, 0.218097871220299,
+    0.046012655212843166, 0.14954550255073734, 0.10026677528193242, 0.06531740784914873,
+    -0.014201167299339141, -0.011855201387558188, -0.02445206119843084, 0.01471565319226066,
+    -0.15827032964609045, -0.045166698386333894, 0.1301321148099692, -0.037136445401160484,
+),
+(
+    0.2804768672689008, -0.13738042024190317, -0.04127477877303247, 0.07326192112911456,
+    -0.01897249579342189, -0.14820666156120924, -0.1131875649114523, 0.08886263878256785,
+    -0.01719283389067417, 0.09359918476197662, 0.1538150392396693, -0.09536316445360538,
+    0.10328611181518509, 0.022803475877388634, 0.07548702902127488, 0.18186331231962158,
+    -0.160178071445373, 0.028548818743905892, -0.05133249723454243, -0.017813292513245794,
+    -0.010037097588119853, 0.16676760818307446, -0.0035394585443934822, 0.2585669336966998,
+    -0.15811864839175105, 0.056196345884402935, -0.09819087199523048, -0.040274722320298106,
+    -0.014806630980419469, 0.04375876079723438, 0.048345062931528585, -0.0799879554775923,
+    0.029592331074829906, 0.04553740486178516, 0.10363074135584632, -0.20726421070883516,
+    -0.14490398019318879, -0.11202945709469643, -0.03307755777665877, 0.027627522620819897,
+    -0.10106005037709366, -0.1273896954159408, -0.19085754049985365, -0.0888116575921255,
+    0.11126005797915883, 0.06587011667182097, -0.14254116956734836, 0.21676376730031718,
+    0.14119398218893794, -0.017879800872822274, 0.23194513837511263, -0.19514535913827682,
+    0.010296411886857912, 0.01665613082273696, -0.18770194826211703, -0.04928182680594452,
+    0.012853598456576479, -0.04586400377222116, 0.31649615051905844, 0.1329407499266982,
+    0.0031258341484037833, 0.05166198276659824, -0.15854830442370224, -0.20285194941177762,
+),
+(
+    -0.09429284985811556, -0.1785817810853706, -0.012135545078031764, 0.07855517696048658,
+    0.2574970718220636, 0.24122366410963858, -0.23718848074672086, -0.03249607856208461,
+    0.07448215225144848, 0.20904407158258487, 0.022503079764960146, -0.015982771571763636,
+    -0.22243590149462825, -0.08495402972960446, -0.019002239984518686, 0.06038262964450583,
+    0.18063460835255132, -0.15195879471773943, 0.12100949656201863, 0.021924252094239052,
+    -0.10100342343253871, -0.12179061717036972, -0.029345311444752234, 0.20266179148937005,
+    -0.17183166900457358, -0.12019877949161567, 0.07509778258239865, 0.11783452914018362,
+    0.12778371138200584, -0.21609826662534634, 0.06617064724164096, 0.0019460079972730233,
+    -0.08146246486843288, -0.031008525494336508, 0.17486753875816122, -0.14880211453698522,
+    -0.1139141992364584, 0.0827304178396927, -0.11486505381938054, 0.16319562335113597,
+    -0.11399961054533048, 0.11077934509677892, 0.18691772827003184, 0.14350800114842968,
+    -0.05866947170602632, -0.10494874906148006, -0.09241131582764056, -0.04540991767144259,
+    -0.021635964941811556, 0.18347279646122658, -0.0008345302845811867, -0.14206431075415962,
+    0.20608860986301936, -0.05923394745704311, -0.03290247479984363, 0.0357832496570416,
+    -0.06132799824852698, 0.12574013577052007, 0.07363341126218112, -0.028013965242841603,
+    -0.06883270340040047, 0.10114693354195263, 0.01968613160158341, 0.14847011667955903,
+),
+(
+    -0.07780531163916167, -0.18107331056773995, 0.005456696685336248, -0.030578264769744637,
+    0.08160728444617767, -0.16650799998718305, -0.13631036988193887, -0.010518693782031742,
+    0.23765903917092712, -0.02113394827806727, -0.03971657713777502, -0.040365781063782136,
+    -0.08434990983362672, -0.008306266146652723, -0.08526846911687559, 0.0368812867022716,
+    -0.0882455090306835, 0.1332264876943721, -0.03436379240422205, -0.06571421004756085,
+    -0.023483320860275193, 0.18626131596568546, 0.11648167508089097, -0.12121230571680883,
+    -0.1058521335555833, 0.016045578000544722, -0.11129951957288015, -0.18887166278150108,
+    -0.07769013186720647, -0.08830918986548071, -0.03051392061294801, 0.2766540853926478,
+    0.007924697706638562, -0.0927392145443907, -0.0037189558303311193, 0.025206669659879402,
+    0.010525598171715412, 0.23453827515868622, -0.14007481874479272, 0.034991176329465926,
+    0.057902083376615475, -0.09418481157937503, -0.05282123892971052, 0.34780289262311165,
+    -0.023175835480424248, 0.2698325303171364, 0.22383465036110503, 0.06854178300957042,
+    -0.17720768532565548, -0.10462720602586033, 0.021177900035789413, 0.27834215928609135,
+    0.1974263800141479, 0.07196533368413711, 0.053492300511472246, -0.022403596252297327,
+    -0.06909929985323414, -0.036830143726853545, 0.22110666771676477, 0.011427785951393911,
+    -0.09583636508685865, -0.032060894819093105, -0.05374775401597842, 0.018843220294479733,
+),
+(
+    -0.06616901777123564, 0.1314021193859352, -0.11092218295244122, 0.12086557829012343,
+    -0.040792216071387846, -0.13387864764330676, -0.15900419429653467, 0.13256783536889408,
+    -0.12668008282764454, 0.019607781221264158, -0.18760164783742644, -0.12041861937613739,
+    -0.09112544764688581, -0.1837679073071541, -0.03644053439024895, -0.05266397039781693,
+    0.1629342260447331, 0.13321568279615445, 0.23659094568674233, -0.033829458932608955,
+    0.11024176300998223, -0.11905762006213133, 0.2520706183842289, -0.06453575529304471,
+    -0.02055868042035486, -0.13027896784690396, -0.0899451497916537, -0.02734944039616722,
+    -0.10550612413075813, 0.1196525491133407, -0.02633989338281769, 0.08074318111760731,
+    -0.02444819834078541, 0.0349667795700992, 0.04975765315093156, -0.11016277401202104,
+    -0.05372880989446069, 0.09057333440713933, 0.085558345071612, -0.06198376220872413,
+    -0.1212682450901444, 0.3307222282237882, -0.04083792192718201, -0.0832637714511295,
+    -0.06108518584735684, -0.01932196484960755, -0.08228359165002479, -0.030873615344984957,
+    -0.04480217689895914, -0.22120387201970532, 0.032946495530134665, 0.04954034660873566,
+    -0.22164362859649625, 0.05457403763317932, -0.05803415977816673, -0.2723735373041909,
+    0.08666902049353854, 0.12475210582428078, 0.07908894010781883, 0.2682593122572884,
+    -0.19039162734229204, 0.12418795005944293, -0.019681938560728408, 0.04084588273921794,
+),
+(
+    0.05015509144728728, 0.08729912555263988, -0.08668156221162146, 0.029338946983734654,
+    -0.07936005141615622, -0.024496999570902563, -0.09397028144350904, -0.16067158464125528,
+    -0.07827390221147593, 0.21956943990883276, 0.16016347878361825, 0.13062245626892438,
+    0.05050244275100656, 0.08103167273693833, 0.019676956010923514, 0.09286160271445161,
+    -0.04542334087700424, 0.2617443204430888, 0.1793295568763925, -0.06501380803641046,
+    -0.0035290920599168737, -0.15454046453840653, -0.14369820499426414, 0.022699056315602224,
+    0.1266452608251783, -0.28331898129533556, -0.17443569813643903, 0.16124834394756157,
+    -0.15261487060390466, 0.03477105572975006, -0.057512467177417315, 0.03019949362833097,
+    0.07684251414744989, -0.1478138968665837, -0.12517416410277424, -0.15163570846309163,
+    0.11082527223112379, -0.06582666506396716, -0.1287375684770901, -0.10142439308770809,
+    0.0856008748991069, 0.03131563645625503, 0.06728771643839951, 0.05664238531041829,
+    0.07644064821666444, 0.04308765272718707, 0.04430765425281792, -0.030431400345290578,
+    0.09081374294851201, -0.09762129595270058, 0.243153960055185, 0.12967063533185177,
+    0.08007958048266439, 0.0384598950755605, 0.035904625061783116, 0.24918250374243386,
+    -0.01636960961964295, 0.22505957895373624, 0.014257099917451345, 0.07439497447802589,
+    0.31246121778796093, -0.004697451132628341, -0.008440532343772195, 0.18813179360213328,
+),
+(
+    -0.1095770512177119, -0.0017984439441175865, 0.0008312611612364268, -0.031605385546580544,
+    0.005329205164973025, -0.0412301745840563, 0.06059402117293197, 0.18203210791156493,
+    -0.16494371547859082, 0.03442691049898429, -0.11225715256895455, 0.12139124885056278,
+    -0.04962981994760812, 0.005279647342100509, -0.20909805323067193, 0.2894397199518468,
+    -0.2127850800317711, 0.042257673667107934, 0.19144252686370866, 0.052759224504121835,
+    0.026771727397773688, 0.0024158588961996283, 0.0043848417024698865, -0.001945888841161844,
+    -0.1886525829009036, 0.04307287584286899, -0.13709321624956247, -0.16149612537245095,
+    0.10464936801698327, -0.13890788404586074, -0.08678990803997307, -0.037277265283875746,
+    0.15177331002883984, 0.12860013925478966, 0.005646673739336507, 0.18469896511030584,
+    0.2136575323993724, -0.018185728338155058, 0.016107227318131086, -0.06655422612883968,
+    0.2196509804052743, -0.08605790632143862, 0.1051107431651021, -0.08465405864245068,
+    -0.09787019721037574, -0.06915384669682842, 0.1171662717110706, -0.11179435794170778,
+    0.2919604142088776, 0.07687612545889576, 0.040189214712603054, -0.08323901565467294,
+    0.13999124309642105, -0.04512190027249467, -0.1533847880039483, -0.20330038426032518,
+    0.037101148103240826, -0.0005488776419155066, -0.04072261534880242, -0.02682883687625344,
+    -0.06209300088175729, 0.07358778426915202, -0.23470047740934116, 0.24671216977693558,
+),
+(
+    -0.19697768852573705, 0.0030870484183360414, 0.12182053071436062, 0.1024794667804107,
+    0.07838724532254268, 0.008194281199218278, -0.03724037021536843, -0.0654880029549009,
+    -0.13519235364736273, 0.07334191459800035, 0.005703606225635288, 0.12407214520409605,
+    -0.2236637467609821, -0.1521391630189107, -0.07470153396280846, -0.25110922112716677,
+    -0.18389328869853216, 0.02365033445018747, -0.02802824650013585, -0.011374790986904587,
+    0.14802995385377435, 0.20455087286567275, -0.1100702452862374, -0.06079138872390287,
+    -0.05164866500526845, -0.2116545341108469, 0.037830483746594146, -0.11545879273520938,
+    0.1864614100828171, 0.228393132200687, 0.04339150199954191, -0.23505284101867607,
+    0.019207669755449228, 0.23805274437289625, 0.08430000322181003, -0.06628302210035136,
+    0.13656146030450664, 0.18008406414800876, -0.08412322124804963, -0.005090526631759876,
+    -0.0752643970195487, -0.14204421632373176, -0.03568442389611656, -0.04378627628041423,
+    0.09492544906646407, 0.0014222465402676243, -0.005883871828402866, 0.12665452342743683,
+    -0.1383467662271512, -0.019199906695178886, 0.01654316200389741, 0.04919120260943535,
+    0.012020344069935067, -0.07167073138863886, -0.12403957039791211, 0.20055509726304085,
+    -0.06561325773213522, -0.16979290980249548, -0.13608535632504176, 0.27866727704007227,
+    0.09027630123613736, 0.14191041380901048, 0.010838074068907926, 0.016616612112733284,
+),
+(
+    -0.05082687330690396, 0.1598218578572485, 0.005117625116033461, -0.025289664215846774,
+    0.09783738603209746, -0.11036602634477016, -0.04161650781434369, 0.025116179095778263,
+    0.17530634682152918, -0.14675635322915587, 0.06313793804573471, -0.15984636883095327,
+    -0.01082404334445762, -0.0668005568282711, 0.2814485568133112, 0.06560390419467518,
+    0.15946459903084173, -0.03440172086963622, -0.11181488184990512, 0.11337420579299158,
+    0.11870828635239707, -0.060581201204113366, -0.1014532578503496, 0.3331337146229627,
+    -0.06903806170506097, -0.16287863958731436, -0.029685936894381846, -0.11981862670017235,
+    0.18478403281102196, -0.063717422783168, -0.22050546045695296, 0.03857341306121832,
+    0.008180793371548506, 0.02026482851317616, -0.16794334052761065, 0.03772744451162763,
+    0.17376076776742436, 0.2262119388110013, -0.18143614739069902, -0.04650397138180577,
+    -0.07730787207283858, -0.03661621909356727, -0.2792257715946411, -0.047930145458679366,
+    -0.022987704759316135, -0.026583010129622966, 0.033051312555365635, 0.005355269109755645,
+    0.13154023994690522, -0.26638908863226163, 0.021377001878041806, -0.08756225236907451,
+    -0.04347735002372535, -0.10627312920708279, -0.08448512737869193, 0.029297653739431384,
+    -0.03410126520312137, 0.061615674468028, -0.1403260079107301, -0.1371382457313045,
+    -0.06311972324688576, -0.15723800622775586, 0.07465377008616439, 0.1397822078117852,
+),
+(
+    -0.025705389403518047, -0.030126471033973357, 0.2192790453915545, 0.19166119967812983,
+    0.06122071195999315, -0.09681974785893706, 0.06928580498485608, -0.05995542974035959,
+    -0.08092954855353904, -0.2152406748834768, 0.25285398289990646, 0.04308755275561351,
+    -0.038397310704808174, -0.15042770118660578, -0.10873406311330328, -0.03150845983271379,
+    -0.0018143877474382092, -0.0780725419614958, 0.009183237721572401, -0.19909205132340735,
+    -0.05419788777897734, -0.07010506670644001, -0.09130158180356893, -0.10563002797548543,
+    -0.046280272744956844, 0.21402063985507364, 0.014368438568409511, 0.0009684350950292797,
+    0.24539357509329926, 0.06124093958115093, -0.13144698363976776, -0.1804219172130282,
+    -0.016072467952863784, -0.03270996586040048, -0.21615239277114687, -0.23644936996339172,
+    -0.15447147605032366, 0.09910181265189495, 0.20704561210242703, 0.041145542216024275,
+    0.1397082332730067, 0.053407749365431426, -0.12657191479597982, 0.03369395336199822,
+    -0.1037025117890438, -0.05127068844096162, 0.05406689275411285, 0.13330811953425006,
+    -0.09128621975775453, -0.005285106645758025, 0.11563982356329919, -0.0021620980039168125,
+    -0.07439967263319423, 0.06807559351208634, 0.15262484938601573, -0.09299949995796017,
+    0.032067609371546194, 0.19557675117958978, 0.17591283468047794, -0.15940769824032985,
+    0.08310788594652951, 0.04722724967362622, -0.08200876069984886, 0.26501879102302817,
+),
+(
+    0.0681834583565912, -0.11519632976603042, 0.136805936730451, -0.13807635893190345,
+    0.01789439080522301, -0.2701736497728785, -0.208894223208943, 0.06936721855238949,
+    -0.07561728789747267, -0.08534069376665841, 0.03052149519486963, 0.11408473578712561,
+    0.04070598205894735, 0.07295258389952423, -0.16447604928137402, -0.03931709139616295,
+    0.015304480192583993, 0.03093194136870757, 0.023744132021359343, 0.14286384955246653,
+    -0.24924661195961872, 0.02787666267574115, 0.06483307757375041, 0.1622131286654032,
+    0.1309520837996686, -0.10903808763671323, 0.025985789697066174, -0.015317313398071214,
+    0.028381081332369627, 0.09023280682102058, 0.06295494030552053, -0.0019528963531485477,
+    -0.045563601532260536, 0.040129419226819646, -0.013248433336950648, 0.07160826299742827,
+    -0.21699041040965222, 0.07819956950885981, 0.21220000234085595, -0.11206145208480553,
+    -0.12468794909379982, 0.17455084745109234, -0.0715834682889239, 0.010687716077746889,
+    0.06414056999250159, 0.010814780393967254, 0.012229194742153941, -0.2253692336051161,
+    0.07417740378543658, -0.17926436596609627, 0.02931255725571732, 0.001467923139722346,
+    0.19521380573748798, 0.011821256845598312, -0.0462525195391834, 0.012980225511895795,
+    -0.10800669897530821, -0.25973775615121586, -0.10863473268329207, -0.25752689759197833,
+    0.16537115984852074, 0.30970460478806605, 0.11059617005847862, 0.05969768765818326,
+),
+(
+    0.052285538552901134, 0.11380128755222557, -0.0741655407418855, -0.08542780457640506,
+    0.1648036917477822, 0.0549818209008893, 0.3127171756597249, 0.0831392459238946,
+    -0.06716867324356801, 0.055290542471033544, 0.009636466762009764, 0.04875284995335223,
+    -0.14148826994031957, -0.03030342238731677, 0.03569506936628573, 0.040986608577304934,
+    -0.012857784809594888, 0.1168816438363768, 0.15689024539527804, -0.002638955666027578,
+    -0.1641237934491788, -0.24301332218440835, -0.10544342012174387, 0.023899734590336216,
+    -0.14450718651994676, 0.005240591647286189, 0.08404501559038376, -0.22799968814666327,
+    0.03763949459910112, 0.059089691384693964, 0.3734491911582823, 0.040603061681495564,
+    0.1240464094426858, -0.05412511127242037, 0.015579682082333764, -0.2659900600672828,
+    -0.07864345302581749, 0.01699088425431245, 0.03389532684424493, -0.06004297303375069,
+    -0.025044503027754766, 0.06524086239085788, -0.06647972988869605, 0.10124260879746562,
+    0.3163526973357159, 0.032052210777738094, 0.22380087367164003, 0.07957561812159164,
+    -0.040674789177454776, -0.06067915063960106, -0.036020801988397945, 0.08077590708449603,
+    0.014073554399679687, -0.1903736146262341, -0.08469722660128493, -0.11974004390602291,
+    0.1562523780605915, -0.05193191814917066, -0.09356966604575599, -0.13603132395867995,
+    0.005195331063548629, -0.15228741429858525, 0.04466792043098577, -0.11081399795907194,
+),
+(
+    -0.10808973890631862, -0.032324050399358345, -0.08785092805331363, 0.06597906214518964,
+    -0.041552187074111555, 0.08926734065052566, -0.03959860829514311, 0.09323936120044152,
+    -0.0638266118834834, -0.051594192657136405, 0.21864607620291396, -0.17092822553921255,
+    0.10211843143826291, -0.23098699354289115, -0.08322213138990744, -0.17645656382435845,
+    -0.09904328054038172, -0.05665369276911142, -0.2277351330180224, 0.058058574025877,
+    -0.0450396399140783, -0.11542529634322218, 0.10568301201003777, -0.06841272838803505,
+    0.1865618310964058, -0.15573524900315777, -0.060688147175907016, -0.04852303830926785,
+    -0.11022868929645496, -0.1439255753138288, 0.28216676734251833, -0.23434277246646093,
+    0.3445799732607711, -0.09525012137670602, 0.020499144992554896, 0.05841916490841179,
+    -0.004000108474237492, 0.004433881873880642, -0.1465332786864885, -0.20723891612069664,
+    0.08913940686814456, 0.02775006621380667, -0.06949997877327942, 0.03619590429135472,
+    -0.08510445575483276, 0.2238329834440417, -0.20353698073965631, 0.051605702160859676,
+    0.07225072993367519, 0.036240438406158745, -0.08512024772169308, -0.07042730635373802,
+    0.12979367637752579, -0.025923419798200634, -0.009735506491027847, -0.1775812180052859,
+    -0.06963196930501314, -0.001846578728755135, 0.08007373850199427, -0.03064325485867147,
+    -0.01037666778170343, -0.07540676024557985, 0.1288284422475058, 0.15106789105583812,
+),
+(
+    -0.11872234056664703, 0.15430631447876264, 0.1902862706444059, -0.056629271937000195,
+    0.0940124078114056, 0.15782542193281748, -0.20207923388587853, -0.09225006461416059,
+    -0.012984839771880042, 0.17641035895738666, -0.009130492842630303, -0.1361681979748093,
+    0.08320859738680694, -0.015396792959290473, -0.1309517299333284, 0.09493117258510089,
+    0.050066793465533624, 0.04738576990152578, -0.1998752251771828, -0.010097044038789414,
+    -0.014431716176749414, 0.030777720486327056, -0.04275633488609089, 0.0036487997318226176,
+    -0.0355340613811458, 0.10110532830021729, 0.35886160061131916, -0.17293171198430962,
+    -0.07656636754970514, 0.2159219513525166, 0.027532252693593794, -0.01007153615331327,
+    0.1819728385499536, -0.1488582576819651, -0.15871701391872312, 0.036956421694201796,
+    0.12226058564315988, -0.0685271409257088, 0.3184930171832163, 0.14019972151506227,
+    0.019375054319299638, 0.09314971614128023, 0.004321017564595762, 0.07144539260120099,
+    -0.08326971349260666, -0.01949283843087324, 0.08722814965119709, -0.06999736181016031,
+    0.19119996101978515, -0.12529950788727426, 0.13766968941949195, -0.06686242779418479,
+    0.16757054136413652, 0.0530839779384186, -0.09203252232061397, 0.11800620597954255,
+    0.06104696243926963, 0.03362310087487364, 0.08633706181195781, 0.20286396490843356,
+    -0.1280167098911402, -0.11007597652679592, 0.11919363138833433, -0.057591508107947297,
+),
+(
+    -0.05219388233019694, -0.13051210051029924, -0.07984148494853607, 0.05559067473751144,
+    0.06092874839678265, 0.012994683967088413, -0.13623090374508773, 0.047698697524353205,
+    0.012732721184878917, 0.02430826128466866, 0.19862297164280807, -0.27928105553606586,
+    0.02250075113179051, -0.19916441072774863, 0.13491660089289217, 0.03718874698886901,
+    -0.11389897252949106, -0.007930435739862157, 0.03542156286769962, -0.2681069018946557,
+    0.30130327386584194, 0.03588144067731713, 0.08335420983701332, 0.151436930998732,
+    -0.023810559682719383, 0.17190973144589758, -0.20532184777984738, 0.005049295452170246,
+    -0.04367814972234588, -0.04355457282408087, 0.1376939180264776, 0.05597938966844963,
+    -0.0068299916073981115, 0.009985222112991575, 0.035286176493373435, -0.04054079944723756,
+    0.0023413086801074914, -0.16578461594519406, 0.19480443595584707, 0.02032926553864816,
+    0.12122391825916858, 0.16587213275646176, 0.12112765376115979, -0.15271763109356165,
+    0.07546600117746202, -0.03441276144031955, 0.2838098250136968, -0.025522395550916482,
+    -0.09940151991252044, -0.06394986233942422, -0.1678304102693407, -0.009775068815309568,
+    0.05068772663491073, 0.15973236554203432, -0.07802823997640139, 0.17042005172971247,
+    -0.14383302565909178, -0.11071371914657752, -0.27239308066341256, -0.06818422958978425,
+    0.06547554354274156, -0.027898609305078544, -0.01698428623117152, 0.04487523825522098,
+),
+(
+    -0.17573016387366816, -0.122054174658185, -0.05245115974857767, -0.07487911540127114,
+    -0.13835828519292148, 0.0868700380974679, 0.1996689118937916, -0.034610218905417385,
+    -0.08332342012646066, -0.1316191686096443, 0.02108250336898833, 0.14859474940113698,
+    -0.08828014188810936, 0.050435492425481725, 0.02286844150191645, -0.048473379672145454,
+    0.15432004810279354, 0.042256556227490236, -0.1328803914390273, -0.060068055403737976,
+    0.11316128060925594, -0.03040772497152302, -0.10042179090677587, 0.31037717646352636,
+    -0.10454184620773976, 0.009901431717759257, -0.16315735412754964, 0.13620317406620258,
+    0.042796947407530685, 0.08920143370050031, 0.05953390855102743, -0.07542568982921985,
+    0.0739751980827555, 0.07411341163858405, -0.0236785901472357, 0.05053897892379466,
+    -0.25449283106684206, -0.06765250952528667, 0.1006478880438544, -0.018554123491542205,
+    0.078095365496926, -0.13813944282161472, 0.25717254181119376, 0.013626198708737623,
+    -0.029106624346580647, 0.07427290852438498, 0.040334460475035805, -0.2300961768787152,
+    0.03999040418156126, -0.2320109579122691, 0.08006300970723772, 0.19072135694461406,
+    -0.0700533830298254, -0.1725179659587419, -0.03341695964021553, -0.008885164198179633,
+    -0.22404048632312895, -0.02312459827613263, 0.269395872846347, 0.1239920951408294,
+    -0.20304474043583184, -0.07555261924491126, 0.09832590108358799, 0.013291315319297108,
+),
+(
+    0.17443001896178567, -0.10236945741846379, -0.062213379453360515, 0.22140923704140617,
+    0.040543910448080374, 0.07690317490605093, 0.012144562032652538, -0.1631865935276337,
+    0.21676858731740659, 0.01439096530496766, -0.0810968116398015, 0.17420834823097603,
+    -0.15005129323171285, -0.1350217883523773, -0.15102282955688628, 0.17011519483415427,
+    -0.057703779247851715, -0.12192000805885708, -0.14181897305329025, 0.25853503887192114,
+    0.18450064854675285, -0.09572531746846975, -0.16573722280087302, -0.08760783077291051,
+    -0.09275254609117031, -0.14899339250687132, -0.12631447321528047, 0.15551483183042614,
+    0.07192448923319264, 0.1738849120405487, 0.10650519004101729, -0.0045391176318605175,
+    0.0398677995410565, 0.09789096426997179, -0.15928471286418655, 0.1263785427814505,
+    0.11328457037234511, -0.17697088555651386, 0.024307774436959955, -0.06674721144649784,
+    -0.11742340026973158, 0.14906116621218485, 0.009880810127856729, 0.07326244866283912,
+    -0.009469869906676129, 0.20228760275712063, 0.18898607891643965, 0.01566584814424849,
+    0.002850640557402487, -0.09615221174495556, -0.06363623645382063, -0.15084042283771087,
+    -0.11372475913435315, 0.23385133949260833, 0.004860245063751718, -0.07228132955948591,
+    0.0721722602470713, 0.016169381675994618, 0.07890833476705854, -0.15502657686716015,
+    -0.03611742038070054, 0.10717304929690988, 0.05541459362613539, -0.11562917747257964,
+),
+(
+    -0.191375320228891, -0.0024271502033714407, -0.012970925194055821, -0.16607568670703032,
+    -0.029687447416460386, -0.015428485839557221, 0.07369708219416735, -0.13011280487589127,
+    -0.004736848759138355, 0.02104678895653178, 0.11029938706632839, -0.019020439878048613,
+    -0.17178444350052413, -0.01974443113956955, 0.11669730177320506, -0.04733388550741581,
+    -0.07766317493966202, 0.051657259277560076, 0.19770159938384685, -0.04873107802929455,
+    -0.016664072969797383, 0.14568531526394612, -0.021902462772144658, 0.2343184596389632,
+    0.10230039156837856, -0.14427702812328264, 0.10396410489794787, -0.14503925172701365,
+    -0.13505408437951133, -0.11987402266135752, 0.14542982548117095, -0.1835818638533986,
+    -0.18985530807750625, 0.12012946512913052, -0.19207515631188687, 0.037320249303942496,
+    -0.04935387582602119, 0.032048726705088494, 0.08583842913340375, -0.22885676414542894,
+    -0.038865832730556105, -0.0013579574676006179, -0.1109969289335534, 0.20036035563260965,
+    -0.14942115280278495, 0.02558857191199683, 0.0909788656914838, -0.17732374939185092,
+    0.06859799469886663, 0.16977437828703973, 0.006132306286869112, -0.17335992796399857,
+    -0.08223770020613362, 0.26956029035566564, 0.20430557777974115, -0.053943222670123636,
+    0.010329025101267035, 0.10929615434210715, 0.002602884172599157, 0.06410638940479269,
+    -0.042448387103069876, -0.05230284697263997, -0.22030235731585024, -0.2239860597829486,
+),
+(
+    0.24358877536679363, -0.08223480527200981, 0.10863640316100501, 0.025858028373682514,
+    0.0495991121288982, -0.12015747663542921, 0.11014291669958744, 0.02812305558355628,
+    -0.08041079025390165, 0.17155640883235274, -0.18564817697390723, -0.03643552804263108,
+    -0.21444869415693366, -0.1348330647828938, -0.07632483970111185, -0.16315318010022473,
+    0.058300652485348124, -0.16065295195743795, -0.2189856468887992, 0.02603586973236053,
+    0.12476735021583737, 0.08687244234949273, 0.013670437674588566, 0.06424389041777773,
+    0.13177773772079665, -0.012679059989121288, -0.040621708802593394, 0.007595029947884885,
+    -0.09185965946642721, -0.2637143400417762, -0.05350297461017112, -0.024942907741147144,
+    -0.11311055018819224, -0.020416626790754018, 0.25891858633899706, 0.06750291837806988,
+    0.06843457686369797, 0.1439642030336221, 0.3155628249202622, -0.18015530531655838,
+    -0.005749750616399568, 0.051547832829755814, 0.04211980438297682, -0.023159125485617157,
+    0.1882323500867659, 0.07474395025194794, 0.08396486559173678, 0.05989319440068423,
+    0.2249108604565491, 0.022352456504735607, 0.17007189255559657, 0.10518315202874473,
+    -0.030163368244918717, -0.09497125390060725, 0.1048176733444571, 0.12814051732569745,
+    0.1405281653708218, 0.1578608532302408, 0.0484089259118041, -0.03177335390326308,
+    0.03692332829128078, -0.1814721390537086, -0.01856575726560663, 0.08579208503736704,
+),
+(
+    -0.010543787029440334, -0.18103193500107373, -0.05441993349839355, 0.14067784404290407,
+    0.20608845479877752, -0.1534361986833465, -0.020003196194504295, -0.10162821934202337,
+    -0.2618418090165664, 0.06752319611323715, 0.05260701003444668, -0.09510790737180147,
+    -0.08278708948516408, 0.030063670792758, 0.09587786550467585, -0.10008562782273853,
+    0.12586059163705976, 0.21162854437183795, -0.14272374424928647, 0.08780993519014743,
+    -0.05050791541988793, -0.09310500883117019, 0.017553271283846254, -0.02490388653686115,
+    0.05801943027195552, 0.19169303359179596, 0.07779625910913325, -0.030355648090408763,
+    0.07421028361169817, 0.10713932735788012, 0.06902612099578576, 0.06921520454605373,
+    -0.09794715507601848, 0.09788685403961797, -0.1222628025964834, 0.21994456732218393,
+    -0.14868767943301003, -0.05950052826319776, -0.2911249427577539, 0.05214445538417626,
+    0.13849172133669874, 0.07945287018175504, 0.033279180716672026, 0.12650595604004192,
+    0.09457175684106857, -0.036233826294938744, -0.057639860574243355, 0.03901533956418775,
+    0.33418637290250597, -0.027956164906369232, -0.27297067814547876, 0.0681623757783733,
+    -0.12237306852392804, 0.07560384732450907, -0.037302224092190236, 0.1689722151754087,
+    0.18527387650061566, -0.04104477036728614, 0.06375668649862837, 0.047421652886407664,
+    -0.0035205757411433114, 0.020735625169903113, -0.18488215687232074, 0.09331116381273108,
+),
+(
+    0.07677796925668055, 0.08827649211970985, -0.013527398030846384, 0.19226695377314454,
+    -0.058378198176542016, -0.021770802767150745, 0.025211355446431324, -0.01841836569061137,
+    0.13043253725733853, -0.20863818531297337, -0.23322361447675088, -0.09229482823884368,
+    -0.012691770832242955, 0.08144364596595854, 0.04642130695856369, -0.10207367125964444,
+    -0.11114825006612312, 0.04880599250512663, 0.1426667040110283, -0.1336908653033675,
+    -0.07975789664553942, 0.0770107233643547, -0.12572094603490383, 0.1267617859356845,
+    0.11939899601942891, 0.05646073683163259, 0.13022635884480485, -0.045897092207950144,
+    -0.14261595214118247, -0.050319537572981354, -0.004398476462978654, -0.1570300939021774,
+    0.18625737242402648, 0.28034665392947156, 0.09293606928556132, 0.09067577376247689,
+    0.056596354944699265, -0.19722617031352763, -0.08856181964887867, 0.12880064886216105,
+    -0.22975723293265055, 0.08166135058657857, 0.0923589772843203, 0.12680995310085522,
+    0.20448921261384584, -0.16846978291251244, 0.027577694442865095, -0.011990520648175917,
+    -0.0918008913568695, -0.17191047786854313, -0.0010574950128536022, -0.08253702092023224,
+    0.15464854256391, 0.11954478831244553, 0.13955941247647355, -0.02360920579418034,
+    0.04496690251839079, -0.06512724173707708, 0.1848882424718575, -0.012889794093976337,
+    0.017076900737843445, -0.1431438660577708, -0.012623564129926846, 0.3222676903593752,
+),
+(
+    0.10717375998943729, 0.015292142353263299, -0.0531143814947634, 0.26697903566899317,
+    0.013598281804381242, -0.04158349190387434, -0.11929491029446851, 0.037308024598128514,
+    0.05664808208918232, -0.0678932615218636, -0.15095976610499534, 0.18688037441675687,
+    -0.06132108935939781, -0.2108758449683677, 0.18690026940606955, -0.2320925805648422,
+    -0.13239225769825316, 0.0394734502323581, -0.02369548619306685, 0.02593128714258122,
+    -0.1512282511133906, 0.003150155209635276, 0.0642061865029958, 0.03001474132709247,
+    -0.2126849049027209, -0.08050954620840156, -0.10978259438053126, -0.2532648630439792,
+    -0.20793566894710294, 0.1487358523389478, -0.041346156258823166, -0.12079788226842716,
+    -0.04205073854371756, -0.11894479204967578, -0.09139527757748057, 0.10014849948551369,
+    -0.0565667275218465, 0.0768116098886151, -0.0013886824056170682, 0.20198644766002846,
+    0.23555437462976064, 0.016986822063476723, 0.16317704316147708, -0.11221103692319621,
+    -0.06680925582954951, -0.10478090668624966, -0.11303954393727418, -0.19842300135380553,
+    -0.01625305472003902, 0.019718782526033814, 0.04678328195741744, -0.031663568146315685,
+    0.08374218290401832, -0.049727736962010737, -0.055252918235407164, 0.03584472501751659,
+    -0.006412908929178301, 0.14105819312619233, 0.008483962741704397, -0.21502149398564097,
+    0.12542336677696792, -0.16995838847331823, -0.019668670619123956, -0.24614716521690058,
+),
+(
+    0.24063448819262298, 0.003664297041671213, -0.012756212000691741, 0.022550732649043833,
+    0.2414795576176849, -0.04166082444309242, 0.08997752303518802, 0.181757995000866,
+    -0.06513777402677387, -0.08864376596259302, -0.035930188290266854, 0.07968446887936106,
+    -0.07582411400101197, -0.01143860015944706, 0.3447043736891588, 0.007134833920720424,
+    0.16711770541304857, -0.13898790162169536, 0.09659175458680345, -0.19432427965473692,
+    0.10392169037319902, 0.12529850521264593, -0.0788738545253195, -0.06701542438980768,
+    0.18069759968758103, -0.27424883515831666, 0.005274767961987774, 0.008553113546130102,
+    0.05143627194010265, 0.06736398150406492, 0.1216650863337998, 0.20348759846271725,
+    0.08767263405918026, -0.035682901671971155, -0.06258444125568818, -0.014301803602506205,
+    0.08677723621478495, -0.06709534612962471, 0.12639627819183555, 0.04095857183540675,
+    0.28882806677359246, -0.11382386597307659, -0.0025614936846119485, 0.06954353487611399,
+    -0.17873646155046047, -0.04127857027500309, -0.03470492331699456, 0.009480953376952487,
+    0.06054300668616632, 0.011330694902604552, -0.01666793846007985, -0.09692402025751576,
+    0.16346712702002486, -0.003449055497565417, 0.15108504914555249, -0.04571396798124615,
+    0.11161478057798582, -0.21751471232278088, 0.13266779741784313, 0.13341779496164283,
+    -0.01662860486115958, 0.19106857739060135, 0.1257447747012483, 0.031849929501725924,
+),
+(
+    -0.23270052317876735, 0.0323880386925097, -0.15195670810477055, -0.10460637250408387,
+    -0.1501426600492524, -0.17675892153685796, 0.07768878555437314, -0.012968316396074556,
+    0.24304374794968442, 0.09320742366014165, -0.08469768389423807, 0.09293798073739579,
+    -0.17610271056914395, 0.005171541303320054, 0.24900473411074628, -0.01298768899125112,
+    -0.11301963580488972, 0.03924830918566491, -0.12330160291424958, -0.06336815041692076,
+    -0.14550894306756443, -0.07125641288907417, 0.10456089506273149, -0.06294946231024409,
+    0.09572908558744452, 0.1258631064179358, -0.13433826556393175, -0.026181506607247516,
+    -0.045555776093995526, 0.13213935980116984, -0.0712903968321408, -0.048344932518528734,
+    0.10728451220571772, -0.019211179409459128, -0.03383781249235359, -0.14731593545668092,
+    -0.07974971935759416, 0.056099462552734916, 0.06817874995977936, -0.01968911452089114,
+    -0.1221384320146129, 0.0422657444988143, 0.2595100593263897, 0.025332572687462737,
+    -0.10656309945130502, 0.01228153192062511, 0.009150652137228148, 0.34015818346342963,
+    0.23404395334901865, 0.0857873836516817, 0.12595830606158015, -0.1807784221978292,
+    0.013465152714326994, 0.007997062241767956, 0.042586509942194484, 0.14770607999885582,
+    0.06889266715783304, -0.0867383462838574, -0.11195243441716032, -0.10543036049615165,
+    -0.21334897456856683, 0.18023098281524047, 0.0975457622265804, 0.09682021777848655,
+),
+(
+    -0.14631687417390418, 0.1346308563736477, -0.12577211671152194, 0.1454875473477911,
+    0.09878949525005334, -0.033496063544227246, 0.0508504519971676, -0.13674151372909216,
+    -0.2315453274594632, 0.03309168646639922, -0.008963079232625237, -0.07968960563332916,
+    0.15403998681333672, 0.10043496607377804, 0.16012974059939053, -0.07831685216290007,
+    -0.06818079538235713, 0.08829616431682821, -0.08407464736861284, 0.03080678040471385,
+    0.004092452708302591, -0.11347466293972443, -0.015363015974863996, 0.08315504648362608,
+    -0.2087453719898716, -0.14592599367970963, 0.0020428126991545448, 0.03450101969556821,
+    0.052338437192670964, -0.24264148035539768, -0.20374590727765202, -0.11169897223720754,
+    -0.019367384902509444, -0.20824385373641857, 0.08884302695758632, 0.2210290571961638,
+    -0.07625969237223629, -0.10805671931276396, 0.25738868518695707, -0.01704574089301528,
+    -0.05739095172263488, -0.11723322220613457, 0.06413921685816429, 0.19063701597777796,
+    -0.03569195997471582, 0.14516989216857212, -0.003479275524859528, 0.08783374111972077,
+    -0.292228956386059, -0.07901907774350195, 0.05967537580734192, -0.03649464707113298,
+    0.016574465557043654, 0.051844839651736335, -0.107684884568851, -0.027772837025283437,
+    0.3142605353110071, -0.14929405403978713, -0.0402318339301887, -0.05452422050460229,
+    0.013148124676620923, 0.1697899055118653, -0.061583475484657244, -0.0051192055353974295,
+),
+(
+    -0.08357559615890725, -0.22717536968749302, 0.0011595230062354245, 0.009858284037025614,
+    -0.04556205750961738, 0.044984732700961164, 0.03641130787416527, 0.21126691147021462,
+    -0.15336569956356436, -0.13774006702996, -0.06455835077219067, -0.12062236207840303,
+    -0.022169159983385672, 0.11614852317826875, -0.019439460118928997, -0.0014463346653719594,
+    -0.10955063701274584, -0.296759095455245, -0.04294155644135915, 0.046306369061281716,
+    -0.07259687681073412, -0.1367924010512785, 0.01323698269121816, -0.005344729966961281,
+    -0.1154931700755991, -0.13505967125843107, 0.08531065358674526, -0.019130638289784556,
+    -0.15795717556611394, 0.16338278343933169, -0.20325542920721432, 0.09328396739238426,
+    -0.043259903327442686, -0.0566613134184813, -0.06881236089567246, -0.11464685498084522,
+    0.05718024350896506, -0.051263782706996525, 0.045560995561639894, -0.05897289240041361,
+    0.17581256173280968, -0.10437752418414975, 0.04297629544039669, 0.2615580256773973,
+    0.40363124059428723, 0.022808264408510852, -0.13641183559422337, 0.05467145810695474,
+    0.01672207746774544, -0.1286222098183224, -0.016607534364371516, -0.15459337652803662,
+    -0.021201049040589805, 0.15457387195287858, 0.08870293308901536, 0.018519119897761116,
+    -0.21037200395392547, 0.17521127180799428, -0.20325700580981224, 0.08310602775143827,
+    -0.10656054998342754, 0.07302721664205622, -0.040297970868616584, -0.0004005241709948877,
+),
 )
-_PCA_SF001_EXPLAINED = 0.10714363638254285
+_PCA_SF001_EXPLAINED = (
+    0.027578702141069156, 0.05481050009261599, 0.08149234028734402, 0.10714363638254285,
+    0.13257020611063203, 0.1577060167120813, 0.18170760227256186, 0.20492908529392753,
+    0.22783561570136268, 0.25041807525713894, 0.2722735939973811, 0.29400460585559324,
+    0.31494763681064597, 0.3356602398663933, 0.35615370409600067, 0.37634278430234225,
+    0.39575517634105273, 0.414793723354234, 0.4336270919729568, 0.4522762080283156,
+    0.4703284920653956, 0.4881466800810125, 0.5057253073250322, 0.5229957370618884,
+    0.5400578470635716, 0.5567214987960741, 0.5731029020576428, 0.5893297966938214,
+    0.6052333274235304, 0.6207967698814716, 0.6360285522303555, 0.6511793043832658,
+)
 # --- end generated ---
 
 
@@ -9498,7 +10011,7 @@ def _pca_projection_oracle_sql(n_components: int = 4) -> str:
         )
         cols.append(f"ROUND({terms}, 6) AS pca_{k + 1}")
     expl = float(
-        Decimal(repr(_PCA_SF001_EXPLAINED)).quantize(
+        Decimal(repr(_PCA_SF001_EXPLAINED[n_components - 1])).quantize(
             Decimal("0.000001"), rounding=ROUND_HALF_UP
         )
     )
@@ -10074,6 +10587,161 @@ def doc_quality_calibrated_sweep(
     return evaluation.calibrated_sweep_roundtrip(
         _quality_label_frame(spark, sf_dir), "score", "label", n_bins=10
     )
+
+
+_PCA_SWEEP_COMPS = (2, 4, 8, 16, 32)
+
+
+def _pca_recall_sweep_sql(
+    comps_sweep: tuple[int, ...] = _PCA_SWEEP_COMPS,
+    dim: int = 64,
+    k: int = 3,
+    max_query: int = 200,
+) -> str:
+    """Recall@k of brute-force search in PCA-projected space vs full-
+    dimension ground truth, one row per kept-component count — the
+    dimensionality-reduction analogue of the SQ/LSH sweeps: coordinates
+    shrink 64 -> c doubles, recall decays as the dropped eigenvalue mass
+    grows, and this measures where the knee is. The sf0.01-fit means and
+    all 32 components are inlined as exact double literals (the
+    codebook-inlining discipline, shared with _pca_projection_oracle_sql
+    via the SAME _PCA_SF001_* constants — prefix-stable, so every sweep
+    point reuses one fit); projection, slicing, cosine, and the
+    (round(sim,6) DESC, id ASC) rank are written operand-for-operand."""
+    proj_terms = ", ".join(
+        "("
+        + " + ".join(
+            f"(v[{i + 1}] - {_PCA_SF001_MEANS[i]!r}) * {c[i]!r}"
+            for i in range(dim)
+        )
+        + ")"
+        for c in _PCA_SF001_COMPS[: max(comps_sweep)]
+    )
+    per_c = "".join(
+        f""", a_{c} AS (
+  SELECT vec_id, pv[1:{c}] AS w FROM p
+), an_{c} AS (
+  SELECT vec_id, w,
+         sqrt(list_aggregate(list_transform(w, x -> x*x), 'sum')) AS nrm
+  FROM a_{c}
+  WHERE sqrt(list_aggregate(list_transform(w, x -> x*x), 'sum')) > 0
+), tk_{c} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, cp.vec_id AS neighbor_id,
+           ROUND(list_aggregate(list_transform(generate_series(1, {c}),
+                   i -> q.w[i]*cp.w[i]), 'sum')
+                 / (q.nrm * cp.nrm), 6) AS sim
+    FROM an_{c} q JOIN an_{c} cp ON cp.vec_id <> q.vec_id
+    WHERE q.vec_id < {max_query}
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) <= {k}
+)"""
+        for c in comps_sweep
+    )
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({c} AS INT) AS n_components, CAST({k} AS INT) AS k,
+       CAST((SELECT COUNT(DISTINCT query_id) FROM exact) AS BIGINT)
+         AS n_queries,
+       ROUND(CAST((SELECT COUNT(*) FROM tk_{c} i
+                   JOIN exact x ON i.query_id = x.query_id
+                              AND i.neighbor_id = x.neighbor_id) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE), 6)
+         AS mean_recall"""
+        for c in comps_sweep
+    )
+    qdot = (
+        "list_aggregate(list_transform(generate_series(1, len(a.v)),"
+        " i -> a.v[i]*b.v[i]), 'sum')"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE len(embedding) = {dim}
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
+  FROM e
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROUND({qdot} / (a.nrm * b.nrm), 6) AS cosine_sim
+    FROM n a JOIN n b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id < {max_query}
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) <= {k}
+), p AS (
+  SELECT vec_id, [{proj_terms}] AS pv FROM e
+){per_c}
+{arms}
+"""
+
+
+@query(
+    "pca_recall_sweep",
+    sql=_pca_recall_sweep_sql(),
+    description=(
+        "PCA recall-vs-components sweep: recall@3 of brute-force cosine "
+        "search in centered-PCA space against full-64-dim ground truth "
+        "for kept components in (2, 4, 8, 16, 32) over the same "
+        "200-query slab — the dimensionality-reduction counterpart of "
+        "the SQ bits / LSH planes sweeps (coordinates shrink 32x -> 2x; "
+        "recall decays with the dropped eigenvalue mass; this measures "
+        "the knee an operator picks c from, next to the explained-"
+        "variance curve the fit reports). ONE 32-component fit serves "
+        "every sweep point (eigenvector prefixes are stable), projected "
+        "coordinates are computed once and sliced per arm, and the "
+        "counts-only scaffold is shared with ann_recall_sweep. The "
+        "oracle inlines the fit as exact double literals (the codebook "
+        "discipline) and replicates projection, slice, cosine, and rank "
+        "operand-for-operand at every point"
+    ),
+)
+def pca_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 3
+    pred = F.col("vec_id") < 200
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == 64
+    )
+    exact = similarity.knn_bruteforce(
+        corpus=emb, queries=emb.filter(pred), k=k
+    ).select("query_id", "neighbor_id")
+    means, comps, _ = similarity.pca_fit_curve(
+        emb, "embedding", 64, n_components=max(_PCA_SWEEP_COMPS)
+    )
+    v = F.col("embedding")
+    mean_arr = F.array(*[F.lit(float(m)) for m in means])
+    centered = F.zip_with(v, mean_arr, lambda a, b: a.cast("double") - b)
+    pv = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    centered,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in comps
+        ]
+    )
+    # projected coordinates computed ONCE (map-only literal projection),
+    # sliced per sweep arm; pinned because five arms consume the frame
+    base = emb.select("vec_id", pv.alias("pv")).transform(pin_lazy)
+    arms = []
+    for c in _PCA_SWEEP_COMPS:
+        pj = base.select(
+            "vec_id", F.slice("pv", 1, c).alias("embedding")
+        )
+        arms.append(
+            (
+                c,
+                similarity.knn_bruteforce(
+                    corpus=pj, queries=pj.filter(pred), k=k
+                ),
+            )
+        )
+    return _recall_sweep_union(emb, exact, arms, "n_components", k)
 
 
 # Composite driver-window queries register on import (they reuse the

@@ -424,11 +424,22 @@ def test_pca_literals_match_query_time_fit(spark):
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    means, comps, explained = pca_fit(emb, "embedding", 64, n_components=4)
+    from security_data_pipeline_spark.operators.similarity import (
+        pca_fit_curve,
+    )
+
+    means, comps, curve = pca_fit_curve(emb, "embedding", 64, n_components=32)
     assert tuple(means) == _PCA_SF001_MEANS
+    assert len(comps) == len(_PCA_SF001_COMPS) == 32
     for got, want in zip(comps, _PCA_SF001_COMPS):
         assert tuple(float(x) for x in got) == want
-    assert explained == _PCA_SF001_EXPLAINED
+    assert tuple(curve) == _PCA_SF001_EXPLAINED
+    # prefix stability: the 4-component fit IS the first 4 of the 32
+    means4, comps4, explained4 = pca_fit(emb, "embedding", 64, n_components=4)
+    assert tuple(means4) == _PCA_SF001_MEANS
+    for got, want in zip(comps4, _PCA_SF001_COMPS[:4]):
+        assert tuple(float(x) for x in got) == want
+    assert explained4 == _PCA_SF001_EXPLAINED[3]
 
 
 def test_bin_edges_are_exact(spark):
