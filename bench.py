@@ -139,6 +139,10 @@ BENCH_QUERIES: tuple[str, ...] = (
     "event_type_transitions",
     "doc_bigram_pmi",
     "emb_batch_drift",
+    # round-10 addition: interpolated bigram LM scoring (shuffle
+    # equi-join on the (a,b) key — the at-scale join shape — with the
+    # capped vocab broadcast)
+    "doc_bigram_lm_scores",
     # round-8 additions: CCNet line-level dedup (explode → one line-key
     # agg → co-partitioned join-back → HOF rebuild), linear gap
     # interpolation (two mirrored O(1)-state windows sharing one sort),
@@ -244,6 +248,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4, "pca_recall_sweep": 5,
         "knn_label_eval": 80, "emb_hard_negatives": 600, "ivf_cluster_purity": 16,
         "event_type_transitions": 25, "doc_bigram_pmi": 20, "emb_batch_drift": 10,
+        "doc_bigram_lm_scores": 5000,
         "security_detections": 11195,
         "doc_repetition_stats": 5000, "doc_curation_audit": 5000,
         "doc_quality_sampled": 603, "source_divergence_matrix": 190,
@@ -294,6 +299,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4, "pca_recall_sweep": 5,
         "knn_label_eval": 78, "emb_hard_negatives": 600, "ivf_cluster_purity": 16,
         "event_type_transitions": 25, "doc_bigram_pmi": 20, "emb_batch_drift": 10,
+        "doc_bigram_lm_scores": 500,
         "security_detections": 1135,
         "doc_repetition_stats": 500, "doc_curation_audit": 500,
         "doc_quality_sampled": 75, "source_divergence_matrix": 190,

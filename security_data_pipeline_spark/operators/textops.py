@@ -949,3 +949,93 @@ def zipf_fit_from_counts(counts: DataFrame, top_k: int = 100) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int = 50_000,
+    lambda_bi: float = 0.7,
+    smoothing_k: float = 0.5,
+) -> DataFrame:
+    """Interpolated bigram language-model quality scores — the context-
+    aware step up from :func:`unigram_lm_scores` (Jelinek-Mercer
+    interpolation, Chen & Goodman 1999 — public technique): per-position
+    ``p = λ·p_bi(b|a) + (1−λ)·p_uni(b)``, per-doc mean logprob and
+    perplexity. Word-salad documents that fool a unigram filter (right
+    words, impossible transitions) score badly here; the model is fit on
+    the corpus itself, no model runtime.
+
+    ``p_bi(b|a) = c(a,b)/c(a·)`` (maximum likelihood — safe under
+    interpolation because the unigram term keeps every position
+    nonzero); ``p_uni`` is :func:`unigram_lm_scores`' add-k model over
+    the same capped vocab with the same OOV fallback mass.
+
+    At 100 TB: the bigram count table can exceed broadcast range, so
+    position->count scoring is a SHUFFLE equi-join on the (a, b) key
+    (both sides keyed — the correct join at scale), context counts fold
+    FROM the bigram frame (no second corpus pass), and only the capped
+    unigram vocab broadcasts. Documents with < 2 tokens have no bigram
+    positions and drop out. Output: ``id_col, n_bigrams, avg_logprob
+    (6dp), perplexity (4dp)`` — rounding absorbs float-sum ordering and
+    libm ulps cross-engine.
+    """
+    k = float(smoothing_k)
+    lam = float(lambda_bi)
+    ts = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), ts.alias("_ts"))
+    pairs = base.filter(F.size("_ts") >= 2).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col("_ts")) - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("_ts"), i).alias("a"),
+                    F.element_at(F.col("_ts"), i + 1).alias("b"),
+                ),
+            )
+        ).alias("_p"),
+    ).select(id_col, F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+    uni = (
+        base.select(F.explode("_ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = uni.orderBy(F.desc("c"), "tok").limit(max_vocab)
+    totals = uni.agg(F.sum("c").alias("t")).crossJoin(
+        vocab.agg(F.count(F.lit(1)).alias("v"))
+    )
+    cab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nab"))
+    ca = cab.groupBy("a").agg(F.sum("nab").alias("na"))
+    p_uni = (
+        F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(k)
+    ) / (
+        F.col("t").cast("double")
+        + F.lit(k) * (F.col("v").cast("double") + 1.0)
+    )
+    lp = F.log(
+        F.lit(lam)
+        * (F.col("nab").cast("double") / F.col("na").cast("double"))
+        + F.lit(1.0 - lam) * p_uni
+    )
+    scored = (
+        pairs.join(cab, ["a", "b"])
+        .join(ca, "a")
+        .join(
+            F.broadcast(vocab.withColumnRenamed("tok", "b")), "b", "left"
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), lp.alias("_lp"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("_lp").alias("_lp_sum"),
+    )
+    avg = F.col("_lp_sum") / F.col("n_bigrams").cast("double")
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        F.round(avg, 6).alias("avg_logprob"),
+        F.round(F.exp(-avg), 4).alias("perplexity"),
+    )

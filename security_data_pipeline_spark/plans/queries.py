@@ -10744,6 +10744,62 @@ def pca_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_sweep_union(emb, exact, arms, "n_components", k)
 
 
+@query(
+    "doc_bigram_lm_scores",
+    sql="""
+WITH toksa AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), pairs AS (
+  SELECT doc_id, t.a AS a, t.b AS b FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+             i -> {a: ts[i], b: ts[i+1]})) AS t
+    FROM toksa WHERE len(ts) >= 2
+  )
+), uni AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ts) AS tok FROM toksa) GROUP BY tok
+), vocab AS (
+  SELECT tok, c FROM uni ORDER BY c DESC, tok LIMIT 50000
+), totals AS (
+  SELECT (SELECT SUM(c) FROM uni) AS t, (SELECT COUNT(*) FROM vocab) AS v
+), cab AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nab FROM pairs GROUP BY a, b
+), ca AS (
+  SELECT a, CAST(SUM(nab) AS BIGINT) AS na FROM cab GROUP BY a
+), scored AS (
+  SELECT p.doc_id,
+         ln(0.7 * (CAST(cab.nab AS DOUBLE) / CAST(ca.na AS DOUBLE))
+            + 0.3 * ((CAST(COALESCE(vocab.c, 0) AS DOUBLE) + 0.5)
+                     / (CAST(totals.t AS DOUBLE)
+                        + 0.5 * (CAST(totals.v AS DOUBLE) + 1.0)))) AS lp
+  FROM pairs p
+  JOIN cab ON cab.a = p.a AND cab.b = p.b
+  JOIN ca ON ca.a = p.a
+  LEFT JOIN vocab ON vocab.tok = p.b
+  CROSS JOIN totals
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(lp) / COUNT(*), 6) AS avg_logprob,
+       ROUND(exp(-(SUM(lp) / COUNT(*))), 4) AS perplexity
+FROM scored GROUP BY doc_id
+""",
+    description=(
+        "Interpolated bigram LM quality scores (Jelinek-Mercer, lambda "
+        "0.7): per-position p = 0.7*c(a,b)/c(a.) + 0.3*p_uni(b) with the "
+        "unigram LM's add-0.5 / top-50k-vocab fallback, per-doc mean "
+        "logprob + perplexity — the context-aware quality filter that "
+        "catches word-salad text a unigram filter passes. Bigram counts "
+        "can exceed broadcast range at corpus scale, so scoring is a "
+        "shuffle equi-join on the (a,b) key; context counts fold FROM "
+        "the bigram frame (no extra corpus pass); only the capped vocab "
+        "broadcasts. Docs with <2 tokens drop out (no bigram positions)"
+    ),
+)
+def doc_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bigram_lm_scores(docs)
+
+
 # Composite driver-window queries register on import (they reuse the
 # operators and oracle-SQL builders defined above, so the import must come
 # after those definitions).

@@ -404,3 +404,72 @@ def test_zipf_fit_recovers_slope(spark):
     )
     ru = zipf_fit(uniform, "text", top_k=30).collect()[0]
     assert abs(ru["slope"]) < 1e-9
+
+
+def test_bigram_lm_flags_word_salad(spark):
+    """The interpolated bigram LM must separate natural-order text from
+    a shuffle of the same unigrams — the exact failure mode a unigram LM
+    cannot see (identical token counts, identical unigram perplexity)."""
+    from security_data_pipeline_spark.operators.textops import (
+        bigram_lm_scores,
+        unigram_lm_scores,
+    )
+
+    natural = "the cat sat on the mat and the dog sat on the rug"
+    # same multiset of tokens, scrambled transitions
+    salad = "mat the on dog sat rug the cat the and on sat the"
+    corpus = [(i, natural) for i in range(20)] + [(100, salad)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    bi = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    assert bi[0]["avg_logprob"] > bi[100]["avg_logprob"]
+    assert bi[100]["perplexity"] > bi[0]["perplexity"]
+
+    uni = {r["doc_id"]: r for r in unigram_lm_scores(df).collect()}
+    # unigram scores are blind to the scramble (same token multiset)
+    assert uni[0]["avg_logprob"] == uni[100]["avg_logprob"]
+
+
+def test_bigram_lm_bruteforce(spark):
+    import math
+
+    from security_data_pipeline_spark.operators.textops import (
+        bigram_lm_scores,
+    )
+
+    docs = [(1, "a b a c"), (2, "b a"), (3, "a"), (4, "c c b a b")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    assert 3 not in got  # single-token doc has no bigram positions
+
+    toks = [t for _, s in docs for t in s.split(" ")]
+    uni = {}
+    for t in toks:
+        uni[t] = uni.get(t, 0) + 1
+    T, V = len(toks), len(uni)
+    pairs = [
+        (w[i], w[i + 1])
+        for _, s in docs
+        for w in [s.split(" ")]
+        if len(w) >= 2
+        for i in range(len(w) - 1)
+    ]
+    cab, ca = {}, {}
+    for a, b in pairs:
+        cab[(a, b)] = cab.get((a, b), 0) + 1
+        ca[a] = ca.get(a, 0) + 1
+    for doc_id, s in docs:
+        w = s.split(" ")
+        if len(w) < 2:
+            continue
+        lps = [
+            math.log(
+                0.7 * (cab[(a, b)] / ca[a])
+                + 0.3 * ((uni.get(b, 0) + 0.5) / (T + 0.5 * (V + 1.0)))
+            )
+            for a, b in zip(w, w[1:])
+        ]
+        avg = sum(lps) / len(lps)
+        assert got[doc_id]["n_bigrams"] == len(lps)
+        assert abs(got[doc_id]["avg_logprob"] - avg) < 1e-5
+        assert abs(got[doc_id]["perplexity"] - math.exp(-avg)) < 1e-3
