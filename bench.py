@@ -143,6 +143,11 @@ BENCH_QUERIES: tuple[str, ...] = (
     # equi-join on the (a,b) key — the at-scale join shape — with the
     # capped vocab broadcast)
     "doc_bigram_lm_scores",
+    # round-10 additions: median/MAD robust outlier gate (two exact-
+    # percentile aggregations + broadcast probes) and the map-only
+    # Flesch/FK readability scan (zero shuffle)
+    "events_robust_outliers",
+    "doc_readability",
     # round-8 additions: CCNet line-level dedup (explode → one line-key
     # agg → co-partitioned join-back → HOF rebuild), linear gap
     # interpolation (two mirrored O(1)-state windows sharing one sort),
@@ -249,6 +254,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "knn_label_eval": 80, "emb_hard_negatives": 600, "ivf_cluster_purity": 16,
         "event_type_transitions": 25, "doc_bigram_pmi": 20, "emb_batch_drift": 10,
         "doc_bigram_lm_scores": 5000,
+        "events_robust_outliers": 4053, "doc_readability": 5000,
         "security_detections": 11195,
         "doc_repetition_stats": 5000, "doc_curation_audit": 5000,
         "doc_quality_sampled": 603, "source_divergence_matrix": 190,
@@ -300,6 +306,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "knn_label_eval": 78, "emb_hard_negatives": 600, "ivf_cluster_purity": 16,
         "event_type_transitions": 25, "doc_bigram_pmi": 20, "emb_batch_drift": 10,
         "doc_bigram_lm_scores": 500,
+        "events_robust_outliers": 392, "doc_readability": 500,
         "security_detections": 1135,
         "doc_repetition_stats": 500, "doc_curation_audit": 500,
         "doc_quality_sampled": 75, "source_divergence_matrix": 190,

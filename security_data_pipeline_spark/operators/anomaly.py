@@ -381,3 +381,58 @@ def session_funnel(
         reached = reached & (F.col(f"_t{i - 1}") < F.col(f"_t{i}"))
         out.append(F.sum(reached.cast("bigint")).alias(f"reached_{stages[i]}"))
     return per_session.agg(*out)
+
+
+def robust_value_outliers(
+    events: DataFrame,
+    z_threshold: float = 3.5,
+    value_col: str = "value",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """:func:`value_outliers`' ROBUST form: modified z-score on median /
+    MAD (Iglewicz & Hoaglin 1993 — public technique) instead of mean /
+    stddev. The mean-based detector has a masking problem at exactly the
+    moment it matters — a burst of extreme values inflates the stddev it
+    is judged against, hiding all but the first spike; median and MAD
+    have a 50% breakdown point, so the baseline stands still while the
+    burst sticks out.
+
+    Modified z = (x − median) / (1.4826·MAD); groups whose MAD is 0
+    (over half the values identical) yield NULL z and flag nothing —
+    surfaced, not crashed. Scale shape: exact per-group median and MAD
+    via TWO groupBy aggregations (percentile is a map-side-combinable
+    aggregate — never a window over ≤|groups| partitions), the second
+    over |x − median| after a broadcast join-back of the tiny median
+    table; the final flag pass is another broadcast probe. Values round
+    to 6 dp before every percentile so the interpolated midpoints are
+    cross-engine exact.
+    """
+    v = F.round(F.col(value_col).cast("double"), 6)
+    base = events.filter(F.col(value_col).isNotNull())
+    med = base.groupBy(group_col).agg(
+        F.round(F.percentile(v, F.lit(0.5)), 6).alias("_med")
+    )
+    withmed = base.join(F.broadcast(med), group_col)
+    mad = withmed.groupBy(group_col).agg(
+        F.round(
+            F.percentile(F.abs(v - F.col("_med")), F.lit(0.5)), 6
+        ).alias("_mad")
+    )
+    stats = med.join(mad, group_col)
+    rz = F.round(
+        (v - F.col("_med"))
+        / F.nullif(F.lit(1.4826) * F.col("_mad"), F.lit(0.0)),
+        6,
+    )
+    return (
+        base.join(F.broadcast(stats), group_col)
+        .select(
+            "event_id",
+            group_col,
+            v.alias("value"),
+            F.col("_med").alias("group_median"),
+            F.col("_mad").alias("group_mad"),
+            rz.alias("robust_z"),
+        )
+        .filter(F.col("robust_z") > F.lit(float(z_threshold)))
+    )

@@ -1039,3 +1039,47 @@ def bigram_lm_scores(
         F.round(avg, 6).alias("avg_logprob"),
         F.round(F.exp(-avg), 4).alias("perplexity"),
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade (public formulas) from
+    three counting heuristics — words (non-empty space splits),
+    sentences ([.!?]+ runs, floor 1), syllables (vowel-group runs,
+    the standard dictionary-free approximation): the classic filter for
+    boilerplate/legalese (very low ease) and keyword-stuffing fragments
+    (implausibly high ease). A pure map-only scan — three regex counts
+    and two fixed formulas, zero shuffle, zero joins; at 100 TB this is
+    the cheapest quality column in the gate.
+
+    Output: ``id_col, n_words, n_sentences, n_syllables, flesch_ease,
+    fk_grade`` (6 dp — the repo's cross-engine rounding convention; 2 dp
+    put ~0.4% of rows on exact .xx5 halfway points where the engines'
+    ROUND implementations disagree). Empty/NULL texts yield zero words
+    and NULL scores rather than a divide error.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.size(F.filter(F.split(t, " "), lambda w: w != ""))
+    sentences = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)
+    )
+    syllables = F.regexp_count(F.lower(t), F.lit("[aeiouy]+"))
+    wps = words.cast("double") / sentences.cast("double")
+    spw = syllables.cast("double") / F.nullif(words, F.lit(0)).cast(
+        "double"
+    )
+    return df.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+        ).alias("flesch_ease"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+        ).alias("fk_grade"),
+    )

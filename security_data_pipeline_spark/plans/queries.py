@@ -10800,6 +10800,83 @@ def doc_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.bigram_lm_scores(docs)
 
 
+@query(
+    "events_robust_outliers",
+    sql="""
+WITH base AS (
+  SELECT event_id, event_type, ROUND(CAST(value AS DOUBLE), 6) AS v
+  FROM events WHERE value IS NOT NULL
+), med AS (
+  SELECT event_type, ROUND(quantile_cont(v, 0.5), 6) AS grp_med
+  FROM base GROUP BY event_type
+), mad AS (
+  SELECT b.event_type,
+         ROUND(quantile_cont(ABS(b.v - m.grp_med), 0.5), 6) AS grp_mad
+  FROM base b JOIN med m USING (event_type) GROUP BY b.event_type
+)
+SELECT b.event_id, b.event_type, b.v AS value,
+       m.grp_med AS group_median, d.grp_mad AS group_mad,
+       ROUND((b.v - m.grp_med) / NULLIF(1.4826 * d.grp_mad, 0.0), 6)
+         AS robust_z
+FROM base b JOIN med m USING (event_type) JOIN mad d USING (event_type)
+WHERE ROUND((b.v - m.grp_med) / NULLIF(1.4826 * d.grp_mad, 0.0), 6) > 3.5
+""",
+    description=(
+        "Robust (median/MAD) value outliers — the masking-resistant form "
+        "of events_value_outliers' mean/stddev z-score: a burst of "
+        "extreme values inflates the stddev it is judged against and "
+        "hides all but the first spike, while median and MAD (50% "
+        "breakdown) hold still. Modified z (Iglewicz-Hoaglin 1993) at "
+        "3.5; MAD-0 groups flag nothing rather than crash. Exact "
+        "percentiles as map-side-combinable AGGREGATES (never a window "
+        "over <=|groups| partitions) with 6dp rounding before each, so "
+        "the interpolated midpoints match cross-engine"
+    ),
+)
+def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return anomaly.robust_value_outliers(ev, z_threshold=3.5)
+
+
+@query(
+    "doc_readability",
+    sql="""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                            w -> w <> '')) AS BIGINT) AS n_words,
+       CAST(GREATEST(len(regexp_extract_all(coalesce(text, ''),
+                                            '[.!?]+')), 1) AS BIGINT)
+         AS n_sentences,
+       CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                   '[aeiouy]+')) AS BIGINT) AS n_syllables,
+       ROUND(206.835
+             - 1.015 * (CAST(len(list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '')) AS DOUBLE)
+                        / CAST(GREATEST(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')), 1) AS DOUBLE))
+             - 84.6 * (CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+')) AS DOUBLE)
+                       / CAST(NULLIF(len(list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '')), 0) AS DOUBLE)),
+             6) AS flesch_ease,
+       ROUND(0.39 * (CAST(len(list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '')) AS DOUBLE)
+                     / CAST(GREATEST(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')), 1) AS DOUBLE))
+             + 11.8 * (CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+')) AS DOUBLE)
+                       / CAST(NULLIF(len(list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '')), 0) AS DOUBLE))
+             - 15.59,
+             6) AS fk_grade
+FROM documents
+""",
+    description=(
+        "Flesch Reading Ease + Flesch-Kincaid grade from three counting "
+        "heuristics (non-empty word splits, [.!?]+ sentence runs with "
+        "floor 1, vowel-group syllables) — the dictionary-free "
+        "boilerplate/legalese filter and its grade-level twin. A pure "
+        "map-only scan: zero shuffle, zero joins — the cheapest quality "
+        "column in the curation gate at any corpus size"
+    ),
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.readability_scores(docs)
+
+
 # Composite driver-window queries register on import (they reuse the
 # operators and oracle-SQL builders defined above, so the import must come
 # after those definitions).

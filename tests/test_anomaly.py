@@ -329,3 +329,40 @@ def test_inter_arrival_degenerate_streams(spark):
         anomaly.inter_arrival_stats(
             ev, ts_col="ts", id_col="event_id", min_gaps=1
         )
+
+
+def test_robust_outliers_resist_masking(spark):
+    """A burst of extreme values must still be flagged by the median/MAD
+    gate even when it inflates the stddev enough to hide itself from the
+    mean-based z-score — the masking failure mode the robust form exists
+    for."""
+    from security_data_pipeline_spark.operators.anomaly import (
+        robust_value_outliers,
+        value_outliers,
+    )
+
+    base = [(i, "click", 100.0 + (i % 7)) for i in range(200)]
+    burst = [(1000 + i, "click", 50000.0) for i in range(30)]
+    df = spark.createDataFrame(
+        base + burst, "event_id long, event_type string, value double"
+    )
+    robust = robust_value_outliers(df, z_threshold=3.5)
+    got = {r["event_id"] for r in robust.collect()}
+    assert got == {1000 + i for i in range(30)}
+    # the mean/std gate is partially masked: the 30-spike burst drags
+    # mean up and stddev wide enough that z(50000) < z_threshold * margin
+    masked = value_outliers(df, z_threshold=3.0)
+    assert masked.count() <= len(got)
+
+
+def test_robust_outliers_mad_zero_flags_nothing(spark):
+    from security_data_pipeline_spark.operators.anomaly import (
+        robust_value_outliers,
+    )
+
+    rows = [(i, "x", 5.0) for i in range(10)] + [(99, "x", 9e9)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    # median 5, MAD 0 -> robust z NULL everywhere, nothing flagged
+    assert robust_value_outliers(df).count() == 0
