@@ -124,6 +124,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     # ONE 32-component fit (prefix-stable eigenvectors), coordinates
     # projected once and sliced per arm
     "pca_recall_sweep",
+    # round-10 addition: its control arm — raw prefix truncation, no fit
+    "emb_truncation_recall_sweep",
     # round-9 additions: task-level ANN consumers — leave-one-out kNN
     # label eval (neighbor frame broadcast into the label scan) and
     # contrastive hard-negative mining (mismatch filter BEFORE top-k)
@@ -148,6 +150,9 @@ BENCH_QUERIES: tuple[str, ...] = (
     # Flesch/FK readability scan (zero shuffle)
     "events_robust_outliers",
     "doc_readability",
+    # round-10 addition: cross-source trigram novelty (gram-keyed
+    # co-partitioned join-back, corpus tokenized once)
+    "source_ngram_novelty",
     # round-8 additions: CCNet line-level dedup (explode → one line-key
     # agg → co-partitioned join-back → HOF rebuild), linear gap
     # interpolation (two mirrored O(1)-state windows sharing one sort),
@@ -250,11 +255,12 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "temporal_net_suite": 44669, "event_windows_suite": 200000,
         "scale_suite": 287, "curation_suite": 429,
         "span_dedup_suite": 400, "neardup_pairs_suite": 568, "sketch_checks": 29,
-        "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4, "pca_recall_sweep": 5,
+        "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4, "pca_recall_sweep": 5, "emb_truncation_recall_sweep": 5,
         "knn_label_eval": 80, "emb_hard_negatives": 600, "ivf_cluster_purity": 16,
         "event_type_transitions": 25, "doc_bigram_pmi": 20, "emb_batch_drift": 10,
         "doc_bigram_lm_scores": 5000,
         "events_robust_outliers": 4053, "doc_readability": 5000,
+        "source_ngram_novelty": 20,
         "security_detections": 11195,
         "doc_repetition_stats": 5000, "doc_curation_audit": 5000,
         "doc_quality_sampled": 603, "source_divergence_matrix": 190,
@@ -302,11 +308,12 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "temporal_net_suite": 16129, "event_windows_suite": 20000,
         "scale_suite": 270, "curation_suite": 429,
         "span_dedup_suite": 292, "neardup_pairs_suite": 37, "sketch_checks": 29,
-        "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4, "pca_recall_sweep": 5,
+        "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4, "pca_recall_sweep": 5, "emb_truncation_recall_sweep": 5,
         "knn_label_eval": 78, "emb_hard_negatives": 600, "ivf_cluster_purity": 16,
         "event_type_transitions": 25, "doc_bigram_pmi": 20, "emb_batch_drift": 10,
         "doc_bigram_lm_scores": 500,
         "events_robust_outliers": 392, "doc_readability": 500,
+        "source_ngram_novelty": 20,
         "security_detections": 1135,
         "doc_repetition_stats": 500, "doc_curation_audit": 500,
         "doc_quality_sampled": 75, "source_divergence_matrix": 190,

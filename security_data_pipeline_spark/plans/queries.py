@@ -10877,6 +10877,200 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.readability_scores(docs)
 
 
+@query(
+    "source_ngram_novelty",
+    sql="""
+WITH toksn AS (
+  SELECT source,
+         list_filter(string_split(lower(coalesce(text, '')), ' '),
+                     t -> t <> '') AS ts
+  FROM documents WHERE source IS NOT NULL
+), grams AS (
+  SELECT DISTINCT source,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+  FROM toksn, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
+  WHERE len(ts) >= 3
+), spread AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_sources FROM grams GROUP BY g
+)
+SELECT gr.source,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN sp.n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique,
+       ROUND(CAST(SUM(CASE WHEN sp.n_sources = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM grams gr JOIN spread sp USING (g)
+GROUP BY gr.source
+""",
+    description=(
+        "Cross-source 3-gram novelty: per source, the fraction of its "
+        "DISTINCT trigrams that appear in no other source — the "
+        "diversity/contamination diagnostic that tells template mirrors "
+        "(novelty ~ 0: everything shared) from genuinely new material "
+        "before mixing weights are chosen, the cross-corpus complement "
+        "of the within-corpus Gopher repetition gate. Shape: one gram "
+        "explode -> DISTINCT (source, gram) -> per-gram source-spread "
+        "count -> join-back keyed on the gram (both sides gram-keyed — "
+        "co-partitioned, no broadcast of an unbounded gram table) -> "
+        "per-source fold. The corpus tokenizes once"
+    ),
+)
+def source_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    ts = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+        lambda t: t != "",
+    )
+    grams = (
+        docs.select("source", ts.alias("_ts"))
+        .filter(F.size("_ts") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(F.col("_ts")) - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("_ts"), i),
+                        F.element_at(F.col("_ts"), i + 1),
+                        F.element_at(F.col("_ts"), i + 2),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    spread = grams.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_sources")
+    )
+    uniq = F.sum(
+        F.when(F.col("n_sources") == 1, F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        grams.join(spread, "g")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            uniq.cast("long").alias("n_unique"),
+            F.round(
+                uniq.cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+def _trunc_recall_sweep_sql(
+    comps_sweep: tuple[int, ...] = _PCA_SWEEP_COMPS,
+    dim: int = 64,
+    k: int = 3,
+    max_query: int = 200,
+) -> str:
+    """pca_recall_sweep's CONTROL: the same recall@k grid with the raw
+    leading coordinates kept instead of PCA scores — no fit, no
+    literals, just a slice. The pair measures what the fit actually
+    buys at each width."""
+    per_c = "".join(
+        f""", ta_{c} AS (
+  SELECT vec_id, v[1:{c}] AS w FROM e
+), tn_{c} AS (
+  SELECT vec_id, w,
+         sqrt(list_aggregate(list_transform(w, x -> x*x), 'sum')) AS nrm
+  FROM ta_{c}
+  WHERE sqrt(list_aggregate(list_transform(w, x -> x*x), 'sum')) > 0
+), tt_{c} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, cp.vec_id AS neighbor_id,
+           ROUND(list_aggregate(list_transform(generate_series(1, {c}),
+                   i -> q.w[i]*cp.w[i]), 'sum')
+                 / (q.nrm * cp.nrm), 6) AS sim
+    FROM tn_{c} q JOIN tn_{c} cp ON cp.vec_id <> q.vec_id
+    WHERE q.vec_id < {max_query}
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) <= {k}
+)"""
+        for c in comps_sweep
+    )
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({c} AS INT) AS n_components, CAST({k} AS INT) AS k,
+       CAST((SELECT COUNT(DISTINCT query_id) FROM exact) AS BIGINT)
+         AS n_queries,
+       ROUND(CAST((SELECT COUNT(*) FROM tt_{c} i
+                   JOIN exact x ON i.query_id = x.query_id
+                              AND i.neighbor_id = x.neighbor_id) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE), 6)
+         AS mean_recall"""
+        for c in comps_sweep
+    )
+    qdot = (
+        "list_aggregate(list_transform(generate_series(1, len(a.v)),"
+        " i -> a.v[i]*b.v[i]), 'sum')"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE len(embedding) = {dim}
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
+  FROM e
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROUND({qdot} / (a.nrm * b.nrm), 6) AS cosine_sim
+    FROM n a JOIN n b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id < {max_query}
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) <= {k}
+){per_c}
+{arms}
+"""
+
+
+@query(
+    "emb_truncation_recall_sweep",
+    sql=_trunc_recall_sweep_sql(),
+    description=(
+        "Raw-truncation recall sweep — pca_recall_sweep's CONTROL arm: "
+        "recall@3 keeping only the first c raw coordinates (Matryoshka-"
+        "style prefix truncation, no fit) for the same c grid, queries, "
+        "and ground truth. Reading the pair tells an operator what the "
+        "PCA fit actually buys at each width (on isotropic embeddings: "
+        "little — that NULL result is the measurement); zero fit cost, "
+        "zero literals, one slice per arm"
+    ),
+)
+def emb_truncation_recall_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    k = 3
+    pred = F.col("vec_id") < 200
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == 64
+    )
+    exact = similarity.knn_bruteforce(
+        corpus=emb, queries=emb.filter(pred), k=k
+    ).select("query_id", "neighbor_id")
+    arms = []
+    for c in _PCA_SWEEP_COMPS:
+        pj = emb.select(
+            "vec_id", F.slice("embedding", 1, c).alias("embedding")
+        )
+        arms.append(
+            (
+                c,
+                similarity.knn_bruteforce(
+                    corpus=pj, queries=pj.filter(pred), k=k
+                ),
+            )
+        )
+    return _recall_sweep_union(emb, exact, arms, "n_components", k)
+
+
 # Composite driver-window queries register on import (they reuse the
 # operators and oracle-SQL builders defined above, so the import must come
 # after those definitions).
