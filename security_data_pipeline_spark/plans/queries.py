@@ -11071,6 +11071,153 @@ def emb_truncation_recall_sweep(
     return _recall_sweep_union(emb, exact, arms, "n_components", k)
 
 
+@query(
+    "doc_quality_ensemble",
+    sql=f"""
+WITH {_QUALITY_LABEL_SQL.replace("SELECT ROUND(", "SELECT doc_id, ROUND(", 1)},
+lmtoks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), lmcnt AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM lmtoks GROUP BY tok
+), lmvocab AS (
+  SELECT tok, c FROM lmcnt ORDER BY c DESC, tok LIMIT 50000
+), lmtot AS (
+  SELECT (SELECT SUM(c) FROM lmcnt) AS t,
+         (SELECT COUNT(*) FROM lmvocab) AS v
+), lm AS (
+  SELECT doc_id, ROUND(SUM(lp) / COUNT(*), 6) AS alp FROM (
+    SELECT lmtoks.doc_id,
+           ln(CAST(COALESCE(lmvocab.c, 0) AS DOUBLE) + 0.5)
+             - ln(CAST(lmtot.t AS DOUBLE)
+                  + 0.5 * (CAST(lmtot.v AS DOUBLE) + 1.0)) AS lp
+    FROM lmtoks LEFT JOIN lmvocab USING (tok) CROSS JOIN lmtot
+  ) GROUP BY doc_id
+), rd AS (
+  SELECT doc_id,
+         ROUND(206.835
+               - 1.015 * (CAST(len(list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '')) AS DOUBLE)
+                          / CAST(GREATEST(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')), 1) AS DOUBLE))
+               - 84.6 * (CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+')) AS DOUBLE)
+                         / CAST(NULLIF(len(list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '')), 0) AS DOUBLE)),
+               6) AS ease
+  FROM documents
+), j AS (
+  SELECT s.doc_id, s.rs AS q, lm.alp, rd.ease
+  FROM scored s JOIN lm USING (doc_id) JOIN rd USING (doc_id)
+), st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(q AS DECIMAL(18,6))) AS sq,
+         SUM(CAST(q * q AS DECIMAL(28,12))) AS sqq,
+         SUM(CAST(alp AS DECIMAL(18,6))) AS sl,
+         SUM(CAST(alp * alp AS DECIMAL(28,12))) AS sll,
+         SUM(CAST(ease AS DECIMAL(18,6))) AS se,
+         SUM(CAST(ease * ease AS DECIMAL(28,12))) AS see
+  FROM j WHERE ease IS NOT NULL
+)
+SELECT doc_id,
+       ROUND((q - CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+             / NULLIF(sqrt(CAST(sqq AS DOUBLE) / CAST(n AS DOUBLE)
+                           - (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))),
+                      0.0), 6) AS z_quality,
+       ROUND((alp - CAST(sl AS DOUBLE) / CAST(n AS DOUBLE))
+             / NULLIF(sqrt(CAST(sll AS DOUBLE) / CAST(n AS DOUBLE)
+                           - (CAST(sl AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(sl AS DOUBLE) / CAST(n AS DOUBLE))),
+                      0.0), 6) AS z_lm,
+       ROUND((ease - CAST(se AS DOUBLE) / CAST(n AS DOUBLE))
+             / NULLIF(sqrt(CAST(see AS DOUBLE) / CAST(n AS DOUBLE)
+                           - (CAST(se AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(se AS DOUBLE) / CAST(n AS DOUBLE))),
+                      0.0), 6) AS z_read,
+       ROUND((ROUND((q - CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+             / NULLIF(sqrt(CAST(sqq AS DOUBLE) / CAST(n AS DOUBLE)
+                           - (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))),
+                      0.0), 6)
+              + ROUND((alp - CAST(sl AS DOUBLE) / CAST(n AS DOUBLE))
+             / NULLIF(sqrt(CAST(sll AS DOUBLE) / CAST(n AS DOUBLE)
+                           - (CAST(sl AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(sl AS DOUBLE) / CAST(n AS DOUBLE))),
+                      0.0), 6)
+              + ROUND((ease - CAST(se AS DOUBLE) / CAST(n AS DOUBLE))
+             / NULLIF(sqrt(CAST(see AS DOUBLE) / CAST(n AS DOUBLE)
+                           - (CAST(se AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(se AS DOUBLE) / CAST(n AS DOUBLE))),
+                      0.0), 6)) / 3.0, 6) AS ensemble
+FROM j CROSS JOIN st
+WHERE ease IS NOT NULL
+""",
+    description=(
+        "Multi-signal quality gate: global z-normalize three "
+        "independent, cheaply computed signals — the heuristic quality "
+        "score, unigram-LM mean logprob, and Flesch reading ease — and "
+        "average them into one ensemble score, the standard defense "
+        "against single-signal gaming (keyword stuffing beats the "
+        "heuristic; templated text beats the LM; neither beats all "
+        "three). Moments are exact DECIMAL sums from ONE pass over the "
+        "doc_id-co-partitioned signal join; the one-row stats frame "
+        "broadcasts back; zero-variance signals z to NULL rather than "
+        "divide-crash. Per-signal z columns ride along so the gate's "
+        "decision is auditable per document"
+    ),
+)
+def doc_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    q = textops.quality_features(docs).select(
+        "doc_id", F.round("quality_score", 6).alias("q")
+    )
+    lm = textops.unigram_lm_scores(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", F.col("avg_logprob").alias("alp"))
+    rd = textops.readability_scores(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", F.col("flesch_ease").alias("ease"))
+    j = (
+        q.join(lm, "doc_id")
+        .join(rd, "doc_id")
+        .filter(F.col("ease").isNotNull())
+        .transform(pin_lazy)
+    )
+
+    def _mom(c):
+        return [
+            F.sum(F.col(c).cast("decimal(18,6)")).alias(f"_s_{c}"),
+            F.sum((F.col(c) * F.col(c)).cast("decimal(28,12)")).alias(
+                f"_ss_{c}"
+            ),
+        ]
+
+    st = j.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *_mom("q"),
+        *_mom("alp"),
+        *_mom("ease"),
+    )
+
+    def _z(c):
+        n = F.col("_n").cast("double")
+        mean = F.col(f"_s_{c}").cast("double") / n
+        std = F.sqrt(
+            F.col(f"_ss_{c}").cast("double") / n - mean * mean
+        )
+        return F.round(
+            (F.col(c) - mean) / F.nullif(std, F.lit(0.0)), 6
+        )
+
+    out = j.crossJoin(F.broadcast(st))
+    zq, zl, zr = _z("q"), _z("alp"), _z("ease")
+    return out.select(
+        "doc_id",
+        zq.alias("z_quality"),
+        zl.alias("z_lm"),
+        zr.alias("z_read"),
+        F.round((zq + zl + zr) / F.lit(3.0), 6).alias("ensemble"),
+    )
+
+
 # Composite driver-window queries register on import (they reuse the
 # operators and oracle-SQL builders defined above, so the import must come
 # after those definitions).
