@@ -153,6 +153,9 @@ BENCH_QUERIES: tuple[str, ...] = (
     # round-10 addition: cross-source trigram novelty (gram-keyed
     # co-partitioned join-back, corpus tokenized once)
     "source_ngram_novelty",
+    # round-10 addition: three-signal z-ensemble gate (one co-partitioned
+    # signal join, one-row moments broadcast back)
+    "doc_quality_ensemble",
     # round-8 additions: CCNet line-level dedup (explode → one line-key
     # agg → co-partitioned join-back → HOF rebuild), linear gap
     # interpolation (two mirrored O(1)-state windows sharing one sort),
@@ -260,7 +263,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "event_type_transitions": 25, "doc_bigram_pmi": 20, "emb_batch_drift": 10,
         "doc_bigram_lm_scores": 5000,
         "events_robust_outliers": 4053, "doc_readability": 5000,
-        "source_ngram_novelty": 20,
+        "source_ngram_novelty": 20, "doc_quality_ensemble": 5000,
         "security_detections": 11195,
         "doc_repetition_stats": 5000, "doc_curation_audit": 5000,
         "doc_quality_sampled": 603, "source_divergence_matrix": 190,
@@ -313,7 +316,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "event_type_transitions": 25, "doc_bigram_pmi": 20, "emb_batch_drift": 10,
         "doc_bigram_lm_scores": 500,
         "events_robust_outliers": 392, "doc_readability": 500,
-        "source_ngram_novelty": 20,
+        "source_ngram_novelty": 20, "doc_quality_ensemble": 500,
         "security_detections": 1135,
         "doc_repetition_stats": 500, "doc_curation_audit": 500,
         "doc_quality_sampled": 75, "source_divergence_matrix": 190,
