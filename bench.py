@@ -231,6 +231,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     # quasi-groups and the Zipf rank-frequency corpus-naturalness fit
     "events_l_diversity",
     "doc_zipf_fit",
+    # round-10 addition: t-closeness audit completing the privacy triad
+    "events_t_closeness",
     # round-10 addition: calibrated-gate round trip — both sweep arms
     # from the one shared calibration statistic (single corpus scan,
     # self-check columns asserted by the oracle)
@@ -292,7 +294,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "token_graph_link_prediction": 20, "user_retention_cohorts": 111,
         "emb_dim_covariance": 2080, "emb_pca_projection": 2000,
         "doc_quality_calibrated": 5000, "token_graph_summary": 1,
-        "events_l_diversity": 51, "doc_zipf_fit": 1,
+        "events_l_diversity": 51, "doc_zipf_fit": 1, "events_t_closeness": 51,
         "doc_quality_calibrated_sweep": 14,
     },
     "0.01": {
@@ -345,7 +347,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "token_graph_link_prediction": 20, "user_retention_cohorts": 59,
         "emb_dim_covariance": 2080, "emb_pca_projection": 500,
         "doc_quality_calibrated": 500, "token_graph_summary": 1,
-        "events_l_diversity": 39, "doc_zipf_fit": 1,
+        "events_l_diversity": 39, "doc_zipf_fit": 1, "events_t_closeness": 39,
         "doc_quality_calibrated_sweep": 14,
     },
 }

@@ -101,3 +101,81 @@ def l_diversity_report(
             "l_diverse"
         ),
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007 — public
+    criterion), completing the k-anonymity / l-diversity triad:
+    l-diversity still leaks when a group's sensitive DISTRIBUTION is
+    skewed far from the corpus (a group with l distinct diagnoses, 95%
+    of them one disease, tells the attacker plenty). Each quasi-group's
+    sensitive-value distribution must sit within ``t`` of the global
+    distribution in total variation distance
+    ``TVD = 0.5 · Σ_v |p_group(v) − p_global(v)|`` (the categorical form
+    of the paper's EMD).
+
+    Shape: ONE (quasi, sensitive) hash aggregation; the global
+    distribution folds FROM that frame (no second corpus pass) and joins
+    back keyed on the sensitive value — a value-keyed equi-join, never a
+    broadcast of the unbounded group list; absent values contribute
+    ``p_global(v)/2`` each, folded in closed form via Σ_present
+    (total absent mass = 1 − Σ_present p_global). Ratios round to 6 dp
+    for cross-engine determinism. Output: ``*quasi_cols, group_size,
+    tvd, t_close``.
+    """
+    if not 0.0 < t <= 1.0:
+        raise ValueError("t must be in (0, 1]")
+    cell = df.groupBy(
+        *[F.col(c) for c in quasi_cols], F.col(sensitive_col).alias("_v")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    gsize = cell.groupBy(*quasi_cols).agg(F.sum("_c").alias("_gn"))
+    glob = cell.groupBy("_v").agg(F.sum("_c").alias("_gc"))
+    tot = glob.agg(F.sum("_gc").alias("_t"))
+    pg = glob.crossJoin(F.broadcast(tot)).select(
+        "_v",
+        F.round(
+            F.col("_gc").cast("double") / F.col("_t").cast("double"), 6
+        ).alias("_pg"),
+    )
+    joined = (
+        cell.join(pg, "_v")
+        .join(gsize, list(quasi_cols))
+        .select(
+            *quasi_cols,
+            "_gn",
+            F.round(
+                F.col("_c").cast("double") / F.col("_gn").cast("double"),
+                6,
+            ).alias("_pv"),
+            "_pg",
+        )
+    )
+    # TVD over the full value domain = 0.5·(Σ_present |pv − pg|
+    # + Σ_absent pg) with Σ_absent pg = 1 − Σ_present pg. Terms are
+    # true 6-dp decimals (both ratios pre-rounded), so casting each to
+    # DECIMAL(18,6) before summing makes the fold exact and
+    # accumulation-order-free — a plain double sum rounded to 6 dp sat
+    # exactly on a ...9995 edge at sf0.01 and split the engines
+    tvd = F.round(
+        F.lit(0.5)
+        * (
+            F.sum(
+                F.abs(F.col("_pv") - F.col("_pg")).cast("decimal(18,6)")
+            ).cast("double")
+            + (
+                F.lit(1.0)
+                - F.sum(F.col("_pg").cast("decimal(18,6)")).cast("double")
+            )
+        ),
+        6,
+    )
+    return joined.groupBy(*quasi_cols).agg(
+        F.max("_gn").cast("long").alias("group_size"),
+        tvd.alias("tvd"),
+        (tvd <= F.lit(float(t))).alias("t_close"),
+    )

@@ -104,3 +104,57 @@ def test_l_diversity_rejects_bad_l(spark):
     df = spark.createDataFrame([("a", "s")], "qid string, sensitive string")
     with _pytest.raises(ValueError):
         l_diversity_report(df, ["qid"], "sensitive", l=0)
+
+
+def test_t_closeness_bruteforce(spark):
+    import random
+
+    from security_data_pipeline_spark.operators.privacy import (
+        t_closeness_report,
+    )
+
+    rng = random.Random(31)
+    rows = [
+        (f"g{i % 4}", rng.choice(["a", "b", "c", "d"])) for i in range(400)
+    ]
+    # one deliberately skewed group: almost all one value
+    rows += [("skewed", "a")] * 95 + [("skewed", "b")] * 5
+    df = spark.createDataFrame(rows, "grp string, sv string")
+    got = {
+        r["grp"]: r
+        for r in t_closeness_report(df, ["grp"], "sv", t=0.2).collect()
+    }
+
+    from collections import Counter
+
+    total = Counter(sv for _, sv in rows)
+    n = len(rows)
+    pg = {v: round(c / n, 6) for v, c in total.items()}
+    for grp in {g for g, _ in rows}:
+        sub = Counter(sv for g, sv in rows if g == grp)
+        gn = sum(sub.values())
+        present = {v: round(c / gn, 6) for v, c in sub.items()}
+        tvd = 0.5 * (
+            sum(abs(present[v] - pg[v]) for v in present)
+            + (1.0 - sum(pg[v] for v in present))
+        )
+        assert got[grp]["group_size"] == gn
+        assert abs(got[grp]["tvd"] - tvd) < 2e-6, (grp, got[grp]["tvd"], tvd)
+        assert got[grp]["t_close"] == (round(tvd, 6) <= 0.2) or abs(
+            round(tvd, 6) - 0.2
+        ) < 2e-6
+    assert not got["skewed"]["t_close"]
+
+
+def test_t_closeness_uniform_group_passes(spark):
+    from security_data_pipeline_spark.operators.privacy import (
+        t_closeness_report,
+    )
+
+    rows = [("g1", v) for v in ["a", "b"] * 50] + [
+        ("g2", v) for v in ["a", "b"] * 30
+    ]
+    df = spark.createDataFrame(rows, "grp string, sv string")
+    out = {r["grp"]: r for r in t_closeness_report(df, ["grp"], "sv").collect()}
+    assert out["g1"]["tvd"] == 0.0 and out["g1"]["t_close"]
+    assert out["g2"]["tvd"] == 0.0 and out["g2"]["t_close"]
