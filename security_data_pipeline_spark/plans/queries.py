@@ -11294,6 +11294,51 @@ def events_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "emb_stream_covariance",
+    sql=REGISTRY["emb_dim_covariance"].sql,
+    description=(
+        "Streaming embedding-covariance state witnessed at table scale: "
+        "embeddings staged to parquet, re-read as a file stream in two "
+        "micro-batches, the exact DECIMAL (i, j, s, n) sufficient "
+        "statistics folded per batch (maintain_emb_cov_stream: 2,144-row "
+        "scratch-swap state, replay-guarded addition), then the "
+        "covariance frame derived FROM THE STATE — held to the one-shot "
+        "batch oracle bit-for-bit, which is exactly the property decimal "
+        "summation buys (a float64 fold would drift with batch "
+        "boundaries). The embedding analogue of the calibration monitor: "
+        "vector-space health (covariance, PCA fit) current at ingest "
+        "cadence with no corpus rescan"
+    ),
+)
+def emb_stream_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators.similarity import (
+        _cov_from_sums,
+    )
+    from security_data_pipeline_spark.streaming.pipeline import (
+        emb_cov_state_sums,
+        maintain_emb_cov_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    tmp = _stage_two_batches(emb, "stream_cov_")
+    q = maintain_emb_cov_stream(
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/src"),
+        f"{tmp}/state",
+        f"{tmp}/ckpt",
+    )
+    q.awaitTermination()
+    return _cov_from_sums(emb_cov_state_sums(spark, f"{tmp}/state")).select(
+        F.col("dim_i").cast("long").alias("dim_i"),
+        F.col("dim_j").cast("long").alias("dim_j"),
+        "cov",
+    )
+
+
 # Composite driver-window queries register on import (they reuse the
 # operators and oracle-SQL builders defined above, so the import must come
 # after those definitions).

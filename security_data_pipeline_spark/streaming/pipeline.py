@@ -3685,3 +3685,96 @@ def edge_state_edges(spark: SparkSession, state_path: str) -> DataFrame:
     return spark.read.parquet(state_path).drop(
         "_last_batch_id", "_fold_tag", "_kp"
     )
+
+
+def _emb_cov_fold(state_path: str, vec_col: str, dim: int, tag: str):
+    """foreachBatch fold for :func:`maintain_emb_cov_stream` —
+    module-level so the replay guard is directly unit-testable."""
+    from security_data_pipeline_spark.operators.similarity import (
+        _exact_cov_sums,
+    )
+
+    scratch = f"{state_path}__next"
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        raw, _recovered = _read_state(spark, state_path, scratch)
+        replayed, prev = _check_replay(raw, batch_id, tag)
+        if replayed:
+            # DECIMAL sums merge by ADDITION (not idempotent): a
+            # replayed batch is already in the persisted state — an
+            # interrupted scratch swap was completed inside _read_state,
+            # so there is nothing else to do.
+            return
+        new = _exact_cov_sums(batch_df, vec_col, dim)
+        merged = (
+            new
+            if prev is None
+            else prev.unionByName(new)
+            .groupBy("i", "j")
+            .agg(F.sum("s").alias("s"), F.sum("_n").alias("_n"))
+        )
+        # pin the decimal width: Spark widens sum(DECIMAL(28,12)) per
+        # fold — without the cast the state schema creeps across
+        # generations (the calibration maintainer's argument verbatim)
+        merged = merged.select(
+            "i",
+            "j",
+            F.col("s").cast("decimal(28,12)").alias("s"),
+            F.col("_n").cast("long").alias("_n"),
+        )
+        out = _stamp_batch(merged, batch_id, tag)
+        out.write.mode("overwrite").parquet(scratch)
+        spark.read.parquet(scratch).write.mode("overwrite").parquet(
+            state_path
+        )
+
+    return _fold
+
+
+def maintain_emb_cov_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    trigger_available_now: bool = True,
+):
+    """Streaming embedding-covariance statistics: the exact DECIMAL
+    (i, j, s, n) sufficient-statistic frame behind
+    ``embedding_covariance`` / ``pca_fit`` folded per micro-batch — the
+    vector-space health diagnostics (covariance, PCA fit, explained-
+    variance curve) stay current at ingest cadence without rescanning
+    the corpus, the embedding analogue of the calibration monitor.
+
+    State discipline by growth law: the statistic domain is
+    ``dim·(dim+1)/2 + dim`` rows FOREVER (2,144 at dim=64) → whole-state
+    scratch-swap; per-term DECIMAL(28,12) products sum EXACTLY, so the
+    fold is accumulation-order-free and the streamed state is
+    bit-identical to the batch aggregation over the cumulative input
+    (the property the oracle checks). Addition is not idempotent →
+    lineage-stamped batch-id delivery guard; an interrupted swap heals
+    via the shared scratch-recovery read.
+
+    Read via :func:`emb_cov_state_sums` → feed
+    ``similarity._cov_from_sums`` for the covariance frame, or collect
+    the bounded rows and eigendecompose exactly as ``pca_fit`` does.
+    Returns the StreamingQuery.
+    """
+    tag = _lineage_tag(checkpoint_path)
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_emb_cov_fold(state_path, vec_col, dim, tag))
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def emb_cov_state_sums(spark: SparkSession, state_path: str) -> DataFrame:
+    """The streamed covariance sufficient statistics with guard columns
+    dropped — feed to ``similarity._cov_from_sums``."""
+    return spark.read.parquet(state_path).drop(
+        "_last_batch_id", "_fold_tag"
+    )

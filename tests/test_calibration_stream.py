@@ -365,3 +365,82 @@ def test_calibration_recovers_from_scratch_generation(spark, tmp_path):
     run("ckpt2")
     got = spark.read.parquet(state)
     assert got.agg({"n": "sum"}).first()[0] == 3
+
+
+def test_emb_cov_stream_equals_batch_and_replay_guard(spark, tmp_path):
+    """Streamed covariance statistics must equal the one-shot batch
+    aggregation bit-for-bit (DECIMAL sums — batch boundaries can't
+    drift the fold), and a replayed batch id must be a no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.operators.similarity import (
+        _exact_cov_sums,
+    )
+    from security_data_pipeline_spark.streaming.pipeline import (
+        _emb_cov_fold,
+        emb_cov_state_sums,
+        maintain_emb_cov_stream,
+    )
+
+    import random
+
+    rng = random.Random(37)
+    dim = 4
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    for bi in (0, 1):
+        half = rows[bi * 20 : (bi + 1) * 20]
+        f = src / f"b{bi}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": [r[0] for r in half],
+                    "embedding": pa.array(
+                        [r[1] for r in half], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            f,
+        )
+        os.utime(f, (1_700_000_000 + bi, 1_700_000_000 + bi))
+
+    state = str(tmp_path / "cov")
+    q = maintain_emb_cov_stream(
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src)),
+        state,
+        str(tmp_path / "ckpt"),
+        dim=dim,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["i"], r["j"]): (r["s"], r["_n"])
+        for r in emb_cov_state_sums(spark, state).collect()
+    }
+    df = spark.read.parquet(str(src))
+    want = {
+        (r["i"], r["j"]): (r["s"], r["_n"])
+        for r in _exact_cov_sums(df, "embedding", dim).collect()
+    }
+    assert got == want  # bit-for-bit: exact decimal sums
+
+    # replaying the last batch id directly must not change the state
+    from security_data_pipeline_spark.streaming.pipeline import (
+        _lineage_tag,
+    )
+
+    fold = _emb_cov_fold(
+        state, "embedding", dim, _lineage_tag(str(tmp_path / "ckpt"))
+    )
+    fold(df, 1)
+    again = {
+        (r["i"], r["j"]): (r["s"], r["_n"])
+        for r in emb_cov_state_sums(spark, state).collect()
+    }
+    assert again == want
