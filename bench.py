@@ -198,6 +198,9 @@ BENCH_QUERIES: tuple[str, ...] = (
     # covariance, link prediction, graph summary), benched AS the driver
     # runs it
     "corpus_stats_suite",
+    # round-10 addition: the gate/quality family composite that took the
+    # user_counts_salted window slot, benched AS the driver runs it
+    "gate_quality_suite",
     "security_detections",
     # round-9 additions: curation-gate evaluation (one-pass calibration
     # bins / ECE, one-pass suffix-sum threshold sweep) and token-graph
@@ -290,7 +293,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_quality_calibration": 7, "doc_quality_ece": 1,
         "doc_quality_threshold_sweep": 9, "token_graph_triangles": 31,
         "token_graph_pagerank": 31, "curation_eval_suite": 10207,
-        "corpus_stats_suite": 10308, "doc_quality_eval_by_source": 20,
+        "corpus_stats_suite": 10308, "gate_quality_suite": 4737, "doc_quality_eval_by_source": 20,
         "token_graph_link_prediction": 20, "user_retention_cohorts": 111,
         "emb_dim_covariance": 2080, "emb_pca_projection": 2000,
         "doc_quality_calibrated": 5000, "token_graph_summary": 1,
@@ -343,7 +346,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_quality_calibration": 7, "doc_quality_ece": 1,
         "doc_quality_threshold_sweep": 9, "token_graph_triangles": 30,
         "token_graph_pagerank": 30, "curation_eval_suite": 1203,
-        "corpus_stats_suite": 3366, "doc_quality_eval_by_source": 20,
+        "corpus_stats_suite": 3366, "gate_quality_suite": 651, "doc_quality_eval_by_source": 20,
         "token_graph_link_prediction": 20, "user_retention_cohorts": 59,
         "emb_dim_covariance": 2080, "emb_pca_projection": 500,
         "doc_quality_calibrated": 500, "token_graph_summary": 1,

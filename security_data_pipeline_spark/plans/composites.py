@@ -2853,3 +2853,247 @@ def corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return _union(parts)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 gate/quality family (window slot rotated from user_counts_salted,
+# whose salted counts ride along as an arm)
+# ---------------------------------------------------------------------------
+
+
+def _gate_quality_suite_sql() -> str:
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+
+    def cte(name: str) -> str:
+        return REGISTRY[name].sql.strip().rstrip(";")
+
+    def dmean(col: str, cnt: str) -> str:
+        return (
+            f"ROUND(CAST(SUM(CAST({col} AS DECIMAL(18,6))) AS DOUBLE)"
+            f" / CAST(COUNT({cnt}) AS DOUBLE), 6)"
+        )
+
+    arms = [
+        _unpivot_arm_sql(
+            "sc",
+            "salted",
+            "CAST(user_id AS VARCHAR)",
+            [
+                ("n_events", "n_events"),
+                ("first_us", "CAST(epoch_us(first_ts) AS DOUBLE)"),
+                ("last_us", "CAST(epoch_us(last_ts) AS DOUBLE)"),
+            ],
+        ),
+        f"""SELECT 'readability' AS suite, 'all' AS item, 'n_docs' AS metric,
+       CAST(COUNT(flesch_ease) AS DOUBLE) AS value FROM rd
+UNION ALL
+SELECT 'readability', 'all', 'mean_ease',
+       {dmean("flesch_ease", "flesch_ease")} FROM rd
+UNION ALL
+SELECT 'readability', 'all', 'mean_grade',
+       {dmean("fk_grade", "fk_grade")} FROM rd""",
+        f"""SELECT 'bigram_lm' AS suite, 'all' AS item, 'n_docs' AS metric,
+       CAST(COUNT(*) AS DOUBLE) AS value FROM lm
+UNION ALL
+SELECT 'bigram_lm', 'all', 'mean_logprob',
+       {dmean("avg_logprob", "*")} FROM lm
+UNION ALL
+SELECT 'bigram_lm', 'all', 'mean_ppl',
+       {dmean("perplexity", "*")} FROM lm""",
+        """SELECT 'ensemble' AS suite, 'all' AS item, 'n_docs' AS metric,
+       CAST(COUNT(*) AS DOUBLE) AS value FROM en
+UNION ALL
+SELECT 'ensemble', 'all', 'ens_min', MIN(ensemble) FROM en
+UNION ALL
+SELECT 'ensemble', 'all', 'ens_max', MAX(ensemble) FROM en""",
+        _unpivot_arm_sql(
+            "nv",
+            "novelty",
+            "source",
+            [
+                ("n_grams", "n_grams"),
+                ("n_unique", "n_unique"),
+                ("novelty", "novelty"),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "tc",
+            "tclose",
+            "event_type || '|' || value_range",
+            [
+                ("group_size", "group_size"),
+                ("tvd", "tvd"),
+                ("t_close", "CASE WHEN t_close THEN 1 ELSE 0 END"),
+            ],
+        ),
+        """SELECT 'robust' AS suite, event_type AS item,
+       'n_outliers' AS metric, CAST(COUNT(*) AS DOUBLE) AS value
+FROM ro GROUP BY event_type""",
+        _unpivot_arm_sql(
+            "pc",
+            "pca",
+            "CAST(n_components AS VARCHAR)",
+            [("mean_recall", "mean_recall")],
+        ),
+        _unpivot_arm_sql(
+            "tr",
+            "trunc",
+            "CAST(n_components AS VARCHAR)",
+            [("mean_recall", "mean_recall")],
+        ),
+    ]
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH sc AS ({cte("user_counts_salted")}),
+rd AS ({cte("doc_readability")}),
+lm AS ({cte("doc_bigram_lm_scores")}),
+en AS ({cte("doc_quality_ensemble")}),
+nv AS ({cte("source_ngram_novelty")}),
+tc AS ({cte("events_t_closeness")}),
+ro AS ({cte("events_robust_outliers")}),
+pc AS ({cte("pca_recall_sweep")}),
+tr AS ({cte("emb_truncation_recall_sweep")})
+{body}
+"""
+
+
+@query(
+    "gate_quality_suite",
+    sql=_gate_quality_suite_sql(),
+    description=(
+        "The round-10 gate/quality family in one slot, built from the "
+        "very same registered operator calls: (1) the salted per-user "
+        "counts (subsumes the user_counts_salted slot this composite "
+        "replaced); (2) corpus readability stats (decimal means over "
+        "the Flesch/FK scan); (3) corpus bigram-LM stats; (4) ensemble "
+        "score extrema; (5) per-source trigram novelty; (6) the "
+        "t-closeness audit; (7) robust-outlier counts per type; "
+        "(8) the PCA recall sweep and (9) its raw-truncation control. "
+        "All unpivoted to one (suite, item, metric, value) stream; "
+        "constituents stay registered for granular oracle checks"
+    ),
+)
+def gate_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def run(name: str) -> DataFrame:
+        return REGISTRY[name].fn(spark, sf_dir)
+
+    def arm(df: DataFrame, suite: str, item, metrics: list) -> DataFrame:
+        named = [
+            (m, F.col(m)) if isinstance(m, str) else m for m in metrics
+        ]
+        return (
+            df.select(
+                item.alias("item"),
+                *[e.cast("double").alias(n) for n, e in named],
+            )
+            .unpivot(["item"], [n for n, _ in named], "metric", "value")
+            .select(F.lit(suite).alias("suite"), "item", "metric", "value")
+        )
+
+    def dmean(col: str) -> F.Column:
+        return F.round(
+            F.sum(F.col(col).cast("decimal(18,6)")).cast("double")
+            / F.count(col).cast("double"),
+            6,
+        )
+
+    def stats_arm(df: DataFrame, suite: str, aggs: list) -> DataFrame:
+        agged = df.agg(
+            *[e.cast("double").alias(n) for n, e in aggs]
+        )
+        return agged.unpivot(
+            [], [n for n, _ in aggs], "metric", "value"
+        ).select(
+            F.lit(suite).alias("suite"),
+            F.lit("all").alias("item"),
+            "metric",
+            "value",
+        )
+
+    rd = run("doc_readability")
+    lm = run("doc_bigram_lm_scores")
+    en = run("doc_quality_ensemble")
+    parts = [
+        arm(
+            run("user_counts_salted"),
+            "salted",
+            F.col("user_id").cast("string"),
+            [
+                "n_events",
+                ("first_us", F.unix_micros("first_ts")),
+                ("last_us", F.unix_micros("last_ts")),
+            ],
+        ),
+        stats_arm(
+            rd,
+            "readability",
+            [
+                ("n_docs", F.count("flesch_ease")),
+                ("mean_ease", dmean("flesch_ease")),
+                ("mean_grade", dmean("fk_grade")),
+            ],
+        ),
+        stats_arm(
+            lm,
+            "bigram_lm",
+            [
+                ("n_docs", F.count(F.lit(1))),
+                ("mean_logprob", dmean("avg_logprob")),
+                ("mean_ppl", dmean("perplexity")),
+            ],
+        ),
+        stats_arm(
+            en,
+            "ensemble",
+            [
+                ("n_docs", F.count(F.lit(1))),
+                ("ens_min", F.min("ensemble")),
+                ("ens_max", F.max("ensemble")),
+            ],
+        ),
+        arm(
+            run("source_ngram_novelty"),
+            "novelty",
+            F.col("source"),
+            ["n_grams", "n_unique", "novelty"],
+        ),
+        arm(
+            run("events_t_closeness"),
+            "tclose",
+            F.concat(
+                F.col("event_type"), F.lit("|"), F.col("value_range")
+            ),
+            [
+                "group_size",
+                "tvd",
+                (
+                    "t_close",
+                    F.when(F.col("t_close"), F.lit(1)).otherwise(
+                        F.lit(0)
+                    ),
+                ),
+            ],
+        ),
+        run("events_robust_outliers")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+        .select(
+            F.lit("robust").alias("suite"),
+            F.col("event_type").alias("item"),
+            F.lit("n_outliers").alias("metric"),
+            F.col("n_outliers").cast("double").alias("value"),
+        ),
+        arm(
+            run("pca_recall_sweep"),
+            "pca",
+            F.col("n_components").cast("string"),
+            ["mean_recall"],
+        ),
+        arm(
+            run("emb_truncation_recall_sweep"),
+            "trunc",
+            F.col("n_components").cast("string"),
+            ["mean_recall"],
+        ),
+    ]
+    return _union(parts)

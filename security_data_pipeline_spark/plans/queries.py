@@ -11381,7 +11381,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # prediction, graph transitivity summary (constituents stay
     # registered as extras)
     "corpus_stats_suite",
-    "user_counts_salted",
+    # round-10 gate/quality composite: salted per-user counts (subsumes
+    # the user_counts_salted slot it replaced), corpus readability and
+    # bigram-LM stats, ensemble extrema, trigram novelty, t-closeness,
+    # robust-outlier counts, PCA recall sweep + raw-truncation control
+    # (constituents stay registered as extras)
+    "gate_quality_suite",
     # window-functions composite: RANGE-frame rolling count + ignoreNulls
     # as-of lag (constituents rolling_hour_counts / time_since_last_error
     # stay registered as extras)

@@ -26,7 +26,11 @@ MUST_BE_IN_WINDOW = {
     # l-diversity, covariance, link prediction, graph summary)
     "corpus_stats_suite",
     "nation_parties_full_outer",
-    "user_counts_salted",
+    # subsumes user_counts_salted (round-10 window consolidation that
+    # put the gate/quality family in front of the driver: salted counts
+    # arm + readability, bigram-LM, ensemble, novelty, t-closeness,
+    # robust outliers, PCA + truncation recall sweeps)
+    "gate_quality_suite",
     "asof_click_before_purchase",
     "click_purchase_bursts",
     "ann_topk_methods",  # subsumes knn_cosine_lsh / knn_cosine_ivf / knn_pq_adc
