@@ -130,9 +130,32 @@ def t_closeness_report(
     """
     if not 0.0 < t <= 1.0:
         raise ValueError("t must be in (0, 1]")
-    cell = df.groupBy(
+    cell = t_closeness_cells(df, quasi_cols, sensitive_col)
+    return t_closeness_from_cells(cell, quasi_cols, t)
+
+
+def t_closeness_cells(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+) -> DataFrame:
+    """The (quasi, sensitive, count) sufficient-statistic frame behind
+    :func:`t_closeness_report` — counts are ADDITIVE, so the frame is
+    the unit of streaming state (``maintain_privacy_cells_stream``):
+    fold per micro-batch, derive the audit from the cumulative cells."""
+    return df.groupBy(
         *[F.col(c) for c in quasi_cols], F.col(sensitive_col).alias("_v")
     ).agg(F.count(F.lit(1)).alias("_c"))
+
+
+def t_closeness_from_cells(
+    cell: DataFrame,
+    quasi_cols: Sequence[str],
+    t: float = 0.2,
+) -> DataFrame:
+    """Audit tail shared by the batch report and the streamed state
+    reader: group sizes, the global distribution, and the TVD fold all
+    derive FROM the bounded cell frame — no corpus access."""
     gsize = cell.groupBy(*quasi_cols).agg(F.sum("_c").alias("_gn"))
     glob = cell.groupBy("_v").agg(F.sum("_c").alias("_gc"))
     tot = glob.agg(F.sum("_gc").alias("_t"))

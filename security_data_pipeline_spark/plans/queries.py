@@ -11339,6 +11339,59 @@ def emb_stream_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_stream_t_closeness",
+    sql=REGISTRY["events_t_closeness"].sql,
+    description=(
+        "Streaming privacy-audit state witnessed at table scale: the "
+        "generalized events stream folds its (quasi, sensitive, count) "
+        "cells through maintain_privacy_cells_stream (grid-bounded "
+        "scratch-swap, replay-guarded addition) across two real "
+        "micro-batches, then the t-closeness audit derives FROM THE "
+        "STATE — held to the one-shot batch oracle. The release gate "
+        "current at ingest cadence: a batch that skews one quasi-group's "
+        "sensitive distribution flips its t_close flag without any "
+        "corpus rescan"
+    ),
+)
+def events_stream_t_closeness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from security_data_pipeline_spark.operators.privacy import (
+        generalize_numeric,
+        t_closeness_from_cells,
+    )
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_privacy_cells_stream,
+        privacy_cells_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        generalize_numeric("value", width=50).alias("value_range"),
+        F.from_json(F.col("props"), "struct<k:bigint>")
+        .getField("k")
+        .alias("sv"),
+    )
+    tmp = _stage_two_batches(ev, "stream_priv_")
+    q = maintain_privacy_cells_stream(
+        spark.readStream.schema(
+            "event_type string, value_range string, sv bigint"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/src"),
+        f"{tmp}/state",
+        f"{tmp}/ckpt",
+        quasi_cols=["event_type", "value_range"],
+        sensitive_col="sv",
+    )
+    q.awaitTermination()
+    cells = privacy_cells_state(spark, f"{tmp}/state")
+    return t_closeness_from_cells(
+        cells, ["event_type", "value_range"], t=0.2
+    )
+
+
 # Composite driver-window queries register on import (they reuse the
 # operators and oracle-SQL builders defined above, so the import must come
 # after those definitions).

@@ -3778,3 +3778,94 @@ def emb_cov_state_sums(spark: SparkSession, state_path: str) -> DataFrame:
     return spark.read.parquet(state_path).drop(
         "_last_batch_id", "_fold_tag"
     )
+
+
+def _privacy_cells_fold(
+    state_path: str, quasi_cols: list[str], sensitive_col: str, tag: str
+):
+    """foreachBatch fold for :func:`maintain_privacy_cells_stream` —
+    module-level so the replay guard is directly unit-testable."""
+    from security_data_pipeline_spark.operators.privacy import (
+        t_closeness_cells,
+    )
+
+    scratch = f"{state_path}__next"
+    keys = [*quasi_cols, "_v"]
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        raw, _recovered = _read_state(spark, state_path, scratch)
+        replayed, prev = _check_replay(raw, batch_id, tag)
+        if replayed:
+            # counts merge by ADDITION (not idempotent): a replayed
+            # batch is already in the persisted state — an interrupted
+            # scratch swap was completed inside _read_state.
+            return
+        new = t_closeness_cells(batch_df, quasi_cols, sensitive_col)
+        merged = (
+            new
+            if prev is None
+            else prev.unionByName(new)
+            .groupBy(*keys)
+            .agg(F.sum("_c").alias("_c"))
+        )
+        merged = merged.select(
+            *keys, F.col("_c").cast("long").alias("_c")
+        )
+        out = _stamp_batch(merged, batch_id, tag)
+        out.write.mode("overwrite").parquet(scratch)
+        spark.read.parquet(scratch).write.mode("overwrite").parquet(
+            state_path
+        )
+
+    return _fold
+
+
+def maintain_privacy_cells_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming privacy-audit state: the (quasi, sensitive, count) cell
+    frame behind the t-closeness / l-diversity audits folded per
+    micro-batch — "is the release gate still satisfied on what has
+    arrived SO FAR?" answered continuously, the release-audit analogue
+    of the calibration monitor.
+
+    State discipline by growth law: the cell domain is bounded by the
+    GENERALIZED quasi grid × the sensitive domain (generalization is
+    precisely what makes the quasi side bounded — the same coarsening
+    the audit itself requires), so whole-state scratch-swap costs
+    O(cells) per batch. Counts merge by exact ADDITION (not idempotent
+    → lineage-stamped batch-id delivery guard; interrupted swaps heal
+    via the shared scratch-recovery read).
+
+    Read via :func:`privacy_cells_state` →
+    ``privacy.t_closeness_from_cells`` for the live audit — identical
+    to the batch report over the cumulative input (the oracle-checked
+    property). Returns the StreamingQuery.
+    """
+    tag = _lineage_tag(checkpoint_path)
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(
+            _privacy_cells_fold(
+                state_path, list(quasi_cols), sensitive_col, tag
+            )
+        )
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def privacy_cells_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The streamed privacy cell counts with guard columns dropped —
+    feed to ``privacy.t_closeness_from_cells``."""
+    return spark.read.parquet(state_path).drop(
+        "_last_batch_id", "_fold_tag"
+    )

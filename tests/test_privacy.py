@@ -158,3 +158,96 @@ def test_t_closeness_uniform_group_passes(spark):
     out = {r["grp"]: r for r in t_closeness_report(df, ["grp"], "sv").collect()}
     assert out["g1"]["tvd"] == 0.0 and out["g1"]["t_close"]
     assert out["g2"]["tvd"] == 0.0 and out["g2"]["t_close"]
+
+
+def test_privacy_cells_stream_equals_batch_and_flips_on_skew(
+    spark, tmp_path
+):
+    """The streamed cell state must reproduce the batch audit over the
+    cumulative input, a replayed batch id must be a no-op, and a second
+    batch that skews one group's sensitive distribution must flip that
+    group's flag — the live-release-gate property."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_data_pipeline_spark.operators.privacy import (
+        t_closeness_from_cells,
+        t_closeness_report,
+    )
+    from security_data_pipeline_spark.streaming.pipeline import (
+        _lineage_tag,
+        _privacy_cells_fold,
+        maintain_privacy_cells_stream,
+        privacy_cells_state,
+    )
+
+    # batch 0: both groups uniform over {a, b}; batch 1 floods g2 with
+    # 'a', which drags the GLOBAL distribution toward 'a' — so the
+    # group left behind (g1, still uniform) is the one that deviates
+    # from the corpus and flips to not-t-close, while g2 now dominates
+    # the global and sits near it. Flags track the CUMULATIVE
+    # distributions, which is the live-gate property under test
+    b0 = [("g1", v) for v in ["a", "b"] * 30] + [
+        ("g2", v) for v in ["a", "b"] * 30
+    ]
+    b1 = [("g2", "a")] * 120
+    src = tmp_path / "in"
+    src.mkdir()
+    for bi, rows in enumerate([b0, b1]):
+        f = src / f"b{bi}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "grp": [r[0] for r in rows],
+                    "sv": [r[1] for r in rows],
+                }
+            ),
+            f,
+        )
+        os.utime(f, (1_700_000_000 + bi, 1_700_000_000 + bi))
+
+    state = str(tmp_path / "cells")
+    ckpt = str(tmp_path / "ckpt")
+    q = maintain_privacy_cells_stream(
+        spark.readStream.schema("grp string, sv string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src)),
+        state,
+        ckpt,
+        quasi_cols=["grp"],
+        sensitive_col="sv",
+    )
+    q.awaitTermination(120)
+
+    cells = privacy_cells_state(spark, state)
+    got = {
+        r["grp"]: r
+        for r in t_closeness_from_cells(cells, ["grp"], t=0.2).collect()
+    }
+    all_df = spark.read.parquet(str(src))
+    want = {
+        r["grp"]: r
+        for r in t_closeness_report(all_df, ["grp"], "sv", t=0.2).collect()
+    }
+    assert {g: (r["group_size"], r["tvd"], r["t_close"]) for g, r in got.items()} == {
+        g: (r["group_size"], r["tvd"], r["t_close"]) for g, r in want.items()
+    }
+    assert got["g2"]["t_close"] and not got["g1"]["t_close"]
+
+    # replaying the last batch id must not change the state
+    fold = _privacy_cells_fold(state, ["grp"], "sv", _lineage_tag(ckpt))
+    fold(all_df, 1)
+    again = {
+        (r["grp"], r["_v"]): r["_c"]
+        for r in privacy_cells_state(spark, state).collect()
+    }
+    direct = {
+        (r["grp"], r["_v"]): r["_c"]
+        for r in __import__(
+            "security_data_pipeline_spark.operators.privacy",
+            fromlist=["t_closeness_cells"],
+        ).t_closeness_cells(all_df, ["grp"], "sv").collect()
+    }
+    assert again == direct
