@@ -836,3 +836,54 @@ def token_budget_waterfill(
             alloc / F.col("avail_tokens"),
         ).otherwise(F.lit(0.0)).alias("sampling_rate"),
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    fractions: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic per-stratum train/val/test assignment: every
+    stratum (source, domain, language) contributes the SAME proportions
+    to each split, so eval sets are not silently dominated by whichever
+    source is biggest — the complement of :func:`leakage-safe splitting
+    <security_data_pipeline_spark.operators.dedup>`: that one keeps
+    near-dup CLUSTERS un-straddled, this one keeps per-source RATES
+    equal. Compose by splitting on the cluster representative id.
+
+    Assignment is pure map-side Column math on an md5-derived bucket in
+    [0, 1e6) (identical hex cross-engine — the :func:`training_order`
+    discipline; never sample()/RNG, so membership is stable under
+    reruns, repartitioning, and engine choice), cut at the cumulative
+    fraction boundaries WITHIN each stratum's hash space by salting the
+    hash with the stratum value — a stratum is its own uniform
+    hash universe, so proportions hold per stratum, not just globally.
+    Adds ``split``; rows with NULL strata hash under the empty stratum
+    and still split at the same rates.
+    """
+    if len(fractions) != len(names):
+        raise ValueError("fractions and names must align")
+    if abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    h = F.md5(
+        F.concat(
+            F.lit(salt),
+            F.lit("|"),
+            F.coalesce(F.col(strata_col).cast("string"), F.lit("")),
+            F.lit("|"),
+            F.col(id_col).cast("string"),
+        ).cast("binary")
+    )
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 1_000_000
+    expr = F.lit(names[-1])
+    cum = 0.0
+    cuts = []
+    for frac, name in zip(fractions[:-1], names[:-1]):
+        cum += frac
+        cuts.append((int(round(cum * 1_000_000)), name))
+    for cut, name in reversed(cuts):
+        expr = F.when(bucket < F.lit(cut), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -11392,6 +11392,67 @@ def events_stream_t_closeness(
     )
 
 
+@query(
+    "doc_stratified_split",
+    sql="""
+WITH assigned AS (
+  SELECT source,
+         CASE
+           WHEN CAST(CONCAT('0x', substr(md5(
+                  'split' || '|' || COALESCE(source, '') || '|'
+                  || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 1000000 < 800000 THEN 'train'
+           WHEN CAST(CONCAT('0x', substr(md5(
+                  'split' || '|' || COALESCE(source, '') || '|'
+                  || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 1000000 < 900000 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+)
+SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY source) AS DOUBLE),
+             6) AS frac
+FROM assigned GROUP BY source, split
+""",
+    description=(
+        "Deterministic stratified train/val/test split report: 80/10/10 "
+        "WITHIN every source via an md5-derived bucket salted with the "
+        "stratum (each stratum is its own uniform hash universe, so "
+        "rates hold per source, not just globally) — the complement of "
+        "the leakage-safe cluster split: that one keeps near-dup "
+        "clusters un-straddled, this one keeps per-source rates equal. "
+        "Pure map-side assignment (never sample()/RNG — membership is "
+        "stable under reruns, repartitioning, and engine), one bounded "
+        "(source, split) aggregation on top; the fractions column is "
+        "the self-check that rates land near the targets"
+    ),
+)
+def doc_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators.mixing import (
+        stratified_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = stratified_split(docs)
+    w = Window.partitionBy("source")
+    return (
+        assigned.groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "source",
+            "split",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(w).cast("double"),
+                6,
+            ).alias("frac"),
+        )
+    )
+
+
 # Composite driver-window queries register on import (they reuse the
 # operators and oracle-SQL builders defined above, so the import must come
 # after those definitions).

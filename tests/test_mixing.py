@@ -487,3 +487,53 @@ def test_token_budget_waterfill_conserves_budget(spark):
             assert r["alloc_tokens"] <= r["avail_tokens"] + 1e-9 or not r[
                 "saturated"
             ]
+
+
+def test_stratified_split_rates_and_determinism(spark):
+    from security_data_pipeline_spark.operators.mixing import (
+        stratified_split,
+    )
+
+    rows = [(i, f"s{i % 3}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_split(df)
+    counts = {
+        (r["source"], r["split"]): r["n"]
+        for r in out.groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for s in ("s0", "s1", "s2"):
+        tot = sum(counts.get((s, sp), 0) for sp in ("train", "val", "test"))
+        assert tot == 1000
+        # per-stratum rates near 80/10/10 (hash uniformity, 1000 draws)
+        assert abs(counts.get((s, "train"), 0) / tot - 0.8) < 0.05
+        assert abs(counts.get((s, "val"), 0) / tot - 0.1) < 0.04
+        assert abs(counts.get((s, "test"), 0) / tot - 0.1) < 0.04
+    # determinism: same assignment on a rerun and under repartitioning
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in stratified_split(df.repartition(7)).collect()
+    }
+    assert a == b
+    # a different salt reshuffles membership but keeps rates
+    c = {
+        r["doc_id"]: r["split"]
+        for r in stratified_split(df, salt="epoch2").collect()
+    }
+    assert c != a
+
+
+def test_stratified_split_validates_inputs(spark):
+    import pytest as _pytest
+
+    from security_data_pipeline_spark.operators.mixing import (
+        stratified_split,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with _pytest.raises(ValueError):
+        stratified_split(df, fractions=(0.9, 0.2), names=("a", "b"))
+    with _pytest.raises(ValueError):
+        stratified_split(df, fractions=(0.8, 0.1), names=("a", "b", "c"))
