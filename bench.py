@@ -126,6 +126,11 @@ BENCH_QUERIES: tuple[str, ...] = (
     "pca_recall_sweep",
     # round-10 addition: its control arm — raw prefix truncation, no fit
     "emb_truncation_recall_sweep",
+    # round-11 addition: the same scaffold over PQ subspace count —
+    # completing the parameter-picking surface for the last ANN family
+    # without a measured curve (deterministic lowest-id codebooks refit
+    # per arm)
+    "pq_recall_sweep",
     # round-9 additions: task-level ANN consumers — leave-one-out kNN
     # label eval (neighbor frame broadcast into the label scan) and
     # contrastive hard-negative mining (mismatch filter BEFORE top-k)
@@ -204,6 +209,10 @@ BENCH_QUERIES: tuple[str, ...] = (
     # round-10 addition: the gate/quality family composite that took the
     # user_counts_salted window slot, benched AS the driver runs it
     "gate_quality_suite",
+    # round-11 addition: the privacy-triad composite (k-anonymity +
+    # l-diversity + t-closeness on one quasi grid, props.k stats riding
+    # along) that took the props_k_stats window slot
+    "privacy_suite",
     "security_detections",
     # round-9 additions: curation-gate evaluation (one-pass calibration
     # bins / ECE, one-pass suffix-sum threshold sweep) and token-graph
@@ -266,7 +275,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "temporal_net_suite": 44669, "event_windows_suite": 200000,
         "scale_suite": 287, "curation_suite": 429,
         "span_dedup_suite": 400, "neardup_pairs_suite": 568, "sketch_checks": 29,
-        "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4, "pca_recall_sweep": 5, "emb_truncation_recall_sweep": 5,
+        "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4, "pca_recall_sweep": 5, "pq_recall_sweep": 4, "emb_truncation_recall_sweep": 5,
         "knn_label_eval": 80, "emb_hard_negatives": 600, "ivf_cluster_purity": 16,
         "event_type_transitions": 25, "doc_bigram_pmi": 20, "emb_batch_drift": 10,
         "doc_bigram_lm_scores": 5000,
@@ -297,7 +306,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_quality_calibration": 7, "doc_quality_ece": 1,
         "doc_quality_threshold_sweep": 9, "token_graph_triangles": 31,
         "token_graph_pagerank": 31, "curation_eval_suite": 10207,
-        "corpus_stats_suite": 10308, "gate_quality_suite": 4737, "doc_quality_eval_by_source": 20,
+        "corpus_stats_suite": 10308, "gate_quality_suite": 4737, "privacy_suite": 365, "doc_quality_eval_by_source": 20,
         "token_graph_link_prediction": 20, "user_retention_cohorts": 111,
         "emb_dim_covariance": 2080, "emb_pca_projection": 2000,
         "doc_quality_calibrated": 5000, "token_graph_summary": 1,
@@ -320,7 +329,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "temporal_net_suite": 16129, "event_windows_suite": 20000,
         "scale_suite": 270, "curation_suite": 429,
         "span_dedup_suite": 292, "neardup_pairs_suite": 37, "sketch_checks": 29,
-        "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4, "pca_recall_sweep": 5, "emb_truncation_recall_sweep": 5,
+        "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4, "pca_recall_sweep": 5, "pq_recall_sweep": 4, "emb_truncation_recall_sweep": 5,
         "knn_label_eval": 78, "emb_hard_negatives": 600, "ivf_cluster_purity": 16,
         "event_type_transitions": 25, "doc_bigram_pmi": 20, "emb_batch_drift": 10,
         "doc_bigram_lm_scores": 500,
@@ -351,7 +360,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_quality_calibration": 7, "doc_quality_ece": 1,
         "doc_quality_threshold_sweep": 9, "token_graph_triangles": 30,
         "token_graph_pagerank": 30, "curation_eval_suite": 1203,
-        "corpus_stats_suite": 3366, "gate_quality_suite": 651, "doc_quality_eval_by_source": 20,
+        "corpus_stats_suite": 3366, "gate_quality_suite": 651, "privacy_suite": 281, "doc_quality_eval_by_source": 20,
         "token_graph_link_prediction": 20, "user_retention_cohorts": 59,
         "emb_dim_covariance": 2080, "emb_pca_projection": 500,
         "doc_quality_calibrated": 500, "token_graph_summary": 1,

@@ -397,7 +397,9 @@ def robust_value_outliers(
     have a 50% breakdown point, so the baseline stands still while the
     burst sticks out.
 
-    Modified z = (x − median) / (1.4826·MAD); groups whose MAD is 0
+    Modified z = (x − median) / (1.4826·MAD), flagged TWO-SIDED at
+    ``|z| > z_threshold`` — the paper's criterion, strict inequality
+    (sudden drops flag the same as spikes); groups whose MAD is 0
     (over half the values identical) yield NULL z and flag nothing —
     surfaced, not crashed. Scale shape: exact per-group median and MAD
     via TWO groupBy aggregations (percentile is a map-side-combinable
@@ -434,5 +436,11 @@ def robust_value_outliers(
             F.col("_mad").alias("group_mad"),
             rz.alias("robust_z"),
         )
-        .filter(F.col("robust_z") > F.lit(float(z_threshold)))
+        # |z| > threshold, both tails — Iglewicz & Hoaglin's modified
+        # z-score criterion is two-sided (|M_i| > 3.5); a sudden DROP is
+        # as anomalous as a spike (ADVICE r10: the old one-sided
+        # `robust_z > t` never flagged negative-direction anomalies).
+        # Strict > (not >=) is the paper's rule; value_outliers' >= is
+        # its own documented convention.
+        .filter(F.abs(F.col("robust_z")) > F.lit(float(z_threshold)))
     )

@@ -862,7 +862,12 @@ def stratified_split(
     hash with the stratum value — a stratum is its own uniform
     hash universe, so proportions hold per stratum, not just globally.
     Adds ``split``; rows with NULL strata hash under the empty stratum
-    and still split at the same rates.
+    and still split at the same rates. Rows with a NULL ``id_col`` hash
+    under a reserved sentinel (they cannot be told apart, so they all
+    receive the same deterministic split within their stratum) — before
+    this coalesce, a NULL id made the md5 NULL and every NULL-id row
+    silently fell through to ``names[-1]``, skewing the eval split
+    (ADVICE r10).
     """
     if len(fractions) != len(names):
         raise ValueError("fractions and names must align")
@@ -874,7 +879,10 @@ def stratified_split(
             F.lit("|"),
             F.coalesce(F.col(strata_col).cast("string"), F.lit("")),
             F.lit("|"),
-            F.col(id_col).cast("string"),
+            # \x00-prefixed sentinel: no real string id collides with it
+            F.coalesce(
+                F.col(id_col).cast("string"), F.lit("\x00null_id")
+            ),
         ).cast("binary")
     )
     bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 1_000_000

@@ -142,10 +142,26 @@ def t_closeness_cells(
     """The (quasi, sensitive, count) sufficient-statistic frame behind
     :func:`t_closeness_report` — counts are ADDITIVE, so the frame is
     the unit of streaming state (``maintain_privacy_cells_stream``):
-    fold per micro-batch, derive the audit from the cumulative cells."""
-    return df.groupBy(
-        *[F.col(c) for c in quasi_cols], F.col(sensitive_col).alias("_v")
-    ).agg(F.count(F.lit(1)).alias("_c"))
+    fold per micro-batch, derive the audit from the cumulative cells.
+
+    NULL sensitive values are EXCLUDED here, by convention: the audit
+    measures the distribution of *known* secrets, matching
+    :func:`l_diversity_report` (whose ``countDistinct`` likewise ignores
+    NULL). Excluding them at the cell source — rather than letting the
+    downstream equi-join drop them silently — keeps group sizes, the
+    global distribution, and the TVD consistent with each other: before
+    this filter, NULL-sensitive rows counted in ``group_size`` and the
+    global total but vanished from the present-side TVD sum, understating
+    or overstating TVD and letting an all-NULL quasi-group skip the audit
+    unreported with inconsistent totals."""
+    return (
+        df.filter(F.col(sensitive_col).isNotNull())
+        .groupBy(
+            *[F.col(c) for c in quasi_cols],
+            F.col(sensitive_col).alias("_v"),
+        )
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
 
 
 def t_closeness_from_cells(

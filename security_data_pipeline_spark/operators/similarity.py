@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from security_data_pipeline_spark.pin import pin, pin_lazy
 
+from security_data_pipeline_spark.functions.rounding import fround
 from security_data_pipeline_spark.functions.vectors import cosine_similarity
 
 
@@ -2315,7 +2316,11 @@ def _cov_from_sums(sums: DataFrame) -> DataFrame:
         .select(
             F.col("i").alias("dim_i"),
             F.col("j").alias("dim_j"),
-            F.round(
+            # fround, not F.round: cov cells CAN be tiny negatives that
+            # round to zero, and the round-10 driver red slot was exactly
+            # one such cell hashing as -0.0 (oracle) vs +0.0 (Spark) —
+            # both sides now canonicalize (functions/rounding.py).
+            fround(
                 F.col("s").cast("double") / F.col("_n").cast("double")
                 - F.col("_mean_i") * F.col("_mean_j"),
                 6,

@@ -957,13 +957,16 @@ def bigram_lm_scores(
     id_col: str = "doc_id",
     max_vocab: int = 50_000,
     lambda_bi: float = 0.7,
+    lambda_uni: float = 0.3,
     smoothing_k: float = 0.5,
 ) -> DataFrame:
     """Interpolated bigram language-model quality scores — the context-
     aware step up from :func:`unigram_lm_scores` (Jelinek-Mercer
     interpolation, Chen & Goodman 1999 — public technique): per-position
-    ``p = λ·p_bi(b|a) + (1−λ)·p_uni(b)``, per-doc mean logprob and
-    perplexity. Word-salad documents that fool a unigram filter (right
+    ``p = λ_bi·p_bi(b|a) + λ_uni·p_uni(b)``, per-doc mean logprob and
+    perplexity. The two weights are INDEPENDENT literals (not
+    ``1 − λ_bi`` — see the inline note) so the Spark expression and the
+    oracle SQL share the exact same float tokens. Word-salad documents that fool a unigram filter (right
     words, impossible transitions) score badly here; the model is fit on
     the corpus itself, no model runtime.
 
@@ -983,6 +986,12 @@ def bigram_lm_scores(
     """
     k = float(smoothing_k)
     lam = float(lambda_bi)
+    # lambda_uni is its OWN literal, not computed as 1.0 - lambda_bi:
+    # 1.0 - 0.7 = 0.30000000000000004 in float64 while the oracle SQL
+    # hard-codes 0.3 (= 0.2999999999999999889), a 1-ulp formula
+    # divergence that could flip a 6-dp rounding on an exact boundary
+    # (ADVICE r10). Both engines now share the same literal token.
+    lam_uni = float(lambda_uni)
     ts = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col), ts.alias("_ts"))
     pairs = base.filter(F.size("_ts") >= 2).select(
@@ -1017,7 +1026,7 @@ def bigram_lm_scores(
     lp = F.log(
         F.lit(lam)
         * (F.col("nab").cast("double") / F.col("na").cast("double"))
-        + F.lit(1.0 - lam) * p_uni
+        + F.lit(lam_uni) * p_uni
     )
     scored = (
         pairs.join(cab, ["a", "b"])

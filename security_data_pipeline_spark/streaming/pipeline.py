@@ -276,9 +276,12 @@ def _check_replay(prev, batch_id: int, tag: str):
 
     The returned frame ALWAYS has the guard columns dropped (both
     branches) so folds that keep merging on replay — the LOCF healing
-    merge — can union it with unstamped batch summaries; callers that
-    need the stamped frame back (the scratch-recovery rewrite) keep
-    their own reference to the raw state read.
+    merge — can union it with unstamped batch summaries. Scratch
+    recovery (finishing an interrupted scratch→state swap) is completed
+    INSIDE ``_read_state`` before this check ever runs — callers must
+    not rewrite state themselves (the round-10 fix, commit 442242c,
+    moved the rewrite there precisely because caller-side swaps could
+    read-then-overwrite the same scratch path on a non-replay fold).
     """
     from pyspark.sql import functions as F
 

@@ -366,3 +366,22 @@ def test_robust_outliers_mad_zero_flags_nothing(spark):
     )
     # median 5, MAD 0 -> robust z NULL everywhere, nothing flagged
     assert robust_value_outliers(df).count() == 0
+
+
+def test_robust_outliers_flag_both_tails(spark):
+    """ADVICE r10: the one-sided `robust_z > 3.5` never flagged
+    negative-direction anomalies (sudden drops). Iglewicz & Hoaglin's
+    modified z-score criterion is |z| > 3.5 — a deep drop must flag
+    exactly like an equally-sized spike."""
+    from security_data_pipeline_spark.operators.anomaly import (
+        robust_value_outliers,
+    )
+
+    rows = [(f"e{i}", "t", 100.0 + (i % 7) - 3) for i in range(60)]
+    rows.append(("spike", "t", 500.0))
+    rows.append(("drop", "t", -300.0))
+    df = spark.createDataFrame(rows, "event_id string, event_type string, value double")
+    got = {r["event_id"]: r["robust_z"] for r in robust_value_outliers(df).collect()}
+    assert "spike" in got and got["spike"] > 3.5
+    assert "drop" in got and got["drop"] < -3.5, got
+    assert set(got) == {"spike", "drop"}

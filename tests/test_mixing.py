@@ -537,3 +537,43 @@ def test_stratified_split_validates_inputs(spark):
         stratified_split(df, fractions=(0.9, 0.2), names=("a", "b"))
     with _pytest.raises(ValueError):
         stratified_split(df, fractions=(0.8, 0.1), names=("a", "b", "c"))
+
+
+def test_stratified_split_null_ids_hash_deterministically(spark):
+    """ADVICE r10: a NULL id used to make the md5 NULL, so every
+    when-condition was NULL and ALL NULL-id rows silently fell through
+    to the last split name ('test'), skewing the eval split. NULL ids
+    now hash under a \\x00-prefixed sentinel: they receive one
+    deterministic split within their stratum (they are
+    indistinguishable, so they must travel together), and the engines
+    agree on the sentinel's hash."""
+    import duckdb
+
+    from security_data_pipeline_spark.operators.mixing import (
+        stratified_split,
+    )
+
+    rows = [(None, "web")] * 5 + [(f"d{i}", "web") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = stratified_split(df).collect()
+    null_splits = {r["split"] for r in out if r["doc_id"] is None}
+    assert len(null_splits) == 1, "NULL ids must travel together"
+    # the sentinel must flow through the SAME bucket math as real ids,
+    # not the old fall-through: recompute the expected split exactly
+    con = duckdb.connect()
+    (bucket,) = con.sql(
+        "SELECT CAST(CONCAT('0x', substr(md5("
+        "'split' || '|' || 'web' || '|' || chr(0) || 'null_id'"
+        "), 1, 8)) AS BIGINT) % 1000000"
+    ).fetchone()
+    con.close()
+    expected = "train" if bucket < 800000 else (
+        "val" if bucket < 900000 else "test"
+    )
+    assert null_splits == {expected}, (null_splits, bucket)
+    # a real id spelled like the sentinel-free text must not collide
+    df2 = spark.createDataFrame(
+        [("null_id", "web"), (None, "web")], "doc_id string, source string"
+    )
+    got = {r["doc_id"]: r["split"] for r in stratified_split(df2).collect()}
+    assert set(got) == {"null_id", None}

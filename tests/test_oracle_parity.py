@@ -5,6 +5,7 @@ sf0.01 — the same gate the driver applies (BASELINE.md t2)."""
 from __future__ import annotations
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -44,6 +45,25 @@ ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.sql)
 ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if not s.sql)
 
 
+def _column_eq(g: pd.Series, e: pd.Series) -> pd.Series:
+    """Per-cell equality, bit-exact for floats like the driver's value
+    hash: float ``==`` treats ``-0.0 == 0.0`` and would pass
+    representation-level splits the driver's order-insensitive bit hash
+    rejects (the round-10 corpus_stats_suite red slot shipped through
+    exactly that blind spot — VERDICT.md r10 "What's wrong" #1/#2).
+    Floats compare by raw float64 bit pattern, normalizing only NaN (any
+    NaN payload counts as the one canonical NaN)."""
+    if pd.api.types.is_float_dtype(g):
+        ga = g.to_numpy(dtype="float64")
+        ea = e.to_numpy(dtype="float64")
+        both_nan = np.isnan(ga) & np.isnan(ea)
+        return pd.Series(
+            (ga.view("int64") == ea.view("int64")) | both_nan,
+            index=g.index,
+        )
+    return g.astype(str) == e.astype(str)
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, duck, name):
     spec = REGISTRY[name]
@@ -65,11 +85,7 @@ def test_query_matches_oracle(spark, duck, name):
         )
     for c in got.columns:
         g, e = got[c], exp[c]
-        if pd.api.types.is_float_dtype(g):
-            both_nan = g.isna() & e.isna()
-            eq = (g == e) | both_nan
-        else:
-            eq = (g.astype(str) == e.astype(str))
+        eq = _column_eq(g, e)
         if not eq.all():
             bad = (~eq).idxmax()
             raise AssertionError(
@@ -77,6 +93,21 @@ def test_query_matches_oracle(spark, duck, name):
                 f"spark={g[bad]!r} duckdb={e[bad]!r} "
                 f"({int((~eq).sum())}/{len(g)} rows differ)"
             )
+
+
+def test_comparator_is_bit_exact_on_signed_zero():
+    """Seeded fixture for the exact blind spot that shipped round 10's one
+    red slot: a Spark-side +0.0 against an oracle-side -0.0 compares True
+    under float == but MUST fail here, because the driver hashes bit
+    patterns. Also pins the NaN normalization (equal regardless of
+    payload) and ordinary value equality."""
+    got = pd.Series([0.0, 1.5, float("nan")])
+    exp = pd.Series([-0.0, 1.5, float("nan")])
+    eq = _column_eq(got, exp)
+    assert not eq[0], "-0.0 vs +0.0 must be a mismatch (driver hashes bits)"
+    assert eq[1] and eq[2], "plain values and NaN==NaN must still pass"
+    # same-signed zeros are equal — the canonicalization target state
+    assert _column_eq(pd.Series([0.0]), pd.Series([0.0])).all()
 
 
 def test_no_rows_only_queries_remain():

@@ -251,3 +251,45 @@ def test_privacy_cells_stream_equals_batch_and_flips_on_skew(
         ).t_closeness_cells(all_df, ["grp"], "sv").collect()
     }
     assert again == direct
+
+
+def test_t_closeness_null_sensitive_values_excluded(spark):
+    """ADVICE r10 (medium): NULL sensitive values used to count in
+    group_size and the global total but vanish from the present-side TVD
+    sum (the equi-join on the sensitive value drops NULL keys), silently
+    understating TVD — and a quasi-group whose only sensitive value was
+    NULL escaped the audit with inconsistent totals. Convention now:
+    NULL sensitive values are excluded AT THE CELL SOURCE
+    (t_closeness_cells), so the audit equals the audit of the
+    NULL-filtered frame — group sizes, global distribution, and TVD all
+    agree, and l-diversity's countDistinct-ignores-NULL convention is
+    matched."""
+    from security_data_pipeline_spark.operators.privacy import (
+        t_closeness_report,
+    )
+
+    rows = (
+        [("g1", "a")] * 6 + [("g1", "b")] * 2 + [("g1", None)] * 2
+        + [("g2", "a")] * 4 + [("g2", "b")] * 4
+        + [("gnull", None)] * 5  # all-NULL group: must not appear at all
+    )
+    df = spark.createDataFrame(rows, "grp string, sv string")
+    got = {r["grp"]: r for r in t_closeness_report(df, ["grp"], "sv").collect()}
+
+    assert "gnull" not in got, "all-NULL-sensitive group must be absent"
+    # group sizes count only rows with a known sensitive value
+    assert got["g1"]["group_size"] == 8
+    assert got["g2"]["group_size"] == 8
+    # hand-computed TVD over the NULL-filtered frame:
+    # non-null totals: a = 6 + 4 = 10, b = 2 + 4 = 6, n = 16
+    pga, pgb = round(10 / 16.0, 6), round(6 / 16.0, 6)
+    tvd_g1 = round(
+        0.5 * (abs(round(6 / 8.0, 6) - pga) + abs(round(2 / 8.0, 6) - pgb)),
+        6,
+    )
+    tvd_g2 = round(
+        0.5 * (abs(round(4 / 8.0, 6) - pga) + abs(round(4 / 8.0, 6) - pgb)),
+        6,
+    )
+    assert abs(got["g1"]["tvd"] - tvd_g1) < 2e-6, (got["g1"]["tvd"], tvd_g1)
+    assert abs(got["g2"]["tvd"] - tvd_g2) < 2e-6, (got["g2"]["tvd"], tvd_g2)

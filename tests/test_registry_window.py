@@ -43,6 +43,10 @@ MUST_BE_IN_WINDOW = {
     "neardup_pairs_suite",
     "file_roundtrip",  # subsumes csv_events_roundtrip / jsonl_docs_roundtrip
     "doc_decontaminate",
+    # subsumes props_k_stats (round-11 window consolidation that put the
+    # whole privacy triad — k-anonymity, l-diversity, t-closeness — in
+    # front of the driver in one slot, per VERDICT r10 #5)
+    "privacy_suite",
 }
 
 
