@@ -143,7 +143,11 @@ def unigram_lm_scores(
     scoring join, so the only wide exchange of the scoring pass is the
     per-document re-aggregation. Output: id_col, n_tokens, avg_logprob
     (6dp), perplexity (4dp) — rounding absorbs float-sum ordering and
-    libm ulp differences across engines.
+    libm ulp differences across engines by a MEASURED margin, not by
+    assumption: the closest any doc's mean sits to a 6 dp half-boundary
+    is ~2.5e-11 absolute vs ~2e-12 of realistic accumulation difference
+    (SCALE.md "Round-11 measurements"; DECIMAL-casting the ln() terms
+    would move the edge risk to every token and make parity worse).
     """
     k = float(smoothing_k)
     toks = df.select(
@@ -982,7 +986,9 @@ def bigram_lm_scores(
     unigram vocab broadcasts. Documents with < 2 tokens have no bigram
     positions and drop out. Output: ``id_col, n_bigrams, avg_logprob
     (6dp), perplexity (4dp)`` — rounding absorbs float-sum ordering and
-    libm ulps cross-engine.
+    libm ulps cross-engine by a MEASURED ≥10x margin at both test SFs
+    (SCALE.md "Round-11 measurements"), and the bit-exact parity sweep
+    is the standing tripwire if a future corpus lands closer to an edge.
     """
     k = float(smoothing_k)
     lam = float(lambda_bi)

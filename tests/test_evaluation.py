@@ -512,3 +512,25 @@ def test_calibrated_sweep_flags_a_miscalibrated_gate(spark):
     ]
     assert cal_at_1 and cal_at_1[0]["bin"] == 1
     assert cal_at_1[0]["predicted_pos"] == 50
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]
+)
+def test_pca_fit_check_holds_at_other_scales(spark, sf_dir):
+    """The explained-variance self-check (pca_fit_check) at the scale
+    factors the sf0.01 oracle parity sweep does not cover: 32 measured
+    rows, strictly-monotone curve, fractions bounded by 1 — a live
+    witness of fit quality at every data size, not a constant (the
+    increment column varies per k and per SF)."""
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["pca_fit_check"].fn(spark, sf_dir).collect()
+    assert len(rows) == 32
+    assert all(r["monotone_ok"] and r["bounded_ok"] for r in rows)
+    incs = [r["increment"] for r in rows]
+    assert len(set(incs)) > 1, "increments must be measured, not constant"
+    assert abs(sum(incs) - rows[-1]["explained"]) < 5e-6
