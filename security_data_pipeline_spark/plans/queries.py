@@ -11613,6 +11613,123 @@ WITH e AS (
 """
 
 
+_PQ_CODEWORD_SWEEP = (4, 8, 16, 32)
+
+
+def _pq_codewords_sweep_sql(
+    cw_sweep: tuple[int, ...] = _PQ_CODEWORD_SWEEP,
+    n_sub: int = 8,
+    dim: int = 64,
+    k: int = 3,
+    max_query: int = 200,
+) -> str:
+    """The second PQ axis: recall@k vs codebook size (log2 = the nbits
+    an operator budgets per subspace code) at fixed n_sub — together
+    with :func:`_pq_recall_sweep_sql` this measures the full (m, nbits)
+    grid a PQ deployment is sized from. Per arm the deterministic
+    lowest-``c``-id codebook is refit relationally, so the index is
+    oracle-verified at every sweep point."""
+    s = dim // n_sub
+    qdot = (
+        "list_aggregate(list_transform(generate_series(1, len(a.v)),"
+        " i -> a.v[i]*b.v[i]), 'sum')"
+    )
+    per_c = []
+    for c in cw_sweep:
+        per_c.append(
+            f""", cent_{c} AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, vn AS cv
+  FROM (SELECT vec_id, vn FROM nv ORDER BY vec_id LIMIT {c})
+), assign_{c} AS (
+  SELECT a.vec_id, s.m, cc.cid,
+         list_aggregate(list_transform(generate_series(1, {s}),
+           i -> (a.vn[s.m*{s}+i] - cc.cv[s.m*{s}+i])
+              * (a.vn[s.m*{s}+i] - cc.cv[s.m*{s}+i])), 'sum') AS d
+  FROM nv a CROSS JOIN cent_{c} cc
+       CROSS JOIN (SELECT unnest(generate_series(0, {n_sub - 1})) AS m) s
+), codes_{c} AS (
+  SELECT vec_id, m, cid FROM assign_{c}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) = 1
+), pq_{c} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qa.vec_id AS query_id, cd.vec_id AS neighbor_id,
+           CAST(SUM(CAST((ROUND(qa.d, 9) + 0.0) AS DECIMAL(20,9)))
+                AS DOUBLE) AS adc_dist
+    FROM codes_{c} cd JOIN assign_{c} qa
+      ON qa.m = cd.m AND qa.cid = cd.cid
+    WHERE qa.vec_id < {max_query} AND qa.vec_id <> cd.vec_id
+    GROUP BY 1, 2
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, neighbor_id) <= {k}
+)"""
+        )
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({c} AS INT) AS n_codewords, CAST({k} AS INT) AS k,
+       CAST((SELECT COUNT(DISTINCT query_id) FROM exact) AS BIGINT)
+         AS n_queries,
+       (ROUND(CAST((SELECT COUNT(*) FROM pq_{c} i
+                   JOIN exact x ON i.query_id = x.query_id
+                              AND i.neighbor_id = x.neighbor_id) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE), 6) + 0.0)
+         AS mean_recall"""
+        for c in cw_sweep
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
+  FROM e
+), nv AS (
+  SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM n
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           (ROUND({qdot} / (a.nrm * b.nrm), 6) + 0.0) AS cosine_sim
+    FROM n a JOIN n b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id < {max_query}
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) <= {k}
+){"".join(per_c)}
+{arms}
+"""
+
+
+@query(
+    "pq_codewords_sweep",
+    sql=_pq_codewords_sweep_sql(),
+    description=(
+        "PQ-ADC recall-vs-codebook-size sweep — the second PQ axis "
+        "(log2 of the codebook size is the nbits budgeted per subspace "
+        "code): recall@3 at fixed n_sub=8 for n_codewords in (4, 8, 16, "
+        "32) against the same slab-bounded brute-force ground truth. "
+        "Together with pq_recall_sweep (the n_sub axis) this measures "
+        "the full (m, nbits) grid a PQ deployment is sized from: bytes "
+        "per vector = m*nbits/8, and the two curves say where each "
+        "marginal bit buys the most recall. Deterministic lowest-c-id "
+        "codebooks refit relationally per arm in the oracle"
+    ),
+)
+def pq_codewords_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 3
+    pred = F.col("vec_id") < 200
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.knn_bruteforce(
+        corpus=emb, queries=emb.filter(pred), k=k
+    ).select("query_id", "neighbor_id")
+    arms = [
+        (
+            c,
+            similarity.ann_pq_adc_topk(
+                emb, k=k, n_codewords=c, n_sub=8, query_pred=pred
+            ).select("query_id", "neighbor_id"),
+        )
+        for c in _PQ_CODEWORD_SWEEP
+    ]
+    return _recall_sweep_union(emb, exact, arms, "n_codewords", k)
+
+
 @query(
     "pq_recall_sweep",
     sql=_pq_recall_sweep_sql(),
