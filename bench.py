@@ -134,6 +134,10 @@ BENCH_QUERIES: tuple[str, ...] = (
     # round-11 addition: the second PQ axis — recall vs codebook size
     # (nbits per code) at fixed n_sub, completing the (m, nbits) grid
     "pq_codewords_sweep",
+    # round-11 addition: the DEDUP family's S-curve — candidate recall +
+    # precision per (n_bands, rows_per_band) split of the same 32
+    # minhashes vs the exact Jaccard-threshold pair set (pinned once)
+    "lsh_band_sweep",
     # round-9 additions: task-level ANN consumers — leave-one-out kNN
     # label eval (neighbor frame broadcast into the label scan) and
     # contrastive hard-negative mining (mismatch filter BEFORE top-k)
@@ -278,7 +282,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "temporal_net_suite": 44669, "event_windows_suite": 200000,
         "scale_suite": 287, "curation_suite": 429,
         "span_dedup_suite": 400, "neardup_pairs_suite": 568, "sketch_checks": 29,
-        "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4, "pca_recall_sweep": 5, "pq_recall_sweep": 4, "pq_codewords_sweep": 4, "emb_truncation_recall_sweep": 5,
+        "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4, "pca_recall_sweep": 5, "pq_recall_sweep": 4, "pq_codewords_sweep": 4, "lsh_band_sweep": 4, "emb_truncation_recall_sweep": 5,
         "knn_label_eval": 80, "emb_hard_negatives": 600, "ivf_cluster_purity": 16,
         "event_type_transitions": 25, "doc_bigram_pmi": 20, "emb_batch_drift": 10,
         "doc_bigram_lm_scores": 5000,
@@ -332,7 +336,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "temporal_net_suite": 16129, "event_windows_suite": 20000,
         "scale_suite": 270, "curation_suite": 429,
         "span_dedup_suite": 292, "neardup_pairs_suite": 37, "sketch_checks": 29,
-        "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4, "pca_recall_sweep": 5, "pq_recall_sweep": 4, "pq_codewords_sweep": 4, "emb_truncation_recall_sweep": 5,
+        "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4, "pca_recall_sweep": 5, "pq_recall_sweep": 4, "pq_codewords_sweep": 4, "lsh_band_sweep": 4, "emb_truncation_recall_sweep": 5,
         "knn_label_eval": 78, "emb_hard_negatives": 600, "ivf_cluster_purity": 16,
         "event_type_transitions": 25, "doc_bigram_pmi": 20, "emb_batch_drift": 10,
         "doc_bigram_lm_scores": 500,

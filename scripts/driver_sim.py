@@ -41,6 +41,26 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def frames_bit_equal(got: pd.DataFrame, exp: pd.DataFrame) -> bool:
+    """Bit-exact like the driver's value hash (pandas ``.equals`` treats
+    -0.0 == 0.0, the exact blind spot that shipped the round-10 red
+    slot): float columns compare by raw float64 bit pattern with NaN
+    normalized; everything else by string."""
+    import numpy as np
+
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if pd.api.types.is_float_dtype(g):
+            ga = g.to_numpy(dtype="float64")
+            ea = e.to_numpy(dtype="float64")
+            both_nan = np.isnan(ga) & np.isnan(ea)
+            if not ((ga.view("int64") == ea.view("int64")) | both_nan).all():
+                return False
+        elif not (g.astype(str) == e.astype(str)).all():
+            return False
+    return True
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -71,7 +91,7 @@ def main() -> int:
                 failures[name] = f"schema {list(got.columns)} vs {list(exp.columns)}"
             elif len(got) != len(exp):
                 failures[name] = f"rows {len(got)} vs {len(exp)}"
-            elif not got.equals(exp):
+            elif not frames_bit_equal(got, exp):
                 failures[name] = "values differ"
             else:
                 n_green += 1

@@ -11613,6 +11613,154 @@ WITH e AS (
 """
 
 
+_LSH_BAND_SWEEP = (4, 8, 16, 32)
+
+
+def _lsh_band_sweep_sql(
+    band_sweep: tuple[int, ...] = _LSH_BAND_SWEEP,
+    num_perm: int = 32,
+    n: int = 5,
+    threshold: float = 0.3,
+) -> str:
+    """Candidate recall AND precision of MinHash-LSH banding vs the exact
+    n-gram-Jaccard-threshold pair set, one row per (n_bands,
+    rows_per_band) split of the same 32 minhashes — the dedup family's
+    S-curve parameter-picking surface (the banding collision threshold is
+    (1/b)^(1/r): 0.84 at 4x8, 0.59 at 8x4, 0.25 at 16x2, 0.03 at 32x1,
+    so recall vs a 0.3 truth threshold climbs across the sweep while
+    precision falls). Shared CTEs: md5-portable shingles, sliced-md5
+    permutations (the _MINHASH_SQL discipline), ONE exact ground truth
+    from the shingle-collision join."""
+    per_b = []
+    for b in band_sweep:
+        r = num_perm // b
+        per_b.append(
+            f""", bands_{b} AS (
+  SELECT doc_id, perm // {r} AS band,
+         md5(string_agg(sig, '|' ORDER BY perm)) AS bhash
+  FROM permed GROUP BY doc_id, perm // {r}
+), cand_{b} AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands_{b} a JOIN bands_{b} b
+    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+)"""
+        )
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({b} AS INT) AS n_bands,
+       CAST({num_perm // b} AS INT) AS rows_per_band,
+       CAST((SELECT COUNT(*) FROM cand_{b}) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       (ROUND(CAST((SELECT COUNT(*) FROM cand_{b} c
+                    JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b)
+                   AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 6) + 0.0)
+         AS recall,
+       (ROUND(CAST((SELECT COUNT(*) FROM cand_{b} c
+                    JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b)
+                   AS DOUBLE)
+             / CAST(NULLIF((SELECT COUNT(*) FROM cand_{b}), 0) AS DOUBLE),
+             6) + 0.0) AS precision"""
+        for b in band_sweep
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         substr(md5(unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - {n - 1}, 0)),
+           i -> array_to_string(t[i:i+{n - 1}], ' '))))), 1, 15) AS hs
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), permed AS (
+  SELECT s.doc_id, p.i AS perm,
+         MIN(substr(md5(CAST(p.i // 8 AS VARCHAR) || ':' || s.hs),
+                    1 + 4 * (p.i % 8), 4)) AS sig
+  FROM sh s CROSS JOIN (SELECT unnest(generate_series(0, {num_perm - 1}))
+                        AS i) p
+  GROUP BY s.doc_id, p.i
+), inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON y.hs = x.hs AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE)
+        >= {threshold}
+){"".join(per_b)}
+{arms}
+"""
+
+
+@query(
+    "lsh_band_sweep",
+    sql=_lsh_band_sweep_sql(),
+    description=(
+        "MinHash-LSH banding S-curve sweep — the DEDUP family's "
+        "parameter-picking surface, completing what the ANN sweeps give "
+        "the index families: candidate recall AND precision of each "
+        "(n_bands, rows_per_band) split of the same 32 md5-portable "
+        "minhashes — (4x8, 8x4, 16x2, 32x1) — against the EXACT n-gram "
+        "Jaccard >= 0.3 pair set (the shingle-collision join, "
+        "recall-lossless: any pair above a positive threshold shares a "
+        "shingle). The banding collision threshold (1/b)^(1/r) sweeps "
+        "0.84 -> 0.03, so recall climbs and precision falls across the "
+        "arms; the knee says which banding to deploy for a target "
+        "threshold, trading verify cost (candidates) for missed dups. "
+        "Ground truth computed ONCE and pinned; each arm is a "
+        "counts-only aggregate"
+    ),
+)
+def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = (
+        dedup.ngram_jaccard_pairs(
+            docs, id_col="doc_id", text_col="text", n=5, threshold=0.3
+        )
+        .select("id_a", "id_b")
+        .transform(pin_lazy)
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    parts = []
+    for b in _LSH_BAND_SWEEP:
+        cand = dedup.minhash_lsh_pairs(
+            docs, id_col="doc_id", text_col="text", n=5,
+            num_perm=32, n_bands=b, verify_threshold=None, portable=True,
+        ).transform(pin_lazy)
+        stats = (
+            cand.join(truth, ["id_a", "id_b"])
+            .agg(F.count(F.lit(1)).alias("n_matched"))
+            .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+            .crossJoin(n_truth)
+        )
+        parts.append(
+            stats.select(
+                F.lit(b).cast("int").alias("n_bands"),
+                F.lit(32 // b).cast("int").alias("rows_per_band"),
+                F.col("n_candidates").cast("long"),
+                F.col("n_truth").cast("long"),
+                F.round(
+                    F.col("n_matched").cast("double")
+                    / F.col("n_truth").cast("double"),
+                    6,
+                ).alias("recall"),
+                F.round(
+                    F.col("n_matched").cast("double")
+                    / F.nullif(
+                        F.col("n_candidates").cast("double"), F.lit(0.0)
+                    ),
+                    6,
+                ).alias("precision"),
+            )
+        )
+    return reduce(lambda a, c: a.unionByName(c), parts)
+
+
 _PQ_CODEWORD_SWEEP = (4, 8, 16, 32)
 
 
