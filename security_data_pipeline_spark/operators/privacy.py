@@ -171,7 +171,18 @@ def t_closeness_from_cells(
 ) -> DataFrame:
     """Audit tail shared by the batch report and the streamed state
     reader: group sizes, the global distribution, and the TVD fold all
-    derive FROM the bounded cell frame — no corpus access."""
+    derive FROM the bounded cell frame — no corpus access.
+
+    The cell frame feeds FOUR consumers (group sizes, the global
+    distribution twice via its total, and the join-back), so it is
+    pinned — unpinned, Catalyst re-inlines the corpus-sized (quasi,
+    sensitive) aggregation into every branch and the batch report scans
+    the corpus four times (measured: 4 parquet scans, zero reused
+    exchanges, round 11). The frame itself is grid-bounded, so the pin
+    materializes a few hundred rows (the _cov_from_sums precedent)."""
+    from security_data_pipeline_spark.pin import pin_lazy
+
+    cell = cell.transform(pin_lazy)
     gsize = cell.groupBy(*quasi_cols).agg(F.sum("_c").alias("_gn"))
     glob = cell.groupBy("_v").agg(F.sum("_c").alias("_gc"))
     tot = glob.agg(F.sum("_gc").alias("_t"))
