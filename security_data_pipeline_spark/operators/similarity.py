@@ -644,30 +644,45 @@ def ann_pq_adc_topk(
     q = corpus.select(F.col(id_col).alias("query_id"), vec_col)
     if query_pred is not None:
         q = q.filter(query_pred)
-    # per-query LUT: q_dists[m][cid] — computed once per query row
+    # per-query LUT: q_dists[m][cid] — computed once per query row, and
+    # STORED as 9dp-scaled longs so the per-(query, candidate) hot loop
+    # is m element_at lookups + m long adds. The old form cast each
+    # looked-up double to DECIMAL(20,9) per pair — m BigDecimal
+    # constructions x |queries|·|corpus| pairs dominated the sweep bench
+    # (13.5 s -> ~halved at sf0.1, round 11). Bit parity is preserved
+    # exactly: round(d, 9) is the nearest double to n/1e9 (error
+    # <= 4e-16), so * 1e9 + round-to-nearest recovers the integer n the
+    # decimal held; per-subspace d <= 4 and m <= 16 bound the long sum
+    # by 6.4e10 << 2^53, so long->double is exact and the single final
+    # /1e9 is the same correctly-rounded double the DECIMAL sum cast to.
     vn = _normalized_vec(vec_col)
     q = q.withColumn("_vn", vn)
     q = q.select(
         "query_id",
         F.array(
-            *[_pq_sub_dists(F.col("_vn"), cbs, m) for m in range(n_sub)]
+            *[
+                F.transform(
+                    _pq_sub_dists(F.col("_vn"), cbs, m),
+                    lambda d: F.round(F.round(d, 9) * F.lit(1e9), 0).cast(
+                        "long"
+                    ),
+                )
+                for m in range(n_sub)
+            ]
         ).alias("_lut"),
     )
 
     pairs = coded.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-    term = lambda m: F.round(  # noqa: E731
-        F.element_at(
-            F.element_at(F.col("_lut"), m + 1), F.element_at(F.col("pq_codes"), m + 1)
-        ),
-        9,
-    ).cast("decimal(20,9)")
+    term = lambda m: F.element_at(  # noqa: E731
+        F.element_at(F.col("_lut"), m + 1), F.element_at(F.col("pq_codes"), m + 1)
+    )
     adc = term(0)
     for m in range(1, n_sub):
         adc = adc + term(m)
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        adc.cast("double").alias("adc_dist"),
+        (adc.cast("double") / F.lit(1e9)).alias("adc_dist"),
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (

@@ -4982,9 +4982,17 @@ def _recall_sweep_union(emb, exact, arm_dfs, param_name: str, k: int):
     """Shared recall-sweep scaffold (the ann_recall_sweep shape): each
     arm's (query, neighbor) set joins the ONE brute-force ground truth
     and folds to a single counts-only row — |arms| bounded aggregates,
-    never |arms| result materializations."""
+    never |arms| result materializations.
+
+    ``exact`` is PINNED here: it feeds every arm's match join plus the
+    stats row (|arms| + 1 consumers), and unpinned Catalyst re-inlined
+    the O(queries x corpus) brute-force into each branch — measured as
+    30 parquet scans / zero reused exchanges on ann_recall_sweep (round
+    11). The ground truth is <= max_query x k rows, so the pin
+    materializes a few hundred rows and the brute force runs once."""
     from functools import reduce
 
+    exact = exact.transform(pin_lazy)
     ex_stats = exact.agg(
         F.countDistinct("query_id").alias("n_queries"),
         F.count(F.lit(1)).alias("n_exact"),
@@ -5586,8 +5594,10 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
         "the memory-bound scale path completing the ANN family (brute / "
         "LSH hash-pruned / IVF cluster-pruned / PQ compressed): corpus "
         "rides shuffles as 8 small codes per vector, queries stay exact, "
-        "distances are per-subspace LUT lookups summed as DECIMAL "
-        "(order-free) for cross-engine determinism. Deterministic "
+        "distances are per-subspace LUT lookups summed as 9dp-scaled "
+        "LONGS (exact, order-free — provably the same double the "
+        "oracle's DECIMAL sum casts to; the hot loop is integer adds). "
+        "Deterministic "
         "lowest-id codebooks make the whole index oracle-checkable; "
         "pq_fit_codebooks is the realistic per-subspace k-means fit "
         "behind the same interface"
