@@ -4864,40 +4864,26 @@ WITH e AS (
     ),
 )
 def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
-
+    # Shares _recall_sweep_union (the scaffold later sweeps extracted
+    # from this query) so the brute-force ground truth is pinned once —
+    # the round-11 inline copy predated the pin and recomputed it per
+    # arm (30 parquet scans; see SCALE.md round-11 fan-out audit).
     k = 3
     pred = F.col("vec_id") < 200
     emb = load_table(spark, sf_dir, "embeddings")
     exact = similarity.knn_bruteforce(
         corpus=emb, queries=emb.filter(pred), k=k
     ).select("query_id", "neighbor_id")
-    ex_stats = exact.agg(
-        F.countDistinct("query_id").alias("n_queries"),
-        F.count(F.lit(1)).alias("n_exact"),
-    )
-    parts = []
-    for p in _RECALL_PROBES:
-        ivf = similarity.ann_ivf_topk(
-            emb, k=k, n_centroids=16, n_probe=p, query_pred=pred
-        ).select("query_id", "neighbor_id")
-        matched = ivf.join(exact, ["query_id", "neighbor_id"]).agg(
-            F.count(F.lit(1)).alias("n_matched")
+    arms = [
+        (
+            p,
+            similarity.ann_ivf_topk(
+                emb, k=k, n_centroids=16, n_probe=p, query_pred=pred
+            ).select("query_id", "neighbor_id"),
         )
-        parts.append(
-            # one-row x one-row scalar attachment (the audited pattern)
-            matched.crossJoin(ex_stats).select(
-                F.lit(p).cast("int").alias("n_probe"),
-                F.lit(k).cast("int").alias("k"),
-                F.col("n_queries").cast("long").alias("n_queries"),
-                F.round(
-                    F.col("n_matched").cast("double")
-                    / F.col("n_exact").cast("double"),
-                    6,
-                ).alias("mean_recall"),
-            )
-        )
-    return reduce(lambda a, b: a.unionByName(b), parts)
+        for p in _RECALL_PROBES
+    ]
+    return _recall_sweep_union(emb, exact, arms, "n_probe", k)
 
 
 @query(

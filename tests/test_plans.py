@@ -519,3 +519,30 @@ def test_retention_has_no_expand_and_coparitioned_user_join(spark):
     assert "Expand" not in plan
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
     assert len(scans) <= 2, scans  # one per side of the per-user join
+
+
+@pytest.mark.parametrize(
+    "name,max_scans",
+    [
+        # The cell frame feeds four consumers; unpinned, the (quasi,
+        # sensitive) corpus aggregation re-inlined into every branch
+        # (measured 4 scans, round 11). The pin hides the one real scan
+        # behind the barrier, so the static plan shows zero.
+        ("events_t_closeness", 1),
+        # _recall_sweep_union pins the brute-force ground truth: each of
+        # the 5 arms re-scans for its own index, but the exact top-k must
+        # not be re-derived per arm (was 30 scans unpinned, round 11).
+        ("ann_recall_sweep", 12),
+        ("pq_recall_sweep", 10),
+        ("lsh_band_sweep", 10),
+    ],
+)
+def test_fanout_frames_stay_pinned(spark, name, max_scans):
+    """Multi-consumer frames must not re-inline their corpus-sized
+    subtree into every consumer branch — the round-11 scan-count audit
+    class (SCALE.md 'Two fan-out pins'). Counts FileScan nodes in the
+    executed plan; a pin regression multiplies the count well past the
+    bound."""
+    plan = _plan(REGISTRY[name].fn(spark, SF))
+    n = plan.count("Scan parquet")
+    assert n <= max_scans, f"{name}: {n} parquet scans (bound {max_scans})"
