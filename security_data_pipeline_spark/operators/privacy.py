@@ -24,7 +24,12 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["k_anonymize", "generalize_numeric", "l_diversity_report"]
+__all__ = [
+    "k_anonymize",
+    "generalize_numeric",
+    "l_diversity_report",
+    "privacy_audit_from_cells",
+]
 
 
 def k_anonymize(
@@ -228,4 +233,55 @@ def t_closeness_from_cells(
         F.max("_gn").cast("long").alias("group_size"),
         tvd.alias("tvd"),
         (tvd <= F.lit(float(t))).alias("t_close"),
+    )
+
+
+def privacy_audit_from_cells(
+    cell: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 25,
+    l: int = 3,
+    t: float = 0.2,
+) -> DataFrame:
+    """The WHOLE privacy triad from the one (quasi, sensitive, count)
+    cell frame: k-anonymity group sizes, distinct l-diversity, and the
+    t-closeness TVD — so a release review current at ingest cadence
+    needs exactly ONE streamed state (``maintain_privacy_cells_stream``)
+    and zero corpus access.
+
+    Semantics follow the cell frame's documented convention
+    (:func:`t_closeness_cells`): all three audits are over rows whose
+    sensitive value is KNOWN — group sizes here can undercount
+    :func:`k_anonymize`'s (which counts NULL-sensitive rows too); that
+    is the price of deriving everything from one additive state, and it
+    is the conservative direction for l-diversity/t-closeness (NULLs
+    never inflate diversity or mass).
+
+    Cell counts are additive and (quasi, sensitive) rows are unique, so
+    ``n_sensitive`` is a plain row count per quasi-group — no distinct
+    aggregation. The TVD leg is :func:`t_closeness_from_cells` verbatim
+    (pinned cell frame, closed-form absent mass, DECIMAL TVD fold).
+    Output: ``*quasi_cols, group_size, n_sensitive, k_anonymous,
+    l_diverse, tvd, t_close``.
+    """
+    if k < 1 or l < 1:
+        raise ValueError("k and l must be >= 1")
+    from security_data_pipeline_spark.pin import pin_lazy
+
+    cell = cell.transform(pin_lazy)
+    sizes = cell.groupBy(*quasi_cols).agg(
+        F.sum("_c").cast("long").alias("group_size"),
+        F.count(F.lit(1)).cast("long").alias("n_sensitive"),
+    )
+    tvd = t_closeness_from_cells(cell, quasi_cols, t=t).select(
+        *quasi_cols, "tvd", "t_close"
+    )
+    return sizes.join(tvd, list(quasi_cols)).select(
+        *quasi_cols,
+        "group_size",
+        "n_sensitive",
+        (F.col("group_size") >= F.lit(int(k))).alias("k_anonymous"),
+        (F.col("n_sensitive") >= F.lit(int(l))).alias("l_diverse"),
+        "tvd",
+        "t_close",
     )

@@ -11464,6 +11464,106 @@ def events_stream_t_closeness(
 
 
 @query(
+    "events_stream_privacy_audit",
+    sql="""
+WITH g AS (
+  SELECT event_type,
+         '[' || CAST(CAST(FLOOR(value / 50) * 50 AS BIGINT) AS VARCHAR)
+             || ',' || CAST(CAST(FLOOR(value / 50) * 50 + 50 AS BIGINT)
+                            AS VARCHAR)
+             || ')' AS value_range,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS sv
+  FROM events
+), cell AS (
+  SELECT event_type, value_range, sv, CAST(COUNT(*) AS BIGINT) AS c
+  FROM g WHERE sv IS NOT NULL GROUP BY event_type, value_range, sv
+), sizes AS (
+  SELECT event_type, value_range,
+         CAST(SUM(c) AS BIGINT) AS group_size,
+         CAST(COUNT(*) AS BIGINT) AS n_sensitive
+  FROM cell GROUP BY event_type, value_range
+), gdist AS (
+  SELECT sv, CAST(SUM(c) AS BIGINT) AS gc FROM cell GROUP BY sv
+), tot AS (SELECT CAST(SUM(gc) AS BIGINT) AS t FROM gdist
+), pg AS (
+  SELECT sv, (ROUND(CAST(gc AS DOUBLE) / CAST(t AS DOUBLE), 6) + 0.0) AS pgv
+  FROM gdist CROSS JOIN tot
+), j AS (
+  SELECT cell.event_type, cell.value_range, gsize.group_size AS gn,
+         (ROUND(CAST(cell.c AS DOUBLE) / CAST(gsize.group_size AS DOUBLE),
+                6) + 0.0) AS pv,
+         pg.pgv
+  FROM cell
+  JOIN pg USING (sv)
+  JOIN sizes gsize USING (event_type, value_range)
+), tvds AS (
+  SELECT event_type, value_range,
+         (ROUND(0.5 * (CAST(SUM(CAST(ABS(pv - pgv) AS DECIMAL(18,6)))
+                           AS DOUBLE)
+                      + (1.0 - CAST(SUM(CAST(pgv AS DECIMAL(18,6)))
+                                    AS DOUBLE))), 6) + 0.0) AS tvd
+  FROM j GROUP BY event_type, value_range
+)
+SELECT s.event_type, s.value_range, s.group_size, s.n_sensitive,
+       s.group_size >= 25 AS k_anonymous,
+       s.n_sensitive >= 8 AS l_diverse,
+       t.tvd, t.tvd <= 0.2 AS t_close
+FROM sizes s JOIN tvds t USING (event_type, value_range)
+""",
+    description=(
+        "The WHOLE privacy triad from ONE streamed state: the "
+        "generalized events stream folds its (quasi, sensitive, count) "
+        "cells through maintain_privacy_cells_stream across two real "
+        "micro-batches, then k-anonymity group sizes (k=25), distinct "
+        "l-diversity (l=8 — cell rows are unique per (quasi, sensitive), "
+        "so the distinct count is a plain row count, no distinct "
+        "aggregation), and the t-closeness TVD (t=0.2) ALL derive from "
+        "the cumulative cells (privacy.privacy_audit_from_cells) — a "
+        "release review current at ingest cadence with zero corpus "
+        "rescans, held to the one-shot batch oracle. All audits follow "
+        "the cells' documented known-sensitive-rows convention; every "
+        "flag is mixed pass/fail at both test SFs"
+    ),
+)
+def events_stream_privacy_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from security_data_pipeline_spark.operators.privacy import (
+        generalize_numeric,
+        privacy_audit_from_cells,
+    )
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_privacy_cells_stream,
+        privacy_cells_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        generalize_numeric("value", width=50).alias("value_range"),
+        F.from_json(F.col("props"), "struct<k:bigint>")
+        .getField("k")
+        .alias("sv"),
+    )
+    tmp = _stage_two_batches(ev, "stream_privaudit_")
+    q = maintain_privacy_cells_stream(
+        spark.readStream.schema(
+            "event_type string, value_range string, sv bigint"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/src"),
+        f"{tmp}/state",
+        f"{tmp}/ckpt",
+        quasi_cols=["event_type", "value_range"],
+        sensitive_col="sv",
+    )
+    q.awaitTermination()
+    cells = privacy_cells_state(spark, f"{tmp}/state")
+    return privacy_audit_from_cells(
+        cells, ["event_type", "value_range"], k=25, l=8, t=0.2
+    )
+
+
+@query(
     "doc_stratified_split",
     sql="""
 WITH assigned AS (

@@ -293,3 +293,50 @@ def test_t_closeness_null_sensitive_values_excluded(spark):
     )
     assert abs(got["g1"]["tvd"] - tvd_g1) < 2e-6, (got["g1"]["tvd"], tvd_g1)
     assert abs(got["g2"]["tvd"] - tvd_g2) < 2e-6, (got["g2"]["tvd"], tvd_g2)
+
+
+def test_privacy_audit_from_cells_all_three_flags(spark):
+    """One cell frame -> the whole triad: group sizes / distinct counts /
+    TVD with all three flags, matching hand computation on seeded cells
+    (the known-sensitive convention: cells are the only input)."""
+    from security_data_pipeline_spark.operators.privacy import (
+        privacy_audit_from_cells,
+    )
+
+    cells = spark.createDataFrame(
+        # g1: 30 rows over 3 values (k-anon at 25, l at 3, balanced-ish)
+        [("g1", "a", 10), ("g1", "b", 10), ("g1", "c", 10),
+         # g2: 5 rows, single value (fails all three)
+         ("g2", "a", 5)],
+        "grp string, _v string, _c long",
+    )
+    got = {
+        r["grp"]: r
+        for r in privacy_audit_from_cells(cells, ["grp"], k=25, l=3, t=0.2)
+        .collect()
+    }
+    g1, g2 = got["g1"], got["g2"]
+    assert g1["group_size"] == 30 and g1["n_sensitive"] == 3
+    assert g1["k_anonymous"] and g1["l_diverse"]
+    assert g2["group_size"] == 5 and g2["n_sensitive"] == 1
+    assert not g2["k_anonymous"] and not g2["l_diverse"]
+    # global: a=15/35, b=10/35, c=10/35; g2 is all-a
+    pa, pb, pc = round(15 / 35, 6), round(10 / 35, 6), round(10 / 35, 6)
+    tvd_g2 = round(0.5 * (abs(1.0 - pa) + (1.0 - pa)), 6)
+    assert abs(g2["tvd"] - tvd_g2) < 2e-6, (g2["tvd"], tvd_g2)
+    assert not g2["t_close"]
+
+
+def test_stream_privacy_audit_flags_are_live(spark):
+    """The streamed-state triad audit at sf0.1 (the parity sweep covers
+    sf0.01): every flag column must be MIXED — a constant flag is a dead
+    witness."""
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["events_stream_privacy_audit"].fn(
+        spark, "/root/testdata/sf0.1"
+    ).collect()
+    assert len(rows) > 10
+    for flag in ("k_anonymous", "l_diverse", "t_close"):
+        vals = {r[flag] for r in rows}
+        assert vals == {True, False}, (flag, vals)
