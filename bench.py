@@ -171,6 +171,9 @@ BENCH_QUERIES: tuple[str, ...] = (
     # round-10 addition: deterministic stratified split report (map-side
     # md5 assignment + one bounded (source, split) aggregation)
     "doc_stratified_split",
+    # round-11 addition: per-source quality-gate operating-point picker
+    # (one percentile aggregation + broadcast threshold join-back)
+    "doc_quality_auto_threshold",
     # round-8 additions: CCNet line-level dedup (explode → one line-key
     # agg → co-partitioned join-back → HOF rebuild), linear gap
     # interpolation (two mirrored O(1)-state windows sharing one sort),
@@ -288,7 +291,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_bigram_lm_scores": 5000,
         "events_robust_outliers": 4053, "doc_readability": 5000,
         "source_ngram_novelty": 20, "doc_quality_ensemble": 5000,
-        "doc_stratified_split": 60,
+        "doc_stratified_split": 60, "doc_quality_auto_threshold": 20,
         "security_detections": 11195,
         "doc_repetition_stats": 5000, "doc_curation_audit": 5000,
         "doc_quality_sampled": 603, "source_divergence_matrix": 190,
@@ -342,7 +345,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_bigram_lm_scores": 500,
         "events_robust_outliers": 392, "doc_readability": 500,
         "source_ngram_novelty": 20, "doc_quality_ensemble": 500,
-        "doc_stratified_split": 56,
+        "doc_stratified_split": 56, "doc_quality_auto_threshold": 20,
         "security_detections": 1135,
         "doc_repetition_stats": 500, "doc_curation_audit": 500,
         "doc_quality_sampled": 75, "source_divergence_matrix": 190,

@@ -1098,3 +1098,65 @@ def readability_scores(
             F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
         ).alias("fk_grade"),
     )
+
+
+def quality_auto_threshold_report(
+    df: DataFrame,
+    strata_col: str = "source",
+    keep_rate: float = 0.3,
+    drop_pct: float = 0.7,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pick each stratum's quality-gate OPERATING POINT from a target
+    keep budget: the per-stratum threshold is the exact interpolated
+    ``drop_pct`` percentile of the 6dp-rounded quality score, and the
+    report shows what gating at it actually keeps — the step between
+    measuring a gate (the threshold sweep) and deploying one ("keep the
+    best ~30% of every source"). Per-stratum thresholds mean no source
+    is starved just because another scores systematically higher — the
+    same fairness argument as the stratified split.
+
+    ``keep_rate`` and ``drop_pct`` are INDEPENDENT literals, not
+    ``1 − keep_rate`` (the bigram-LM lesson: ``1.0 - 0.3`` is
+    0.7000000000000001 in float64 while the oracle writes 0.7 — a 1-ulp
+    percentile request that can move an interpolated threshold's 6dp
+    rounding). ``realized_rate`` can overshoot ``target_rate`` on score
+    ties (every doc AT the threshold keeps); the gap is the report's
+    point — it is the honest keep cost of this operating point.
+
+    Shape at 100 TB: one scored scan, ONE per-stratum percentile
+    aggregation (map-side-combinable), the |strata|-row threshold table
+    broadcast back, one counting aggregation. Output: ``strata_col,
+    n_docs, threshold, n_kept, realized_rate, target_rate``.
+    """
+    q = quality_features(df, text_col=text_col).select(
+        F.col(strata_col),
+        F.round("quality_score", 6).alias("_q"),
+    )
+    th = q.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("_q", F.lit(float(drop_pct))), 6).alias(
+            "threshold"
+        ),
+    )
+    return (
+        q.join(F.broadcast(th), strata_col)
+        .groupBy(strata_col, "n_docs", "threshold")
+        .agg(
+            F.sum(
+                (F.col("_q") >= F.col("threshold")).cast("long")
+            ).alias("n_kept")
+        )
+        .select(
+            strata_col,
+            "n_docs",
+            "threshold",
+            "n_kept",
+            F.round(
+                F.col("n_kept").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("realized_rate"),
+            F.lit(float(keep_rate)).alias("target_rate"),
+        )
+    )

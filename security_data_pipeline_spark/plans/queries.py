@@ -3292,6 +3292,59 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_quality_auto_threshold",
+    sql=f"""
+WITH q AS (
+  SELECT source,
+         (ROUND(0.5 * CAST(LEAST(len(string_split(text, ' ')), 200)
+                     AS DOUBLE) / 200.0
+               + 0.5 * LEAST(
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                            t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+                   / CAST(NULLIF(len(string_split(text, ' ')), 0) AS DOUBLE)
+                   * 5.0, 1.0),
+               6) + 0.0) AS qs
+  FROM documents
+), th AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         (ROUND(quantile_cont(qs, 0.7), 6) + 0.0) AS threshold
+  FROM q GROUP BY source
+)
+SELECT q.source, th.n_docs, th.threshold,
+       CAST(SUM(CASE WHEN q.qs >= th.threshold THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       (ROUND(CAST(SUM(CASE WHEN q.qs >= th.threshold THEN 1 ELSE 0 END)
+                   AS DOUBLE)
+             / CAST(th.n_docs AS DOUBLE), 6) + 0.0) AS realized_rate,
+       CAST(0.3 AS DOUBLE) AS target_rate
+FROM q JOIN th USING (source)
+GROUP BY q.source, th.n_docs, th.threshold
+""",
+    description=(
+        "Quality-gate OPERATING-POINT picker "
+        "(textops.quality_auto_threshold_report): per-source threshold = "
+        "the exact interpolated 0.7 percentile of the 6dp quality score, "
+        "i.e. 'keep the best ~30% of EVERY source' — the step between "
+        "measuring a gate (doc_quality_threshold_sweep) and deploying "
+        "one, per-stratum so no source is starved for scoring "
+        "systematically lower. realized_rate vs target_rate shows the "
+        "honest keep cost of score ties (every doc AT the threshold "
+        "keeps). One scored scan, one map-side-combinable percentile "
+        "aggregation, the |sources|-row threshold table broadcast back; "
+        "keep_rate and drop_pct are independent literals (the bigram-LM "
+        "1-ulp lesson)"
+    ),
+)
+def doc_quality_auto_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.quality_auto_threshold_report(
+        docs, strata_col="source", keep_rate=0.3, drop_pct=0.7
+    )
+
+
+@query(
     "doc_quality_normalized",
     sql=f"""
 WITH base AS (

@@ -473,3 +473,37 @@ def test_bigram_lm_bruteforce(spark):
         assert got[doc_id]["n_bigrams"] == len(lps)
         assert abs(got[doc_id]["avg_logprob"] - avg) < 1e-5
         assert abs(got[doc_id]["perplexity"] - math.exp(-avg)) < 1e-3
+
+
+def test_quality_auto_threshold_hits_target_rate_with_tie_overshoot(spark):
+    """The operating-point picker keeps AT LEAST the target fraction per
+    stratum (percentile semantics: >= threshold catches every tied doc),
+    thresholds differ across strata with different score distributions,
+    and a stratum of identical scores keeps everything (the extreme tie
+    case the realized_rate column exists to expose)."""
+    from security_data_pipeline_spark.operators.textops import (
+        quality_auto_threshold_report,
+    )
+
+    # srcA: 10 docs with increasing length -> spread scores
+    rows = [("a", " ".join(["the"] * (5 + 10 * i))) for i in range(10)]
+    # srcB: 10 identical docs -> one score, total tie
+    rows = [("srcA", t) for _, t in rows] + [
+        ("srcB", "the a of to in is word " * 4)
+    ] * 10
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r["source"]: r
+        for r in quality_auto_threshold_report(
+            df, keep_rate=0.3, drop_pct=0.7
+        ).collect()
+    }
+    a, b = got["srcA"], got["srcB"]
+    assert a["n_docs"] == 10 and b["n_docs"] == 10
+    assert a["realized_rate"] >= 0.3 - 1e-9
+    assert a["n_kept"] < 10, "spread scores must actually gate"
+    assert b["n_kept"] == 10 and b["realized_rate"] == 1.0, (
+        "an all-tied stratum keeps everything — the honest tie cost"
+    )
+    assert a["threshold"] != b["threshold"]
+    assert a["target_rate"] == b["target_rate"] == 0.3
