@@ -1160,3 +1160,91 @@ def quality_auto_threshold_report(
             F.lit(float(keep_rate)).alias("target_rate"),
         )
     )
+
+
+def threshold_from_score_counts(
+    counts: DataFrame,
+    strata_col: str = "source",
+    keep_rate: float = 0.3,
+    drop_pct: float = 0.7,
+) -> DataFrame:
+    """:func:`quality_auto_threshold_report`'s tail over the ADDITIVE
+    (stratum, 6dp-rounded score, count) histogram — the exact statistic
+    ``maintain_ranking_counts_stream`` folds — so the operating-point
+    picker runs against STREAMED state: thresholds current at ingest
+    cadence with zero corpus rescans (the privacy-cells pattern).
+
+    Exact interpolated percentile from the histogram: with per-stratum
+    total N, position ``h = drop_pct·(N−1)``; the floor(h)-th and
+    ceil(h)-th order statistics read off the cumulative counts, and the
+    threshold interpolates ``x_lo + (x_hi − x_lo)·(h − floor h)``,
+    rounded to 6 dp — bit-equal to the batch report's ``F.percentile``
+    (pinned by test at two SFs: the 6 dp round absorbs the interpolation
+    forms' last-ulp freedom the same way it does cross-engine). The
+    histogram is score-domain-bounded, so every window here runs over
+    ≤10⁶+1 rows per stratum, never the corpus. Output matches the batch
+    report: ``strata_col, n_docs, threshold, n_kept, realized_rate,
+    target_rate``. One convention delta: the histogram only ever holds
+    SCORED rows (``score_label_counts`` filters NULL scores), so
+    ``n_docs`` here counts scored docs, where the batch report's count
+    includes NULL-score docs that ``F.percentile`` silently skips — the
+    histogram form is the more self-consistent of the two.
+    """
+    c = counts.select(strata_col, "_s", "_n")
+    w_all = Window.partitionBy(strata_col)
+    w_ord = (
+        Window.partitionBy(strata_col)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # "_tot", NOT "_N": withColumn is case-INsensitive under the default
+    # spark.sql.caseSensitive=false, so "_N" silently REPLACES the "_n"
+    # count column and every downstream cumulative is garbage
+    c = c.withColumn("_tot", F.sum("_n").over(w_all)).withColumn(
+        "_cum", F.sum("_n").over(w_ord)
+    )
+    h = F.lit(float(drop_pct)) * (F.col("_tot") - F.lit(1)).cast("double")
+    i_lo = F.floor(h).cast("long")
+    i_hi = F.ceil(h).cast("long")
+    prev = F.col("_cum") - F.col("_n")
+    th = c.groupBy(strata_col).agg(
+        F.max("_tot").cast("long").alias("n_docs"),
+        F.max(
+            F.when((prev <= i_lo) & (i_lo < F.col("_cum")), F.col("_s"))
+        ).alias("_xlo"),
+        F.max(
+            F.when((prev <= i_hi) & (i_hi < F.col("_cum")), F.col("_s"))
+        ).alias("_xhi"),
+        F.max(h - F.floor(h)).alias("_frac"),
+    )
+    th = th.select(
+        strata_col,
+        "n_docs",
+        F.round(
+            F.col("_xlo")
+            + (F.col("_xhi") - F.col("_xlo")) * F.col("_frac"),
+            6,
+        ).alias("threshold"),
+    )
+    return (
+        c.join(F.broadcast(th), strata_col)
+        .groupBy(strata_col, "n_docs", "threshold")
+        .agg(
+            F.sum(
+                F.when(F.col("_s") >= F.col("threshold"), F.col("_n"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("n_kept")
+        )
+        .select(
+            strata_col,
+            "n_docs",
+            "threshold",
+            "n_kept",
+            F.round(
+                F.col("n_kept").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("realized_rate"),
+            F.lit(float(keep_rate)).alias("target_rate"),
+        )
+    )

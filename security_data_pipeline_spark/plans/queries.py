@@ -3345,6 +3345,53 @@ def doc_quality_auto_threshold(
 
 
 @query(
+    "doc_stream_auto_threshold",
+    sql=REGISTRY["doc_quality_auto_threshold"].sql,
+    description=(
+        "The operating-point picker against STREAMED state: per-doc "
+        "quality scores fold into the additive (source, 6dp-score, "
+        "count) histogram through maintain_ranking_counts_stream across "
+        "two real micro-batches (the SAME state the live AUC/Brier "
+        "report reads), then textops.threshold_from_score_counts derives "
+        "the per-source thresholds and keep report from the cumulative "
+        "histogram — exact interpolated percentiles from order "
+        "statistics over cumulative counts, zero corpus rescans, held "
+        "to the one-shot batch oracle. A gate budget that re-tunes at "
+        "ingest cadence"
+    ),
+)
+def doc_stream_auto_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from security_data_pipeline_spark.streaming.pipeline import (
+        maintain_ranking_counts_stream,
+        ranking_state_counts,
+    )
+
+    docs = textops.quality_features(
+        load_table(spark, sf_dir, "documents")
+    ).select("source", "quality_score", F.lit(0).alias("_lbl"))
+    tmp = _stage_two_batches(docs, "stream_autothr_")
+    q = maintain_ranking_counts_stream(
+        spark.readStream.schema(
+            "source string, quality_score double, _lbl int"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/src"),
+        f"{tmp}/state",
+        f"{tmp}/ckpt",
+        score_col="quality_score",
+        label_col="_lbl",
+        group_cols=["source"],
+    )
+    q.awaitTermination()
+    counts = ranking_state_counts(spark, f"{tmp}/state")
+    return textops.threshold_from_score_counts(
+        counts, strata_col="source", keep_rate=0.3, drop_pct=0.7
+    )
+
+
+@query(
     "doc_quality_normalized",
     sql=f"""
 WITH base AS (

@@ -507,3 +507,45 @@ def test_quality_auto_threshold_hits_target_rate_with_tie_overshoot(spark):
     )
     assert a["threshold"] != b["threshold"]
     assert a["target_rate"] == b["target_rate"] == 0.3
+
+
+def test_threshold_from_score_counts_bitwise_equals_batch_picker(spark):
+    """The histogram tail must reproduce the batch picker's thresholds
+    and keep report BIT-for-bit from the additive (source, score, count)
+    statistic — at a second scale factor (sf0.001; the oracle-parity
+    sweep covers sf0.01 through the streamed registered query). Also the
+    regression trap for the `_N`-vs-`_n` case-collision bug: under the
+    default case-insensitive resolver, withColumn("_N", ...) silently
+    REPLACED the `_n` count column and every cumulative was garbage."""
+    import struct
+
+    from security_data_pipeline_spark.operators.evaluation import (
+        score_label_counts,
+    )
+    from security_data_pipeline_spark.operators.textops import (
+        quality_auto_threshold_report,
+        quality_features,
+        threshold_from_score_counts,
+    )
+    from security_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    scored = quality_features(docs).select(
+        "source", "quality_score", F.lit(0).alias("_lbl")
+    )
+    counts = score_label_counts(scored, "quality_score", "_lbl", ["source"])
+    got = {
+        r["source"]: r for r in threshold_from_score_counts(counts).collect()
+    }
+    exp = {
+        r["source"]: r
+        for r in quality_auto_threshold_report(docs).collect()
+    }
+    assert set(got) == set(exp) and got, "source sets differ"
+    for s in exp:
+        for col in ("n_docs", "n_kept"):
+            assert got[s][col] == exp[s][col], (s, col, got[s], exp[s])
+        for col in ("threshold", "realized_rate", "target_rate"):
+            assert struct.pack("<d", got[s][col]) == struct.pack(
+                "<d", exp[s][col]
+            ), (s, col, got[s][col], exp[s][col])
