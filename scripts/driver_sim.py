@@ -50,6 +50,12 @@ def frames_bit_equal(got: pd.DataFrame, exp: pd.DataFrame) -> bool:
 
     for c in got.columns:
         g, e = got[c], exp[c]
+        # dtype-kind gate BEFORE any value compare: the string fallback
+        # below would otherwise pass an int64-vs-string or bool-vs-string
+        # drift between engine and oracle (ADVICE r11 — the old .equals
+        # required dtype match; the bit-exact rewrite must not loosen it)
+        if g.dtype.kind != e.dtype.kind:
+            return False
         if pd.api.types.is_float_dtype(g):
             ga = g.to_numpy(dtype="float64")
             ea = e.to_numpy(dtype="float64")

@@ -1143,9 +1143,14 @@ def quality_auto_threshold_report(
         q.join(F.broadcast(th), strata_col)
         .groupBy(strata_col, "n_docs", "threshold")
         .agg(
+            # explicit otherwise(0): a stratum whose scores are all NULL
+            # yields threshold NULL, and summing NULL comparisons would
+            # return NULL n_kept where the oracle's CASE WHEN ... ELSE 0
+            # yields 0 — the F.when form matches CASE semantics exactly
             F.sum(
-                (F.col("_q") >= F.col("threshold")).cast("long")
-            ).alias("n_kept")
+                F.when(F.col("_q") >= F.col("threshold"), F.lit(1))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("n_kept")
         )
         .select(
             strata_col,

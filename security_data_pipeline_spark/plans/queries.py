@@ -3346,7 +3346,42 @@ def doc_quality_auto_threshold(
 
 @query(
     "doc_stream_auto_threshold",
-    sql=REGISTRY["doc_quality_auto_threshold"].sql,
+    # NOT the batch report's SQL verbatim: the streamed histogram only
+    # ever holds SCORED rows (score_label_counts filters NULL scores), so
+    # the stream leg's n_docs / realized_rate count scored docs, where
+    # the batch COUNT(*) includes NULL-score docs that F.percentile
+    # silently skips. This oracle states the histogram's convention
+    # explicitly (qs IS NOT NULL) so a NULL-text doc cannot silently
+    # break bit-parity for this registration (ADVICE r11, medium).
+    sql=f"""
+WITH q AS (
+  SELECT source,
+         (ROUND(0.5 * CAST(LEAST(len(string_split(text, ' ')), 200)
+                     AS DOUBLE) / 200.0
+               + 0.5 * LEAST(
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                            t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+                   / CAST(NULLIF(len(string_split(text, ' ')), 0) AS DOUBLE)
+                   * 5.0, 1.0),
+               6) + 0.0) AS qs
+  FROM documents
+), scored AS (
+  SELECT source, qs FROM q WHERE qs IS NOT NULL
+), th AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         (ROUND(quantile_cont(qs, 0.7), 6) + 0.0) AS threshold
+  FROM scored GROUP BY source
+)
+SELECT scored.source, th.n_docs, th.threshold,
+       CAST(SUM(CASE WHEN scored.qs >= th.threshold THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       (ROUND(CAST(SUM(CASE WHEN scored.qs >= th.threshold THEN 1 ELSE 0 END)
+                   AS DOUBLE)
+             / CAST(th.n_docs AS DOUBLE), 6) + 0.0) AS realized_rate,
+       CAST(0.3 AS DOUBLE) AS target_rate
+FROM scored JOIN th USING (source)
+GROUP BY scored.source, th.n_docs, th.threshold
+""",
     description=(
         "The operating-point picker against STREAMED state: per-doc "
         "quality scores fold into the additive (source, 6dp-score, "

@@ -84,10 +84,27 @@ def test_fround_matches_sql_round_bitwise(spark):
     ],
 )
 def test_every_oracle_round_site_is_wrapped(module):
-    """Grep-grade audit: no bare ROUND( may reappear in the oracle SQL.
-    Every occurrence must be the canonical '(ROUND(...) + 0.0)' form —
-    i.e. preceded by '(' — or a quote-adjacent Python string-splice key
-    (e.g. the doc_quality_ensemble header replace)."""
+    """Structural audit: no bare ROUND( may reappear in the oracle SQL.
+    Every occurrence must be the FULL canonical '(ROUND(...) + 0.0)'
+    form — preceded by '(' AND followed, after the balanced closing
+    paren of the call, by ' + 0.0)' (checking only the preceding '('
+    let e.g. 'exp((ROUND(x, 6)))' pass un-canonicalized — ADVICE r11).
+    Quote-adjacent Python string-splice keys (e.g. the
+    doc_quality_ensemble header replace) are exempt."""
+
+    def match_paren(text: str, open_idx: int) -> int:
+        # the canonicalize_round_zero.py balanced-paren walk (the oracle
+        # SQL never embeds unbalanced parens inside quoted strings)
+        depth = 0
+        for i in range(open_idx, len(text)):
+            if text[i] == "(":
+                depth += 1
+            elif text[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    return i
+        raise ValueError(f"unbalanced parens from {open_idx}")
+
     text = open(module).read()
     pos, bad = 0, []
     while True:
@@ -96,7 +113,17 @@ def test_every_oracle_round_site_is_wrapped(module):
             break
         before = text[hit - 1] if hit else ""
         after = text[hit + len("ROUND(")]
-        ok = before == "(" or before in "\"'" or after in "\"'"
+        if before in "\"'" or after in "\"'":
+            pos = hit + len("ROUND(")
+            continue
+        close = match_paren(text, hit + len("ROUND"))
+        # the tail may wrap across a line break inside the SQL string —
+        # whitespace-insensitive there, exact otherwise
+        import re
+
+        ok = before == "(" and re.match(
+            r"\s+\+ 0\.0\)", text[close + 1 : close + 24]
+        )
         if not ok:
             line = text.count("\n", 0, hit) + 1
             bad.append(f"{module}:{line}")
