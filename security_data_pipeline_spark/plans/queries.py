@@ -5009,16 +5009,9 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.knn_bruteforce(
         corpus=emb, queries=emb.filter(pred), k=k
     ).select("query_id", "neighbor_id")
-    arms = [
-        (
-            p,
-            similarity.ann_ivf_topk(
-                emb, k=k, n_centroids=16, n_probe=p, query_pred=pred
-            ).select("query_id", "neighbor_id"),
-        )
-        for p in _RECALL_PROBES
-    ]
-    return _recall_sweep_union(emb, exact, arms, "n_probe", k)
+    return _recall_sweep_union(
+        emb, exact, _ivf_sweep_arms(emb, pred, k), "n_probe", k
+    )
 
 
 @query(
@@ -5137,6 +5130,92 @@ def _recall_sweep_union(emb, exact, arm_dfs, param_name: str, k: int):
             )
         )
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+# Per-family sweep arms, shared between the real-corpus sweep queries,
+# their *_planted variants (the discriminating low-rank fixture in
+# sources/synthetic.py), and the ann_operating_point picker (which joins
+# ALL families' arms against ONE pinned ground truth) — one definition of
+# each family's measured grid, so the surfaces cannot drift apart.
+
+
+def _ivf_sweep_arms(emb, pred, k):
+    return [
+        (
+            p,
+            similarity.ann_ivf_topk(
+                emb, k=k, n_centroids=16, n_probe=p, query_pred=pred
+            ).select("query_id", "neighbor_id"),
+        )
+        for p in _RECALL_PROBES
+    ]
+
+
+def _lsh_sweep_arms(emb, pred, k):
+    return [
+        (
+            p,
+            similarity.ann_lsh_topk(
+                emb, k=k, n_planes=p, n_bands=4, seed=42,
+                query_pred=pred, dim=64,
+            ),
+        )
+        for p in _LSH_SWEEP_PLANES
+    ]
+
+
+def _sq_sweep_arms(emb, pred, k):
+    return [
+        (
+            b,
+            similarity.ann_sq8_topk(
+                emb, k=k, query_pred=pred, levels=float(2**b - 1)
+            ),
+        )
+        for b in _SQ_SWEEP_BITS
+    ]
+
+
+def _pqm_sweep_arms(emb, pred, k):
+    return [
+        (
+            m,
+            similarity.ann_pq_adc_topk(
+                emb, k=k, n_codewords=16, n_sub=m, query_pred=pred
+            ).select("query_id", "neighbor_id"),
+        )
+        for m in _PQ_SWEEP_SUBS
+    ]
+
+
+def _pqc_sweep_arms(emb, pred, k):
+    return [
+        (
+            c,
+            similarity.ann_pq_adc_topk(
+                emb, k=k, n_codewords=c, n_sub=8, query_pred=pred
+            ).select("query_id", "neighbor_id"),
+        )
+        for c in _PQ_CODEWORD_SWEEP
+    ]
+
+
+def _planted_oracle(sweep_sql: str) -> str:
+    """A sweep oracle re-pointed at the planted corpus: the single
+    ``FROM embeddings`` inside the shared ``e`` CTE becomes the planted
+    construction subquery (sources/synthetic.py). The asserted single
+    occurrence keeps this substitution honest if a builder ever grows a
+    second scan."""
+    from security_data_pipeline_spark.sources.synthetic import (
+        planted_embeddings_sql,
+    )
+
+    assert sweep_sql.count("FROM embeddings") == 1, sweep_sql.count(
+        "FROM embeddings"
+    )
+    return sweep_sql.replace(
+        "FROM embeddings", f"FROM {planted_embeddings_sql()}"
+    )
 
 
 _LSH_SWEEP_PLANES = (4, 8, 16, 32)
@@ -5260,22 +5339,9 @@ def lsh_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.knn_bruteforce(
         corpus=emb, queries=emb.filter(pred), k=k
     ).select("query_id", "neighbor_id")
-    arms = [
-        (
-            p,
-            similarity.ann_lsh_topk(
-                emb,
-                k=k,
-                n_planes=p,
-                n_bands=4,
-                seed=42,
-                query_pred=pred,
-                dim=64,
-            ),
-        )
-        for p in _LSH_SWEEP_PLANES
-    ]
-    return _recall_sweep_union(emb, exact, arms, "n_planes", k)
+    return _recall_sweep_union(
+        emb, exact, _lsh_sweep_arms(emb, pred, k), "n_planes", k
+    )
 
 
 _SQ_SWEEP_BITS = (1, 2, 4, 8)
@@ -5387,16 +5453,9 @@ def sq_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.knn_bruteforce(
         corpus=emb, queries=emb.filter(pred), k=k
     ).select("query_id", "neighbor_id")
-    arms = [
-        (
-            b,
-            similarity.ann_sq8_topk(
-                emb, k=k, query_pred=pred, levels=float(2**b - 1)
-            ),
-        )
-        for b in _SQ_SWEEP_BITS
-    ]
-    return _recall_sweep_union(emb, exact, arms, "bits", k)
+    return _recall_sweep_union(
+        emb, exact, _sq_sweep_arms(emb, pred, k), "bits", k
+    )
 
 
 def _ivf_sq8_oracle_sql(
@@ -12097,16 +12156,9 @@ def pq_codewords_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.knn_bruteforce(
         corpus=emb, queries=emb.filter(pred), k=k
     ).select("query_id", "neighbor_id")
-    arms = [
-        (
-            c,
-            similarity.ann_pq_adc_topk(
-                emb, k=k, n_codewords=c, n_sub=8, query_pred=pred
-            ).select("query_id", "neighbor_id"),
-        )
-        for c in _PQ_CODEWORD_SWEEP
-    ]
-    return _recall_sweep_union(emb, exact, arms, "n_codewords", k)
+    return _recall_sweep_union(
+        emb, exact, _pqc_sweep_arms(emb, pred, k), "n_codewords", k
+    )
 
 
 @query(
@@ -12134,16 +12186,342 @@ def pq_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.knn_bruteforce(
         corpus=emb, queries=emb.filter(pred), k=k
     ).select("query_id", "neighbor_id")
-    arms = [
-        (
-            m,
-            similarity.ann_pq_adc_topk(
-                emb, k=k, n_codewords=16, n_sub=m, query_pred=pred
-            ).select("query_id", "neighbor_id"),
+    return _recall_sweep_union(
+        emb, exact, _pqm_sweep_arms(emb, pred, k), "n_sub", k
+    )
+
+
+# ---------------------------------------------------------------------------
+# Planted-corpus sweep variants + the ANN / banding operating-point pickers
+# (round 12): the real-testdata embeddings are near-isotropic, so the five
+# measured recall surfaces sit on a flat floor; the planted low-rank
+# clustered fixture (sources/synthetic.py — bit-portable across engines)
+# gives the SAME sweeps discriminating S-shapes, and the pickers turn those
+# measured frames into deployed configs (measurement -> decision, the
+# quality_auto_threshold_report pattern).
+# ---------------------------------------------------------------------------
+
+
+def _load_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.sources.synthetic import (
+        planted_embeddings,
+    )
+
+    return planted_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+def _planted_sweep(spark, sf_dir, arms_fn, param_name):
+    k = 3
+    pred = F.col("vec_id") < 200
+    emb = _load_planted(spark, sf_dir)
+    exact = similarity.knn_bruteforce(
+        corpus=emb, queries=emb.filter(pred), k=k
+    ).select("query_id", "neighbor_id")
+    return _recall_sweep_union(
+        emb, exact, arms_fn(emb, pred, k), param_name, k
+    )
+
+
+_PLANTED_SWEEP_DESC = (
+    "the {fam} recall sweep over the PLANTED low-rank clustered corpus "
+    "(sources/synthetic.py: 8 planted clusters on a rank-8 subspace, "
+    "exact-dyadic LCG construction, bit-identical across engines) — the "
+    "discriminating counterpart of {base}: the real-testdata embeddings "
+    "are near-isotropic so that surface sits on a flat recall floor, "
+    "while this one shows the S-shape an operating point is actually "
+    "picked from (SCALE.md round-12 records the contrast). Same grid, "
+    "same scaffold, same oracle with the corpus CTE swapped"
+)
+
+
+@query(
+    "ann_recall_sweep_planted",
+    sql=_planted_oracle(_ivf_recall_sweep_sql()),
+    description=_PLANTED_SWEEP_DESC.format(
+        fam="IVF n_probe", base="ann_recall_sweep"
+    ),
+)
+def ann_recall_sweep_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _planted_sweep(spark, sf_dir, _ivf_sweep_arms, "n_probe")
+
+
+@query(
+    "lsh_recall_sweep_planted",
+    sql=_planted_oracle(_lsh_recall_sweep_sql()),
+    description=_PLANTED_SWEEP_DESC.format(
+        fam="LSH n_planes", base="lsh_recall_sweep"
+    ),
+)
+def lsh_recall_sweep_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _planted_sweep(spark, sf_dir, _lsh_sweep_arms, "n_planes")
+
+
+@query(
+    "sq_recall_sweep_planted",
+    sql=_planted_oracle(_sq_recall_sweep_sql()),
+    description=_PLANTED_SWEEP_DESC.format(
+        fam="SQ code-width", base="sq_recall_sweep"
+    ),
+)
+def sq_recall_sweep_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _planted_sweep(spark, sf_dir, _sq_sweep_arms, "bits")
+
+
+@query(
+    "pq_recall_sweep_planted",
+    sql=_planted_oracle(_pq_recall_sweep_sql()),
+    description=_PLANTED_SWEEP_DESC.format(
+        fam="PQ n_sub", base="pq_recall_sweep"
+    ),
+)
+def pq_recall_sweep_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _planted_sweep(spark, sf_dir, _pqm_sweep_arms, "n_sub")
+
+
+@query(
+    "pq_codewords_sweep_planted",
+    sql=_planted_oracle(_pq_codewords_sweep_sql()),
+    description=_PLANTED_SWEEP_DESC.format(
+        fam="PQ codebook-size", base="pq_codewords_sweep"
+    ),
+)
+def pq_codewords_sweep_planted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _planted_sweep(spark, sf_dir, _pqc_sweep_arms, "n_codewords")
+
+
+# The ANN operating point: byte budget + target recall in, a chosen index
+# config out, decided over the full measured frame (21 sweep points across
+# 5 families, ALL joined against ONE pinned brute-force ground truth).
+_ANN_BYTE_BUDGET = 8.0
+_ANN_TARGET_RECALL = 0.95
+
+_ANN_FAMILIES = (
+    # (family, param_name, arms_fn, bytes_per_vec as SQL over param_value)
+    ("ivf", "n_probe", _ivf_sweep_arms, "CAST(256.0 AS DOUBLE)"),
+    ("lsh", "n_planes", _lsh_sweep_arms, "CAST(param_value AS DOUBLE) / 8.0"),
+    ("sq", "bits", _sq_sweep_arms, "CAST(param_value AS DOUBLE) * 8.0"),
+    ("pq_m", "n_sub", _pqm_sweep_arms, "CAST(param_value AS DOUBLE) * 0.5"),
+    (
+        "pq_nbits",
+        "n_codewords",
+        _pqc_sweep_arms,
+        "log2(CAST(param_value AS DOUBLE))",
+    ),
+)
+
+
+def _ann_operating_point_sql(
+    byte_budget: float = _ANN_BYTE_BUDGET,
+    target_recall: float = _ANN_TARGET_RECALL,
+) -> str:
+    """The picker's oracle: every family's planted sweep nested verbatim
+    (DuckDB supports WITH inside a CTE body), normalized to one
+    (family, param_name, param_value, bytes_per_vec, mean_recall) frame,
+    then the decision written in window SQL operand-for-operand with
+    operators/tuning.py:recall_operating_point."""
+    nested = {
+        "ivf": _planted_oracle(_ivf_recall_sweep_sql()),
+        "lsh": _planted_oracle(_lsh_recall_sweep_sql()),
+        "sq": _planted_oracle(_sq_recall_sweep_sql()),
+        "pq_m": _planted_oracle(_pq_recall_sweep_sql()),
+        "pq_nbits": _planted_oracle(_pq_codewords_sweep_sql()),
+    }
+    param_col = {
+        "ivf": "n_probe",
+        "lsh": "n_planes",
+        "sq": "bits",
+        "pq_m": "n_sub",
+        "pq_nbits": "n_codewords",
+    }
+    ctes = ",\n".join(f"sweep_{f} AS ({sql})" for f, sql in nested.items())
+    frame = "\n  UNION ALL\n".join(
+        f"""  SELECT '{fam}' AS family, '{pname}' AS param_name,
+         {param_col[fam]} AS param_value,
+         {bytes_sql.replace("param_value", param_col[fam])} AS bytes_per_vec,
+         mean_recall
+  FROM sweep_{fam}"""
+        for fam, pname, _, bytes_sql in _ANN_FAMILIES
+    )
+    b, r = repr(float(byte_budget)), repr(float(target_recall))
+    return f"""
+WITH {ctes},
+frame AS (
+{frame}
+), flagged AS (
+  SELECT *, CAST({b} AS DOUBLE) AS byte_budget,
+         CAST({r} AS DOUBLE) AS target_recall,
+         (family <> 'ivf' AND bytes_per_vec <= {b}) AS within_budget,
+         (family = 'ivf' AND mean_recall >= {r}) AS meets_target
+  FROM frame
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY family ORDER BY
+      CASE WHEN (CASE WHEN family <> 'ivf' THEN within_budget
+                 ELSE meets_target END) THEN 0 ELSE 1 END,
+      CASE WHEN family <> 'ivf' THEN -mean_recall
+           WHEN meets_target THEN CAST(param_value AS DOUBLE)
+           ELSE -mean_recall END,
+      bytes_per_vec, param_value) AS _rn
+  FROM flagged
+), chose AS (
+  SELECT * EXCLUDE (_rn),
+         CASE WHEN family <> 'ivf' THEN _rn = 1 AND within_budget
+              ELSE _rn = 1 END AS chosen
+  FROM ranked
+), dep AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY
+      CASE WHEN chosen AND family <> 'ivf' THEN 0 ELSE 1 END,
+      -mean_recall, bytes_per_vec, family) AS _rd
+  FROM chose
+)
+SELECT family, param_name, CAST(param_value AS INT) AS param_value,
+       bytes_per_vec, mean_recall, byte_budget, target_recall,
+       within_budget, meets_target, chosen,
+       (chosen AND family <> 'ivf' AND _rd = 1) AS deployed
+FROM dep
+"""
+
+
+@query(
+    "ann_operating_point",
+    sql=_ann_operating_point_sql(),
+    description=(
+        "The ANN OPERATING-POINT picker — measurement into decision "
+        "(operators/tuning.py): a byte budget per vector (8.0) and a "
+        "target recall@3 (0.95) go in; out comes the full 21-point "
+        "measured frame (IVF n_probe, LSH n_planes, SQ bits, PQ n_sub, "
+        "PQ n_codewords — every family's grid over the PLANTED "
+        "discriminating corpus, ALL arms joined against ONE pinned "
+        "brute-force ground truth instead of five per-sweep copies) "
+        "with the decision columns: per code family the max-recall "
+        "config inside the byte budget (ties to fewer bytes), for IVF "
+        "the cheapest n_probe meeting the recall target, and ONE "
+        "deployed row — the best chosen code config. The full frame "
+        "rides along so the chosen row provably dominates every "
+        "alternative it beat, and the whole decision is oracle-checked "
+        "bit-for-bit"
+    ),
+)
+def ann_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from security_data_pipeline_spark.operators.tuning import (
+        recall_operating_point,
+    )
+
+    k = 3
+    pred = F.col("vec_id") < 200
+    emb = _load_planted(spark, sf_dir)
+    # ONE ground truth for all 21 arms: pinned here, so the per-family
+    # pin inside _recall_sweep_union is a barrier over already-
+    # materialized blocks, not a recompute (the round-11 fan-out lesson)
+    exact = (
+        similarity.knn_bruteforce(corpus=emb, queries=emb.filter(pred), k=k)
+        .select("query_id", "neighbor_id")
+        .transform(pin_lazy)
+    )
+    bytes_expr = {
+        "ivf": F.lit(256.0),
+        "lsh": F.col("param_value").cast("double") / F.lit(8.0),
+        "sq": F.col("param_value").cast("double") * F.lit(8.0),
+        "pq_m": F.col("param_value").cast("double") * F.lit(0.5),
+        "pq_nbits": F.log2(F.col("param_value").cast("double")),
+    }
+    parts = []
+    for fam, pname, arms_fn, _ in _ANN_FAMILIES:
+        sw = _recall_sweep_union(
+            emb, exact, arms_fn(emb, pred, k), "param_value", k
         )
-        for m in _PQ_SWEEP_SUBS
-    ]
-    return _recall_sweep_union(emb, exact, arms, "n_sub", k)
+        parts.append(
+            sw.select(
+                F.lit(fam).alias("family"),
+                F.lit(pname).alias("param_name"),
+                F.col("param_value"),
+                bytes_expr[fam].alias("bytes_per_vec"),
+                F.col("mean_recall"),
+            )
+        )
+    frame = reduce(lambda a, c: a.unionByName(c), parts)
+    return recall_operating_point(
+        frame,
+        byte_budget=_ANN_BYTE_BUDGET,
+        target_recall=_ANN_TARGET_RECALL,
+    )
+
+
+_BAND_CANDIDATE_RATIO = 3.0
+_BAND_JACCARD_T = 0.3  # lsh_band_sweep's truth threshold
+
+
+def _lsh_banding_pick_sql(
+    ratio: float = _BAND_CANDIDATE_RATIO,
+    threshold: float = _BAND_JACCARD_T,
+) -> str:
+    from security_data_pipeline_spark.operators.tuning import (
+        banding_threshold_powers,
+    )
+
+    rows_grid = tuple(32 // b for b in _LSH_BAND_SWEEP)
+    tpow = banding_threshold_powers(threshold, rows_grid)
+    tp_case = " ".join(
+        f"WHEN rows_per_band = {r} THEN {repr(v)}"
+        for r, v in tpow.items()
+    )
+    r = repr(float(ratio))
+    return f"""
+WITH sweep AS ({_lsh_band_sweep_sql()}),
+flagged AS (
+  SELECT *, CAST({r} AS DOUBLE) AS candidate_ratio,
+         ((CASE {tp_case} END) * CAST(n_bands AS DOUBLE) >= 1.0)
+           AS theory_ok,
+         (CAST(n_candidates AS DOUBLE)
+          <= {r} * CAST(n_truth AS DOUBLE)) AS within_budget
+  FROM sweep
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY
+      CASE WHEN theory_ok AND within_budget THEN 0 ELSE 1 END,
+      -recall, n_candidates, n_bands) AS _rn
+  FROM flagged
+)
+SELECT * EXCLUDE (_rn),
+       (_rn = 1 AND theory_ok AND within_budget) AS chosen
+FROM ranked
+"""
+
+
+@query(
+    "lsh_banding_pick",
+    sql=_lsh_banding_pick_sql(),
+    description=(
+        "The DEDUP banding OPERATING-POINT picker closing the S-curve "
+        "loop (operators/tuning.py): from lsh_band_sweep's measured "
+        "recall/precision frame, choose the (n_bands, rows_per_band) "
+        "split that (1) passes the THEORY gate — banding collision "
+        "threshold (1/b)^(1/r) at or below the 0.3 dedup threshold, "
+        "written as t^r * b >= 1 with t^r as exact cross-engine "
+        "literals, the gate that makes the choice scale-robust where "
+        "small-corpus measured recall is optimistic (4x8 reads 1.0 at "
+        "sf0.01 but 0.984 at sf0.1) — and (2) fits the TRUTH-RELATIVE "
+        "verify budget (n_candidates <= 3.0 x n_truth; a ratio survives "
+        "a 100x scale-up where an absolute count would not); among "
+        "those, max measured recall, ties to fewer candidates then "
+        "fewer bands. Picks 16x2 at sf0.001, sf0.01 AND sf0.1 (pinned "
+        "by test), with the measured recall column as the witness the "
+        "theory held on this corpus"
+    ),
+)
+def lsh_banding_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from security_data_pipeline_spark.operators.tuning import (
+        banding_operating_point,
+    )
+
+    return banding_operating_point(
+        REGISTRY["lsh_band_sweep"].fn(spark, sf_dir),
+        candidate_ratio=_BAND_CANDIDATE_RATIO,
+        jaccard_threshold=_BAND_JACCARD_T,
+        rows_grid=tuple(32 // b for b in _LSH_BAND_SWEEP),
+    )
 
 
 # Composite driver-window queries register on import (they reuse the
