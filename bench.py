@@ -138,6 +138,18 @@ BENCH_QUERIES: tuple[str, ...] = (
     # precision per (n_bands, rows_per_band) split of the same 32
     # minhashes vs the exact Jaccard-threshold pair set (pinned once)
     "lsh_band_sweep",
+    # round-12 additions: measurement -> decision. The ANN picker runs
+    # ALL 21 sweep arms across 5 families against ONE pinned ground
+    # truth over the planted corpus (the shared-GT shape is the new
+    # compute worth timing; the *_planted sweep variants repeat the
+    # already-benched per-family shapes and are oracle-checked extras);
+    # the banding picker adds a 4-row window pass over the benched
+    # lsh_band_sweep frame; the deployment composite is benched AS the
+    # driver runs it (streaming legs fold at plan build, like the index
+    # builds — the timed region is the state-read + report)
+    "ann_operating_point",
+    "lsh_banding_pick",
+    "deployment_operating_points",
     # round-9 additions: task-level ANN consumers — leave-one-out kNN
     # label eval (neighbor frame broadcast into the label scan) and
     # contrastive hard-negative mining (mismatch filter BEFORE top-k)
@@ -284,8 +296,10 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_lm_scores": 5000,
         "temporal_net_suite": 44669, "event_windows_suite": 200000,
         "scale_suite": 287, "curation_suite": 429,
-        "span_dedup_suite": 400, "neardup_pairs_suite": 568, "sketch_checks": 29,
+        "span_dedup_suite": 400, "neardup_pairs_suite": 824, "sketch_checks": 29,
         "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4, "pca_recall_sweep": 5, "pq_recall_sweep": 4, "pq_codewords_sweep": 4, "lsh_band_sweep": 4, "emb_truncation_recall_sweep": 5,
+        "ann_operating_point": 21, "lsh_banding_pick": 4,
+        "deployment_operating_points": 354,
         "knn_label_eval": 80, "emb_hard_negatives": 600, "ivf_cluster_purity": 16,
         "event_type_transitions": 25, "doc_bigram_pmi": 20, "emb_batch_drift": 10,
         "doc_bigram_lm_scores": 5000,
@@ -316,7 +330,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_quality_calibration": 7, "doc_quality_ece": 1,
         "doc_quality_threshold_sweep": 9, "token_graph_triangles": 31,
         "token_graph_pagerank": 31, "curation_eval_suite": 10207,
-        "corpus_stats_suite": 10308, "gate_quality_suite": 4737, "privacy_suite": 365, "doc_quality_eval_by_source": 20,
+        "corpus_stats_suite": 10308, "gate_quality_suite": 4737, "privacy_suite": 518, "doc_quality_eval_by_source": 20,
         "token_graph_link_prediction": 20, "user_retention_cohorts": 111,
         "emb_dim_covariance": 2080, "emb_pca_projection": 2000,
         "doc_quality_calibrated": 5000, "token_graph_summary": 1,
@@ -338,8 +352,10 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_lm_scores": 500,
         "temporal_net_suite": 16129, "event_windows_suite": 20000,
         "scale_suite": 270, "curation_suite": 429,
-        "span_dedup_suite": 292, "neardup_pairs_suite": 37, "sketch_checks": 29,
+        "span_dedup_suite": 292, "neardup_pairs_suite": 62, "sketch_checks": 29,
         "grouping_sets_suite": 209, "ann_recall_sweep": 5, "lsh_recall_sweep": 4, "sq_recall_sweep": 4, "pca_recall_sweep": 5, "pq_recall_sweep": 4, "pq_codewords_sweep": 4, "lsh_band_sweep": 4, "emb_truncation_recall_sweep": 5,
+        "ann_operating_point": 21, "lsh_banding_pick": 4,
+        "deployment_operating_points": 354,
         "knn_label_eval": 78, "emb_hard_negatives": 600, "ivf_cluster_purity": 16,
         "event_type_transitions": 25, "doc_bigram_pmi": 20, "emb_batch_drift": 10,
         "doc_bigram_lm_scores": 500,
@@ -370,7 +386,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
         "doc_quality_calibration": 7, "doc_quality_ece": 1,
         "doc_quality_threshold_sweep": 9, "token_graph_triangles": 30,
         "token_graph_pagerank": 30, "curation_eval_suite": 1203,
-        "corpus_stats_suite": 3366, "gate_quality_suite": 651, "privacy_suite": 281, "doc_quality_eval_by_source": 20,
+        "corpus_stats_suite": 3366, "gate_quality_suite": 651, "privacy_suite": 398, "doc_quality_eval_by_source": 20,
         "token_graph_link_prediction": 20, "user_retention_cohorts": 59,
         "emb_dim_covariance": 2080, "emb_pca_projection": 500,
         "doc_quality_calibrated": 500, "token_graph_summary": 1,
@@ -543,6 +559,7 @@ def main() -> None:
 
     expected = EXPECTED_ROWS.get(sf, {})
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}  # per-query max over the same runs
 
     def bench_one(name: str, df, expected_n: int | None) -> int | None:
         n = None
@@ -579,6 +596,12 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             samples.append(time.perf_counter() - start)
         timings[name] = round(min(samples), 3)
+        # the max rides into BENCH_FULL.json next to the min: the
+        # md5/gram arms' ±40% host band has cost three rounds of
+        # worktree bisects — with the recorded spread, a next-round
+        # delta already covered by this round's band is triaged by a
+        # file read, no bisect (VERDICT r11 #5)
+        spreads[name] = round(max(samples), 3)
         print(
             f"[bench] {name}: {timings[name]:.3f}s "
             f"(max {max(samples):.3f}s over {len(samples)} runs)",
@@ -617,6 +640,7 @@ def main() -> None:
     # code. Lighter discipline than the headline numbers (1 warm-up,
     # best-of-3): these are attribution baselines, not headline figures.
     suite_arms: dict[str, dict[str, float]] = {}
+    arm_spreads: dict[str, float] = {}
     for suite, arms in _suite_arm_names().items():
         if suite not in BENCH_QUERIES or not arms:
             continue
@@ -631,6 +655,7 @@ def main() -> None:
                 df.write.mode("overwrite").format("noop").save()
                 samples.append(time.perf_counter() - start)
             per_arm[arm] = round(min(samples), 3)
+            arm_spreads[f"{suite}:{arm}"] = round(max(samples), 3)
         suite_arms[suite] = per_arm
         print(f"[bench] suite arms {suite}: {per_arm}", file=sys.stderr)
 
@@ -645,7 +670,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_max": spreads,
         "suite_arms": suite_arms,
+        "suite_arms_max": arm_spreads,
         "sf": sf,
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")

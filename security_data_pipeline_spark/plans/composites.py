@@ -2242,11 +2242,18 @@ def _neardup_pairs_suite_sql() -> str:
             "CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR)",
             [("hamming", "hamming")],
         ),
+        _unpivot_arm_sql(
+            "mh",
+            "minhash",
+            "CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR)",
+            [("jaccard", "jaccard")],
+        ),
     ]
     body = "\nUNION ALL\n".join(arms)
     return f"""
 WITH ng AS ({cte("ngram_jaccard_pairs")}),
-sh AS ({cte("simhash_dup_pairs")})
+sh AS ({cte("simhash_dup_pairs")}),
+mh AS ({cte("minhash_lsh_pairs")})
 {body}
 """
 
@@ -2255,13 +2262,16 @@ sh AS ({cte("simhash_dup_pairs")})
     "neardup_pairs_suite",
     sql=_neardup_pairs_suite_sql(),
     description=(
-        "Two shingle-level near-dup pair families in one slot "
-        "(consolidated to free the window slot span_dedup_suite uses): "
-        "exact 5-gram Jaccard pairs over the LSH-blocked candidate set, "
-        "and 64-bit SimHash pairs within Hamming distance 3 — every pair "
-        "with its verified similarity folded into the hash. Constituents "
-        "ngram_jaccard_pairs / simhash_dup_pairs stay registered as "
-        "extras with granular oracles"
+        "Three shingle-level near-dup pair families in one slot "
+        "(consolidated to free the window slot span_dedup_suite uses; "
+        "round 12 folds minhash_lsh_pairs in too, freeing ITS slot for "
+        "deployment_operating_points): exact 5-gram Jaccard pairs over "
+        "the LSH-blocked candidate set, 64-bit SimHash pairs within "
+        "Hamming distance 3, and the MinHash+LSH-banded "
+        "Jaccard-verified candidates — every pair with its verified "
+        "similarity folded into the hash. Constituents "
+        "ngram_jaccard_pairs / simhash_dup_pairs / minhash_lsh_pairs "
+        "stay registered as extras with granular oracles"
     ),
 )
 def neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2270,27 +2280,25 @@ def neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run(name: str) -> DataFrame:
         return REGISTRY[name].fn(spark, sf_dir)
 
-    ng = run("ngram_jaccard_pairs").select(
-        F.lit("jaccard").alias("suite"),
-        F.concat(
-            F.col("id_a").cast("string"),
-            F.lit("|"),
-            F.col("id_b").cast("string"),
-        ).alias("item"),
-        F.lit("jaccard").alias("metric"),
-        F.col("jaccard").cast("double").alias("value"),
+    def pair_arm(df: DataFrame, suite: str, metric: str) -> DataFrame:
+        return df.select(
+            F.lit(suite).alias("suite"),
+            F.concat(
+                F.col("id_a").cast("string"),
+                F.lit("|"),
+                F.col("id_b").cast("string"),
+            ).alias("item"),
+            F.lit(metric).alias("metric"),
+            F.col(metric).cast("double").alias("value"),
+        )
+
+    return _union(
+        [
+            pair_arm(run("ngram_jaccard_pairs"), "jaccard", "jaccard"),
+            pair_arm(run("simhash_dup_pairs"), "simhash", "hamming"),
+            pair_arm(run("minhash_lsh_pairs"), "minhash", "jaccard"),
+        ]
     )
-    sh = run("simhash_dup_pairs").select(
-        F.lit("simhash").alias("suite"),
-        F.concat(
-            F.col("id_a").cast("string"),
-            F.lit("|"),
-            F.col("id_b").cast("string"),
-        ).alias("item"),
-        F.lit("hamming").alias("metric"),
-        F.col("hamming").cast("double").alias("value"),
-    )
-    return _union([ng, sh])
 
 
 # ---------------------------------------------------------------------------
@@ -3155,13 +3163,27 @@ def _privacy_suite_sql() -> str:
                 ("max_k", "max_k"),
             ],
         ),
+        # the STREAMED leg: same one-shot batch oracle as tc (the stream
+        # variant is registered with events_t_closeness's SQL — its whole
+        # claim is that the folded cell state derives the identical audit)
+        _unpivot_arm_sql(
+            "tcs",
+            "tclose_stream",
+            "event_type || '|' || COALESCE(value_range, '')",
+            [
+                ("group_size", "group_size"),
+                ("tvd", "tvd"),
+                ("t_close", "CASE WHEN t_close THEN 1 ELSE 0 END"),
+            ],
+        ),
     ]
     body = "\nUNION ALL\n".join(arms)
     return f"""
 WITH ka AS ({cte("events_k_anonymous")}),
 ld AS ({cte("events_l_diversity")}),
 tc AS ({cte("events_t_closeness")}),
-pk AS ({cte("props_k_stats")})
+pk AS ({cte("props_k_stats")}),
+tcs AS ({cte("events_stream_t_closeness")})
 {body}
 """
 
@@ -3183,7 +3205,12 @@ pk AS ({cte("props_k_stats")})
         "sensitive attribute, so its distribution stats belong with the "
         "audits). One corpus aggregation per arm, all grid-bounded; "
         "unpivoted to one (suite, item, metric, value) stream; "
-        "constituents stay registered for granular oracle checks"
+        "constituents stay registered for granular oracle checks. "
+        "Round 12 adds the STREAMED leg as a fifth arm "
+        "(events_stream_t_closeness): the maintained privacy-cell state "
+        "folds through real micro-batches and its t-closeness "
+        "derivation must land bit-equal to the one-shot batch arm — "
+        "the streaming privacy triad now faces the driver's hash"
     ),
 )
 def privacy_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3228,6 +3255,202 @@ def privacy_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "propsk",
             F.col("event_type"),
             ["n", "sum_k", "avg_k", "min_k", "max_k"],
+        ),
+        # round-12 rotation (VERDICT r11 next-round #4): the streamed
+        # privacy-cell state's t-closeness derivation now faces the
+        # driver's hash through this arm, not just local parity — the
+        # stream runs real micro-batches and must land bit-equal to the
+        # one-shot batch arm above
+        arm(
+            run("events_stream_t_closeness"),
+            "tclose_stream",
+            grid_item,
+            ["group_size", "tvd", ("t_close", flag("t_close"))],
+        ),
+    ]
+    return _union(parts)
+
+
+# ---------------------------------------------------------------------------
+# deployment_operating_points — the "what do I actually run at 100 TB"
+# artifact (round 12, VERDICT r11 next-round #6): every operating-point
+# picker's decision in ONE window slot. The quality gate's threshold picker
+# (batch AND its streamed-histogram leg), the MinHash banding picker, and
+# the ANN index picker — each arm a full measured frame with its decision
+# flags, so the driver hash covers both the measurements and the choices.
+# ---------------------------------------------------------------------------
+
+
+def _deployment_operating_points_sql() -> str:
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+
+    def cte(name: str) -> str:
+        return REGISTRY[name].sql.strip().rstrip(";")
+
+    flag = "CASE WHEN {c} THEN 1 ELSE 0 END"
+    arms = [
+        _unpivot_arm_sql(
+            "qb",
+            "quality_batch",
+            "source",
+            [
+                ("n_docs", "n_docs"),
+                ("threshold", "threshold"),
+                ("n_kept", "n_kept"),
+                ("realized_rate", "realized_rate"),
+                ("target_rate", "target_rate"),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "qs",
+            "quality_stream",
+            "source",
+            [
+                ("n_docs", "n_docs"),
+                ("threshold", "threshold"),
+                ("n_kept", "n_kept"),
+                ("realized_rate", "realized_rate"),
+                ("target_rate", "target_rate"),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "bp",
+            "banding",
+            "CAST(n_bands AS VARCHAR) || 'x' || CAST(rows_per_band AS VARCHAR)",
+            [
+                ("n_candidates", "n_candidates"),
+                ("n_truth", "n_truth"),
+                ("recall", "recall"),
+                ("precision", "precision"),
+                ("theory_ok", flag.format(c="theory_ok")),
+                ("within_budget", flag.format(c="within_budget")),
+                ("chosen", flag.format(c="chosen")),
+            ],
+        ),
+        _unpivot_arm_sql(
+            "ap",
+            "ann",
+            "family || ':' || param_name || '=' || CAST(param_value AS VARCHAR)",
+            [
+                ("bytes_per_vec", "bytes_per_vec"),
+                ("mean_recall", "mean_recall"),
+                ("within_budget", flag.format(c="within_budget")),
+                ("meets_target", flag.format(c="meets_target")),
+                ("chosen", flag.format(c="chosen")),
+                ("deployed", flag.format(c="deployed")),
+            ],
+        ),
+    ]
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH qb AS ({cte("doc_quality_auto_threshold")}),
+qs AS ({cte("doc_stream_auto_threshold")}),
+bp AS ({cte("lsh_banding_pick")}),
+ap AS ({cte("ann_operating_point")})
+{body}
+"""
+
+
+@query(
+    "deployment_operating_points",
+    sql=_deployment_operating_points_sql(),
+    description=(
+        "Every operating-point PICKER's decision in one driver-window "
+        "slot — the deployment report a 100 TB run is configured from: "
+        "(1) the per-source quality-gate thresholds for a 30% keep "
+        "budget (batch percentile form); (2) the SAME report re-derived "
+        "from the STREAMED (source, score, count) histogram through "
+        "real micro-batches — gate re-tuning at ingest cadence, held "
+        "bit-equal to the scored-docs convention oracle; (3) the "
+        "MinHash banding chosen under the S-curve theory gate plus a "
+        "truth-relative verify budget (16x2 at every sf, pinned); "
+        "(4) the ANN index config chosen from the full 21-point "
+        "measured frame over the planted corpus (byte budget 8.0, "
+        "recall@3 target 0.95, one pinned ground truth for all arms). "
+        "Each arm ships its whole measured frame with the decision "
+        "flags, so the driver hash covers the measurements AND the "
+        "choices they dominate. Constituents stay registered as extras "
+        "with granular oracles"
+    ),
+)
+def deployment_operating_points(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from security_data_pipeline_spark.plans.queries import REGISTRY
+
+    def run(name: str) -> DataFrame:
+        return REGISTRY[name].fn(spark, sf_dir)
+
+    def arm(df: DataFrame, suite: str, item, metrics: list) -> DataFrame:
+        named = [
+            (m, F.col(m)) if isinstance(m, str) else m for m in metrics
+        ]
+        return (
+            df.select(
+                item.alias("item"),
+                *[e.cast("double").alias(n) for n, e in named],
+            )
+            .unpivot(["item"], [n for n, _ in named], "metric", "value")
+            .select(F.lit(suite).alias("suite"), "item", "metric", "value")
+        )
+
+    flag = lambda c: F.when(F.col(c), F.lit(1)).otherwise(F.lit(0))  # noqa: E731
+    quality_metrics = [
+        "n_docs",
+        "threshold",
+        "n_kept",
+        "realized_rate",
+        "target_rate",
+    ]
+    parts = [
+        arm(
+            run("doc_quality_auto_threshold"),
+            "quality_batch",
+            F.col("source"),
+            quality_metrics,
+        ),
+        arm(
+            run("doc_stream_auto_threshold"),
+            "quality_stream",
+            F.col("source"),
+            quality_metrics,
+        ),
+        arm(
+            run("lsh_banding_pick"),
+            "banding",
+            F.concat(
+                F.col("n_bands").cast("string"),
+                F.lit("x"),
+                F.col("rows_per_band").cast("string"),
+            ),
+            [
+                "n_candidates",
+                "n_truth",
+                "recall",
+                "precision",
+                ("theory_ok", flag("theory_ok")),
+                ("within_budget", flag("within_budget")),
+                ("chosen", flag("chosen")),
+            ],
+        ),
+        arm(
+            run("ann_operating_point"),
+            "ann",
+            F.concat(
+                F.col("family"),
+                F.lit(":"),
+                F.col("param_name"),
+                F.lit("="),
+                F.col("param_value").cast("string"),
+            ),
+            [
+                "bytes_per_vec",
+                "mean_recall",
+                ("within_budget", flag("within_budget")),
+                ("meets_target", flag("meets_target")),
+                ("chosen", flag("chosen")),
+                ("deployed", flag("deployed")),
+            ],
         ),
     ]
     return _union(parts)

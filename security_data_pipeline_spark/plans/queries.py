@@ -12637,14 +12637,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_pii_scrub",
     # dedup family: exact groups, decontamination, the consolidated
     # shingle-pair families (constituents ngram_jaccard_pairs /
-    # simhash_dup_pairs stay registered as extras), LSH pairs, connected-
-    # component clusters, and the content-duplication stats composite
-    # (cross-corpus bands, span dedup, Gopher repetition, line dedup)
+    # simhash_dup_pairs / minhash_lsh_pairs stay registered as extras —
+    # round 12 folded the MinHash+LSH pairs into neardup_pairs_suite as
+    # a third arm, freeing its slot for deployment_operating_points),
+    # connected-component clusters, and the content-duplication stats
+    # composite (cross-corpus bands, span dedup, Gopher repetition,
+    # line dedup)
     "doc_exact_dup_groups",
     "doc_decontaminate",
     "neardup_pairs_suite",
     "neardup_clusters",
-    "minhash_lsh_pairs",
+    # the deployment report: every operating-point picker's decision —
+    # quality-gate thresholds (batch + streamed-histogram legs), the
+    # theory-gated MinHash banding pick, and the ANN index config chosen
+    # from the full measured frame over the planted corpus (constituents
+    # doc_quality_auto_threshold / doc_stream_auto_threshold /
+    # lsh_banding_pick / ann_operating_point stay registered as extras)
+    "deployment_operating_points",
     "span_dedup_suite",
     # embedding similarity: near-dup pairs, semantic dedup, ANN suite
     "cosine_dup_pairs",

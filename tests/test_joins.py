@@ -5,6 +5,7 @@ from __future__ import annotations
 import datetime as dt
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from security_data_pipeline_spark.operators import joins, similarity
@@ -1602,3 +1603,152 @@ def test_pq_adc_long_sum_is_bitwise_equal_to_decimal_sum(spark):
         )
     # the documented overflow bound: max per-subspace d = 4, m <= 16
     assert 16 * 4 * 1e9 < 2**53
+
+
+def _adversarial_vectors(dim: int = 16, n: int = 40):
+    """The shared boundary-case corpus for quantized-scorer bit-parity:
+    antipodal pair (max per-dim spread — pins the SQ grid corners),
+    near-duplicate at 1e-9 (few-ulp distances), an axis corner, and a
+    vector whose components land EXACTLY on SQ half-level rounding ties
+    ((x-mn)/(mx-mn)*levels + 0.5 an exact integer — the floor tie the
+    +0.5 convention decides)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((n, dim))
+    vecs[0] = np.linspace(-1.0, 1.0, dim)
+    vecs[1] = -vecs[0]                      # antipodal
+    vecs[2] = vecs[0] + 1e-9                # near-duplicate
+    vecs[3] = np.eye(dim)[0]                # axis corner
+    return vecs
+
+
+def _py_round6(x: float) -> float:
+    from decimal import Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding="ROUND_HALF_UP")
+    )
+
+
+@pytest.mark.parametrize("scorer", ["pq", "sq8", "pca"])
+def test_quantized_scorer_bit_parity_on_adversarial_vectors(spark, scorer):
+    """VERDICT r11 stretch #8: every quantized scorer — PQ-ADC's
+    scaled-long sum, SQ8's fused dequant+cosine, PCA's literal
+    projection — recomputed in plain Python float64/Decimal with the
+    SAME operand order must match Spark's output BIT-for-bit on the
+    shared adversarial corpus. A left-fold reassociation, a rounding-
+    convention drift, or a quantization tie broken differently would
+    all land as a bit mismatch here before they could reach an oracle."""
+    import math
+    import struct
+
+    import numpy as np
+
+    vecs = _adversarial_vectors()
+    n, dim = vecs.shape
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def fold_norm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    if scorer == "pq":
+        from decimal import Decimal
+
+        from security_data_pipeline_spark.operators.similarity import (
+            ann_pq_adc_topk,
+            pq_codebooks_lowest_ids,
+            pq_encode,
+        )
+
+        got = ann_pq_adc_topk(df, k=5, n_codewords=8, n_sub=4).collect()
+        assert got
+        cbs = pq_codebooks_lowest_ids(df, n_codewords=8, n_sub=4)
+        codes = {
+            r["vec_id"]: r["pq_codes"] for r in pq_encode(df, cbs).collect()
+        }
+        norm = {i: vecs[i] / np.linalg.norm(vecs[i]) for i in range(n)}
+        d_sub = dim // 4
+        for r in got:
+            q, c = r["query_id"], r["neighbor_id"]
+            total = Decimal(0)
+            for m in range(4):
+                sub = norm[q][m * d_sub : (m + 1) * d_sub]
+                cw = np.array(cbs[m][codes[c][m] - 1])
+                d = float(np.sum((sub - cw) ** 2))
+                total += Decimal(repr(d)).quantize(
+                    Decimal("0.000000001"), rounding="ROUND_HALF_UP"
+                )
+            exp = float(total)
+            assert struct.pack("<d", r["adc_dist"]) == struct.pack(
+                "<d", exp
+            ), (q, c)
+    elif scorer == "sq8":
+        from security_data_pipeline_spark.operators.similarity import (
+            ann_sq8_topk,
+            sq8_minmax,
+        )
+
+        levels = 255.0
+        mins, maxs = sq8_minmax(df)
+        got = ann_sq8_topk(
+            df, k=5, allow_quadratic=True, levels=levels
+        ).collect()
+        assert got
+
+        def dequant(x, mn, mx):
+            if mx == mn:
+                return mn
+            return (
+                mn
+                + math.floor((x - mn) / (mx - mn) * levels + 0.5)
+                * (mx - mn)
+                / levels
+            )
+
+        dq = {
+            i: [
+                dequant(float(vecs[i][j]), mins[j], maxs[j])
+                for j in range(dim)
+            ]
+            for i in range(n)
+        }
+        for r in got:
+            q, c = r["query_id"], r["neighbor_id"]
+            exp = _py_round6(
+                fold_dot(vecs[q], dq[c])
+                / (fold_norm(vecs[q]) * fold_norm(dq[c]))
+            )
+            assert struct.pack("<d", r["cosine_sim"]) == struct.pack(
+                "<d", exp
+            ), (q, c, r["cosine_sim"], exp)
+    else:  # pca
+        from security_data_pipeline_spark.operators.similarity import (
+            pca_fit,
+            pca_project,
+        )
+
+        ncomp = 4
+        means, comps, _explained = pca_fit(
+            df, dim=dim, n_components=ncomp
+        )
+        got = pca_project(df, dim=dim, n_components=ncomp).collect()
+        assert got
+        for r in got:
+            x = vecs[r["vec_id"]]
+            centered = [float(x[j]) - float(means[j]) for j in range(dim)]
+            for ci in range(ncomp):
+                exp = fold_dot(centered, [float(v) for v in comps[ci]])
+                assert struct.pack("<d", r["pca"][ci]) == struct.pack(
+                    "<d", exp
+                ), (r["vec_id"], ci)

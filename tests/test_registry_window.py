@@ -37,9 +37,10 @@ MUST_BE_IN_WINDOW = {
     "cosine_dup_pairs",
     "doc_blob_metadata",
     "sketch_checks",  # subsumes events_distinct_sketch / price_quantiles_sketch
-    "minhash_lsh_pairs",
     # subsumes ngram_jaccard_pairs / simhash_dup_pairs (round-8 window
-    # consolidation that freed the span_dedup_suite slot)
+    # consolidation that freed the span_dedup_suite slot) AND
+    # minhash_lsh_pairs (round-12 consolidation that freed its slot for
+    # deployment_operating_points)
     "neardup_pairs_suite",
     "file_roundtrip",  # subsumes csv_events_roundtrip / jsonl_docs_roundtrip
     "doc_decontaminate",
