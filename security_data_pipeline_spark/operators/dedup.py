@@ -1160,7 +1160,12 @@ def winnow_fingerprints(
     fingerprint — pairing all of them; the SQL oracle's NULL-dropping
     equi-join agrees with the filter, not with that).
     """
-    df = df.filter(F.col(text_col).isNotNull())
+    from security_data_pipeline_spark.operators.skew import fan_out
+
+    # one md5 PER K-GRAM is the heaviest map kernel in the dedup family
+    # and runs before any exchange — fan out so a single-row-group corpus
+    # file doesn't serialize it onto one core (no-op at scale)
+    df = fan_out(df.filter(F.col(text_col).isNotNull()), id_col)
     toks = F.split(F.col(text_col), " ")
     gidx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
     grams = F.transform(
@@ -1464,7 +1469,13 @@ def duplicated_spans(
         raise ValueError(f"scope must be cross_doc|any, got {scope!r}")
     if gram_key not in ("text", "hash"):
         raise ValueError(f"gram_key must be text|hash, got {gram_key!r}")
-    grams = positional_grams(df, id_col, text_col, n)
+    from security_data_pipeline_spark.operators.skew import fan_out
+
+    # the positional-gram expansion (tokenize + per-position slice +
+    # concat_ws, O(L·n) per doc) is the heavy map work and runs BEFORE
+    # the first exchange — on a single-row-group corpus file it
+    # serializes onto one core; a no-op at scale (round-12 measurement)
+    grams = positional_grams(fan_out(df, id_col), id_col, text_col, n)
     if gram_key == "hash":
         grams = grams.withColumn("gram", F.xxhash64("gram"))
     if scope == "any":

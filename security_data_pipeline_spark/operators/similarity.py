@@ -27,20 +27,18 @@ from security_data_pipeline_spark.functions.rounding import fround
 from security_data_pipeline_spark.functions.vectors import cosine_similarity
 
 
-def knn_bruteforce(
+def knn_bruteforce_scored(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector.
-
-    Output: ``query_id, neighbor_id, cosine_sim`` — ranked on
-    round(sim, 6) DESC with neighbor-id ASC tiebreak (deterministic across
-    engines; raw-double rank order could differ in the last ulp).
-    """
+    """The exact-cosine pair frame :func:`knn_bruteforce` ranks — every
+    (query, corpus) pair with its round-6 similarity, no per-query top-k
+    yet. Exposed so multi-arm consumers (the recall-sweep scaffold) can
+    union several arms' scored pairs and pay ONE top-k window exchange
+    instead of one per arm (the round-12 sweep fusion)."""
     from security_data_pipeline_spark.functions.vectors import (
         directional,
         dot_product,
@@ -71,7 +69,27 @@ def knn_bruteforce(
         / (F.col("_qnrm") * F.col("_cnrm")),
         6,
     )
-    scored = pairs.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    return pairs.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: ``query_id, neighbor_id, cosine_sim`` — ranked on
+    round(sim, 6) DESC with neighbor-id ASC tiebreak (deterministic across
+    engines; raw-double rank order could differ in the last ulp).
+    """
+    scored = knn_bruteforce_scored(
+        corpus, queries, id_col=id_col, vec_col=vec_col,
+        exclude_self=exclude_self,
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
@@ -384,9 +402,8 @@ def cosine_dup_pairs_lsh(
     )
 
 
-def ann_lsh_topk(
+def ann_lsh_scored(
     corpus: DataFrame,
-    k: int = 3,
     n_planes: int = 16,
     n_bands: int = 4,
     seed: int = 42,
@@ -395,18 +412,9 @@ def ann_lsh_topk(
     query_pred: F.Column | None = None,
     dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k cosine neighbors via LSH bucketing — the scale path.
-
-    Candidate pairs come from an equi-join on ``(band, bucket)`` (hash
-    shuffle bounded by bucket occupancy — never a cross join), deduped, then
-    verified with exact cosine; ``row_number`` keeps k per query. With a
-    deterministic seed the whole pipeline is reproducible cross-engine, so
-    unlike most ANN code paths this one is oracle-checkable.
-
-    ``query_pred`` restricts which vectors act as queries (all rows remain
-    candidates); neighbors are only as complete as the buckets allow —
-    that's the approximation.
-    """
+    """:func:`ann_lsh_topk`'s verified candidate frame before the per-query
+    top-k window — ``query_id, neighbor_id, cosine_sim``. Exposed for the
+    fused recall-sweep scaffold (one window exchange across all arms)."""
     from security_data_pipeline_spark.functions.vectors import directional
 
     base = directional(corpus, vec_col).select(
@@ -441,10 +449,39 @@ def ann_lsh_topk(
         / (F.col("_nrm_q") * F.col("_nrm_c")),
         6,
     )
-    scored = (
+    return (
         cand.join(a, "query_id")
         .join(b, "neighbor_id")
         .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    k: int = 3,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: F.Column | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via LSH bucketing — the scale path.
+
+    Candidate pairs come from an equi-join on ``(band, bucket)`` (hash
+    shuffle bounded by bucket occupancy — never a cross join), deduped, then
+    verified with exact cosine; ``row_number`` keeps k per query. With a
+    deterministic seed the whole pipeline is reproducible cross-engine, so
+    unlike most ANN code paths this one is oracle-checkable.
+
+    ``query_pred`` restricts which vectors act as queries (all rows remain
+    candidates); neighbors are only as complete as the buckets allow —
+    that's the approximation.
+    """
+    scored = ann_lsh_scored(
+        corpus, n_planes=n_planes, n_bands=n_bands, seed=seed,
+        id_col=id_col, vec_col=vec_col, query_pred=query_pred, dim=dim,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -601,9 +638,8 @@ def pq_encode(
     return df.withColumn(code_col, F.array(*codes)).drop("_vn")
 
 
-def ann_pq_adc_topk(
+def ann_pq_adc_scored(
     corpus: DataFrame,
-    k: int = 3,
     n_codewords: int = 16,
     n_sub: int = 8,
     id_col: str = "vec_id",
@@ -611,21 +647,18 @@ def ann_pq_adc_topk(
     query_pred: F.Column | None = None,
     codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
-    """PQ + asymmetric distance computation (ADC) approximate top-k — the
-    memory-bound ANN scale path (complement of LSH's hash pruning and
-    IVF's cluster pruning): the corpus is stored/shuffled as tiny PQ codes,
-    queries stay exact, and each (query, candidate) distance is a SUM of
-    per-subspace lookups into the query's distance-to-codeword table.
-
-    Determinism for the oracle: per-subspace distances are rounded to 9dp
-    and summed as DECIMAL (exact, order-free — a float SUM across a group
-    is accumulation-order-dependent and differs between engines), then
-    ranked with a total (distance, neighbor_id) order. Returns
-    ``query_id, neighbor_id, adc_dist`` (ascending distance = most
-    similar; vectors are L2-normalized, so d² = 2 − 2·cos).
-    """
+    """:func:`ann_pq_adc_topk`'s full scored pair frame before the
+    per-query top-k window — ``query_id, neighbor_id, adc_dist``
+    (ascending = most similar). Exposed for the fused recall-sweep
+    scaffold (one window exchange across all arms)."""
     from security_data_pipeline_spark.functions.vectors import directional
 
+    # deliberately NOT fan_out here (round-12 measurement): the PQ sweep
+    # arms run as independent single-task pipelines that AQE executes
+    # concurrently; hash-spreading each arm's encode added an exchange +
+    # 32-task scheduling per arm and measured SLOWER on the 4-arm sweeps
+    # (4.7 s -> 5.8 s). At scale a real corpus scans as many splits and
+    # parallelizes without help.
     corpus = directional(corpus, vec_col)
     cbs = (
         codebooks
@@ -679,10 +712,39 @@ def ann_pq_adc_topk(
     adc = term(0)
     for m in range(1, n_sub):
         adc = adc + term(m)
-    scored = pairs.select(
+    return pairs.select(
         "query_id",
         "neighbor_id",
         (adc.cast("double") / F.lit(1e9)).alias("adc_dist"),
+    )
+
+
+def ann_pq_adc_topk(
+    corpus: DataFrame,
+    k: int = 3,
+    n_codewords: int = 16,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: F.Column | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ + asymmetric distance computation (ADC) approximate top-k — the
+    memory-bound ANN scale path (complement of LSH's hash pruning and
+    IVF's cluster pruning): the corpus is stored/shuffled as tiny PQ codes,
+    queries stay exact, and each (query, candidate) distance is a SUM of
+    per-subspace lookups into the query's distance-to-codeword table.
+
+    Determinism for the oracle: per-subspace distances are rounded to 9dp
+    and summed as DECIMAL (exact, order-free — a float SUM across a group
+    is accumulation-order-dependent and differs between engines), then
+    ranked with a total (distance, neighbor_id) order. Returns
+    ``query_id, neighbor_id, adc_dist`` (ascending distance = most
+    similar; vectors are L2-normalized, so d² = 2 − 2·cos).
+    """
+    scored = ann_pq_adc_scored(
+        corpus, n_codewords=n_codewords, n_sub=n_sub, id_col=id_col,
+        vec_col=vec_col, query_pred=query_pred, codebooks=codebooks,
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (
@@ -1081,6 +1143,47 @@ def ivf_assign(
     return df.withColumn(cluster_col, best["cid"])
 
 
+def ann_ivf_scored(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: F.Column | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """:func:`ann_ivf_topk`'s probed + exact-scored candidate frame before
+    the per-query top-k window — ``query_id, neighbor_id, cosine_sim``.
+    Exposed for the fused recall-sweep scaffold (one window exchange
+    across all arms)."""
+    cents = centroids if centroids is not None else ivf_centroid_vectors(
+        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+
+    from security_data_pipeline_spark.functions.vectors import l2_norm
+    from security_data_pipeline_spark.operators.skew import fan_out
+
+    clustered = ivf_assign(
+        fan_out(corpus, id_col).select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ),
+        cents,
+        vec_col="embedding",
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("_v_c"),
+        l2_norm("embedding").alias("_nrm_c"),
+        "ivf_cluster",
+    )
+
+    q = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    if query_pred is not None:
+        q = q.filter(query_pred)
+    return _ivf_probe_and_score(clustered, q, cents, n_probe)
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     k: int = 3,
@@ -1107,32 +1210,18 @@ def ann_ivf_topk(
     deterministic lowest-id selection so the registered query remains
     oracle-checkable end to end.
     """
-    cents = centroids if centroids is not None else ivf_centroid_vectors(
-        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    scored = ann_ivf_scored(
+        corpus, n_centroids=n_centroids, n_probe=n_probe, id_col=id_col,
+        vec_col=vec_col, query_pred=query_pred, centroids=centroids,
     )
-
-    from security_data_pipeline_spark.functions.vectors import dot_product, l2_norm
-    from security_data_pipeline_spark.operators.skew import fan_out
-
-    clustered = ivf_assign(
-        fan_out(corpus, id_col).select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
-        ),
-        cents,
-        vec_col="embedding",
-    ).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").cast("array<double>").alias("_v_c"),
-        l2_norm("embedding").alias("_nrm_c"),
-        "ivf_cluster",
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
-
-    q = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .drop("_rank")
     )
-    if query_pred is not None:
-        q = q.filter(query_pred)
-    return _ivf_probe_and_rerank(clustered, q, cents, k, n_probe)
 
 
 def _ivf_probe_queries(q: DataFrame, cents: list[list[float]], n_probe: int) -> DataFrame:
@@ -1177,6 +1266,33 @@ def _ivf_probe_queries(q: DataFrame, cents: list[list[float]], n_probe: int) -> 
     )
 
 
+def _ivf_probe_and_score(
+    clustered: DataFrame,
+    q: DataFrame,
+    cents: list[list[float]],
+    n_probe: int,
+) -> DataFrame:
+    """Broadcast the probe list against the clustered corpus and
+    exact-cosine score every candidate — :func:`_ivf_probe_and_rerank`
+    before its top-k window. Exposed for the fused recall-sweep scaffold
+    (one window exchange across all arms)."""
+    from security_data_pipeline_spark.functions.vectors import dot_product
+
+    probes = _ivf_probe_queries(q, cents, n_probe)
+    sim = F.round(
+        dot_product(F.col("_v_q"), F.col("_v_c"))
+        / (F.col("_nrm_q") * F.col("_nrm_c")),
+        6,
+    )
+    return (
+        clustered.join(
+            F.broadcast(probes), F.col("ivf_cluster") == F.col("_probe")
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+
+
 def _ivf_probe_and_rerank(
     clustered: DataFrame,
     q: DataFrame,
@@ -1186,21 +1302,7 @@ def _ivf_probe_and_rerank(
 ) -> DataFrame:
     """Broadcast the probe list against the clustered corpus, exact-cosine
     re-rank, keep k per query (sim DESC, neighbor-id ASC)."""
-    from security_data_pipeline_spark.functions.vectors import dot_product
-
-    probes = _ivf_probe_queries(q, cents, n_probe)
-    sim = F.round(
-        dot_product(F.col("_v_q"), F.col("_v_c"))
-        / (F.col("_nrm_q") * F.col("_nrm_c")),
-        6,
-    )
-    scored = (
-        clustered.join(
-            F.broadcast(probes), F.col("ivf_cluster") == F.col("_probe")
-        )
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
-    )
+    scored = _ivf_probe_and_score(clustered, q, cents, n_probe)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
@@ -2145,9 +2247,8 @@ def sq8_encode(
     return df.withColumn(out_col, codes)
 
 
-def ann_sq8_topk(
+def ann_sq8_scored(
     corpus: DataFrame,
-    k: int = 5,
     query_pred: F.Column | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -2155,21 +2256,10 @@ def ann_sq8_topk(
     allow_quadratic: bool = False,
     levels: float = 255.0,
 ) -> DataFrame:
-    """Approximate cosine top-k over an SQ8 scalar-quantized corpus — the
-    production tier between full-precision brute force (4-8x the scan
-    bytes) and PQ-ADC (coarser, needs codebook training). The corpus side
-    scores on its quantize-dequantize reconstruction (8 bits per
-    dimension on a per-dimension min/max grid — no training, just one
-    min/max pass); the query side stays exact, as in asymmetric distance
-    computation. Same output contract and determinism discipline as
-    :func:`knn_bruteforce`: round(sim, 6) DESC, neighbor-id ASC.
-
-    Scale shape: queries broadcast, the corpus never shuffles, and the
-    quantized representation is what a persisted SQ8 index scans
-    (:func:`sq8_encode` writes it); work per corpus row is one fused
-    dequant+dot fold, map-side, followed by the per-query top-k
-    TakeOrdered.
-    """
+    """:func:`ann_sq8_topk`'s dequant-scored pair frame before the
+    per-query top-k window — ``query_id, neighbor_id, cosine_sim``.
+    Exposed for the fused recall-sweep scaffold (one window exchange
+    across all arms)."""
     from security_data_pipeline_spark.functions.vectors import dot_product, l2_norm
 
     if query_pred is None and not allow_quadratic:
@@ -2214,7 +2304,38 @@ def ann_sq8_topk(
         / (F.col("_qnrm") * F.col("_cnrm")),
         6,
     )
-    scored = pairs.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    return pairs.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+
+
+def ann_sq8_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    query_pred: F.Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    minmax: tuple[list[float], list[float]] | None = None,
+    allow_quadratic: bool = False,
+    levels: float = 255.0,
+) -> DataFrame:
+    """Approximate cosine top-k over an SQ8 scalar-quantized corpus — the
+    production tier between full-precision brute force (4-8x the scan
+    bytes) and PQ-ADC (coarser, needs codebook training). The corpus side
+    scores on its quantize-dequantize reconstruction (8 bits per
+    dimension on a per-dimension min/max grid — no training, just one
+    min/max pass); the query side stays exact, as in asymmetric distance
+    computation. Same output contract and determinism discipline as
+    :func:`knn_bruteforce`: round(sim, 6) DESC, neighbor-id ASC.
+
+    Scale shape: queries broadcast, the corpus never shuffles, and the
+    quantized representation is what a persisted SQ8 index scans
+    (:func:`sq8_encode` writes it); work per corpus row is one fused
+    dequant+dot fold, map-side, followed by the per-query top-k
+    TakeOrdered.
+    """
+    scored = ann_sq8_scored(
+        corpus, query_pred=query_pred, id_col=id_col, vec_col=vec_col,
+        minmax=minmax, allow_quadratic=allow_quadratic, levels=levels,
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )

@@ -331,6 +331,13 @@ def gopher_repetition_stats(
     """
     if thresholds is None:
         thresholds = {2: 0.20, 3: 0.18, 4: 0.16}
+    from security_data_pipeline_spark.operators.skew import fan_out
+
+    # per-row CPU (tokenize + four n-gram arrays + sorts + folds) with NO
+    # downstream shuffle to spread it: on a single-row-group corpus file
+    # the whole gate otherwise runs as ONE task (measured 2.5 s -> 0.5 s
+    # at sf0.1 with the fan-out; a no-op at scale where scans split)
+    df = fan_out(df, text_col)
     t = F.col(text_col)
     toks = tokens(F.coalesce(t, F.lit("")))
     n_tok = F.size(toks)

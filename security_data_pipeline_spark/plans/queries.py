@@ -5092,18 +5092,44 @@ def ivf_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _recall_sweep_union(emb, exact, arm_dfs, param_name: str, k: int):
-    """Shared recall-sweep scaffold (the ann_recall_sweep shape): each
-    arm's (query, neighbor) set joins the ONE brute-force ground truth
-    and folds to a single counts-only row — |arms| bounded aggregates,
-    never |arms| result materializations.
+def _recall_sweep_union(
+    emb,
+    exact,
+    arm_dfs,
+    param_name: str,
+    k: int,
+    score_col: str = "cosine_sim",
+    score_desc: bool = True,
+    fuse: bool = True,
+):
+    """Shared recall-sweep scaffold (the ann_recall_sweep shape), FUSED
+    across arms (round 12, guide §2.4 "share one exchange"): arms provide
+    their SCORED candidate frames (query_id, neighbor_id, score — the
+    ann_*_scored forms, BEFORE any per-arm top-k window); the scaffold
+    tags them with the arm's param value, unions, and pays ONE top-k
+    window exchange over (param, query_id), ONE ground-truth join, and
+    ONE bounded groupBy for the whole sweep. The per-arm form paid one
+    window exchange + one join + one aggregate + one scalar cross-join
+    PER ARM — 21 x 4 AQE stages on ann_operating_point, each a driver
+    round trip, dominating the wall clock at every scale's small-stage
+    end. Ranking per (param, query_id) group is operand-identical to the
+    old per-arm windows, so the top-k sets — and the oracle hash — are
+    unchanged.
 
-    ``exact`` is PINNED here: it feeds every arm's match join plus the
-    stats row (|arms| + 1 consumers), and unpinned Catalyst re-inlined
-    the O(queries x corpus) brute-force into each branch — measured as
-    30 parquet scans / zero reused exchanges on ann_recall_sweep (round
-    11). The ground truth is <= max_query x k rows, so the pin
-    materializes a few hundred rows and the brute force runs once."""
+    ``fuse=False`` keeps the round-11 per-arm shape (one window + one
+    join + one aggregate per arm): measured faster for the PQ and LSH
+    families, whose arms are heavy independent single-pipeline DAGs that
+    AQE already runs concurrently — fusing them serialized the heaviest
+    arm behind a shared exchange (pq_recall_sweep 4.7 s -> 6.8 s), while
+    the cosine families (IVF/SQ/PCA/truncation) measure 20-30% FASTER
+    fused. Chosen per family by measurement, not by principle.
+
+    ``exact`` is PINNED here: it feeds the match join plus the stats row,
+    and unpinned Catalyst re-inlined the O(queries x corpus) brute-force
+    into each branch — measured as 30 parquet scans / zero reused
+    exchanges on ann_recall_sweep (round 11). The ground truth is
+    <= max_query x k rows, so the pin materializes a few hundred rows and
+    the brute force runs once."""
     from functools import reduce
 
     exact = exact.transform(pin_lazy)
@@ -5111,25 +5137,88 @@ def _recall_sweep_union(emb, exact, arm_dfs, param_name: str, k: int):
         F.countDistinct("query_id").alias("n_queries"),
         F.count(F.lit(1)).alias("n_exact"),
     )
-    parts = []
-    for val, df in arm_dfs:
-        matched = df.select("query_id", "neighbor_id").join(
-            exact, ["query_id", "neighbor_id"]
-        ).agg(F.count(F.lit(1)).alias("n_matched"))
-        parts.append(
-            # one-row x one-row scalar attachment (the audited pattern)
-            matched.crossJoin(ex_stats).select(
-                F.lit(val).cast("int").alias(param_name),
-                F.lit(k).cast("int").alias("k"),
-                F.col("n_queries").cast("long").alias("n_queries"),
-                F.round(
-                    F.col("n_matched").cast("double")
-                    / F.col("n_exact").cast("double"),
-                    6,
-                ).alias("mean_recall"),
-            )
+    if not fuse:
+        # fully independent per-arm DAGs (window + join + aggregate per
+        # arm): AQE runs them concurrently, and every shared-stage
+        # variant measured SLOWER for these families — a shared top-k
+        # window (pq_recall_sweep 4.7 -> 6.8 s) and even a shared
+        # ground-truth join over the tiny per-arm top-k frames
+        # (4.8 -> 6.2 s: the single join is a barrier on the slowest
+        # arm and kills the arm-level pipelining)
+        order = (
+            F.col(score_col).desc() if score_desc else F.col(score_col).asc()
         )
-    return reduce(lambda a, b: a.unionByName(b), parts)
+        w = Window.partitionBy("query_id").orderBy(
+            order, F.col("neighbor_id")
+        )
+        parts = []
+        for val, df in arm_dfs:
+            topk = (
+                df.withColumn("_rank", F.row_number().over(w))
+                .filter(F.col("_rank") <= k)
+                .select("query_id", "neighbor_id")
+            )
+            arm_matched = topk.join(exact, ["query_id", "neighbor_id"]).agg(
+                F.count(F.lit(1)).alias("n_matched")
+            )
+            parts.append(
+                # one-row x one-row scalar attachment (the audited pattern)
+                arm_matched.crossJoin(ex_stats).select(
+                    F.lit(val).cast("int").alias(param_name),
+                    F.lit(k).cast("int").alias("k"),
+                    F.col("n_queries").cast("long").alias("n_queries"),
+                    F.round(
+                        F.col("n_matched").cast("double")
+                        / F.col("n_exact").cast("double"),
+                        6,
+                    ).alias("mean_recall"),
+                )
+            )
+        return reduce(lambda a, b: a.unionByName(b), parts)
+    tagged = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            df.select(
+                F.lit(val).cast("int").alias("_param"),
+                "query_id",
+                "neighbor_id",
+                F.col(score_col).alias("_score"),
+            )
+            for val, df in arm_dfs
+        ],
+    )
+    order = F.col("_score").desc() if score_desc else F.col("_score").asc()
+    w = Window.partitionBy("_param", "query_id").orderBy(
+        order, F.col("neighbor_id")
+    )
+    topk = (
+        tagged.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .select("_param", "query_id", "neighbor_id")
+    )
+    matched = topk.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "_param"
+    ).agg(F.count(F.lit(1)).alias("n_matched"))
+    # literal param frame so an arm with ZERO ground-truth matches still
+    # emits its (recall 0.0) row, exactly as the per-arm aggregates did
+    spark = emb.sparkSession
+    params = spark.createDataFrame(
+        [(int(val),) for val, _ in arm_dfs], "_param int"
+    )
+    return (
+        params.join(matched, "_param", "left")
+        .crossJoin(ex_stats)
+        .select(
+            F.col("_param").alias(param_name),
+            F.lit(k).cast("int").alias("k"),
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.round(
+                F.coalesce(F.col("n_matched"), F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("mean_recall"),
+        )
+    )
 
 
 # Per-family sweep arms, shared between the real-corpus sweep queries,
@@ -5143,9 +5232,9 @@ def _ivf_sweep_arms(emb, pred, k):
     return [
         (
             p,
-            similarity.ann_ivf_topk(
-                emb, k=k, n_centroids=16, n_probe=p, query_pred=pred
-            ).select("query_id", "neighbor_id"),
+            similarity.ann_ivf_scored(
+                emb, n_centroids=16, n_probe=p, query_pred=pred
+            ),
         )
         for p in _RECALL_PROBES
     ]
@@ -5155,8 +5244,8 @@ def _lsh_sweep_arms(emb, pred, k):
     return [
         (
             p,
-            similarity.ann_lsh_topk(
-                emb, k=k, n_planes=p, n_bands=4, seed=42,
+            similarity.ann_lsh_scored(
+                emb, n_planes=p, n_bands=4, seed=42,
                 query_pred=pred, dim=64,
             ),
         )
@@ -5168,8 +5257,8 @@ def _sq_sweep_arms(emb, pred, k):
     return [
         (
             b,
-            similarity.ann_sq8_topk(
-                emb, k=k, query_pred=pred, levels=float(2**b - 1)
+            similarity.ann_sq8_scored(
+                emb, query_pred=pred, levels=float(2**b - 1)
             ),
         )
         for b in _SQ_SWEEP_BITS
@@ -5180,9 +5269,9 @@ def _pqm_sweep_arms(emb, pred, k):
     return [
         (
             m,
-            similarity.ann_pq_adc_topk(
-                emb, k=k, n_codewords=16, n_sub=m, query_pred=pred
-            ).select("query_id", "neighbor_id"),
+            similarity.ann_pq_adc_scored(
+                emb, n_codewords=16, n_sub=m, query_pred=pred
+            ),
         )
         for m in _PQ_SWEEP_SUBS
     ]
@@ -5192,12 +5281,27 @@ def _pqc_sweep_arms(emb, pred, k):
     return [
         (
             c,
-            similarity.ann_pq_adc_topk(
-                emb, k=k, n_codewords=c, n_sub=8, query_pred=pred
-            ).select("query_id", "neighbor_id"),
+            similarity.ann_pq_adc_scored(
+                emb, n_codewords=c, n_sub=8, query_pred=pred
+            ),
         )
         for c in _PQ_CODEWORD_SWEEP
     ]
+
+
+# per-family score column + window direction for the fused scaffold:
+# cosine families rank sim DESC, PQ ranks ADC distance ASC (identical
+# operands to the per-arm windows each family's topk form applies)
+# (score_col, score_desc, fuse) — fuse chosen per family by measurement
+# (see _recall_sweep_union docstring): cosine families win fused, PQ/LSH
+# win with the per-arm shape AQE runs concurrently.
+_SWEEP_SCORE: dict[str, tuple[str, bool, bool]] = {
+    "ivf": ("cosine_sim", True, True),
+    "lsh": ("cosine_sim", True, False),
+    "sq": ("cosine_sim", True, True),
+    "pq_m": ("adc_dist", False, False),
+    "pq_nbits": ("adc_dist", False, False),
+}
 
 
 def _planted_oracle(sweep_sql: str) -> str:
@@ -5340,7 +5444,8 @@ def lsh_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus=emb, queries=emb.filter(pred), k=k
     ).select("query_id", "neighbor_id")
     return _recall_sweep_union(
-        emb, exact, _lsh_sweep_arms(emb, pred, k), "n_planes", k
+        emb, exact, _lsh_sweep_arms(emb, pred, k), "n_planes", k,
+        fuse=False,
     )
 
 
@@ -7913,10 +8018,16 @@ GROUP BY d.source
 def doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from security_data_pipeline_spark.operators import bloom
 
+    from security_data_pipeline_spark.operators.skew import fan_out
+
     m_bits, k = 1 << 16, 3
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") < 20)
-    rest = docs.filter(F.col("doc_id") >= 20)
+    # the probe pass (shingles + one md5 per gram + k probes) is map-only
+    # by design (plan-asserted in test_bloom.py at the operator level);
+    # HERE the one-row-group scan would serialize it onto one core, so
+    # the query pays one cheap row shuffle to spread it (no-op at scale)
+    rest = fan_out(docs, "doc_id").filter(F.col("doc_id") >= 20)
     items = bench.select(
         F.explode(dedup.shingles("text", 4)).alias("g")
     ).distinct()
@@ -10996,8 +11107,8 @@ def pca_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         arms.append(
             (
                 c,
-                similarity.knn_bruteforce(
-                    corpus=pj, queries=pj.filter(pred), k=k
+                similarity.knn_bruteforce_scored(
+                    corpus=pj, queries=pj.filter(pred)
                 ),
             )
         )
@@ -11325,8 +11436,8 @@ def emb_truncation_recall_sweep(
         arms.append(
             (
                 c,
-                similarity.knn_bruteforce(
-                    corpus=pj, queries=pj.filter(pred), k=k
+                similarity.knn_bruteforce_scored(
+                    corpus=pj, queries=pj.filter(pred)
                 ),
             )
         )
@@ -12157,7 +12268,8 @@ def pq_codewords_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus=emb, queries=emb.filter(pred), k=k
     ).select("query_id", "neighbor_id")
     return _recall_sweep_union(
-        emb, exact, _pqc_sweep_arms(emb, pred, k), "n_codewords", k
+        emb, exact, _pqc_sweep_arms(emb, pred, k), "n_codewords", k,
+        score_col="adc_dist", score_desc=False, fuse=False,
     )
 
 
@@ -12187,7 +12299,8 @@ def pq_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus=emb, queries=emb.filter(pred), k=k
     ).select("query_id", "neighbor_id")
     return _recall_sweep_union(
-        emb, exact, _pqm_sweep_arms(emb, pred, k), "n_sub", k
+        emb, exact, _pqm_sweep_arms(emb, pred, k), "n_sub", k,
+        score_col="adc_dist", score_desc=False, fuse=False,
     )
 
 
@@ -12207,18 +12320,33 @@ def _load_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         planted_embeddings,
     )
 
-    return planted_embeddings(load_table(spark, sf_dir, "embeddings"))
+    # Pinned: the construction is pure Column algebra, so every downstream
+    # expression reference re-derives the 64-element LCG transform per row
+    # (measured: an IVF arm's 200-row probe build spent 1.7 s single-task
+    # re-deriving it ~18x per row). Each planted sweep consumes the corpus
+    # 2(arms)+1 to 21+1 times — the same genuine-reuse bar as the pinned
+    # brute-force ground truth — and the pin is a few thousand 64-dim
+    # rows. Deliberately NOT fanned out here: the heavy per-row stages
+    # (encode, rerank) fan out inside the ANN operators themselves, while
+    # the cheap consumers (query filters, probe builds) stay narrow — a
+    # measured 32-way pin made every tiny stage pay 32-task scheduling
+    # overhead (LSH family sweep 1.6 s -> 3.9 s).
+    return planted_embeddings(
+        load_table(spark, sf_dir, "embeddings")
+    ).transform(pin_lazy)
 
 
-def _planted_sweep(spark, sf_dir, arms_fn, param_name):
+def _planted_sweep(spark, sf_dir, arms_fn, param_name, family):
     k = 3
     pred = F.col("vec_id") < 200
     emb = _load_planted(spark, sf_dir)
     exact = similarity.knn_bruteforce(
         corpus=emb, queries=emb.filter(pred), k=k
     ).select("query_id", "neighbor_id")
+    score_col, score_desc, fuse = _SWEEP_SCORE[family]
     return _recall_sweep_union(
-        emb, exact, arms_fn(emb, pred, k), param_name, k
+        emb, exact, arms_fn(emb, pred, k), param_name, k,
+        score_col=score_col, score_desc=score_desc, fuse=fuse,
     )
 
 
@@ -12242,7 +12370,7 @@ _PLANTED_SWEEP_DESC = (
     ),
 )
 def ann_recall_sweep_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _planted_sweep(spark, sf_dir, _ivf_sweep_arms, "n_probe")
+    return _planted_sweep(spark, sf_dir, _ivf_sweep_arms, "n_probe", "ivf")
 
 
 @query(
@@ -12253,7 +12381,7 @@ def ann_recall_sweep_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def lsh_recall_sweep_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _planted_sweep(spark, sf_dir, _lsh_sweep_arms, "n_planes")
+    return _planted_sweep(spark, sf_dir, _lsh_sweep_arms, "n_planes", "lsh")
 
 
 @query(
@@ -12264,7 +12392,7 @@ def lsh_recall_sweep_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def sq_recall_sweep_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _planted_sweep(spark, sf_dir, _sq_sweep_arms, "bits")
+    return _planted_sweep(spark, sf_dir, _sq_sweep_arms, "bits", "sq")
 
 
 @query(
@@ -12275,7 +12403,7 @@ def sq_recall_sweep_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def pq_recall_sweep_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _planted_sweep(spark, sf_dir, _pqm_sweep_arms, "n_sub")
+    return _planted_sweep(spark, sf_dir, _pqm_sweep_arms, "n_sub", "pq_m")
 
 
 @query(
@@ -12288,7 +12416,7 @@ def pq_recall_sweep_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pq_codewords_sweep_planted(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    return _planted_sweep(spark, sf_dir, _pqc_sweep_arms, "n_codewords")
+    return _planted_sweep(spark, sf_dir, _pqc_sweep_arms, "n_codewords", "pq_nbits")
 
 
 # The ANN operating point: byte budget + target recall in, a chosen index
@@ -12430,8 +12558,10 @@ def ann_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     parts = []
     for fam, pname, arms_fn, _ in _ANN_FAMILIES:
+        score_col, score_desc, fuse = _SWEEP_SCORE[fam]
         sw = _recall_sweep_union(
-            emb, exact, arms_fn(emb, pred, k), "param_value", k
+            emb, exact, arms_fn(emb, pred, k), "param_value", k,
+            score_col=score_col, score_desc=score_desc, fuse=fuse,
         )
         parts.append(
             sw.select(
