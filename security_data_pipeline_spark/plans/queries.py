@@ -8447,6 +8447,13 @@ def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINE_CHUNK = 5
 
 
+def _fan_out_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan spread for map-heavy consumers (no-op at scale)."""
+    from security_data_pipeline_spark.operators.skew import fan_out
+
+    return fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+
+
 def _chunked_docs(docs: DataFrame) -> DataFrame:
     c = _LINE_CHUNK
     toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
@@ -8517,7 +8524,12 @@ FROM pages p LEFT JOIN rebuilt r USING (doc_id)
     ),
 )
 def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from security_data_pipeline_spark.operators.skew import fan_out
+
+    # both legs (line explode and the per-doc rebuild) are map-heavy over
+    # the one-row-group scan; one fan-out spreads them (1.9 s -> 0.7 s
+    # measured; no-op at scale)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     return dedup.remove_duplicated_lines(
         _chunked_docs(docs), id_col="doc_id", scope="any", min_ids=2
     )
@@ -8549,7 +8561,7 @@ FROM pages p LEFT JOIN pd USING (doc_id) GROUP BY p.source
     ),
 )
 def doc_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _fan_out_docs(spark, sf_dir)
     return dedup.duplicated_line_stats(
         _chunked_docs(docs), by="source", id_col="doc_id",
         scope="any", min_ids=2,
